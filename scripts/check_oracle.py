@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on
+DuckDB over the same sf dir, then compares row count, column names,
+and an order-insensitive value hash (rows sorted, columns sorted by
+name, values stringified with stable float formatting).
+
+Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+from datetime import date, datetime
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from sqltask_spark.session import get_spark  # noqa: E402
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _norm_value(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm_value(x) for x in v) + "]"
+    return str(v)
+
+
+def result_hash(columns, rows):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    lines = sorted(
+        "\x1f".join(_norm_value(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    spark = get_spark(app_name="oracle_check", master="local[8]",
+                      conf={"spark.ui.enabled": "false",
+                            "spark.sql.shuffle.partitions": "8"})
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {str(e)[:300]}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"ok    {name}: rows-only ({len(srows)} rows, no oracle)")
+            continue
+        try:
+            cur = con.execute(oracles[name])
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
+            failures.append(name)
+            continue
+        problems = []
+        if len(srows) != len(orows):
+            problems.append(f"rows {len(srows)} != {len(orows)}")
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"cols {sorted(scols)} != {sorted(ocols)}")
+        if not problems:
+            sh = result_hash(scols, [tuple(r) for r in srows])
+            oh = result_hash(ocols, orows)
+            if sh != oh:
+                problems.append("value hash mismatch")
+                # show first differing row for debugging
+                sset = {
+                    "\x1f".join(
+                        _norm_value(r[i])
+                        for i in sorted(
+                            range(len(scols)), key=lambda i: scols[i]
+                        )
+                    )
+                    for r in srows
+                }
+                oset = {
+                    "\x1f".join(
+                        _norm_value(r[i])
+                        for i in sorted(
+                            range(len(ocols)), key=lambda i: ocols[i]
+                        )
+                    )
+                    for r in orows
+                }
+                for x in sorted(sset - oset)[:2]:
+                    print(f"      spark-only: {x[:200]}")
+                for x in sorted(oset - sset)[:2]:
+                    print(f"      duck-only:  {x[:200]}")
+        if problems:
+            print(f"FAIL  {name}: {'; '.join(problems)}")
+            failures.append(name)
+        else:
+            print(f"PASS  {name} ({len(srows)} rows)")
+    print()
+    if failures:
+        print(f"{len(failures)} failing: {failures}")
+        return 1
+    print("all queries pass")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,87 @@
+"""Canonical loaders for the test-data star schema.
+
+Handles one real-world wart: pandas/pyarrow-written parquet with
+``timestamp[ns]`` columns, which Spark's vectorized reader rejects
+(``PARQUET_TYPE_ILLEGAL``). With
+``spark.sql.legacy.parquet.nanosAsLong=true`` those columns arrive as
+nanosecond longs; the loader detects them from the parquet footer
+(a metadata-only read — no data scan) and converts to proper
+timestamps with integer division (``div 1000`` → microseconds), which
+keeps full precision where a double division would not.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+@lru_cache(maxsize=256)
+def _nanos_columns(path: str) -> tuple[str, ...]:
+    """Column names stored as timestamp[ns], read from the footer."""
+    try:
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(path)
+        return tuple(
+            f.name for f in schema if str(f.type) == "timestamp[ns]"
+        )
+    except Exception:  # pragma: no cover — footer probe is best-effort
+        return ()
+
+
+#: Confs the engine depends on that are runtime-settable, applied
+#: defensively in case the caller built the session without
+#: :func:`sqltask_spark.session.get_spark` (e.g. the driver harness).
+RUNTIME_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    "spark.sql.adaptive.enabled": "true",
+}
+
+
+def ensure_runtime_confs(spark: SparkSession) -> None:
+    for key, value in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:  # pragma: no cover — conf may be static on a cluster
+            pass
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_runtime_confs(spark)
+    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    df = spark.read.parquet(path)
+    for col in _nanos_columns(path):
+        df = df.withColumn(
+            col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load all tables and register them as temp views for spark.sql."""
+    tables = load_tables(spark, sf_dir)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables

@@ -1,0 +1,340 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+North-star extensions (no reference counterpart). Scale notes:
+
+- **exact_dedup**: hash-groupBy on a 128-bit fingerprint — one shuffle
+  keyed by the digest, which is uniformly distributed, so no skew.
+  At 100 TB this is the cheapest possible dedup (shuffle carries only
+  digest + id + tiny payload after the map-side projection).
+- **MinHash-LSH**: per-doc signature computation is shuffle-free JVM
+  expression work; candidate generation explodes ``bands`` rows per
+  doc (a constant factor) and groups by (band, band-hash) — the
+  classic O(n·bands) near-dup join that avoids the O(n²) cross
+  product entirely. Bucket skew (e.g. boilerplate docs) is bounded by
+  ``max_bucket_size``: buckets above the cap are dropped (standard
+  practice — a bucket with thousands of colliding docs signals
+  boilerplate that exact-dedup already handles better).
+- **SimHash**: 64-bit signature via per-token hashes; near-dup =
+  Hamming distance ≤ k, found by banding the 64 bits into chunks
+  (pigeonhole: distance ≤ k ⇒ some chunk of ⌈64/(k+1)⌉ is equal).
+- **n-gram Jaccard**: exact verification step for LSH candidates —
+  only ever computed on candidate pairs, never all pairs.
+
+Hashes: ``xxhash64`` (Spark-native, seedable, fast). MinHash
+permutations are ``(a·h + b) mod p`` with constants derived from a
+fixed seed so signatures are stable across runs/partitionings.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sqltask_spark.operators.text import normalize_text, tokenize
+
+MERSENNE_P = (1 << 61) - 1
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles of normalized text → array<string>.
+
+    Short documents (< n tokens) fall back to one whole-text shingle
+    so every doc has a non-empty shingle set.
+    """
+    toks = tokenize(col)
+    k = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(k >= n, grams).otherwise(F.array(normalize_text(col)))
+
+
+def _perm_constants(num_perm: int, seed: int) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MERSENNE_P), rng.randrange(0, MERSENNE_P))
+        for _ in range(num_perm)
+    ]
+
+
+def shingle_hashes(col: Column, shingle_n: int = 3) -> Column:
+    """Distinct 61-bit shingle hashes (xxhash64 reduced mod p)."""
+    return F.array_distinct(
+        F.transform(
+            word_shingles(col, shingle_n),
+            lambda s: F.abs(F.xxhash64(s)) % F.lit(MERSENNE_P),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    seed: int = 42,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signatures → (id, sig: array<bigint>[num_perm]).
+
+    Scalable shape: explode the shingle-hash set once, then compute
+    all permutations as ``num_perm`` ``min()`` aggregates over the
+    exploded rows — shingle hashing happens exactly once per doc
+    (an expression-tree formulation gets re-inlined per permutation by
+    projection collapse and blows up codegen), partial aggregation
+    combines map-side, and the single shuffle is keyed by doc id.
+
+    Permutations are ``(a·h + b) mod p`` (p = 2^61−1) computed in
+    decimal(38,0) to avoid 64-bit overflow, constants from a fixed
+    seed → signatures stable across runs and partitionings.
+    """
+    perms = _perm_constants(num_perm, seed)
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingle_hashes(F.col(text_col), shingle_n)).alias("h"),
+    )
+    h = F.col("h").cast("decimal(38,0)")
+    aggs = [
+        F.min(((h * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P)).cast("long")).alias(
+            f"m{i}"
+        )
+        for i, (a, b) in enumerate(perms)
+    ]
+    sig = exploded.groupBy("id").agg(*aggs)
+    return sig.select(
+        "id", F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    shingle_n: int = 3,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash-LSH.
+
+    Returns (id_a, id_b, n_shared_bands) with id_a < id_b. Similarity
+    verification is the caller's job (``jaccard_pairs``) — LSH only
+    prunes the pair space.
+    """
+    assert num_perm % bands == 0, "bands must divide num_perm"
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(
+        df, id_col, text_col, num_perm=num_perm, seed=seed,
+        shingle_n=shingle_n,
+    )
+    banded = sig.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(
+                                F.col("sig"),
+                                b * rows_per_band + 1,
+                                rows_per_band,
+                            ),
+                            lambda v: v.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+    buckets = (
+        banded.groupBy("band", "band_hash")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter(
+            (F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size)
+        )
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda a: F.transform(
+                            F.col("ids"), lambda b: F.struct(a.alias("a"), b.alias("b"))
+                        ),
+                    )
+                ),
+                lambda s: s["a"] < s["b"],
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy(
+            F.col("pair.a").alias("id_a"), F.col("pair.b").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def jaccard_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs.
+
+    ``pairs`` has (id_a, id_b); joins the shingle sets in (two
+    broadcast-or-shuffle equi-joins) and computes
+    |A∩B| / |A∪B| JVM-side.
+    """
+    shingled = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias(
+            "shingles"
+        ),
+    )
+    a = shingled.select(
+        F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")
+    )
+    b = shingled.select(
+        F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")
+    )
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    out = joined.withColumn(
+        "jaccard", inter.cast("double") / union
+    ).drop("sh_a", "sh_b")
+    if threshold > 0:
+        out = out.filter(F.col("jaccard") >= threshold)
+    return out
+
+
+def simhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """64-bit SimHash per doc → (id, sig: bigint).
+
+    Majority vote per bit over the shingle-hash set. Same scalable
+    shape as :func:`minhash_signatures`: explode the hash set once,
+    64 conditional-sum aggregates (map-side combined), one shuffle
+    keyed by id, then pack the sign bits into one long.
+    """
+    hashes = F.array_distinct(
+        F.transform(
+            word_shingles(F.col(text_col), shingle_n),
+            lambda s: F.xxhash64(s),
+        )
+    )
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.explode(hashes).alias("h")
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for bit in range(64):
+        mask = F.lit(1 << bit if bit < 63 else -(2**63)).cast("long")
+        aggs.append(
+            F.sum(
+                F.when(F.col("h").bitwiseAND(mask) != 0, 1).otherwise(0)
+            ).alias(f"b{bit}")
+        )
+    counted = exploded.groupBy("id").agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for bit in range(64):
+        bit_value = F.lit(1 << bit if bit < 63 else -(2**63)).cast("long")
+        sig = sig.bitwiseOR(
+            F.when(
+                F.col(f"b{bit}") * 2 >= F.col("n"), bit_value
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return counted.select("id", sig.alias("sig"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_distance: int = 3,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_distance.
+
+    Pigeonhole banding: split 64 bits into ``max_distance + 1`` chunks;
+    any pair within distance k must agree exactly on ≥1 chunk → group
+    by (chunk index, chunk value), verify distance on candidates.
+    """
+    chunks = max_distance + 1
+    width = 64 // chunks
+    sigs = simhash_signatures(df, id_col, text_col, shingle_n)
+    chunk_cols = []
+    for i in range(chunks):
+        shifted = F.shiftrightunsigned(F.col("sig"), i * width)
+        mask = (1 << width) - 1 if i < chunks - 1 else (1 << (64 - i * width)) - 1
+        chunk_cols.append(shifted.bitwiseAND(F.lit(mask)).alias(f"c{i}"))
+    banded = sigs.select("id", "sig", *chunk_cols)
+    cands = None
+    for i in range(chunks):
+        a = banded.select(
+            F.col("id").alias("id_a"),
+            F.col("sig").alias("sig_a"),
+            F.col(f"c{i}").alias("chunk"),
+        )
+        b = banded.select(
+            F.col("id").alias("id_b"),
+            F.col("sig").alias("sig_b"),
+            F.col(f"c{i}").alias("chunk"),
+        )
+        cand = a.join(b, "chunk").filter(F.col("id_a") < F.col("id_b"))
+        cands = cand if cands is None else cands.unionByName(cand)
+    verified = (
+        cands.dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "hamming",
+            F.bit_count(
+                F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+            ),
+        )
+        .filter(F.col("hamming") <= max_distance)
+        .select("id_a", "id_b", "hamming")
+    )
+    return verified
+
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    keep: str = "min",
+) -> DataFrame:
+    """Exact dedup groups by md5 fingerprint.
+
+    Returns one row per distinct text: (fingerprint, kept id, n_copies).
+    ``keep='min'`` keeps the smallest id — deterministic, matching the
+    reference lookup first-wins spirit (``lookup_source.py:28-31``).
+    """
+    from sqltask_spark.operators.text import fingerprint_md5
+
+    agg = F.min(id_col) if keep == "min" else F.max(id_col)
+    return (
+        df.select(
+            fingerprint_md5(F.col(text_col)).alias("fingerprint"),
+            F.col(id_col),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            agg.alias("kept_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )

@@ -1,0 +1,115 @@
+"""Text-analysis operators for large-scale document pipelines.
+
+No reference counterpart (north-star extension): tokenization, stats,
+quality scoring, language ID, fingerprinting — all pure JVM column
+expressions (no Python UDFs), so they run inside whole-stage codegen
+and scale linearly with no shuffle at all (embarrassingly parallel
+per-document work).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword sets for the heuristic language ID.
+#: Deliberately minimal and deterministic; real corpora would load a
+#: broadcast stopword table instead.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "en": ("the", "a", "and", "is", "of", "to", "in"),
+    "es": ("el", "la", "los", "y", "es", "de", "que"),
+    "fr": ("le", "la", "les", "et", "est", "de", "que"),
+    "zh": ("de", "le", "shi", "bu", "zai", "you", "he"),
+}
+
+
+def normalize_text(col: Column) -> Column:
+    """Lowercase, trim, collapse whitespace runs to single spaces."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def tokenize(col: Column) -> Column:
+    """Whitespace tokenization of normalized text → array<string>."""
+    return F.split(normalize_text(col), " ")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokenize(col))
+
+
+def distinct_token_count(col: Column) -> Column:
+    return F.size(F.array_distinct(tokenize(col)))
+
+
+def char_count(col: Column) -> Column:
+    return F.length(col)
+
+
+def avg_token_length(col: Column) -> Column:
+    """Mean token length in characters (double)."""
+    toks = tokenize(col)
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return total.cast("double") / F.size(toks)
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords of ``lang``."""
+    toks = tokenize(col)
+    hits = F.size(
+        F.filter(toks, lambda t: t.isin(*STOPWORDS[lang]))
+    )
+    return hits.cast("double") / F.size(toks)
+
+
+def quality_score(col: Column) -> Column:
+    """Composite document-quality heuristic in [0, 1].
+
+    0.5 × type-token ratio + 0.3 × capped length score
+    + 0.2 × (1 − stopword ratio). Deterministic double arithmetic —
+    identical formula ships in the DuckDB oracle.
+    """
+    toks = tokenize(col)
+    n = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n
+    length_score = F.least(n.cast("double") / F.lit(100.0), F.lit(1.0))
+    sw = stopword_ratio(col, "en")
+    return ttr * 0.5 + length_score * 0.3 + (F.lit(1.0) - sw) * 0.2
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    """Per-language distinct-stopword hit counts."""
+    toks = F.array_distinct(tokenize(col))
+    return {
+        lang: F.size(F.array_intersect(toks, F.array(*map(F.lit, words))))
+        for lang, words in STOPWORDS.items()
+    }
+
+
+def lang_id(col: Column) -> Column:
+    """Argmax language by stopword hits; ties break alphabetically,
+    zero hits → 'und' (undetermined)."""
+    scores = lang_scores(col)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    # alphabetical order + strict > ⇒ on ties the alphabetically-first
+    # language wins (later equal scores don't replace the incumbent)
+    for lang in sorted(scores):
+        s = scores[lang]
+        take = s > best_score
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(take, s).otherwise(best_score)
+    return best_lang
+
+
+def fingerprint_md5(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 hex of normalized text.
+
+    md5 (not xxhash) so external engines can reproduce it — it is the
+    dedup key of :func:`sqltask_spark.operators.dedup.exact_dedup`.
+    """
+    return F.md5(normalize_text(col))

@@ -1,0 +1,269 @@
+"""Event-stream analytics (batch form) over the ``events`` table.
+
+The reference has zero streaming machinery (SURVEY.md §1.1); these
+queries are the batch semantics of the Structured Streaming operators
+in :mod:`sqltask_spark.streaming` — sessionization, tumbling windows,
+pivot, as-of join — each with a DuckDB oracle.
+
+Scale shape: everything here is one shuffle on ``user_id`` (or the
+group key) followed by window/agg work inside the partition; no
+driver-side state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sqltask_spark.data import load_table
+
+SESSION_GAP_SECONDS = 1800
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+# --------------------------------------------------------------------------
+# sessionize_events — lag + cumulative-sum session ids (30-min gap).
+# --------------------------------------------------------------------------
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    w_lag = Window.partitionBy("user_id").orderBy(*order)
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sec = F.unix_timestamp("ts")
+    prev_sec = F.lag(sec).over(w_lag)
+    is_new = F.when(
+        prev_sec.isNull() | ((sec - prev_sec) > SESSION_GAP_SECONDS), 1
+    ).otherwise(0)
+    sessions = ev.withColumn("__new", is_new).withColumn(
+        "session_id", F.sum("__new").over(w_run)
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+_SESSIONIZE_SQL = f"""
+WITH lagged AS (
+  SELECT
+    user_id, event_id, ts, value,
+    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), marked AS (
+  SELECT
+    user_id, event_id, ts, value,
+    CASE
+      WHEN prev_ts IS NULL
+        OR (FLOOR(epoch(ts)) - FLOOR(epoch(prev_ts))) > {SESSION_GAP_SECONDS}
+      THEN 1 ELSE 0
+    END AS is_new
+  FROM lagged
+), numbered AS (
+  SELECT
+    user_id, event_id, ts, value,
+    SUM(is_new) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS session_id
+  FROM marked
+)
+SELECT
+  user_id,
+  session_id,
+  COUNT(*) AS n_events,
+  MIN(ts) AS session_start,
+  MAX(ts) AS session_end,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM numbered
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
+# --------------------------------------------------------------------------
+# tumbling_events — 5-minute tumbling-window aggregation by type.
+# --------------------------------------------------------------------------
+
+def tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "5 minutes").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+_TUMBLING_SQL = """
+SELECT
+  make_timestamp(CAST(FLOOR(epoch(ts) / 300) * 300 AS BIGINT) * 1000000)
+    AS window_start,
+  event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# pivot_user_event_counts — pivot event_type → columns.
+# --------------------------------------------------------------------------
+
+def pivot_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pivoted = (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+    )
+    return pivoted.select(
+        "user_id", *[F.col(t).alias(f"n_{t}") for t in EVENT_TYPES]
+    ).orderBy("user_id")
+
+
+_PIVOT_SQL = """
+SELECT
+  user_id,
+  COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+  COUNT(*) FILTER (WHERE event_type = 'error') AS n_error,
+  COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+  COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+  COUNT(*) FILTER (WHERE event_type = 'view') AS n_view
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# asof_click_purchase — as-of join: each click matched to the user's
+# most recent purchase at-or-before it (union-sort pattern, 1 shuffle).
+# --------------------------------------------------------------------------
+
+def asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sqltask_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    ).withColumnRenamed("event_id", "purchase_event_id")
+    out = asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["purchase_event_id", "value"],
+        suffix="_purchase",
+    )
+    return out.select(
+        F.col("event_id").alias("click_event_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("ts_purchase").alias("purchase_ts"),
+        F.col("value_purchase").alias("purchase_value"),
+    ).orderBy("click_event_id")
+
+
+_ASOF_SQL = """
+SELECT click_event_id, user_id, click_ts, purchase_ts, purchase_value
+FROM (
+  SELECT
+    c.event_id AS click_event_id,
+    c.user_id,
+    c.ts AS click_ts,
+    p.ts AS purchase_ts,
+    p.value AS purchase_value,
+    ROW_NUMBER() OVER (
+      PARTITION BY c.event_id
+      ORDER BY p.ts DESC NULLS LAST, p.event_id DESC NULLS LAST
+    ) AS rn
+  FROM (SELECT * FROM events WHERE event_type = 'click') c
+  LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+    ON c.user_id = p.user_id AND p.ts <= c.ts
+) t
+WHERE rn = 1
+ORDER BY click_event_id
+"""
+
+
+# --------------------------------------------------------------------------
+# json_props_extract — JSON extraction from the props column.
+# --------------------------------------------------------------------------
+
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn(
+            "k", F.get_json_object("props", "$.k").cast("long")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_JSON_SQL = """
+SELECT
+  event_type,
+  COUNT(*) AS n_events,
+  SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+  MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+  MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+QUERIES = {
+    "sessionize_events": sessionize_events,
+    "tumbling_events": tumbling_events,
+    "pivot_user_event_counts": pivot_user_event_counts,
+    "asof_click_purchase": asof_click_purchase,
+    "json_props_extract": json_props_extract,
+}
+
+ORACLES = {
+    "sessionize_events": _SESSIONIZE_SQL,
+    "tumbling_events": _TUMBLING_SQL,
+    "pivot_user_event_counts": _PIVOT_SQL,
+    "asof_click_purchase": _ASOF_SQL,
+    "json_props_extract": _JSON_SQL,
+}

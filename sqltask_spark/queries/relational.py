@@ -1,0 +1,600 @@
+"""Relational surface: filters, joins, aggregations, windows, set ops.
+
+These deliver SURVEY.md §2.8 — the operations the reference delegates
+to source databases via embedded SQL (``reference README.md:16-17``,
+``sqltask/sources/sql.py:17-62``) — as first-class, scale-shaped Spark
+plans:
+
+- dimension joins carry explicit ``F.broadcast`` hints (region/nation/
+  supplier/part stay far below broadcast limits even at 100 TB fact
+  scale);
+- fact-fact joins (orders×lineitem) shuffle on the join key and rely
+  on AQE for skew handling;
+- aggregates use decimal accumulators (exact + order-independent,
+  see package docstring) with map-side partial aggregation;
+- top-k = window ``row_number`` with a deterministic tie-break, or
+  global ``orderBy().limit()`` which Spark executes as per-partition
+  top-k + single reduce (TakeOrderedAndProject), never a full sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sqltask_spark.data import load_table
+
+DEC = "decimal(18,2)"
+DEC_SMALL = "decimal(4,2)"
+
+
+def _dec(col: str) -> F.Column:
+    return F.col(col).cast(DEC)
+
+
+# --------------------------------------------------------------------------
+# q1_pricing_summary — TPC-H Q1 shape: scan-heavy multi-aggregate.
+# Plan: parquet scan with l_shipdate pushdown → partial hash agg →
+# 2-key shuffle (tiny) → final agg. No joins.
+# --------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
+    )
+    disc = F.col("l_discount").cast(DEC_SMALL)
+    tax = F.col("l_tax").cast(DEC_SMALL)
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast(DEC_SMALL) - disc)
+    charge = disc_price * (F.lit(1).cast(DEC_SMALL) + tax)
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)))
+            .alias("avg_qty"),
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1)))
+            .alias("avg_price"),
+            (F.sum(disc).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_Q1_SQL = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+       AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+           * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2))))
+       AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# q3_shipping_priority — fact-fact join + grouped revenue + top-10.
+# Plan: broadcast the filtered customer keys into orders, shuffle join
+# orders×lineitem on orderkey, hash agg, TakeOrderedAndProject.
+# --------------------------------------------------------------------------
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    revenue = F.sum(
+        _dec("l_extendedprice")
+        * (F.lit(1).cast(DEC_SMALL) - F.col("l_discount").cast(DEC_SMALL))
+    ).cast("double")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue.alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+_Q3_SQL = """
+SELECT
+  o_orderkey,
+  o_orderdate,
+  o_orderpriority,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+       AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# q5_region_revenue — star join: 4 broadcast dims + 1 shuffle join.
+# --------------------------------------------------------------------------
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.sum(
+        _dec("l_extendedprice")
+        * (F.lit(1).cast(DEC_SMALL) - F.col("l_discount").cast(DEC_SMALL))
+    ).cast("double")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            (orders.o_custkey == F.col("c_custkey"))
+            & (supplier.s_nationkey == F.col("c_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(revenue.alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+_Q5_SQL = """
+SELECT
+  n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+       AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND s_nationkey = c_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
+# --------------------------------------------------------------------------
+# lookup_enrich_customer — the reference's lookup-join pattern (J1-J5):
+# broadcast left join, miss → NULL (``lookup_source.py:39-70``).
+# --------------------------------------------------------------------------
+
+def lookup_enrich_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sqltask_spark.operators.lookup import lookup_join
+
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_name").alias("nation_name"),
+        "n_regionkey",
+    )
+    region = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("n_regionkey"),
+        F.col("r_name").alias("region_name"),
+    )
+    out = lookup_join(customer, nation, ["c_nationkey"])
+    out = lookup_join(out, region, ["n_regionkey"])
+    return out.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_name").alias("name"),
+        F.col("nation_name"),
+        F.col("region_name"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+
+
+_LOOKUP_SQL = """
+SELECT
+  c_custkey AS custkey,
+  c_name AS name,
+  n_name AS nation_name,
+  r_name AS region_name,
+  c_acctbal AS acctbal
+FROM customer
+LEFT JOIN nation ON c_nationkey = n_nationkey
+LEFT JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+# --------------------------------------------------------------------------
+# topk_orders_per_segment — window top-k per group.
+# --------------------------------------------------------------------------
+
+def topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .withColumn("rank_in_segment", F.row_number().over(w))
+        .filter(F.col("rank_in_segment") <= 3)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_totalprice").alias("totalprice"),
+            "rank_in_segment",
+        )
+        .orderBy("segment", "rank_in_segment")
+    )
+
+
+_TOPK_SQL = """
+SELECT segment, orderkey, custkey, totalprice, rank_in_segment
+FROM (
+  SELECT
+    c_mktsegment AS segment,
+    o_orderkey AS orderkey,
+    o_custkey AS custkey,
+    o_totalprice AS totalprice,
+    ROW_NUMBER() OVER (
+      PARTITION BY c_mktsegment
+      ORDER BY o_totalprice DESC, o_orderkey ASC
+    ) AS rank_in_segment
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+) t
+WHERE rank_in_segment <= 3
+ORDER BY segment, rank_in_segment
+"""
+
+
+# --------------------------------------------------------------------------
+# rollup_pricing — ROLLUP with grouping id (grouping sets family).
+# --------------------------------------------------------------------------
+
+def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
+
+
+_ROLLUP_SQL = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# customers_without_orders — anti join (NOT EXISTS).
+# --------------------------------------------------------------------------
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        customer.join(
+            orders, customer.c_custkey == orders.o_custkey, "left_anti"
+        )
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+        )
+        .orderBy("custkey")
+    )
+
+
+_ANTI_SQL = """
+SELECT c_custkey AS custkey, c_name AS name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# customer_order_stats — semi-join + per-customer aggregates + having.
+# --------------------------------------------------------------------------
+
+def customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    stats = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_spend"),
+            F.max("o_orderdate").alias("last_orderdate"),
+        )
+        .filter(F.col("n_orders") >= 2)
+    )
+    return (
+        stats.join(F.broadcast(customer), stats.o_custkey == customer.c_custkey)
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            "n_orders",
+            "total_spend",
+            "last_orderdate",
+        )
+        .orderBy("custkey")
+    )
+
+
+_STATS_SQL = """
+SELECT
+  c_custkey AS custkey,
+  c_name AS name,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+  MAX(o_orderdate) AS last_orderdate
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+HAVING COUNT(*) >= 2
+ORDER BY custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# segment_nation_distinct — exact distinct aggregation.
+# --------------------------------------------------------------------------
+
+def segment_nation_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        customer.groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+        .select(
+            F.col("c_mktsegment").alias("segment"), "n_nations", "n_customers"
+        )
+        .orderBy("segment")
+    )
+
+
+_DISTINCT_SQL = """
+SELECT
+  c_mktsegment AS segment,
+  COUNT(DISTINCT c_nationkey) AS n_nations,
+  COUNT(*) AS n_customers
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY segment
+"""
+
+
+# --------------------------------------------------------------------------
+# urgent_not_low_customers — set operation (EXCEPT DISTINCT).
+# --------------------------------------------------------------------------
+
+def urgent_not_low_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select(F.col("o_custkey").alias("custkey"))
+    low = orders.filter(
+        F.col("o_orderpriority") == "5-LOW"
+    ).select(F.col("o_custkey").alias("custkey"))
+    return urgent.subtract(low).orderBy("custkey")
+
+
+_EXCEPT_SQL = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+EXCEPT
+SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '5-LOW'
+ORDER BY custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# part_type_share — join + conditional aggregation (TPC-H Q14 shape).
+# --------------------------------------------------------------------------
+
+def part_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (
+        F.lit(1).cast(DEC_SMALL) - F.col("l_discount").cast(DEC_SMALL)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_type")
+        .agg(
+            F.sum(disc_price).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("p_type")
+    )
+
+
+_PART_SHARE_SQL = """
+SELECT
+  p_type,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+       AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+GROUP BY p_type
+ORDER BY p_type
+"""
+
+
+# --------------------------------------------------------------------------
+# map_all_staging — declarative map_all load (P3 parity) as a query.
+# --------------------------------------------------------------------------
+
+def map_all_staging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from sqltask_spark.mapping import map_columns
+
+    customer = load_table(spark, sf_dir, "customer")
+    schema = T.StructType(
+        [
+            T.StructField("customer_id", T.LongType()),
+            T.StructField("customer_name", T.StringType()),
+            T.StructField("segment", T.StringType()),
+            T.StructField("acctbal", T.DoubleType()),
+        ]
+    )
+    return map_columns(
+        customer,
+        schema,
+        mappings={
+            "customer_id": "c_custkey",
+            "customer_name": "c_name",
+            "segment": "c_mktsegment",
+            "acctbal": "c_acctbal",
+        },
+        funcs={"segment": lambda c: F.lower(c)},
+    ).orderBy("customer_id")
+
+
+_MAP_ALL_SQL = """
+SELECT
+  c_custkey AS customer_id,
+  c_name AS customer_name,
+  LOWER(c_mktsegment) AS segment,
+  c_acctbal AS acctbal
+FROM customer
+ORDER BY customer_id
+"""
+
+
+# --------------------------------------------------------------------------
+# dq_customer_issues — the DQ side-channel (D1-D4) as a query: issue
+# rules evaluated vectorized, exploded into shadow-table rows.
+# --------------------------------------------------------------------------
+
+def dq_customer_issues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sqltask_spark.dq import (
+        Category,
+        Priority,
+        Source,
+        dq_issue,
+        explode_dq,
+        with_dq,
+    )
+
+    customer = load_table(spark, sf_dir, "customer")
+    flagged = with_dq(
+        customer,
+        [
+            dq_issue(
+                F.col("c_acctbal") < 0,
+                "c_acctbal",
+                Category.INCORRECT,
+                Priority.MEDIUM,
+                Source.SOURCE,
+                "negative account balance",
+            ),
+            dq_issue(
+                F.col("c_acctbal") > 9000,
+                "c_acctbal",
+                Category.INCORRECT,
+                Priority.LOW,
+                Source.SOURCE,
+                "implausibly high balance",
+            ),
+        ],
+    )
+    return explode_dq(flagged, ["c_custkey"]).withColumnRenamed(
+        "c_custkey", "custkey"
+    ).orderBy("custkey", "message")
+
+
+_DQ_SQL = """
+SELECT c_custkey AS custkey, 'source' AS source, 'medium' AS priority,
+       'incorrect' AS category, 'c_acctbal' AS column_name,
+       'negative account balance' AS message
+FROM customer WHERE c_acctbal < 0
+UNION ALL
+SELECT c_custkey AS custkey, 'source' AS source, 'low' AS priority,
+       'incorrect' AS category, 'c_acctbal' AS column_name,
+       'implausibly high balance' AS message
+FROM customer WHERE c_acctbal > 9000
+ORDER BY custkey, message
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_region_revenue": q5_region_revenue,
+    "lookup_enrich_customer": lookup_enrich_customer,
+    "topk_orders_per_segment": topk_orders_per_segment,
+    "rollup_pricing": rollup_pricing,
+    "customers_without_orders": customers_without_orders,
+    "customer_order_stats": customer_order_stats,
+    "segment_nation_distinct": segment_nation_distinct,
+    "urgent_not_low_customers": urgent_not_low_customers,
+    "part_type_share": part_type_share,
+    "map_all_staging": map_all_staging,
+    "dq_customer_issues": dq_customer_issues,
+}
+
+ORACLES = {
+    "q1_pricing_summary": _Q1_SQL,
+    "q3_shipping_priority": _Q3_SQL,
+    "q5_region_revenue": _Q5_SQL,
+    "lookup_enrich_customer": _LOOKUP_SQL,
+    "topk_orders_per_segment": _TOPK_SQL,
+    "rollup_pricing": _ROLLUP_SQL,
+    "customers_without_orders": _ANTI_SQL,
+    "customer_order_stats": _STATS_SQL,
+    "segment_nation_distinct": _DISTINCT_SQL,
+    "urgent_not_low_customers": _EXCEPT_SQL,
+    "part_type_share": _PART_SHARE_SQL,
+    "map_all_staging": _MAP_ALL_SQL,
+    "dq_customer_issues": _DQ_SQL,
+}

@@ -1,0 +1,207 @@
+"""Text-analysis & dedup queries over the ``documents`` table.
+
+Every deterministic operator carries a DuckDB oracle that reproduces
+the exact same arithmetic; MinHash/SimHash signatures use
+Spark-native ``xxhash64`` so those entries are declared without an
+oracle (rows-only check) — their correctness is covered by pytest
+against hand-built corpora instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sqltask_spark.data import load_table
+from sqltask_spark.operators import text as tx
+from sqltask_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_near_pairs,
+)
+
+_STOP_SQL = {
+    lang: "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    for lang, words in tx.STOPWORDS.items()
+}
+
+#: shared normalization/tokenization SQL fragments (DuckDB needs the
+#: 'g' flag for replace-all; Spark replaces all by default)
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_TOKS = f"string_split({_NORM}, ' ')"
+
+
+# --------------------------------------------------------------------------
+# text_stats — per-document counters, pure codegen expressions.
+# --------------------------------------------------------------------------
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        tx.char_count(t).alias("n_chars"),
+        tx.token_count(t).alias("n_tokens"),
+        tx.distinct_token_count(t).alias("n_uniq_tokens"),
+        tx.avg_token_length(t).alias("avg_token_len"),
+    ).orderBy("doc_id")
+
+
+_TEXT_STATS_SQL = f"""
+SELECT
+  doc_id,
+  LENGTH(text) AS n_chars,
+  LEN({_TOKS}) AS n_tokens,
+  LEN(list_distinct({_TOKS})) AS n_uniq_tokens,
+  CAST(list_aggregate(list_transform({_TOKS}, t -> CAST(LENGTH(t) AS BIGINT)),
+                      'sum') AS DOUBLE) / LEN({_TOKS}) AS avg_token_len
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# doc_fingerprint — md5-of-normalized-text fingerprints.
+# --------------------------------------------------------------------------
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.fingerprint_md5(F.col("text")).alias("fingerprint"),
+    ).orderBy("doc_id")
+
+
+_FINGERPRINT_SQL = f"""
+SELECT doc_id, md5({_NORM}) AS fingerprint
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# dedup_exact — hash-groupBy exact dedup; min doc_id survives.
+# --------------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id", keep="min").orderBy("kept_id")
+
+
+_DEDUP_EXACT_SQL = f"""
+SELECT
+  md5({_NORM}) AS fingerprint,
+  MIN(doc_id) AS kept_id,
+  COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+ORDER BY kept_id
+"""
+
+
+# --------------------------------------------------------------------------
+# lang_id_documents — stopword-hit argmax heuristic.
+# --------------------------------------------------------------------------
+
+def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        tx.lang_id(F.col("text")).alias("predicted_lang"),
+    ).orderBy("doc_id")
+
+
+def _lang_case() -> str:
+    score = {
+        lang: f"LEN(list_intersect(list_distinct({_TOKS}), {_STOP_SQL[lang]}))"
+        for lang in sorted(tx.STOPWORDS)
+    }
+    greatest = "GREATEST(" + ", ".join(score.values()) + ")"
+    whens = "\n    ".join(
+        f"WHEN {score[lang]} = {greatest} THEN '{lang}'"
+        for lang in sorted(tx.STOPWORDS)
+    )
+    return f"CASE WHEN {greatest} = 0 THEN 'und'\n    {whens} END"
+
+
+_LANG_ID_SQL = f"""
+SELECT
+  doc_id,
+  lang AS labeled_lang,
+  {_lang_case()} AS predicted_lang
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# quality_score_documents — composite quality heuristic.
+# --------------------------------------------------------------------------
+
+def quality_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(tx.quality_score(F.col("text")), 9).alias("quality"),
+    ).orderBy("doc_id")
+
+
+_QUALITY_SQL = f"""
+SELECT
+  doc_id,
+  ROUND(
+    (CAST(LEN(list_distinct({_TOKS})) AS DOUBLE) / LEN({_TOKS})) * 0.5
+    + LEAST(CAST(LEN({_TOKS}) AS DOUBLE) / 100.0, 1.0) * 0.3
+    + (1.0 - CAST(LEN(list_filter({_TOKS},
+          t -> list_contains({_STOP_SQL['en']}, t))) AS DOUBLE)
+        / LEN({_TOKS})) * 0.2,
+    9) AS quality
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# dedup_minhash_pairs / dedup_simhash_pairs — LSH near-dup candidates
+# verified by exact measures. Spark-native hashes → no SQL oracle
+# (rows-only driver check; pytest covers semantics on known corpora).
+# --------------------------------------------------------------------------
+
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_perm=64, bands=16
+    )
+    return jaccard_pairs(pairs, docs, "doc_id", "text").select(
+        "id_a", "id_b", "n_shared_bands", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_pairs(
+        docs, "doc_id", "text", max_distance=3
+    ).orderBy("id_a", "id_b")
+
+
+QUERIES = {
+    "text_stats": text_stats,
+    "doc_fingerprint": doc_fingerprint,
+    "dedup_exact": dedup_exact,
+    "lang_id_documents": lang_id_documents,
+    "quality_score_documents": quality_score_documents,
+    "dedup_minhash_pairs": dedup_minhash_pairs,
+    "dedup_simhash_pairs": dedup_simhash_pairs,
+}
+
+ORACLES = {
+    "text_stats": _TEXT_STATS_SQL,
+    "doc_fingerprint": _FINGERPRINT_SQL,
+    "dedup_exact": _DEDUP_EXACT_SQL,
+    "lang_id_documents": _LANG_ID_SQL,
+    "quality_score_documents": _QUALITY_SQL,
+    # dedup_minhash_pairs / dedup_simhash_pairs: intentionally no
+    # oracle — Spark-native xxhash64 signatures.
+}

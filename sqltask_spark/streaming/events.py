@@ -1,0 +1,108 @@
+"""Streaming event analytics: watermarked windows + session windows.
+
+Batch twins live in :mod:`sqltask_spark.queries.events`; these are the
+``readStream`` forms. Late data policy: watermark bounds state, rows
+later than the watermark are dropped by Spark's windowed-aggregation
+operator. For tests, a parquet directory + ``availableNow`` /
+``processAllAvailable`` drives the stream to completion
+deterministically.
+
+Scale notes: windowed aggregation state is keyed by (window, group
+key) and pruned by the watermark — memory-bounded. Session windows
+use the built-in ``session_window`` (merge-on-the-fly, no per-event
+state growth).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def streaming_source(
+    spark: SparkSession, path: str, schema: T.StructType = EVENT_SCHEMA
+) -> DataFrame:
+    """File-based streaming source (swap for kafka in production —
+    same downstream plan)."""
+    return (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "8")
+        .load(path)
+    )
+
+
+def tumbling_counts_stream(
+    events: DataFrame,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window counts by event type."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionized_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Session windows per user via the built-in merge-capable
+    ``session_window`` (the streaming twin of the batch lag/cumsum
+    sessionization)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window("ts", gap).alias("w"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("user_id"),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_stream_to_memory(
+    result: DataFrame, name: str, output_mode: str = "append"
+) -> None:
+    """Drive a streaming DataFrame to completion into an in-memory
+    table (test/smoke utility)."""
+    q = (
+        result.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,218 @@
+"""Unit tests for engine operators on small hand-built data —
+mirrors the reference's unit matrix (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sqltask_spark.mapping import map_columns
+from sqltask_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_near_pairs,
+)
+from sqltask_spark.operators.joins import asof_join, range_join_bucketed
+from sqltask_spark.operators.lookup import first_wins, lookup_join
+from sqltask_spark.operators.similarity import cosine_topk_brute, cosine_topk_lsh
+from sqltask_spark.sources.memory import dict_source, list_source
+
+
+# -- lookup (J1-J5 parity) --------------------------------------------------
+
+def test_first_wins_dedup(spark):
+    df = list_source(
+        spark,
+        ["k", "v", "ord"],
+        [(1, "first", 1), (1, "second", 2), (2, "only", 3)],
+    )
+    out = {r["k"]: r["v"] for r in first_wins(df, ["k"], "ord").collect()}
+    assert out == {1: "first", 2: "only"}
+
+
+def test_lookup_join_miss_is_null(spark):
+    probe = list_source(spark, ["k", "x"], [(1, "a"), (3, "c")])
+    build = list_source(spark, ["k", "name"], [(1, "one"), (2, "two")])
+    rows = {
+        r["k"]: r["name"]
+        for r in lookup_join(probe, build, ["k"], order_by="name").collect()
+    }
+    assert rows == {1: "one", 3: None}
+
+
+def test_lookup_join_duplicate_keys_first_wins(spark):
+    probe = list_source(spark, ["k"], [(1,)])
+    build = list_source(
+        spark, ["k", "name", "ord"], [(1, "newer", 2), (1, "older", 1)]
+    )
+    rows = lookup_join(probe, build, ["k"], order_by="ord").collect()
+    assert len(rows) == 1
+    assert rows[0]["name"] == "older"
+
+
+# -- sources (S3/S4 parity) -------------------------------------------------
+
+def test_dict_and_list_sources(spark):
+    d = dict_source(spark, [{"a": 1, "b": "x"}, {"a": 2, "b": "y"}])
+    assert sorted((r["a"], r["b"]) for r in d.collect()) == [(1, "x"), (2, "y")]
+    l = list_source(spark, ["a", "b"], [(1, "x"), (2, "y")])
+    assert sorted((r["a"], r["b"]) for r in l.collect()) == [(1, "x"), (2, "y")]
+
+
+# -- mapping (P3 parity) ----------------------------------------------------
+
+def test_map_columns_rename_cast_func(spark):
+    src = list_source(spark, ["bdate", "name"], [("2000-01-02", " Bob ")])
+    schema = T.StructType(
+        [
+            T.StructField("birthdate", T.DateType()),
+            T.StructField("name", T.StringType()),
+        ]
+    )
+    out = map_columns(
+        src,
+        schema,
+        mappings={"birthdate": "bdate"},
+        funcs={"name": lambda c: F.trim(c)},
+    ).collect()[0]
+    assert str(out["birthdate"]) == "2000-01-02"
+    assert out["name"] == "Bob"
+
+
+def test_map_columns_missing_source_raises(spark):
+    src = list_source(spark, ["a"], [(1,)])
+    schema = T.StructType([T.StructField("b", T.LongType())])
+    with pytest.raises(KeyError):
+        map_columns(src, schema)
+
+
+# -- as-of join -------------------------------------------------------------
+
+def test_asof_join_backward(spark):
+    left = list_source(
+        spark, ["k", "lts", "tag"],
+        [(1, 100, "a"), (1, 200, "b"), (1, 50, "c"), (2, 100, "d")],
+    )
+    right = list_source(
+        spark, ["k", "rts", "val"],
+        [(1, 90, 9.0), (1, 150, 15.0), (2, 300, 30.0)],
+    )
+    out = asof_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts",
+        right_cols=["val"],
+    )
+    got = {r["tag"]: (r["rts_right"], r["val_right"]) for r in out.collect()}
+    assert got == {
+        "a": (90, 9.0),     # latest right ≤ 100
+        "b": (150, 15.0),   # latest right ≤ 200
+        "c": (None, None),  # nothing before 50
+        "d": (None, None),  # right is after left for k=2
+    }
+
+
+def test_asof_join_equal_ts_inclusive(spark):
+    left = list_source(spark, ["k", "lts"], [(1, 100)])
+    right = list_source(spark, ["k", "rts", "val"], [(1, 100, 1.0)])
+    out = asof_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts",
+        right_cols=["val"],
+    ).collect()
+    assert out[0]["val_right"] == 1.0
+    strict = asof_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts",
+        right_cols=["val"], strict=True,
+    ).collect()
+    assert strict[0]["val_right"] is None
+
+
+# -- range join -------------------------------------------------------------
+
+def test_range_join_bucketed(spark):
+    points = list_source(spark, ["k", "p"], [(1, 5), (1, 15), (1, 25)])
+    intervals = list_source(
+        spark, ["k", "s", "e", "tag"],
+        [(1, 0, 10, "lo"), (1, 10, 20, "mid")],
+    )
+    out = range_join_bucketed(
+        points, intervals, on=["k"], left_point="p",
+        right_start="s", right_end="e", bucket_width=7,
+    )
+    got = sorted((r["p"], r["tag"]) for r in out.collect())
+    assert got == [(5, "lo"), (15, "mid")]
+
+
+# -- dedup ------------------------------------------------------------------
+
+CORPUS = [
+    (1, "the quick brown fox jumps over the lazy dog today"),
+    (2, "the quick brown fox jumps over the lazy dog today"),      # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy cat today"),      # near dup of 1
+    (4, "completely different text about spark query engines"),
+    (5, "another unrelated document mentioning data pipelines"),
+]
+
+
+def _corpus(spark):
+    return list_source(spark, ["doc_id", "text"], CORPUS)
+
+
+def test_exact_dedup(spark):
+    out = exact_dedup(_corpus(spark), "text", "doc_id").collect()
+    by_kept = {r["kept_id"]: r["n_copies"] for r in out}
+    assert by_kept[1] == 2          # docs 1+2 merged
+    assert len(out) == 4            # 4 distinct texts
+
+
+def test_minhash_finds_near_dups(spark):
+    docs = _corpus(spark)
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", num_perm=64, bands=32)
+    verified = jaccard_pairs(pairs, docs, "doc_id", "text", threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in verified.collect()}
+    assert (1, 2) in got            # identical docs always collide
+    assert (1, 3) in got or (2, 3) in got   # near-dup found
+    assert (1, 4) not in got
+
+
+def test_simhash_near_pairs(spark):
+    out = simhash_near_pairs(
+        _corpus(spark), "doc_id", "text", max_distance=3
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in out}
+    assert got[(1, 2)] == 0         # identical → distance 0
+    assert (1, 4) not in got
+
+
+# -- similarity -------------------------------------------------------------
+
+def test_cosine_topk_brute(spark):
+    vecs = list_source(
+        spark,
+        ["vec_id", "embedding"],
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, [0.0, 1.0]),
+            (4, [1.0, 0.05]),
+        ],
+    )
+    out = cosine_topk_brute(
+        vecs.filter(F.col("vec_id") == 1), vecs, "vec_id", "vec_id", k=2
+    ).collect()
+    ranked = [(r["rank"], r["neighbor_id"]) for r in out]
+    assert ranked == [(1, 4), (2, 2)]
+
+
+def test_cosine_lsh_recall(spark, tables):
+    emb = tables["embeddings"]
+    queries = emb.filter(F.col("vec_id") <= 3)
+    brute = cosine_topk_brute(queries, emb, "vec_id", "vec_id", k=5)
+    lsh = cosine_topk_lsh(
+        queries, emb, "vec_id", "vec_id", dim=64, k=5,
+        n_planes=8, tables=8,
+    )
+    bset = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
+    lset = {(r["query_id"], r["neighbor_id"]) for r in lsh.collect()}
+    recall = len(bset & lset) / len(bset)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
