@@ -19,6 +19,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from sqltask_spark.queries import QUERIES  # noqa: E402
@@ -34,8 +36,10 @@ HEADLINE = [
     "asof_click_purchase",
     "dedup_exact",
     "dedup_minhash_pairs",
+    "dedup_simhash_pairs",
     "text_stats",
     "ann_topk_brute",
+    "ann_topk_lsh",
 ]
 
 
@@ -55,6 +59,17 @@ def main() -> None:
 
     # warm the JVM + parquet footers with a trivial action
     QUERIES["q1_pricing_summary"](spark, sf_dir).limit(1).collect()
+
+    # warm the Python-UDF worker pool (one interpreter per core —
+    # first Pandas-UDF stage otherwise pays the whole fleet's
+    # numpy/pandas import, which is session setup, not query time)
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(1000).repartition(int(cpus)).select(_warm("id")).count()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

@@ -75,6 +75,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def ensure_min_partitions(
+    df: DataFrame, min_partitions: int | None = None
+) -> DataFrame:
+    """Guard CPU-bound per-row operators against tiny-scan plans.
+
+    A small parquet file arrives as one input split, so shuffle-free
+    per-row work (shingling, hashing, vector math) serializes on one
+    core no matter how many the session has. Repartition only when the
+    scan yields fewer partitions than the session's parallelism — at
+    production scale (thousands of splits) this is a no-op, so no
+    shuffle is ever added where the data is already wide.
+    """
+    if min_partitions is None:
+        min_partitions = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min_partitions:
+        return df.repartition(min_partitions)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in TABLE_NAMES}
 

@@ -20,15 +20,13 @@ North-star extensions (no reference counterpart). Scale notes:
 - **n-gram Jaccard**: exact verification step for LSH candidates —
   only ever computed on candidate pairs, never all pairs.
 
-Hashes: ``xxhash64`` (Spark-native, seedable, fast). MinHash
-permutations are ``(a·h + b) mod p`` with constants derived from a
-fixed seed so signatures are stable across runs/partitionings.
+Hashes: ``xxhash64`` (Spark-native, seedable, fast). The MinHash
+permutation family is ``xxhash64(seed, i, shingle_hash)`` — one
+independent 64-bit hash per permutation index, stable across
+runs/partitionings.
 """
 
 from __future__ import annotations
-
-import random
-from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -53,14 +51,6 @@ def word_shingles(col: Column, n: int = 3) -> Column:
     return F.when(k >= n, grams).otherwise(F.array(normalize_text(col)))
 
 
-def _perm_constants(num_perm: int, seed: int) -> list[tuple[int, int]]:
-    rng = random.Random(seed)
-    return [
-        (rng.randrange(1, MERSENNE_P), rng.randrange(0, MERSENNE_P))
-        for _ in range(num_perm)
-    ]
-
-
 def shingle_hashes(col: Column, shingle_n: int = 3) -> Column:
     """Distinct 61-bit shingle hashes (xxhash64 reduced mod p)."""
     return F.array_distinct(
@@ -68,6 +58,67 @@ def shingle_hashes(col: Column, shingle_n: int = 3) -> Column:
             word_shingles(col, shingle_n),
             lambda s: F.abs(F.xxhash64(s)) % F.lit(MERSENNE_P),
         )
+    )
+
+
+def shingled_docs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, h: array<bigint>) — distinct shingle hashes per doc.
+
+    The shared upstream of MinHash signatures and Jaccard
+    verification: computing it once (and persisting when both
+    consumers run in one job) halves the per-doc text work, which
+    dominates the dedup pipeline. Input is widened via
+    :func:`ensure_min_partitions` because shingling is pure CPU-bound
+    per-row work.
+    """
+    from sqltask_spark.data import ensure_min_partitions
+
+    return ensure_min_partitions(df).select(
+        F.col(id_col).alias("id"),
+        shingle_hashes(F.col(text_col), shingle_n).alias("h"),
+    )
+
+
+def _signatures_wide(
+    shingled: DataFrame, num_perm: int, seed: int
+) -> DataFrame:
+    """MinHash signatures from (id, h) shingle hashes → (id, m0..mN).
+
+    Scalable shape: explode the shingle-hash set once, then compute
+    all permutations as ``num_perm`` ``min()`` aggregates over the
+    exploded rows — shingle hashing happens exactly once per doc
+    (an expression-tree formulation gets re-inlined per permutation by
+    projection collapse and blows up codegen), partial aggregation
+    combines map-side, and the single shuffle carries only
+    num_docs × num_perm longs.
+
+    The permutation family is ``xxhash64(seed, i, h)`` — an
+    independent 64-bit hash per permutation index, pure long
+    arithmetic inside whole-stage codegen. (A first cut used
+    ``(a·h+b) mod p`` in decimal(38,0) to dodge 64-bit overflow;
+    BigDecimal mod arithmetic plus the giant generated aggregate made
+    it ~10× slower for identical collision behavior.)
+    """
+    exploded = shingled.select("id", F.explode("h").alias("h"))
+    aggs = [
+        F.min(F.xxhash64(F.lit(seed), F.lit(i), F.col("h"))).alias(f"m{i}")
+        for i in range(num_perm)
+    ]
+    return exploded.groupBy("id").agg(*aggs)
+
+
+def _signatures_from_shingles(
+    shingled: DataFrame, num_perm: int, seed: int
+) -> DataFrame:
+    """MinHash signatures from (id, h) → (id, sig: array<bigint>)."""
+    wide = _signatures_wide(shingled, num_perm, seed)
+    return wide.select(
+        "id", F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("sig")
     )
 
 
@@ -79,79 +130,32 @@ def minhash_signatures(
     seed: int = 42,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """MinHash signatures → (id, sig: array<bigint>[num_perm]).
-
-    Scalable shape: explode the shingle-hash set once, then compute
-    all permutations as ``num_perm`` ``min()`` aggregates over the
-    exploded rows — shingle hashing happens exactly once per doc
-    (an expression-tree formulation gets re-inlined per permutation by
-    projection collapse and blows up codegen), partial aggregation
-    combines map-side, and the single shuffle is keyed by doc id.
-
-    Permutations are ``(a·h + b) mod p`` (p = 2^61−1) computed in
-    decimal(38,0) to avoid 64-bit overflow, constants from a fixed
-    seed → signatures stable across runs and partitionings.
-    """
-    perms = _perm_constants(num_perm, seed)
-    exploded = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingle_hashes(F.col(text_col), shingle_n)).alias("h"),
-    )
-    h = F.col("h").cast("decimal(38,0)")
-    aggs = [
-        F.min(((h * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P)).cast("long")).alias(
-            f"m{i}"
-        )
-        for i, (a, b) in enumerate(perms)
-    ]
-    sig = exploded.groupBy("id").agg(*aggs)
-    return sig.select(
-        "id", F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("sig")
+    """MinHash signatures → (id, sig: array<bigint>[num_perm])."""
+    return _signatures_from_shingles(
+        shingled_docs(df, id_col, text_col, shingle_n), num_perm, seed
     )
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    num_perm: int = 64,
-    bands: int = 16,
-    seed: int = 42,
-    shingle_n: int = 3,
-    max_bucket_size: int = 1000,
+def _lsh_pairs_from_signatures(
+    wide: DataFrame, bands: int, rows_per_band: int, max_bucket_size: int
 ) -> DataFrame:
-    """Candidate near-duplicate pairs via banded MinHash-LSH.
+    """Candidate pairs from wide signatures (id, m0..mN).
 
-    Returns (id_a, id_b, n_shared_bands) with id_a < id_b. Similarity
-    verification is the caller's job (``jaccard_pairs``) — LSH only
-    prunes the pair space.
+    Band hashes are multi-argument ``xxhash64`` directly over the
+    band's signature columns — no array building, no string concat.
     """
-    assert num_perm % bands == 0, "bands must divide num_perm"
-    rows_per_band = num_perm // bands
-    sig = minhash_signatures(
-        df, id_col, text_col, num_perm=num_perm, seed=seed,
-        shingle_n=shingle_n,
-    )
-    banded = sig.select(
+    band_hashes = [
+        F.xxhash64(
+            *[
+                F.col(f"m{b * rows_per_band + j}")
+                for j in range(rows_per_band)
+            ]
+        )
+        for b in range(bands)
+    ]
+    banded = wide.select(
         "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(
-                                F.col("sig"),
-                                b * rows_per_band + 1,
-                                rows_per_band,
-                            ),
-                            lambda v: v.cast("string"),
-                        ),
-                    )
-                ),
-            )
-        ).alias("band", "band_hash"),
+        F.posexplode(F.array(*band_hashes)).alias("band", "band_hash"),
     )
     buckets = (
         banded.groupBy("band", "band_hash")
@@ -183,6 +187,73 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    shingle_n: int = 3,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash-LSH.
+
+    Returns (id_a, id_b, n_shared_bands) with id_a < id_b. Similarity
+    verification is the caller's job (``jaccard_pairs``) — LSH only
+    prunes the pair space.
+    """
+    assert num_perm % bands == 0, "bands must divide num_perm"
+    wide = _signatures_wide(
+        shingled_docs(df, id_col, text_col, shingle_n), num_perm, seed
+    )
+    return _lsh_pairs_from_signatures(
+        wide, bands, num_perm // bands, max_bucket_size
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    shingle_n: int = 3,
+    max_bucket_size: int = 1000,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """LSH candidates + exact Jaccard verification in one pipeline.
+
+    Single-pass composition: shingle hashes are computed once and
+    persisted, feeding both the signature/banding path and the
+    verification join — vs. three full text passes when composing
+    ``minhash_lsh_pairs`` + ``jaccard_pairs`` naively. Verification
+    Jaccard runs on the 61-bit shingle-hash sets (``array_intersect``
+    on longs — cheaper than strings; collisions at p = 2^61−1 are
+    negligible). Returns (id_a, id_b, n_shared_bands, jaccard).
+    """
+    assert num_perm % bands == 0, "bands must divide num_perm"
+    shingled = shingled_docs(df, id_col, text_col, shingle_n).persist()
+    wide = _signatures_wide(shingled, num_perm, seed)
+    cand = _lsh_pairs_from_signatures(
+        wide, bands, num_perm // bands, max_bucket_size
+    )
+    a = shingled.select(F.col("id").alias("id_a"), F.col("h").alias("h_a"))
+    b = shingled.select(F.col("id").alias("id_b"), F.col("h").alias("h_b"))
+    inter = F.size(F.array_intersect("h_a", "h_b"))
+    union = F.size(F.array_union("h_a", "h_b"))
+    out = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", inter.cast("double") / union)
+        .drop("h_a", "h_b")
+    )
+    if threshold > 0:
+        out = out.filter(F.col("jaccard") >= threshold)
+    return out
+
+
 def jaccard_pairs(
     pairs: DataFrame,
     docs: DataFrame,
@@ -197,7 +268,9 @@ def jaccard_pairs(
     broadcast-or-shuffle equi-joins) and computes
     |A∩B| / |A∪B| JVM-side.
     """
-    shingled = docs.select(
+    from sqltask_spark.data import ensure_min_partitions
+
+    shingled = ensure_min_partitions(docs).select(
         F.col(id_col).alias("id"),
         F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias(
             "shingles"
@@ -233,13 +306,15 @@ def simhash_signatures(
     64 conditional-sum aggregates (map-side combined), one shuffle
     keyed by id, then pack the sign bits into one long.
     """
+    from sqltask_spark.data import ensure_min_partitions
+
     hashes = F.array_distinct(
         F.transform(
             word_shingles(F.col(text_col), shingle_n),
             lambda s: F.xxhash64(s),
         )
     )
-    exploded = df.select(
+    exploded = ensure_min_partitions(df).select(
         F.col(id_col).alias("id"), F.explode(hashes).alias("h")
     )
     aggs = [F.count(F.lit(1)).alias("n")]
@@ -282,22 +357,19 @@ def simhash_near_pairs(
     for i in range(chunks):
         shifted = F.shiftrightunsigned(F.col("sig"), i * width)
         mask = (1 << width) - 1 if i < chunks - 1 else (1 << (64 - i * width)) - 1
-        chunk_cols.append(shifted.bitwiseAND(F.lit(mask)).alias(f"c{i}"))
-    banded = sigs.select("id", "sig", *chunk_cols)
-    cands = None
-    for i in range(chunks):
-        a = banded.select(
-            F.col("id").alias("id_a"),
-            F.col("sig").alias("sig_a"),
-            F.col(f"c{i}").alias("chunk"),
-        )
-        b = banded.select(
-            F.col("id").alias("id_b"),
-            F.col("sig").alias("sig_b"),
-            F.col(f"c{i}").alias("chunk"),
-        )
-        cand = a.join(b, "chunk").filter(F.col("id_a") < F.col("id_b"))
-        cands = cand if cands is None else cands.unionByName(cand)
+        chunk_cols.append(shifted.bitwiseAND(F.lit(mask)))
+    # one (chunk index, chunk value) self-join instead of `chunks`
+    # separate joins — a single shuffle keyed by (ci, cv)
+    exploded = sigs.select(
+        "id", "sig", F.posexplode(F.array(*chunk_cols)).alias("ci", "cv")
+    )
+    a = exploded.select(
+        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "ci", "cv"
+    )
+    b = exploded.select(
+        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "ci", "cv"
+    )
+    cands = a.join(b, ["ci", "cv"]).filter(F.col("id_a") < F.col("id_b"))
     verified = (
         cands.dropDuplicates(["id_a", "id_b"])
         .withColumn(

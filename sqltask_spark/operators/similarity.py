@@ -13,14 +13,17 @@ North-star extension. Two tiers:
   drops to O(n · tables) signature work + a bucket equi-join; the
   scale path when queries × corpus explodes.
 
-All vector math is expressed with ``zip_with``/``aggregate`` fold
-over double-cast elements — sequential, deterministic, JVM-side (no
-Python). Hyperplanes derive from a seeded RNG so results are stable.
+Exact scoring math (dot/cosine) is ``zip_with``/``aggregate`` fold
+over double-cast elements — sequential, deterministic, JVM-side, so
+the DuckDB oracle can reproduce it bit-for-bit. LSH signatures are
+the one vectorized-Pandas-UDF path (see :func:`lsh_bucket_udf` for
+why); hyperplanes derive from a seeded RNG so results are stable.
 """
 
 from __future__ import annotations
 
-import random
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -63,11 +66,13 @@ def cosine_topk_brute(
     the result set is fully deterministic and reproducible by any
     engine computing the same double arithmetic.
     """
+    from sqltask_spark.data import ensure_min_partitions
+
     q = queries.select(
         F.col(query_id).alias("query_id"),
         as_double_array(F.col(query_vec)).alias("qv"),
     )
-    c = corpus.select(
+    c = ensure_min_partitions(corpus).select(
         F.col(corpus_id).alias("neighbor_id"),
         as_double_array(F.col(corpus_vec)).alias("cv"),
     )
@@ -88,27 +93,38 @@ def cosine_topk_brute(
     )
 
 
-def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
-    rng = random.Random(seed)
-    return [
-        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
-    ]
+def _plane_matrix(dim: int, n_planes: int, tables: int, seed: int):
+    """Seeded Gaussian hyperplanes, (tables · n_planes) × dim."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((tables * n_planes, dim))
 
 
-def cosine_lsh_signature(
-    vec: Column, dim: int, n_planes: int = 16, seed: int = 42
-) -> Column:
-    """Random-hyperplane signature: one int packing sign bits."""
-    planes = _hyperplanes(dim, n_planes, seed)
-    v = as_double_array(vec)
-    sig = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(x) for x in plane])
-        bit = F.when(dot(v, p) >= 0, F.lit(1 << i).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        sig = sig.bitwiseOR(bit)
-    return sig
+def lsh_bucket_udf(dim: int, n_planes: int, tables: int, seed: int):
+    """Arrow-vectorized signature UDF → array<bigint>[tables].
+
+    All hash tables' signatures in one pass: a single numpy matmul of
+    the Arrow batch against the (tables·n_planes)×dim plane matrix,
+    sign bits packed per table. This is the deliberate Pandas-UDF
+    exception to the JVM-first rule — a per-element fold expression
+    over dim×planes×tables literals builds a plan tree Catalyst
+    chokes on (thousands of literal nodes, minutes of planning) and
+    executes interpreted, while BLAS does the whole batch in one
+    call.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    planes = _plane_matrix(dim, n_planes, tables, seed)
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def buckets(emb: pd.Series) -> pd.Series:
+        mat = np.stack(emb.to_numpy())  # (batch, dim)
+        bits = (mat @ planes.T) >= 0  # (batch, tables·n_planes)
+        per_table = bits.reshape(len(mat), tables, n_planes)
+        sigs = (per_table * weights).sum(axis=2)  # (batch, tables)
+        return pd.Series(list(sigs))
+
+    return buckets
 
 
 def cosine_topk_lsh(
@@ -137,65 +153,47 @@ def cosine_topk_lsh(
     nearly free, while per-table collision probability rises from
     ``p^b`` to ``p^b + b·p^(b-1)(1-p)`` — the standard way to reach
     high recall without multiplying hash tables.
+
+    Shape: one vectorized signature pass per side (all hash tables in
+    a single UDF call), then ONE equi-join on (table, bucket) — not a
+    join per table — so the corpus shuffles/broadcast-probes once.
     """
-    def with_sigs(df: DataFrame, id_alias: str, vec_col: str) -> DataFrame:
-        out = df.select(
-            F.col(id_alias),
-            as_double_array(F.col(vec_col)).alias(f"{id_alias}_v"),
-            *[
-                cosine_lsh_signature(
-                    F.col(vec_col), dim, n_planes, seed + t
-                ).alias(f"sig{t}")
-                for t in range(tables)
-            ],
-        )
-        return out
+    from sqltask_spark.data import ensure_min_partitions
 
-    q = with_sigs(
-        queries.select(F.col(query_id).alias("query_id"),
-                       F.col(query_vec).alias("__qv")),
-        "query_id",
-        "__qv",
-    )
-    c = with_sigs(
-        corpus.select(F.col(corpus_id).alias("neighbor_id"),
-                      F.col(corpus_vec).alias("__cv")),
-        "neighbor_id",
-        "__cv",
-    )
-    def probe_buckets(sig: Column) -> Column:
-        """Bucket itself + all buckets within the probe Hamming radius."""
-        probes = [sig]
-        if probe_hamming >= 1:
-            probes += [
-                sig.bitwiseXOR(F.lit(1 << i).cast("long"))
-                for i in range(n_planes)
-            ]
-        return F.array(*probes)
+    sig_udf = lsh_bucket_udf(dim, n_planes, tables, seed)
 
-    cands = None
-    for t in range(tables):
-        qi = q.select(
-            "query_id",
-            "query_id_v",
-            F.explode(probe_buckets(F.col(f"sig{t}"))).alias("bucket"),
-        )
-        ci = c.select(
-            "neighbor_id", "neighbor_id_v", F.col(f"sig{t}").alias("bucket")
-        )
-        cand = ci.join(F.broadcast(qi), "bucket").drop("bucket")
-        cands = cand if cands is None else cands.unionByName(cand)
+    ci = ensure_min_partitions(corpus).select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(corpus_vec).alias("cv"),
+        F.posexplode(sig_udf(F.col(corpus_vec))).alias("t", "bucket"),
+    )
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("qv"),
+        F.posexplode(sig_udf(F.col(query_vec))).alias("t", "bucket"),
+    )
+    probes = [F.col("bucket")]
+    if probe_hamming >= 1:
+        probes += [
+            F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+            for i in range(n_planes)
+        ]
+    qi = q.select(
+        "query_id", "qv", "t", F.explode(F.array(*probes)).alias("bucket")
+    )
     scored = (
-        cands.filter(F.col("query_id") != F.col("neighbor_id"))
+        ci.join(F.broadcast(qi), ["t", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn(
             "score",
             F.round(
-                cosine(F.col("query_id_v"), F.col("neighbor_id_v")),
+                cosine(as_double_array(F.col("qv")),
+                       as_double_array(F.col("cv"))),
                 round_digits,
             ),
         )
-        .drop("query_id_v", "neighbor_id_v")
+        .drop("qv", "cv", "t", "bucket")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("neighbor_id")

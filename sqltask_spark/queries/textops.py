@@ -16,8 +16,7 @@ from sqltask_spark.data import load_table
 from sqltask_spark.operators import text as tx
 from sqltask_spark.operators.dedup import (
     exact_dedup,
-    jaccard_pairs,
-    minhash_lsh_pairs,
+    minhash_dedup_pairs,
     simhash_near_pairs,
 )
 
@@ -171,10 +170,9 @@ ORDER BY doc_id
 
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(
+    return minhash_dedup_pairs(
         docs, "doc_id", "text", num_perm=64, bands=16
-    )
-    return jaccard_pairs(pairs, docs, "doc_id", "text").select(
+    ).select(
         "id_a", "id_b", "n_shared_bands", F.round("jaccard", 6).alias("jaccard")
     ).orderBy("id_a", "id_b")
 
