@@ -293,6 +293,71 @@ def jaccard_pairs(
     return out
 
 
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via an inverted-index join.
+
+    Candidates are pairs sharing ≥1 shingle (so every pair with
+    jaccard > 0 is reachable — exact, unlike the MinHash screen),
+    found by exploding shingles and self-joining on the shingle
+    string; exact Jaccard then filters to ``threshold``. Returns
+    (id_a, id_b, jaccard) with id_a < id_b.
+
+    Scale note: the inverted index explodes O(total shingles) rows
+    and the self-join is quadratic in per-shingle document frequency;
+    ``max_shingle_df`` drops boilerplate shingles above that df
+    (candidates they alone would contribute are, at a sane threshold,
+    already unreachable). Left None, results match the exact
+    definition — the mode the DuckDB oracle reproduces.
+    """
+    from sqltask_spark.data import ensure_min_partitions
+
+    shingled = ensure_min_partitions(docs).select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias(
+            "shingles"
+        ),
+    ).persist()
+    inv = shingled.select("id", F.explode("shingles").alias("shingle"))
+    if max_shingle_df is not None:
+        df_counts = inv.groupBy("shingle").agg(
+            F.count(F.lit(1)).alias("df")
+        )
+        inv = inv.join(
+            df_counts.filter(F.col("df") <= max_shingle_df).select("shingle"),
+            "shingle",
+        )
+    a = inv.select(F.col("id").alias("id_a"), "shingle")
+    b = inv.select(F.col("id").alias("id_b"), "shingle")
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sh_a = shingled.select(
+        F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")
+    )
+    sh_b = shingled.select(
+        F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("jaccard", inter.cast("double") / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def simhash_signatures(
     df: DataFrame,
     id_col: str,

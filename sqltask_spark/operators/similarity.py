@@ -93,6 +93,44 @@ def cosine_topk_brute(
     )
 
 
+def cosine_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: cosine ≥ threshold.
+
+    Exact all-pairs scoring (id_a < id_b once per pair) — the
+    definition the DuckDB oracle reproduces. The self cross-join is
+    quadratic, so this exact form is for corpora that fit a broadcast
+    (≲10^5 vectors) or for verifying candidates; at 100 TB scale
+    generate candidates with the LSH bucketing of
+    :func:`cosine_topk_lsh` and verify pairs with the same cosine
+    expression.
+    """
+    from sqltask_spark.data import ensure_min_partitions
+
+    a = ensure_min_partitions(df).select(
+        F.col(id_col).alias("id_a"),
+        as_double_array(F.col(vec_col)).alias("va"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        as_double_array(F.col(vec_col)).alias("vb"),
+    )
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(cosine(F.col("va"), F.col("vb")), round_digits),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def _plane_matrix(dim: int, n_planes: int, tables: int, seed: int):
     """Seeded Gaussian hyperplanes, (tables · n_planes) × dim."""
     rng = np.random.default_rng(seed)

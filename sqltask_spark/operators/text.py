@@ -113,3 +113,41 @@ def fingerprint_md5(col: Column) -> Column:
     dedup key of :func:`sqltask_spark.operators.dedup.exact_dedup`.
     """
     return F.md5(normalize_text(col))
+
+
+#: Subword-ish tokenization pattern over normalized text: letter
+#: runs, digit runs, and single punctuation marks — the pre-merge
+#: vocabulary a byte-pair encoder starts from. Pure regex, portable
+#: between Spark (Java regex) and external engines (RE2).
+BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def bpe_tokens(col: Column) -> Column:
+    """BPE-style subword pre-tokens of normalized text."""
+    return F.regexp_extract_all(normalize_text(col), F.lit(BPE_PATTERN), 0)
+
+
+def rolling_hash(
+    col: Column,
+    base: int = 31,
+    mod: int = 1_000_000_007,
+    init: int = 7,
+) -> Column:
+    """Polynomial rolling hash of normalized text → bigint.
+
+    ``h = fold(chars, init, (acc, c) → (acc·base + codepoint(c)) mod m)``
+    — a sequential character fold, deterministic and cheap to
+    reproduce in any engine (the per-step mod keeps every
+    intermediate < base·m, well inside int64). Unlike md5 it supports
+    incremental/windowed computation, which is why large-corpus
+    pipelines fingerprint with it.
+    """
+    codes = F.transform(
+        F.split(normalize_text(col), ""),
+        lambda c: F.ascii(c).cast("long"),
+    )
+    return F.aggregate(
+        codes,
+        F.lit(init).cast("long"),
+        lambda acc, c: (acc * base + c) % mod,
+    )

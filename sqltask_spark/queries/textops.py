@@ -17,6 +17,7 @@ from sqltask_spark.operators import text as tx
 from sqltask_spark.operators.dedup import (
     exact_dedup,
     minhash_dedup_pairs,
+    ngram_jaccard_pairs,
     simhash_near_pairs,
 )
 
@@ -184,6 +185,105 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+# --------------------------------------------------------------------------
+# token_count_bpe — BPE-style regex pre-tokenization counts.
+# --------------------------------------------------------------------------
+
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tx.bpe_tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_subtokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq_subtokens"),
+    ).orderBy("doc_id")
+
+
+_BPE_TOKS = f"regexp_extract_all({_NORM}, '{tx.BPE_PATTERN}')"
+
+_TOKEN_BPE_SQL = f"""
+SELECT
+  doc_id,
+  LEN({_BPE_TOKS}) AS n_subtokens,
+  LEN(list_distinct({_BPE_TOKS})) AS n_uniq_subtokens
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# rolling_fingerprint — polynomial rolling hash over normalized text.
+# --------------------------------------------------------------------------
+
+def rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.rolling_hash(F.col("text")).alias("rolling_fp"),
+    ).orderBy("doc_id")
+
+
+_ROLLING_SQL = f"""
+SELECT
+  doc_id,
+  list_reduce(
+    list_prepend(CAST(7 AS BIGINT),
+      list_transform(regexp_split_to_array({_NORM}, ''),
+                     c -> CAST(unicode(c) AS BIGINT))),
+    (acc, c) -> (acc * 31 + c) % 1000000007) AS rolling_fp
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# dedup_ngram_jaccard — exact n-gram Jaccard pairs via inverted index.
+# --------------------------------------------------------------------------
+
+_JACCARD_THRESHOLD = 0.5
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=3, threshold=_JACCARD_THRESHOLD
+    ).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+_SHINGLES = f"""
+CASE WHEN LEN({_TOKS}) >= 3
+     THEN list_distinct(list_transform(
+            generate_series(1, LEN({_TOKS}) - 2),
+            i -> concat_ws(' ', {_TOKS}[i], {_TOKS}[i+1], {_TOKS}[i+2])))
+     ELSE [{_NORM}] END
+"""
+
+_NGRAM_JACCARD_SQL = f"""
+WITH sh AS (
+  SELECT doc_id AS id, {_SHINGLES} AS shingles FROM documents
+), inv AS (
+  SELECT id, UNNEST(shingles) AS shingle FROM sh
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.id < b.id
+)
+SELECT
+  c.id_a, c.id_b,
+  ROUND(CAST(LEN(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+        / LEN(list_distinct(list_concat(sa.shingles, sb.shingles))), 6)
+    AS jaccard
+FROM cand c
+JOIN sh sa ON sa.id = c.id_a
+JOIN sh sb ON sb.id = c.id_b
+WHERE CAST(LEN(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+      / LEN(list_distinct(list_concat(sa.shingles, sb.shingles)))
+      >= {_JACCARD_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "doc_fingerprint": doc_fingerprint,
@@ -192,6 +292,9 @@ QUERIES = {
     "quality_score_documents": quality_score_documents,
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_simhash_pairs": dedup_simhash_pairs,
+    "token_count_bpe": token_count_bpe,
+    "rolling_fingerprint": rolling_fingerprint,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
 }
 
 ORACLES = {
@@ -200,6 +303,9 @@ ORACLES = {
     "dedup_exact": _DEDUP_EXACT_SQL,
     "lang_id_documents": _LANG_ID_SQL,
     "quality_score_documents": _QUALITY_SQL,
+    "token_count_bpe": _TOKEN_BPE_SQL,
+    "rolling_fingerprint": _ROLLING_SQL,
+    "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
     # dedup_minhash_pairs / dedup_simhash_pairs: intentionally no
     # oracle — Spark-native xxhash64 signatures.
 }

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from sqltask_spark.data import load_table
 from sqltask_spark.operators.similarity import (
+    cosine_near_pairs,
     cosine_topk_brute,
     cosine_topk_lsh,
     l2_norm,
@@ -117,14 +118,52 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+# --------------------------------------------------------------------------
+# dedup_embedding_pairs — embedding-cosine near-duplicate pairs.
+# --------------------------------------------------------------------------
+
+#: The synthetic embeddings have no true near-dups (max pairwise
+#: cosine ≈ 0.51 at sf0.01), so the threshold sits below that to
+#: exercise the operator end-to-end; real corpora run ≥ 0.9.
+_EMB_DUP_THRESHOLD = 0.4
+
+
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_near_pairs(
+        emb, "vec_id", "embedding", threshold=_EMB_DUP_THRESHOLD
+    ).orderBy("id_a", "id_b")
+
+
+_EMB_PAIRS_SQL = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), scored AS (
+  SELECT
+    a.vec_id AS id_a,
+    b.vec_id AS id_b,
+    ROUND(list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine
+FROM scored
+WHERE cosine >= {_EMB_DUP_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES = {
     "ann_topk_brute": ann_topk_brute,
     "vector_norms": vector_norms,
     "ann_topk_lsh": ann_topk_lsh,
+    "dedup_embedding_pairs": dedup_embedding_pairs,
 }
 
 ORACLES = {
     "ann_topk_brute": _ANN_BRUTE_SQL,
     "vector_norms": _NORMS_SQL,
+    "dedup_embedding_pairs": _EMB_PAIRS_SQL,
     # ann_topk_lsh: no oracle (seeded hyperplanes, approximate).
 }

@@ -216,3 +216,50 @@ def test_cosine_lsh_recall(spark, tables):
     lset = {(r["query_id"], r["neighbor_id"]) for r in lsh.collect()}
     recall = len(bset & lset) / len(bset)
     assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+# -- ngram jaccard / embedding near-dup / text fingerprints -----------------
+
+def test_ngram_jaccard_pairs_exact(spark):
+    from sqltask_spark.operators.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(
+        _corpus(spark), "doc_id", "text", threshold=0.5
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}
+    assert got[(1, 2)] == 1.0       # identical docs → jaccard 1
+    assert (1, 3) in got            # near dup above threshold
+    assert (1, 4) not in got        # unrelated below threshold
+
+
+def test_cosine_near_pairs(spark):
+    from sqltask_spark.operators.similarity import cosine_near_pairs
+
+    vecs = list_source(
+        spark,
+        ["vec_id", "embedding"],
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.999, 0.01]),
+            (3, [0.0, 1.0]),
+        ],
+    )
+    out = cosine_near_pairs(vecs, "vec_id", threshold=0.9).collect()
+    got = {(r["id_a"], r["id_b"]) for r in out}
+    assert got == {(1, 2)}
+
+
+def test_rolling_hash_and_bpe_tokens(spark):
+    from sqltask_spark.operators.text import bpe_tokens, rolling_hash
+
+    df = list_source(spark, ["id", "text"], [(1, "Hello, world 42!")])
+    row = df.select(
+        rolling_hash(F.col("text")).alias("rh"),
+        bpe_tokens(F.col("text")).alias("toks"),
+    ).first()
+    # deterministic fold: h = fold('hello, world 42!', 7, h*31+code mod 1e9+7)
+    h = 7
+    for c in "hello, world 42!":
+        h = (h * 31 + ord(c)) % 1_000_000_007
+    assert row["rh"] == h
+    assert row["toks"] == ["hello", ",", "world", "42", "!"]
