@@ -567,6 +567,276 @@ ORDER BY custkey, message
 """
 
 
+# --------------------------------------------------------------------------
+# cube_order_stats — CUBE over (status, priority) with grouping id.
+# --------------------------------------------------------------------------
+
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+        )
+        .orderBy("gid", "o_orderstatus", "o_orderpriority")
+    )
+
+
+_CUBE_SQL = """
+SELECT
+  o_orderstatus,
+  o_orderpriority,
+  GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY gid, o_orderstatus, o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# urgent_and_low_customers — INTERSECT (completes the set-op family
+# with urgent_not_low_customers' EXCEPT; UNION appears in the DQ and
+# LSH pipelines).
+# --------------------------------------------------------------------------
+
+def urgent_and_low_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select(F.col("o_custkey").alias("custkey"))
+    low = orders.filter(
+        F.col("o_orderpriority") == "5-LOW"
+    ).select(F.col("o_custkey").alias("custkey"))
+    return urgent.intersect(low).orderBy("custkey")
+
+
+_INTERSECT_SQL = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+INTERSECT
+SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '5-LOW'
+ORDER BY custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# nation_trade_balance — FULL OUTER join of per-nation customer vs
+# supplier counts (nations may have either side missing).
+# --------------------------------------------------------------------------
+
+def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    c = customer.groupBy(F.col("c_nationkey").alias("nationkey_c")).agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    s = supplier.groupBy(F.col("s_nationkey").alias("nationkey_s")).agg(
+        F.count(F.lit(1)).alias("n_suppliers")
+    )
+    return (
+        c.join(s, c.nationkey_c == s.nationkey_s, "full_outer")
+        .select(
+            F.coalesce("nationkey_c", "nationkey_s").alias("nationkey"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+_FULL_OUTER_SQL = """
+SELECT
+  COALESCE(c.nationkey, s.nationkey) AS nationkey,
+  COALESCE(c.n_customers, 0) AS n_customers,
+  COALESCE(s.n_suppliers, 0) AS n_suppliers
+FROM (SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
+      FROM customer GROUP BY 1) c
+FULL OUTER JOIN
+     (SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers
+      FROM supplier GROUP BY 1) s
+  ON c.nationkey = s.nationkey
+ORDER BY nationkey
+"""
+
+
+# --------------------------------------------------------------------------
+# running_customer_spend — window functions beyond row_number: running
+# sum, lag delta, and order index per customer over order history.
+# --------------------------------------------------------------------------
+
+def running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("custkey").orderBy("orderdate", "orderkey")
+    return (
+        orders.select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.col("o_totalprice").alias("totalprice"),
+        )
+        .withColumn("order_idx", F.row_number().over(w))
+        .withColumn(
+            "running_spend",
+            F.sum(_dec("totalprice")).over(w).cast("double"),
+        )
+        .withColumn(
+            "delta_vs_prev",
+            (F.col("totalprice") - F.lag("totalprice", 1).over(w)).cast(
+                "double"
+            ),
+        )
+        .orderBy("custkey", "order_idx")
+    )
+
+
+_RUNNING_SQL = """
+SELECT
+  o_custkey AS custkey,
+  o_orderkey AS orderkey,
+  o_orderdate AS orderdate,
+  o_totalprice AS totalprice,
+  ROW_NUMBER() OVER w AS order_idx,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+    AS running_spend,
+  CAST(o_totalprice - LAG(o_totalprice, 1) OVER w AS DOUBLE)
+    AS delta_vs_prev
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY custkey, order_idx
+"""
+
+
+# --------------------------------------------------------------------------
+# q4_order_priority — TPC-H Q4 shape: EXISTS → left-semi join.
+# --------------------------------------------------------------------------
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    late_items = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    return (
+        orders.join(
+            late_items, orders.o_orderkey == late_items.l_orderkey, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# small_quantity_revenue — TPC-H Q17 shape: correlated average
+# subquery → per-key aggregate + self-join (no correlated execution).
+# --------------------------------------------------------------------------
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        (F.sum(_dec("l_quantity")) / F.count(F.lit(1)))
+        .cast("double")
+        .alias("avg_qty")
+    )
+    return (
+        li.join(avg_qty, li.l_partkey == F.col("ap_partkey"))
+        .filter(F.col("l_quantity") < F.lit(0.5) * F.col("avg_qty"))
+        .agg(
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0))
+            .alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+_Q17_SQL = """
+SELECT
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+    AS avg_yearly,
+  COUNT(*) AS n_small
+FROM lineitem l
+JOIN (SELECT l_partkey AS ap_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS avg_qty
+      FROM lineitem GROUP BY 1) a
+  ON l.l_partkey = a.ap_partkey
+WHERE l.l_quantity < 0.5 * a.avg_qty
+"""
+
+
+# --------------------------------------------------------------------------
+# scalar_functions_showcase — date/string/math scalar surface in one
+# deterministic projection (the functions the reference delegates to
+# source SQL, README.md:16-17).
+# --------------------------------------------------------------------------
+
+def scalar_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias(
+            "month_start"
+        ),
+        F.datediff(
+            F.lit("2000-01-01").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("days_to_y2k"),
+        F.upper(F.substring("o_orderpriority", 3, 10)).alias("priority_name"),
+        F.length("o_orderstatus").alias("status_len"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias(
+            "status_priority"
+        ),
+        F.round(F.sqrt(F.abs(F.col("o_totalprice"))), 6).alias("sqrt_price"),
+        F.round(
+            F.log(10.0, F.col("o_totalprice") + F.lit(1.0)), 6
+        ).alias("log10_price"),
+        (F.col("o_orderkey") % 7).alias("key_mod7"),
+        F.when(F.col("o_totalprice") > 100000, "high")
+        .when(F.col("o_totalprice") > 10000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+    ).orderBy("orderkey")
+
+
+_SCALAR_SQL = """
+SELECT
+  o_orderkey AS orderkey,
+  CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+  CAST(EXTRACT(month FROM o_orderdate) AS INT) AS order_month,
+  CAST(EXTRACT(day FROM o_orderdate) AS INT) AS order_day,
+  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01')
+       AS INT) AS days_to_y2k,
+  UPPER(SUBSTRING(o_orderpriority, 3, 10)) AS priority_name,
+  CAST(LENGTH(o_orderstatus) AS INT) AS status_len,
+  CONCAT_WS('-', o_orderstatus, o_orderpriority) AS status_priority,
+  ROUND(SQRT(ABS(o_totalprice)), 6) AS sqrt_price,
+  ROUND(LOG(o_totalprice + 1.0) / LOG(10.0), 6) AS log10_price,
+  o_orderkey % 7 AS key_mod7,
+  CASE WHEN o_totalprice > 100000 THEN 'high'
+       WHEN o_totalprice > 10000 THEN 'mid'
+       ELSE 'low' END AS price_band
+FROM orders
+ORDER BY orderkey
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -581,6 +851,13 @@ QUERIES = {
     "part_type_share": part_type_share,
     "map_all_staging": map_all_staging,
     "dq_customer_issues": dq_customer_issues,
+    "cube_order_stats": cube_order_stats,
+    "urgent_and_low_customers": urgent_and_low_customers,
+    "nation_trade_balance": nation_trade_balance,
+    "running_customer_spend": running_customer_spend,
+    "q4_order_priority": q4_order_priority,
+    "small_quantity_revenue": small_quantity_revenue,
+    "scalar_functions_showcase": scalar_functions_showcase,
 }
 
 ORACLES = {
@@ -597,4 +874,11 @@ ORACLES = {
     "part_type_share": _PART_SHARE_SQL,
     "map_all_staging": _MAP_ALL_SQL,
     "dq_customer_issues": _DQ_SQL,
+    "cube_order_stats": _CUBE_SQL,
+    "urgent_and_low_customers": _INTERSECT_SQL,
+    "nation_trade_balance": _FULL_OUTER_SQL,
+    "running_customer_spend": _RUNNING_SQL,
+    "q4_order_priority": _Q4_SQL,
+    "small_quantity_revenue": _Q17_SQL,
+    "scalar_functions_showcase": _SCALAR_SQL,
 }
