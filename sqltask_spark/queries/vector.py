@@ -17,6 +17,7 @@ from sqltask_spark.data import load_table
 from sqltask_spark.operators.similarity import (
     cosine_near_pairs,
     cosine_topk_brute,
+    cosine_topk_ivf,
     cosine_topk_lsh,
     l2_norm,
     as_double_array,
@@ -119,6 +120,20 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# ann_topk_ivf — IVF-partitioned approximate top-k (no oracle;
+# recall-tested in pytest like the LSH variant).
+# --------------------------------------------------------------------------
+
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") <= N_QUERY_VECS)
+    return cosine_topk_ivf(
+        queries, emb, "vec_id", "vec_id", k=TOP_K,
+        n_cells=32, n_probe=8,
+    ).orderBy("query_id", "rank")
+
+
+# --------------------------------------------------------------------------
 # dedup_embedding_pairs — embedding-cosine near-duplicate pairs.
 # --------------------------------------------------------------------------
 
@@ -158,6 +173,7 @@ QUERIES = {
     "ann_topk_brute": ann_topk_brute,
     "vector_norms": vector_norms,
     "ann_topk_lsh": ann_topk_lsh,
+    "ann_topk_ivf": ann_topk_ivf,
     "dedup_embedding_pairs": dedup_embedding_pairs,
 }
 

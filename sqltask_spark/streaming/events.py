@@ -93,6 +93,75 @@ def sessionized_stream(
     )
 
 
+def dedup_events_stream(
+    events: DataFrame,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exactly-once event processing: drop duplicate event_ids.
+
+    ``dropDuplicates`` keyed by (event_id) with a watermark bounds the
+    dedup state — ids older than the watermark are expired, so state
+    stays O(events within the watermark horizon) regardless of stream
+    length. The batch twin is ``exact_dedup``.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicates(
+        ["event_id"]
+    )
+
+
+STATE_SCHEMA = "n_events BIGINT, total_value DOUBLE, last_seen TIMESTAMP"
+USER_STATS_SCHEMA = (
+    "user_id BIGINT, n_events BIGINT, total_value DOUBLE, "
+    "last_seen TIMESTAMP"
+)
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``.
+
+    Per-user running totals that survive across micro-batches — the
+    kind of cross-row, cross-batch state the reference lets users
+    keep in ``transform()`` loops (``reference README.md:18-19``) and
+    Spark expresses as grouped state. State is one tiny tuple per
+    user; a processing-time timeout could expire idle users to bound
+    state on unbounded key spaces.
+
+    Emits one updated row per user per micro-batch (update mode).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, total, last = (
+            state.get if state.exists else (0, 0.0, None)
+        )
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            batch_max = pdf["ts"].max()
+            last = batch_max if last is None else max(last, batch_max)
+        state.update((n, total, last))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+                "last_seen": [last],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=USER_STATS_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_stream_to_memory(
     result: DataFrame, name: str, output_mode: str = "append"
 ) -> None:

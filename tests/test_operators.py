@@ -263,3 +263,18 @@ def test_rolling_hash_and_bpe_tokens(spark):
         h = (h * 31 + ord(c)) % 1_000_000_007
     assert row["rh"] == h
     assert row["toks"] == ["hello", ",", "world", "42", "!"]
+
+
+def test_cosine_ivf_recall(spark, tables):
+    from sqltask_spark.operators.similarity import cosine_topk_ivf
+
+    emb = tables["embeddings"]
+    queries = emb.filter(F.col("vec_id") <= 3)
+    brute = cosine_topk_brute(queries, emb, "vec_id", "vec_id", k=5)
+    ivf = cosine_topk_ivf(
+        queries, emb, "vec_id", "vec_id", k=5, n_cells=16, n_probe=8,
+    )
+    bset = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
+    iset = {(r["query_id"], r["neighbor_id"]) for r in ivf.collect()}
+    recall = len(bset & iset) / len(bset)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"

@@ -56,3 +56,41 @@ def test_session_stream(spark, tables, events_dir):
         "SELECT count(*) AS n FROM sessions_out WHERE session_end < session_start"
     ).collect()[0]["n"]
     assert bad == 0
+
+
+def test_stateful_user_totals(spark, tables, events_dir):
+    from sqltask_spark.streaming.events import stateful_user_totals
+
+    stream = streaming_source(spark, events_dir)
+    result = stateful_user_totals(stream)
+    run_stream_to_memory(result, "user_totals_out", output_mode="update")
+    # last emitted row per user carries the final running totals
+    final = spark.sql(
+        """
+        SELECT user_id, n_events FROM (
+          SELECT user_id, n_events,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY n_events DESC) AS rn
+          FROM user_totals_out) WHERE rn = 1
+        """
+    )
+    got = {r["user_id"]: r["n_events"] for r in final.collect()}
+    want = {
+        r["user_id"]: r["n"]
+        for r in tables["events"].groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_dedup_events_stream(spark, tables, events_dir):
+    from sqltask_spark.streaming.events import dedup_events_stream
+
+    stream = streaming_source(spark, events_dir)
+    result = dedup_events_stream(stream)
+    run_stream_to_memory(result, "dedup_out", output_mode="append")
+    n = spark.sql("SELECT count(DISTINCT event_id) AS n FROM dedup_out").collect()[0]["n"]
+    total = spark.sql("SELECT count(*) AS n FROM dedup_out").collect()[0]["n"]
+    assert n == total  # no duplicate ids survive
+    assert n == tables["events"].select("event_id").distinct().count()
