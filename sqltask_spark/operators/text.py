@@ -142,10 +142,12 @@ def rolling_hash(
     incremental/windowed computation, which is why large-corpus
     pipelines fingerprint with it.
     """
-    codes = F.transform(
-        F.split(normalize_text(col), ""),
-        lambda c: F.ascii(c).cast("long"),
+    # split('', '') yields [''] — filter empties so the empty document
+    # hashes to `init` instead of folding one zero code
+    chars = F.filter(
+        F.split(normalize_text(col), ""), lambda c: c != F.lit("")
     )
+    codes = F.transform(chars, lambda c: F.ascii(c).cast("long"))
     return F.aggregate(
         codes,
         F.lit(init).cast("long"),

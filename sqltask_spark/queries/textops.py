@@ -228,8 +228,9 @@ SELECT
   doc_id,
   list_reduce(
     list_prepend(CAST(7 AS BIGINT),
-      list_transform(regexp_split_to_array({_NORM}, ''),
-                     c -> CAST(unicode(c) AS BIGINT))),
+      list_transform(
+        list_filter(regexp_split_to_array({_NORM}, ''), c -> c <> ''),
+        c -> CAST(unicode(c) AS BIGINT))),
     (acc, c) -> (acc * 31 + c) % 1000000007) AS rolling_fp
 FROM documents
 ORDER BY doc_id

@@ -1,0 +1,121 @@
+"""Property-based tests (hypothesis) for row-level operators.
+
+Each property batches all generated examples into ONE DataFrame and
+one Spark action, so hypothesis's example count doesn't multiply JVM
+round-trips.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+# printable, no surrogates, keeps normalize/tokenize semantics simple
+_TEXT = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+    min_size=0,
+    max_size=80,
+)
+
+
+def _ref_rolling(text: str, base=31, mod=1_000_000_007, init=7) -> int:
+    """Python model of normalize+fold. Mirrors engine semantics:
+    trim strips only 0x20 (Spark/DuckDB trim), and regex \\s is ASCII
+    (Java regex / RE2) — unlike Python's unicode-aware \\s/strip."""
+    import re
+
+    norm = re.sub(
+        r"[ \t\n\x0b\f\r]+", " ", text.strip(" ").lower()
+    )
+    h = init
+    for c in norm:
+        h = (h * base + ord(c)) % mod
+    return h
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_TEXT, min_size=1, max_size=20))
+def test_rolling_hash_matches_reference_fold(spark, texts):
+    from sqltask_spark.operators.text import rolling_hash
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["id", "text"]
+    )
+    got = {
+        r["id"]: r["rh"]
+        for r in df.select(
+            "id", rolling_hash(F.col("text")).alias("rh")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _ref_rolling(t)
+        assert 0 <= got[i] < 1_000_000_007
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 5),          # key
+            st.integers(-1000, 1000),   # value
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_first_wins_picks_earliest_input_row(spark, rows):
+    from sqltask_spark.operators.lookup import first_wins
+
+    df = spark.createDataFrame(
+        [(k, v, i) for i, (k, v) in enumerate(rows)], ["k", "v", "ord"]
+    )
+    got = {r["k"]: r["v"] for r in first_wins(df, ["k"], "ord").collect()}
+    want = {}
+    for k, v in rows:  # first occurrence wins, like the reference
+        want.setdefault(k, v)
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(_TEXT, min_size=1, max_size=15))
+def test_exact_dedup_partitions_by_normalized_text(spark, texts):
+    from sqltask_spark.operators.dedup import exact_dedup
+    import re
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    out = exact_dedup(df, "text", "doc_id").collect()
+    norm = lambda t: re.sub(r"\s+", " ", t.strip().lower())  # noqa: E731
+    groups: dict[str, list[int]] = {}
+    for i, t in enumerate(texts):
+        groups.setdefault(norm(t), []).append(i)
+    assert len(out) == len(groups)
+    assert sum(r["n_copies"] for r in out) == len(texts)
+    kept = sorted(r["kept_id"] for r in out)
+    assert kept == sorted(min(g) for g in groups.values())
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(-10, 10, allow_nan=False, allow_infinity=False),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_cosine_near_pairs_bounds_and_symmetry(spark, vecs):
+    from sqltask_spark.operators.similarity import cosine_near_pairs
+
+    # skip all-zero vectors (cosine undefined → NULL, filtered out)
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], ["vec_id", "embedding"]
+    )
+    out = cosine_near_pairs(df, "vec_id", threshold=-1.0).collect()
+    for r in out:
+        assert r["id_a"] < r["id_b"]  # each unordered pair once
+        assert -1.000001 <= r["cosine"] <= 1.000001
