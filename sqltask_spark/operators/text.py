@@ -127,6 +127,39 @@ def bpe_tokens(col: Column) -> Column:
     return F.regexp_extract_all(normalize_text(col), F.lit(BPE_PATTERN), 0)
 
 
+def token_chunks(
+    col: Column,
+    chunk_size: int = 64,
+    overlap: int = 16,
+) -> Column:
+    """Overlapping token chunks → array<struct<chunk_idx, chunk_text>>.
+
+    The chunking step of an embedding pipeline (doc → chunks →
+    vectors), expressed as pure column functions so it runs inside
+    codegen and scales with zero Python and zero shuffle: chunk i
+    covers tokens [i·stride, i·stride + chunk_size). Explode the
+    result to get one row per chunk.
+    """
+    assert 0 <= overlap < chunk_size
+    stride = chunk_size - overlap
+    toks = tokenize(col)
+    n = F.size(toks)
+    # number of chunks: ceil(max(n - overlap, 1) / stride)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)).cast("double") / stride).cast("int"),
+        F.lit(1),
+    )
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.concat_ws(
+                " ", F.slice(toks, i * stride + 1, chunk_size)
+            ).alias("chunk_text"),
+        ),
+    )
+
+
 def rolling_hash(
     col: Column,
     base: int = 31,

@@ -133,6 +133,54 @@ ORDER BY window_start, event_type
 
 
 # --------------------------------------------------------------------------
+# sliding_events — 10-minute windows sliding every 5 minutes: each
+# event lands in 2 windows (the overlap family next to tumbling).
+# --------------------------------------------------------------------------
+
+def sliding_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+_SLIDING_SQL = """
+WITH slid AS (
+  SELECT
+    make_timestamp((CAST(FLOOR(epoch(ts) / 300) AS BIGINT) - s.off) * 300
+                   * 1000000) AS window_start,
+    event_type,
+    value
+  FROM events, (SELECT UNNEST([0, 1]) AS off) s
+)
+SELECT
+  window_start,
+  event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM slid
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # pivot_user_event_counts — pivot event_type → columns.
 # --------------------------------------------------------------------------
 
@@ -252,12 +300,54 @@ ORDER BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# user_value_median — custom exact-median aggregate via applyInPandas
+# (the UDAF surface: exact median is not a built-in aggregate;
+# percentile_approx is the scale-path approximation).
+# --------------------------------------------------------------------------
+
+def user_value_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def median_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "median_value": [
+                    round(float(np.median(pdf["value"].to_numpy())), 6)
+                ],
+            }
+        )
+
+    out = ev.select("user_id", "value").groupBy("user_id").applyInPandas(
+        median_fn, "user_id bigint, n_events bigint, median_value double"
+    )
+    return out.orderBy("user_id")
+
+
+_MEDIAN_SQL = """
+SELECT
+  user_id,
+  COUNT(*) AS n_events,
+  ROUND(MEDIAN(value), 6) AS median_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "sessionize_events": sessionize_events,
     "tumbling_events": tumbling_events,
     "pivot_user_event_counts": pivot_user_event_counts,
     "asof_click_purchase": asof_click_purchase,
     "json_props_extract": json_props_extract,
+    "user_value_median": user_value_median,
+    "sliding_events": sliding_events,
 }
 
 ORACLES = {
@@ -266,4 +356,6 @@ ORACLES = {
     "pivot_user_event_counts": _PIVOT_SQL,
     "asof_click_purchase": _ASOF_SQL,
     "json_props_extract": _JSON_SQL,
+    "user_value_median": _MEDIAN_SQL,
+    "sliding_events": _SLIDING_SQL,
 }

@@ -837,6 +837,173 @@ ORDER BY orderkey
 """
 
 
+# --------------------------------------------------------------------------
+# q7_nation_volume — TPC-H Q7 shape: revenue between nation pairs by
+# year (two dim joins on different fact keys + grouped agg).
+# --------------------------------------------------------------------------
+
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    revenue = F.sum(
+        _dec("l_extendedprice")
+        * (F.lit(1).cast(DEC_SMALL) - F.col("l_discount").cast(DEC_SMALL))
+    ).cast("double")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("cn_key"),
+                    F.col("n_name").alias("cust_nation"),
+                )
+            ),
+            customer.c_nationkey == F.col("cn_key"),
+        )
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("sn_key"),
+                    F.col("n_name").alias("supp_nation"),
+                )
+            ),
+            supplier.s_nationkey == F.col("sn_key"),
+        )
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy(
+            "cust_nation", "supp_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(revenue.alias("revenue"))
+        .orderBy("cust_nation", "supp_nation", "l_year")
+    )
+
+
+_Q7_SQL = """
+SELECT
+  cn.n_name AS cust_nation,
+  sn.n_name AS supp_nation,
+  CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+       AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE cn.n_name <> sn.n_name
+GROUP BY 1, 2, 3
+ORDER BY cust_nation, supp_nation, l_year
+"""
+
+
+# --------------------------------------------------------------------------
+# q10_returned_items — TPC-H Q10 shape: returned-item revenue top 20.
+# --------------------------------------------------------------------------
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    revenue = F.sum(
+        _dec("l_extendedprice")
+        * (F.lit(1).cast(DEC_SMALL) - F.col("l_discount").cast(DEC_SMALL))
+    ).cast("double")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal")
+        .agg(revenue.alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("c_acctbal").alias("acctbal"),
+            "revenue",
+        )
+    )
+
+
+_Q10_SQL = """
+SELECT
+  c_custkey AS custkey,
+  c_name AS name,
+  c_acctbal AS acctbal,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+       AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, custkey ASC
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# q19_disjunctive — TPC-H Q19 shape: OR-of-ANDs join predicates
+# (exercises predicate normalization/pushdown through a join).
+# --------------------------------------------------------------------------
+
+def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10)
+         & (F.col("l_quantity") >= 10))
+        | ((F.col("p_brand") == "Brand#5") & (F.col("p_size") <= 20)
+           & (F.col("l_quantity") >= 5))
+        | ((F.col("p_brand") == "Brand#13") & (F.col("p_size") <= 30))
+    )
+    revenue = F.sum(
+        _dec("l_extendedprice")
+        * (F.lit(1).cast(DEC_SMALL) - F.col("l_discount").cast(DEC_SMALL))
+    ).cast("double")
+    return joined.filter(cond).agg(
+        revenue.alias("revenue"), F.count(F.lit(1)).alias("n_items")
+    )
+
+
+_Q19_SQL = """
+SELECT
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+       AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity >= 10)
+   OR (p_brand = 'Brand#5' AND p_size <= 20 AND l_quantity >= 5)
+   OR (p_brand = 'Brand#13' AND p_size <= 30)
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -858,6 +1025,9 @@ QUERIES = {
     "q4_order_priority": q4_order_priority,
     "small_quantity_revenue": small_quantity_revenue,
     "scalar_functions_showcase": scalar_functions_showcase,
+    "q7_nation_volume": q7_nation_volume,
+    "q10_returned_items": q10_returned_items,
+    "q19_disjunctive": q19_disjunctive,
 }
 
 ORACLES = {
@@ -881,4 +1051,7 @@ ORACLES = {
     "q4_order_priority": _Q4_SQL,
     "small_quantity_revenue": _Q17_SQL,
     "scalar_functions_showcase": _SCALAR_SQL,
+    "q7_nation_volume": _Q7_SQL,
+    "q10_returned_items": _Q10_SQL,
+    "q19_disjunctive": _Q19_SQL,
 }

@@ -285,6 +285,51 @@ ORDER BY id_a, id_b
 """
 
 
+# --------------------------------------------------------------------------
+# chunk_documents — overlapping token chunks for embedding pipelines.
+# --------------------------------------------------------------------------
+
+_CHUNK_SIZE = 32
+_CHUNK_OVERLAP = 8
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = tx.token_chunks(
+        F.col("text"), chunk_size=_CHUNK_SIZE, overlap=_CHUNK_OVERLAP
+    )
+    return (
+        docs.select("doc_id", F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.col("c.chunk_text").alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+_STRIDE = _CHUNK_SIZE - _CHUNK_OVERLAP
+
+_CHUNK_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), n AS (
+  SELECT doc_id, toks,
+         GREATEST(CAST(CEIL((LEN(toks) - {_CHUNK_OVERLAP})
+                            / {_STRIDE}.0) AS INT), 1) AS n_chunks
+  FROM t
+)
+SELECT
+  doc_id,
+  CAST(i AS INT) AS chunk_idx,
+  array_to_string(toks[i * {_STRIDE} + 1 : i * {_STRIDE} + {_CHUNK_SIZE}],
+                  ' ') AS chunk_text
+FROM n, UNNEST(generate_series(0, n_chunks - 1)) AS u(i)
+ORDER BY doc_id, chunk_idx
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "doc_fingerprint": doc_fingerprint,
@@ -296,6 +341,7 @@ QUERIES = {
     "token_count_bpe": token_count_bpe,
     "rolling_fingerprint": rolling_fingerprint,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "chunk_documents": chunk_documents,
 }
 
 ORACLES = {
@@ -307,6 +353,7 @@ ORACLES = {
     "token_count_bpe": _TOKEN_BPE_SQL,
     "rolling_fingerprint": _ROLLING_SQL,
     "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
+    "chunk_documents": _CHUNK_SQL,
     # dedup_minhash_pairs / dedup_simhash_pairs: intentionally no
     # oracle — Spark-native xxhash64 signatures.
 }

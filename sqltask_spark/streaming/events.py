@@ -66,6 +66,32 @@ def tumbling_counts_stream(
     )
 
 
+def sliding_counts_stream(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "20 minutes",
+) -> DataFrame:
+    """Watermarked sliding-window counts (overlapping windows; state
+    per (window, key) pruned by the watermark like the tumbling op)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window, slide).alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def sessionized_stream(
     events: DataFrame,
     gap: str = "30 minutes",

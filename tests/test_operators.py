@@ -278,3 +278,43 @@ def test_cosine_ivf_recall(spark, tables):
     iset = {(r["query_id"], r["neighbor_id"]) for r in ivf.collect()}
     recall = len(bset & iset) / len(bset)
     assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_parse_keyvalues_udtf(spark):
+    from sqltask_spark.functions import ParseKeyValues
+
+    spark.udtf.register("parse_kv", ParseKeyValues)
+    df = list_source(
+        spark, ["id", "attrs"],
+        [(1, "a=1;b=2"), (2, "x = 9 ; broken ; y=z"), (3, "")],
+    )
+    df.createOrReplaceTempView("kv_src")
+    rows = spark.sql(
+        "SELECT s.id, kv.key, kv.value FROM kv_src s, "
+        "LATERAL parse_kv(s.attrs) kv ORDER BY s.id, kv.key"
+    ).collect()
+    got = [(r["id"], r["key"], r["value"]) for r in rows]
+    assert got == [
+        (1, "a", "1"), (1, "b", "2"), (2, "x", "9"), (2, "y", "z"),
+    ]
+
+
+def test_token_chunks_cover_document(spark):
+    from sqltask_spark.operators.text import token_chunks, tokenize
+
+    df = list_source(
+        spark, ["id", "text"], [(1, " ".join(f"t{i}" for i in range(100)))]
+    )
+    rows = (
+        df.select(F.explode(token_chunks(F.col("text"), 32, 8)).alias("c"))
+        .select("c.chunk_idx", "c.chunk_text")
+        .collect()
+    )
+    # stride 24: chunks at 0,24,48,72 → 4 chunks; last token covered
+    assert [r["chunk_idx"] for r in rows] == [0, 1, 2, 3]
+    assert rows[0]["chunk_text"].split()[0] == "t0"
+    assert rows[-1]["chunk_text"].split()[-1] == "t99"
+    # consecutive chunks overlap by 8 tokens
+    c0 = rows[0]["chunk_text"].split()
+    c1 = rows[1]["chunk_text"].split()
+    assert c0[-8:] == c1[:8]

@@ -94,3 +94,15 @@ def test_dedup_events_stream(spark, tables, events_dir):
     total = spark.sql("SELECT count(*) AS n FROM dedup_out").collect()[0]["n"]
     assert n == total  # no duplicate ids survive
     assert n == tables["events"].select("event_id").distinct().count()
+
+
+def test_sliding_stream_matches_batch(spark, tables, events_dir):
+    from sqltask_spark.streaming.events import sliding_counts_stream
+
+    stream = streaming_source(spark, events_dir)
+    result = sliding_counts_stream(stream, "10 minutes", "5 minutes",
+                                   watermark="30 minutes")
+    run_stream_to_memory(result, "sliding_out", output_mode="complete")
+    # each event lands in exactly 2 overlapping windows
+    got = spark.sql("SELECT sum(n_events) AS n FROM sliding_out").collect()[0]["n"]
+    assert got == 2 * tables["events"].count()
