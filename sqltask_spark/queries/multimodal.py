@@ -1,0 +1,87 @@
+"""Multimodal-column queries over the ``documents`` table.
+
+No media files ship with the testdata, so payloads derive
+deterministically from document text (UTF-8 bytes as the opaque
+``binary`` column + typed metadata) — the exact schema/partitioning
+contract real media would use, with the codec boundary stubbed
+(:mod:`sqltask_spark.operators.multimodal`).
+
+``multimodal_payload_stats`` is fully oracle-matched (byte length +
+sha256 reproduce in DuckDB). ``multimodal_features`` additionally
+runs the mapInPandas decode/featurize stage whose fake-codec features
+aren't SQL-expressible → rows-only check + exact-value pytest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sqltask_spark.data import load_table
+from sqltask_spark.operators.multimodal import MEDIA_META_TYPE, extract_features
+
+
+def _media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.concat(F.lit("synthetic://doc/"), F.col("doc_id")).alias("uri"),
+        ).alias("meta"),
+    )
+
+
+def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = _media_from_documents(spark, sf_dir)
+    return media.select(
+        "media_id",
+        F.col("meta.mime").alias("mime"),
+        F.octet_length("payload").alias("n_bytes"),
+        F.sha2("payload", 256).alias("sha256"),
+    ).orderBy("media_id")
+
+
+_PAYLOAD_SQL = """
+SELECT
+  doc_id AS media_id,
+  'text/plain' AS mime,
+  octet_length(encode(text)) AS n_bytes,
+  sha256(text) AS sha256
+FROM documents
+ORDER BY media_id
+"""
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = _media_from_documents(spark, sf_dir)
+    feats = extract_features(media, fake_codec=True)
+    return feats.select(
+        "media_id",
+        "mime",
+        "n_bytes",
+        "sha256",
+        F.round(
+            F.aggregate(
+                "feature", F.lit(0.0), lambda a, x: a + x.cast("double")
+            )
+            / F.size("feature"),
+            6,
+        ).alias("feature_mean"),
+    ).orderBy("media_id")
+
+
+QUERIES = {
+    "multimodal_payload_stats": multimodal_payload_stats,
+    "multimodal_features": multimodal_features,
+}
+
+ORACLES = {
+    "multimodal_payload_stats": _PAYLOAD_SQL,
+    # multimodal_features: rows-only (fake-codec features are not
+    # SQL-expressible; exact values pytest-verified).
+}

@@ -39,6 +39,9 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.shuffle.partitions": "32",
     "spark.driver.memory": "8g",
+    # don't truncate plan strings — plan introspection
+    # (sqltask_spark.plans) reads ReadSchema/PushedFilters out of them
+    "spark.sql.debug.maxToStringFields": "200",
 }
 
 

@@ -318,3 +318,28 @@ def test_token_chunks_cover_document(spark):
     c0 = rows[0]["chunk_text"].split()
     c1 = rows[1]["chunk_text"].split()
     assert c0[-8:] == c1[:8]
+
+
+# -- skew mitigation --------------------------------------------------------
+
+def test_salted_join_matches_plain_join(spark):
+    from sqltask_spark.operators.skew import salted_join, salted_count
+
+    # hot key 1 dominates
+    large = list_source(
+        spark, ["k", "v"],
+        [(1, i) for i in range(50)] + [(2, 100), (3, 200)],
+    )
+    small = list_source(spark, ["k", "name"], [(1, "hot"), (2, "warm")])
+    plain = large.join(small, "k").select("k", "v", "name")
+    salted = salted_join(large, small, ["k"], buckets=4)
+    assert sorted(map(tuple, salted.select("k", "v", "name").collect())) == \
+        sorted(map(tuple, plain.collect()))
+
+    left = salted_join(large, small, ["k"], buckets=4, how="left")
+    assert left.count() == large.count()
+    assert left.filter(F.col("name").isNull()).count() == 1  # k=3 missed
+
+    counts = {r["k"]: r["n_rows"] for r in
+              salted_count(large, ["k"], buckets=4).collect()}
+    assert counts == {1: 50, 2: 1, 3: 1}

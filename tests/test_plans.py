@@ -1,0 +1,44 @@
+"""Plan-shape tests: lock in that the headline queries produce the
+physical plans the 100 TB design expects — pushdown at the scan,
+broadcast dims, codegen, bounded shuffles. A regression here means a
+plan silently degraded even if results stay correct."""
+
+from __future__ import annotations
+
+from sqltask_spark.plans import plan_report
+from sqltask_spark.queries import QUERIES
+
+
+def test_q1_pushdown_and_pruning(spark, sf_dir):
+    r = plan_report(QUERIES["q1_pricing_summary"](spark, sf_dir))
+    assert any("l_shipdate" in f for f in r.pushed_filters)
+    assert r.has_codegen
+    # scan reads only the 7 needed of 11 lineitem columns
+    assert all("l_orderkey" not in s for s in r.read_schemas)
+    assert r.n_exchanges <= 2  # partial agg → one shuffle (+AQE read)
+
+
+def test_q3_broadcasts_and_topk(spark, sf_dir):
+    r = plan_report(QUERIES["q3_shipping_priority"](spark, sf_dir))
+    assert "BroadcastHashJoin" in r.join_strategies
+    assert "CartesianProduct" not in r.join_strategies
+    assert r.top_k  # TakeOrderedAndProject, not a global sort
+
+
+def test_q5_all_dims_broadcast(spark, sf_dir):
+    r = plan_report(QUERIES["q5_region_revenue"](spark, sf_dir))
+    # 4 broadcast dims; only the fact-fact join may shuffle
+    assert r.join_strategies.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in r.join_strategies
+
+
+def test_asof_join_single_shuffle_no_join(spark, sf_dir):
+    r = plan_report(QUERIES["asof_click_purchase"](spark, sf_dir))
+    # union-sort as-of: a window over one shuffle, NO join operator
+    assert r.join_strategies == []
+
+
+def test_anti_semi_plans(spark, sf_dir):
+    anti = plan_report(QUERIES["customers_without_orders"](spark, sf_dir))
+    assert anti.join_strategies  # some join, never a cartesian
+    assert "CartesianProduct" not in anti.join_strategies
