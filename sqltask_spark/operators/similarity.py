@@ -140,6 +140,14 @@ def _plane_matrix(dim: int, n_planes: int, tables: int, seed: int):
     return rng.standard_normal((tables * n_planes, dim))
 
 
+def _bucket_matrix(mat, planes, n_planes: int, tables: int):
+    """(batch, dim) → (batch, tables) packed sign-bit signatures."""
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+    bits = (mat @ planes.T) >= 0
+    per_table = bits.reshape(len(mat), tables, n_planes)
+    return (per_table * weights).sum(axis=2)
+
+
 def lsh_bucket_udf(dim: int, n_planes: int, tables: int, seed: int):
     """Arrow-vectorized signature UDF → array<bigint>[tables].
 
@@ -155,14 +163,11 @@ def lsh_bucket_udf(dim: int, n_planes: int, tables: int, seed: int):
     from pyspark.sql.functions import pandas_udf
 
     planes = _plane_matrix(dim, n_planes, tables, seed)
-    weights = 1 << np.arange(n_planes, dtype=np.int64)
 
     @pandas_udf("array<long>")
     def buckets(emb: pd.Series) -> pd.Series:
         mat = np.stack(emb.to_numpy())  # (batch, dim)
-        bits = (mat @ planes.T) >= 0  # (batch, tables·n_planes)
-        per_table = bits.reshape(len(mat), tables, n_planes)
-        sigs = (per_table * weights).sum(axis=2)  # (batch, tables)
+        sigs = _bucket_matrix(mat, planes, n_planes, tables)
         return pd.Series(list(sigs))
 
     return buckets
@@ -231,26 +236,44 @@ def cosine_topk_ivf(
     cents = _centroid_matrix(corpus, corpus_id, corpus_vec, n_cells)
     from sqltask_spark.data import ensure_min_partitions
 
+    spark = corpus.sparkSession
     ci = ensure_min_partitions(corpus).select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(corpus_vec).alias("cv"),
         _cell_assign_udf(cents, 1)(F.col(corpus_vec))[0].alias("cell"),
     )
-    qi = queries.select(
-        F.col(query_id).alias("query_id"),
-        F.col(query_vec).alias("qv"),
-        F.explode(
-            _cell_assign_udf(cents, n_probe)(F.col(query_vec))
-        ).alias("cell"),
+    # query side is broadcast-small by contract → assign its probe
+    # cells driver-side (one less Python-worker stage, cf. the LSH op)
+    q_rows = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("qv")
+    ).collect()
+    q_mat = np.array([list(r["qv"]) for r in q_rows], dtype=np.float64)
+    qn = np.linalg.norm(q_mat, axis=1)
+    qn[qn == 0] = 1.0
+    cn = np.linalg.norm(cents, axis=1)
+    cn[cn == 0] = 1.0
+    sims = (q_mat / qn[:, None]) @ (cents / cn[:, None]).T
+    order = np.argsort(-sims, axis=1)[:, :n_probe]
+    probes_df = spark.createDataFrame(
+        [
+            (r["query_id"], int(order[i, j]))
+            for i, r in enumerate(q_rows)
+            for j in range(order.shape[1])
+        ],
+        ["query_id", "cell"],
+    )
+    qvecs_df = spark.createDataFrame(
+        [(r["query_id"], [float(x) for x in r["qv"]]) for r in q_rows],
+        ["query_id", "qv"],
     )
     scored = (
-        ci.join(F.broadcast(qi), "cell")
+        ci.join(F.broadcast(probes_df), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(F.broadcast(qvecs_df), "query_id")
         .withColumn(
             "score",
             F.round(
-                cosine(as_double_array(F.col("qv")),
-                       as_double_array(F.col("cv"))),
+                cosine(F.col("qv"), as_double_array(F.col("cv"))),
                 round_digits,
             ),
         )
@@ -292,12 +315,16 @@ def cosine_topk_lsh(
     ``p^b`` to ``p^b + b·p^(b-1)(1-p)`` — the standard way to reach
     high recall without multiplying hash tables.
 
-    Shape: one vectorized signature pass per side (all hash tables in
-    a single UDF call), then ONE equi-join on (table, bucket) — not a
-    join per table — so the corpus shuffles/broadcast-probes once.
+    Shape: the corpus side computes all hash tables' signatures in one
+    vectorized UDF pass; the query side — which is by contract small
+    enough to broadcast — is collected and signed driver-side (same
+    memory budget as the broadcast, one less Python-worker stage),
+    then ONE equi-join on (table, bucket) generates candidates — not
+    a join per table — so the corpus shuffles/broadcast-probes once.
     """
     from sqltask_spark.data import ensure_min_partitions
 
+    spark = corpus.sparkSession
     sig_udf = lsh_bucket_udf(dim, n_planes, tables, seed)
 
     ci = ensure_min_partitions(corpus).select(
@@ -305,29 +332,40 @@ def cosine_topk_lsh(
         F.col(corpus_vec).alias("cv"),
         F.posexplode(sig_udf(F.col(corpus_vec))).alias("t", "bucket"),
     )
-    q = queries.select(
-        F.col(query_id).alias("query_id"),
-        F.col(query_vec).alias("qv"),
-        F.posexplode(sig_udf(F.col(query_vec))).alias("t", "bucket"),
+
+    q_rows = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("qv")
+    ).collect()
+    q_mat = np.array([list(r["qv"]) for r in q_rows], dtype=np.float64)
+    sigs = _bucket_matrix(
+        q_mat, _plane_matrix(dim, n_planes, tables, seed), n_planes, tables
     )
-    probes = [F.col("bucket")]
-    if probe_hamming >= 1:
-        probes += [
-            F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
-            for i in range(n_planes)
-        ]
-    qi = q.select(
-        "query_id", "qv", "t", F.explode(F.array(*probes)).alias("bucket")
+    flips = [0] + (
+        [1 << i for i in range(n_planes)] if probe_hamming >= 1 else []
+    )
+    probe_rows = [
+        (r["query_id"], t, int(sigs[i, t]) ^ flip)
+        for i, r in enumerate(q_rows)
+        for t in range(tables)
+        for flip in flips
+    ]
+    # schemas inferred so non-long id types keep working
+    probes_df = spark.createDataFrame(
+        probe_rows, ["query_id", "t", "bucket"]
+    )
+    qvecs_df = spark.createDataFrame(
+        [(r["query_id"], [float(x) for x in r["qv"]]) for r in q_rows],
+        ["query_id", "qv"],
     )
     scored = (
-        ci.join(F.broadcast(qi), ["t", "bucket"])
+        ci.join(F.broadcast(probes_df), ["t", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
+        .join(F.broadcast(qvecs_df), "query_id")
         .withColumn(
             "score",
             F.round(
-                cosine(as_double_array(F.col("qv")),
-                       as_double_array(F.col("cv"))),
+                cosine(F.col("qv"), as_double_array(F.col("cv"))),
                 round_digits,
             ),
         )

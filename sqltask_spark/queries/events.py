@@ -340,6 +340,121 @@ ORDER BY user_id
 """
 
 
+# --------------------------------------------------------------------------
+# multires_rollup — hypertable-style continuous aggregate: the same
+# events pre-aggregated at 1-minute / 1-hour / 1-day resolutions in
+# one result (resolution column = rollup level). At scale each
+# resolution is one map-side-combined shuffle over already-small
+# input (each level could fold the previous level's output).
+# --------------------------------------------------------------------------
+
+_RESOLUTIONS = [("1m", 60), ("1h", 3600), ("1d", 86400)]
+
+
+def multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = None
+    for label, seconds in _RESOLUTIONS:
+        bucket = F.timestamp_seconds(
+            (F.unix_timestamp("ts") / seconds).cast("long") * seconds
+        )
+        level = (
+            ev.groupBy(
+                F.lit(label).alias("resolution"),
+                bucket.alias("bucket_start"),
+                F.col("event_type"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,6)"))
+                .cast("double")
+                .alias("total_value"),
+            )
+        )
+        out = level if out is None else out.unionByName(level)
+    return out.orderBy("resolution", "bucket_start", "event_type")
+
+
+def _rollup_level_sql(label: str, seconds: int) -> str:
+    return f"""
+SELECT
+  '{label}' AS resolution,
+  make_timestamp(CAST(FLOOR(epoch(ts) / {seconds}) AS BIGINT)
+                 * {seconds} * 1000000) AS bucket_start,
+  event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+_MULTIRES_SQL = (
+    "\nUNION ALL\n".join(
+        _rollup_level_sql(label, s) for label, s in _RESOLUTIONS
+    )
+    + "\nORDER BY resolution, bucket_start, event_type"
+)
+
+
+# --------------------------------------------------------------------------
+# event_value_stats — statistical aggregates made deterministic: the
+# moments (n, Σx, Σx²) accumulate in exact decimal so shuffle order
+# cannot change a bit, then mean/variance/stddev derive in double.
+# Direct stddev/corr over doubles is order-dependent in parallel
+# engines — this is the hash-stable formulation.
+# --------------------------------------------------------------------------
+
+def event_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(28,10)")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("__s"),
+        F.sum(v * v).alias("__ss"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    s = F.col("__s").cast("double")
+    ss = F.col("__ss").cast("double")
+    n = F.col("n").cast("double")
+    mean = s / n
+    var = (ss - s * s / n) / (n - F.lit(1.0))
+    return agg.select(
+        "event_type",
+        "n",
+        F.round(mean, 6).alias("mean_value"),
+        F.round(F.sqrt(var), 6).alias("stddev_value"),
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"),
+    ).orderBy("event_type")
+
+
+_STATS_EV_SQL = """
+WITH m AS (
+  SELECT
+    event_type,
+    COUNT(*) AS n,
+    SUM(CAST(value AS DECIMAL(28,10))) AS s,
+    SUM(CAST(value AS DECIMAL(28,10)) * CAST(value AS DECIMAL(28,10))) AS ss,
+    MIN(value) AS min_v,
+    MAX(value) AS max_v
+  FROM events
+  GROUP BY event_type
+)
+SELECT
+  event_type,
+  n,
+  ROUND(CAST(s AS DOUBLE) / n, 6) AS mean_value,
+  ROUND(SQRT((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+             / (n - 1.0)), 6) AS stddev_value,
+  ROUND(min_v, 6) AS min_value,
+  ROUND(max_v, 6) AS max_value
+FROM m
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "sessionize_events": sessionize_events,
     "tumbling_events": tumbling_events,
@@ -348,6 +463,8 @@ QUERIES = {
     "json_props_extract": json_props_extract,
     "user_value_median": user_value_median,
     "sliding_events": sliding_events,
+    "multires_rollup": multires_rollup,
+    "event_value_stats": event_value_stats,
 }
 
 ORACLES = {
@@ -358,4 +475,6 @@ ORACLES = {
     "json_props_extract": _JSON_SQL,
     "user_value_median": _MEDIAN_SQL,
     "sliding_events": _SLIDING_SQL,
+    "multires_rollup": _MULTIRES_SQL,
+    "event_value_stats": _STATS_EV_SQL,
 }
