@@ -455,6 +455,42 @@ ORDER BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# user_event_history — grouped ordered collect into an array column
+# (nested result type; deterministic via explicit (ts, event_id)
+# sort inside the struct before projecting the payload).
+# --------------------------------------------------------------------------
+
+def user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct("ts", "event_id", "event_type")
+                    )
+                ),
+                lambda s: s["event_type"],
+            ).alias("history"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_HISTORY_SQL = """
+SELECT
+  user_id,
+  list(event_type ORDER BY ts, event_id) AS history,
+  COUNT(*) AS n_events
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "sessionize_events": sessionize_events,
     "tumbling_events": tumbling_events,
@@ -465,6 +501,7 @@ QUERIES = {
     "sliding_events": sliding_events,
     "multires_rollup": multires_rollup,
     "event_value_stats": event_value_stats,
+    "user_event_history": user_event_history,
 }
 
 ORACLES = {
@@ -477,4 +514,5 @@ ORACLES = {
     "sliding_events": _SLIDING_SQL,
     "multires_rollup": _MULTIRES_SQL,
     "event_value_stats": _STATS_EV_SQL,
+    "user_event_history": _HISTORY_SQL,
 }

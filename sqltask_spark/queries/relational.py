@@ -1004,6 +1004,95 @@ WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity >= 10)
 """
 
 
+# --------------------------------------------------------------------------
+# q12_shipmode_priority — TPC-H Q12 shape: conditional aggregation
+# (CASE inside SUM) after a fact-fact join.
+# --------------------------------------------------------------------------
+
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+_Q12_SQL = """
+SELECT
+  l_linestatus,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 1 ELSE 0 END) AS high_line_count,
+  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+           THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# q22_idle_customers — TPC-H Q22 shape: scalar subquery (global avg)
+# → broadcast theta-join, plus anti join. The anti side is "no urgent
+# order" (this synthetic data has no order-less customers, which
+# would make the classic formulation vacuously empty).
+# --------------------------------------------------------------------------
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_custkey")
+    avg_bal = (
+        customer.filter(F.col("c_acctbal") > 0)
+        .agg((F.sum(_dec("c_acctbal")) / F.count(F.lit(1))).alias("a"))
+    )
+    rich = customer.join(
+        F.broadcast(avg_bal),
+        F.col("c_acctbal").cast(DEC) > F.col("a"),
+    )
+    return (
+        rich.join(urgent, rich.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_Q22_SQL = """
+SELECT
+  c_mktsegment,
+  COUNT(*) AS n_customers,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM customer
+WHERE CAST(c_acctbal AS DECIMAL(18,2)) >
+      (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) / COUNT(*)
+       FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1028,6 +1117,8 @@ QUERIES = {
     "q7_nation_volume": q7_nation_volume,
     "q10_returned_items": q10_returned_items,
     "q19_disjunctive": q19_disjunctive,
+    "q12_shipmode_priority": q12_shipmode_priority,
+    "q22_idle_customers": q22_idle_customers,
 }
 
 ORACLES = {
@@ -1054,4 +1145,6 @@ ORACLES = {
     "q7_nation_volume": _Q7_SQL,
     "q10_returned_items": _Q10_SQL,
     "q19_disjunctive": _Q19_SQL,
+    "q12_shipmode_priority": _Q12_SQL,
+    "q22_idle_customers": _Q22_SQL,
 }
