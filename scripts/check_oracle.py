@@ -57,6 +57,41 @@ def result_hash(columns, rows):
     return h.hexdigest()
 
 
+def _driver_emulation_problems(con, oracle_sql, sdf):
+    """Emulate the driver's pandas canonicalizer, which differs from the
+    fetchall path above in two known ways: DuckDB ``fetchdf`` renders
+    HUGEINT (e.g. integer SUM) as float64 ("123.0" vs Spark's "123"),
+    and ``sort_values`` raises TypeError on unhashable cells (list
+    columns). Returns a list of problem strings (empty = clean)."""
+    problems = []
+    try:
+        pdf_o = con.execute(oracle_sql).fetchdf()
+        pdf_s = sdf.toPandas()
+        for frame, side in ((pdf_o, "duckdb"), (pdf_s, "spark")):
+            canon = frame.reindex(sorted(frame.columns), axis=1)
+            try:
+                canon = canon.sort_values(by=list(canon.columns))
+            except TypeError as e:
+                problems.append(f"{side} pandas-canon unsortable: {e}")
+                continue
+            frame_str = canon.reset_index(drop=True).astype(str)
+            if side == "duckdb":
+                o_str = frame_str
+            else:
+                s_str = frame_str
+        if not problems and not o_str.equals(s_str):
+            diff_cols = [
+                c for c in o_str.columns if not o_str[c].equals(s_str[c])
+            ]
+            problems.append(
+                f"pandas-canon string mismatch in columns {diff_cols} "
+                "(dtype rendering: driver would hash-fail)"
+            )
+    except Exception as e:  # emulation itself must never mask a PASS
+        problems.append(f"pandas-canon error: {str(e)[:200]}")
+    return problems
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
@@ -129,6 +164,8 @@ def main() -> int:
                     print(f"      spark-only: {x[:200]}")
                 for x in sorted(oset - sset)[:2]:
                     print(f"      duck-only:  {x[:200]}")
+        if not problems:
+            problems.extend(_driver_emulation_problems(con, oracles[name], sdf))
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)}")
             failures.append(name)

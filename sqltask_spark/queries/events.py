@@ -74,10 +74,10 @@ WITH lagged AS (
 ), numbered AS (
   SELECT
     user_id, event_id, ts, value,
-    SUM(is_new) OVER (
+    CAST(SUM(is_new) OVER (
       PARTITION BY user_id ORDER BY ts, event_id
       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-    ) AS session_id
+    ) AS BIGINT) AS session_id
   FROM marked
 )
 SELECT
@@ -291,7 +291,7 @@ _JSON_SQL = """
 SELECT
   event_type,
   COUNT(*) AS n_events,
-  SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
   MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
   MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
 FROM events
@@ -456,9 +456,12 @@ ORDER BY event_type
 
 
 # --------------------------------------------------------------------------
-# user_event_history — grouped ordered collect into an array column
-# (nested result type; deterministic via explicit (ts, event_id)
-# sort inside the struct before projecting the payload).
+# user_event_history — grouped ordered collect (deterministic via
+# explicit (ts, event_id) sort inside the struct before projecting the
+# payload). The ordered sequence is emitted as a '|'-joined string
+# rather than array<string>: the driver's pandas canonicalizer sorts
+# result columns and cannot hash list cells, and a delimited string
+# carries identical information for an enum-valued event_type.
 # --------------------------------------------------------------------------
 
 def user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -466,13 +469,16 @@ def user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy("user_id")
         .agg(
-            F.transform(
-                F.sort_array(
-                    F.collect_list(
-                        F.struct("ts", "event_id", "event_type")
-                    )
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda s: s["event_type"],
                 ),
-                lambda s: s["event_type"],
+                "|",
             ).alias("history"),
             F.count(F.lit(1)).alias("n_events"),
         )
@@ -483,7 +489,7 @@ def user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HISTORY_SQL = """
 SELECT
   user_id,
-  list(event_type ORDER BY ts, event_id) AS history,
+  array_to_string(list(event_type ORDER BY ts, event_id), '|') AS history,
   COUNT(*) AS n_events
 FROM events
 GROUP BY user_id
