@@ -83,15 +83,47 @@ def ensure_min_partitions(
     A small parquet file arrives as one input split, so shuffle-free
     per-row work (shingling, hashing, vector math) serializes on one
     core no matter how many the session has. Repartition only when the
-    scan yields fewer partitions than the session's parallelism — at
-    production scale (thousands of splits) this is a no-op, so no
-    shuffle is ever added where the data is already wide.
+    scan yields fewer partitions than the session's parallelism.
+
+    The probe itself (``df.rdd.getNumPartitions()``) analyzes the plan
+    and builds an RDD lineage — cheap on local test plans, not free on
+    very large production plans. Production scans are thousands of
+    splits anyway, so unless the caller passes an explicit
+    ``min_partitions`` the guard only runs under a ``local[...]``
+    master and is a zero-cost pass-through on a cluster.
     """
+    spark = df.sparkSession
     if min_partitions is None:
-        min_partitions = df.sparkSession.sparkContext.defaultParallelism
+        if not spark.sparkContext.master.startswith("local"):
+            return df
+        min_partitions = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < min_partitions:
         return df.repartition(min_partitions)
     return df
+
+
+def materialize_and_release(
+    result: DataFrame, *intermediates: DataFrame
+) -> DataFrame:
+    """Cache-lifecycle helper for multi-consumer pipelines.
+
+    A pipeline that consumes one expensive intermediate twice (e.g.
+    shingle sets feeding both MinHash banding and Jaccard verify)
+    persists it so the work runs once — but a lazily returned result
+    would leave that cache pinned forever (the round-1 leak: repeated
+    calls accumulate blocks until executors evict under pressure).
+    This helper persists and eagerly materializes the *result* — which
+    for dedup/candidate pipelines is orders of magnitude smaller than
+    the corpus-sized intermediate — then unpersists the intermediates
+    immediately. The returned DataFrame serves later actions from its
+    own (small) cache; callers that are fully done can ``unpersist()``
+    it too.
+    """
+    result = result.persist()
+    result.count()
+    for df in intermediates:
+        df.unpersist()
+    return result
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

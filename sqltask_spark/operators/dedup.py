@@ -222,6 +222,7 @@ def minhash_dedup_pairs(
     shingle_n: int = 3,
     max_bucket_size: int = 1000,
     threshold: float = 0.0,
+    eager: bool = True,
 ) -> DataFrame:
     """LSH candidates + exact Jaccard verification in one pipeline.
 
@@ -232,9 +233,20 @@ def minhash_dedup_pairs(
     Jaccard runs on the 61-bit shingle-hash sets (``array_intersect``
     on longs — cheaper than strings; collisions at p = 2^61−1 are
     negligible). Returns (id_a, id_b, n_shared_bands, jaccard).
+
+    Cache lifecycle: with ``eager=True`` (default) the small pair
+    result is materialized inside the call and the corpus-sized
+    shingle cache is released before returning — no leaked blocks in
+    long-lived sessions. ``eager=False`` keeps the pipeline fully
+    lazy and instead skips the persist (shingling recomputes once per
+    consuming action).
     """
     assert num_perm % bands == 0, "bands must divide num_perm"
-    shingled = shingled_docs(df, id_col, text_col, shingle_n).persist()
+    from sqltask_spark.data import materialize_and_release
+
+    shingled = shingled_docs(df, id_col, text_col, shingle_n)
+    if eager:
+        shingled = shingled.persist()
     wide = _signatures_wide(shingled, num_perm, seed)
     cand = _lsh_pairs_from_signatures(
         wide, bands, num_perm // bands, max_bucket_size
@@ -251,6 +263,8 @@ def minhash_dedup_pairs(
     )
     if threshold > 0:
         out = out.filter(F.col("jaccard") >= threshold)
+    if eager:
+        out = materialize_and_release(out, shingled)
     return out
 
 
@@ -300,6 +314,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int | None = None,
+    eager: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via an inverted-index join.
 
@@ -315,15 +330,21 @@ def ngram_jaccard_pairs(
     (candidates they alone would contribute are, at a sane threshold,
     already unreachable). Left None, results match the exact
     definition — the mode the DuckDB oracle reproduces.
+
+    Cache lifecycle: as in :func:`minhash_dedup_pairs` — ``eager=True``
+    materializes the small pair result and releases the shingle cache
+    before returning; ``eager=False`` stays lazy without persisting.
     """
-    from sqltask_spark.data import ensure_min_partitions
+    from sqltask_spark.data import ensure_min_partitions, materialize_and_release
 
     shingled = ensure_min_partitions(docs).select(
         F.col(id_col).alias("id"),
         F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias(
             "shingles"
         ),
-    ).persist()
+    )
+    if eager:
+        shingled = shingled.persist()
     inv = shingled.select("id", F.explode("shingles").alias("shingle"))
     if max_shingle_df is not None:
         df_counts = inv.groupBy("shingle").agg(
@@ -349,13 +370,16 @@ def ngram_jaccard_pairs(
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
-    return (
+    out = (
         cand.join(sh_a, "id_a")
         .join(sh_b, "id_b")
         .withColumn("jaccard", inter.cast("double") / union)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    if eager:
+        out = materialize_and_release(out, shingled)
+    return out
 
 
 def simhash_signatures(
@@ -408,13 +432,23 @@ def simhash_near_pairs(
     text_col: str,
     max_distance: int = 3,
     shingle_n: int = 2,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_distance.
 
     Pigeonhole banding: split 64 bits into ``max_distance + 1`` chunks;
     any pair within distance k must agree exactly on ≥1 chunk → group
     by (chunk index, chunk value), verify distance on candidates.
+
+    The (chunk, value) self-join is quadratic in per-bucket membership,
+    and degenerate corpora (near-empty docs collapse to sig ≈ 0)
+    concentrate into one value — ``max_bucket_size`` drops such hot
+    buckets (see :mod:`sqltask_spark.operators.bucketing`); members
+    remain reachable through their other chunks. ``None`` restores the
+    exact pigeonhole guarantee.
     """
+    from sqltask_spark.operators.bucketing import drop_hot_buckets
+
     chunks = max_distance + 1
     width = 64 // chunks
     sigs = simhash_signatures(df, id_col, text_col, shingle_n)
@@ -428,6 +462,7 @@ def simhash_near_pairs(
     exploded = sigs.select(
         "id", "sig", F.posexplode(F.array(*chunk_cols)).alias("ci", "cv")
     )
+    exploded = drop_hot_buckets(exploded, ["ci", "cv"], max_bucket_size)
     a = exploded.select(
         F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "ci", "cv"
     )

@@ -134,6 +134,135 @@ def cosine_near_pairs(
     )
 
 
+def cosine_near_pairs_blocked(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_blocks: int = 8,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact near-pairs via triangle block partitioning (scale path).
+
+    Same result set as :func:`cosine_near_pairs`, different physical
+    plan: each vector lands in one of ``n_blocks`` blocks by uniform
+    id hash; every unordered block pair (p ≤ q) becomes one join key,
+    and each vector replicates to exactly the keys it participates in
+    (JVM-side ``sequence``/``explode`` — no join builds the
+    replication). The pair join is then a plain shuffle equi-join on
+    (p, q) with B(B+1)/2 independent work units, so exact all-pairs
+    scoring spreads across executors instead of requiring a broadcast
+    nested loop with one full side resident per executor. Compute
+    stays O(n²) — inherent to exact scoring — but shuffle volume is
+    O(n · n_blocks) and no single task sees more than ~(2n/B) vectors.
+    Choose ``n_blocks`` ≈ sqrt(2 × target parallelism).
+
+    Each unordered pair {x, y} is generated exactly once: same-block
+    pairs meet only on the diagonal key (b, b) (dedup by id order);
+    cross-block pairs meet only on (min(bx, by), max(bx, by)) with x
+    and y on fixed sides.
+    """
+    e = df.select(
+        F.col(id_col).alias("id"),
+        as_double_array(F.col(vec_col)).alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
+        .cast("int")
+        .alias("blk"),
+    )
+    a = e.withColumn(
+        "q", F.explode(F.sequence(F.col("blk"), F.lit(n_blocks - 1)))
+    ).select(
+        F.col("id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("blk").alias("p"),
+        "q",
+    )
+    b = e.withColumn(
+        "p", F.explode(F.sequence(F.lit(0), F.col("blk")))
+    ).select(
+        F.col("id").alias("id_b"),
+        F.col("v").alias("vb"),
+        "p",
+        F.col("blk").alias("q"),
+    )
+    scored = (
+        a.join(b, ["p", "q"])
+        .filter((F.col("p") != F.col("q")) | (F.col("id_a") < F.col("id_b")))
+        .withColumn(
+            "cosine",
+            F.round(cosine(F.col("va"), F.col("vb")), round_digits),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    return scored.select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+        "cosine",
+    )
+
+
+def cosine_near_pairs_lsh(
+    df: DataFrame,
+    id_col: str,
+    dim: int,
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    tables: int = 8,
+    seed: int = 42,
+    max_bucket_size: int | None = 1000,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Approximate near-pairs: LSH candidates + exact cosine verify.
+
+    The 100 TB shape for high-threshold near-dup detection: candidates
+    are pairs sharing a random-hyperplane bucket in ≥1 of ``tables``
+    hash tables (one self equi-join on (table, bucket), hot buckets
+    capped via :func:`drop_hot_buckets`), then every candidate is
+    verified with the exact cosine expression — so precision is exact
+    and only recall is approximate (collision probability per table is
+    (1 − θ/π)^n_planes; raise ``tables``/lower ``n_planes`` for lower
+    thresholds). Returns (id_a, id_b, cosine) with id_a < id_b.
+    """
+    from sqltask_spark.data import ensure_min_partitions
+    from sqltask_spark.operators.bucketing import drop_hot_buckets
+
+    sig_udf = lsh_bucket_udf(dim, n_planes, tables, seed)
+    base = ensure_min_partitions(df).select(
+        F.col(id_col).alias("id"),
+        as_double_array(F.col(vec_col)).alias("v"),
+        sig_udf(F.col(vec_col)).alias("sigs"),
+    )
+    buckets = drop_hot_buckets(
+        base.select("id", F.posexplode("sigs").alias("t", "bucket")),
+        ["t", "bucket"],
+        max_bucket_size,
+    )
+    cand = (
+        buckets.alias("a")
+        .join(
+            buckets.alias("b"),
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
+            "cosine",
+            F.round(cosine(F.col("va"), F.col("vb")), round_digits),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def _plane_matrix(dim: int, n_planes: int, tables: int, seed: int):
     """Seeded Gaussian hyperplanes, (tables · n_planes) × dim."""
     rng = np.random.default_rng(seed)
@@ -302,6 +431,7 @@ def cosine_topk_lsh(
     seed: int = 42,
     round_digits: int = 6,
     probe_hamming: int = 1,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Approximate top-k: candidates share an LSH bucket in ≥1 table.
 
@@ -323,6 +453,7 @@ def cosine_topk_lsh(
     a join per table — so the corpus shuffles/broadcast-probes once.
     """
     from sqltask_spark.data import ensure_min_partitions
+    from sqltask_spark.operators.bucketing import drop_hot_buckets
 
     spark = corpus.sparkSession
     sig_udf = lsh_bucket_udf(dim, n_planes, tables, seed)
@@ -332,6 +463,10 @@ def cosine_topk_lsh(
         F.col(corpus_vec).alias("cv"),
         F.posexplode(sig_udf(F.col(corpus_vec))).alias("t", "bucket"),
     )
+    # A boilerplate-heavy corpus collapses into a few signatures; a
+    # hot (table, bucket) key would then skew the probe join. Capped
+    # members stay reachable through their other hash tables.
+    ci = drop_hot_buckets(ci, ["t", "bucket"], max_bucket_size)
 
     q_rows = queries.select(
         F.col(query_id).alias("query_id"), F.col(query_vec).alias("qv")

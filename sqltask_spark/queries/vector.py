@@ -15,7 +15,9 @@ from pyspark.sql import functions as F
 
 from sqltask_spark.data import load_table
 from sqltask_spark.operators.similarity import (
-    cosine_near_pairs,
+    cosine_near_pairs,  # noqa: F401 — small-corpus oracle cross-check
+    cosine_near_pairs_blocked,
+    cosine_near_pairs_lsh,
     cosine_topk_brute,
     cosine_topk_ivf,
     cosine_topk_lsh,
@@ -144,9 +146,32 @@ _EMB_DUP_THRESHOLD = 0.4
 
 
 def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-pairs via the blocked equi-join (scale path): same
+    result set as the all-pairs oracle below, but distributed as
+    B(B+1)/2 shuffle-joined block pairs — no broadcast nested loop in
+    the plan (locked by ``tests/test_plans.py``). The unblocked
+    :func:`cosine_near_pairs` remains the small-corpus cross-check."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_near_pairs(
+    return cosine_near_pairs_blocked(
         emb, "vec_id", "embedding", threshold=_EMB_DUP_THRESHOLD
+    ).orderBy("id_a", "id_b")
+
+
+def dedup_embedding_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate variant: LSH-bucketed candidates + exact cosine
+    verify — the 100 TB path for real ≥0.9 thresholds (no oracle:
+    recall is seeded-approximate; pytest measures it against exact).
+    The synthetic threshold is low, so recall needs many narrow
+    tables; real high-threshold corpora need far fewer."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_near_pairs_lsh(
+        emb,
+        "vec_id",
+        dim=EMBED_DIM,
+        vec_col="embedding",
+        threshold=_EMB_DUP_THRESHOLD,
+        n_planes=4,
+        tables=16,
     ).orderBy("id_a", "id_b")
 
 
@@ -175,6 +200,7 @@ QUERIES = {
     "ann_topk_lsh": ann_topk_lsh,
     "ann_topk_ivf": ann_topk_ivf,
     "dedup_embedding_pairs": dedup_embedding_pairs,
+    "dedup_embedding_pairs_lsh": dedup_embedding_pairs_lsh,
 }
 
 ORACLES = {

@@ -343,3 +343,100 @@ def test_salted_join_matches_plain_join(spark):
     counts = {r["k"]: r["n_rows"] for r in
               salted_count(large, ["k"], buckets=4).collect()}
     assert counts == {1: 50, 2: 1, 3: 1}
+
+
+# -- blocked / LSH embedding near-pairs + hot-bucket caps -------------------
+
+def test_cosine_near_pairs_blocked_matches_exact(spark, tables):
+    from sqltask_spark.operators.similarity import (
+        cosine_near_pairs,
+        cosine_near_pairs_blocked,
+    )
+
+    emb = tables["embeddings"]
+    exact = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in cosine_near_pairs(emb, "vec_id", threshold=0.35).collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in cosine_near_pairs_blocked(
+            emb, "vec_id", threshold=0.35, n_blocks=5
+        ).collect()
+    }
+    assert exact, "threshold too high for fixture data"
+    assert blocked == exact
+
+
+def test_cosine_near_pairs_lsh_precision_and_recall(spark, tables):
+    from sqltask_spark.operators.similarity import (
+        cosine_near_pairs,
+        cosine_near_pairs_lsh,
+    )
+
+    emb = tables["embeddings"]
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_pairs(emb, "vec_id", threshold=0.35).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_pairs_lsh(
+            emb, "vec_id", dim=64, threshold=0.35, n_planes=4, tables=16
+        ).collect()
+    }
+    # exact-verify step makes precision exactly 1
+    assert approx <= exact
+    assert exact
+    recall = len(approx) / len(exact)
+    assert recall >= 0.5, f"LSH near-pair recall too low: {recall}"
+
+
+def test_hot_bucket_cap_bounds_pathological_corpus(spark):
+    # 60 byte-identical boilerplate docs collapse into ONE simhash
+    # bucket per chunk: uncapped that is 60·59/2 pairs; capped the
+    # bucket is dropped and candidates stay bounded.
+    rows = [(i, "the same boilerplate text repeated everywhere") for i in range(60)]
+    rows += [(100, "a genuinely unique document about spark plans")]
+    docs = list_source(spark, ["doc_id", "text"], rows)
+    uncapped = simhash_near_pairs(
+        docs, "doc_id", "text", max_distance=3, max_bucket_size=None
+    )
+    capped = simhash_near_pairs(
+        docs, "doc_id", "text", max_distance=3, max_bucket_size=10
+    )
+    assert uncapped.count() == 60 * 59 // 2
+    assert capped.count() == 0
+
+
+def test_drop_hot_buckets_keeps_cool_buckets(spark):
+    from sqltask_spark.operators.bucketing import (
+        drop_hot_buckets,
+        hot_bucket_report,
+    )
+
+    rows = [(i, 0, 7) for i in range(20)] + [(100, 1, 8), (101, 1, 8)]
+    df = list_source(spark, ["id", "t", "bucket"], rows)
+    kept = drop_hot_buckets(df, ["t", "bucket"], 5)
+    assert {r["id"] for r in kept.collect()} == {100, 101}
+    report = hot_bucket_report(df, ["t", "bucket"], 5).collect()
+    assert [(r["t"], r["bucket"], r["bucket_n"]) for r in report] == [(0, 7, 20)]
+
+
+def test_minhash_dedup_pairs_releases_cache(spark):
+    from sqltask_spark.operators.dedup import minhash_dedup_pairs
+
+    spark.catalog.clearCache()  # isolate from other tests' caches
+    docs = _corpus(spark)
+    out = minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (1, 2) in got
+    # the corpus-sized shingle intermediate must not stay cached; only
+    # the small materialized pair result may remain
+    jsc = spark.sparkContext._jsc.sc()
+    cached = [
+        info.name()
+        for info in jsc.getRDDStorageInfo()
+    ]
+    assert len(cached) <= 1, f"leaked cached RDDs: {cached}"
+    out.unpersist()

@@ -42,3 +42,12 @@ def test_anti_semi_plans(spark, sf_dir):
     anti = plan_report(QUERIES["customers_without_orders"](spark, sf_dir))
     assert anti.join_strategies  # some join, never a cartesian
     assert "CartesianProduct" not in anti.join_strategies
+
+
+def test_dedup_embedding_pairs_no_nested_loop(spark, sf_dir):
+    # the blocked exact pair join must be a shuffle equi-join on the
+    # block-pair key — never a broadcast nested loop / cartesian
+    r = plan_report(QUERIES["dedup_embedding_pairs"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in r.join_strategies
+    assert "CartesianProduct" not in r.join_strategies
+    assert r.join_strategies  # it IS a join, just an equi-join
