@@ -63,6 +63,12 @@ for _spec in (
     SinkSpec("json", supports_partition_overwrite=True),
     SinkSpec("jdbc", supports_partition_overwrite=False,
              supports_transactions=True, supports_comments=True),
+    SinkSpec("postgres", supports_partition_overwrite=False,
+             supports_transactions=True, supports_comments=True),
+    SinkSpec("snowflake", supports_partition_overwrite=False,
+             supports_transactions=True, supports_comments=True),
+    SinkSpec("bigquery", supports_partition_overwrite=False,
+             supports_comments=True),
     SinkSpec("delta", supports_partition_overwrite=True,
              supports_schema_evolution=True, supports_comments=True,
              supports_transactions=True),

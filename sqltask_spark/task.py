@@ -193,14 +193,23 @@ class SparkTask:
                 table = self._tables[name]
                 sink = self._sinks[name]
                 fact_df = dq_mod.drop_dq(df)
-                if table.path is not None:
+                # file sinks need table.path; URL-addressed sinks
+                # (JDBC, warehouse connectors) declare requires_path=False
+                writable = table.path is not None or not getattr(
+                    sink, "requires_path", True
+                )
+                if writable:
                     sink.write_batch(fact_df, table)
-                if name in self._dq_outputs and table.path is not None:
+                if name in self._dq_outputs and writable:
                     dq_table = TableContext(
                         name=f"{table.name}_dq",
                         schema=self._dq_outputs[name].schema,
                         batch_params=table.batch_params,
-                        path=f"{table.path.rstrip('/')}_dq",
+                        path=(
+                            f"{table.path.rstrip('/')}_dq"
+                            if table.path is not None
+                            else None
+                        ),
                         format=table.format,
                     )
                     sink.write_batch(self._dq_outputs[name], dq_table)

@@ -1,0 +1,199 @@
+"""JDBC sink (W2) round-trip tests against embedded Derby.
+
+The Spark distribution ships the Derby jars (metastore dependency),
+so the reference's most-used write surface — batch-scoped DELETE +
+chunked INSERT (``reference sqltask/engine_specs/base.py:61-117``) —
+gets a live-database test: create-if-missing, append, re-run
+idempotency, and batch isolation.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import types as T
+
+from sqltask_spark.sinks.jdbc import JdbcSink
+from sqltask_spark.table import TableContext, column
+
+DERBY_URL = "jdbc:derby:memory:sqltask_w2;create=true"
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def _sink(table: str | None = None) -> JdbcSink:
+    return JdbcSink(DERBY_URL, table=table, driver=DERBY_DRIVER)
+
+
+def _schema() -> T.StructType:
+    return T.StructType(
+        [
+            column("report_date", T.DateType(), nullable=False),
+            column("customer_name", T.StringType(), primary_key=True),
+            column("balance", T.DoubleType()),
+        ]
+    )
+
+
+def _batch_df(spark, report_date: dt.date, names: list[str]):
+    return spark.createDataFrame(
+        [(report_date, n, float(i)) for i, n in enumerate(names)],
+        _schema(),
+    )
+
+
+def test_jdbc_write_batch_idempotent_rerun(spark):
+    table = TableContext(
+        name="w2_fact",
+        schema=_schema(),
+        batch_params={"report_date": dt.date(2019, 12, 31)},
+    )
+    sink = _sink()
+    df = _batch_df(spark, dt.date(2019, 12, 31), ["alice", "bob", "carol"])
+
+    sink.write_batch(df, table)  # create-if-missing + first load
+    assert sink.read(spark, "w2_fact").count() == 3
+
+    sink.write_batch(df, table)  # re-run: DELETE scoped to the batch
+    got = sink.read(spark, "w2_fact")
+    assert got.count() == 3
+    assert {r["customer_name"] for r in got.collect()} == {
+        "alice",
+        "bob",
+        "carol",
+    }
+
+
+def test_jdbc_batches_do_not_touch_each_other(spark):
+    d1, d2 = dt.date(2020, 1, 1), dt.date(2020, 1, 2)
+    t1 = TableContext(
+        name="w2_batches", schema=_schema(), batch_params={"report_date": d1}
+    )
+    t2 = TableContext(
+        name="w2_batches", schema=_schema(), batch_params={"report_date": d2}
+    )
+    sink = _sink()
+    sink.write_batch(_batch_df(spark, d1, ["a", "b"]), t1)
+    sink.write_batch(_batch_df(spark, d2, ["c"]), t2)
+    assert sink.read(spark, "w2_batches").count() == 3
+
+    # rewriting batch 2 must leave batch 1 intact
+    sink.write_batch(_batch_df(spark, d2, ["c", "d", "e"]), t2)
+    got = sink.read(spark, "w2_batches")
+    assert got.count() == 5
+    assert (
+        got.filter(got.report_date == d1).count() == 2
+    ), "other batch was touched"
+
+
+def test_jdbc_delete_batch_missing_table_is_noop(spark):
+    assert (
+        _sink().delete_batch(
+            spark, "w2_never_created", {"report_date": dt.date(2024, 1, 1)}
+        )
+        == 0
+    )
+
+
+def test_jdbc_no_batch_params_full_delete(spark):
+    table = TableContext(name="w2_full", schema=_schema(), batch_params={})
+    sink = _sink()
+    sink.write_batch(_batch_df(spark, dt.date(2021, 5, 5), ["x", "y"]), table)
+    sink.write_batch(_batch_df(spark, dt.date(2021, 6, 6), ["z"]), table)
+    got = sink.read(spark, "w2_full").collect()
+    # no params → full delete before append (engine_specs/base.py:108-112)
+    assert {r["customer_name"] for r in got} == {"z"}
+
+
+def test_jdbc_sink_in_task_lifecycle(spark):
+    from sqltask_spark.task import SparkTask
+
+    class _T(SparkTask):
+        def __init__(self, spark_, **bp):
+            super().__init__(spark_, **bp)
+            self.add_table(
+                TableContext(
+                    name="w2_task",
+                    schema=_schema(),
+                    batch_params=dict(self.batch_params),
+                ),
+                sink=_sink(),
+            )
+
+        def transform(self):
+            self.set_output(
+                "w2_task",
+                _batch_df(
+                    spark, self.batch_params["report_date"], ["n1", "n2"]
+                ).drop("report_date"),
+            )
+
+    t = _T(spark, report_date=dt.date(2022, 3, 3))
+    t.execute()
+    t2 = _T(spark, report_date=dt.date(2022, 3, 3))
+    t2.execute()  # full lifecycle re-run stays idempotent
+    assert _sink().read(spark, "w2_task").count() == 2
+
+
+# -- warehouse sinks (W3-W5): statement/option construction -----------------
+
+def test_batch_delete_sql_literals_and_escaping():
+    import datetime as dt
+
+    from sqltask_spark.sinks.warehouse import batch_delete_sql
+
+    sql = batch_delete_sql(
+        "fact",
+        {
+            "report_date": dt.date(2019, 12, 31),
+            "segment": "O'Neill",
+            "run": 3,
+        },
+    )
+    assert sql == (
+        "DELETE FROM fact WHERE \"report_date\" = DATE '2019-12-31' "
+        "AND \"segment\" = 'O''Neill' AND \"run\" = 3"
+    )
+    # BigQuery: unscoped DML needs WHERE 1=1 (reference bigquery.py:20)
+    assert (
+        batch_delete_sql("fact", {}, empty_where="WHERE 1=1")
+        == "DELETE FROM fact WHERE 1=1"
+    )
+    assert batch_delete_sql("fact", {}) == "DELETE FROM fact"
+
+
+def test_bigquery_delete_sql_backtick_quoting():
+    import datetime as dt
+
+    from sqltask_spark.sinks.warehouse import BigQuerySink
+
+    sink = BigQuerySink("proj.ds.fact")
+    assert sink.delete_sql({"report_date": dt.date(2020, 1, 1)}) == (
+        "DELETE FROM proj.ds.fact WHERE `report_date` = DATE '2020-01-01'"
+    )
+    assert sink.delete_sql({}) == "DELETE FROM proj.ds.fact WHERE 1=1"
+
+
+def test_postgres_sink_defaults():
+    from sqltask_spark.sinks.warehouse import PostgresSink
+
+    sink = PostgresSink("jdbc:postgresql://h/db")
+    assert sink.properties["reWriteBatchedInserts"] == "true"
+    assert sink.driver == "org.postgresql.Driver"
+    assert sink.requires_path is False
+
+
+def test_snowflake_sink_requires_connector(spark):
+    import datetime as dt
+
+    from sqltask_spark.sinks.warehouse import SnowflakeSink
+
+    table = TableContext(
+        name="sf_fact",
+        schema=_schema(),
+        batch_params={"report_date": dt.date(2020, 1, 1)},
+    )
+    sink = SnowflakeSink({"sfURL": "example.snowflakecomputing.com"})
+    df = _batch_df(spark, dt.date(2020, 1, 1), ["a"])
+    with pytest.raises(RuntimeError, match="spark-snowflake"):
+        sink.write_batch(df, table)
