@@ -20,6 +20,7 @@ comments. On a parquet lake:
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import SparkSession
@@ -88,23 +89,45 @@ def migrate_table(
     """
     plan = plan_migration(spark, table)
     if plan.redundant_columns and allow_drop:
+        # The rename-swap below is POSIX-only. Reject remote URIs up
+        # front — doing the rewrite work and then crashing mid-swap on
+        # s3a://... would be the worst of both worlds. (Object-store
+        # drop-rewrites should go through a transactional table format
+        # instead; see the Delta notes in sinks/base.py.)
+        if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", str(table.path)) and not str(
+            table.path
+        ).startswith("file://"):
+            raise ValueError(
+                f"drop-column rewrite requires a local path, got "
+                f"{table.path!r}; use a transactional table format for "
+                f"object-store tables"
+            )
         df = spark.read.format(table.format).load(table.path)
         keep = [c for c in df.columns if c not in plan.redundant_columns]
         rewritten = df.select(*keep)
-        # full-table rewrite via a staging collect-free round trip:
-        # write to tmp then swap would need a filesystem move; for
-        # local/posix paths do exactly that.
         import shutil
         import tempfile
         import os
 
-        tmp = tempfile.mkdtemp(prefix=f"{table.name}_migrate_")
+        tmp = tempfile.mkdtemp(
+            prefix=f"{table.name}_migrate_",
+            dir=os.path.dirname(os.path.abspath(str(table.path))),
+        )
         tmp_path = os.path.join(tmp, "data")
         writer = rewritten.write.format(table.format)
         if table.batch_columns:
             writer = writer.partitionBy(*table.batch_columns)
         writer.mode("overwrite").save(tmp_path)
-        shutil.rmtree(table.path)
-        shutil.move(tmp_path, table.path)
+        # Promote via rename-aside: the old table is moved out of the
+        # way (not deleted) before the rewrite takes its place, so a
+        # failure at any single step leaves either the old or the new
+        # table intact — never neither.
+        backup = os.path.join(tmp, "old")
+        shutil.move(str(table.path), backup)
+        try:
+            shutil.move(tmp_path, str(table.path))
+        except BaseException:
+            shutil.move(backup, str(table.path))  # roll back
+            raise
         shutil.rmtree(tmp, ignore_errors=True)
     return plan

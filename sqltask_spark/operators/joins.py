@@ -42,13 +42,20 @@ def asof_join(
     right_cols: Sequence[str] | None = None,
     suffix: str = "_right",
     strict: bool = False,
+    tie_break: Sequence[str] | None = None,
 ) -> DataFrame:
     """Backward as-of join: latest right row with ts <= left ts.
 
-    ``strict=True`` uses ``<`` instead of ``<=``. When several right
-    rows share the winning timestamp the one latest in ``(ts, input
-    order of right_cols sort keys)`` wins deterministically because the
-    window orders by (ts, tag) and last_value takes the final one.
+    ``strict=True`` uses ``<`` instead of ``<=``.
+
+    ``tie_break``: right-side column names used to pick a
+    deterministic winner among right rows sharing the winning
+    timestamp — the row with the GREATEST tie-break tuple wins
+    (they are appended ascending to the window ordering and
+    ``last_value`` takes the final one). Without it, ties are broken
+    arbitrarily by partition order, which is not stable across runs
+    or cluster layouts. Columns named here must appear in
+    ``right_cols`` (or be ``right_ts``).
 
     Columns from the right side are exposed as ``{col}{suffix}`` plus
     ``{right_ts}{suffix}``.
@@ -88,9 +95,19 @@ def asof_join(
         F.struct(*[F.col(c) for c in payload]).alias("__right"),
     )
     unioned = l.unionByName(r)
+    order = [F.col("__ts").asc(), F.col("__tag").asc()]
+    for c in tie_break or ():
+        if c not in payload:
+            raise ValueError(
+                f"tie_break column {c!r} is not in the right payload "
+                f"{payload}"
+            )
+        # NULL for left rows — harmless, their order at equal ts is
+        # already fixed by __tag and they carry no __right payload.
+        order.append(F.col(f"__right.{c}").asc_nulls_first())
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("__ts").asc(), F.col("__tag").asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.withColumn(

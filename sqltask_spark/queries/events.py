@@ -234,6 +234,10 @@ def asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="ts",
         right_cols=["purchase_event_id", "value"],
         suffix="_purchase",
+        # oracle tie-breaks equal-ts purchases by event_id DESC (max
+        # event_id wins); without this the winner is partition-order
+        # dependent
+        tie_break=["purchase_event_id"],
     )
     return out.select(
         F.col("event_id").alias("click_event_id"),

@@ -13,13 +13,18 @@ forms:
   additionally pushes filters/pruning into the subquery scan.
 
 Parameter binding uses ``:name`` placeholders like the reference
-(SQLAlchemy ``text()`` style, ``sources/sql.py:54-58``). Values are
-bound driver-side before submission; only scalar types are accepted.
+(SQLAlchemy ``text()`` style, ``sources/sql.py:54-58``).
+:func:`sql_source` binds them natively (``spark.sql(..., args=...)``),
+so values never pass through the lexer; :func:`jdbc_source` must ship
+a self-contained SQL string to the external DB, so it interpolates
+conservatively-escaped literals and rejects values whose escaping is
+dialect-dependent (backslashes, non-finite floats).
 """
 
 from __future__ import annotations
 
 import datetime as dt
+import math
 import re
 from typing import Any, Mapping
 
@@ -46,13 +51,33 @@ def _to_literal(value: Any) -> str:
         return "NULL"
     if isinstance(value, bool):
         return "TRUE" if value else "FALSE"
-    if isinstance(value, (int, float)):
+    if isinstance(value, float):
+        if math.isnan(value) or math.isinf(value):
+            # repr() would emit inf/nan, which are not valid SQL
+            # literals in any target dialect.
+            raise ValueError(
+                f"non-finite float {value!r} cannot be bound as a SQL literal"
+            )
+        return repr(value)
+    if isinstance(value, int):
         return repr(value)
     if isinstance(value, dt.datetime):
         return f"TIMESTAMP '{value.strftime('%Y-%m-%d %H:%M:%S')}'"
     if isinstance(value, dt.date):
         return f"DATE '{value.isoformat()}'"
     if isinstance(value, str):
+        if "\\" in value:
+            # Backslash escape semantics are dialect-dependent (MySQL
+            # treats \ as an escape, Postgres only in E'' strings, the
+            # Spark lexer by default) — any single escaping choice
+            # silently corrupts the value on some target. Refuse
+            # rather than guess; callers with backslash-bearing values
+            # should use the natively-parameterized sql_source path.
+            raise ValueError(
+                "string parameters containing backslashes cannot be "
+                "safely bound as SQL literals (dialect-dependent escape "
+                "rules); use sql_source's native parameter binding"
+            )
         escaped = value.replace("'", "''")
         return f"'{escaped}'"
     raise TypeError(f"unsupported SQL parameter type: {type(value).__name__}")
@@ -63,8 +88,28 @@ def sql_source(
     sql: str,
     params: Mapping[str, Any] | None = None,
 ) -> DataFrame:
-    """Run parameterized SQL in Spark (over temp views / catalog tables)."""
-    return spark.sql(bind_params(sql, params))
+    """Run parameterized SQL in Spark (over temp views / catalog tables).
+
+    Uses Spark's native named-parameter binding (``spark.sql(sql,
+    args=...)``, Spark 3.4+): values travel as bound parameters, not
+    interpolated literals, so quoting/backslash/non-finite-float edge
+    cases never touch the lexer — the analogue of the reference's
+    SQLAlchemy ``text()`` bound params (``reference
+    sqltask/sources/sql.py:54-58``).
+    """
+    if params:
+        # Fail fast on placeholders the caller forgot to supply —
+        # Spark would otherwise raise UNBOUND_SQL_PARAMETER at
+        # analysis time with a less direct message.
+        referenced = set(_PARAM_RE.findall(sql))
+        missing = referenced - set(params)
+        if missing:
+            raise KeyError(
+                "SQL references unbound parameter(s): "
+                + ", ".join(f":{name}" for name in sorted(missing))
+            )
+        return spark.sql(sql, args=dict(params))
+    return spark.sql(sql)
 
 
 def jdbc_source(

@@ -125,12 +125,19 @@ def dedup_events_stream(
 ) -> DataFrame:
     """Exactly-once event processing: drop duplicate event_ids.
 
-    ``dropDuplicates`` keyed by (event_id) with a watermark bounds the
-    dedup state — ids older than the watermark are expired, so state
-    stays O(events within the watermark horizon) regardless of stream
-    length. The batch twin is ``exact_dedup``.
+    Uses ``dropDuplicatesWithinWatermark`` (Spark 3.5+): dedup state
+    for an event_id is dropped once the watermark passes the first
+    sighting's event time, so state stays O(events within the
+    watermark horizon) regardless of stream length. Plain
+    ``dropDuplicates(['event_id'])`` would NOT bound state here —
+    Spark only expires dedup state when the event-time column is part
+    of the dedup keys. Semantics: duplicates arriving within the
+    watermark delay of the first sighting are dropped; a duplicate
+    arriving later than that may be re-emitted (the at-least-once
+    boundary every watermark-bounded dedup has). The batch twin is
+    ``exact_dedup``.
     """
-    return events.withWatermark("ts", watermark).dropDuplicates(
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
 

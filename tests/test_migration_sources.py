@@ -61,6 +61,25 @@ def test_migrate_drop_rewrites_files(spark, tmp_path):
     assert sorted(r["a"] for r in live.collect()) == [1, 2]
 
 
+def test_migrate_drop_rejects_remote_uri(spark):
+    ctx = _ctx("s3a://bucket/table", [column("a", T.LongType())])
+    # plan_migration on a missing remote path would mark create; force
+    # the drop branch directly by faking a plan via a local read isn't
+    # possible remotely — the guard must fire before any remote I/O
+    # beyond the schema probe, so patch plan_migration's outcome.
+    import sqltask_spark.migration as mig
+
+    orig = mig.plan_migration
+    try:
+        mig.plan_migration = lambda s, t: mig.MigrationPlan(
+            table=t.name, redundant_columns=["junk"]
+        )
+        with pytest.raises(ValueError, match="local path"):
+            migrate_table(spark, ctx, allow_drop=True)
+    finally:
+        mig.plan_migration = orig
+
+
 # -- S2: parameterized SQL sources ------------------------------------------
 
 def test_bind_params_literals():
@@ -100,3 +119,30 @@ def test_sql_source_runs_bound_query(spark, tables):
         {"k": 3},
     )
     assert df.count() == 3
+
+
+def test_bind_params_rejects_backslash_and_nonfinite():
+    # literal interpolation (the JDBC path) refuses values whose
+    # escaping is dialect-dependent rather than silently corrupting
+    with pytest.raises(ValueError, match="backslash"):
+        bind_params("SELECT :p", {"p": "C:\\tmp"})
+    with pytest.raises(ValueError, match="non-finite"):
+        bind_params("SELECT :p", {"p": float("inf")})
+    with pytest.raises(ValueError, match="non-finite"):
+        bind_params("SELECT :p", {"p": float("nan")})
+
+
+def test_sql_source_native_binding_preserves_tricky_strings(spark):
+    # the natively-parameterized path must round-trip backslashes and
+    # quotes exactly (no lexer interpretation of the value)
+    df = sql_source(
+        spark,
+        "SELECT :p AS v",
+        {"p": "C:\\tmp\\it's"},
+    )
+    assert df.collect()[0]["v"] == "C:\\tmp\\it's"
+
+
+def test_sql_source_missing_param_raises(spark):
+    with pytest.raises(KeyError, match=":missing"):
+        sql_source(spark, "SELECT :present + :missing", {"present": 1})

@@ -127,6 +127,32 @@ def test_asof_join_equal_ts_inclusive(spark):
     assert strict[0]["val_right"] is None
 
 
+def test_asof_join_tie_break_deterministic(spark):
+    # three right rows share the winning timestamp; the greatest
+    # tie-break value must win regardless of input/partition order
+    left = list_source(spark, ["k", "lts"], [(1, 100)])
+    for rows in (
+        [(1, 50, 1, 10.0), (1, 50, 3, 30.0), (1, 50, 2, 20.0)],
+        [(1, 50, 3, 30.0), (1, 50, 2, 20.0), (1, 50, 1, 10.0)],
+    ):
+        right = list_source(spark, ["k", "rts", "rid", "val"], rows)
+        out = asof_join(
+            left, right, on=["k"], left_ts="lts", right_ts="rts",
+            right_cols=["rid", "val"], tie_break=["rid"],
+        ).collect()
+        assert (out[0]["rid_right"], out[0]["val_right"]) == (3, 30.0)
+
+
+def test_asof_join_tie_break_unknown_column_raises(spark):
+    left = list_source(spark, ["k", "lts"], [(1, 100)])
+    right = list_source(spark, ["k", "rts", "val"], [(1, 50, 1.0)])
+    with pytest.raises(ValueError, match="tie_break"):
+        asof_join(
+            left, right, on=["k"], left_ts="lts", right_ts="rts",
+            right_cols=["val"], tie_break=["nope"],
+        )
+
+
 # -- range join -------------------------------------------------------------
 
 def test_range_join_bucketed(spark):
