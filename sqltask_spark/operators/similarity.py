@@ -302,21 +302,62 @@ def lsh_bucket_udf(dim: int, n_planes: int, tables: int, seed: int):
     return buckets
 
 
+def _spherical_kmeans(sample: np.ndarray, n_cells: int, iters: int):
+    """Driver-side spherical k-means (Lloyd) over a bounded sample.
+
+    Deterministic: init takes the first ``n_cells`` sample rows (the
+    sample itself is hash-ordered and seeded upstream), each iteration
+    assigns by max cosine and recomputes unit-mean centroids; a cell
+    that empties keeps its previous centroid. O(sample × n_cells ×
+    iters) flops on the driver — microseconds at the default bounds.
+    """
+    norms = np.linalg.norm(sample, axis=1)
+    unit = sample[norms > 0] / norms[norms > 0, None]
+    if len(unit) <= n_cells:
+        return unit if len(unit) else sample[:n_cells]
+    cents = unit[:n_cells].copy()
+    for _ in range(iters):
+        assign = np.argmax(unit @ cents.T, axis=1)  # (sample,)
+        for c in range(n_cells):
+            members = unit[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cents[c] = m / n
+    return cents
+
+
 def _centroid_matrix(
-    corpus: DataFrame, corpus_id: str, vec_col: str, n_cells: int
+    corpus: DataFrame,
+    corpus_id: str,
+    vec_col: str,
+    n_cells: int,
+    sample_cap: int = 4096,
+    kmeans_iters: int = 8,
+    seed: int = 42,
 ):
-    """Deterministic coarse-quantizer centroids: the n_cells corpus
-    vectors with the smallest ids (bounded driver-side collect — the
-    same budget as a broadcast-join build side). On real corpora swap
-    in k-means centroids; the IVF plumbing downstream is identical.
+    """Coarse-quantizer centroids: spherical k-means over a seeded,
+    hash-ordered corpus sample.
+
+    The sample is ``ORDER BY xxhash64(id, seed) LIMIT sample_cap`` —
+    Spark plans that as ``TakeOrderedAndProject`` (per-partition top-k
+    merged on the driver, no global sort shuffle), so the sampling
+    step is scale-safe and fully deterministic for a given corpus.
+    The bounded collect has the same memory budget as a broadcast-join
+    build side. Lloyd runs driver-side on the sample (see
+    :func:`_spherical_kmeans`).
     """
     rows = (
         corpus.select(F.col(corpus_id).alias("id"), F.col(vec_col).alias("v"))
-        .orderBy("id")
-        .limit(n_cells)
+        .orderBy(
+            F.xxhash64(F.col("id").cast("string"), F.lit(seed)), F.col("id")
+        )
+        .limit(sample_cap)
         .collect()
     )
-    return np.array([list(r["v"]) for r in rows], dtype=np.float64)
+    sample = np.array([list(r["v"]) for r in rows], dtype=np.float64)
+    return _spherical_kmeans(sample, n_cells, kmeans_iters)
 
 
 def _cell_assign_udf(centroids, n_probe: int):

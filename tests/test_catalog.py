@@ -1,0 +1,114 @@
+"""M4/M6 parity tests: catalog comment sync + namespace re-targeting
+(``reference sqltask/engine_specs/base.py:213-247``,
+``reference sqltask/base/engine.py:37-53``)."""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+from sqltask_spark.catalog import (
+    CatalogContext,
+    escape_string_literal,
+    quote_identifier,
+    reflect_comments,
+    register_table,
+    sync_comments,
+)
+from sqltask_spark.table import TableContext, column
+
+
+def _ctx(name, fields, path=None, comment=None):
+    return TableContext(
+        name=name,
+        schema=T.StructType(fields),
+        batch_params={},
+        path=path,
+        comment=comment,
+    )
+
+
+def test_create_new_retargets_namespace():
+    base = CatalogContext(database="staging")
+    facts = base.create_new(database="facts")
+    assert facts.database == "facts"
+    # unspecified parts fall back to the original context's values
+    # (reference base/engine.py:45-49 semantics)
+    same = base.create_new()
+    assert same == base
+    assert base.qualified_name("t") == "`staging`.`t`"
+    assert CatalogContext().qualified_name("t") == "`t`"
+    assert (
+        CatalogContext(database="d", catalog="c").qualified_name("t")
+        == "`c`.`d`.`t`"
+    )
+
+
+def test_identifier_and_literal_escaping():
+    assert quote_identifier("we`ird") == "`we``ird`"
+    assert escape_string_literal("it's a \\ path") == "it''s a \\\\ path"
+
+
+def test_register_and_sync_comments(spark, tmp_path):
+    ctx = CatalogContext(database="cat_test_db")
+    tbl = _ctx(
+        "commented",
+        [
+            column("id", T.LongType(), comment="the id"),
+            column("name", T.StringType(), comment="customer's name"),
+            column("score", T.DoubleType()),  # no comment declared
+        ],
+        path=str(tmp_path / "commented"),
+        comment="fact table v1",
+    )
+    qname = register_table(spark, tbl, ctx)
+    try:
+        live_tc, live_cols = reflect_comments(spark, qname)
+        assert live_tc == "fact table v1"
+        assert live_cols["id"] == "the id"
+        assert live_cols["name"] == "customer's name"
+        assert live_cols["score"] is None
+
+        # fresh registration is in sync → zero changes (drift check,
+        # reference engine_specs/base.py:213-224)
+        assert sync_comments(spark, tbl, ctx) == []
+
+        # drift the declaration; sync reconciles exactly the drifted ones
+        drifted = _ctx(
+            "commented",
+            [
+                column("id", T.LongType(), comment="the id"),
+                column("name", T.StringType(), comment="full legal name"),
+                column("score", T.DoubleType()),
+            ],
+            path=tbl.path,
+            comment="fact table v2",
+        )
+        changes = sync_comments(spark, drifted, ctx)
+        assert len(changes) == 2
+        live_tc, live_cols = reflect_comments(spark, qname)
+        assert live_tc == "fact table v2"
+        assert live_cols["name"] == "full legal name"
+        assert live_cols["id"] == "the id"
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {qname}")
+        spark.sql("DROP DATABASE IF EXISTS cat_test_db")
+
+
+def test_two_namespaces_coexist(spark, tmp_path):
+    base = CatalogContext(database="ns_a")
+    other = base.create_new(database="ns_b")
+    tbl_a = _ctx("t", [column("a", T.LongType())], path=str(tmp_path / "a"))
+    tbl_b = _ctx("t", [column("b", T.StringType())], path=str(tmp_path / "b"))
+    qa = register_table(spark, tbl_a, base)
+    qb = register_table(spark, tbl_b, other)
+    try:
+        # same table name, different namespaces, different schemas —
+        # no session-global current-database mutation involved
+        assert qa != qb
+        assert [c.name for c in spark.catalog.listColumns("ns_a.t")] == ["a"]
+        assert [c.name for c in spark.catalog.listColumns("ns_b.t")] == ["b"]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {qa}")
+        spark.sql(f"DROP TABLE IF EXISTS {qb}")
+        spark.sql("DROP DATABASE IF EXISTS ns_a")
+        spark.sql("DROP DATABASE IF EXISTS ns_b")

@@ -303,7 +303,9 @@ def test_cosine_ivf_recall(spark, tables):
     bset = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
     iset = {(r["query_id"], r["neighbor_id"]) for r in ivf.collect()}
     recall = len(bset & iset) / len(bset)
-    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # spherical-k-means centroids (vs the old first-n-ids placeholder)
+    # push recall well past the previous 0.5 bar
+    assert recall >= 0.8, f"IVF recall too low: {recall}"
 
 
 def test_parse_keyvalues_udtf(spark):
