@@ -25,10 +25,17 @@ def drop_hot_buckets(
     """Drop all rows belonging to buckets larger than the cap.
 
     ``df`` is an exploded (member, bucket-key...) relation; buckets
-    are identified by ``keys``. The over-cap bucket list is computed
-    with one map-side-combined aggregate and is by construction tiny
-    (only pathological buckets exceed the cap), so the removal is a
-    broadcast anti-join — no extra shuffle of ``df`` itself.
+    are identified by ``keys``. Implemented as a single-pass count
+    window over the bucket keys: ``df`` — typically the output of an
+    expensive signature stage (a Pandas-UDF over the whole corpus) —
+    is scanned exactly ONCE. The earlier aggregate + broadcast-anti-
+    join formulation avoided this shuffle but recomputed the upstream
+    plan twice, which at corpus scale means two full signature passes;
+    one shuffle of the skinny (member, keys) relation is the cheaper
+    side of that trade, and the bucket keys are the very keys the
+    downstream candidate join shuffles on anyway, so the exchange is
+    reusable. Callers should keep ``df`` skinny (ids + bucket keys,
+    no vector/text payload) so the shuffled bytes stay minimal.
 
     ``max_bucket_size=None`` disables the cap (exact mode).
 
@@ -38,13 +45,14 @@ def drop_hot_buckets(
     """
     if max_bucket_size is None:
         return df
-    hot = (
-        df.groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("__bucket_n"))
-        .filter(F.col("__bucket_n") > max_bucket_size)
-        .select(*keys)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys)
+    return (
+        df.withColumn("__bucket_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("__bucket_n") <= max_bucket_size)
+        .drop("__bucket_n")
     )
-    return df.join(F.broadcast(hot), keys, "left_anti")
 
 
 def hot_bucket_report(

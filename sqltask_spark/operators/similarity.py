@@ -499,9 +499,12 @@ def cosine_topk_lsh(
     spark = corpus.sparkSession
     sig_udf = lsh_bucket_udf(dim, n_planes, tables, seed)
 
+    # Skinny bucket relation: (id, table, bucket) only. The vector
+    # payload joins back AFTER candidate dedup, so the ×tables explode,
+    # the hot-bucket window, the probe join, and the dedup shuffle all
+    # move ~24-byte rows instead of dim-double arrays.
     ci = ensure_min_partitions(corpus).select(
         F.col(corpus_id).alias("neighbor_id"),
-        F.col(corpus_vec).alias("cv"),
         F.posexplode(sig_udf(F.col(corpus_vec))).alias("t", "bucket"),
     )
     # A boilerplate-heavy corpus collapses into a few signatures; a
@@ -533,10 +536,22 @@ def cosine_topk_lsh(
         [(r["query_id"], [float(x) for x in r["qv"]]) for r in q_rows],
         ["query_id", "qv"],
     )
-    scored = (
+    cand = (
         ci.join(F.broadcast(probes_df), ["t", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    # Vector join deferred to here: candidates are bounded by
+    # |probes| × bucket cap — orders of magnitude below corpus ×
+    # tables — so AQE typically broadcasts them against the corpus
+    # scan and the corpus vectors never shuffle.
+    cvecs = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(corpus_vec).alias("cv"),
+    )
+    scored = (
+        cand.join(cvecs, "neighbor_id")
         .join(F.broadcast(qvecs_df), "query_id")
         .withColumn(
             "score",
@@ -545,7 +560,7 @@ def cosine_topk_lsh(
                 round_digits,
             ),
         )
-        .drop("qv", "cv", "t", "bucket")
+        .drop("qv", "cv")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("neighbor_id")

@@ -195,6 +195,120 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def attributed_purchases_stream(
+    events: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream join: purchases attributed to prior clicks.
+
+    The streaming twin of the batch as-of/interval attribution
+    (:func:`sqltask_spark.operators.joins.asof_join` — modulo "latest
+    click only": a stream-stream join emits every click in the
+    horizon; picking the single latest would need a post-aggregation).
+    Both sides carry watermarks and the join condition bounds
+    ``click_ts`` to a closed interval ending at ``purchase_ts``, which
+    is what lets Spark compute a state-eviction bound for BOTH sides —
+    without the time-range condition, join state would grow forever.
+    State ≈ events within (watermark + horizon), independent of stream
+    length.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("click_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}")
+        ),
+        "inner",
+    ).drop("click_user")
+
+
+def stream_to_table(
+    result: DataFrame,
+    table,
+    checkpoint_dir: str,
+    epoch_column: str = "_epoch_id",
+    output_mode: str = "append",
+):
+    """Exactly-once streaming writes into a batch-idempotent lake table.
+
+    Bridges Structured Streaming to the same write-path contract the
+    batch lifecycle uses (``sqltask_spark.sinks.files``): each
+    micro-batch lands via ``foreachBatch`` as a dynamic partition
+    overwrite of ``(table.batch_columns…, epoch_column=batch_id)``.
+    Because the epoch id is part of the partitioning, a micro-batch
+    that is REPLAYED after a failure overwrites exactly its own epoch
+    partitions — the streaming analogue of the reference's
+    batch-scoped DELETE+INSERT idempotency
+    (``reference sqltask/engine_specs/base.py:102-117``) — while other
+    epochs' data is untouched. Readers treat ``epoch_column`` as an
+    implementation column (prune it on read); compaction can fold
+    epochs into plain batch partitions offline.
+
+    Returns the started ``StreamingQuery`` (caller awaits it; tests
+    use ``trigger(availableNow=True)`` semantics via the returned
+    query's ``awaitTermination``).
+    """
+    from pyspark.sql import functions as _F
+
+    def _write(df: DataFrame, batch_id: int) -> None:
+        (
+            df.withColumn(epoch_column, _F.lit(batch_id))
+            .write.format(table.format)
+            .partitionBy(*table.batch_columns, epoch_column)
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .save(table.path)
+        )
+
+    return (
+        result.writeStream.outputMode(output_mode)
+        .foreachBatch(_write)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+#: Conf enabling the RocksDB state store backend: keeps streaming
+#: state off-heap and spillable to local disk, the configuration for
+#: large stateful jobs (per-key state no longer bounded by executor
+#: heap). Changelog checkpointing ships only state DELTAS to the
+#: checkpoint location per micro-batch instead of full SST snapshots.
+#: Apply via ``spark.conf.set`` before starting the query, or bake
+#: into the session builder for an all-streaming app.
+ROCKSDB_STATE_CONF: dict[str, str] = {
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": (
+        "true"
+    ),
+}
+
+
 def run_stream_to_memory(
     result: DataFrame, name: str, output_mode: str = "append"
 ) -> None:
