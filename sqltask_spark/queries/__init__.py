@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from sqltask_spark.queries import events as _events
 from sqltask_spark.queries import multimodal as _multimodal
 from sqltask_spark.queries import relational as _relational
+from sqltask_spark.queries import relational2 as _relational2
 from sqltask_spark.queries import textops as _textops
 from sqltask_spark.queries import vector as _vector
 
@@ -33,6 +34,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
-for mod in (_relational, _events, _textops, _vector, _multimodal):
+for mod in (_relational, _relational2, _events, _textops, _vector,
+            _multimodal):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)

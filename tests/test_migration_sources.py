@@ -146,3 +146,31 @@ def test_sql_source_native_binding_preserves_tricky_strings(spark):
 def test_sql_source_missing_param_raises(spark):
     with pytest.raises(KeyError, match=":missing"):
         sql_source(spark, "SELECT :present + :missing", {"present": 1})
+
+
+# -- S1: CSV encoding auto-detect --------------------------------------------
+
+def test_csv_encoding_auto_detect(spark, tmp_path):
+    from sqltask_spark.sources.csv import csv_source, detect_encoding
+
+    utf8 = tmp_path / "utf8.csv"
+    utf8.write_bytes("id,name\n1,Pérez\n".encode("utf-8"))
+    latin = tmp_path / "latin.csv"
+    latin.write_bytes("id,name\n1,Pérez\n".encode("latin-1"))
+    utf16 = tmp_path / "utf16.csv"
+    utf16.write_bytes("id,name\n1,Pérez\n".encode("utf-16"))  # BOM'd
+
+    assert detect_encoding(str(utf8)) == "UTF-8"
+    assert detect_encoding(str(latin)) == "ISO-8859-1"
+    assert detect_encoding(str(utf16)) == "UTF-16"
+
+    for p in (utf8, latin, utf16):
+        df = csv_source(spark, str(p), encoding="auto")
+        assert df.collect()[0]["name"] == "Pérez", p.name
+
+
+def test_csv_encoding_auto_rejects_remote(spark):
+    from sqltask_spark.sources.csv import detect_encoding
+
+    with pytest.raises(ValueError, match="local path"):
+        detect_encoding("s3a://bucket/data.csv")

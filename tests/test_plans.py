@@ -44,6 +44,33 @@ def test_anti_semi_plans(spark, sf_dir):
     assert "CartesianProduct" not in anti.join_strategies
 
 
+def test_q6_full_pushdown_no_join(spark, sf_dir):
+    # Q6 is the pushdown litmus test: every predicate reaches the scan,
+    # nothing joins, the agg is one partial+final pair
+    r = plan_report(QUERIES["q6_forecast_revenue"](spark, sf_dir))
+    pushed = " ".join(r.pushed_filters)
+    assert "l_shipdate" in pushed
+    assert "l_discount" in pushed
+    assert "l_quantity" in pushed
+    assert r.join_strategies == []
+    assert r.has_codegen
+
+
+def test_q2_correlated_min_no_cartesian(spark, sf_dir):
+    r = plan_report(QUERIES["q2_min_cost_supplier"](spark, sf_dir))
+    assert "CartesianProduct" not in r.join_strategies
+    assert "BroadcastHashJoin" in r.join_strategies
+    assert r.top_k  # ordered limit → TakeOrderedAndProject
+
+
+def test_q21_exists_shapes_no_cartesian(spark, sf_dir):
+    # EXISTS / NOT EXISTS become semi/anti equi-joins, never
+    # correlated per-row execution or a cartesian
+    r = plan_report(QUERIES["q21_returns_blame"](spark, sf_dir))
+    assert "CartesianProduct" not in r.join_strategies
+    assert "BroadcastNestedLoopJoin" not in r.join_strategies
+
+
 def test_dedup_embedding_pairs_no_nested_loop(spark, sf_dir):
     # the blocked exact pair join must be a shuffle equi-join on the
     # block-pair key — never a broadcast nested loop / cartesian
