@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from sqltask_spark.queries import events as _events
 from sqltask_spark.queries import multimodal as _multimodal
+from sqltask_spark.queries import pipeline as _pipeline
 from sqltask_spark.queries import relational as _relational
 from sqltask_spark.queries import relational2 as _relational2
 from sqltask_spark.queries import textops as _textops
@@ -35,6 +36,6 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
 for mod in (_relational, _relational2, _events, _textops, _vector,
-            _multimodal):
+            _multimodal, _pipeline):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)

@@ -1,0 +1,281 @@
+"""Training-data pipeline queries over the ``documents`` table.
+
+The operations a large-scale LLM data pipeline runs between raw
+corpus and tokenized shards, each expressed as JVM-side column
+algebra with a DuckDB oracle:
+
+- deterministic train/eval **split** (content-hash bucketing — the
+  only split that survives re-partitioning, backfills, and replicas);
+- **vocabulary** construction (token frequency top-k);
+- **sequence packing** (documents → fixed-token-budget packs via a
+  running-sum bin assignment, the shuffle-free approximation of
+  greedy packing);
+- **corpus cleaning** (length floor → quality floor → exact-dup
+  removal in one pass);
+- **contamination** screening (train docs sharing n-gram shingles
+  with an eval set — the standard benchmark-leakage check).
+
+Scale shapes: split/packing/cleaning are single-pass projections or
+one window/agg per shard key; vocabulary is one explode + count
+(map-side combined); contamination is an inverted-index equi-join
+whose explode is bounded by shingle count, with the same hot-shingle
+cap story as :func:`sqltask_spark.operators.dedup.ngram_jaccard_pairs`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sqltask_spark.data import load_table
+from sqltask_spark.operators import text as tx
+from sqltask_spark.operators.dedup import word_shingles
+from sqltask_spark.queries.textops import _NORM, _SHINGLES, _STOP_SQL, _TOKS
+
+_TRAIN_PCT = 90
+
+
+# --------------------------------------------------------------------------
+# split_train_eval — content-hash split: bucket = 2 bytes of
+# md5(doc_id) mod 100. Hash-based (not random, not modulo-id) so the
+# assignment is stable under any repartitioning/backfill and
+# reproducible by ANY engine with md5 — which is also why the oracle
+# can verify it. Zero shuffle: pure projection.
+# --------------------------------------------------------------------------
+
+def split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    digest = F.md5(F.col("doc_id").cast("string"))
+    bucket = F.pmod(
+        F.ascii(F.substring(digest, 1, 1)) * 256
+        + F.ascii(F.substring(digest, 2, 1)),
+        F.lit(100),
+    )
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < _TRAIN_PCT, F.lit("train"))
+        .otherwise(F.lit("eval"))
+        .alias("split"),
+    ).orderBy("doc_id")
+
+
+_SPLIT_SQL = f"""
+SELECT
+  doc_id,
+  (ascii(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256
+   + ascii(substring(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100 AS bucket,
+  CASE WHEN (ascii(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256
+             + ascii(substring(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100
+            < {_TRAIN_PCT}
+       THEN 'train' ELSE 'eval' END AS split
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# vocab_top_tokens — token-frequency vocabulary head. One explode +
+# one map-side-combined count; top-k via ordered limit
+# (TakeOrderedAndProject — no global sort even on a billion-token
+# vocabulary).
+# --------------------------------------------------------------------------
+
+_VOCAB_K = 50
+
+
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tx.tokenize(F.col("text"))).alias("token")
+    ).filter(F.col("token") != "")
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), "token")
+        .limit(_VOCAB_K)
+    )
+
+
+_VOCAB_SQL = f"""
+SELECT token, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+FROM (SELECT doc_id, UNNEST({_TOKS}) AS token FROM documents)
+WHERE token <> ''
+GROUP BY token
+ORDER BY n_occurrences DESC, token
+LIMIT {_VOCAB_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# pack_sequences — fixed-budget sequence packing: within each source
+# shard (the physical partitioning key at scale), documents are laid
+# out in doc_id order and cut into packs every `capacity` tokens
+# using the running total BEFORE each document. One window per shard,
+# no cross-shard coordination — the deterministic, shuffle-minimal
+# approximation of greedy first-fit packing.
+# --------------------------------------------------------------------------
+
+_PACK_CAPACITY = 512
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = tx.token_count(F.col("text"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_before = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return (
+        docs.select("doc_id", "source", n_tokens.alias("n_tokens"))
+        .withColumn(
+            "pack_id",
+            F.floor(cum_before.cast("double") / F.lit(float(_PACK_CAPACITY))),
+        )
+        .orderBy("source", "doc_id")
+    )
+
+
+_PACK_SQL = f"""
+SELECT
+  doc_id, source, n_tokens,
+  CAST(FLOOR(CAST(cum_before AS DOUBLE) / {_PACK_CAPACITY}.0) AS BIGINT)
+    AS pack_id
+FROM (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens
+           AS cum_before
+  FROM (SELECT doc_id, source, LEN({_TOKS}) AS n_tokens FROM documents)
+)
+ORDER BY source, doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# corpus_clean_pipeline — the standard cleaning cascade in ONE pass
+# over the corpus: length floor → quality floor → exact-duplicate
+# removal (keep lowest doc_id per content fingerprint). Filters are
+# pure projections; the dedup is the only shuffle (on the md5 digest
+# — uniform key, no skew).
+# --------------------------------------------------------------------------
+
+_MIN_CHARS = 50
+_MIN_QUALITY = 0.5
+
+
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars") >= _MIN_CHARS
+    )
+    scored = docs.select(
+        "doc_id",
+        F.round(tx.quality_score(F.col("text")), 9).alias("quality"),
+        F.md5(tx.normalize_text(F.col("text"))).alias("fingerprint"),
+    ).filter(F.col("quality") >= _MIN_QUALITY)
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "quality")
+        .orderBy("doc_id")
+    )
+
+
+_CLEAN_SQL = f"""
+WITH scored AS (
+  SELECT
+    doc_id,
+    ROUND(
+      (CAST(LEN(list_distinct({_TOKS})) AS DOUBLE) / LEN({_TOKS})) * 0.5
+      + LEAST(CAST(LEN({_TOKS}) AS DOUBLE) / 100.0, 1.0) * 0.3
+      + (1.0 - CAST(LEN(list_filter({_TOKS},
+            t -> list_contains({_STOP_SQL['en']}, t))) AS DOUBLE)
+          / LEN({_TOKS})) * 0.2,
+      9) AS quality,
+    md5({_NORM}) AS fingerprint
+  FROM documents
+  WHERE n_chars >= {_MIN_CHARS}
+)
+SELECT doc_id, quality
+FROM (
+  SELECT doc_id, quality,
+         ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+  FROM scored
+  WHERE quality >= {_MIN_QUALITY}
+)
+WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# contamination_overlap — benchmark-leakage screen: training documents
+# sharing ≥ K distinct 3-gram shingles with any eval document (the
+# eval set here: doc_id ≡ 0 mod 10). Inverted-index equi-join on the
+# shingle — O(total shingles) explode, never all-pairs; at production
+# scale add the hot-shingle df cap exactly as in ngram_jaccard_pairs.
+# --------------------------------------------------------------------------
+
+_MIN_SHARED = 5
+
+
+def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.array_distinct(word_shingles(F.col("text"), 3)).alias("shingles"),
+    )
+    inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    train = inv.filter(F.pmod("doc_id", F.lit(10)) != 0).select(
+        F.col("doc_id").alias("train_id"), "shingle"
+    )
+    ev = inv.filter(F.pmod("doc_id", F.lit(10)) == 0).select(
+        F.col("doc_id").alias("eval_id"), "shingle"
+    )
+    return (
+        train.join(ev, "shingle")
+        .groupBy("train_id", "eval_id")
+        .agg(F.countDistinct("shingle").alias("n_shared"))
+        .filter(F.col("n_shared") >= _MIN_SHARED)
+        .orderBy("train_id", "eval_id")
+    )
+
+
+_CONTAM_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES} AS shingles FROM documents
+), inv AS (
+  SELECT doc_id, UNNEST(shingles) AS shingle FROM sh
+)
+SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+       COUNT(DISTINCT t.shingle) AS n_shared
+FROM inv t
+JOIN inv e ON t.shingle = e.shingle
+WHERE t.doc_id % 10 <> 0 AND e.doc_id % 10 = 0
+GROUP BY 1, 2
+HAVING COUNT(DISTINCT t.shingle) >= {_MIN_SHARED}
+ORDER BY train_id, eval_id
+"""
+
+
+QUERIES = {
+    "split_train_eval": split_train_eval,
+    "vocab_top_tokens": vocab_top_tokens,
+    "pack_sequences": pack_sequences,
+    "corpus_clean_pipeline": corpus_clean_pipeline,
+    "contamination_overlap": contamination_overlap,
+}
+
+ORACLES = {
+    "split_train_eval": _SPLIT_SQL,
+    "vocab_top_tokens": _VOCAB_SQL,
+    "pack_sequences": _PACK_SQL,
+    "corpus_clean_pipeline": _CLEAN_SQL,
+    "contamination_overlap": _CONTAM_SQL,
+}

@@ -5,6 +5,8 @@ plan silently degraded even if results stay correct."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from sqltask_spark.plans import plan_report
 from sqltask_spark.queries import QUERIES
 
@@ -78,3 +80,41 @@ def test_dedup_embedding_pairs_no_nested_loop(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in r.join_strategies
     assert "CartesianProduct" not in r.join_strategies
     assert r.join_strategies  # it IS a join, just an equi-join
+
+
+def test_bucketed_join_zero_exchanges(spark, tables, tmp_path):
+    # co-located bucketed tables: the fact-fact join plan must contain
+    # ZERO Exchange operators — the write-time shuffle is the only one
+    from sqltask_spark.operators.colocate import colocated_join, write_bucketed
+
+    write_bucketed(
+        tables["orders"].select("o_custkey", "o_orderkey", "o_totalprice"),
+        "b_orders", ["o_custkey"], 4, path=str(tmp_path / "b_orders"),
+    )
+    write_bucketed(
+        tables["customer"]
+        .select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment"),
+        "b_customer", ["o_custkey"], 4, path=str(tmp_path / "b_customer"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the sort-merge path so the exchange count is the signal
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = colocated_join(spark, "b_orders", "b_customer", "o_custkey")
+        r = plan_report(joined)
+        assert "SortMergeJoin" in r.join_strategies
+        assert r.n_exchanges == 0
+        # and the result is the same as the plain join
+        want = (
+            tables["orders"]
+            .join(
+                tables["customer"],
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .count()
+        )
+        assert joined.count() == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
