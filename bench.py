@@ -41,6 +41,8 @@ HEADLINE = [
     "ann_topk_brute",
     "ann_topk_lsh",
     "ann_topk_ivf",
+    "corpus_clean_pipeline",
+    "contamination_overlap",
 ]
 
 

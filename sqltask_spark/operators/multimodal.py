@@ -117,6 +117,146 @@ def extract_features(
     return flat.mapInPandas(process, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("resized_sha256", T.StringType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    target_w: int = 64,
+    target_h: int = 64,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    meta_col: str = "meta",
+    fake_codec: bool = True,
+) -> DataFrame:
+    """Batch image resize behind the codec boundary.
+
+    The mime filter is a JVM-side metadata predicate applied BEFORE
+    the Python stage, so non-image rows never cross the Arrow
+    boundary — the pattern every expensive multimodal stage here
+    follows. The fake resize emits the digest + byte count a real
+    ``PIL.Image.resize`` would produce (payload bytes themselves stay
+    out of the result to keep the demo output small; a real pipeline
+    returns the resized buffer as a binary column with the same
+    schema discipline).
+    """
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row[payload_col])
+                decoded = decode_payload(payload, row["mime"], fake=fake_codec)
+                digest = hashlib.sha256(
+                    decoded + target_w.to_bytes(4, "big")
+                    + target_h.to_bytes(4, "big")
+                ).hexdigest()
+                rows.append(
+                    {
+                        "media_id": row[id_col],
+                        "width": target_w,
+                        "height": target_h,
+                        "n_bytes": target_w * target_h * 3,
+                        "resized_sha256": digest,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "n_bytes",
+                         "resized_sha256"],
+            )
+
+    imgs = df.filter(F.col(f"{meta_col}.mime").startswith("image/")).select(
+        F.col(id_col), F.col(payload_col),
+        F.col(f"{meta_col}.mime").alias("mime"),
+    )
+    return imgs.mapInPandas(process, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("frame_sha256", T.StringType()),
+    ]
+)
+
+
+def frame_timestamps(
+    duration_ms: F.Column, every_ms: int, max_frames: int
+) -> F.Column:
+    """Sampled frame timestamps as a JVM array expression: one frame
+    every ``every_ms`` from t=0, capped at ``max_frames``. Computed
+    from metadata only — the explosion into per-frame rows happens
+    BEFORE any decode, so each downstream decode task carries one
+    (payload, ts) work unit and frame parallelism is free."""
+    n = F.least(
+        F.floor(duration_ms / every_ms).cast("int") + 1, F.lit(max_frames)
+    )
+    return F.transform(
+        F.sequence(F.lit(0), n - 1), lambda i: (i * every_ms).cast("long")
+    )
+
+
+def sample_frames(
+    df: DataFrame,
+    every_ms: int = 1000,
+    max_frames: int = 8,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    meta_col: str = "meta",
+    fake_codec: bool = True,
+) -> DataFrame:
+    """Frame sampling for video payloads: metadata mime filter →
+    JVM-side timestamp explode → per-frame fake decode via
+    mapInPandas. The fake frame digest is a deterministic function of
+    (payload, ts_ms), standing in for an ffmpeg seek+decode."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row[payload_col])
+                decoded = decode_payload(payload, row["mime"], fake=fake_codec)
+                ts = int(row["ts_ms"])
+                digest = hashlib.sha256(
+                    decoded + ts.to_bytes(8, "big")
+                ).hexdigest()
+                rows.append(
+                    {
+                        "media_id": row[id_col],
+                        "frame_idx": int(row["frame_idx"]),
+                        "ts_ms": ts,
+                        "frame_sha256": digest,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "ts_ms", "frame_sha256"],
+            )
+
+    vids = df.filter(F.col(f"{meta_col}.mime").startswith("video/")).select(
+        F.col(id_col),
+        F.col(payload_col),
+        F.col(f"{meta_col}.mime").alias("mime"),
+        F.posexplode(
+            frame_timestamps(
+                F.col(f"{meta_col}.duration_ms"), every_ms, max_frames
+            )
+        ).alias("frame_idx", "ts_ms"),
+    )
+    return vids.mapInPandas(process, FRAME_SCHEMA)
+
+
 def make_media_table(
     spark, n: int = 32, seed: int = 7
 ) -> DataFrame:

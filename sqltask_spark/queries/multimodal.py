@@ -75,13 +75,72 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def _video_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic videos: every 5th document, duration derived
+    deterministically from n_chars so the frame plan is oracle-able."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.pmod("doc_id", F.lit(5)) == 0
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("video/mp4").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            ((F.pmod("n_chars", F.lit(50)) + 1) * 1000)
+            .cast("long")
+            .alias("duration_ms"),
+            F.concat(F.lit("synthetic://vid/"), F.col("doc_id")).alias("uri"),
+        ).alias("meta"),
+    )
+
+
+def multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JVM half of frame sampling — metadata mime filter + per-
+    frame timestamp explode (``frame_timestamps``) — which is exactly
+    the part that must be right at 100 TB (decode parallelism comes
+    from this explosion). SQL-expressible, so it carries an oracle;
+    the per-frame fake decode is pytest-verified in
+    ``tests/test_multimodal.py``."""
+    from sqltask_spark.operators.multimodal import frame_timestamps
+
+    media = _video_media(spark, sf_dir)
+    return (
+        media.select(
+            "media_id",
+            F.col("meta.duration_ms").alias("duration_ms"),
+            F.posexplode(
+                frame_timestamps(F.col("meta.duration_ms"), 1000, 8)
+            ).alias("frame_idx", "ts_ms"),
+        )
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+_FRAME_PLAN_SQL = """
+SELECT
+  doc_id AS media_id,
+  (n_chars % 50 + 1) * 1000 AS duration_ms,
+  CAST(i AS INTEGER) AS frame_idx,
+  CAST(i * 1000 AS BIGINT) AS ts_ms
+FROM documents,
+     LATERAL UNNEST(generate_series(
+       0, LEAST((n_chars % 50 + 1) + 1, 8) - 1)) AS t(i)
+WHERE doc_id % 5 = 0
+ORDER BY media_id, frame_idx
+"""
+
+
 QUERIES = {
     "multimodal_payload_stats": multimodal_payload_stats,
     "multimodal_features": multimodal_features,
+    "multimodal_frame_plan": multimodal_frame_plan,
 }
 
 ORACLES = {
     "multimodal_payload_stats": _PAYLOAD_SQL,
     # multimodal_features: rows-only (fake-codec features are not
     # SQL-expressible; exact values pytest-verified).
+    "multimodal_frame_plan": _FRAME_PLAN_SQL,
 }

@@ -227,21 +227,40 @@ _MIN_SHARED = 5
 
 def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
+    inv = docs.select(
         "doc_id",
-        F.array_distinct(word_shingles(F.col("text"), 3)).alias("shingles"),
+        F.explode(
+            F.array_distinct(word_shingles(F.col("text"), 3))
+        ).alias("shingle"),
     )
-    inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
-    train = inv.filter(F.pmod("doc_id", F.lit(10)) != 0).select(
-        F.col("doc_id").alias("train_id"), "shingle"
+    # Single-scan shape: instead of self-joining two filtered reads of
+    # the inverted index (which computes the shingling twice), group
+    # each shingle's posting list ONCE, split it into train/eval sides
+    # with conditional collect_sets, and explode the per-shingle cross
+    # product. Each (shingle → train×eval) contributes one row per
+    # pair, and shingles are the group key, so the per-pair COUNT(*)
+    # IS the distinct-shingle overlap — no countDistinct shuffle. At
+    # production scale the per-shingle explode is the hot-bucket
+    # surface: cap posting lists (cf. ngram_jaccard_pairs'
+    # max_shingle_df) before the explode.
+    postings = (
+        inv.groupBy("shingle")
+        .agg(
+            F.collect_set(
+                F.when(F.pmod("doc_id", F.lit(10)) != 0, F.col("doc_id"))
+            ).alias("train_ids"),
+            F.collect_set(
+                F.when(F.pmod("doc_id", F.lit(10)) == 0, F.col("doc_id"))
+            ).alias("eval_ids"),
+        )
+        .filter((F.size("train_ids") > 0) & (F.size("eval_ids") > 0))
     )
-    ev = inv.filter(F.pmod("doc_id", F.lit(10)) == 0).select(
-        F.col("doc_id").alias("eval_id"), "shingle"
-    )
+    pairs = postings.select(
+        F.explode("train_ids").alias("train_id"), "eval_ids"
+    ).select("train_id", F.explode("eval_ids").alias("eval_id"))
     return (
-        train.join(ev, "shingle")
-        .groupBy("train_id", "eval_id")
-        .agg(F.countDistinct("shingle").alias("n_shared"))
+        pairs.groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= _MIN_SHARED)
         .orderBy("train_id", "eval_id")
     )

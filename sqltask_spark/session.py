@@ -38,6 +38,9 @@ DEFAULT_CONF: dict[str, str] = {
     # (sqltask_spark.data.load_table)
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.shuffle.partitions": "32",
+    # only effective when THIS call creates the JVM — getOrCreate on an
+    # existing session cannot resize the driver heap (set it via
+    # spark-submit/env in deployments that pre-start the JVM)
     "spark.driver.memory": "8g",
     # don't truncate plan strings — plan introspection
     # (sqltask_spark.plans) reads ReadSchema/PushedFilters out of them

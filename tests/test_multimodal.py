@@ -45,3 +45,57 @@ def test_metadata_filter_prunes_before_decode(spark):
     assert set(r["mime"] for r in feats.collect()) == {
         "image/png", "image/jpeg"
     }
+
+
+def test_resize_images_filters_and_determinism(spark):
+    from sqltask_spark.operators.multimodal import resize_images
+
+    media = make_media_table(spark, n=16)
+    out = resize_images(media, target_w=32, target_h=32)
+    rows = {r["media_id"]: r for r in out.collect()}
+    # only image mimes cross the codec boundary (8 of 16 in the
+    # fixture's round-robin mimes)
+    imgs = media.filter(F.col("meta.mime").startswith("image/"))
+    assert set(rows) == {r["media_id"] for r in imgs.collect()}
+    assert all(r["width"] == 32 and r["height"] == 32 for r in rows.values())
+    assert all(r["n_bytes"] == 32 * 32 * 3 for r in rows.values())
+    # deterministic digest: re-run produces identical values
+    again = {r["media_id"]: r for r in resize_images(
+        media, target_w=32, target_h=32).collect()}
+    assert all(
+        again[m]["resized_sha256"] == rows[m]["resized_sha256"] for m in rows
+    )
+
+
+def test_sample_frames_counts_and_decode(spark):
+    from sqltask_spark.operators.multimodal import (
+        decode_payload,
+        sample_frames,
+    )
+
+    media = make_media_table(spark, n=16)
+    out = sample_frames(media, every_ms=1000, max_frames=4)
+    vids = {
+        r["media_id"]: r
+        for r in media.filter(
+            F.col("meta.mime").startswith("video/")
+        ).collect()
+    }
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["media_id"], []).append(r)
+    assert set(got) == set(vids)
+    for mid, frames in got.items():
+        d = vids[mid]["meta"]["duration_ms"]
+        assert len(frames) == min(d // 1000 + 1, 4)
+        frames.sort(key=lambda r: r["frame_idx"])
+        for i, fr in enumerate(frames):
+            assert fr["frame_idx"] == i
+            assert fr["ts_ms"] == i * 1000
+            decoded = decode_payload(
+                bytes(vids[mid]["payload"]), "video/mp4", fake=True
+            )
+            want = hashlib.sha256(
+                decoded + int(fr["ts_ms"]).to_bytes(8, "big")
+            ).hexdigest()
+            assert fr["frame_sha256"] == want

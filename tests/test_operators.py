@@ -258,6 +258,31 @@ def test_ngram_jaccard_pairs_exact(spark):
     assert (1, 4) not in got        # unrelated below threshold
 
 
+def test_ngram_jaccard_capped_mode(spark):
+    """The scale path: a boilerplate shingle shared by every document
+    would make the inverted-index self-join quadratic; max_shingle_df
+    drops it while pairs reachable through rarer shingles survive."""
+    from sqltask_spark.operators.dedup import ngram_jaccard_pairs
+    from sqltask_spark.sources.memory import list_source
+
+    boiler = "all rights reserved by the example corporation"
+    rows = [
+        (i, f"unique body text number {i} {boiler}") for i in range(40)
+    ] + [
+        # one true near-dup pair sharing rare shingles beyond boilerplate
+        (100, f"the quick brown fox jumps over the lazy dog {boiler}"),
+        (101, f"the quick brown fox jumps over the lazy cat {boiler}"),
+    ]
+    docs = list_source(spark, ["doc_id", "text"], rows)
+    capped = ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.5, max_shingle_df=10
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in capped}
+    assert (100, 101) in got  # rare-shingle pair survives the cap
+    # boilerplate-only pairs are gone: nothing pairs the unique docs
+    assert all(a == 100 for a, _ in got)
+
+
 def test_cosine_near_pairs(spark):
     from sqltask_spark.operators.similarity import cosine_near_pairs
 
