@@ -142,22 +142,31 @@ def token_chunks(
     """
     assert 0 <= overlap < chunk_size
     stride = chunk_size - overlap
-    toks = tokenize(col)
-    n = F.size(toks)
-    # number of chunks: ceil(max(n - overlap, 1) / stride)
-    n_chunks = F.greatest(
-        F.ceil((n - F.lit(overlap)).cast("double") / stride).cast("int"),
-        F.lit(1),
-    )
-    return F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.struct(
-            i.cast("int").alias("chunk_idx"),
-            F.concat_ws(
-                " ", F.slice(toks, i * stride + 1, chunk_size)
-            ).alias("chunk_text"),
-        ),
-    )
+
+    # Bind the token array ONCE via a 1-element transform: lambda
+    # variables are materialized values, so the inner per-chunk slices
+    # read the bound array instead of re-running the tokenizer per
+    # chunk (an expression referenced inside a higher-order lambda is
+    # re-evaluated per element — for a 100k-token document that would
+    # be ~2000 redundant tokenizations; cf. word_shingles).
+    def _chunks_of(toks: Column) -> Column:
+        n = F.size(toks)
+        # number of chunks: ceil(max(n - overlap, 1) / stride)
+        n_chunks = F.greatest(
+            F.ceil((n - F.lit(overlap)).cast("double") / stride).cast("int"),
+            F.lit(1),
+        )
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.cast("int").alias("chunk_idx"),
+                F.concat_ws(
+                    " ", F.slice(toks, i * stride + 1, chunk_size)
+                ).alias("chunk_text"),
+            ),
+        )
+
+    return F.transform(F.array(tokenize(col)), _chunks_of)[0]
 
 
 def rolling_hash(

@@ -848,6 +848,110 @@ LIMIT 100
 """
 
 
+# --------------------------------------------------------------------------
+# window_functions_showcase — the ranking/distribution/value window
+# surface in one deterministic projection: rank family, ntile,
+# percent_rank/cume_dist, first/last/nth value over explicit frames.
+# One shuffle on the partition key; everything else is per-partition
+# sorted evaluation.
+# --------------------------------------------------------------------------
+
+def window_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+        F.first("o_orderkey").over(frame).alias("cheapest_key"),
+        F.last("o_orderkey").over(frame).alias("priciest_key"),
+        F.nth_value("o_orderkey", 2).over(frame).alias("second_key"),
+    ).orderBy("o_orderpriority", "rn")
+
+
+_WINDOW_SQL = """
+SELECT
+  o_orderkey, o_orderpriority, o_totalprice,
+  ROW_NUMBER() OVER w AS rn,
+  RANK() OVER w AS rnk,
+  DENSE_RANK() OVER w AS drnk,
+  NTILE(4) OVER w AS quartile,
+  ROUND(PERCENT_RANK() OVER w, 9) AS pct_rank,
+  ROUND(CUME_DIST() OVER w, 9) AS cume,
+  FIRST_VALUE(o_orderkey) OVER wf AS cheapest_key,
+  LAST_VALUE(o_orderkey) OVER wf AS priciest_key,
+  NTH_VALUE(o_orderkey, 2) OVER wf AS second_key
+FROM orders
+WHERE o_orderdate < TIMESTAMP '1995-04-01'
+WINDOW
+  w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey),
+  wf AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY o_orderpriority, rn
+"""
+
+
+# --------------------------------------------------------------------------
+# grouping_sets_priority_status — explicit GROUPING SETS (the general
+# form behind rollup/cube): three chosen aggregation levels in one
+# pass with grouping ids disambiguating NULLs.
+# --------------------------------------------------------------------------
+
+def grouping_sets_priority_status(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_gs_v")
+    return spark.sql(
+        """
+        SELECT
+          o_orderpriority, o_orderstatus,
+          CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+          CAST(grouping(o_orderstatus) AS INT) AS g_status,
+          COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS total_price
+        FROM orders_gs_v
+        GROUP BY GROUPING SETS (
+          (o_orderpriority, o_orderstatus),
+          (o_orderpriority),
+          ()
+        )
+        ORDER BY g_priority, g_status, o_orderpriority, o_orderstatus
+        """
+    )
+
+
+_GROUPING_SETS_SQL = """
+SELECT
+  o_orderpriority, o_orderstatus,
+  CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY GROUPING SETS (
+  (o_orderpriority, o_orderstatus),
+  (o_orderpriority),
+  ()
+)
+ORDER BY g_priority, g_status, o_orderpriority, o_orderstatus
+"""
+
+
 QUERIES = {
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q6_forecast_revenue": q6_forecast_revenue,
@@ -861,6 +965,8 @@ QUERIES = {
     "q18_large_orders": q18_large_orders,
     "q20_excess_shippers": q20_excess_shippers,
     "q21_returns_blame": q21_returns_blame,
+    "window_functions_showcase": window_functions_showcase,
+    "grouping_sets_priority_status": grouping_sets_priority_status,
 }
 
 ORACLES = {
@@ -876,4 +982,6 @@ ORACLES = {
     "q18_large_orders": _Q18_SQL,
     "q20_excess_shippers": _Q20_SQL,
     "q21_returns_blame": _Q21_SQL,
+    "window_functions_showcase": _WINDOW_SQL,
+    "grouping_sets_priority_status": _GROUPING_SETS_SQL,
 }

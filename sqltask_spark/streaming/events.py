@@ -199,6 +199,7 @@ def attributed_purchases_stream(
     events: DataFrame,
     horizon: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream join: purchases attributed to prior clicks.
 
@@ -212,6 +213,11 @@ def attributed_purchases_stream(
     without the time-range condition, join state would grow forever.
     State ≈ events within (watermark + horizon), independent of stream
     length.
+
+    ``how="left_outer"`` emits unattributed purchases (click columns
+    NULL) once the watermark proves no matching click can still
+    arrive — outer results are therefore delayed by the watermark,
+    the price of exactly-once null-padding on an unbounded stream.
     """
     clicks = (
         events.filter(F.col("event_type") == "click")
@@ -240,7 +246,7 @@ def attributed_purchases_stream(
             F.col("click_ts")
             >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}")
         ),
-        "inner",
+        how,
     ).drop("click_user")
 
 

@@ -122,6 +122,54 @@ def test_stream_stream_join_matches_batch(spark, tables, events_dir):
     assert want > 0  # non-vacuous
 
 
+def test_stream_stream_left_outer_join(spark, tables, events_dir):
+    from sqltask_spark.streaming.events import attributed_purchases_stream
+
+    stream = streaming_source(spark, events_dir)
+    result = attributed_purchases_stream(
+        stream, horizon="1 hour", watermark="24 hours", how="left_outer"
+    )
+    run_stream_to_memory(result, "attrib_outer_out", output_mode="append")
+    unmatched = spark.sql(
+        "SELECT count(*) AS n FROM attrib_outer_out WHERE click_id IS NULL"
+    ).collect()[0]["n"]
+    matched = spark.sql(
+        "SELECT count(*) AS n FROM attrib_outer_out WHERE click_id IS NOT NULL"
+    ).collect()[0]["n"]
+    assert unmatched > 0  # some purchases have no prior click in horizon
+    # matched rows agree with the inner-join batch equivalent and emit
+    # regardless of the watermark
+    ev = tables["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("p_id"),
+    )
+    cond = (
+        (F.col("user_id") == F.col("cu"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 hour"))
+    )
+    assert matched == purchases.join(clicks, cond).count()
+    # null-padded rows emit only once the watermark proves no click
+    # can still arrive — purchases inside the final watermark window
+    # legitimately stay in state when the bounded stream ends. So:
+    # every unmatched purchase safely OLDER than (max_ts − watermark)
+    # must have been emitted (extra margin: the watermark used by the
+    # final micro-batch lags one trigger behind the data it saw);
+    # nothing beyond the total unmatched set can.
+    unmatched_batch = purchases.join(clicks, cond, "left_anti")
+    max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    eligible = unmatched_batch.filter(
+        F.col("purchase_ts") < F.lit(max_ts) - F.expr("INTERVAL 36 hours")
+    ).count()
+    total_unmatched = unmatched_batch.count()
+    assert eligible <= unmatched <= total_unmatched
+
+
 def test_stream_to_table_exactly_once(spark, tables, events_dir, tmp_path):
     """foreachBatch bridge: streamed rows land in the lake table, and a
     full replay (fresh checkpoint, same input) overwrites its own epoch
