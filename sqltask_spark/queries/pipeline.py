@@ -283,7 +283,88 @@ ORDER BY train_id, eval_id
 """
 
 
+# --------------------------------------------------------------------------
+# stratified_sample_documents — per-language stratified sampling via
+# content hashing: KEEP when the doc's hash bucket falls below the
+# stratum's rate. Unlike rng-based sampleBy, the selection is a pure
+# function of the row — reproducible across engines (hence the
+# oracle), stable under re-partitioning, and join-free. The standard
+# way to rebalance language mix in a training corpus.
+# --------------------------------------------------------------------------
+
+_STRATUM_PCT = {"en": 80, "de": 50, "es": 50, "zh": 20}
+_DEFAULT_PCT = 10
+
+
+def stratified_sample_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    digest = F.md5(F.col("doc_id").cast("string"))
+    bucket = F.pmod(
+        F.ascii(F.substring(digest, 3, 1)) * 256
+        + F.ascii(F.substring(digest, 4, 1)),
+        F.lit(100),
+    )
+    rate = F.lit(_DEFAULT_PCT)
+    for lang, pct in sorted(_STRATUM_PCT.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(rate)
+    return (
+        docs.select("doc_id", "lang", bucket.alias("bucket"))
+        .filter(F.col("bucket") < rate)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+_STRAT_CASE = " ".join(
+    f"WHEN '{lang}' THEN {pct}" for lang, pct in sorted(_STRATUM_PCT.items())
+)
+
+_STRAT_SQL = f"""
+SELECT doc_id, lang
+FROM (
+  SELECT doc_id, lang,
+         (ascii(substring(md5(CAST(doc_id AS VARCHAR)), 3, 1)) * 256
+          + ascii(substring(md5(CAST(doc_id AS VARCHAR)), 4, 1))) % 100
+           AS bucket
+  FROM documents
+)
+WHERE bucket < CASE lang {_STRAT_CASE} ELSE {_DEFAULT_PCT} END
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# sketch_event_stats — the approximate-aggregate surface for corpus
+# telemetry at 100 TB: HyperLogLog++ distinct counts and quantile
+# sketches run in one pass with O(sketch) memory per group, where the
+# exact forms need a shuffle per distinct key. Sketch encodings are
+# engine-specific, so this entry is rows-only for the driver; the
+# error bounds against exact answers are pytest-asserted
+# (tests/test_operators.py::test_sketch_event_stats_error_bounds).
+# --------------------------------------------------------------------------
+
+def sketch_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias(
+                "approx_users"
+            ),
+            F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias(
+                "value_quantiles"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
+    "stratified_sample_documents": stratified_sample_documents,
+    "sketch_event_stats": sketch_event_stats,
     "split_train_eval": split_train_eval,
     "vocab_top_tokens": vocab_top_tokens,
     "pack_sequences": pack_sequences,
@@ -292,6 +373,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stratified_sample_documents": _STRAT_SQL,
+    # sketch_event_stats: rows-only (sketch encodings are
+    # engine-specific; error bounds pytest-verified)
     "split_train_eval": _SPLIT_SQL,
     "vocab_top_tokens": _VOCAB_SQL,
     "pack_sequences": _PACK_SQL,

@@ -258,6 +258,31 @@ def test_ngram_jaccard_pairs_exact(spark):
     assert (1, 4) not in got        # unrelated below threshold
 
 
+def test_sketch_event_stats_error_bounds(spark, sf_dir):
+    """HLL distinct counts within the configured rsd (with slack) of
+    the exact answer; approx median between the exact p40 and p60."""
+    from sqltask_spark.queries.pipeline import sketch_event_stats
+
+    from sqltask_spark.data import load_table
+
+    rows = {r["event_type"]: r for r in
+            sketch_event_stats(spark, sf_dir).collect()}
+    events = load_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r
+        for r in events.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("users"),
+            F.expr("percentile(value, array(0.4, 0.6))").alias("p46"),
+        ).collect()
+    }
+    assert set(rows) == set(exact)
+    for et, r in rows.items():
+        want = exact[et]["users"]
+        assert abs(r["approx_users"] - want) <= max(3, 0.1 * want)
+        p40, p60 = exact[et]["p46"]
+        assert p40 <= r["value_quantiles"][0] <= p60
+
+
 def test_ngram_jaccard_capped_mode(spark):
     """The scale path: a boilerplate shingle shared by every document
     would make the inverted-index self-join quadratic; max_shingle_df
