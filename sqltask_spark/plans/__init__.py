@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame
 @dataclass
 class PlanReport:
     pushed_filters: list[str] = field(default_factory=list)
+    partition_filters: list[str] = field(default_factory=list)
     read_schemas: list[str] = field(default_factory=list)
     join_strategies: list[str] = field(default_factory=list)
     n_exchanges: int = 0
@@ -57,6 +58,11 @@ def plan_report(df: DataFrame, execute: bool = True) -> PlanReport:
     return PlanReport(
         pushed_filters=[
             m for m in re.findall(r"PushedFilters: \[([^\]]*)\]", plan) if m
+        ],
+        partition_filters=[
+            m
+            for m in re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+            if m
         ],
         # plan strings truncate long lines — capture to '>' or line end
         read_schemas=re.findall(r"ReadSchema: struct<([^>\n]*)", plan),

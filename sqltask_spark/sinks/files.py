@@ -43,6 +43,61 @@ class _FileSink:
         writer.mode("overwrite").save(table.path)
 
 
+def compact_epochs(
+    spark,
+    table: TableContext,
+    epoch_column: str = "_epoch_id",
+) -> int:
+    """Fold streaming epoch partitions back into plain batch layout.
+
+    ``sqltask_spark.streaming.events.stream_to_table`` writes each
+    micro-batch under an ``epoch_column=batch_id`` partition so
+    replays are idempotent; over time that accumulates one directory
+    per micro-batch. Compaction reads the table, drops the epoch
+    column, and rewrites with only the declared batch partitioning —
+    the offline step the streaming sink's contract defers to. Promote
+    is rename-aside (old data moved out of the way before the rewrite
+    takes its place, deleted only after success), matching
+    ``migration.migrate_table``'s swap safety. Local paths only, like
+    the migration rewrite — object-store tables should compact
+    through a transactional table format. Returns the row count.
+    """
+    import os
+    import re
+    import shutil
+    import tempfile
+
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", str(table.path)) and not str(
+        table.path
+    ).startswith("file://"):
+        raise ValueError(
+            f"epoch compaction requires a local path, got {table.path!r}"
+        )
+    df = spark.read.format(table.format).load(table.path)
+    if epoch_column not in df.columns:
+        return df.count()
+    folded = df.drop(epoch_column)
+    n = folded.count()
+    tmp = tempfile.mkdtemp(
+        prefix=f"{table.name}_compact_",
+        dir=os.path.dirname(os.path.abspath(str(table.path))),
+    )
+    tmp_path = os.path.join(tmp, "data")
+    writer = folded.write.format(table.format)
+    if table.batch_columns:
+        writer = writer.partitionBy(*table.batch_columns)
+    writer.mode("overwrite").save(tmp_path)
+    backup = os.path.join(tmp, "old")
+    shutil.move(str(table.path), backup)
+    try:
+        shutil.move(tmp_path, str(table.path))
+    except BaseException:
+        shutil.move(backup, str(table.path))  # roll back
+        raise
+    shutil.rmtree(tmp, ignore_errors=True)
+    return n
+
+
 class ParquetSink(_FileSink):
     def __init__(self, **options: Any) -> None:
         super().__init__("parquet", options)

@@ -82,6 +82,25 @@ def test_dedup_embedding_pairs_no_nested_loop(spark, sf_dir):
     assert r.join_strategies  # it IS a join, just an equi-join
 
 
+def test_partition_pruning_reaches_scan(spark, tables, tmp_path):
+    # a filter on the physical partition column must become a
+    # PartitionFilter (directory pruning), not a data filter
+    path = str(tmp_path / "events_part")
+    (
+        tables["events"]
+        .withColumn("event_date", F.to_date("ts"))
+        .write.partitionBy("event_date")
+        .parquet(path)
+    )
+    df = spark.read.parquet(path).filter(
+        F.col("event_date") == "2024-01-02"
+    )
+    r = plan_report(df)
+    assert any("event_date" in p for p in r.partition_filters)
+    # the partition predicate must NOT appear among data-pushed filters
+    assert not any("event_date" in p for p in r.pushed_filters)
+
+
 def test_bucketed_join_zero_exchanges(spark, tables, tmp_path):
     # co-located bucketed tables: the fact-fact join plan must contain
     # ZERO Exchange operators — the write-time shuffle is the only one

@@ -211,6 +211,15 @@ def test_stream_to_table_exactly_once(spark, tables, events_dir, tmp_path):
     q.awaitTermination()
     assert spark.read.parquet(target.path).count() == n_src
 
+    # offline compaction folds epoch partitions into the plain layout
+    from sqltask_spark.sinks.files import compact_epochs
+
+    n = compact_epochs(spark, target)
+    assert n == n_src
+    compacted = spark.read.parquet(target.path)
+    assert "_epoch_id" not in compacted.columns
+    assert compacted.count() == n_src
+
 
 def test_stateful_rocksdb_backend(spark, tables, events_dir):
     """The stateful operator produces identical results under the
