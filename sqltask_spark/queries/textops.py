@@ -261,27 +261,77 @@ CASE WHEN LEN({_TOKS}) >= 3
      ELSE [{_NORM}] END
 """
 
-_NGRAM_JACCARD_SQL = f"""
-WITH sh AS (
+_NGRAM_JACCARD_BODY = f"""
+sh AS (
   SELECT doc_id AS id, {_SHINGLES} AS shingles FROM documents
 ), inv AS (
   SELECT id, UNNEST(shingles) AS shingle FROM sh
 ), cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
   FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.id < b.id
+), pairs AS (
+  SELECT
+    c.id_a, c.id_b,
+    ROUND(CAST(LEN(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+          / LEN(list_distinct(list_concat(sa.shingles, sb.shingles))), 6)
+      AS jaccard
+  FROM cand c
+  JOIN sh sa ON sa.id = c.id_a
+  JOIN sh sb ON sb.id = c.id_b
+  WHERE CAST(LEN(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+        / LEN(list_distinct(list_concat(sa.shingles, sb.shingles)))
+        >= {_JACCARD_THRESHOLD}
+)"""
+
+_NGRAM_JACCARD_SQL = f"""
+WITH {_NGRAM_JACCARD_BODY}
+SELECT id_a, id_b, jaccard FROM pairs
+ORDER BY id_a, id_b
+"""
+
+
+# --------------------------------------------------------------------------
+# dedup_clusters — connected components over the Jaccard pair graph.
+# --------------------------------------------------------------------------
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → per-document cluster id + canonical flag.
+
+    Spark side: distributed min-label propagation
+    (:func:`sqltask_spark.operators.graph.connected_components`).
+    Oracle: DuckDB recursive-CTE transitive closure over the same
+    exact-Jaccard pair set (feasible at oracle scale only — the Spark
+    path is the one that works on a 100 TB pair graph).
+    """
+    from sqltask_spark.operators.graph import cluster_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=3, threshold=_JACCARD_THRESHOLD
+    )
+    return cluster_documents(pairs).orderBy("doc_id")
+
+
+_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_NGRAM_JACCARD_BODY},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, u AS v FROM edges GROUP BY u
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
 )
 SELECT
-  c.id_a, c.id_b,
-  ROUND(CAST(LEN(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-        / LEN(list_distinct(list_concat(sa.shingles, sb.shingles))), 6)
-    AS jaccard
-FROM cand c
-JOIN sh sa ON sa.id = c.id_a
-JOIN sh sb ON sb.id = c.id_b
-WHERE CAST(LEN(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-      / LEN(list_distinct(list_concat(sa.shingles, sb.shingles)))
-      >= {_JACCARD_THRESHOLD}
-ORDER BY id_a, id_b
+  u AS doc_id,
+  MIN(v) AS cluster_id,
+  MIN(v) = u AS is_canonical
+FROM reach
+GROUP BY u
+ORDER BY doc_id
 """
 
 
@@ -341,6 +391,7 @@ QUERIES = {
     "token_count_bpe": token_count_bpe,
     "rolling_fingerprint": rolling_fingerprint,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_clusters": dedup_clusters,
     "chunk_documents": chunk_documents,
 }
 
@@ -353,6 +404,7 @@ ORACLES = {
     "token_count_bpe": _TOKEN_BPE_SQL,
     "rolling_fingerprint": _ROLLING_SQL,
     "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
+    "dedup_clusters": _CLUSTERS_SQL,
     "chunk_documents": _CHUNK_SQL,
     # dedup_minhash_pairs / dedup_simhash_pairs: intentionally no
     # oracle — Spark-native xxhash64 signatures.

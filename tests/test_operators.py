@@ -518,3 +518,38 @@ def test_minhash_dedup_pairs_releases_cache(spark):
     ]
     assert len(cached) <= 1, f"leaked cached RDDs: {cached}"
     out.unpersist()
+
+
+def test_connected_components_chain_and_islands(spark):
+    from sqltask_spark.operators.graph import connected_components
+
+    # chain 1-2-3-4 (diameter 3), island {10,11}, self-loop 20-20
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 10), (20, 20)],
+        ["src", "dst"],
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_empty(spark):
+    from sqltask_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame([], "src LONG, dst LONG")
+    assert connected_components(edges).count() == 0
+
+
+def test_cluster_documents_canonical_flags(spark):
+    from sqltask_spark.operators.graph import cluster_documents
+
+    pairs = spark.createDataFrame(
+        [(5, 3), (3, 9), (7, 8)], ["id_a", "id_b"]
+    )
+    rows = {r["doc_id"]: r for r in cluster_documents(pairs).collect()}
+    assert {d: r["cluster_id"] for d, r in rows.items()} == {
+        3: 3, 5: 3, 9: 3, 7: 7, 8: 7,
+    }
+    assert [d for d, r in sorted(rows.items()) if r["is_canonical"]] == [3, 7]

@@ -119,3 +119,49 @@ def test_cosine_near_pairs_bounds_and_symmetry(spark, vecs):
     for r in out:
         assert r["id_a"] < r["id_b"]  # each unordered pair once
         assert -1.000001 <= r["cosine"] <= 1.000001
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)),
+        min_size=0,
+        max_size=25,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    from sqltask_spark.operators.graph import connected_components
+
+    # reference: plain union-find over the same edges
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        if u != v:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+    nodes = {x for u, v in edges if u != v for x in (u, v)}
+    want = {n: find(n) for n in nodes}
+    # find() path-halving leaves roots correct, but map every node to
+    # the MIN member of its component for comparison
+    roots: dict[int, int] = {}
+    for n in nodes:
+        r = find(n)
+        roots[r] = min(roots.get(r, n), n)
+    want = {n: roots[find(n)] for n in nodes}
+
+    df = spark.createDataFrame(edges or [(0, 0)], "src LONG, dst LONG")
+    if not edges:
+        df = df.filter("src IS NULL")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    assert got == want

@@ -262,6 +262,116 @@ def test_stateful_rocksdb_backend(spark, tables, events_dir):
     assert got == want
 
 
+@pytest.fixture(scope="module")
+def sliced_events_dir(spark, tables, tmp_path_factory):
+    """Events written as 10 sequential time-ordered slices (distinct
+    file modification times) so a maxFilesPerTrigger=1 stream replays
+    them as 10 in-order micro-batches — the shape that lets
+    watermarks/TTLs actually evict state mid-run."""
+    from pyspark.sql import Window
+
+    path = str(tmp_path_factory.mktemp("stream_sliced") / "events")
+    ev = tables["events"]
+    n = ev.count()
+    w = Window.orderBy("ts")
+    sliced = ev.withColumn(
+        "_slice", ((F.row_number().over(w) - 1) * 10 / n).cast("int")
+    )
+    import time
+
+    for i in range(10):
+        (
+            sliced.filter(F.col("_slice") == i)
+            .drop("_slice")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(path)
+        )
+        time.sleep(0.05)  # distinct mtimes → deterministic file order
+    return path
+
+
+def test_dedup_stream_state_bounded(spark, tables, sliced_events_dir):
+    """State-store metrics prove dropDuplicatesWithinWatermark evicts:
+    live state stays far below the total id count and rows are
+    actually removed as the watermark advances."""
+    from sqltask_spark.streaming.events import dedup_events_stream
+
+    stream = streaming_source(
+        spark, sliced_events_dir, max_files_per_trigger=1
+    )
+    progress = run_stream_to_memory(
+        dedup_events_stream(stream, watermark="1 hour"),
+        "dedup_bounded_out",
+        output_mode="append",
+    )
+    total = tables["events"].count()
+    state_batches = [p for p in progress if p.stateOperators]
+    assert len(state_batches) >= 8  # really ran as many micro-batches
+    removed = sum(
+        p.stateOperators[0].numRowsRemoved for p in state_batches
+    )
+    peak = max(p.stateOperators[0].numRowsTotal for p in state_batches)
+    assert removed > 0  # eviction happened
+    # events span ~30 days; a 1h watermark keeps ≈ the events of the
+    # current + previous micro-batch live, nowhere near all of them
+    assert peak < total / 2
+    # and the output is still a full exact dedup
+    got = spark.sql(
+        "SELECT count(DISTINCT event_id) AS n FROM dedup_bounded_out"
+    ).collect()[0]["n"]
+    assert got == tables["events"].select("event_id").distinct().count()
+
+
+def test_stateful_ttl_eviction(spark, tables, sliced_events_dir):
+    """Event-time TTL: hour-buckets idle past the TTL on the
+    event-time clock are evicted (final row flagged evicted=true,
+    state rows removed) while per-bucket totals still reconcile with
+    the batch rollup."""
+    from sqltask_spark.streaming.events import stateful_rollup_ttl
+
+    stream = streaming_source(
+        spark, sliced_events_dir, max_files_per_trigger=1
+    )
+    progress = run_stream_to_memory(
+        stateful_rollup_ttl(
+            stream,
+            bucket="hour",
+            idle_timeout_ms=3_600_000,
+            use_event_time=True,
+            watermark="30 minutes",
+        ),
+        "ttl_out",
+        output_mode="update",
+    )
+    state_batches = [p for p in progress if p.stateOperators]
+    removed = sum(
+        p.stateOperators[0].numRowsRemoved for p in state_batches
+    )
+    assert removed > 0  # TTL fired and state was dropped
+    evicted = spark.sql(
+        "SELECT count(*) AS n FROM ttl_out WHERE evicted"
+    ).collect()[0]["n"]
+    assert evicted > 0
+    # a bucket appears only in contiguous micro-batches (time-ordered
+    # slices), so it has a single state generation and its max emitted
+    # n_events is its true total — eviction loses no counts here
+    got = {
+        r["bucket"]: r["n"]
+        for r in spark.sql(
+            "SELECT bucket, max(n_events) AS n FROM ttl_out GROUP BY bucket"
+        ).collect()
+    }
+    want = {
+        r["bucket"]: r["n"]
+        for r in tables["events"]
+        .groupBy(F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_sliding_stream_matches_batch(spark, tables, events_dir):
     from sqltask_spark.streaming.events import sliding_counts_stream
 
