@@ -218,14 +218,22 @@ ORDER BY doc_id
 # contamination_overlap — benchmark-leakage screen: training documents
 # sharing ≥ K distinct 3-gram shingles with any eval document (the
 # eval set here: doc_id ≡ 0 mod 10). Inverted-index equi-join on the
-# shingle — O(total shingles) explode, never all-pairs; at production
-# scale add the hot-shingle df cap exactly as in ngram_jaccard_pairs.
+# shingle — O(total shingles) explode, never all-pairs. Hot-shingle
+# posting lists are capped (df filter BEFORE collect_set, same
+# technique as ngram_jaccard_pairs' max_shingle_df): one boilerplate
+# shingle ("terms of service apply") appearing in millions of docs
+# would otherwise make a single group's train×eval explode quadratic.
+# A shingle above the cap carries ~no leakage signal anyway — every
+# pair it would vote for still needs _MIN_SHARED rarer shingles.
 # --------------------------------------------------------------------------
 
 _MIN_SHARED = 5
+_MAX_SHINGLE_DF = 50
 
 
-def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+def contamination_overlap(
+    spark: SparkSession, sf_dir: str, max_shingle_df: int | None = _MAX_SHINGLE_DF
+) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     inv = docs.select(
         "doc_id",
@@ -233,16 +241,23 @@ def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(word_shingles(F.col("text"), 3))
         ).alias("shingle"),
     )
+    # Hot-shingle cap: count df per shingle (map-side-combined longs,
+    # cheap) and drop shingles above the cap BEFORE any posting list
+    # is materialized — bounding both the collect_set buffers and the
+    # train×eval explode at <= cap² rows per shingle.
+    if max_shingle_df is not None:
+        df_counts = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        inv = inv.join(
+            df_counts.filter(F.col("df") <= max_shingle_df).select("shingle"),
+            "shingle",
+        )
     # Single-scan shape: instead of self-joining two filtered reads of
     # the inverted index (which computes the shingling twice), group
     # each shingle's posting list ONCE, split it into train/eval sides
     # with conditional collect_sets, and explode the per-shingle cross
     # product. Each (shingle → train×eval) contributes one row per
     # pair, and shingles are the group key, so the per-pair COUNT(*)
-    # IS the distinct-shingle overlap — no countDistinct shuffle. At
-    # production scale the per-shingle explode is the hot-bucket
-    # surface: cap posting lists (cf. ngram_jaccard_pairs'
-    # max_shingle_df) before the explode.
+    # IS the distinct-shingle overlap — no countDistinct shuffle.
     postings = (
         inv.groupBy("shingle")
         .agg(
@@ -269,8 +284,13 @@ def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CONTAM_SQL = f"""
 WITH sh AS (
   SELECT doc_id, {_SHINGLES} AS shingles FROM documents
-), inv AS (
+), inv0 AS (
   SELECT doc_id, UNNEST(shingles) AS shingle FROM sh
+), inv AS (
+  -- same hot-shingle df cap as the Spark side
+  SELECT doc_id, shingle FROM inv0
+  WHERE shingle IN (SELECT shingle FROM inv0
+                    GROUP BY shingle HAVING COUNT(*) <= {_MAX_SHINGLE_DF})
 )
 SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
        COUNT(DISTINCT t.shingle) AS n_shared

@@ -291,6 +291,64 @@ ORDER BY id_a, id_b
 
 
 # --------------------------------------------------------------------------
+# dedup_ngram_jaccard_capped — the 100 TB-shaped variant: identical
+# semantics but the inverted index drops shingles whose document
+# frequency exceeds a cap BEFORE the candidate self-join, bounding the
+# per-shingle quadratic blowup a boilerplate shingle would cause. The
+# Jaccard itself is still computed on FULL shingle sets, so any pair
+# kept has its exact score; only candidates reachable exclusively via
+# hot shingles can be missed. The oracle replicates the same df
+# filter, so this entry stays hash-checked.
+# --------------------------------------------------------------------------
+
+_MAX_NGRAM_DF = 50
+
+
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=3, threshold=_JACCARD_THRESHOLD,
+        max_shingle_df=_MAX_NGRAM_DF,
+    ).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+_NGRAM_CAPPED_BODY = f"""
+sh AS (
+  SELECT doc_id AS id, {_SHINGLES} AS shingles FROM documents
+), inv0 AS (
+  SELECT id, UNNEST(shingles) AS shingle FROM sh
+), inv AS (
+  -- hot-shingle df cap, mirrored from the Spark side
+  SELECT id, shingle FROM inv0
+  WHERE shingle IN (SELECT shingle FROM inv0
+                    GROUP BY shingle HAVING COUNT(*) <= {_MAX_NGRAM_DF})
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.id < b.id
+), pairs AS (
+  SELECT
+    c.id_a, c.id_b,
+    ROUND(CAST(LEN(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+          / LEN(list_distinct(list_concat(sa.shingles, sb.shingles))), 6)
+      AS jaccard
+  FROM cand c
+  JOIN sh sa ON sa.id = c.id_a
+  JOIN sh sb ON sb.id = c.id_b
+  WHERE CAST(LEN(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+        / LEN(list_distinct(list_concat(sa.shingles, sb.shingles)))
+        >= {_JACCARD_THRESHOLD}
+)"""
+
+_NGRAM_CAPPED_SQL = f"""
+WITH {_NGRAM_CAPPED_BODY}
+SELECT id_a, id_b, jaccard FROM pairs
+ORDER BY id_a, id_b
+"""
+
+
+# --------------------------------------------------------------------------
 # dedup_clusters — connected components over the Jaccard pair graph.
 # --------------------------------------------------------------------------
 
@@ -391,6 +449,7 @@ QUERIES = {
     "token_count_bpe": token_count_bpe,
     "rolling_fingerprint": rolling_fingerprint,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_ngram_jaccard_capped": dedup_ngram_jaccard_capped,
     "dedup_clusters": dedup_clusters,
     "chunk_documents": chunk_documents,
 }
@@ -404,6 +463,7 @@ ORACLES = {
     "token_count_bpe": _TOKEN_BPE_SQL,
     "rolling_fingerprint": _ROLLING_SQL,
     "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
+    "dedup_ngram_jaccard_capped": _NGRAM_CAPPED_SQL,
     "dedup_clusters": _CLUSTERS_SQL,
     "chunk_documents": _CHUNK_SQL,
     # dedup_minhash_pairs / dedup_simhash_pairs: intentionally no

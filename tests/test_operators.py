@@ -553,3 +553,35 @@ def test_cluster_documents_canonical_flags(spark):
         3: 3, 5: 3, 9: 3, 7: 7, 8: 7,
     }
     assert [d for d, r in sorted(rows.items()) if r["is_canonical"]] == [3, 7]
+
+
+def test_contamination_cap_bounds_boilerplate(spark, tmp_path):
+    """contamination_overlap's hot-shingle cap: a boilerplate sentence
+    shared by every document must not produce train x eval pairs (its
+    posting list is dropped before collect_set), while a genuinely
+    leaked document pair sharing rare shingles survives."""
+    from sqltask_spark.queries.pipeline import contamination_overlap
+
+    boiler = "all rights reserved by the example corporation worldwide"
+    leak = "the seven secret benchmark answers are hidden in plain sight"
+    rows = [
+        (i, f"unique body text number {i} {boiler}") for i in range(1, 41)
+    ] + [
+        (101, f"train copy {leak}"),   # train: 101 % 10 != 0
+        (200, f"eval copy {leak}"),    # eval: 200 % 10 == 0
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"]).withColumn(
+        "n_chars", F.length("text")
+    )
+    sf_dir = str(tmp_path / "sf")
+    docs.write.parquet(f"{sf_dir}/documents.parquet")
+
+    capped = contamination_overlap(spark, sf_dir, max_shingle_df=10)
+    got = {(r["train_id"], r["eval_id"]) for r in capped.collect()}
+    assert got == {(101, 200)}
+
+    uncapped = contamination_overlap(spark, sf_dir, max_shingle_df=None)
+    got_all = {(r["train_id"], r["eval_id"]) for r in uncapped.collect()}
+    # without the cap the boilerplate shingles pair every train doc
+    # with every eval doc (ids 10,20,30,40 are eval)
+    assert (1, 10) in got_all and len(got_all) > 100
