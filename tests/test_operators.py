@@ -585,3 +585,72 @@ def test_contamination_cap_bounds_boilerplate(spark, tmp_path):
     # without the cap the boilerplate shingles pair every train doc
     # with every eval doc (ids 10,20,30,40 are eval)
     assert (1, 10) in got_all and len(got_all) > 100
+
+
+def test_connected_components_star_long_chain(spark):
+    """A 10^4-link chain is the adversarial case for min-label
+    propagation (rounds = diameter); the alternating
+    large-star/small-star algorithm must converge in O(log^2 n)
+    phases — we assert a generous bound of 20 and document the
+    actual count in the assertion message."""
+    from sqltask_spark.operators.graph import connected_components
+
+    n = 10_000
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    stats: dict = {}
+    got = connected_components(
+        edges, max_iter=25, algorithm="star", stats=stats
+    )
+    assert got.filter(F.col("component") != 0).count() == 0
+    assert got.count() == n
+    assert stats["rounds"] <= 20, f"star took {stats['rounds']} phases"
+
+
+def test_connected_components_star_matches_label(spark):
+    """star and label algorithms agree on a mixed graph (two blobs,
+    a chain, islands, dup/self edges)."""
+    import random
+
+    from sqltask_spark.operators.graph import connected_components
+
+    rng = random.Random(7)
+    edges = []
+    # dense blob on 0..9, blob on 20..24, chain 40..60, island pair
+    blob = list(range(10))
+    edges += [(rng.choice(blob), rng.choice(blob)) for _ in range(30)]
+    edges += [(a, b) for a in range(20, 25) for b in range(20, 25)]
+    edges += [(i, i + 1) for i in range(40, 60)]
+    edges += [(100, 101), (101, 100), (7, 7)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    lab = {
+        r["node"]: r["component"]
+        for r in connected_components(df, algorithm="label").collect()
+    }
+    star = {
+        r["node"]: r["component"]
+        for r in connected_components(df, algorithm="star").collect()
+    }
+    assert lab == star and star[41] == 40 and star[101] == 100
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir switches lineage truncation to reliable
+    checkpoint(): results identical and checkpoint files written."""
+    import os
+
+    from sqltask_spark.operators.graph import connected_components
+
+    ckpt = str(tmp_path / "ckpt")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["src", "dst"]
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            edges, checkpoint_dir=ckpt, algorithm="star"
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    assert any(os.scandir(ckpt)), "no reliable checkpoint data written"
