@@ -53,6 +53,21 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(denom != 0, dot(a, b) / denom)
 
 
+def cosine_prenormed(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine from precomputed per-side L2 norms.
+
+    Bit-identical to :func:`cosine` — ``sqrt(dot(v,v))`` is the same
+    double whether computed per pair or once per vector — but the
+    per-PAIR work drops from three interpreted HOF folds to one.
+    Every scoring operator precomputes norms on each (linear-sized)
+    side before the (quadratic-sized) pair set, which is both the
+    constant-factor win and the 100 TB shape: norms ride along the
+    existing projections, never a separate shuffle.
+    """
+    denom = na * nb
+    return F.when(denom != 0, dot(a, b) / denom)
+
+
 def cosine_topk_brute(
     queries: DataFrame,
     corpus: DataFrame,
@@ -74,18 +89,23 @@ def cosine_topk_brute(
     q = queries.select(
         F.col(query_id).alias("query_id"),
         as_double_array(F.col(query_vec)).alias("qv"),
-    )
+    ).withColumn("qn", l2_norm(F.col("qv")))
     c = ensure_min_partitions(corpus).select(
         F.col(corpus_id).alias("neighbor_id"),
         as_double_array(F.col(corpus_vec)).alias("cv"),
-    )
+    ).withColumn("cn", l2_norm(F.col("cv")))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "score",
-            F.round(cosine(F.col("qv"), F.col("cv")), round_digits),
+            F.round(
+                cosine_prenormed(
+                    F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+                ),
+                round_digits,
+            ),
         )
-        .drop("qv", "cv")
+        .drop("qv", "cv", "qn", "cn")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("neighbor_id")
@@ -118,16 +138,21 @@ def cosine_near_pairs(
     a = ensure_min_partitions(df).select(
         F.col(id_col).alias("id_a"),
         as_double_array(F.col(vec_col)).alias("va"),
-    )
+    ).withColumn("na", l2_norm(F.col("va")))
     b = df.select(
         F.col(id_col).alias("id_b"),
         as_double_array(F.col(vec_col)).alias("vb"),
-    )
+    ).withColumn("nb", l2_norm(F.col("vb")))
     return (
         a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cosine",
-            F.round(cosine(F.col("va"), F.col("vb")), round_digits),
+            F.round(
+                cosine_prenormed(
+                    F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+                ),
+                round_digits,
+            ),
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
@@ -168,12 +193,13 @@ def cosine_near_pairs_blocked(
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
         .cast("int")
         .alias("blk"),
-    )
+    ).withColumn("nrm", l2_norm(F.col("v")))
     a = e.withColumn(
         "q", F.explode(F.sequence(F.col("blk"), F.lit(n_blocks - 1)))
     ).select(
         F.col("id").alias("id_a"),
         F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
         F.col("blk").alias("p"),
         "q",
     )
@@ -182,6 +208,7 @@ def cosine_near_pairs_blocked(
     ).select(
         F.col("id").alias("id_b"),
         F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
         "p",
         F.col("blk").alias("q"),
     )
@@ -190,7 +217,12 @@ def cosine_near_pairs_blocked(
         .filter((F.col("p") != F.col("q")) | (F.col("id_a") < F.col("id_b")))
         .withColumn(
             "cosine",
-            F.round(cosine(F.col("va"), F.col("vb")), round_digits),
+            F.round(
+                cosine_prenormed(
+                    F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+                ),
+                round_digits,
+            ),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -232,7 +264,7 @@ def cosine_near_pairs_lsh(
         F.col(id_col).alias("id"),
         as_double_array(F.col(vec_col)).alias("v"),
         sig_udf(F.col(vec_col)).alias("sigs"),
-    )
+    ).withColumn("nrm", l2_norm(F.col("v")))
     buckets = drop_hot_buckets(
         base.select("id", F.posexplode("sigs").alias("t", "bucket")),
         ["t", "bucket"],
@@ -249,14 +281,25 @@ def cosine_near_pairs_lsh(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
-    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    va = base.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    vb = base.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .withColumn(
             "cosine",
-            F.round(cosine(F.col("va"), F.col("vb")), round_digits),
+            F.round(
+                cosine_prenormed(
+                    F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+                ),
+                round_digits,
+            ),
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
@@ -409,9 +452,9 @@ def cosine_topk_ivf(
     spark = corpus.sparkSession
     ci = ensure_min_partitions(corpus).select(
         F.col(corpus_id).alias("neighbor_id"),
-        F.col(corpus_vec).alias("cv"),
+        as_double_array(F.col(corpus_vec)).alias("cv"),
         _cell_assign_udf(cents, 1)(F.col(corpus_vec))[0].alias("cell"),
-    )
+    ).withColumn("cn", l2_norm(F.col("cv")))
     # query side is broadcast-small by contract → assign its probe
     # cells driver-side (one less Python-worker stage, cf. the LSH op)
     q_rows = queries.select(
@@ -435,7 +478,7 @@ def cosine_topk_ivf(
     qvecs_df = spark.createDataFrame(
         [(r["query_id"], [float(x) for x in r["qv"]]) for r in q_rows],
         ["query_id", "qv"],
-    )
+    ).withColumn("qn", l2_norm(F.col("qv")))
     scored = (
         ci.join(F.broadcast(probes_df), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -443,11 +486,13 @@ def cosine_topk_ivf(
         .withColumn(
             "score",
             F.round(
-                cosine(F.col("qv"), as_double_array(F.col("cv"))),
+                cosine_prenormed(
+                    F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+                ),
                 round_digits,
             ),
         )
-        .drop("qv", "cv", "cell")
+        .drop("qv", "cv", "qn", "cn", "cell")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("neighbor_id")
@@ -492,25 +537,30 @@ def cosine_topk_lsh(
     memory budget as the broadcast, one less Python-worker stage),
     then ONE equi-join on (table, bucket) generates candidates — not
     a join per table — so the corpus shuffles/broadcast-probes once.
+
+    Hot buckets are handled on the PROBE side: bucket sizes come from
+    a map-side-combined count over the persisted skinny bucket
+    relation (≤ tables·2^n_planes groups — broadcast-small by
+    construction), and probes into buckets above ``max_bucket_size``
+    are dropped before they ever meet the corpus. Versus windowing
+    the corpus relation, this moves no corpus rows at all for the
+    cap. Candidate dedup (a pair sharing >1 table) folds into the
+    scoring stage as a row_number over (query, neighbor) — it reuses
+    the scoring exchange instead of paying its own shuffle.
     """
-    from sqltask_spark.data import ensure_min_partitions
-    from sqltask_spark.operators.bucketing import drop_hot_buckets
+    from sqltask_spark.data import ensure_min_partitions, materialize_and_release
 
     spark = corpus.sparkSession
     sig_udf = lsh_bucket_udf(dim, n_planes, tables, seed)
 
-    # Skinny bucket relation: (id, table, bucket) only. The vector
-    # payload joins back AFTER candidate dedup, so the ×tables explode,
-    # the hot-bucket window, the probe join, and the dedup shuffle all
-    # move ~24-byte rows instead of dim-double arrays.
+    # Skinny bucket relation: (id, table, bucket) only — ~24-byte rows
+    # instead of dim-double arrays. Persisted because both the bucket
+    # census and the candidate join consume it; one signature pass,
+    # not two.
     ci = ensure_min_partitions(corpus).select(
         F.col(corpus_id).alias("neighbor_id"),
         F.posexplode(sig_udf(F.col(corpus_vec))).alias("t", "bucket"),
-    )
-    # A boilerplate-heavy corpus collapses into a few signatures; a
-    # hot (table, bucket) key would then skew the probe join. Capped
-    # members stay reachable through their other hash tables.
-    ci = drop_hot_buckets(ci, ["t", "bucket"], max_bucket_size)
+    ).persist()
 
     q_rows = queries.select(
         F.col(query_id).alias("query_id"), F.col(query_vec).alias("qv")
@@ -536,11 +586,26 @@ def cosine_topk_lsh(
         [(r["query_id"], [float(x) for x in r["qv"]]) for r in q_rows],
         ["query_id", "qv"],
     )
+    if max_bucket_size is not None:
+        # Probe-side hot-bucket cap: a boilerplate-heavy corpus
+        # collapses into a few signatures; a hot (table, bucket) key
+        # would skew the candidate join. Dropping the PROBE (instead
+        # of the corpus rows) costs one tiny join — the census has at
+        # most tables·2^n_planes groups and arrives map-side combined.
+        # Capped buckets' members stay reachable via their other
+        # tables, same as the corpus-side formulation.
+        census = ci.groupBy("t", "bucket").agg(
+            F.count(F.lit(1)).alias("bucket_sz")
+        )
+        probes_df = (
+            probes_df.join(census, ["t", "bucket"])
+            .filter(F.col("bucket_sz") <= max_bucket_size)
+            .drop("bucket_sz")
+        )
     cand = (
         ci.join(F.broadcast(probes_df), ["t", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
     # Vector join deferred to here: candidates are bounded by
     # |probes| × bucket cap — orders of magnitude below corpus ×
@@ -548,24 +613,46 @@ def cosine_topk_lsh(
     # scan and the corpus vectors never shuffle.
     cvecs = corpus.select(
         F.col(corpus_id).alias("neighbor_id"),
-        F.col(corpus_vec).alias("cv"),
+        as_double_array(F.col(corpus_vec)).alias("cv"),
+    ).withColumn("cn", l2_norm(F.col("cv")))
+    qvecs_df = qvecs_df.withColumn("qn", l2_norm(F.col("qv")))
+    # Explicit hash repartition on query_id before scoring: the
+    # candidate set is BYTE-small but COMPUTE-heavy (one interpreted
+    # HOF fold per row), so AQE — which targets bytes — would coalesce
+    # it to one or two partitions and serialize the scoring. The
+    # repartition also pre-satisfies the top-k window's
+    # hashpartitioning(query_id) requirement, so the window adds only
+    # a local sort, no extra exchange.
+    n_part = int(
+        corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
     scored = (
         cand.join(cvecs, "neighbor_id")
         .join(F.broadcast(qvecs_df), "query_id")
+        .repartition(n_part, "query_id")
         .withColumn(
             "score",
             F.round(
-                cosine(F.col("qv"), as_double_array(F.col("cv"))),
+                cosine_prenormed(
+                    F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+                ),
                 round_digits,
             ),
         )
-        .drop("qv", "cv")
+        .drop("qv", "cv", "qn", "cn")
     )
+    # Dedup multi-table collisions in the same exchange as the top-k
+    # rank: hashpartitioning(query_id) satisfies both windows'
+    # clustering, so this is two local sorts, zero extra shuffles.
+    w_dup = Window.partitionBy("query_id", "neighbor_id").orderBy("score")
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("neighbor_id")
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
+    out = (
+        scored.withColumn("dup_rn", F.row_number().over(w_dup))
+        .filter(F.col("dup_rn") == 1)
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+        .drop("dup_rn")
     )
+    return materialize_and_release(out, ci)
