@@ -306,6 +306,50 @@ def cosine_near_pairs_lsh(
     )
 
 
+def quantize_symmetric(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    bits: int = 8,
+) -> DataFrame:
+    """Per-vector symmetric linear quantization to ``bits``-bit ints.
+
+    The storage-tier op of an embedding pipeline: int8 cuts vector
+    bytes 4× (float32) or 8× (float64), which at 100 TB is the
+    difference between a corpus that fits the page cache and one that
+    doesn't. Per-vector absmax scaling (``scale = max|v| / qmax``)
+    needs no global statistics — the op stays a pure projection: no
+    shuffle, no sampling pass, repartition-stable, and exactly
+    reproducible by any engine (hence the DuckDB oracle).
+
+    Returns (id, scale, qvec: array<int>, recon_err) where
+    ``recon_err`` is the L2 distance between the original vector and
+    ``qvec · scale`` — the measurable quality cost of the compression.
+    Zero vectors quantize to zeros with scale 0.
+    """
+    qmax = float(2 ** (bits - 1) - 1)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        as_double_array(F.col(vec_col)).alias("v"),
+    ).withColumn(
+        "scale",
+        F.array_max(F.transform("v", F.abs)) / F.lit(qmax),
+    )
+    scale = F.col("scale")
+    q = F.when(
+        scale != 0,
+        F.transform("v", lambda x: F.round(x / scale, 0).cast("int")),
+    ).otherwise(F.transform("v", lambda x: F.lit(0)))
+    with_q = base.withColumn("qvec", q)
+    diff_sq = F.zip_with(
+        "v", "qvec", lambda x, qi: F.pow(x - qi.cast("double") * scale, 2)
+    )
+    err = F.sqrt(
+        F.aggregate(diff_sq, F.lit(0.0), lambda acc, x: acc + x)
+    )
+    return with_q.withColumn("recon_err", err).drop("v")
+
+
 def _plane_matrix(dim: int, n_planes: int, tables: int, seed: int):
     """Seeded Gaussian hyperplanes, (tables · n_planes) × dim."""
     rng = np.random.default_rng(seed)

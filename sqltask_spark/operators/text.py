@@ -195,3 +195,37 @@ def rolling_hash(
         F.lit(init).cast("long"),
         lambda acc, c: (acc * base + c) % mod,
     )
+
+
+#: PII-ish patterns for corpus scrubbing. Deliberately conservative
+#: and portable: same semantics under Java regex (Spark) and RE2
+#: (DuckDB/external engines) — no backrefs, no lookarounds.
+EMAIL_PATTERN = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+LONG_NUM_PATTERN = r"[0-9]{6,}"
+
+
+def redact_text(col: Column) -> Column:
+    """Scrub normalized text: emails → ``<email>``, then long digit
+    runs (≥6: phone/account/SSN-shaped) → ``<num>``.
+
+    The cascade order matters and is part of the contract: digits
+    inside an email are consumed by the email rule first. Pure
+    ``regexp_replace`` chain — JVM codegen, replace-all semantics,
+    no UDF.
+    """
+    red = F.regexp_replace(normalize_text(col), EMAIL_PATTERN, "<email>")
+    return F.regexp_replace(red, LONG_NUM_PATTERN, "<num>")
+
+
+def redaction_counts(col: Column) -> tuple[Column, Column]:
+    """(n_emails, n_long_nums) the cascade in :func:`redact_text`
+    would replace — counted with the same order (long-num matches are
+    counted AFTER email removal, so an email's digits never double-
+    count)."""
+    norm = normalize_text(col)
+    n_email = F.size(F.regexp_extract_all(norm, F.lit(EMAIL_PATTERN), 0))
+    after_email = F.regexp_replace(norm, EMAIL_PATTERN, "<email>")
+    n_num = F.size(
+        F.regexp_extract_all(after_email, F.lit(LONG_NUM_PATTERN), 0)
+    )
+    return n_email, n_num

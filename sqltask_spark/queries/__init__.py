@@ -47,7 +47,7 @@ for mod in (_textops, _vector, _multimodal, _pipeline, _relational,
     ORACLES.update(mod.ORACLES)
 
 #: relational/events flagships promoted into the driver's 50-row
-#: window right after the LLM-pipeline modules (which fill 29 slots).
+#: window right after the LLM-pipeline modules (which fill 33 slots).
 _FLAGSHIP = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -64,12 +64,8 @@ _FLAGSHIP = [
     "dq_customer_issues",
     "window_functions_showcase",
     "grouping_sets_priority_status",
-    "rollup_pricing",
     "sessionize_events",
-    "tumbling_events",
     "user_value_median",
-    "json_props_extract",
-    "multires_rollup",
 ]
 
 _LLM_FIRST = [

@@ -9,7 +9,7 @@ against hand-built corpora instead.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sqltask_spark.data import load_table
@@ -19,6 +19,7 @@ from sqltask_spark.operators.dedup import (
     minhash_dedup_pairs,
     ngram_jaccard_pairs,
     simhash_near_pairs,
+    word_shingles,
 )
 
 _STOP_SQL = {
@@ -438,6 +439,196 @@ ORDER BY doc_id, chunk_idx
 """
 
 
+# --------------------------------------------------------------------------
+# repetition_stats — Gopher-style repetition screen: per document,
+# the share of the most frequent word 2-gram and the duplicate-gram
+# ratio. High values flag degenerate/boilerplate text that inflates
+# perplexity-free quality filters. Scale shape: explode O(total
+# grams) → two map-side-combinable aggregations; never a per-row
+# quadratic scan, so a 100k-token document costs 100k rows, not 10^10
+# comparisons.
+# --------------------------------------------------------------------------
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(word_shingles(F.col("text"), 2)).alias("gram"),
+    )
+    per_gram = grams.groupBy("doc_id", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        per_gram.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_2grams"),
+            F.count(F.lit(1)).alias("n_uniq_2grams"),
+            F.max("cnt").alias("top_2gram_count"),
+        )
+        .withColumn(
+            "top_2gram_share",
+            F.round(
+                F.col("top_2gram_count").cast("double") / F.col("n_2grams"),
+                6,
+            ),
+        )
+        .withColumn(
+            "dup_2gram_ratio",
+            F.round(
+                F.lit(1.0)
+                - F.col("n_uniq_2grams").cast("double") / F.col("n_2grams"),
+                6,
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+#: word 2-grams WITHOUT dedup (repetition needs multiplicity);
+#: <2-token docs fall back to one whole-text gram, as word_shingles
+_2GRAMS = f"""
+CASE WHEN LEN({_TOKS}) >= 2
+     THEN list_transform(
+            generate_series(1, LEN({_TOKS}) - 1),
+            i -> concat_ws(' ', {_TOKS}[i], {_TOKS}[i+1]))
+     ELSE [{_NORM}] END
+"""
+
+_REPETITION_SQL = f"""
+WITH g AS (
+  SELECT doc_id, UNNEST({_2GRAMS}) AS gram FROM documents
+), pg AS (
+  SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2
+)
+SELECT
+  doc_id,
+  CAST(SUM(cnt) AS BIGINT) AS n_2grams,
+  CAST(COUNT(*) AS BIGINT) AS n_uniq_2grams,
+  CAST(MAX(cnt) AS BIGINT) AS top_2gram_count,
+  ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 6) AS top_2gram_share,
+  ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(cnt), 6) AS dup_2gram_ratio
+FROM pg
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# redact_documents — PII scrub pass: emails then long digit runs,
+# with per-document replacement counts. Pure regexp_replace cascade
+# (JVM codegen, zero shuffle) — the shape of every production scrub.
+# --------------------------------------------------------------------------
+
+def redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_email, n_num = tx.redaction_counts(F.col("text"))
+    return docs.select(
+        "doc_id",
+        tx.redact_text(F.col("text")).alias("redacted"),
+        n_email.alias("n_emails"),
+        n_num.alias("n_long_nums"),
+    ).orderBy("doc_id")
+
+
+_REDACT_SQL = f"""
+SELECT
+  doc_id,
+  regexp_replace(
+    regexp_replace({_NORM}, '{tx.EMAIL_PATTERN}', '<email>', 'g'),
+    '{tx.LONG_NUM_PATTERN}', '<num>', 'g') AS redacted,
+  LEN(regexp_extract_all({_NORM}, '{tx.EMAIL_PATTERN}')) AS n_emails,
+  LEN(regexp_extract_all(
+    regexp_replace({_NORM}, '{tx.EMAIL_PATTERN}', '<email>', 'g'),
+    '{tx.LONG_NUM_PATTERN}')) AS n_long_nums
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# dedup_keep_best — the survivor-selection half of fuzzy dedup: join
+# near-dup clusters back to the quality score and keep the
+# highest-quality member (ties → lowest doc_id). Composes
+# connected-components clustering with the quality heuristic; one
+# window per cluster. This is the op that actually SHRINKS a corpus.
+# --------------------------------------------------------------------------
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sqltask_spark.operators.graph import cluster_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=3, threshold=_JACCARD_THRESHOLD
+    )
+    clusters = cluster_documents(pairs).select("doc_id", "cluster_id")
+    quality = docs.select(
+        "doc_id",
+        F.round(tx.quality_score(F.col("text")), 9).alias("quality"),
+    )
+    joined = clusters.join(quality, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .groupBy("cluster_id")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("doc_id"))).alias(
+                "kept_id"
+            ),
+            F.max(F.when(F.col("rn") == 1, F.col("quality"))).alias(
+                "kept_quality"
+            ),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+_KEEP_BEST_SQL = f"""
+WITH RECURSIVE {_NGRAM_JACCARD_BODY},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, u AS v FROM edges GROUP BY u
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+comp AS (
+  SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u
+),
+quality AS (
+  SELECT
+    doc_id,
+    ROUND(
+      (CAST(LEN(list_distinct({_TOKS})) AS DOUBLE) / LEN({_TOKS})) * 0.5
+      + LEAST(CAST(LEN({_TOKS}) AS DOUBLE) / 100.0, 1.0) * 0.3
+      + (1.0 - CAST(LEN(list_filter({_TOKS},
+            t -> list_contains({_STOP_SQL['en']}, t))) AS DOUBLE)
+          / LEN({_TOKS})) * 0.2,
+      9) AS quality
+  FROM documents
+),
+ranked AS (
+  SELECT c.cluster_id, c.doc_id, q.quality,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                            ORDER BY q.quality DESC, c.doc_id) AS rn
+  FROM comp c JOIN quality q USING (doc_id)
+)
+SELECT
+  cluster_id,
+  MIN(CASE WHEN rn = 1 THEN doc_id END) AS kept_id,
+  MAX(CASE WHEN rn = 1 THEN quality END) AS kept_quality,
+  CAST(COUNT(*) AS BIGINT) AS n_members
+FROM ranked
+GROUP BY cluster_id
+ORDER BY cluster_id
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "doc_fingerprint": doc_fingerprint,
@@ -451,7 +642,10 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_ngram_jaccard_capped": dedup_ngram_jaccard_capped,
     "dedup_clusters": dedup_clusters,
+    "dedup_keep_best": dedup_keep_best,
     "chunk_documents": chunk_documents,
+    "repetition_stats": repetition_stats,
+    "redact_documents": redact_documents,
 }
 
 ORACLES = {
@@ -465,7 +659,10 @@ ORACLES = {
     "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
     "dedup_ngram_jaccard_capped": _NGRAM_CAPPED_SQL,
     "dedup_clusters": _CLUSTERS_SQL,
+    "dedup_keep_best": _KEEP_BEST_SQL,
     "chunk_documents": _CHUNK_SQL,
+    "repetition_stats": _REPETITION_SQL,
+    "redact_documents": _REDACT_SQL,
     # dedup_minhash_pairs / dedup_simhash_pairs: intentionally no
     # oracle — Spark-native xxhash64 signatures.
 }

@@ -194,6 +194,63 @@ ORDER BY id_a, id_b
 """
 
 
+# --------------------------------------------------------------------------
+# embedding_quantize_int8 — per-vector absmax int8 quantization with
+# reconstruction error. Pure projection (no shuffle, no global stats);
+# oracle reproduces the identical arithmetic. The quantized vector is
+# checked through an md5 digest of its comma-joined values (the
+# driver's pandas canonicalizer can't sort list cells, so the result
+# row carries scalars only — the digest is just as strong a check).
+# --------------------------------------------------------------------------
+
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sqltask_spark.operators.similarity import quantize_symmetric
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q_str = F.transform("qvec", lambda x: x.cast("string"))
+    return quantize_symmetric(emb, "vec_id").select(
+        F.col("id").alias("vec_id"),
+        F.round("scale", 9).alias("scale"),
+        F.md5(F.concat_ws(",", q_str)).alias("qvec_md5"),
+        F.aggregate(
+            F.transform("qvec", lambda x: F.abs(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("q_l1"),
+        F.round("recon_err", 6).alias("recon_err"),
+    ).orderBy("vec_id")
+
+
+_QUANT_SQL = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), s AS (
+  SELECT vec_id, v,
+         list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127.0
+           AS scale
+  FROM v
+), q AS (
+  SELECT vec_id, v, scale,
+         CASE WHEN scale <> 0
+              THEN list_transform(v, x -> CAST(round(x / scale, 0) AS INT))
+              ELSE list_transform(v, x -> 0) END AS qvec
+  FROM s
+)
+SELECT
+  vec_id,
+  ROUND(scale, 9) AS scale,
+  md5(array_to_string(qvec, ',')) AS qvec_md5,
+  CAST(list_aggregate(list_transform(qvec, x -> abs(CAST(x AS BIGINT))),
+                      'sum') AS BIGINT) AS q_l1,
+  ROUND(sqrt(list_aggregate(
+    list_transform(list_zip(v, qvec),
+                   z -> power(z[1] - CAST(z[2] AS DOUBLE) * scale, 2)),
+    'sum')), 6) AS recon_err
+FROM q
+ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "ann_topk_brute": ann_topk_brute,
     "vector_norms": vector_norms,
@@ -201,11 +258,13 @@ QUERIES = {
     "ann_topk_ivf": ann_topk_ivf,
     "dedup_embedding_pairs": dedup_embedding_pairs,
     "dedup_embedding_pairs_lsh": dedup_embedding_pairs_lsh,
+    "embedding_quantize_int8": embedding_quantize_int8,
 }
 
 ORACLES = {
     "ann_topk_brute": _ANN_BRUTE_SQL,
     "vector_norms": _NORMS_SQL,
     "dedup_embedding_pairs": _EMB_PAIRS_SQL,
+    "embedding_quantize_int8": _QUANT_SQL,
     # ann_topk_lsh: no oracle (seeded hyperplanes, approximate).
 }

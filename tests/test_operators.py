@@ -654,3 +654,90 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
     assert any(os.scandir(ckpt)), "no reliable checkpoint data written"
+
+
+def test_quantize_symmetric_roundtrip(spark):
+    """int8 absmax quantization: values in [-127,127], absmax maps to
+    ±127 exactly, zero vectors get scale 0, and reconstruction error
+    is bounded by scale/2 per element (worst-case rounding)."""
+    import math
+
+    from sqltask_spark.operators.similarity import quantize_symmetric
+
+    vecs = list_source(
+        spark,
+        ["vec_id", "embedding"],
+        [
+            (1, [1.0, -0.5, 0.25, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),
+            (3, [-2.0, 2.0, 1.0, -1.0]),
+        ],
+    )
+    rows = {r["id"]: r for r in quantize_symmetric(vecs, "vec_id").collect()}
+    assert rows[1]["qvec"] == [127, -64, 32, 0]
+    assert rows[2]["qvec"] == [0, 0, 0, 0] and rows[2]["scale"] == 0.0
+    assert rows[3]["qvec"] == [-127, 127, 64, -64]
+    for vid, dim in ((1, 4), (3, 4)):
+        bound = rows[vid]["scale"] / 2 * math.sqrt(dim) + 1e-12
+        assert rows[vid]["recon_err"] <= bound
+
+
+def test_redact_text_cascade(spark):
+    """Email redaction runs before long-number redaction, so digits
+    inside an email never double-count."""
+    from sqltask_spark.operators.text import redact_text, redaction_counts
+
+    docs = list_source(
+        spark,
+        ["doc_id", "text"],
+        [(1, "Contact bob123456@example.com or call 5551234567 now")],
+    )
+    n_email, n_num = redaction_counts(F.col("text"))
+    row = docs.select(
+        redact_text(F.col("text")).alias("red"),
+        n_email.alias("ne"),
+        n_num.alias("nn"),
+    ).first()
+    assert row["red"] == "contact <email> or call <num> now"
+    assert (row["ne"], row["nn"]) == (1, 1)
+
+
+def test_repetition_stats_flags_degenerate_doc(spark, tmp_path):
+    from sqltask_spark.queries.textops import repetition_stats
+
+    rows = [
+        (1, "spam spam spam spam spam"),          # one 2-gram x4
+        (2, "the quick brown fox jumps"),         # all distinct
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"]).withColumn(
+        "n_chars", F.length("text")
+    )
+    sf_dir = str(tmp_path / "sf")
+    docs.write.parquet(f"{sf_dir}/documents.parquet")
+    got = {r["doc_id"]: r for r in repetition_stats(spark, sf_dir).collect()}
+    assert got[1]["n_2grams"] == 4 and got[1]["n_uniq_2grams"] == 1
+    assert got[1]["top_2gram_share"] == 1.0
+    assert got[2]["dup_2gram_ratio"] == 0.0
+
+
+def test_dedup_keep_best_prefers_quality(spark, tmp_path):
+    """Survivor selection keeps the highest-quality cluster member,
+    not merely the lowest id."""
+    from sqltask_spark.queries.textops import dedup_keep_best
+
+    # docs 1 and 2 are near-dups; doc 2 is longer (higher length
+    # score => higher quality). doc 9 is a singleton (no row).
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, base),
+        (2, base + " iota kappa"),
+        (9, "completely different text about unrelated topics entirely"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"]).withColumn(
+        "n_chars", F.length("text")
+    )
+    sf_dir = str(tmp_path / "sf")
+    docs.write.parquet(f"{sf_dir}/documents.parquet")
+    got = {r["cluster_id"]: r for r in dedup_keep_best(spark, sf_dir).collect()}
+    assert set(got) == {1}
+    assert got[1]["kept_id"] == 2 and got[1]["n_members"] == 2
