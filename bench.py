@@ -37,10 +37,13 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_pairs",
     "dedup_simhash_pairs",
+    "dedup_ngram_jaccard_capped",
     "text_stats",
+    "repetition_stats",
     "ann_topk_brute",
     "ann_topk_lsh",
     "ann_topk_ivf",
+    "embedding_quantize_int8",
     "corpus_clean_pipeline",
     "contamination_overlap",
 ]

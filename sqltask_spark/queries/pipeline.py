@@ -282,15 +282,18 @@ def contamination_overlap(
 
 
 _CONTAM_SQL = f"""
-WITH sh AS (
+WITH sh AS MATERIALIZED (
   SELECT doc_id, {_SHINGLES} AS shingles FROM documents
-), inv0 AS (
+), inv0 AS MATERIALIZED (
   SELECT doc_id, UNNEST(shingles) AS shingle FROM sh
 ), inv AS (
-  -- same hot-shingle df cap as the Spark side
-  SELECT doc_id, shingle FROM inv0
-  WHERE shingle IN (SELECT shingle FROM inv0
-                    GROUP BY shingle HAVING COUNT(*) <= {_MAX_SHINGLE_DF})
+  -- same hot-shingle df cap as the Spark side (explicit join, not
+  -- IN: DuckDB plans the IN form as a correlated probe here)
+  SELECT i.doc_id, i.shingle
+  FROM inv0 i
+  JOIN (SELECT shingle FROM inv0
+        GROUP BY shingle HAVING COUNT(*) <= {_MAX_SHINGLE_DF}) ok
+    ON i.shingle = ok.shingle
 )
 SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
        COUNT(DISTINCT t.shingle) AS n_shared

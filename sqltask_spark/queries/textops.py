@@ -262,26 +262,32 @@ CASE WHEN LEN({_TOKS}) >= 3
      ELSE [{_NORM}] END
 """
 
+# MATERIALIZED + jaccard-computed-once: without the hints DuckDB
+# inlines the shingle CTE into its 3 consumers and evaluates the
+# list_intersect expression twice (WHERE + SELECT) — measured 5x
+# slower at sf0.1. Semantics identical: filter on the RAW jaccard
+# (as the Spark side does), round only for display.
 _NGRAM_JACCARD_BODY = f"""
-sh AS (
+sh AS MATERIALIZED (
   SELECT doc_id AS id, {_SHINGLES} AS shingles FROM documents
-), inv AS (
+), inv AS MATERIALIZED (
   SELECT id, UNNEST(shingles) AS shingle FROM sh
 ), cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
   FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.id < b.id
 ), pairs AS (
-  SELECT
-    c.id_a, c.id_b,
-    ROUND(CAST(LEN(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-          / LEN(list_distinct(list_concat(sa.shingles, sb.shingles))), 6)
-      AS jaccard
-  FROM cand c
-  JOIN sh sa ON sa.id = c.id_a
-  JOIN sh sb ON sb.id = c.id_b
-  WHERE CAST(LEN(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+  SELECT id_a, id_b, ROUND(jaccard_raw, 6) AS jaccard
+  FROM (
+    SELECT
+      c.id_a, c.id_b,
+      CAST(LEN(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
         / LEN(list_distinct(list_concat(sa.shingles, sb.shingles)))
-        >= {_JACCARD_THRESHOLD}
+        AS jaccard_raw
+    FROM cand c
+    JOIN sh sa ON sa.id = c.id_a
+    JOIN sh sb ON sb.id = c.id_b
+  )
+  WHERE jaccard_raw >= {_JACCARD_THRESHOLD}
 )"""
 
 _NGRAM_JACCARD_SQL = f"""
@@ -316,30 +322,34 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _NGRAM_CAPPED_BODY = f"""
-sh AS (
+sh AS MATERIALIZED (
   SELECT doc_id AS id, {_SHINGLES} AS shingles FROM documents
-), inv0 AS (
+), inv0 AS MATERIALIZED (
   SELECT id, UNNEST(shingles) AS shingle FROM sh
 ), inv AS (
-  -- hot-shingle df cap, mirrored from the Spark side
-  SELECT id, shingle FROM inv0
-  WHERE shingle IN (SELECT shingle FROM inv0
-                    GROUP BY shingle HAVING COUNT(*) <= {_MAX_NGRAM_DF})
+  -- hot-shingle df cap, mirrored from the Spark side (explicit join,
+  -- not IN: DuckDB plans the IN form as a correlated probe here)
+  SELECT i.id, i.shingle
+  FROM inv0 i
+  JOIN (SELECT shingle FROM inv0
+        GROUP BY shingle HAVING COUNT(*) <= {_MAX_NGRAM_DF}) ok
+    ON i.shingle = ok.shingle
 ), cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
   FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.id < b.id
 ), pairs AS (
-  SELECT
-    c.id_a, c.id_b,
-    ROUND(CAST(LEN(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-          / LEN(list_distinct(list_concat(sa.shingles, sb.shingles))), 6)
-      AS jaccard
-  FROM cand c
-  JOIN sh sa ON sa.id = c.id_a
-  JOIN sh sb ON sb.id = c.id_b
-  WHERE CAST(LEN(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+  SELECT id_a, id_b, ROUND(jaccard_raw, 6) AS jaccard
+  FROM (
+    SELECT
+      c.id_a, c.id_b,
+      CAST(LEN(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
         / LEN(list_distinct(list_concat(sa.shingles, sb.shingles)))
-        >= {_JACCARD_THRESHOLD}
+        AS jaccard_raw
+    FROM cand c
+    JOIN sh sa ON sa.id = c.id_a
+    JOIN sh sb ON sb.id = c.id_b
+  )
+  WHERE jaccard_raw >= {_JACCARD_THRESHOLD}
 )"""
 
 _NGRAM_CAPPED_SQL = f"""

@@ -137,3 +137,27 @@ def test_bucketed_join_zero_exchanges(spark, tables, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_ann_lsh_windows_share_one_exchange(spark, sf_dir):
+    """The LSH top-k scoring stage: candidate dedup AND the top-k rank
+    both hang off the single explicit repartition(query_id) — one hash
+    exchange on query_id in the whole plan (the only other hash
+    exchange is the skinny bucket census on (t, bucket)), and never a
+    cartesian/nested-loop join."""
+    import re
+
+    df = QUERIES["ann_topk_lsh"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    parts = set(re.findall(r"Exchange (\w+partitioning\([^)]*\))", plan))
+    qid_hash = [
+        p
+        for p in parts
+        if p.startswith("hashpartitioning")
+        and "query_id" in p
+        and "neighbor_id" not in p
+    ]
+    assert len(qid_hash) == 1, qid_hash
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

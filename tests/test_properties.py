@@ -165,3 +165,34 @@ def test_connected_components_matches_union_find(spark, edges):
         for r in connected_components(df).collect()
     }
     assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-100, max_value=100,
+                allow_nan=False, allow_infinity=False,
+            ),
+            min_size=2, max_size=8,
+        ),
+        min_size=1, max_size=6,
+    )
+)
+def test_quantize_symmetric_error_bound(spark, vecs):
+    """For any real vectors: quantized values stay in [-127, 127] and
+    per-element reconstruction error never exceeds scale/2 (so L2
+    error <= scale/2 * sqrt(dim)) — the worst case of round()."""
+    import math
+
+    from sqltask_spark.operators.similarity import quantize_symmetric
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    for r in quantize_symmetric(df, "vec_id").collect():
+        dim = len(r["qvec"])
+        assert all(-127 <= q <= 127 for q in r["qvec"])
+        assert r["recon_err"] <= r["scale"] / 2 * math.sqrt(dim) + 1e-9
