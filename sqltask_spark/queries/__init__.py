@@ -56,7 +56,6 @@ _FLAGSHIP = [
     "q18_large_orders",
     "q21_returns_blame",
     "q2_min_cost_supplier",
-    "q6_forecast_revenue",
     "lookup_enrich_customer",
     "asof_click_purchase",
     "topk_orders_per_segment",

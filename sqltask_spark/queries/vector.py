@@ -135,6 +135,18 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def ann_topk_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-SQ8: IVF probing over byte-quantized corpus codes — the
+    8×-smaller storage layout of a production vector index. Rows-only
+    (quantization perturbs scores); recall-vs-brute pytest-asserted."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") <= N_QUERY_VECS)
+    return cosine_topk_ivf(
+        queries, emb, "vec_id", "vec_id", k=TOP_K,
+        n_cells=32, n_probe=8, quantize_bits=8,
+    ).orderBy("query_id", "rank")
+
+
 # --------------------------------------------------------------------------
 # dedup_embedding_pairs — embedding-cosine near-duplicate pairs.
 # --------------------------------------------------------------------------
@@ -256,6 +268,7 @@ QUERIES = {
     "vector_norms": vector_norms,
     "ann_topk_lsh": ann_topk_lsh,
     "ann_topk_ivf": ann_topk_ivf,
+    "ann_topk_ivf_sq8": ann_topk_ivf_sq8,
     "dedup_embedding_pairs": dedup_embedding_pairs,
     "dedup_embedding_pairs_lsh": dedup_embedding_pairs_lsh,
     "embedding_quantize_int8": embedding_quantize_int8,

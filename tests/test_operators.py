@@ -741,3 +741,22 @@ def test_dedup_keep_best_prefers_quality(spark, tmp_path):
     got = {r["cluster_id"]: r for r in dedup_keep_best(spark, sf_dir).collect()}
     assert set(got) == {1}
     assert got[1]["kept_id"] == 2 and got[1]["n_members"] == 2
+
+
+def test_cosine_ivf_sq8_recall(spark, tables):
+    """IVF-SQ8 (byte-quantized corpus codes): int8 noise on 64-dim
+    unit-ish vectors is ~0.4% relative, so recall vs exact brute stays
+    at the float-IVF bar."""
+    from sqltask_spark.operators.similarity import cosine_topk_ivf
+
+    emb = tables["embeddings"]
+    queries = emb.filter(F.col("vec_id") <= 3)
+    brute = cosine_topk_brute(queries, emb, "vec_id", "vec_id", k=5)
+    sq8 = cosine_topk_ivf(
+        queries, emb, "vec_id", "vec_id", k=5, n_cells=16, n_probe=8,
+        quantize_bits=8,
+    )
+    bset = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
+    qset = {(r["query_id"], r["neighbor_id"]) for r in sq8.collect()}
+    recall = len(bset & qset) / len(bset)
+    assert recall >= 0.8, f"IVF-SQ8 recall too low: {recall}"
