@@ -111,3 +111,33 @@ class CsvSink(_FileSink):
 class JsonSink(_FileSink):
     def __init__(self, **options: Any) -> None:
         super().__init__("json", options)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    records_per_shard: int = 100_000,
+    fmt: str = "parquet",
+    shard_by: str | None = None,
+) -> None:
+    """Export a corpus as bounded-size shards — the layout training
+    jobs consume (each worker streams whole shards; shard size, not
+    file count, bounds worker memory).
+
+    ``maxRecordsPerFile`` does the bounding inside each task, so no
+    global sort or exact-count pass is needed; ``shard_by`` optionally
+    repartitions by a column first (e.g. the ``split_train_eval``
+    bucket) so each shard holds one logical slice. This is the write
+    shape that scales: bounding shard size via repartition(n_exact)
+    would need a count + full shuffle, while maxRecordsPerFile is a
+    free per-task counter.
+    """
+    writer = df
+    if shard_by is not None:
+        writer = df.repartition(shard_by)
+    (
+        writer.write.format(fmt)
+        .option("maxRecordsPerFile", records_per_shard)
+        .mode("overwrite")
+        .save(path)
+    )

@@ -142,3 +142,23 @@ def test_validate_aborts_before_write(spark, tables, tmp_path):
     import os
 
     assert not os.path.exists(path)
+
+
+def test_write_training_shards_bounds_file_size(spark, tmp_path):
+    """Every exported shard holds <= records_per_shard rows, without
+    any global count/sort pass."""
+    import glob
+
+    from sqltask_spark.sinks.files import write_training_shards
+
+    df = spark.range(10_000).withColumnRenamed("id", "doc_id")
+    out = str(tmp_path / "shards")
+    write_training_shards(df, out, records_per_shard=1_500)
+    files = glob.glob(f"{out}/*.parquet")
+    assert files
+    total = 0
+    for f in files:
+        n = spark.read.parquet(f).count()
+        assert n <= 1_500, f"shard {f} has {n} rows"
+        total += n
+    assert total == 10_000
