@@ -234,6 +234,8 @@ _MAX_SHINGLE_DF = 50
 def contamination_overlap(
     spark: SparkSession, sf_dir: str, max_shingle_df: int | None = _MAX_SHINGLE_DF
 ) -> DataFrame:
+    from sqltask_spark.data import materialize_and_release
+
     docs = load_table(spark, sf_dir, "documents")
     inv = docs.select(
         "doc_id",
@@ -241,11 +243,16 @@ def contamination_overlap(
             F.array_distinct(word_shingles(F.col("text"), 3))
         ).alias("shingle"),
     )
+    cached = None
     # Hot-shingle cap: count df per shingle (map-side-combined longs,
     # cheap) and drop shingles above the cap BEFORE any posting list
     # is materialized — bounding both the collect_set buffers and the
-    # train×eval explode at <= cap² rows per shingle.
+    # train×eval explode at <= cap² rows per shingle. The census and
+    # the posting build both consume the inverted index, so persist
+    # the skinny (doc_id, shingle) relation — one shingling pass, not
+    # two; released eagerly once the (pair-sized) result materializes.
     if max_shingle_df is not None:
+        inv = cached = inv.persist()
         df_counts = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         inv = inv.join(
             df_counts.filter(F.col("df") <= max_shingle_df).select("shingle"),
@@ -273,12 +280,15 @@ def contamination_overlap(
     pairs = postings.select(
         F.explode("train_ids").alias("train_id"), "eval_ids"
     ).select("train_id", F.explode("eval_ids").alias("eval_id"))
-    return (
+    out = (
         pairs.groupBy("train_id", "eval_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= _MIN_SHARED)
         .orderBy("train_id", "eval_id")
     )
+    if cached is not None:
+        out = materialize_and_release(out, cached)
+    return out
 
 
 _CONTAM_SQL = f"""
