@@ -52,8 +52,6 @@ _FLAGSHIP = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
-    "q9_product_profit",
-    "q18_large_orders",
     "q21_returns_blame",
     "q2_min_cost_supplier",
     "lookup_enrich_customer",

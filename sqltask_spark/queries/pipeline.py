@@ -317,6 +317,122 @@ ORDER BY train_id, eval_id
 
 
 # --------------------------------------------------------------------------
+# dedup_incremental — dedupe NEW data against an existing corpus:
+# the every-crawl-cycle op. New docs (odd doc_id here) survive only
+# if their content fingerprint is absent from the reference corpus
+# (even doc_id) AND they are the first holder of that fingerprint
+# within the new batch. One left-anti join on a uniform digest key +
+# one first-wins window — both shuffle-safe at any scale, no text
+# moves (fingerprints only).
+# --------------------------------------------------------------------------
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(tx.normalize_text(F.col("text"))).alias("fingerprint")
+    new = docs.filter(F.pmod("doc_id", F.lit(2)) == 1).select("doc_id", fp)
+    ref = docs.filter(F.pmod("doc_id", F.lit(2)) == 0).select(fp)
+    survived = new.join(ref, "fingerprint", "left_anti")
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    return (
+        survived.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "fingerprint")
+        .orderBy("doc_id")
+    )
+
+
+_INCR_SQL = f"""
+WITH fp AS (
+  SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents
+), new_docs AS (
+  SELECT doc_id, fingerprint FROM fp WHERE doc_id % 2 = 1
+), ref AS (
+  SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 2 = 0
+)
+SELECT doc_id, fingerprint
+FROM (
+  SELECT n.doc_id, n.fingerprint,
+         ROW_NUMBER() OVER (PARTITION BY n.fingerprint
+                            ORDER BY n.doc_id) AS rn
+  FROM new_docs n
+  WHERE NOT EXISTS (SELECT 1 FROM ref r
+                    WHERE r.fingerprint = n.fingerprint)
+)
+WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# materialize_packs — the second half of sequence packing: group the
+# documents of each (source, pack_id) into one training row with a
+# document separator, in deterministic doc_id order. collect_list has
+# no ordering guarantee under shuffle, so texts are collected as
+# (doc_id, text) structs and sort_array'd before joining — the
+# standard Spark idiom for ordered aggregation. One groupBy per
+# shard+pack; pack sizes are bounded by the packing capacity, so no
+# group can blow up.
+# --------------------------------------------------------------------------
+
+_PACK_SEP = " <doc> "
+
+
+def materialize_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = tx.token_count(F.col("text"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_before = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    assigned = docs.select(
+        "doc_id", "source", "text", n_tokens.alias("n_tokens")
+    ).withColumn(
+        "pack_id",
+        F.floor(cum_before.cast("double") / F.lit(float(_PACK_CAPACITY))),
+    )
+    packed = (
+        assigned.groupBy("source", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("doc_id", "text"))
+                    ),
+                    lambda s: s["text"],
+                ),
+                _PACK_SEP,
+            ).alias("packed_text"),
+        )
+    )
+    return packed.orderBy("source", "pack_id")
+
+
+_PACKMAT_SQL = f"""
+WITH assigned AS (
+  SELECT doc_id, source, text, n_tokens,
+         CAST(FLOOR(CAST(
+           SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) - n_tokens
+           AS DOUBLE) / {_PACK_CAPACITY}.0) AS BIGINT) AS pack_id
+  FROM (SELECT doc_id, source, text, LEN({_TOKS}) AS n_tokens
+        FROM documents)
+)
+SELECT
+  source, pack_id,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+  string_agg(text, '{_PACK_SEP}' ORDER BY doc_id) AS packed_text
+FROM assigned
+GROUP BY source, pack_id
+ORDER BY source, pack_id
+"""
+
+
+# --------------------------------------------------------------------------
 # stratified_sample_documents — per-language stratified sampling via
 # content hashing: KEEP when the doc's hash bucket falls below the
 # stratum's rate. Unlike rng-based sampleBy, the selection is a pure
@@ -401,8 +517,10 @@ QUERIES = {
     "split_train_eval": split_train_eval,
     "vocab_top_tokens": vocab_top_tokens,
     "pack_sequences": pack_sequences,
+    "materialize_packs": materialize_packs,
     "corpus_clean_pipeline": corpus_clean_pipeline,
     "contamination_overlap": contamination_overlap,
+    "dedup_incremental": dedup_incremental,
 }
 
 ORACLES = {
@@ -412,6 +530,8 @@ ORACLES = {
     "split_train_eval": _SPLIT_SQL,
     "vocab_top_tokens": _VOCAB_SQL,
     "pack_sequences": _PACK_SQL,
+    "materialize_packs": _PACKMAT_SQL,
     "corpus_clean_pipeline": _CLEAN_SQL,
     "contamination_overlap": _CONTAM_SQL,
+    "dedup_incremental": _INCR_SQL,
 }

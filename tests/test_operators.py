@@ -760,3 +760,45 @@ def test_cosine_ivf_sq8_recall(spark, tables):
     qset = {(r["query_id"], r["neighbor_id"]) for r in sq8.collect()}
     recall = len(bset & qset) / len(bset)
     assert recall >= 0.8, f"IVF-SQ8 recall too low: {recall}"
+
+
+def test_materialize_packs_deterministic_order(spark, tmp_path):
+    """packed_text must concatenate documents in doc_id order even
+    though collect_list order is shuffle-dependent — the struct
+    sort_array enforces it."""
+    from sqltask_spark.queries.pipeline import materialize_packs
+
+    rows = [(i, f"doc{i} word " * 3, "s0") for i in range(20)]
+    docs = (
+        spark.createDataFrame(rows, ["doc_id", "text", "source"])
+        .withColumn("n_chars", F.length("text"))
+        .repartition(8)  # scatter so collect_list sees random order
+    )
+    sf_dir = str(tmp_path / "sf")
+    docs.write.parquet(f"{sf_dir}/documents.parquet")
+    out = materialize_packs(spark, sf_dir).collect()
+    assert out, "no packs"
+    first = out[0]
+    # doc0 comes first in pack 0, and docs appear in ascending order
+    texts = first["packed_text"].split(" <doc> ")
+    ids = [int(t.split()[0][3:]) for t in texts]
+    assert ids == sorted(ids) and ids[0] == 0
+
+
+def test_dedup_incremental_drops_ref_matches(spark, tmp_path):
+    from sqltask_spark.queries.pipeline import dedup_incremental
+
+    rows = [
+        (0, "shared content alpha"),     # reference
+        (1, "shared content alpha"),     # new, dup of ref -> dropped
+        (3, "brand new content beta"),   # new, unique -> kept
+        (5, "brand new content beta"),   # new, dup within batch -> dropped
+        (7, "another new gamma"),        # new, unique -> kept
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"]).withColumn(
+        "n_chars", F.length("text")
+    )
+    sf_dir = str(tmp_path / "sf")
+    docs.write.parquet(f"{sf_dir}/documents.parquet")
+    kept = [r["doc_id"] for r in dedup_incremental(spark, sf_dir).collect()]
+    assert kept == [3, 7]
