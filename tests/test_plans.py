@@ -161,3 +161,20 @@ def test_ann_lsh_windows_share_one_exchange(spark, sf_dir):
     assert len(qid_hash) == 1, qid_hash
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_repetition_stats_two_aggregations_only(spark, sf_dir):
+    """Repetition screen = explode + (doc,gram) agg + doc agg: at most
+    two hash exchanges, no joins at all."""
+    r = plan_report(QUERIES["repetition_stats"](spark, sf_dir))
+    assert r.join_strategies == []
+    assert r.n_exchanges <= 3  # 2 aggs + final orderBy range exchange
+
+
+def test_dedup_incremental_anti_join_no_cartesian(spark, sf_dir):
+    r = plan_report(QUERIES["dedup_incremental"](spark, sf_dir))
+    assert "CartesianProduct" not in r.join_strategies
+    assert "BroadcastNestedLoopJoin" not in r.join_strategies
+    # fingerprints only: neither scan reads the raw text twice over —
+    # both sides prune to (doc_id, text) before hashing
+    assert r.join_strategies  # one anti join present
