@@ -384,7 +384,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CLUSTERS_SQL = f"""
 WITH RECURSIVE {_NGRAM_JACCARD_BODY},
-edges AS (
+edges AS MATERIALIZED (
+  -- MATERIALIZED is load-bearing: the recursive step below references
+  -- edges each iteration, and without it DuckDB re-evaluates the
+  -- whole pairs pipeline (shingling + self-join) per iteration
   SELECT id_a AS u, id_b AS v FROM pairs
   UNION
   SELECT id_b AS u, id_a AS v FROM pairs
@@ -597,7 +600,8 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KEEP_BEST_SQL = f"""
 WITH RECURSIVE {_NGRAM_JACCARD_BODY},
-edges AS (
+edges AS MATERIALIZED (
+  -- MATERIALIZED is load-bearing — see _CLUSTERS_SQL
   SELECT id_a AS u, id_b AS v FROM pairs
   UNION
   SELECT id_b AS u, id_a AS v FROM pairs
