@@ -1,0 +1,210 @@
+"""Streaming corpus operators: near-dup screening at ingest time.
+
+The batch dedup surface (:mod:`sqltask_spark.operators.dedup`) answers
+"which documents in this corpus are near-dups of each other"; an
+ingest pipeline needs the ONLINE form — "is this incoming document a
+near-dup of anything recently seen?" — answered per micro-batch with
+bounded state. This is SimHash banding as grouped streaming state:
+
+- a vectorized Pandas UDF computes a 64-bit SimHash per incoming
+  document (one Arrow batch pass, no shuffle);
+- the signature splits into ``bands`` contiguous sub-keys; two docs
+  within Hamming distance d collide on ≥1 band key whenever d <
+  bands (pigeonhole) — same screen as the batch
+  ``simhash_near_pairs``;
+- each (band, band_key) bucket is a grouped-state cell holding the
+  last ``max_per_bucket`` (doc_id, signature) pairs — the hot-bucket
+  cap in streaming form: a boilerplate-heavy stream cannot grow any
+  cell beyond the cap, and ``GroupStateTimeout`` eviction bounds the
+  cell count itself to the active horizon.
+
+Scale shape: per micro-batch the only wide operation is the groupBy
+on band keys (uniform 16-bit sub-keys → no skew by construction once
+capped); comparisons are per-bucket × ≤cap — never corpus-wide.
+
+Note: signatures here hash shingles with BLAKE2b (driver-free,
+numpy-vectorizable); the batch op uses Spark's ``xxhash64``. Both are
+valid SimHash families but the signatures are NOT interchangeable —
+screen a stream against state built by THIS module.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: output: one row per (document, band); matched_id is the first
+#: state entry within the Hamming radius, NULL when the bucket held
+#: no match at arrival time. Any non-NULL across a doc's bands ⇒
+#: near-dup candidate.
+SCREEN_OUT_SCHEMA = (
+    "doc_id BIGINT, band INT, band_key BIGINT, "
+    "matched_id BIGINT, hamming INT"
+)
+_SCREEN_STATE_SCHEMA = "ids ARRAY<BIGINT>, sigs ARRAY<BIGINT>"
+
+
+def simhash_udf(shingle_n: int = 2):
+    """Vectorized per-document 64-bit SimHash (BLAKE2b shingle
+    hashes, numpy majority vote). Row-local — usable mid-stream
+    where the batch op's explode+groupBy form would need its own
+    aggregation stage."""
+    import hashlib
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    def _sig(text: str) -> int:
+        toks = (text or "").lower().split()
+        if len(toks) >= shingle_n:
+            grams = [
+                " ".join(toks[i : i + shingle_n])
+                for i in range(len(toks) - shingle_n + 1)
+            ]
+        else:
+            grams = [" ".join(toks)] if toks else [""]
+        votes = np.zeros(64, dtype=np.int64)
+        for g in set(grams):
+            digest = hashlib.blake2b(g.encode(), digest_size=8).digest()
+            bits = np.unpackbits(
+                np.frombuffer(digest, dtype=np.uint8), bitorder="little"
+            ).astype(np.int64)
+            votes += 2 * bits - 1
+        sig = 0
+        for i in range(64):
+            if votes[i] >= 0:
+                sig |= 1 << i
+        return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+    @pandas_udf("long")
+    def sim(texts: pd.Series) -> pd.Series:
+        return texts.map(_sig)
+
+    return sim
+
+
+def near_dup_screen_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+    max_distance: int = 3,
+    max_per_bucket: int = 64,
+    state_ttl_minutes: int | None = 60,
+) -> DataFrame:
+    """Online near-dup screen over a document stream.
+
+    Every incoming document is checked against the recent occupants
+    of its ``bands`` SimHash band buckets; emits one row per (doc,
+    band) with the first in-radius match or NULL. ``max_distance``
+    must be < ``bands`` for the pigeonhole guarantee. State per
+    bucket is a capped FIFO of (id, signature) — O(bands ×
+    active-buckets × cap) total, with idle buckets evicted after
+    ``state_ttl_minutes`` of processing time.
+
+    ``state_ttl_minutes=None`` disables eviction (NoTimeout). Use
+    None for ``availableNow``/backfill runs: a registered
+    processing-time timeout keeps the query alive in a
+    "cleaning up state" loop until the TTL fires, so the batch-like
+    trigger never terminates. Continuous streams should keep the TTL
+    — it is what bounds the bucket count.
+    """
+    if max_distance >= bands:
+        raise ValueError(
+            f"max_distance ({max_distance}) must be < bands ({bands}) "
+            "for the pigeonhole screen to be exhaustive"
+        )
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    band_bits = 64 // bands
+    mask = (1 << band_bits) - 1
+    sig = simhash_udf()(F.col(text_col))
+    keyed = (
+        docs.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
+        .select(
+            "doc_id",
+            "sig",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.lit(b)
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band_pos", "band"),
+        )
+        .select(
+            "doc_id",
+            "sig",
+            F.col("band").cast("int").alias("band"),
+            # SQL form: the DSL shiftrightunsigned only takes a
+            # literal shift count, not a per-row column
+            F.expr(
+                f"CAST(shiftrightunsigned(sig, band * {band_bits}) "
+                f"& {mask} AS BIGINT)"
+            ).alias("band_key"),
+        )
+    )
+
+    ttl_ms = (
+        None if state_ttl_minutes is None else state_ttl_minutes * 60 * 1000
+    )
+
+    def update(key, pdfs, state: GroupState):
+        band, band_key = int(key[0]), int(key[1])
+        if state.hasTimedOut:
+            state.remove()
+            return
+        ids, sigs = state.get if state.exists else ([], [])
+        ids, sigs = list(ids), list(sigs)
+        out = {
+            "doc_id": [], "band": [], "band_key": [],
+            "matched_id": [], "hamming": [],
+        }
+        rows = []
+        for pdf in pdfs:
+            rows.extend(
+                (int(r.doc_id), int(r.sig)) for r in pdf.itertuples()
+            )
+        rows.sort()  # deterministic order within the micro-batch
+        for doc_id, s in rows:
+            matched, ham = None, None
+            for mid, ms in zip(ids, sigs):
+                d = bin((s ^ ms) & ((1 << 64) - 1)).count("1")
+                if d <= max_distance:
+                    matched, ham = mid, d
+                    break
+            out["doc_id"].append(doc_id)
+            out["band"].append(band)
+            out["band_key"].append(band_key)
+            out["matched_id"].append(matched)
+            out["hamming"].append(ham)
+            # capped FIFO: newest kept, oldest evicted
+            ids.append(doc_id)
+            sigs.append(s)
+            if len(ids) > max_per_bucket:
+                ids = ids[-max_per_bucket:]
+                sigs = sigs[-max_per_bucket:]
+        state.update((ids, sigs))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame(out)
+
+    conf = (
+        GroupStateTimeout.NoTimeout
+        if ttl_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    return keyed.groupBy("band", "band_key").applyInPandasWithState(
+        update,
+        outputStructType=SCREEN_OUT_SCHEMA,
+        stateStructType=_SCREEN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=conf,
+    )

@@ -196,3 +196,48 @@ def test_quantize_symmetric_error_bound(spark, vecs):
         dim = len(r["qvec"])
         assert all(-127 <= q <= 127 for q in r["qvec"])
         assert r["recon_err"] <= r["scale"] / 2 * math.sqrt(dim) + 1e-9
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)),
+        min_size=0,
+        max_size=25,
+    )
+)
+def test_star_components_match_union_find(spark, edges):
+    """The large-star/small-star algorithm agrees with a reference
+    union-find on arbitrary small graphs (self-loops, duplicates,
+    disconnected nodes included)."""
+    from sqltask_spark.operators.graph import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        if u != v:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+    nodes = {x for u, v in edges if u != v for x in (u, v)}
+    roots: dict[int, int] = {}
+    for n in nodes:
+        r = find(n)
+        roots[r] = min(roots.get(r, n), n)
+    want = {n: roots[find(n)] for n in nodes}
+
+    df = spark.createDataFrame(edges or [(0, 0)], "src LONG, dst LONG")
+    if not edges:
+        df = df.filter("src IS NULL")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df, algorithm="star").collect()
+    }
+    assert got == want

@@ -382,3 +382,101 @@ def test_sliding_stream_matches_batch(spark, tables, events_dir):
     # each event lands in exactly 2 overlapping windows
     got = spark.sql("SELECT sum(n_events) AS n FROM sliding_out").collect()[0]["n"]
     assert got == 2 * tables["events"].count()
+
+
+def test_near_dup_screen_stream_flags_cross_batch_dup(spark, tmp_path):
+    """Online near-dup screen: a doc arriving in a LATER micro-batch
+    is flagged against a bucket occupant from an earlier one; distinct
+    docs pass clean."""
+    from pyspark.sql import types as T
+
+    from sqltask_spark.streaming.corpus import near_dup_screen_stream
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    # long doc: SimHash bit margins grow with shingle count, so a
+    # single-word edit flips few bits only when the doc is not tiny
+    base = " ".join(
+        f"token{i} word{i % 7} item{i % 11}" for i in range(40)
+    ) + " the lazy dog"
+    src = tmp_path / "docs_in"
+    # batch 1: original + a clearly distinct doc
+    spark.createDataFrame(
+        [(1, base), (2, "completely unrelated text about spark plans")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    # batch 2 (separate file): near-dup of doc 1 (one word changed)
+    spark.createDataFrame(
+        [(3, base.replace("dog", "cat"))], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    result = near_dup_screen_stream(
+        stream, max_distance=3, bands=4, state_ttl_minutes=None
+    )
+    q = (
+        result.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("near_dup_screen_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM near_dup_screen_out").collect()
+    matches = {
+        r["doc_id"]: r["matched_id"]
+        for r in rows
+        if r["matched_id"] is not None
+    }
+    # doc 3 flagged against doc 1 in at least one band
+    assert matches.get(3) == 1
+    # distinct doc 2 never matches anything
+    assert 2 not in matches
+    # and doc 1 (first arrival) matched nothing
+    assert 1 not in matches
+
+
+def test_near_dup_screen_bucket_cap(spark, tmp_path):
+    """max_per_bucket bounds per-bucket state: with cap 2, a bucket
+    fed 5 identical docs still answers from its 2 newest occupants."""
+    from pyspark.sql import types as T
+
+    from sqltask_spark.streaming.corpus import near_dup_screen_stream
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    text = "same boilerplate sentence repeated in every single document"
+    src = tmp_path / "docs_cap"
+    spark.createDataFrame(
+        [(i, text) for i in range(1, 6)], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    result = near_dup_screen_stream(
+        stream, max_distance=3, bands=4, max_per_bucket=2,
+        state_ttl_minutes=None,
+    )
+    q = (
+        result.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("near_dup_cap_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql(
+        "SELECT * FROM near_dup_cap_out WHERE matched_id IS NOT NULL"
+    ).collect()
+    # every doc after the first matches something...
+    assert {r["doc_id"] for r in rows} == {2, 3, 4, 5}
+    # ...and matches only state the cap retained (the two newest
+    # predecessors), never anything older
+    for r in rows:
+        assert r["matched_id"] >= r["doc_id"] - 2
