@@ -2,6 +2,7 @@
 reference has no streaming machinery at all; its row sources are
 forward-only Python iterators, ``sqltask/base/row_source.py:15-16``)."""
 
+from sqltask_spark.streaming.corpus import near_dup_screen_stream
 from sqltask_spark.streaming.events import (
     sessionized_stream,
     streaming_source,
@@ -9,6 +10,7 @@ from sqltask_spark.streaming.events import (
 )
 
 __all__ = [
+    "near_dup_screen_stream",
     "sessionized_stream",
     "streaming_source",
     "tumbling_counts_stream",
