@@ -563,7 +563,10 @@ ORDER BY doc_id
 # near-dup clusters back to the quality score and keep the
 # highest-quality member (ties → lowest doc_id). Composes
 # connected-components clustering with the quality heuristic; one
-# window per cluster. This is the op that actually SHRINKS a corpus.
+# window per cluster. This is the op that actually SHRINKS a corpus,
+# so it runs the CAPPED candidate index (production path; the
+# uncapped oracle-fidelity mode stays on dedup_ngram_jaccard /
+# dedup_clusters) — the oracle mirrors the same df filter.
 # --------------------------------------------------------------------------
 
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -571,7 +574,8 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(
-        docs, "doc_id", "text", shingle_n=3, threshold=_JACCARD_THRESHOLD
+        docs, "doc_id", "text", shingle_n=3, threshold=_JACCARD_THRESHOLD,
+        max_shingle_df=_MAX_NGRAM_DF,
     )
     clusters = cluster_documents(pairs).select("doc_id", "cluster_id")
     quality = docs.select(
@@ -599,7 +603,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _KEEP_BEST_SQL = f"""
-WITH RECURSIVE {_NGRAM_JACCARD_BODY},
+WITH RECURSIVE {_NGRAM_CAPPED_BODY},
 edges AS MATERIALIZED (
   -- MATERIALIZED is load-bearing — see _CLUSTERS_SQL
   SELECT id_a AS u, id_b AS v FROM pairs
