@@ -46,6 +46,8 @@ HEADLINE = [
     "embedding_quantize_int8",
     "corpus_clean_pipeline",
     "contamination_overlap",
+    "dedup_incremental",
+    "materialize_packs",
 ]
 
 

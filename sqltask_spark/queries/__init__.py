@@ -47,7 +47,7 @@ for mod in (_textops, _vector, _multimodal, _pipeline, _relational,
     ORACLES.update(mod.ORACLES)
 
 #: relational/events flagships promoted into the driver's 50-row
-#: window right after the LLM-pipeline modules (which fill 33 slots).
+#: window right after the LLM-pipeline modules (which fill 36 slots).
 _FLAGSHIP = [
     "q1_pricing_summary",
     "q3_shipping_priority",
