@@ -61,7 +61,6 @@ _FLAGSHIP = [
     "dq_customer_issues",
     "window_functions_showcase",
     "grouping_sets_priority_status",
-    "sessionize_events",
     "user_value_median",
 ]
 

@@ -647,6 +647,59 @@ ORDER BY cluster_id
 """
 
 
+# --------------------------------------------------------------------------
+# doc_salient_terms — keyword extraction by corpus rarity: each
+# document's K rarest tokens (document frequency asc, token asc).
+# Integer/string arithmetic only — fully deterministic across engines
+# (no log/idf floating point). Shape: distinct-token inverted index,
+# one map-side-combined df count, a token-keyed join (hot stopword
+# tokens skew the probe side — AQE skew split territory, the join
+# itself never explodes since df is one row per token), and a per-doc
+# top-k window.
+# --------------------------------------------------------------------------
+
+_SALIENT_K = 3
+
+
+def doc_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    inv = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(tx.tokenize(F.col("text")))).alias(
+            "token"
+        ),
+    ).filter(F.col("token") != "")
+    dfreq = inv.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("token"))
+    return (
+        inv.join(dfreq, "token")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _SALIENT_K)
+        .select("doc_id", "rank", "token", "df")
+        .orderBy("doc_id", "rank")
+    )
+
+
+_SALIENT_SQL = f"""
+WITH inv AS (
+  SELECT doc_id, UNNEST(list_distinct({_TOKS})) AS token FROM documents
+), inv_ne AS (
+  SELECT doc_id, token FROM inv WHERE token <> ''
+), dfreq AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM inv_ne GROUP BY token
+)
+SELECT doc_id, rank, token, df
+FROM (
+  SELECT i.doc_id, i.token, d.df,
+         ROW_NUMBER() OVER (PARTITION BY i.doc_id
+                            ORDER BY d.df ASC, i.token ASC) AS rank
+  FROM inv_ne i JOIN dfreq d ON i.token = d.token
+)
+WHERE rank <= {_SALIENT_K}
+ORDER BY doc_id, rank
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "doc_fingerprint": doc_fingerprint,
@@ -664,6 +717,7 @@ QUERIES = {
     "chunk_documents": chunk_documents,
     "repetition_stats": repetition_stats,
     "redact_documents": redact_documents,
+    "doc_salient_terms": doc_salient_terms,
 }
 
 ORACLES = {
@@ -681,6 +735,7 @@ ORACLES = {
     "chunk_documents": _CHUNK_SQL,
     "repetition_stats": _REPETITION_SQL,
     "redact_documents": _REDACT_SQL,
+    "doc_salient_terms": _SALIENT_SQL,
     # dedup_minhash_pairs / dedup_simhash_pairs: intentionally no
     # oracle — Spark-native xxhash64 signatures.
 }

@@ -802,3 +802,28 @@ def test_dedup_incremental_drops_ref_matches(spark, tmp_path):
     docs.write.parquet(f"{sf_dir}/documents.parquet")
     kept = [r["doc_id"] for r in dedup_incremental(spark, sf_dir).collect()]
     assert kept == [3, 7]
+
+
+def test_doc_salient_terms_picks_rarest(spark, tmp_path):
+    """Salient terms = each doc's corpus-rarest tokens, df ascending
+    with alphabetical tie-break — the unique token beats the shared
+    ones."""
+    from sqltask_spark.queries.textops import doc_salient_terms
+
+    rows = [
+        (1, "common words everywhere plus unicorn"),
+        (2, "common words everywhere plus dragon"),
+        (3, "common words everywhere plus dragon"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"]).withColumn(
+        "n_chars", F.length("text")
+    )
+    sf_dir = str(tmp_path / "sf")
+    docs.write.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        (r["doc_id"], r["rank"]): (r["token"], r["df"])
+        for r in doc_salient_terms(spark, sf_dir).collect()
+    }
+    assert got[(1, 1)] == ("unicorn", 1)   # unique to doc 1
+    assert got[(2, 1)] == ("dragon", 2)    # df 2 beats the df-3 fillers
+    assert got[(1, 2)][1] == 3 and got[(1, 2)][0] == "common"  # tie-break
