@@ -48,6 +48,8 @@ HEADLINE = [
     "contamination_overlap",
     "dedup_incremental",
     "materialize_packs",
+    "dup_span_stats",
+    "semdedup_keep",
 ]
 
 

@@ -64,6 +64,10 @@ ENTRIES = [
     "pack_sequences",
     "ann_topk_ivf",
     "embedding_quantize_int8",
+    "dup_span_stats",
+    "domain_mix_weights",
+    "bpe_learn_merges",
+    "semdedup_keep",
 ]
 
 

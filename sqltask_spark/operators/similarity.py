@@ -750,3 +750,84 @@ def cosine_topk_lsh(
         .drop("dup_rn")
     )
     return materialize_and_release(out, ci)
+
+
+def semdedup_prune(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_cells: int = 32,
+    sample_cap: int = 4096,
+    kmeans_iters: int = 8,
+    seed: int = 42,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Semantic dedup: cluster-then-prune over an embedding column
+    (the SemDeDup recipe, Abbas et al. 2023, arXiv:2303.09540).
+
+    Embeddings are assigned to their nearest spherical-k-means cell
+    (same coarse quantizer as :func:`cosine_topk_ivf` — bounded
+    sample, deterministic init), then near-duplicate pairs are scored
+    ONLY within a cell and the higher id of each pair ≥ ``threshold``
+    is dropped (keep-lowest-id — the engine-wide survivor convention,
+    cf. :func:`sqltask_spark.operators.dedup.exact_dedup`; the paper
+    keeps the member farthest from the centroid, an arbitrary choice
+    its authors report performs like random).
+
+    Scale shape: the quadratic is confined to cells — expected pair
+    work O(n²/n_cells) spread across cells as independent shuffle
+    groups, vs O(n²) for the exact all-pairs path. ``n_cells`` is the
+    knob: size it so a cell's vectors fit one task (n/n_cells ≈ 10⁵
+    rows). Like any clustered prune, cross-cell near-dups on a cell
+    boundary are missed — the recall/cost trade the paper makes.
+    Returns kept rows (id, cell), ordered by id.
+    """
+    from sqltask_spark.data import materialize_and_release
+
+    cents = _centroid_matrix(
+        corpus, id_col, vec_col, n_cells, sample_cap, kmeans_iters, seed
+    )
+    assign = _cell_assign_udf(cents, 1)
+    base = (
+        corpus.select(
+            F.col(id_col).alias("id"),
+            as_double_array(F.col(vec_col)).alias("v"),
+        )
+        .withColumn("cell", assign(F.col("v"))[0])
+        .withColumn("nrm", l2_norm(F.col("v")))
+        .persist()
+    )
+    a = base.select(
+        "cell",
+        F.col("id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = base.select(
+        "cell",
+        F.col("id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.round(
+                cosine_prenormed(
+                    F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+                ),
+                round_digits,
+            )
+            >= threshold
+        )
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    kept = (
+        base.join(dropped, "id", "left_anti")
+        .select("id", "cell")
+        .orderBy("id")
+    )
+    return materialize_and_release(kept, base)

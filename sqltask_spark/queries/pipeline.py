@@ -511,6 +511,56 @@ def sketch_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# domain_mix_weights — domain-rebalancing weights: per-source token
+# totals, each source's share of the corpus, and the sampling weight
+# that would equalize the token mixture across sources
+# (target_share / actual_share — the static form of DoReMi-style
+# domain reweighting). One map-side-combined agg over the corpus;
+# the unpartitioned window runs over ONE ROW PER DOMAIN (dozens at
+# 100 TB, never data-sized), so the single-partition window is safe
+# by construction. Shares are ratios of exact integer sums, so both
+# engines compute bit-identical doubles.
+# --------------------------------------------------------------------------
+
+def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tx.token_count(F.col("text"))).alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    share = F.col("n_tokens") / F.sum("n_tokens").over(w)
+    target = F.lit(1.0) / F.count(F.lit(1)).over(w)
+    return per.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(share, 9).alias("token_share"),
+        F.round(target / share, 9).alias("sample_weight"),
+    ).orderBy("source")
+
+
+_MIX_SQL = f"""
+WITH per AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(LEN({_TOKS})) AS BIGINT) AS n_tokens
+  FROM documents
+  GROUP BY source
+)
+SELECT
+  source, n_docs, n_tokens,
+  ROUND(CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER (), 9)
+    AS token_share,
+  ROUND((1.0 / COUNT(*) OVER ())
+          / (CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER ()), 9)
+    AS sample_weight
+FROM per
+ORDER BY source
+"""
+
+
 QUERIES = {
     "stratified_sample_documents": stratified_sample_documents,
     "sketch_event_stats": sketch_event_stats,
@@ -521,6 +571,7 @@ QUERIES = {
     "corpus_clean_pipeline": corpus_clean_pipeline,
     "contamination_overlap": contamination_overlap,
     "dedup_incremental": dedup_incremental,
+    "domain_mix_weights": domain_mix_weights,
 }
 
 ORACLES = {
@@ -534,4 +585,5 @@ ORACLES = {
     "corpus_clean_pipeline": _CLEAN_SQL,
     "contamination_overlap": _CONTAM_SQL,
     "dedup_incremental": _INCR_SQL,
+    "domain_mix_weights": _MIX_SQL,
 }

@@ -700,6 +700,89 @@ ORDER BY doc_id, rank
 """
 
 
+# --------------------------------------------------------------------------
+# dup_span_stats — duplicated-span profile per document, the signal
+# behind exact-substring dedup (Lee et al., "Deduplicating Training
+# Data Makes Language Models Better"): the fraction of a document's
+# distinct 3-gram shingles that occur in at least one OTHER document.
+# Docs with high dup_fraction are near-verbatim copies or heavy
+# boilerplate even when no single pair crosses a Jaccard threshold.
+# Shape: one shingle explode, one map-side-combined df census, one
+# equi-join back on the shingle (hot boilerplate shingles skew the
+# probe side — AQE skew-join territory; the join never explodes since
+# df is one row per shingle), one per-doc agg. Never all-pairs.
+# --------------------------------------------------------------------------
+
+def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    inv = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles(F.col("text"), 3))
+        ).alias("shingle"),
+    )
+    dfreq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        inv.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("df") >= 2, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_dup_shingles"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.col("n_dup_shingles").cast("bigint").alias("n_dup_shingles"),
+            F.round(
+                F.col("n_dup_shingles") / F.col("n_shingles"), 9
+            ).alias("dup_fraction"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_DUP_SPAN_SQL = f"""
+WITH sh AS MATERIALIZED (
+  SELECT doc_id, {_SHINGLES} AS shingles FROM documents
+), inv AS MATERIALIZED (
+  SELECT doc_id, UNNEST(shingles) AS shingle FROM sh
+), dfreq AS (
+  SELECT shingle, COUNT(*) AS df FROM inv GROUP BY shingle
+)
+SELECT
+  i.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+  CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_dup_shingles,
+  ROUND(CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+          / COUNT(*), 9) AS dup_fraction
+FROM inv i JOIN dfreq d ON i.shingle = d.shingle
+GROUP BY i.doc_id
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# bpe_learn_merges — train a BPE tokenizer's merge table on the
+# corpus (see sqltask_spark.operators.bpe for the distributed
+# algorithm). Rows-only for the driver: the output is the merge
+# table itself — an iterative argmax loop no single SQL statement
+# expresses — and its exact semantics (tie-breaks, overlap handling)
+# are pytest-verified against the textbook example instead.
+# --------------------------------------------------------------------------
+
+_BPE_MERGES = 8
+
+
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sqltask_spark.operators.bpe import learn_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    return learn_bpe_merges(docs, "text", n_merges=_BPE_MERGES)
+
+
 QUERIES = {
     "text_stats": text_stats,
     "doc_fingerprint": doc_fingerprint,
@@ -718,6 +801,8 @@ QUERIES = {
     "repetition_stats": repetition_stats,
     "redact_documents": redact_documents,
     "doc_salient_terms": doc_salient_terms,
+    "dup_span_stats": dup_span_stats,
+    "bpe_learn_merges": bpe_learn_merges,
 }
 
 ORACLES = {
@@ -736,6 +821,7 @@ ORACLES = {
     "repetition_stats": _REPETITION_SQL,
     "redact_documents": _REDACT_SQL,
     "doc_salient_terms": _SALIENT_SQL,
+    "dup_span_stats": _DUP_SPAN_SQL,
     # dedup_minhash_pairs / dedup_simhash_pairs: intentionally no
     # oracle — Spark-native xxhash64 signatures.
 }

@@ -263,6 +263,28 @@ ORDER BY vec_id
 """
 
 
+# --------------------------------------------------------------------------
+# semdedup_keep — semantic dedup survivors: cluster embeddings into
+# k-means cells, prune within-cell near-dups, keep lowest id (the
+# SemDeDup recipe — see operators.similarity.semdedup_prune). No
+# oracle: the cell assignment rides engine-specific float k-means;
+# semantics are pytest-verified on planted duplicates instead
+# (tests/test_operators.py::test_semdedup_prune_planted_dups).
+# --------------------------------------------------------------------------
+
+def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sqltask_spark.operators.similarity import semdedup_prune
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup_prune(
+        emb,
+        "vec_id",
+        "embedding",
+        threshold=_EMB_DUP_THRESHOLD,
+        n_cells=16,
+    )
+
+
 QUERIES = {
     "ann_topk_brute": ann_topk_brute,
     "vector_norms": vector_norms,
@@ -272,6 +294,7 @@ QUERIES = {
     "dedup_embedding_pairs": dedup_embedding_pairs,
     "dedup_embedding_pairs_lsh": dedup_embedding_pairs_lsh,
     "embedding_quantize_int8": embedding_quantize_int8,
+    "semdedup_keep": semdedup_keep,
 }
 
 ORACLES = {

@@ -174,3 +174,37 @@ def test_csv_encoding_auto_rejects_remote(spark):
 
     with pytest.raises(ValueError, match="local path"):
         detect_encoding("s3a://bucket/data.csv")
+
+
+def test_orc_source_roundtrip(spark, tmp_path):
+    from sqltask_spark.sources.files import orc_source
+
+    path = str(tmp_path / "t.orc")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], ["id", "name"]
+    ).write.orc(path)
+    got = sorted(
+        (r["id"], r["name"]) for r in orc_source(spark, path).collect()
+    )
+    assert got == [(1, "a"), (2, "b")]
+
+
+def test_avro_source_gated(spark, tmp_path):
+    """Reads avro when the module is present, else raises the
+    documented NotImplementedError — never an opaque classpath
+    error."""
+    import pytest as _pytest
+
+    from sqltask_spark.sources.files import avro_source
+
+    path = str(tmp_path / "t.avro")
+    try:
+        spark.createDataFrame([(1, "a")], ["id", "name"]).write.format(
+            "avro"
+        ).save(path)
+    except Exception:
+        with _pytest.raises(NotImplementedError):
+            avro_source(spark, path)
+        return
+    got = avro_source(spark, path).collect()
+    assert [(r["id"], r["name"]) for r in got] == [(1, "a")]

@@ -827,3 +827,157 @@ def test_doc_salient_terms_picks_rarest(spark, tmp_path):
     assert got[(1, 1)] == ("unicorn", 1)   # unique to doc 1
     assert got[(2, 1)] == ("dragon", 2)    # df 2 beats the df-3 fillers
     assert got[(1, 2)][1] == 3 and got[(1, 2)][0] == "common"  # tie-break
+
+
+# -- BPE merge learning -----------------------------------------------------
+
+def test_learn_bpe_merges_textbook(spark):
+    """The Sennrich toy corpus learns the textbook merge sequence:
+    (e,s) → (es,t) → ... with freq-desc / lexicographic tie-break."""
+    from sqltask_spark.operators.bpe import (
+        apply_merge,
+        encode_with_merges,
+        learn_bpe_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (
+                1,
+                "low low low low low lower lower newest newest newest "
+                "newest newest newest widest widest widest",
+            )
+        ],
+        ["doc_id", "text"],
+    )
+    merges = learn_bpe_merges(docs, n_merges=4).collect()
+    got = [(r["left"], r["right"], r["merged"], r["pair_freq"]) for r in merges]
+    assert got == [
+        ("e", "s", "es", 9),
+        ("es", "t", "est", 9),
+        ("l", "o", "lo", 7),
+        ("lo", "w", "low", 7),
+    ]
+    # greedy left-to-right overlap handling, same as reference BPE
+    overlap = spark.range(1).select(
+        apply_merge(F.split(F.lit("aaa"), ""), "a", "a").alias("s")
+    ).collect()[0]["s"]
+    assert overlap == ["aa", "a"]
+    # encoding with the learned table segments a known word
+    enc = encode_with_merges(
+        docs, [(r["left"], r["right"]) for r in merges]
+    ).collect()
+    by_word = {tuple(r["tokens"]) for r in enc}
+    assert ("low",) in by_word                      # fully merged
+    assert ("n", "e", "w", "est") in by_word        # est merged, rest chars
+
+
+def test_learn_bpe_merges_min_freq_stops(spark):
+    from sqltask_spark.operators.bpe import learn_bpe_merges
+
+    docs = spark.createDataFrame([(1, "ab cd")], ["doc_id", "text"])
+    merges = learn_bpe_merges(docs, n_merges=5, min_pair_freq=2).collect()
+    assert merges == []  # every pair occurs once — below min_pair_freq
+
+
+# -- semantic dedup (SemDeDup) ----------------------------------------------
+
+def test_semdedup_prune_planted_dups(spark):
+    """Exact duplicate embeddings land in the same cell and are
+    pruned keep-lowest-id; orthogonal vectors all survive."""
+    from sqltask_spark.operators.similarity import semdedup_prune
+
+    dim = 8
+    base = [
+        (i + 1, [1.0 if j == i else 0.0 for j in range(dim)])
+        for i in range(dim)
+    ]
+    dups = [(idx + 100, vec) for idx, vec in base]
+    df = spark.createDataFrame(base + dups, ["vec_id", "embedding"])
+    kept = semdedup_prune(
+        df, "vec_id", "embedding", threshold=0.99, n_cells=4,
+    )
+    ids = sorted(r["id"] for r in kept.collect())
+    assert ids == [1, 2, 3, 4, 5, 6, 7, 8]
+
+
+# -- duplicated-span profile ------------------------------------------------
+
+def test_dup_span_stats_flags_copies(spark, tmp_path):
+    from sqltask_spark.queries.textops import dup_span_stats
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta epsilon"),
+        (3, "one two three four five"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    sf_dir = str(tmp_path / "sf")
+    docs.write.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_dup_shingles"], r["dup_fraction"])
+        for r in dup_span_stats(spark, sf_dir).collect()
+    }
+    assert got[1] == (3, 3, 1.0)   # every shingle shared with doc 2
+    assert got[2] == (3, 3, 1.0)
+    assert got[3] == (3, 0, 0.0)   # fully unique
+
+
+# -- domain mixture weights -------------------------------------------------
+
+def test_domain_mix_weights_equalizes(spark, tmp_path):
+    from sqltask_spark.queries.pipeline import domain_mix_weights
+
+    rows = [
+        (1, "a b c d e f", "big"),     # 6 tokens
+        (2, "a b c d e f", "big"),     # big: 12 tokens total
+        (3, "x y z w", "small"),       # small: 4 tokens
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    sf_dir = str(tmp_path / "sf")
+    docs.write.parquet(f"{sf_dir}/documents.parquet")
+    got = {r["source"]: r for r in domain_mix_weights(spark, sf_dir).collect()}
+    assert got["big"]["n_tokens"] == 12 and got["small"]["n_tokens"] == 4
+    assert abs(got["big"]["token_share"] - 0.75) < 1e-9
+    assert abs(got["small"]["token_share"] - 0.25) < 1e-9
+    # weight = target_share / share with uniform 0.5 target
+    assert abs(got["big"]["sample_weight"] - (0.5 / 0.75)) < 1e-6
+    assert abs(got["small"]["sample_weight"] - 2.0) < 1e-6
+    # shares always sum to 1
+    assert abs(sum(r["token_share"] for r in got.values()) - 1.0) < 1e-9
+
+
+def test_bpe_encode_udf_matches_jvm_fold(spark, tmp_path):
+    """The Pandas-UDF encoder (scale path) and the chained-JVM-fold
+    encoder agree word-for-word on a learned merge table."""
+    from sqltask_spark.operators.bpe import (
+        encode_corpus,
+        encode_with_merges,
+        learn_bpe_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "lowest slowest widest low slow wide newest new"),
+            (2, "the newest widest lowest estimates show lowering"),
+        ],
+        ["doc_id", "text"],
+    )
+    merges = [
+        (r["left"], r["right"])
+        for r in learn_bpe_merges(docs, n_merges=6, min_pair_freq=1)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert len(merges) == 6
+    udf_rows = encode_corpus(docs, merges).collect()
+    got = {}
+    for r in udf_rows:
+        got.setdefault(r["id"], []).append(tuple(r["tokens"]))
+    # compare as multisets of per-word token tuples per doc
+    jvm_rows = encode_with_merges(docs, merges).collect()
+    want = {}
+    for r in jvm_rows:
+        want.setdefault(r["id"], []).append(tuple(r["tokens"]))
+    for k in want:
+        assert sorted(got[k]) == sorted(want[k])
