@@ -476,7 +476,7 @@ def cosine_topk_ivf(
     query_vec: str = "embedding",
     corpus_vec: str = "embedding",
     k: int = 10,
-    n_cells: int = 32,
+    n_cells: int | None = 32,
     n_probe: int = 4,
     round_digits: int = 6,
     quantize_bits: int | None = None,
@@ -491,6 +491,12 @@ def cosine_topk_ivf(
     cell id doubles as a physical partitioning key, so a probe reads
     only the probed cells' files.
 
+    ``n_cells=None`` auto-scales the cell count as ~√n (the classical
+    IVF sizing, balancing probe cost n_probe·n/n_cells against the
+    centroid scan n_cells) — a FIXED cell count lets per-cell
+    occupancy, and so per-probe cost, grow linearly with the corpus
+    (the occupancy lesson — NOTES_r3).
+
     ``quantize_bits=8`` turns this into IVF-SQ8: the corpus side
     carries absmax-quantized ``array<byte>`` codes instead of
     ``array<double>`` — 8× fewer vector bytes through every
@@ -503,6 +509,9 @@ def cosine_topk_ivf(
     contract here — hence this mode is recall-tested, not
     oracle-hashed).
     """
+    if n_cells is None:
+        n = corpus.count()
+        n_cells = max(2, min(int(round(n ** 0.5)), 1024))
     cents = _centroid_matrix(corpus, corpus_id, corpus_vec, n_cells)
     from sqltask_spark.data import ensure_min_partitions
 
@@ -757,7 +766,8 @@ def semdedup_prune(
     id_col: str,
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_cells: int = 32,
+    n_cells: int | None = None,
+    target_occupancy: int = 256,
     sample_cap: int = 4096,
     kmeans_iters: int = 8,
     seed: int = 42,
@@ -775,16 +785,26 @@ def semdedup_prune(
     keeps the member farthest from the centroid, an arbitrary choice
     its authors report performs like random).
 
-    Scale shape: the quadratic is confined to cells — expected pair
-    work O(n²/n_cells) spread across cells as independent shuffle
-    groups, vs O(n²) for the exact all-pairs path. ``n_cells`` is the
-    knob: size it so a cell's vectors fit one task (n/n_cells ≈ 10⁵
-    rows). Like any clustered prune, cross-cell near-dups on a cell
-    boundary are missed — the recall/cost trade the paper makes.
+    Scale shape: the quadratic is confined to cells — pair work is
+    O(n · occupancy) where occupancy = n / n_cells, so a FIXED cell
+    count silently degrades quadratically as the corpus grows (the
+    same occupancy lesson as LSH bucket counts — NOTES_r3). By
+    default ``n_cells`` therefore scales with the corpus: one cheap
+    ``count()`` sizes cells to ``target_occupancy`` vectors each,
+    making pair work O(n · target_occupancy) at ANY corpus size.
+    Pass ``n_cells`` explicitly to pin it (tests, known corpora).
+    Like any clustered prune, cross-cell near-dups on a cell boundary
+    are missed — the recall/cost trade the paper makes; more cells =
+    cheaper and slightly lower recall.
     Returns kept rows (id, cell), ordered by id.
     """
     from sqltask_spark.data import materialize_and_release
 
+    if n_cells is None:
+        n = corpus.count()
+        # ≥2 cells once auto; cap: k-means needs several sample rows
+        # per centroid to say anything
+        n_cells = max(2, min(n // target_occupancy + 1, sample_cap // 4))
     cents = _centroid_matrix(
         corpus, id_col, vec_col, n_cells, sample_cap, kmeans_iters, seed
     )

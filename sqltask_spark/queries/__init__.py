@@ -47,19 +47,19 @@ for mod in (_textops, _vector, _multimodal, _pipeline, _relational,
     ORACLES.update(mod.ORACLES)
 
 #: relational/events flagships promoted into the driver's 50-row
-#: window right after the LLM-pipeline modules (which fill 41 slots —
-#: so the first NINE of this list land inside the window; the rest,
+#: window right after the LLM-pipeline modules (which fill 43 slots —
+#: so the first SEVEN of this list land inside the window; the rest,
 #: all with green driver rows from rounds 1-2 plus plan tests, follow
 #: immediately after).
 _FLAGSHIP = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
-    "q21_returns_blame",
     "lookup_enrich_customer",
     "asof_click_purchase",
     "map_all_staging",
     "dq_customer_issues",
+    "q21_returns_blame",
     "user_value_median",
     "q2_min_cost_supplier",
     "topk_orders_per_segment",

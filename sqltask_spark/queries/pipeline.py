@@ -561,6 +561,168 @@ ORDER BY source
 """
 
 
+# --------------------------------------------------------------------------
+# corpus_shuffle_shards — deterministic global example shuffle: every
+# training run needs the corpus in a reproducible pseudo-random order,
+# stable under repartitioning and backfills (an rng-based orderBy is
+# neither). Order key = md5 of a salted doc_id; shard = 2 hash bytes
+# mod n_shards; position = rank within the shard. At scale a shard is
+# one bounded training file and n_shards grows with the corpus (n /
+# n_shards ≈ file size), so the per-shard sort stays task-sized — the
+# small constant here is for oracle-sized data, not the design point.
+# --------------------------------------------------------------------------
+
+_N_SHARDS = 16
+
+
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string")))
+    keyed = docs.select("doc_id", key.alias("skey")).withColumn(
+        "shard",
+        F.pmod(
+            F.ascii(F.substring("skey", 1, 1)) * 256
+            + F.ascii(F.substring("skey", 2, 1)),
+            F.lit(_N_SHARDS),
+        ),
+    )
+    w = Window.partitionBy("shard").orderBy("skey", "doc_id")
+    return (
+        keyed.withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")
+    )
+
+
+_SHUFFLE_SQL = f"""
+WITH keyed AS (
+  SELECT
+    doc_id,
+    md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS skey,
+    (ascii(substring(md5('shuffle:' || CAST(doc_id AS VARCHAR)), 1, 1)) * 256
+     + ascii(substring(md5('shuffle:' || CAST(doc_id AS VARCHAR)), 2, 1)))
+      % {_N_SHARDS} AS shard
+  FROM documents
+)
+SELECT doc_id, shard,
+       ROW_NUMBER() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS pos
+FROM keyed
+ORDER BY shard, pos
+"""
+
+
+# --------------------------------------------------------------------------
+# corpus_to_training_data — the flagship END-TO-END composition: raw
+# corpus → length floor → quality floor → exact dedup (keep lowest
+# id) → content-hash train split → per-source sequence packing →
+# per-pack summary. Every stage is an operator that also ships
+# standalone (corpus_clean_pipeline / split_train_eval /
+# pack_sequences); chained here they stay ONE lazy Catalyst plan —
+# filters fuse into the scan, the dedup is the only corpus-wide
+# shuffle (uniform digest key), the pack window runs per source
+# shard, and the summary agg shares the (source,...) clustering. The
+# oracle composes the same stages as SQL CTEs, so the whole pipeline
+# is hash-checked end-to-end, not just stage-by-stage.
+# --------------------------------------------------------------------------
+
+def corpus_to_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars") >= _MIN_CHARS
+    )
+    scored = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        F.round(tx.quality_score(F.col("text")), 9).alias("quality"),
+        F.md5(tx.normalize_text(F.col("text"))).alias("fingerprint"),
+    ).filter(F.col("quality") >= _MIN_QUALITY)
+    w_dup = Window.partitionBy("fingerprint").orderBy("doc_id")
+    deduped = (
+        scored.withColumn("rn", F.row_number().over(w_dup))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "fingerprint", "quality")
+    )
+    digest = F.md5(F.col("doc_id").cast("string"))
+    bucket = F.pmod(
+        F.ascii(F.substring(digest, 1, 1)) * 256
+        + F.ascii(F.substring(digest, 2, 1)),
+        F.lit(100),
+    )
+    train = deduped.filter(bucket < _TRAIN_PCT).select(
+        "doc_id", "source", tx.token_count(F.col("text")).alias("n_tokens")
+    )
+    w_pack = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_before = F.sum("n_tokens").over(w_pack) - F.col("n_tokens")
+    packed = train.withColumn(
+        "pack_id",
+        F.floor(cum_before.cast("double") / F.lit(float(_PACK_CAPACITY))),
+    )
+    return (
+        packed.groupBy("source", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("source", "pack_id")
+    )
+
+
+_E2E_SQL = f"""
+WITH scored AS (
+  SELECT
+    doc_id, source, text,
+    ROUND(
+      (CAST(LEN(list_distinct({_TOKS})) AS DOUBLE) / LEN({_TOKS})) * 0.5
+      + LEAST(CAST(LEN({_TOKS}) AS DOUBLE) / 100.0, 1.0) * 0.3
+      + (1.0 - CAST(LEN(list_filter({_TOKS},
+            t -> list_contains({_STOP_SQL['en']}, t))) AS DOUBLE)
+          / LEN({_TOKS})) * 0.2,
+      9) AS quality,
+    md5({_NORM}) AS fingerprint
+  FROM documents
+  WHERE n_chars >= {_MIN_CHARS}
+), deduped AS (
+  SELECT doc_id, source, text
+  FROM (
+    SELECT doc_id, source, text,
+           ROW_NUMBER() OVER (PARTITION BY fingerprint
+                              ORDER BY doc_id) AS rn
+    FROM scored
+    WHERE quality >= {_MIN_QUALITY}
+  )
+  WHERE rn = 1
+), train AS (
+  SELECT doc_id, source, LEN({_TOKS}) AS n_tokens
+  FROM deduped
+  WHERE (ascii(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256
+         + ascii(substring(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100
+        < {_TRAIN_PCT}
+), packed AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(FLOOR(CAST(
+           SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) - n_tokens
+           AS DOUBLE) / {_PACK_CAPACITY}.0) AS BIGINT) AS pack_id
+  FROM train
+)
+SELECT
+  source, pack_id,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+  MIN(doc_id) AS min_doc_id,
+  MAX(doc_id) AS max_doc_id
+FROM packed
+GROUP BY source, pack_id
+ORDER BY source, pack_id
+"""
+
+
 QUERIES = {
     "stratified_sample_documents": stratified_sample_documents,
     "sketch_event_stats": sketch_event_stats,
@@ -572,6 +734,8 @@ QUERIES = {
     "contamination_overlap": contamination_overlap,
     "dedup_incremental": dedup_incremental,
     "domain_mix_weights": domain_mix_weights,
+    "corpus_shuffle_shards": corpus_shuffle_shards,
+    "corpus_to_training_data": corpus_to_training_data,
 }
 
 ORACLES = {
@@ -586,4 +750,6 @@ ORACLES = {
     "contamination_overlap": _CONTAM_SQL,
     "dedup_incremental": _INCR_SQL,
     "domain_mix_weights": _MIX_SQL,
+    "corpus_shuffle_shards": _SHUFFLE_SQL,
+    "corpus_to_training_data": _E2E_SQL,
 }

@@ -662,22 +662,28 @@ _SALIENT_K = 3
 
 
 def doc_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sqltask_spark.data import materialize_and_release
+
     docs = load_table(spark, sf_dir, "documents")
+    # skinny inverted index persisted: it feeds both the df census
+    # and the join probe — one tokenization pass, released eagerly
+    # (same single-scan reasoning as contamination_overlap)
     inv = docs.select(
         "doc_id",
         F.explode(F.array_distinct(tx.tokenize(F.col("text")))).alias(
             "token"
         ),
-    ).filter(F.col("token") != "")
+    ).filter(F.col("token") != "").persist()
     dfreq = inv.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("token"))
-    return (
+    out = (
         inv.join(dfreq, "token")
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _SALIENT_K)
         .select("doc_id", "rank", "token", "df")
         .orderBy("doc_id", "rank")
     )
+    return materialize_and_release(out, inv)
 
 
 _SALIENT_SQL = f"""
@@ -714,15 +720,21 @@ ORDER BY doc_id, rank
 # --------------------------------------------------------------------------
 
 def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sqltask_spark.data import materialize_and_release
+
     docs = load_table(spark, sf_dir, "documents")
+    # The skinny (doc_id, shingle) relation feeds BOTH the df census
+    # and the join probe — persist it so the shingling pass runs once
+    # (same single-scan reasoning as contamination_overlap), released
+    # eagerly once the per-doc result materializes.
     inv = docs.select(
         "doc_id",
         F.explode(
             F.array_distinct(word_shingles(F.col("text"), 3))
         ).alias("shingle"),
-    )
+    ).persist()
     dfreq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    return (
+    out = (
         inv.join(dfreq, "shingle")
         .groupBy("doc_id")
         .agg(
@@ -741,6 +753,7 @@ def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+    return materialize_and_release(out, inv)
 
 
 _DUP_SPAN_SQL = f"""

@@ -276,12 +276,13 @@ def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sqltask_spark.operators.similarity import semdedup_prune
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # n_cells deliberately left on auto: it scales with the corpus so
+    # cell occupancy (and the per-cell quadratic) stays constant
     return semdedup_prune(
         emb,
         "vec_id",
         "embedding",
         threshold=_EMB_DUP_THRESHOLD,
-        n_cells=16,
     )
 
 

@@ -981,3 +981,41 @@ def test_bpe_encode_udf_matches_jvm_fold(spark, tmp_path):
         want.setdefault(r["id"], []).append(tuple(r["tokens"]))
     for k in want:
         assert sorted(got[k]) == sorted(want[k])
+
+
+def test_corpus_shuffle_shards_is_permutation(spark, tmp_path):
+    """The deterministic shuffle is a permutation: every doc appears
+    once, per-shard positions are dense 1..n, and re-running yields
+    the identical order (reproducibility is the point)."""
+    from sqltask_spark.queries.pipeline import corpus_shuffle_shards
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(40)], ["doc_id", "text"]
+    )
+    sf_dir = str(tmp_path / "sf")
+    docs.write.parquet(f"{sf_dir}/documents.parquet")
+    rows1 = corpus_shuffle_shards(spark, sf_dir).collect()
+    assert sorted(r["doc_id"] for r in rows1) == list(range(40))
+    by_shard: dict[int, list[int]] = {}
+    for r in rows1:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    rows2 = corpus_shuffle_shards(spark, sf_dir).collect()
+    assert [tuple(r) for r in rows1] == [tuple(r) for r in rows2]
+
+
+def test_cosine_topk_ivf_auto_cells(spark, tables):
+    """n_cells=None sizes the cell count from the corpus (~sqrt n) —
+    the call works end-to-end and returns a full top-k per query."""
+    from sqltask_spark.operators.similarity import cosine_topk_ivf
+
+    emb = tables["embeddings"]
+    queries = emb.filter(F.col("vec_id") <= 2)
+    out = cosine_topk_ivf(
+        queries, emb, "vec_id", "vec_id", k=3, n_cells=None, n_probe=4
+    ).collect()
+    per_q: dict[int, int] = {}
+    for r in out:
+        per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
+    assert all(v == 3 for v in per_q.values()) and len(per_q) >= 1

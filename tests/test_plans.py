@@ -178,3 +178,27 @@ def test_dedup_incremental_anti_join_no_cartesian(spark, sf_dir):
     # fingerprints only: neither scan reads the raw text twice over —
     # both sides prune to (doc_id, text) before hashing
     assert r.join_strategies  # one anti join present
+
+
+def test_dup_span_stats_no_cartesian(spark, sf_dir):
+    # inverted-index equi-join on the shingle key, never all-pairs
+    r = plan_report(QUERIES["dup_span_stats"](spark, sf_dir))
+    assert "CartesianProduct" not in r.join_strategies
+    assert "BroadcastNestedLoopJoin" not in r.join_strategies
+    assert r.join_strategies  # census joined back on shingle
+
+
+def test_semdedup_cell_join_no_nested_loop(spark, sf_dir):
+    # within-cell prune is an equi-join on the cell id: the quadratic
+    # stays confined to cells, the plan must never fall back to a
+    # nested-loop/cartesian over the full corpus
+    r = plan_report(QUERIES["semdedup_keep"](spark, sf_dir))
+    assert "CartesianProduct" not in r.join_strategies
+    assert "BroadcastNestedLoopJoin" not in r.join_strategies
+
+
+def test_domain_mix_single_aggregation(spark, sf_dir):
+    # one corpus-sized agg; the window runs over one-row-per-domain
+    r = plan_report(QUERIES["domain_mix_weights"](spark, sf_dir))
+    assert r.join_strategies == []
+    assert r.has_codegen

@@ -241,3 +241,44 @@ def test_star_components_match_union_find(spark, edges):
         for r in connected_components(df, algorithm="star").collect()
     }
     assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=10),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_bpe_encode_reconstructs_words(spark, words):
+    """BPE invariants on arbitrary corpora: (1) concatenating a
+    word's subword tokens reproduces the word — merging never loses
+    or reorders characters; (2) the Arrow-UDF encoder agrees with the
+    chained-JVM-fold encoder for the learned table."""
+    from sqltask_spark.operators.bpe import (
+        encode_corpus,
+        encode_with_merges,
+        learn_bpe_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(words))], ["doc_id", "text"]
+    )
+    merges = [
+        (r["left"], r["right"])
+        for r in learn_bpe_merges(docs, n_merges=4, min_pair_freq=1)
+        .orderBy("rank")
+        .collect()
+    ]
+    jvm = sorted(
+        "".join(r["tokens"]) for r in encode_with_merges(docs, merges).collect()
+    )
+    assert jvm == sorted(words)
+    udf = sorted(
+        tuple(r["tokens"]) for r in encode_corpus(docs, merges).collect()
+    )
+    jvm_tok = sorted(
+        tuple(r["tokens"]) for r in encode_with_merges(docs, merges).collect()
+    )
+    assert udf == jvm_tok
