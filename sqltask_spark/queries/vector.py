@@ -286,6 +286,78 @@ def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# label_centroids — per-label element-wise mean embedding (class
+# centroids: the building block of nearest-centroid classification,
+# cluster summaries, and drift monitoring). The numeric trap: a
+# cross-ROW float sum is order-dependent (IEEE addition is not
+# associative), so a naive avg() would hash differently per shuffle
+# order AND per engine — which is why every other vector op here
+# folds within a row only. Solution: fixed-point accumulation —
+# each element is floor-quantized to 2^-20 units (floor, not round:
+# no tie-breaking rule to disagree on), summed exactly as BIGINTs
+# (order-free), and divided once at the end. Max quantization error
+# 2^-20 per element, and the result is bit-identical on any engine
+# with IEEE doubles — hence the oracle. One posexplode + one
+# map-side-combined agg; output is (labels × dim) rows, never an
+# array cell (array cells defeat the driver's row canonicalizer).
+# --------------------------------------------------------------------------
+
+_FP_SCALE = 1 << 20
+
+
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "label",
+        F.posexplode(as_double_array(F.col("embedding"))).alias(
+            "pos", "x"
+        ),
+    ).withColumn(
+        "el", F.floor(F.col("x") * F.lit(float(_FP_SCALE))).cast("bigint")
+    )
+    return (
+        pos.groupBy("label", "pos")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("el").alias("sx"),
+        )
+        .select(
+            "label",
+            "pos",
+            "n_vectors",
+            F.round(
+                F.col("sx")
+                / (F.col("n_vectors") * F.lit(float(_FP_SCALE))),
+                9,
+            ).alias("centroid_val"),
+        )
+        .orderBy("label", "pos")
+    )
+
+
+_CENTROIDS_SQL = f"""
+WITH pos AS (
+  -- DuckDB lacks WITH ORDINALITY; index the list explicitly
+  SELECT
+    label,
+    i - 1 AS pos,
+    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {_FP_SCALE}.0) AS BIGINT)
+      AS el
+  FROM embeddings,
+       UNNEST(generate_series(1, LEN(embedding))) AS t(i)
+)
+SELECT
+  label, pos,
+  CAST(COUNT(*) AS BIGINT) AS n_vectors,
+  ROUND(CAST(SUM(el) AS DOUBLE) / (COUNT(*) * {_FP_SCALE}.0), 9)
+    AS centroid_val
+FROM pos
+GROUP BY label, pos
+ORDER BY label, pos
+"""
+
+
 QUERIES = {
     "ann_topk_brute": ann_topk_brute,
     "vector_norms": vector_norms,
@@ -296,6 +368,7 @@ QUERIES = {
     "dedup_embedding_pairs_lsh": dedup_embedding_pairs_lsh,
     "embedding_quantize_int8": embedding_quantize_int8,
     "semdedup_keep": semdedup_keep,
+    "label_centroids": label_centroids,
 }
 
 ORACLES = {
@@ -303,5 +376,6 @@ ORACLES = {
     "vector_norms": _NORMS_SQL,
     "dedup_embedding_pairs": _EMB_PAIRS_SQL,
     "embedding_quantize_int8": _QUANT_SQL,
+    "label_centroids": _CENTROIDS_SQL,
     # ann_topk_lsh: no oracle (seeded hyperplanes, approximate).
 }
