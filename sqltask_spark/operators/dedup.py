@@ -367,10 +367,18 @@ def ngram_jaccard_pairs(
             df_counts.filter(F.col("df") <= max_shingle_df).select("shingle"),
             "shingle",
         )
-    a = inv.select(F.col("id").alias("id_a"), "shingle")
-    b = inv.select(F.col("id").alias("id_b"), "shingle")
+    # Candidate self-join on the HASH of the shingle, not the string:
+    # this is the heaviest exchange (quadratic in per-shingle df) and
+    # longs shuffle ~3-5x fewer bytes than 3-gram text. A hash
+    # collision only adds a spurious candidate pair, which the exact
+    # Jaccard verify below filters — the result set is unchanged.
+    # (The df cap above stays on the string so capped-mode semantics
+    # match the oracle exactly.)
+    inv_h = inv.select("id", F.xxhash64("shingle").alias("sh"))
+    a = inv_h.select(F.col("id").alias("id_a"), "sh")
+    b = inv_h.select(F.col("id").alias("id_b"), "sh")
     cand = (
-        a.join(b, "shingle")
+        a.join(b, "sh")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])

@@ -202,3 +202,12 @@ def test_domain_mix_single_aggregation(spark, sf_dir):
     r = plan_report(QUERIES["domain_mix_weights"](spark, sf_dir))
     assert r.join_strategies == []
     assert r.has_codegen
+
+
+def test_corpus_to_training_data_single_chain(spark, sf_dir):
+    # clean → dedup → split → pack composes into ONE scan chain:
+    # no joins anywhere, the length floor reaches the parquet scan
+    r = plan_report(QUERIES["corpus_to_training_data"](spark, sf_dir))
+    assert r.join_strategies == []
+    assert any("n_chars" in f for f in r.pushed_filters)
+    assert r.has_codegen
