@@ -237,12 +237,18 @@ def contamination_overlap(
     from sqltask_spark.data import materialize_and_release
 
     docs = load_table(spark, sf_dir, "documents")
+    # The shingle is hashed to a long AT THE EXPLODE: the persisted
+    # index, the df census, and the posting groupBy all carry 8 bytes
+    # instead of 3-gram text (~3-5x). A collision merges two shingles'
+    # postings (undercounts n_shared by at most the collision count) —
+    # at 2^64 that's ~1e-9 for any realistic shingle vocabulary, and
+    # the oracle cross-check would surface it.
     inv = docs.select(
         "doc_id",
         F.explode(
             F.array_distinct(word_shingles(F.col("text"), 3))
-        ).alias("shingle"),
-    )
+        ).alias("sh_str"),
+    ).select("doc_id", F.xxhash64("sh_str").alias("shingle"))
     cached = None
     # Hot-shingle cap: count df per shingle (map-side-combined longs,
     # cheap) and drop shingles above the cap BEFORE any posting list

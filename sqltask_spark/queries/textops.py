@@ -726,13 +726,17 @@ def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The skinny (doc_id, shingle) relation feeds BOTH the df census
     # and the join probe — persist it so the shingling pass runs once
     # (same single-scan reasoning as contamination_overlap), released
-    # eagerly once the per-doc result materializes.
+    # eagerly once the per-doc result materializes. The shingle is
+    # hashed to a long at the explode: cache, census, and join all
+    # carry 8 bytes instead of 3-gram text (collision odds ~1e-9; a
+    # collision would only mark a unique shingle duplicated, and the
+    # oracle cross-check would surface it).
     inv = docs.select(
         "doc_id",
         F.explode(
             F.array_distinct(word_shingles(F.col("text"), 3))
-        ).alias("shingle"),
-    ).persist()
+        ).alias("sh_str"),
+    ).select("doc_id", F.xxhash64("sh_str").alias("shingle")).persist()
     dfreq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     out = (
         inv.join(dfreq, "shingle")
