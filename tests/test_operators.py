@@ -1019,3 +1019,32 @@ def test_cosine_topk_ivf_auto_cells(spark, tables):
     for r in out:
         per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
     assert all(v == 3 for v in per_q.values()) and len(per_q) >= 1
+
+
+def test_text_queries_null_and_empty_text(spark, tmp_path):
+    """NULL, empty, and whitespace-only texts must never raise (ANSI
+    mode makes regex/array ops on NULL easy to get wrong) — rows
+    degrade to empty token sets or drop out of token-keyed outputs."""
+    from sqltask_spark.queries import QUERIES
+
+    rows = [(1, None), (2, ""), (3, "   "), (4, "one normal document here")]
+    docs = (
+        spark.createDataFrame(rows, "doc_id long, text string")
+        .withColumn("n_chars", F.coalesce(F.length("text"), F.lit(0)))
+        .withColumn("lang", F.lit("en"))
+        .withColumn("source", F.lit("s"))
+    )
+    sf_dir = str(tmp_path / "sf")
+    docs.write.parquet(f"{sf_dir}/documents.parquet")
+    per_doc_ops = [
+        "text_stats", "quality_score_documents", "doc_fingerprint",
+        "lang_id_documents", "dup_span_stats", "repetition_stats",
+        "token_count_bpe", "chunk_documents", "redact_documents",
+        "corpus_shuffle_shards", "pack_sequences",
+    ]
+    for name in per_doc_ops:
+        assert QUERIES[name](spark, sf_dir).count() == 4, name
+    # token-keyed output: the NULL-text doc has no tokens and drops out
+    assert QUERIES["doc_salient_terms"](spark, sf_dir).count() == 3
+    # degenerate corpus: no repeated pair reaches min_pair_freq
+    assert QUERIES["bpe_learn_merges"](spark, sf_dir).count() == 0
