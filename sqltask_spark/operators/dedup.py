@@ -531,3 +531,83 @@ def exact_dedup(
             F.count(F.lit(1)).alias("n_copies"),
         )
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    min_shingles: int = 1,
+) -> DataFrame:
+    """Per-document maximal duplicated token spans (exact-substring
+    dedup signal with POSITIONS — the span-level refinement of
+    ``dup_span_stats``; cf. Lee et al., "Deduplicating Training Data
+    Makes Language Models Better", which removes repeated substrings
+    rather than whole documents).
+
+    A token position is *duplicated* when the ``shingle_n``-gram
+    starting there occurs in at least one OTHER document; maximal runs
+    of consecutive duplicated positions become spans
+    ``[start_token, end_token]`` (token coordinates; ``end_token``
+    covers the last gram's tail). A downstream cut pass can splice
+    these spans out of the text — this operator emits the coordinates.
+
+    Scale shape (never all-pairs): one positional shingle explode
+    (shingles hashed to longs at the explode — shuffle carries 8 bytes,
+    not 3-gram text), one distinct + map-side-combined census for the
+    cross-document frequency, one equi-join back on the hashed shingle
+    (df is one row per shingle so the join never explodes; hot
+    boilerplate shingles are AQE skew-join territory), then one
+    gaps-and-islands window per document (``pos − row_number`` is
+    constant within a consecutive run). Short documents (< n tokens)
+    collapse to a single whole-text shingle at position 0, so their
+    one possible span is nominal.
+
+    Returns (doc_id, span_idx, start_token, end_token,
+    n_dup_shingles) ordered within each doc by span start.
+    """
+    from pyspark.sql import Window
+
+    from sqltask_spark.data import materialize_and_release
+
+    sh = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(word_shingles(F.col(text_col), shingle_n)).alias(
+                "pos", "sh_str"
+            ),
+        )
+        .select("doc_id", "pos", F.xxhash64("sh_str").alias("shingle"))
+        .persist()
+    )
+    dfreq = (
+        sh.select("doc_id", "shingle")
+        .distinct()
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+    )
+    dup_pos = sh.join(dfreq, "shingle").select("doc_id", "pos")
+    w_pos = Window.partitionBy("doc_id").orderBy("pos")
+    runs = dup_pos.withColumn(
+        "island", F.col("pos") - F.row_number().over(w_pos)
+    )
+    spans = (
+        runs.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("start_token"),
+            (F.max("pos") + F.lit(shingle_n - 1)).alias("end_token"),
+            F.count(F.lit(1)).alias("n_dup_shingles"),
+        )
+        .filter(F.col("n_dup_shingles") >= min_shingles)
+    )
+    w_span = Window.partitionBy("doc_id").orderBy("start_token")
+    out = spans.select(
+        "doc_id",
+        F.row_number().over(w_span).alias("span_idx"),
+        "start_token",
+        "end_token",
+        "n_dup_shingles",
+    )
+    return materialize_and_release(out, sh)

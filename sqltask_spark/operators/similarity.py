@@ -187,6 +187,24 @@ def cosine_near_pairs_blocked(
     cross-block pairs meet only on (min(bx, by), max(bx, by)) with x
     and y on fixed sides.
     """
+    scored = _blocked_pair_scores(
+        df, id_col, vec_col, n_blocks, round_digits
+    )
+    return scored.filter(F.col("cosine") >= threshold).select(
+        "id_a", "id_b", "cosine"
+    )
+
+
+def _blocked_pair_scores(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_blocks: int,
+    round_digits: int,
+) -> DataFrame:
+    """All unordered pairs (id_a < id_b, rounded cosine) via the
+    triangle block join — the shared engine of
+    :func:`cosine_near_pairs_blocked` and :func:`knn_graph`."""
     e = df.select(
         F.col(id_col).alias("id"),
         as_double_array(F.col(vec_col)).alias("v"),
@@ -224,12 +242,62 @@ def cosine_near_pairs_blocked(
                 round_digits,
             ),
         )
-        .filter(F.col("cosine") >= threshold)
     )
     return scored.select(
         F.least("id_a", "id_b").alias("id_a"),
         F.greatest("id_a", "id_b").alias("id_b"),
         "cosine",
+    )
+
+
+def knn_graph(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_blocks: int = 8,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact k-nearest-neighbor graph over the corpus: for EVERY
+    vector, its top-``k`` cosine neighbors (the substrate of
+    graph-based curation — SemDeDup-style cluster pruning, label
+    propagation over neighbors, connectivity-based outlier removal).
+
+    Physical plan: the triangle block join scores each unordered pair
+    once (O(n²) compute — inherent to the exact graph — but shuffle
+    volume O(n · n_blocks) and no task holds more than ~2n/B vectors),
+    then each pair is emitted in both directions and a per-source
+    window keeps the top k. The window shuffle carries (src, dst,
+    score) triples only — 20 bytes per pair, not vectors. At corpus
+    sizes where exact O(n²) is off the table, build the graph from
+    IVF cells instead (:func:`cosine_topk_ivf` with the corpus as its
+    own query set probing n_probe cells) and accept approximate
+    recall; this operator is the exact baseline those variants are
+    measured against. Zero-norm vectors score NULL against everything
+    and are dropped from the graph.
+
+    Returns (src_id, rank, dst_id, score), rank 1..k by descending
+    score with dst tie-break — fully deterministic.
+    """
+    pairs = _blocked_pair_scores(df, id_col, vec_col, n_blocks, round_digits)
+    sym = pairs.select(
+        F.col("id_a").alias("src_id"),
+        F.col("id_b").alias("dst_id"),
+        F.col("cosine").alias("score"),
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("src_id"),
+            F.col("id_a").alias("dst_id"),
+            F.col("cosine").alias("score"),
+        )
+    ).filter(F.col("score").isNotNull())
+    w = Window.partitionBy("src_id").orderBy(
+        F.desc("score"), F.asc("dst_id")
+    )
+    return (
+        sym.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src_id", "rank", "dst_id", "score")
     )
 
 

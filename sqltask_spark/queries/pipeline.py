@@ -729,8 +729,69 @@ ORDER BY source, pack_id
 """
 
 
+# --------------------------------------------------------------------------
+# length_histogram — per-source token-length distribution in fixed-
+# width buckets: the planning input for sequence packing (capacity
+# choice), truncation policy, and domain mixing (length skew between
+# sources biases any token-budgeted mix). One projection + one
+# map-side-combined agg; the share window runs over the AGGREGATED
+# rows only (sources × buckets), never the corpus.
+# --------------------------------------------------------------------------
+
+_HIST_WIDTH = 64
+
+
+def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = tx.token_count(F.col("text"))
+    bucketed = docs.select(
+        "source",
+        (F.floor(n_tok / _HIST_WIDTH).cast("int") * _HIST_WIDTH).alias(
+            "bucket_lo"
+        ),
+        n_tok.alias("n_tokens"),
+    )
+    agg = bucketed.groupBy("source", "bucket_lo").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    w = Window.partitionBy("source")
+    return agg.select(
+        "source",
+        "bucket_lo",
+        "n_docs",
+        "total_tokens",
+        F.round(
+            F.col("n_docs") / F.sum("n_docs").over(w), 9
+        ).alias("doc_share"),
+    ).orderBy("source", "bucket_lo")
+
+
+_HIST_SQL = f"""
+WITH b AS (
+  SELECT
+    source,
+    CAST(FLOOR(LEN({_TOKS}) / {_HIST_WIDTH}.0) AS INT) * {_HIST_WIDTH}
+      AS bucket_lo,
+    LEN({_TOKS}) AS n_tokens
+  FROM documents
+), agg AS (
+  SELECT source, bucket_lo,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+  FROM b GROUP BY source, bucket_lo
+)
+SELECT source, bucket_lo, n_docs, total_tokens,
+       ROUND(CAST(n_docs AS DOUBLE)
+               / SUM(n_docs) OVER (PARTITION BY source), 9) AS doc_share
+FROM agg
+ORDER BY source, bucket_lo
+"""
+
+
 QUERIES = {
     "stratified_sample_documents": stratified_sample_documents,
+    "length_histogram": length_histogram,
     "sketch_event_stats": sketch_event_stats,
     "split_train_eval": split_train_eval,
     "vocab_top_tokens": vocab_top_tokens,
@@ -746,6 +807,7 @@ QUERIES = {
 
 ORACLES = {
     "stratified_sample_documents": _STRAT_SQL,
+    "length_histogram": _HIST_SQL,
     # sketch_event_stats: rows-only (sketch encodings are
     # engine-specific; error bounds pytest-verified)
     "split_train_eval": _SPLIT_SQL,

@@ -782,6 +782,67 @@ ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
+# exact_dup_spans — the span-level refinement of dup_span_stats:
+# per document, the maximal CONTIGUOUS runs of token positions whose
+# 3-gram occurs in another document, with coordinates — what an
+# exact-substring cut pass (Lee et al.) would splice out. See
+# operators.dedup.duplicate_spans for the scale shape (positional
+# explode + df census + gaps-and-islands window; never all-pairs).
+# --------------------------------------------------------------------------
+
+def exact_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sqltask_spark.operators.dedup import duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_spans(docs, "doc_id", "text", shingle_n=3).orderBy(
+        "doc_id", "span_idx"
+    )
+
+
+#: positional 3-gram shingles WITH multiplicity (dup-span coordinates
+#: need every position, unlike the deduped _SHINGLES set)
+_POS_SHINGLES = f"""
+CASE WHEN LEN({_TOKS}) >= 3
+     THEN list_transform(
+            generate_series(1, LEN({_TOKS}) - 2),
+            i -> concat_ws(' ', {_TOKS}[i], {_TOKS}[i+1], {_TOKS}[i+2]))
+     ELSE [{_NORM}] END
+"""
+
+_DUP_SPANS_SQL = f"""
+WITH sh AS MATERIALIZED (
+  SELECT doc_id, CAST(i - 1 AS INT) AS pos, grams[i] AS shingle
+  FROM (SELECT doc_id, {_POS_SHINGLES} AS grams FROM documents),
+       UNNEST(generate_series(1, LEN(grams))) AS t(i)
+), dfreq AS (
+  SELECT shingle FROM sh
+  GROUP BY shingle HAVING COUNT(DISTINCT doc_id) >= 2
+), dup AS (
+  SELECT s.doc_id, s.pos FROM sh s JOIN dfreq d ON s.shingle = d.shingle
+), runs AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+           AS island
+  FROM dup
+), spans AS (
+  SELECT doc_id, island,
+         MIN(pos) AS start_token,
+         MAX(pos) + 2 AS end_token,
+         CAST(COUNT(*) AS BIGINT) AS n_dup_shingles
+  FROM runs GROUP BY doc_id, island
+)
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY start_token) AS INT) AS span_idx,
+       CAST(start_token AS INT) AS start_token,
+       CAST(end_token AS INT) AS end_token,
+       n_dup_shingles
+FROM spans
+ORDER BY doc_id, span_idx
+"""
+
+
+# --------------------------------------------------------------------------
 # bpe_learn_merges — train a BPE tokenizer's merge table on the
 # corpus (see sqltask_spark.operators.bpe for the distributed
 # algorithm). Rows-only for the driver: the output is the merge
@@ -819,6 +880,7 @@ QUERIES = {
     "redact_documents": redact_documents,
     "doc_salient_terms": doc_salient_terms,
     "dup_span_stats": dup_span_stats,
+    "exact_dup_spans": exact_dup_spans,
     "bpe_learn_merges": bpe_learn_merges,
 }
 
@@ -839,6 +901,7 @@ ORACLES = {
     "redact_documents": _REDACT_SQL,
     "doc_salient_terms": _SALIENT_SQL,
     "dup_span_stats": _DUP_SPAN_SQL,
+    "exact_dup_spans": _DUP_SPANS_SQL,
     # dedup_minhash_pairs / dedup_simhash_pairs: intentionally no
     # oracle — Spark-native xxhash64 signatures.
 }

@@ -358,6 +358,53 @@ ORDER BY label, pos
 """
 
 
+# --------------------------------------------------------------------------
+# knn_graph — exact k-NN graph over the whole corpus (every vector's
+# top-k neighbors), the substrate of graph-based curation. Blocked
+# triangle join scores each pair once; both directions + per-source
+# window. O(n²) compute is inherent to the exact graph — the IVF
+# variants are the approximate scale path, and this entry is the
+# baseline they are measured against. Fully deterministic (rounded
+# scores, dst tie-break) → oracle-hashed.
+# --------------------------------------------------------------------------
+
+_KNN_K = 3
+
+
+def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sqltask_spark.operators.similarity import knn_graph as knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn(emb, "vec_id", "embedding", k=_KNN_K).orderBy(
+        "src_id", "rank"
+    )
+
+
+_KNN_SQL = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), pairs AS (
+  SELECT
+    a.vec_id AS src_id,
+    b.vec_id AS dst_id,
+    ROUND(list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(b.v, b.v))), 6) AS score
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+)
+SELECT src_id, CAST(rank AS INT) AS rank, dst_id, score
+FROM (
+  SELECT src_id, dst_id, score,
+         ROW_NUMBER() OVER (PARTITION BY src_id
+                            ORDER BY score DESC, dst_id ASC) AS rank
+  FROM pairs
+  WHERE score IS NOT NULL
+)
+WHERE rank <= {_KNN_K}
+ORDER BY src_id, rank
+"""
+
+
 QUERIES = {
     "ann_topk_brute": ann_topk_brute,
     "vector_norms": vector_norms,
@@ -369,6 +416,7 @@ QUERIES = {
     "embedding_quantize_int8": embedding_quantize_int8,
     "semdedup_keep": semdedup_keep,
     "label_centroids": label_centroids,
+    "knn_graph": knn_graph,
 }
 
 ORACLES = {
@@ -377,5 +425,6 @@ ORACLES = {
     "dedup_embedding_pairs": _EMB_PAIRS_SQL,
     "embedding_quantize_int8": _QUANT_SQL,
     "label_centroids": _CENTROIDS_SQL,
+    "knn_graph": _KNN_SQL,
     # ann_topk_lsh: no oracle (seeded hyperplanes, approximate).
 }

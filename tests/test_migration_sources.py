@@ -208,3 +208,45 @@ def test_avro_source_gated(spark, tmp_path):
         return
     got = avro_source(spark, path).collect()
     assert [(r["id"], r["name"]) for r in got] == [(1, "a")]
+
+
+def test_jsonl_source_roundtrip_and_quarantine(spark, tmp_path):
+    """Clean lines come back typed; malformed lines land in the
+    quarantine frame with the raw text preserved."""
+    from sqltask_spark.sources.files import jsonl_source
+
+    p = tmp_path / "corpus"
+    p.mkdir()
+    (p / "part-0.jsonl").write_text(
+        '{"doc_id": 1, "text": "alpha beta"}\n'
+        '{"doc_id": 2, "text": "gamma"}\n'
+        'not json at all{{{\n'
+        '{"doc_id": "xyz", "text": "type mismatch"}\n'
+    )
+    good, bad = jsonl_source(
+        spark, str(p), "doc_id BIGINT, text STRING"
+    )
+    rows = {r["doc_id"]: r["text"] for r in good.collect()}
+    assert rows == {1: "alpha beta", 2: "gamma"}
+    bad_lines = [r["raw_line"] for r in bad.collect()]
+    assert len(bad_lines) == 2
+    assert any("not json" in l for l in bad_lines)
+    assert any("xyz" in l for l in bad_lines)
+
+
+def test_jsonl_source_write_read_shards(spark, tmp_path):
+    """write_training_shards(fmt='json') → jsonl_source closes the
+    loop: the export a training job reads back is ingestible with an
+    explicit schema and zero quarantined rows."""
+    from sqltask_spark.sinks.files import write_training_shards
+    from sqltask_spark.sources.files import jsonl_source
+
+    df = spark.range(1, 101).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc "), F.col("id").cast("string")).alias("text"),
+    )
+    out = str(tmp_path / "shards")
+    write_training_shards(df, out, records_per_shard=25, fmt="json")
+    good, bad = jsonl_source(spark, out, "doc_id BIGINT, text STRING")
+    assert good.count() == 100
+    assert bad.count() == 0

@@ -1048,3 +1048,54 @@ def test_text_queries_null_and_empty_text(spark, tmp_path):
     assert QUERIES["doc_salient_terms"](spark, sf_dir).count() == 3
     # degenerate corpus: no repeated pair reaches min_pair_freq
     assert QUERIES["bpe_learn_merges"](spark, sf_dir).count() == 0
+
+
+def test_duplicate_spans_coordinates(spark):
+    """Two docs share a verbatim 5-token run → one span each covering
+    exactly that run; a unique doc yields no spans."""
+    from sqltask_spark.operators.dedup import duplicate_spans
+
+    docs = list_source(
+        spark,
+        ["doc_id", "text"],
+        [
+            [1, "a b c d e f g h"],
+            [2, "x y z d e f g h q"],
+            [3, "totally unique words only appearing here"],
+        ],
+    )
+    out = duplicate_spans(docs, "doc_id", "text", shingle_n=3).collect()
+    spans = {r["doc_id"]: r for r in out}
+    assert set(spans) == {1, 2}
+    for d in (1, 2):
+        r = spans[d]
+        # shared grams "d e f"/"e f g"/"f g h" start at token 3 in both
+        assert (r["start_token"], r["end_token"], r["n_dup_shingles"]) == (
+            3, 7, 3,
+        )
+        assert r["span_idx"] == 1
+
+
+def test_knn_graph_matches_per_vector_brute(spark):
+    """knn_graph (blocked pair scoring + symmetrize) must equal the
+    per-vector brute-force top-k with the corpus as its own query set."""
+    from sqltask_spark.operators.similarity import knn_graph
+
+    rows = [
+        [i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(8)]]
+        for i in range(1, 21)
+    ]
+    emb = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows], "vec_id long, embedding array<double>"
+    )
+    got = {
+        (r["src_id"], r["rank"], r["dst_id"], r["score"])
+        for r in knn_graph(emb, "vec_id", "embedding", k=3).collect()
+    }
+    want = {
+        (r["query_id"], r["rank"], r["neighbor_id"], r["score"])
+        for r in cosine_topk_brute(
+            emb, emb, "vec_id", "vec_id", k=3
+        ).collect()
+    }
+    assert got == want
