@@ -229,3 +229,112 @@ def redaction_counts(col: Column) -> tuple[Column, Column]:
         F.regexp_extract_all(after_email, F.lit(LONG_NUM_PATTERN), 0)
     )
     return n_email, n_num
+
+
+def bigram_lm_nll(
+    df: "DataFrame",
+    id_col: str,
+    text_col: str,
+) -> "DataFrame":
+    """Corpus-trained bigram language-model score per document — the
+    CCNet-style quality signal (Wenzek et al. 2020 filter web text by
+    LM perplexity; here the LM is trained on the corpus itself, so
+    the score flags documents whose token transitions are atypical
+    for the corpus: boilerplate, lorem-ipsum, non-linguistic noise).
+
+    Model: add-one-smoothed bigram LM.  ``P(cur | prev) =
+    (c(prev,cur) + 1) / (c(prev) + V)`` with ``V`` the corpus
+    distinct-token count; a document's score is the mean negative
+    log-likelihood over its bigrams (``avg_nll``, nats/bigram) and
+    its exponential (``ppl``).
+
+    Scale shape: one tokenize pass (persisted skinny, released
+    eagerly); bigrams are formed JVM-side with ``zip_with`` over two
+    array slices (no window, no per-row Python) and hashed to 64-bit
+    at the explode so every shuffle carries longs, not text.  The two
+    count tables are VOCABULARY-sized, not corpus-sized — the joins
+    back to the bigram stream are plain equi-joins on the hash, and
+    ``V`` is a 1-row aggregate Spark broadcasts.  Per-bigram log
+    probabilities are rounded to fixed-point micro-nats (bigint)
+    before the per-doc sum, so the aggregate is an exact integer sum
+    — associative, partition-order-free, reproducible across any
+    cluster layout (the same trick as ``label_centroids``).
+
+    Documents with fewer than two tokens (incl. NULL/empty text)
+    contribute no bigrams, are excluded from the training vocabulary,
+    and are absent from the output — the LM is trained on exactly the
+    token stream it scores.
+
+    Returns (doc_id, n_bigrams, avg_nll, ppl).
+    """
+    from pyspark.sql import DataFrame  # noqa: F401  (typing)
+
+    from sqltask_spark.data import materialize_and_release
+
+    n = F.size("t")
+    toks = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            tokenize(F.col(text_col)).alias("t"),
+        )
+        .filter(n >= 2)
+        .persist()
+    )
+    vocab = toks.select(F.explode("t").alias("tok")).agg(
+        F.countDistinct("tok").alias("v")
+    )
+    bg = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice("t", 1, n - 1),
+                    F.slice("t", 2, n - 1),
+                    lambda a, b: F.struct(
+                        a.alias("prev"),
+                        F.concat_ws(" ", a, b).alias("bg"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select(
+            "doc_id",
+            F.xxhash64("p.prev").alias("prev_h"),
+            F.xxhash64("p.bg").alias("bg_h"),
+        )
+        .persist()
+    )
+    bgc = bg.groupBy("bg_h").agg(F.count(F.lit(1)).alias("c_bg"))
+    ctx = bg.groupBy("prev_h").agg(F.count(F.lit(1)).alias("c_prev"))
+    q = (
+        bg.join(bgc, "bg_h")
+        .join(ctx, "prev_h")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (F.col("c_bg") + F.lit(1))
+                    / (F.col("c_prev") + F.col("v"))
+                )
+                * F.lit(1000000.0)
+            )
+            .cast("long")
+            .alias("q"),
+        )
+    )
+    nll = -F.col("sum_q") / (F.col("n_bigrams") * F.lit(1000000.0))
+    out = (
+        q.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("q").alias("sum_q"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(nll, 6).alias("avg_nll"),
+            F.round(F.exp(nll), 4).alias("ppl"),
+        )
+    )
+    return materialize_and_release(out, toks, bg)

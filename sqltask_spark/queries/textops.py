@@ -843,6 +843,50 @@ ORDER BY doc_id, span_idx
 
 
 # --------------------------------------------------------------------------
+# lm_perplexity — corpus-trained add-one bigram LM, per-document mean
+# negative log-likelihood + perplexity (the CCNet quality signal; see
+# operators.text.bigram_lm_nll for the scale shape: hashed-bigram
+# explode, vocabulary-sized count tables, fixed-point micro-nat sums
+# so the per-doc aggregate is an exact partition-order-free integer).
+# --------------------------------------------------------------------------
+
+def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.bigram_lm_nll(docs, "doc_id", "text").orderBy("doc_id")
+
+
+_LM_PPL_SQL = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+  WHERE LEN({_TOKS}) >= 2
+), vocab AS (
+  SELECT COUNT(DISTINCT tok) AS v
+  FROM (SELECT UNNEST(t) AS tok FROM toks)
+), bg AS MATERIALIZED (
+  SELECT doc_id, t[i] AS prev, t[i] || ' ' || t[i+1] AS bigram
+  FROM toks, UNNEST(generate_series(1, LEN(t) - 1)) AS u(i)
+), bgc AS (
+  SELECT bigram, COUNT(*) AS c_bg FROM bg GROUP BY bigram
+), ctx AS (
+  SELECT prev, COUNT(*) AS c_prev FROM bg GROUP BY prev
+), q AS (
+  SELECT bg.doc_id,
+         CAST(ROUND(LN((c_bg + 1.0) / (c_prev + v)) * 1000000) AS BIGINT)
+           AS q
+  FROM bg JOIN bgc USING (bigram) JOIN ctx USING (prev), vocab
+), agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, SUM(q) AS sum_q
+  FROM q GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams,
+       ROUND(-sum_q / (n_bigrams * 1000000.0), 6) AS avg_nll,
+       ROUND(EXP(-sum_q / (n_bigrams * 1000000.0)), 4) AS ppl
+FROM agg
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # bpe_learn_merges — train a BPE tokenizer's merge table on the
 # corpus (see sqltask_spark.operators.bpe for the distributed
 # algorithm). Rows-only for the driver: the output is the merge
@@ -881,6 +925,7 @@ QUERIES = {
     "doc_salient_terms": doc_salient_terms,
     "dup_span_stats": dup_span_stats,
     "exact_dup_spans": exact_dup_spans,
+    "lm_perplexity": lm_perplexity,
     "bpe_learn_merges": bpe_learn_merges,
 }
 
@@ -902,6 +947,7 @@ ORACLES = {
     "doc_salient_terms": _SALIENT_SQL,
     "dup_span_stats": _DUP_SPAN_SQL,
     "exact_dup_spans": _DUP_SPANS_SQL,
+    "lm_perplexity": _LM_PPL_SQL,
     # dedup_minhash_pairs / dedup_simhash_pairs: intentionally no
     # oracle — Spark-native xxhash64 signatures.
 }

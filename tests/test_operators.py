@@ -1048,6 +1048,51 @@ def test_text_queries_null_and_empty_text(spark, tmp_path):
     assert QUERIES["doc_salient_terms"](spark, sf_dir).count() == 3
     # degenerate corpus: no repeated pair reaches min_pair_freq
     assert QUERIES["bpe_learn_merges"](spark, sf_dir).count() == 0
+    # bigram LM: only the one ≥2-token doc trains and scores
+    assert QUERIES["lm_perplexity"](spark, sf_dir).count() == 1
+
+
+def test_bigram_lm_nll_matches_reference(spark):
+    """Spark scores must match a pure-Python add-one bigram LM on a
+    hand corpus; the noise doc (transitions unseen elsewhere, rare
+    unigrams) must score strictly worse than the templated docs."""
+    import math
+    from collections import Counter
+
+    from sqltask_spark.operators.text import bigram_lm_nll
+
+    corpus = {
+        1: "the cat sat on the mat",
+        2: "the cat sat on the hat",
+        3: "the dog sat on the mat",
+        4: "zq xv qqq zz yy",
+    }
+    docs = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_nll"], r["ppl"])
+        for r in bigram_lm_nll(docs, "doc_id", "text").collect()
+    }
+
+    toks = {k: v.split() for k, v in corpus.items()}
+    vocab_n = len({t for ts in toks.values() for t in ts})
+    bgc: Counter = Counter()
+    ctx: Counter = Counter()
+    for ts in toks.values():
+        for a, b in zip(ts, ts[1:]):
+            bgc[(a, b)] += 1
+            ctx[a] += 1
+    for k, ts in toks.items():
+        qs = [
+            round(math.log((bgc[(a, b)] + 1) / (ctx[a] + vocab_n)) * 1e6)
+            for a, b in zip(ts, ts[1:])
+        ]
+        nll = -sum(qs) / (len(qs) * 1e6)
+        assert got[k][0] == len(qs)
+        assert abs(got[k][1] - nll) < 1e-5, k
+        assert abs(got[k][2] - math.exp(nll)) < 1e-3, k
+    assert got[4][1] > max(got[k][1] for k in (1, 2, 3))
 
 
 def test_duplicate_spans_coordinates(spark):
