@@ -40,6 +40,7 @@ HEADLINE = [
     "dedup_ngram_jaccard_capped",
     "text_stats",
     "repetition_stats",
+    "lm_perplexity",
     "ann_topk_brute",
     "ann_topk_lsh",
     "ann_topk_ivf",

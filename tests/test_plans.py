@@ -211,3 +211,27 @@ def test_corpus_to_training_data_single_chain(spark, sf_dir):
     assert r.join_strategies == []
     assert any("n_chars" in f for f in r.pushed_filters)
     assert r.has_codegen
+
+
+def test_lm_perplexity_no_cartesian_vocab_broadcast(spark, sf_dir):
+    # count-table joins are equi-joins on the bigram hash; the only
+    # nested-loop is the 1-row vocab scalar Spark broadcasts
+    r = plan_report(QUERIES["lm_perplexity"](spark, sf_dir))
+    assert "CartesianProduct" not in r.join_strategies
+    assert r.has_codegen
+
+
+def test_knn_graph_blocked_equi_join_only(spark, sf_dir):
+    # exact kNN graph scores pairs via the triangle block equi-join —
+    # never a nested-loop or cartesian pair enumeration
+    r = plan_report(QUERIES["knn_graph"](spark, sf_dir))
+    assert "CartesianProduct" not in r.join_strategies
+    assert "BroadcastNestedLoopJoin" not in r.join_strategies
+
+
+def test_exact_dup_spans_equi_join_on_hash(spark, sf_dir):
+    # positional dup spans: df census joins back on the hashed
+    # shingle (one row per shingle) — no pair explosion paths
+    r = plan_report(QUERIES["exact_dup_spans"](spark, sf_dir))
+    assert "CartesianProduct" not in r.join_strategies
+    assert "BroadcastNestedLoopJoin" not in r.join_strategies
