@@ -503,6 +503,20 @@ def _centroid_matrix(
     build side. Lloyd runs driver-side on the sample (see
     :func:`_spherical_kmeans`).
     """
+    sample = _sample_matrix(corpus, corpus_id, vec_col, sample_cap, seed)
+    return _spherical_kmeans(sample, n_cells, kmeans_iters)
+
+
+def _sample_matrix(
+    corpus: DataFrame,
+    corpus_id: str,
+    vec_col: str,
+    sample_cap: int = 4096,
+    seed: int = 42,
+) -> np.ndarray:
+    """Seeded hash-ordered bounded corpus sample as a numpy matrix
+    (the shared training input of the coarse quantizer and the PQ
+    codebooks — one ``TakeOrderedAndProject``, one bounded collect)."""
     rows = (
         corpus.select(F.col(corpus_id).alias("id"), F.col(vec_col).alias("v"))
         .orderBy(
@@ -511,8 +525,7 @@ def _centroid_matrix(
         .limit(sample_cap)
         .collect()
     )
-    sample = np.array([list(r["v"]) for r in rows], dtype=np.float64)
-    return _spherical_kmeans(sample, n_cells, kmeans_iters)
+    return np.array([list(r["v"]) for r in rows], dtype=np.float64)
 
 
 def _cell_assign_udf(centroids, n_probe: int):
@@ -919,3 +932,219 @@ def semdedup_prune(
         .orderBy("id")
     )
     return materialize_and_release(kept, base)
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ: product quantization over the IVF cells
+# --------------------------------------------------------------------------
+
+def _kmeans_euclid(sample: np.ndarray, k: int, iters: int) -> np.ndarray:
+    """Driver-side Euclidean k-means (Lloyd) for PQ sub-codebooks.
+    Deterministic: first-k init over the hash-ordered sample, mean
+    recompute, empty cells keep their previous centroid."""
+    if len(sample) <= k:
+        pad = np.zeros((k, sample.shape[1]), dtype=np.float64)
+        pad[: len(sample)] = sample
+        return pad
+    cents = sample[:k].copy()
+    for _ in range(iters):
+        d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)
+        for c in range(k):
+            members = sample[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def _pq_encode_udf(centroids: np.ndarray, codebooks: list[np.ndarray]):
+    """Vectorized IVF cell + PQ code assignment in ONE Arrow-batched
+    stage: unit-normalize the batch, nearest coarse centroid by
+    cosine, then per-subspace nearest sub-codeword by Euclidean
+    distance → struct<cell int, codes array<tinyint>>."""
+    from pyspark.sql.functions import pandas_udf
+
+    cn = np.linalg.norm(centroids, axis=1)
+    cn[cn == 0] = 1.0
+    unit_cents = centroids / cn[:, None]
+    subdim = codebooks[0].shape[1]
+
+    @pandas_udf("cell int, codes array<tinyint>")
+    def encode(emb: pd.Series) -> pd.DataFrame:
+        mat = np.stack(emb.to_numpy()).astype(np.float64)
+        vn = np.linalg.norm(mat, axis=1)
+        vn[vn == 0] = 1.0
+        unit = mat / vn[:, None]
+        cells = np.argmax(unit @ unit_cents.T, axis=1).astype(np.int32)
+        codes = np.empty((len(unit), len(codebooks)), dtype=np.int8)
+        for j, cb in enumerate(codebooks):
+            sub = unit[:, j * subdim : (j + 1) * subdim]
+            # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row
+            d = (cb**2).sum(axis=1)[None, :] - 2.0 * (sub @ cb.T)
+            codes[:, j] = np.argmin(d, axis=1).astype(np.int8)
+        return pd.DataFrame({"cell": cells, "codes": list(codes)})
+
+    return encode
+
+
+def cosine_topk_ivf_pq(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    k: int = 10,
+    n_cells: int | None = 32,
+    n_probe: int = 8,
+    m: int = 8,
+    pq_k: int = 16,
+    refine_factor: int = 8,
+    round_digits: int = 6,
+    sample_cap: int = 4096,
+) -> DataFrame:
+    """Approximate top-k via IVF + Product Quantization (Jégou et al.
+    2011) with exact re-ranking — the memory layout billion-vector
+    indexes actually run.
+
+    The corpus is stored as ``m`` sub-codebook ids (one BYTE per
+    subspace: 8 bytes/vector here vs 512 for raw doubles, 64 for SQ8)
+    plus an int cell id. Candidate scoring is asymmetric distance
+    computation: each query precomputes a lookup table of its
+    normalized sub-vectors' dot products with every sub-codeword
+    (``m × pq_k`` doubles, built driver-side for the broadcast-small
+    query set), and a candidate's approximate cosine is ``m`` JVM
+    array lookups + adds — no per-pair multiply over the original
+    dimension at all. The ADC top ``refine_factor × k`` then joins
+    back to the exact vectors by id (an equi-join on a candidate set
+    ~refine·k·|Q| rows, not the corpus) and the final top-k ranks by
+    EXACT rounded cosine, so ranking quality degrades only when PQ
+    pushes a true neighbor out of the refine pool — the standard
+    recall-vs-memory trade of a production IVF-PQ index.
+
+    Scale shape: both quantizers train on one bounded hash-ordered
+    sample; the corpus pass is one Arrow-batched encode stage; every
+    shuffle on the candidate path carries (ids, 8-byte codes); the
+    refine join is an equi-join on ``neighbor_id``. ``n_cells=None``
+    auto-scales √n like :func:`cosine_topk_ivf`.
+
+    Rows-only by design (sampled k-means codebooks are seed/engine
+    specific); recall-vs-brute is pytest-asserted.
+    """
+    from sqltask_spark.data import ensure_min_partitions
+
+    spark = corpus.sparkSession
+    if n_cells is None:
+        n = corpus.count()
+        n_cells = max(2, min(int(round(n**0.5)), 1024))
+    sample = _sample_matrix(corpus, corpus_id, corpus_vec, sample_cap)
+    cents = _spherical_kmeans(sample, n_cells, 8)
+    norms = np.linalg.norm(sample, axis=1)
+    unit = sample[norms > 0] / norms[norms > 0, None]
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    subdim = dim // m
+    codebooks = [
+        _kmeans_euclid(unit[:, j * subdim : (j + 1) * subdim], pq_k, 8)
+        for j in range(m)
+    ]
+
+    encode = _pq_encode_udf(cents, codebooks)
+    ci = (
+        ensure_min_partitions(corpus)
+        .select(
+            F.col(corpus_id).alias("neighbor_id"),
+            encode(F.col(corpus_vec)).alias("e"),
+        )
+        .select("neighbor_id", "e.cell", "e.codes")
+    )
+
+    # broadcast-small query side: probes + ADC lookup tables driver-side
+    q_rows = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("qv")
+    ).collect()
+    q_mat = np.array([list(r["qv"]) for r in q_rows], dtype=np.float64)
+    qn = np.linalg.norm(q_mat, axis=1)
+    qn_safe = np.where(qn == 0, 1.0, qn)
+    q_unit = q_mat / qn_safe[:, None]
+    ccn = np.linalg.norm(cents, axis=1)
+    ccn[ccn == 0] = 1.0
+    sims = q_unit @ (cents / ccn[:, None]).T
+    order = np.argsort(-sims, axis=1)[:, :n_probe]
+    probes_df = spark.createDataFrame(
+        [
+            (r["query_id"], int(order[i, j]))
+            for i, r in enumerate(q_rows)
+            for j in range(order.shape[1])
+        ],
+        ["query_id", "cell"],
+    )
+    luts = np.concatenate(
+        [q_unit[:, j * subdim : (j + 1) * subdim] @ codebooks[j].T
+         for j in range(m)],
+        axis=1,
+    )  # (n_queries, m * pq_k), row-major by subspace
+    qlut_df = spark.createDataFrame(
+        [
+            (
+                r["query_id"],
+                [float(x) for x in luts[i]],
+                [float(x) for x in r["qv"]],
+            )
+            for i, r in enumerate(q_rows)
+        ],
+        ["query_id", "lut", "qv"],
+    ).withColumn("qn", l2_norm(F.col("qv")))
+
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.get("lut", i * F.lit(pq_k) + F.get("codes", i).cast("int")),
+    )
+    cands = (
+        ci.join(F.broadcast(probes_df), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(F.broadcast(qlut_df.select("query_id", "lut")), "query_id")
+        .withColumn("adc", adc)
+        .drop("lut", "codes", "cell")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc"), F.asc("neighbor_id")
+    )
+    pool = (
+        cands.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= refine_factor * k)
+        .select("query_id", "neighbor_id")
+    )
+
+    # exact re-rank: candidate-sized equi-join back to the raw vectors
+    exact = (
+        pool.join(
+            corpus.select(
+                F.col(corpus_id).alias("neighbor_id"),
+                as_double_array(F.col(corpus_vec)).alias("cv"),
+            ),
+            "neighbor_id",
+        )
+        .withColumn("cn", l2_norm(F.col("cv")))
+        .join(F.broadcast(qlut_df.select("query_id", "qv", "qn")), "query_id")
+        .withColumn(
+            "score",
+            F.round(
+                cosine_prenormed(
+                    F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+                ),
+                round_digits,
+            ),
+        )
+        .select("query_id", "neighbor_id", "score")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+    )

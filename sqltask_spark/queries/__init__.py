@@ -47,8 +47,8 @@ for mod in (_textops, _vector, _multimodal, _pipeline, _relational,
     ORACLES.update(mod.ORACLES)
 
 #: relational/events flagships promoted into the driver's 50-row
-#: window right after the LLM-pipeline modules (which fill 48 slots —
-#: so the first TWO of this list land inside the window; the rest,
+#: window right after the LLM-pipeline modules (which fill 49 slots —
+#: so only the FIRST of this list lands inside the window; the rest,
 #: all with green driver rows from rounds 1-2 plus plan tests, follow
 #: immediately after).
 _FLAGSHIP = [

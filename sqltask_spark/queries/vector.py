@@ -147,6 +147,22 @@ def ann_topk_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def ann_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with exact re-rank: the corpus side of the candidate
+    path carries 16 PQ code bytes per vector (vs 64 for SQ8, 512
+    raw); ADC-scored candidates refine through an exact-cosine top-k.
+    Rows-only (sampled codebooks are engine-specific);
+    recall-vs-brute pytest-asserted."""
+    from sqltask_spark.operators.similarity import cosine_topk_ivf_pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") <= N_QUERY_VECS)
+    return cosine_topk_ivf_pq(
+        queries, emb, "vec_id", "vec_id", k=TOP_K,
+        n_cells=32, n_probe=8, m=16, pq_k=16,
+    ).orderBy("query_id", "rank")
+
+
 # --------------------------------------------------------------------------
 # dedup_embedding_pairs — embedding-cosine near-duplicate pairs.
 # --------------------------------------------------------------------------
@@ -411,6 +427,7 @@ QUERIES = {
     "ann_topk_lsh": ann_topk_lsh,
     "ann_topk_ivf": ann_topk_ivf,
     "ann_topk_ivf_sq8": ann_topk_ivf_sq8,
+    "ann_topk_ivf_pq": ann_topk_ivf_pq,
     "dedup_embedding_pairs": dedup_embedding_pairs,
     "dedup_embedding_pairs_lsh": dedup_embedding_pairs_lsh,
     "embedding_quantize_int8": embedding_quantize_int8,

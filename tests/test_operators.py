@@ -358,6 +358,34 @@ def test_cosine_ivf_recall(spark, tables):
     assert recall >= 0.8, f"IVF recall too low: {recall}"
 
 
+def test_cosine_ivf_pq_recall_and_exact_scores(spark, tables):
+    """IVF-PQ: the ADC-refine pipeline must (a) reach the IVF recall
+    bar despite scoring candidates from 8-byte codes, and (b) report
+    EXACT cosines — every (query, neighbor) it returns must carry the
+    same score brute force computes for that pair."""
+    from sqltask_spark.operators.similarity import cosine_topk_ivf_pq
+
+    emb = tables["embeddings"]
+    queries = emb.filter(F.col("vec_id") <= 3)
+    brute = cosine_topk_brute(queries, emb, "vec_id", "vec_id", k=5)
+    pq = cosine_topk_ivf_pq(
+        queries, emb, "vec_id", "vec_id", k=5,
+        n_cells=16, n_probe=8, m=16, pq_k=16, refine_factor=8,
+    )
+    bscores = {
+        (r["query_id"], r["neighbor_id"]): r["score"]
+        for r in brute.collect()
+    }
+    pq_rows = pq.collect()
+    pset = {(r["query_id"], r["neighbor_id"]) for r in pq_rows}
+    recall = len(set(bscores) & pset) / len(bscores)
+    assert recall >= 0.8, f"IVF-PQ recall too low: {recall}"
+    for r in pq_rows:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in bscores:  # re-rank reported the exact cosine
+            assert r["score"] == bscores[key], key
+
+
 def test_parse_keyvalues_udtf(spark):
     from sqltask_spark.functions import ParseKeyValues
 
