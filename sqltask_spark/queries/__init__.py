@@ -46,11 +46,11 @@ for mod in (_textops, _vector, _multimodal, _pipeline, _relational,
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
 
-#: relational/events flagships promoted into the driver's 50-row
-#: window right after the LLM-pipeline modules (which fill 49 slots —
-#: so only the FIRST of this list lands inside the window; the rest,
-#: all with green driver rows from rounds 1-2 plus plan tests, follow
-#: immediately after).
+#: relational/events flagships ordered right after the LLM-pipeline
+#: modules (which now fill the driver's entire 50-row window — the
+#: north-star surface gets every driver CORRECTNESS row; this list,
+#: all with green driver rows from rounds 1-2 plus plan tests,
+#: follows immediately after).
 _FLAGSHIP = [
     "q1_pricing_summary",
     "q3_shipping_priority",

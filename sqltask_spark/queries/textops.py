@@ -905,6 +905,41 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return learn_bpe_merges(docs, "text", n_merges=_BPE_MERGES)
 
 
+# --------------------------------------------------------------------------
+# bpe_encode_documents — the APPLY half of the tokenizer surface:
+# train the merge table (distributed, see operators.bpe), then encode
+# the whole corpus with the Arrow-batched encoder (the path that
+# scales to real 30k-merge tables) and report per-doc subword stats.
+# Rows-only (the trained merges inherit the training loop's
+# engine-specific argmax); encode/train equivalence is pytest-
+# property-tested against the chained-fold reference.
+# --------------------------------------------------------------------------
+
+def bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sqltask_spark.operators.bpe import encode_corpus, learn_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [
+        (r["left"], r["right"])
+        for r in learn_bpe_merges(docs, "text", n_merges=_BPE_MERGES)
+        .orderBy("rank")
+        .collect()
+    ]
+    enc = encode_corpus(docs, merges)
+    return (
+        enc.groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.size("tokens")).alias("n_subwords"),
+        )
+        .withColumn(
+            "subwords_per_word",
+            F.round(F.col("n_subwords") / F.col("n_words"), 6),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "text_stats": text_stats,
     "doc_fingerprint": doc_fingerprint,
@@ -927,6 +962,7 @@ QUERIES = {
     "exact_dup_spans": exact_dup_spans,
     "lm_perplexity": lm_perplexity,
     "bpe_learn_merges": bpe_learn_merges,
+    "bpe_encode_documents": bpe_encode_documents,
 }
 
 ORACLES = {

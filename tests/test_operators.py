@@ -1076,6 +1076,8 @@ def test_text_queries_null_and_empty_text(spark, tmp_path):
     assert QUERIES["doc_salient_terms"](spark, sf_dir).count() == 3
     # degenerate corpus: no repeated pair reaches min_pair_freq
     assert QUERIES["bpe_learn_merges"](spark, sf_dir).count() == 0
+    # encode: only the one doc with non-empty words survives
+    assert QUERIES["bpe_encode_documents"](spark, sf_dir).count() == 1
     # bigram LM: only the one ≥2-token doc trains and scores
     assert QUERIES["lm_perplexity"](spark, sf_dir).count() == 1
 
