@@ -68,6 +68,11 @@ ENTRIES = [
     "domain_mix_weights",
     "bpe_learn_merges",
     "semdedup_keep",
+    "lm_perplexity",
+    "ann_topk_ivf_pq",
+    # NOT knn_graph: the exact graph is O(n²) by definition — at
+    # 128k vectors that is 8G pair scores; the documented scale path
+    # for neighbor graphs is IVF cells (see operators.similarity).
 ]
 
 

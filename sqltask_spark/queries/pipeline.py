@@ -789,10 +789,97 @@ ORDER BY source, bucket_lo
 """
 
 
+# --------------------------------------------------------------------------
+# apply_mix_sampling — MATERIALIZE the domain mix: turn
+# domain_mix_weights' equalizing per-source weights into an actual
+# resampled corpus. A document's copy count is floor(weight) plus a
+# deterministic Bernoulli on the fractional part (md5-bucket of the
+# doc id vs a fixed-point integer threshold — portable across
+# engines, stable under repartitioning/backfill, no RNG), so
+# overrepresented sources down-sample and underrepresented ones
+# up-sample by repetition — the standard DoReMi-style static mix.
+# Scale shape: one vocabulary-of-sources agg, broadcast back, one
+# filter + bounded explode; no shuffle of the corpus at all.
+# --------------------------------------------------------------------------
+
+def apply_mix_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.sum(tx.token_count(F.col("text"))).alias("n_tokens")
+    )
+    w = Window.partitionBy()
+    share = F.col("n_tokens") / F.sum("n_tokens").over(w)
+    target = F.lit(1.0) / F.count(F.lit(1)).over(w)
+    weights = per.select(
+        "source",
+        F.floor(target / share).cast("long").alias("base_copies"),
+        F.round(
+            ((target / share) - F.floor(target / share)) * F.lit(65536)
+        )
+        .cast("long")
+        .alias("frac_thr"),
+    )
+    digest = F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
+    bucket = (
+        F.ascii(F.substring(digest, 5, 1)) * 256
+        + F.ascii(F.substring(digest, 6, 1))
+    )
+    n_copies = F.col("base_copies") + F.when(
+        bucket < F.col("frac_thr"), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(weights), "source")
+        .withColumn("n_copies", n_copies)
+        .filter(F.col("n_copies") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.sequence(F.lit(1), F.col("n_copies").cast("int"))
+            ).alias("copy_idx"),
+        )
+        .orderBy("doc_id", "copy_idx")
+    )
+
+
+_APPLY_MIX_SQL = f"""
+WITH per AS (
+  SELECT source, CAST(SUM(LEN({_TOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), wts AS (
+  SELECT source,
+         CAST(FLOOR(w) AS BIGINT) AS base_copies,
+         CAST(ROUND((w - FLOOR(w)) * 65536) AS BIGINT) AS frac_thr
+  FROM (
+    SELECT source,
+           (1.0 / COUNT(*) OVER ())
+             / (CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER ()) AS w
+    FROM per
+  )
+), keyed AS (
+  SELECT d.doc_id, d.source,
+         base_copies
+           + CASE WHEN
+               ascii(substring(md5('mix:' || CAST(d.doc_id AS VARCHAR)),
+                               5, 1)) * 256
+               + ascii(substring(md5('mix:' || CAST(d.doc_id AS VARCHAR)),
+                                 6, 1)) < frac_thr
+             THEN 1 ELSE 0 END AS n_copies
+  FROM documents d JOIN wts USING (source)
+)
+SELECT doc_id, source, CAST(copy_idx AS INT) AS copy_idx
+FROM keyed, UNNEST(generate_series(1, CAST(n_copies AS INT)))
+       AS t(copy_idx)
+WHERE n_copies > 0
+ORDER BY doc_id, copy_idx
+"""
+
+
 QUERIES = {
     "stratified_sample_documents": stratified_sample_documents,
+    "apply_mix_sampling": apply_mix_sampling,
     "length_histogram": length_histogram,
-    "sketch_event_stats": sketch_event_stats,
     "split_train_eval": split_train_eval,
     "vocab_top_tokens": vocab_top_tokens,
     "pack_sequences": pack_sequences,
@@ -803,10 +890,17 @@ QUERIES = {
     "domain_mix_weights": domain_mix_weights,
     "corpus_shuffle_shards": corpus_shuffle_shards,
     "corpus_to_training_data": corpus_to_training_data,
+    # deliberately LAST: with 51 LLM-pipeline entries and a 50-row
+    # driver window, exactly one must sit outside it — this one is
+    # rows-only for the driver anyway (engine-specific sketch
+    # encodings) and its error bounds are pytest-asserted, so it
+    # loses the least by being the overflow entry.
+    "sketch_event_stats": sketch_event_stats,
 }
 
 ORACLES = {
     "stratified_sample_documents": _STRAT_SQL,
+    "apply_mix_sampling": _APPLY_MIX_SQL,
     "length_histogram": _HIST_SQL,
     # sketch_event_stats: rows-only (sketch encodings are
     # engine-specific; error bounds pytest-verified)
