@@ -890,11 +890,8 @@ QUERIES = {
     "domain_mix_weights": domain_mix_weights,
     "corpus_shuffle_shards": corpus_shuffle_shards,
     "corpus_to_training_data": corpus_to_training_data,
-    # deliberately LAST: with 51 LLM-pipeline entries and a 50-row
-    # driver window, exactly one must sit outside it — this one is
-    # rows-only for the driver anyway (engine-specific sketch
-    # encodings) and its error bounds are pytest-asserted, so it
-    # loses the least by being the overflow entry.
+    # window overflow is managed centrally — see _OVERFLOW in
+    # queries/__init__.py
     "sketch_event_stats": sketch_event_stats,
 }
 

@@ -421,6 +421,59 @@ ORDER BY src_id, rank
 """
 
 
+# --------------------------------------------------------------------------
+# embedding_outliers — connectivity-based outlier screen: a vector
+# whose NEAREST neighbor is below a cosine floor sits isolated in
+# embedding space (mis-embedded, off-distribution, or junk input) —
+# the curation signal that removes disconnected points before
+# clustering/mix decisions. Exactly the k=1 slice of the kNN graph,
+# so it shares the blocked triangle join (one equi-join, O(n·B)
+# shuffle); at corpora where exact O(n²) compute is off the table the
+# same screen runs over IVF-cell candidates instead. Deterministic →
+# oracle-hashed.
+# --------------------------------------------------------------------------
+
+_OUTLIER_COS = 0.32
+
+
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sqltask_spark.operators.similarity import knn_graph as knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    nn = knn(emb, "vec_id", "embedding", k=1)
+    return nn.select(
+        F.col("src_id").alias("vec_id"),
+        F.col("dst_id").alias("nn_id"),
+        F.col("score").alias("nn_cosine"),
+        (F.col("score") < _OUTLIER_COS).alias("is_outlier"),
+    ).orderBy("vec_id")
+
+
+_OUTLIERS_SQL = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), pairs AS (
+  SELECT
+    a.vec_id AS vec_id,
+    b.vec_id AS nn_id,
+    ROUND(list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(b.v, b.v))), 6) AS nn_cosine
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+)
+SELECT vec_id, nn_id, nn_cosine, nn_cosine < {_OUTLIER_COS} AS is_outlier
+FROM (
+  SELECT vec_id, nn_id, nn_cosine,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY nn_cosine DESC, nn_id ASC) AS rank
+  FROM pairs
+  WHERE nn_cosine IS NOT NULL
+)
+WHERE rank = 1
+ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "ann_topk_brute": ann_topk_brute,
     "vector_norms": vector_norms,
@@ -434,6 +487,7 @@ QUERIES = {
     "semdedup_keep": semdedup_keep,
     "label_centroids": label_centroids,
     "knn_graph": knn_graph,
+    "embedding_outliers": embedding_outliers,
 }
 
 ORACLES = {
@@ -441,6 +495,7 @@ ORACLES = {
     "vector_norms": _NORMS_SQL,
     "dedup_embedding_pairs": _EMB_PAIRS_SQL,
     "embedding_quantize_int8": _QUANT_SQL,
+    "embedding_outliers": _OUTLIERS_SQL,
     "label_centroids": _CENTROIDS_SQL,
     "knn_graph": _KNN_SQL,
     # ann_topk_lsh: no oracle (seeded hyperplanes, approximate).
