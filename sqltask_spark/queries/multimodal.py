@@ -132,10 +132,48 @@ ORDER BY media_id, frame_idx
 """
 
 
+def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressable media dedup — the first pass every image/
+    audio corpus runs: group raw payloads by sha256, keep the lowest
+    media id per digest. The digest is computed AT the scan
+    projection, so the groupBy shuffle carries (64-char digest, id,
+    length) — never the payload bytes — and the digest key is
+    uniformly distributed (no skew). Near-dup detection (resized/
+    re-encoded images) is where perceptual hashes would slot in, at
+    the same isolated codec boundary as ``extract_features``."""
+    media = _media_from_documents(spark, sf_dir)
+    return (
+        media.select(
+            F.sha2("payload", 256).alias("sha256"),
+            F.col("media_id"),
+            F.octet_length("payload").alias("n_bytes"),
+        )
+        .groupBy("sha256")
+        .agg(
+            F.min("media_id").alias("kept_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("n_bytes").alias("n_bytes"),
+        )
+        .orderBy("kept_id")
+    )
+
+
+_MM_DEDUP_SQL = """
+SELECT sha256(text) AS sha256,
+       MIN(doc_id) AS kept_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       MIN(octet_length(encode(text))) AS n_bytes
+FROM documents
+GROUP BY sha256(text)
+ORDER BY kept_id
+"""
+
+
 QUERIES = {
     "multimodal_payload_stats": multimodal_payload_stats,
     "multimodal_features": multimodal_features,
     "multimodal_frame_plan": multimodal_frame_plan,
+    "multimodal_dedup": multimodal_dedup,
 }
 
 ORACLES = {
@@ -143,4 +181,5 @@ ORACLES = {
     # multimodal_features: rows-only (fake-codec features are not
     # SQL-expressible; exact values pytest-verified).
     "multimodal_frame_plan": _FRAME_PLAN_SQL,
+    "multimodal_dedup": _MM_DEDUP_SQL,
 }
