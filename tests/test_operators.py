@@ -975,6 +975,46 @@ def test_domain_mix_weights_equalizes(spark, tmp_path):
     assert abs(sum(r["token_share"] for r in got.values()) - 1.0) < 1e-9
 
 
+def test_apply_mix_sampling_equalizes_and_is_deterministic(spark, tmp_path):
+    """Materialized mix: big sources down-sample (copy counts 0/1),
+    small ones up-sample by repetition (counts ≥1); the resampled
+    per-source token totals land far closer to equal than the input;
+    re-running yields the identical multiset (no RNG anywhere)."""
+    from sqltask_spark.queries.pipeline import apply_mix_sampling
+
+    rows = (
+        # 60 docs × 6 tokens = 360 tokens in 'big'
+        [(i, "a b c d e f", "big") for i in range(60)]
+        # 15 docs × 4 tokens = 60 tokens in 'small'
+        + [(100 + i, "x y z w", "small") for i in range(15)]
+    )
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    sf_dir = str(tmp_path / "sf")
+    docs.write.parquet(f"{sf_dir}/documents.parquet")
+    out = [
+        (r["doc_id"], r["source"], r["copy_idx"])
+        for r in apply_mix_sampling(spark, sf_dir).collect()
+    ]
+    tokens = {"big": 6, "small": 4}
+    totals = {"big": 0, "small": 0}
+    for _, src, _ in out:
+        totals[src] += tokens[src]
+    # input ratio 6:1; the weighted resample must be near 1:1
+    ratio = totals["big"] / totals["small"]
+    assert 0.6 < ratio < 1.67, totals
+    # 'small' docs (weight ≈ 3.5) repeat; 'big' docs never do
+    by_doc: dict = {}
+    for d, src, _ in out:
+        by_doc[d] = by_doc.get(d, 0) + 1
+    assert max(v for d, v in by_doc.items() if d >= 100) >= 2
+    assert all(v == 1 for d, v in by_doc.items() if d < 100)
+    rerun = [
+        (r["doc_id"], r["source"], r["copy_idx"])
+        for r in apply_mix_sampling(spark, sf_dir).collect()
+    ]
+    assert sorted(rerun) == sorted(out)
+
+
 def test_bpe_encode_udf_matches_jvm_fold(spark, tmp_path):
     """The Pandas-UDF encoder (scale path) and the chained-JVM-fold
     encoder agree word-for-word on a learned merge table."""
