@@ -611,3 +611,52 @@ def duplicate_spans(
         "n_dup_shingles",
     )
     return materialize_and_release(out, sh)
+
+
+def cut_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Splice token spans OUT of documents — the cut half of
+    exact-substring dedup (:func:`duplicate_spans` emits coordinates;
+    this removes them). Policy-free by design: pass exactly the spans
+    you decided to cut (e.g. filter :func:`duplicate_spans` output to
+    every doc except a cluster's keeper, so one copy of each
+    duplicated run survives — the Lee-et-al production policy).
+
+    Scale shape: spans aggregate to one array per doc (bounded by the
+    doc's own span count), ONE equi-join back to the corpus, then the
+    splice is a pure JVM index-filter over the token array — no
+    shuffle of text beyond the single join, no UDF. Docs with no
+    spans pass through unchanged (left join + empty-array coalesce).
+
+    Returns (id, text, n_tokens_removed) with ``text`` rebuilt from
+    the surviving tokens (single-space joined — token coordinates,
+    not byte coordinates, are the contract throughout).
+    """
+    from sqltask_spark.operators.text import tokenize
+
+    sp = spans.groupBy(F.col("doc_id").alias("__sid")).agg(
+        F.collect_list(F.array("start_token", "end_token")).alias("__spans")
+    )
+    toks = tokenize(F.col(text_col))
+    in_span = lambda i: F.exists(  # noqa: E731
+        "__spans", lambda s: (i >= s[0]) & (i <= s[1])
+    )
+    kept = F.filter(toks, lambda x, i: ~in_span(i))
+    out = (
+        docs.join(sp, docs[id_col] == F.col("__sid"), "left")
+        .withColumn(
+            "__spans", F.coalesce("__spans", F.array().cast(
+                "array<array<int>>"
+            ))
+        )
+        .select(
+            id_col,
+            F.concat_ws(" ", kept).alias(text_col),
+            (F.size(toks) - F.size(kept)).alias("n_tokens_removed"),
+        )
+    )
+    return out

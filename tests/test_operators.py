@@ -1214,3 +1214,29 @@ def test_knn_graph_matches_per_vector_brute(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_cut_spans_splices_and_preserves_keeper(spark):
+    """duplicate_spans → filter-to-non-keepers → cut_spans: the
+    keeper keeps its text verbatim, the other copy loses exactly the
+    shared run, span-free docs pass through untouched."""
+    from sqltask_spark.operators.dedup import cut_spans, duplicate_spans
+
+    docs = list_source(
+        spark,
+        ["doc_id", "text"],
+        [
+            [1, "a b c d e f g h"],
+            [2, "x y z d e f g h q"],
+            [3, "totally unique words only appearing here"],
+        ],
+    )
+    spans = duplicate_spans(docs, "doc_id", "text", shingle_n=3)
+    # policy: keep the lowest doc_id's copy, cut everywhere else
+    cut = cut_spans(docs, spans.filter(F.col("doc_id") != 1))
+    got = {r["doc_id"]: (r["text"], r["n_tokens_removed"])
+           for r in cut.collect()}
+    assert got[1] == ("a b c d e f g h", 0)
+    # doc 2 loses tokens 3..7 (d e f g h)
+    assert got[2] == ("x y z q", 5)
+    assert got[3][1] == 0
