@@ -116,6 +116,8 @@ def main() -> None:
 
     from sqltask_spark.operators.similarity import (
         cosine_topk_brute,
+        cosine_topk_ivf,
+        cosine_topk_ivf_pq,
         cosine_topk_lsh,
     )
 
@@ -153,6 +155,26 @@ def main() -> None:
             lambda: cosine_topk_brute(
                 corpus=corpus, queries=xq, query_id="vec_id",
                 corpus_id="vec_id", k=10,
+            ),
+        ),
+        # IVF vs IVF-PQ at the same probe settings: the PQ candidate
+        # path carries 16 code bytes/vector instead of 512 raw-double
+        # bytes and scores by m=16 table lookups instead of a 64-dim
+        # fold — the stress harness measured ~4x; this pins it in the
+        # official bench artifact. n_cells=None → √n auto-scale.
+        (
+            "xover_ann_ivf",
+            lambda: cosine_topk_ivf(
+                queries=xq, corpus=corpus, query_id="vec_id",
+                corpus_id="vec_id", k=10, n_cells=None, n_probe=8,
+            ),
+        ),
+        (
+            "xover_ann_ivf_pq",
+            lambda: cosine_topk_ivf_pq(
+                queries=xq, corpus=corpus, query_id="vec_id",
+                corpus_id="vec_id", k=10, n_cells=None, n_probe=8,
+                m=16, pq_k=16,
             ),
         ),
     ):
