@@ -157,23 +157,27 @@ def main() -> None:
                 corpus_id="vec_id", k=10,
             ),
         ),
-        # IVF vs IVF-PQ at the same probe settings: the PQ candidate
-        # path carries 16 code bytes/vector instead of 512 raw-double
-        # bytes and scores by m=16 table lookups instead of a 64-dim
-        # fold — the stress harness measured ~4x; this pins it in the
-        # official bench artifact. n_cells=None → √n auto-scale.
+        # IVF vs IVF-PQ at identical probe settings in the HIGH-
+        # OCCUPANCY regime (fixed 32 cells → ~32k candidates/query at
+        # 128k vectors): when candidate sets are large, PQ's 16
+        # byte-code lookups beat the 64-dim raw-vector fold — the
+        # controlled A/B measures ~1.7x (8.4s vs 5.1s) plus 32x less
+        # candidate-path memory. At well-sized √n cells both are
+        # scoring-cheap and PQ's advantage is memory only (measured
+        # parity) — occupancy, not corpus size, is what PQ buys back;
+        # the catalog's √n auto-scale avoids this regime by design.
         (
             "xover_ann_ivf",
             lambda: cosine_topk_ivf(
                 queries=xq, corpus=corpus, query_id="vec_id",
-                corpus_id="vec_id", k=10, n_cells=None, n_probe=8,
+                corpus_id="vec_id", k=10, n_cells=32, n_probe=8,
             ),
         ),
         (
             "xover_ann_ivf_pq",
             lambda: cosine_topk_ivf_pq(
                 queries=xq, corpus=corpus, query_id="vec_id",
-                corpus_id="vec_id", k=10, n_cells=None, n_probe=8,
+                corpus_id="vec_id", k=10, n_cells=32, n_probe=8,
                 m=16, pq_k=16,
             ),
         ),
