@@ -1098,10 +1098,13 @@ def cosine_topk_ivf_pq(
     ).withColumn("qn", l2_norm(F.col("qv")))
 
     # UNROLLED, not a HOF fold: m is a plan-time constant, so the ADC
-    # sum compiles to m static element_at lookups inside whole-stage
-    # codegen. The equivalent F.aggregate(sequence(...)) form is
-    # interpreted per element — measured ~2x slower end-to-end, which
-    # erased PQ's scoring advantage over the raw-vector fold.
+    # sum compiles to m static element_at lookups. A/B at 128k
+    # vectors / 32 cells: fold 6.1s vs unrolled 4.1s (~1.5x) — at
+    # SMALL m the per-call HOF dispatch dominates. The inverse holds
+    # for long arrays: unrolling the 64-dim dot product measured 5x
+    # SLOWER than its aggregate/zip_with fold (64 bounds-checked
+    # ElementAt pairs beat by the HOF's tight array loop) — unroll
+    # short plan-time-constant sums, fold long vectors.
     terms = [
         F.get("lut", i * pq_k + F.get("codes", F.lit(i)).cast("int"))
         for i in range(m)
