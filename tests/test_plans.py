@@ -235,3 +235,38 @@ def test_exact_dup_spans_equi_join_on_hash(spark, sf_dir):
     r = plan_report(QUERIES["exact_dup_spans"](spark, sf_dir))
     assert "CartesianProduct" not in r.join_strategies
     assert "BroadcastNestedLoopJoin" not in r.join_strategies
+
+
+def test_ivf_index_probe_matches_percall_and_prunes(spark, sf_dir, tmp_path):
+    """build→probe must (a) reproduce the per-call IVF operator
+    bit-for-bit (same seeded training, same tie-breaks) and (b) read
+    ONLY the probed cells: the cell predicate must appear as a
+    PartitionFilter on the vectors scan, not a data filter."""
+    from sqltask_spark.operators.ann_index import (
+        build_ivf_index,
+        probe_ivf_index,
+    )
+    from sqltask_spark.operators.similarity import cosine_topk_ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") <= 3)
+    idx = str(tmp_path / "ivf")
+    n_cells = build_ivf_index(emb, idx, "vec_id", "embedding", n_cells=16)
+    assert n_cells == 16
+    probed = probe_ivf_index(
+        spark, idx, queries, "vec_id", "embedding", k=5, n_probe=8
+    )
+    want = {
+        (r["query_id"], r["rank"], r["neighbor_id"], r["score"])
+        for r in cosine_topk_ivf(
+            queries, emb, "vec_id", "vec_id", k=5, n_cells=16, n_probe=8
+        ).collect()
+    }
+    got = {
+        (r["query_id"], r["rank"], r["neighbor_id"], r["score"])
+        for r in probed.collect()
+    }
+    assert got == want
+    r = plan_report(probed)
+    assert any("cell" in p for p in r.partition_filters)
+    assert not any("cell" in p for p in r.pushed_filters)
