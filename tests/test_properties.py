@@ -282,3 +282,30 @@ def test_bpe_encode_reconstructs_words(spark, words):
         tuple(r["tokens"]) for r in encode_with_merges(docs, merges).collect()
     )
     assert udf == jvm_tok
+
+
+def test_bigram_lm_scores_partition_invariant(spark):
+    """The fixed-point micro-nat sums make per-doc LM scores exact
+    integers under the hood — identical results no matter how the
+    corpus is partitioned (the property that makes the entry
+    oracle-hashable on any cluster layout)."""
+    from pyspark.sql import functions as F
+
+    from sqltask_spark.operators.text import bigram_lm_nll
+
+    rows = [
+        (i, " ".join(f"w{(i * j) % 17}" for j in range(30)))
+        for i in range(1, 41)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    outs = []
+    for parts in (1, 3, 13):
+        got = {
+            r["doc_id"]: (r["n_bigrams"], r["avg_nll"], r["ppl"])
+            for r in bigram_lm_nll(
+                docs.repartition(parts), "doc_id", "text"
+            ).collect()
+        }
+        outs.append(got)
+    assert outs[0] == outs[1] == outs[2]
+    assert len(outs[0]) == 40
