@@ -166,17 +166,26 @@ def main() -> None:
         # scoring-cheap and PQ's advantage is memory only (measured
         # parity) — occupancy, not corpus size, is what PQ buys back;
         # the catalog's √n auto-scale avoids this regime by design.
+        # Query set: a contiguous id block (the A/B's) — the spread
+        # xq set probes a wider cell union, which dilutes per-cell
+        # candidate volume and with it the effect being measured.
         (
             "xover_ann_ivf",
             lambda: cosine_topk_ivf(
-                queries=xq, corpus=corpus, query_id="vec_id",
+                queries=corpus.filter(
+                    F.col("vec_id") <= 5 * reps_factor
+                ),
+                corpus=corpus, query_id="vec_id",
                 corpus_id="vec_id", k=10, n_cells=32, n_probe=8,
             ),
         ),
         (
             "xover_ann_ivf_pq",
             lambda: cosine_topk_ivf_pq(
-                queries=xq, corpus=corpus, query_id="vec_id",
+                queries=corpus.filter(
+                    F.col("vec_id") <= 5 * reps_factor
+                ),
+                corpus=corpus, query_id="vec_id",
                 corpus_id="vec_id", k=10, n_cells=32, n_probe=8,
                 m=16, pq_k=16,
             ),
