@@ -1240,3 +1240,28 @@ def test_cut_spans_splices_and_preserves_keeper(spark):
     # doc 2 loses tokens 3..7 (d e f g h)
     assert got[2] == ("x y z q", 5)
     assert got[3][1] == 0
+
+
+def test_apply_mix_sampling_degenerate_sources(spark, tmp_path):
+    """Defined behavior at the edges: an all-NULL-text source drops
+    out entirely (NULL weight propagates to a NULL copy count, never
+    a crash or an infinite weight); empty-string docs count their
+    single empty token and stay sampled."""
+    from sqltask_spark.queries.pipeline import apply_mix_sampling
+
+    rows = [
+        (1, "a b c", "good"),
+        (2, "", "empty"),
+        (3, None, "nulls"),
+        (4, None, "nulls"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    sf_dir = str(tmp_path / "sf")
+    docs.write.parquet(f"{sf_dir}/documents.parquet")
+    out = {
+        (r["doc_id"], r["copy_idx"])
+        for r in apply_mix_sampling(spark, sf_dir).collect()
+    }
+    assert not any(d in (3, 4) for d, _ in out)
+    assert any(d == 1 for d, _ in out)
+    assert any(d == 2 for d, _ in out)
