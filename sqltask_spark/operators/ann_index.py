@@ -33,7 +33,10 @@ from pyspark.sql import functions as F
 
 from sqltask_spark.operators.similarity import (
     _cell_assign_udf,
-    _centroid_matrix,
+    _kmeans_euclid,
+    _pq_encode_udf,
+    _sample_matrix,
+    _spherical_kmeans,
     as_double_array,
     cosine_prenormed,
     l2_norm,
@@ -47,23 +50,66 @@ def build_ivf_index(
     vec_col: str = "embedding",
     n_cells: int | None = 32,
     sample_cap: int = 4096,
+    m: int | None = None,
+    pq_k: int = 16,
 ) -> int:
     """Train the coarse quantizer and write the cell-partitioned
     index under ``path``. Returns the cell count (√n auto-scale when
-    ``n_cells=None``)."""
+    ``n_cells=None``).
+
+    With ``m`` set, PQ sub-codebooks train on the same sample and
+    each row additionally carries its ``m`` byte codes; the ADC probe
+    then reads ONLY (neighbor_id, codes) — column pruning drops the
+    raw-vector column from the candidate scan entirely, so the
+    byte-code layout and the exact vectors coexist in one table with
+    each probe phase paying only for the columns it touches."""
     if n_cells is None:
         n = corpus.count()
         n_cells = max(2, min(int(round(n**0.5)), 1024))
-    cents = _centroid_matrix(corpus, corpus_id, vec_col, n_cells,
-                             sample_cap=sample_cap)
+    sample = _sample_matrix(corpus, corpus_id, vec_col, sample_cap)
+    cents = _spherical_kmeans(sample, n_cells, 8)
     spark = corpus.sparkSession
-    (
-        corpus.select(
+    if m is not None:
+        norms = np.linalg.norm(sample, axis=1)
+        unit = sample[norms > 0] / norms[norms > 0, None]
+        dim = sample.shape[1]
+        if dim % m:
+            raise ValueError(f"dim {dim} not divisible by m={m}")
+        subdim = dim // m
+        codebooks = [
+            _kmeans_euclid(unit[:, j * subdim : (j + 1) * subdim], pq_k, 8)
+            for j in range(m)
+        ]
+        encode = _pq_encode_udf(cents, codebooks)
+        base = corpus.select(
+            F.col(corpus_id).alias("neighbor_id"),
+            as_double_array(F.col(vec_col)).alias("cv"),
+            encode(F.col(vec_col)).alias("e"),
+        ).select(
+            "neighbor_id", "cv", F.col("e.codes").alias("codes"),
+            F.col("e.cell").alias("cell"),
+        )
+        (
+            spark.createDataFrame(
+                [
+                    (j, c, [float(x) for x in codebooks[j][c]])
+                    for j in range(m)
+                    for c in range(pq_k)
+                ],
+                ["subspace", "code", "centroid"],
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{path}/codebooks")
+        )
+    else:
+        base = corpus.select(
             F.col(corpus_id).alias("neighbor_id"),
             as_double_array(F.col(vec_col)).alias("cv"),
             _cell_assign_udf(cents, 1)(F.col(vec_col))[0].alias("cell"),
         )
-        .withColumn("cn", l2_norm(F.col("cv")))
+    (
+        base.withColumn("cn", l2_norm(F.col("cv")))
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(f"{path}/vectors")
@@ -89,10 +135,21 @@ def probe_ivf_index(
     k: int = 10,
     n_probe: int = 8,
     round_digits: int = 6,
+    use_pq: bool = False,
+    refine_factor: int = 8,
 ) -> DataFrame:
     """Top-k cosine over a prebuilt index: centroid scan (tiny),
     driver-side probe assignment for the broadcast-small query batch,
-    then ONE pruned scan of the probed cells."""
+    then ONE pruned scan of the probed cells.
+
+    ``use_pq=True`` (requires an index built with ``m``): the
+    candidate pass reads only (neighbor_id, codes, cell) — column
+    pruning keeps the raw-vector bytes out of the scan — ranks by
+    unrolled ADC lookups, and re-reads the exact vectors for just the
+    top ``refine_factor × k`` ids before the final exact-cosine
+    ranking (same two-phase shape as
+    :func:`~sqltask_spark.operators.similarity.cosine_topk_ivf_pq`).
+    """
     cent_rows = sorted(
         spark.read.parquet(f"{path}/centroids").collect(),
         key=lambda r: r["cell"],
@@ -127,6 +184,77 @@ def probe_ivf_index(
     ci = spark.read.parquet(f"{path}/vectors").filter(
         F.col("cell").isin(probed_cells)
     )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    if use_pq:
+        cb_rows = spark.read.parquet(f"{path}/codebooks").collect()
+        m = 1 + max(r["subspace"] for r in cb_rows)
+        pq_k = 1 + max(r["code"] for r in cb_rows)
+        subdim = len(cb_rows[0]["centroid"])
+        codebooks = [np.zeros((pq_k, subdim)) for _ in range(m)]
+        for r in cb_rows:
+            codebooks[r["subspace"]][r["code"]] = list(r["centroid"])
+        q_unit = q_mat / qn[:, None]
+        luts = np.concatenate(
+            [
+                q_unit[:, j * subdim : (j + 1) * subdim] @ codebooks[j].T
+                for j in range(m)
+            ],
+            axis=1,
+        )
+        lut_df = spark.createDataFrame(
+            [
+                (r["query_id"], [float(x) for x in luts[i]])
+                for i, r in enumerate(q_rows)
+            ],
+            ["query_id", "lut"],
+        )
+        terms = [
+            F.get("lut", i * pq_k + F.get("codes", F.lit(i)).cast("int"))
+            for i in range(m)
+        ]
+        adc = terms[0]
+        for t in terms[1:]:
+            adc = adc + t
+        pool = (
+            ci.select("neighbor_id", "codes", "cell")
+            .join(F.broadcast(probes_df), "cell")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .join(F.broadcast(lut_df), "query_id")
+            .withColumn("adc", adc)
+        )
+        w_adc = Window.partitionBy("query_id").orderBy(
+            F.desc("adc"), F.asc("neighbor_id")
+        )
+        cand = (
+            pool.withColumn("r", F.row_number().over(w_adc))
+            .filter(F.col("r") <= refine_factor * k)
+            .select("query_id", "neighbor_id")
+        )
+        exact = (
+            cand.join(
+                spark.read.parquet(f"{path}/vectors").select(
+                    "neighbor_id", "cv", "cn"
+                ),
+                "neighbor_id",
+            )
+            .join(F.broadcast(qvecs_df), "query_id")
+            .withColumn(
+                "score",
+                F.round(
+                    cosine_prenormed(
+                        F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+                    ),
+                    round_digits,
+                ),
+            )
+            .select("query_id", "neighbor_id", "score")
+        )
+        return (
+            exact.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
     scored = (
         ci.join(F.broadcast(probes_df), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -141,9 +269,6 @@ def probe_ivf_index(
             ),
         )
         .drop("qv", "cv", "qn", "cn", "cell")
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("score"), F.asc("neighbor_id")
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -270,3 +270,44 @@ def test_ivf_index_probe_matches_percall_and_prunes(spark, sf_dir, tmp_path):
     r = plan_report(probed)
     assert any("cell" in p for p in r.partition_filters)
     assert not any("cell" in p for p in r.pushed_filters)
+
+
+def test_ivf_pq_index_probe_matches_and_prunes_columns(
+    spark, sf_dir, tmp_path
+):
+    """PQ-mode index: probe must reproduce the per-call IVF-PQ
+    operator bit-for-bit; the ADC candidate scan must read codes
+    WITHOUT the raw-vector column (column pruning), and the cell
+    predicate must still prune partitions."""
+    from sqltask_spark.operators.ann_index import (
+        build_ivf_index,
+        probe_ivf_index,
+    )
+    from sqltask_spark.operators.similarity import cosine_topk_ivf_pq
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") <= 3)
+    idx = str(tmp_path / "ivfpq")
+    build_ivf_index(
+        emb, idx, "vec_id", "embedding", n_cells=16, m=16, pq_k=16
+    )
+    probed = probe_ivf_index(
+        spark, idx, queries, "vec_id", "embedding",
+        k=5, n_probe=8, use_pq=True,
+    )
+    want = {
+        (r["query_id"], r["rank"], r["neighbor_id"], r["score"])
+        for r in cosine_topk_ivf_pq(
+            queries, emb, "vec_id", "vec_id", k=5,
+            n_cells=16, n_probe=8, m=16, pq_k=16,
+        ).collect()
+    }
+    got = {
+        (r["query_id"], r["rank"], r["neighbor_id"], r["score"])
+        for r in probed.collect()
+    }
+    assert got == want
+    r = plan_report(probed)
+    assert any("cell" in p for p in r.partition_filters)
+    # the ADC pass reads codes only — some vectors scan must omit cv
+    assert any("codes" in s and "cv" not in s for s in r.read_schemas)
