@@ -338,3 +338,132 @@ def bigram_lm_nll(
         )
     )
     return materialize_and_release(out, toks, bg)
+
+
+class BigramLM:
+    """A trained bigram LM as data: two vocabulary-sized count tables
+    (hashed bigram → count, hashed context → count) plus the scalar
+    vocab size. Persistable (parquet) and broadcast-friendly — the
+    artifact a pipeline trains ONCE on the reference corpus and then
+    applies to any batch or stream of new documents (CCNet trains on
+    Wikipedia, scores the web crawl; same split here).
+    """
+
+    def __init__(self, bgc: "DataFrame", ctx: "DataFrame", v: int):
+        self.bgc = bgc
+        self.ctx = ctx
+        self.v = int(v)
+
+    def save(self, path: str) -> None:
+        self.bgc.write.mode("overwrite").parquet(f"{path}/bigrams")
+        self.ctx.write.mode("overwrite").parquet(f"{path}/contexts")
+        spark = self.bgc.sparkSession
+        spark.createDataFrame([(self.v,)], ["v"]).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/meta")
+
+    @staticmethod
+    def load(spark, path: str) -> "BigramLM":
+        return BigramLM(
+            spark.read.parquet(f"{path}/bigrams"),
+            spark.read.parquet(f"{path}/contexts"),
+            spark.read.parquet(f"{path}/meta").first()["v"],
+        )
+
+
+def _doc_bigrams(df: "DataFrame", id_col: str, text_col: str) -> "DataFrame":
+    """(doc_id, prev_h, bg_h) — hashed positional bigrams of every
+    ≥2-token document; the shared explode of training and scoring."""
+    n = F.size("t")
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            tokenize(F.col(text_col)).alias("t"),
+        )
+        .filter(n >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice("t", 1, n - 1),
+                    F.slice("t", 2, n - 1),
+                    lambda a, b: F.struct(
+                        a.alias("prev"),
+                        F.concat_ws(" ", a, b).alias("bg"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select(
+            "doc_id",
+            F.xxhash64("p.prev").alias("prev_h"),
+            F.xxhash64("p.bg").alias("bg_h"),
+        )
+    )
+
+
+def train_bigram_lm(
+    df: "DataFrame", id_col: str, text_col: str
+) -> BigramLM:
+    """Train the add-one bigram LM of :func:`bigram_lm_nll` as a
+    standalone artifact (see there for the model and scale shape)."""
+    n = F.size("t")
+    toks = df.select(tokenize(F.col(text_col)).alias("t")).filter(n >= 2)
+    v = (
+        toks.select(F.explode("t").alias("tok"))
+        .agg(F.countDistinct("tok").alias("v"))
+        .first()["v"]
+    )
+    bg = _doc_bigrams(df, id_col, text_col)
+    bgc = bg.groupBy("bg_h").agg(F.count(F.lit(1)).alias("c_bg"))
+    ctx = bg.groupBy("prev_h").agg(F.count(F.lit(1)).alias("c_prev"))
+    return BigramLM(bgc, ctx, v)
+
+
+def score_with_bigram_lm(
+    df: "DataFrame",
+    model: BigramLM,
+    id_col: str,
+    text_col: str,
+) -> "DataFrame":
+    """Score ANY documents (training corpus, a new batch, or one
+    micro-batch of a stream) against a trained :class:`BigramLM`.
+
+    Bigrams unseen in training back off to the add-one floor
+    ``1/(c_prev + V)`` (and unseen contexts to ``1/V``) via left
+    joins + zero-coalesce — identical arithmetic to training-corpus
+    scoring for every seen bigram, so composing
+    ``score(train_corpus)`` reproduces :func:`bigram_lm_nll`
+    bit-for-bit (tested). Returns (doc_id, n_bigrams, avg_nll, ppl).
+    """
+    bg = _doc_bigrams(df, id_col, text_col)
+    q = (
+        bg.join(model.bgc, "bg_h", "left")
+        .join(model.ctx, "prev_h", "left")
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (F.coalesce("c_bg", F.lit(0)) + F.lit(1))
+                    / (F.coalesce("c_prev", F.lit(0)) + F.lit(model.v))
+                )
+                * F.lit(1000000.0)
+            )
+            .cast("long")
+            .alias("q"),
+        )
+    )
+    nll = -F.col("sum_q") / (F.col("n_bigrams") * F.lit(1000000.0))
+    return (
+        q.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("q").alias("sum_q"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(nll, 6).alias("avg_nll"),
+            F.round(F.exp(nll), 4).alias("ppl"),
+        )
+    )

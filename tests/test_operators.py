@@ -1265,3 +1265,51 @@ def test_apply_mix_sampling_degenerate_sources(spark, tmp_path):
     assert not any(d in (3, 4) for d, _ in out)
     assert any(d == 1 for d, _ in out)
     assert any(d == 2 for d, _ in out)
+
+
+def test_bigram_lm_train_score_split_matches_composed(spark, tmp_path):
+    """train→save→load→score must reproduce the single-pass
+    bigram_lm_nll bit-for-bit on the training corpus; a NEW doc made
+    of unseen bigrams backs off to the add-one floor and scores
+    strictly worse than in-distribution text."""
+    from sqltask_spark.operators.text import (
+        BigramLM,
+        bigram_lm_nll,
+        score_with_bigram_lm,
+        train_bigram_lm,
+    )
+
+    corpus = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the hat"),
+        (3, "the dog sat on the mat"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    composed = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in bigram_lm_nll(docs, "doc_id", "text").collect()
+    }
+    model = train_bigram_lm(docs, "doc_id", "text")
+    model.save(str(tmp_path / "lm"))
+    loaded = BigramLM.load(spark, str(tmp_path / "lm"))
+    split = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in score_with_bigram_lm(
+            docs, loaded, "doc_id", "text"
+        ).collect()
+    }
+    assert split == composed
+    new = spark.createDataFrame(
+        [(9, "the cat sat on the mat"), (10, "zz qq ww ee rr tt")],
+        "doc_id long, text string",
+    )
+    scored = {
+        r["doc_id"]: r["avg_nll"]
+        for r in score_with_bigram_lm(new, loaded, "doc_id", "text").collect()
+    }
+    import math
+
+    # fully unseen text: every bigram at the floor ln(1/V), V=7
+    # ({the,cat,sat,on,mat,hat,dog})
+    assert abs(scored[10] - math.log(7)) < 1e-5
+    assert scored[9] < scored[10]

@@ -480,3 +480,66 @@ def test_near_dup_screen_bucket_cap(spark, tmp_path):
     # predecessors), never anything older
     for r in rows:
         assert r["matched_id"] >= r["doc_id"] - 2
+
+
+def test_lm_scoring_at_ingest_matches_batch(spark, tmp_path):
+    """Train-offline / score-online: a BigramLM trained on a static
+    reference corpus scores a document stream per micro-batch
+    (foreachBatch — each doc's bigrams arrive together, so scoring is
+    stateless given the broadcast model) and must agree exactly with
+    batch scoring of the same rows."""
+    from pyspark.sql import functions as F
+
+    from sqltask_spark.operators.text import (
+        score_with_bigram_lm,
+        train_bigram_lm,
+    )
+
+    ref = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat sat on the hat"),
+            (3, "the dog sat on the mat"),
+        ],
+        "doc_id long, text string",
+    )
+    model = train_bigram_lm(ref, "doc_id", "text")
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    batch1 = spark.createDataFrame(
+        [(10, "the cat sat on the mat"), (11, "zz qq ww ee")],
+        "doc_id long, text string",
+    )
+    batch2 = spark.createDataFrame(
+        [(12, "the dog sat on the hat")], "doc_id long, text string"
+    )
+    batch1.write.parquet(str(src / "b1"))
+    batch2.write.parquet(str(src / "b2"))
+
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(f"{src}/*")
+    got: list = []
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, _: got.extend(
+                score_with_bigram_lm(b, model, "doc_id", "text").collect()
+            )
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    all_docs = batch1.unionByName(batch2)
+    want = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_nll"], r["ppl"])
+        for r in score_with_bigram_lm(
+            all_docs, model, "doc_id", "text"
+        ).collect()
+    }
+    assert {
+        r["doc_id"]: (r["n_bigrams"], r["avg_nll"], r["ppl"]) for r in got
+    } == want
+    assert len(want) == 3
