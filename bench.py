@@ -200,6 +200,35 @@ def main() -> None:
             best = elapsed if best is None else min(best, elapsed)
         times[name] = round(best, 3)
         print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+
+    # persistent index: build ONCE (timed once — it is the amortized
+    # cost), then probe repeatedly. The per-call IVF entry above
+    # retrains + re-encodes per query batch; a serving loop builds the
+    # cell-partitioned index and pays only pruned-probe latency.
+    from sqltask_spark.operators.ann_index import (
+        build_ivf_index,
+        probe_ivf_index,
+    )
+
+    idx = os.path.join(tmp, "ivf_index")
+    t0 = time.perf_counter()
+    build_ivf_index(corpus, idx, "vec_id", "embedding", n_cells=32)
+    times["xover_index_build"] = round(time.perf_counter() - t0, 3)
+    print(f"# xover_index_build: {times['xover_index_build']}s",
+          file=sys.stderr)
+    best = None
+    for _ in range(repeats):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        n = probe_ivf_index(
+            spark, idx, corpus.filter(F.col("vec_id") <= 5 * reps_factor),
+            "vec_id", "embedding", k=10, n_probe=8,
+        ).count()
+        elapsed = time.perf_counter() - t0
+        best = elapsed if best is None else min(best, elapsed)
+    times["xover_index_probe"] = round(best, 3)
+    print(f"# xover_index_probe: {times['xover_index_probe']}s ({n} rows)",
+          file=sys.stderr)
     shutil.rmtree(tmp, ignore_errors=True)
 
     total = round(sum(times.values()), 3)

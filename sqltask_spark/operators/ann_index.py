@@ -83,7 +83,7 @@ def build_ivf_index(
         encode = _pq_encode_udf(cents, codebooks)
         base = corpus.select(
             F.col(corpus_id).alias("neighbor_id"),
-            as_double_array(F.col(vec_col)).alias("cv"),
+            F.col(vec_col).cast("array<float>").alias("cv"),
             encode(F.col(vec_col)).alias("e"),
         ).select(
             "neighbor_id", "cv", F.col("e.codes").alias("codes"),
@@ -105,11 +105,19 @@ def build_ivf_index(
     else:
         base = corpus.select(
             F.col(corpus_id).alias("neighbor_id"),
-            as_double_array(F.col(vec_col)).alias("cv"),
+            # stored as float: the engine-wide contract casts to
+            # double before any arithmetic, and float→double→float
+            # round-trips the original float embeddings losslessly —
+            # so the index is half the bytes (and parquet list-decode
+            # work) with bit-identical scores (equality-tested)
+            F.col(vec_col).cast("array<float>").alias("cv"),
             _cell_assign_udf(cents, 1)(F.col(vec_col))[0].alias("cell"),
         )
     (
-        base.withColumn("cn", l2_norm(F.col("cv")))
+        base.withColumn("cn", l2_norm(as_double_array(F.col("cv"))))
+        # co-locate each cell before the partitioned write: one file
+        # per cell directory instead of (writer tasks × cells) shards
+        .repartition(n_cells, "cell")
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(f"{path}/vectors")
@@ -180,9 +188,18 @@ def probe_ivf_index(
     probed_cells = sorted({int(c) for row in order for c in row})
     # the isin predicate on the PARTITION column prunes directories at
     # the scan (PartitionFilters — plan-tested); the per-query cell
-    # equi-join then narrows within the read cells
-    ci = spark.read.parquet(f"{path}/vectors").filter(
-        F.col("cell").isin(probed_cells)
+    # equi-join then narrows within the read cells. The pruned scan
+    # then yields only as many input splits as probed FILES — without
+    # a min-partition guard the candidate scoring (the CPU-bound
+    # part) serializes onto a handful of cores (measured: probe
+    # SLOWER than the per-call op at 128k vectors; the same
+    # byte-small/compute-heavy trap as the LSH candidate stage).
+    from sqltask_spark.data import ensure_min_partitions
+
+    ci = ensure_min_partitions(
+        spark.read.parquet(f"{path}/vectors").filter(
+            F.col("cell").isin(probed_cells)
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("neighbor_id")
@@ -244,7 +261,8 @@ def probe_ivf_index(
                 "score",
                 F.round(
                     cosine_prenormed(
-                        F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+                        F.col("qv"), as_double_array(F.col("cv")),
+                        F.col("qn"), F.col("cn")
                     ),
                     round_digits,
                 ),
