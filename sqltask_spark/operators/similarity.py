@@ -1157,3 +1157,86 @@ def cosine_topk_ivf_pq(
         exact.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
     )
+
+
+def knn_graph_cells(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int | None = None,
+    n_probe: int = 2,
+    target_occupancy: int = 256,
+    sample_cap: int = 4096,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Approximate kNN graph via IVF cells — the scale path
+    :func:`knn_graph` points to when exact O(n²) is off the table.
+
+    Every vector is a MEMBER of its single nearest cell and a PROBE
+    of its ``n_probe`` nearest cells; edges are scored only between a
+    probing vector and the members of its probed cells. Because
+    membership is single-cell, a (src, dst) pair meets at most once —
+    no dedup pass. Pair work is O(n · n_probe · occupancy) with
+    occupancy held at ``target_occupancy`` by the same √-scaling as
+    :func:`semdedup_prune` (a fixed cell count would degrade
+    quadratically with corpus growth — the occupancy lesson). Recall
+    loss is confined to true neighbors living outside all probed
+    cells; raise ``n_probe`` to buy recall linearly.
+
+    Returns (src_id, rank, dst_id, score) — same shape and
+    determinism contract as the exact graph it approximates
+    (recall-vs-exact pytest-asserted).
+    """
+    from sqltask_spark.data import ensure_min_partitions, materialize_and_release
+
+    if n_cells is None:
+        n = df.count()
+        n_cells = max(2, min(n // target_occupancy + 1, sample_cap // 4))
+    cents = _centroid_matrix(df, id_col, vec_col, n_cells, sample_cap)
+    assign = _cell_assign_udf(cents, max(1, n_probe))
+    base = (
+        ensure_min_partitions(df)
+        .select(
+            F.col(id_col).alias("id"),
+            as_double_array(F.col(vec_col)).alias("v"),
+        )
+        .withColumn("cells", assign(F.col("v")))
+        .withColumn("nrm", l2_norm(F.col("v")))
+        .persist()
+    )
+    members = base.select(
+        F.col("cells")[0].alias("cell"),
+        F.col("id").alias("dst_id"),
+        F.col("v").alias("dv"),
+        F.col("nrm").alias("dn"),
+    )
+    probes = base.select(
+        F.explode("cells").alias("cell"),
+        F.col("id").alias("src_id"),
+        F.col("v").alias("sv"),
+        F.col("nrm").alias("sn"),
+    )
+    scored = (
+        probes.join(members, "cell")
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .select(
+            "src_id",
+            "dst_id",
+            F.round(
+                cosine_prenormed(
+                    F.col("sv"), F.col("dv"), F.col("sn"), F.col("dn")
+                ),
+                round_digits,
+            ).alias("score"),
+        )
+        .filter(F.col("score").isNotNull())
+    )
+    w = Window.partitionBy("src_id").orderBy(
+        F.desc("score"), F.asc("dst_id")
+    )
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    return materialize_and_release(out, base)

@@ -1313,3 +1313,27 @@ def test_bigram_lm_train_score_split_matches_composed(spark, tmp_path):
     # ({the,cat,sat,on,mat,hat,dog})
     assert abs(scored[10] - math.log(7)) < 1e-5
     assert scored[9] < scored[10]
+
+
+def test_knn_graph_cells_recall_vs_exact(spark, tables):
+    """The cell-confined approximate graph must recover most of the
+    exact graph's edges at modest probe depth, and every edge it
+    reports must carry the exact pair cosine."""
+    from sqltask_spark.operators.similarity import knn_graph, knn_graph_cells
+
+    emb = tables["embeddings"]
+    exact = {
+        (r["src_id"], r["dst_id"]): r["score"]
+        for r in knn_graph(emb, "vec_id", "embedding", k=3).collect()
+    }
+    approx = {
+        (r["src_id"], r["dst_id"]): r["score"]
+        for r in knn_graph_cells(
+            emb, "vec_id", "embedding", k=3, n_cells=8, n_probe=4
+        ).collect()
+    }
+    hits = set(exact) & set(approx)
+    recall = len(hits) / len(exact)
+    assert recall >= 0.6, f"cell-graph recall too low: {recall}"
+    for e in hits:
+        assert approx[e] == exact[e]
