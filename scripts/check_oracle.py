@@ -102,9 +102,17 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{sf_dir}/{t}.parquet')"
         )
-    spark = get_spark(app_name="oracle_check", master="local[8]",
+    # overridable layout knobs: running the WHOLE gate under an odd
+    # core/partition count is the cheap proof that every hash is
+    # partition-layout-invariant (decimal/fixed-point aggregates,
+    # deterministic tie-breaks) — not just correct on one layout
+    import os
+
+    cpus = os.environ.get("SPARK_GRAFT_ORACLE_CPUS", "8")
+    parts = os.environ.get("SPARK_GRAFT_ORACLE_PARTITIONS", "8")
+    spark = get_spark(app_name="oracle_check", master=f"local[{cpus}]",
                       conf={"spark.ui.enabled": "false",
-                            "spark.sql.shuffle.partitions": "8"})
+                            "spark.sql.shuffle.partitions": parts})
 
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
