@@ -1,0 +1,386 @@
+"""Corpus retrieval operators: BM25 search and hashed TF-IDF vectors.
+
+No reference counterpart (north-star extension): full-text relevance
+ranking and sparse document vectorization are core tools of a
+training-data pipeline (contamination screening against benchmark
+queries, corpus exploration, lightweight topic features) — the
+reference (villebro/sqltask) delegates all querying to the source
+database and has no text surface at all.
+
+Scale design (100 TB corpus):
+
+- The corpus side is touched exactly once: one tokenize + explode
+  pass produces ``(doc_id, term, tf)`` postings with map-side
+  combine. For BM25 the postings are **semi-joined to the broadcast
+  query-term set at the scan**, so the term-frequency shuffle carries
+  only terms that appear in some query — corpus-sized work is a
+  single embarrassingly-parallel projection regardless of query
+  count.
+- Document-frequency censuses aggregate the (already pruned)
+  postings — at most ``n_query_terms`` groups for BM25, vocabulary-
+  sized for TF-IDF — both map-side combined.
+- All score arithmetic is fixed-point (micro-units summed as BIGINT)
+  so results are bit-identical under any partitioning / shuffle
+  order, and reproducible by any engine with ``ln`` — which is what
+  makes the DuckDB oracles possible.
+- No Python UDFs anywhere: every expression is JVM-side codegen.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sqltask_spark.operators import text as tx
+
+#: Micro-unit fixed-point scale shared with the oracle SQL.
+_MICRO = 1_000_000
+
+
+def _query_frame(
+    spark: SparkSession, queries: Sequence[Tuple[int, str]]
+) -> DataFrame:
+    return spark.createDataFrame(
+        list(queries), schema="query_id bigint, query_text string"
+    )
+
+
+def bm25_search(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_term_df: Optional[int] = None,
+) -> DataFrame:
+    """Top-``k`` documents per query under BM25 ranking.
+
+    ``queries`` must have columns ``(query_id, query_text)``. Returns
+    ``(query_id, rank, doc_id, n_matched, score)`` with a
+    deterministic tie-break (score desc, doc_id asc).
+
+    Scoring uses the standard Lucene-style formula with idf =
+    ln(1 + (N − df + ½)/(df + ½)); per-term contributions are
+    rounded to integer micro-units before the per-document sum so the
+    result is order-independent (bit-stable under any shuffle).
+
+    ``max_term_df`` optionally drops query terms whose document
+    frequency exceeds the cap — the stopword-query guard: a term
+    matching half the corpus would otherwise turn one query into a
+    corpus-sized scoring group (same trap and same fix as
+    ``ngram_jaccard_pairs(max_shingle_df=...)``).
+    """
+    # per-query distinct terms; tiny → broadcast everywhere below
+    qterms = queries.select(
+        "query_id",
+        F.explode(
+            F.array_distinct(tx.tokenize(F.col("query_text")))
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    term_set = qterms.select("term").distinct()
+
+    dl = tx.token_count(F.col(text_col))
+    # ONE corpus pass: explode → prune to query terms BEFORE any
+    # shuffle (broadcast semi-join at the scan) → per-(doc, term) tf
+    postings = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            dl.alias("dl"),
+            F.explode(tx.tokenize(F.col(text_col))).alias("term"),
+        )
+        .join(F.broadcast(term_set), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl"))
+    )
+
+    # corpus stats: one map-side-combined aggregate, no explode
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(dl).alias("sum_dl"),
+    )
+
+    # document frequency of the (pruned) query terms
+    dfc = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if max_term_df is not None:
+        dfc = dfc.filter(F.col("df") <= F.lit(max_term_df))
+
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tfn = (F.col("tf") * (F.lit(k1) + F.lit(1.0))) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / avgdl)
+    )
+    scored = (
+        postings.join(F.broadcast(dfc), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            "doc_id",
+            F.round(idf * tfn * F.lit(float(_MICRO)))
+            .cast("long")
+            .alias("contrib_micro"),
+        )
+    )
+
+    hits = scored.join(F.broadcast(qterms), "term")
+    agg = hits.groupBy("query_id", "doc_id").agg(
+        F.sum("contrib_micro").alias("score_micro"),
+        F.count(F.lit(1)).alias("n_matched"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id")
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "doc_id",
+            "n_matched",
+            F.round(F.col("score_micro") / F.lit(float(_MICRO)), 6).alias(
+                "score"
+            ),
+        )
+    )
+
+
+def _hex_nibble(col, pos: int):
+    """Value 0–15 of the ``pos``-th (1-based) hex char of ``col``."""
+    return F.instr(
+        F.lit("0123456789abcdef"), F.substring(col, pos, 1)
+    ) - F.lit(1)
+
+
+def md5_bucket(col, n_buckets: int):
+    """Deterministic, engine-portable hash bucket of a string column.
+
+    First 4 md5 nibbles → 0..65535, mod ``n_buckets`` — uniform when
+    ``n_buckets`` divides 65536. md5 (not xxhash64) so external
+    engines reproduce the exact assignment; the DuckDB oracle ships
+    the same expression.
+    """
+    digest = F.md5(col)
+    v = F.lit(0)
+    for pos in (1, 2, 3, 4):
+        v = v * F.lit(16) + _hex_nibble(digest, pos)
+    return v % F.lit(n_buckets)
+
+
+def hashed_tfidf(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Sparse hashed TF-IDF document vectors in long (COO) format.
+
+    Returns one row per non-zero vector component:
+    ``(doc_id, bucket, n_terms, weight)`` where ``bucket`` is the
+    md5-hash feature index, ``n_terms`` counts distinct terms that
+    collided into the bucket, and ``weight`` is the summed
+    tf·idf mass (idf = ln((N+1)/(df+1)) + 1, smooth).
+
+    Long format deliberately: it is the join-able shape (sparse dot
+    products are an equi-join on ``bucket``), it shuffles only
+    non-zeros, and — unlike an ``array`` column — it is hashable by
+    the driver's row canonicalizer, so the entry stays oracle-checked.
+
+    Weights are fixed-point micro-unit sums (order-independent).
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tx.tokenize(F.col(text_col))).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = base.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+
+    idf = (
+        F.log(
+            (F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))
+        )
+        + F.lit(1.0)
+    )
+    weighted = (
+        tf.join(dfc, "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            md5_bucket(F.col("term"), n_buckets).alias("bucket"),
+            F.round(F.col("tf") * idf * F.lit(float(_MICRO)))
+            .cast("long")
+            .alias("w_micro"),
+        )
+    )
+    return (
+        weighted.groupBy("doc_id", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("w_micro").alias("w_micro"),
+        )
+        .select(
+            "doc_id",
+            "bucket",
+            "n_terms",
+            F.round(F.col("w_micro") / F.lit(float(_MICRO)), 6).alias(
+                "weight"
+            ),
+        )
+    )
+
+
+def tfidf_dense_vectors(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """L2-normalized dense hashed-TF-IDF vectors
+    ``(doc_id, vec: array<double>)`` — the clustering/embedding-free
+    similarity feature. Small ``n_buckets`` (default 64) because the
+    dense form is meant for k-means-style geometry, not exact
+    retrieval; the sparse long form (:func:`hashed_tfidf`) is the
+    scale path for joins."""
+    sparse = hashed_tfidf(
+        docs, id_col=id_col, text_col=text_col, n_buckets=n_buckets
+    )
+    as_map = sparse.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.array_sort(
+                F.collect_list(F.struct("bucket", "weight"))
+            )
+        ).alias("m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(n_buckets - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("m"), i.cast("int")), F.lit(0.0)
+        ),
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            dense, F.lit(0.0), lambda acc, x: acc + x * x
+        )
+    )
+    return as_map.select(
+        "doc_id",
+        F.when(norm > 0, F.transform(dense, lambda x: x / norm))
+        .otherwise(dense)
+        .alias("vec"),
+    )
+
+
+def topic_clusters(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_clusters: int = 8,
+    n_buckets: int = 64,
+    top_terms: int = 5,
+    sample_cap: int = 4096,
+    kmeans_iters: int = 8,
+) -> DataFrame:
+    """Embedding-free corpus topic map: spherical k-means over
+    hashed-TF-IDF vectors, summarized as
+    ``(cluster_id, n_docs, top_terms)``.
+
+    Reuses the IVF coarse quantizer machinery
+    (:func:`sqltask_spark.operators.similarity._spherical_kmeans`):
+    bounded hash-ordered driver sample → Lloyd on the driver →
+    broadcast centroid argmax assignment. The per-cluster term
+    summary joins the corpus tokens to the assignment and takes the
+    ``top_terms`` most frequent terms per cluster (count desc, term
+    asc — deterministic).
+
+    Scale: vectorization is two shuffles (term census + doc-bucket
+    agg); assignment is a broadcast matmul-free fold over 64 dims;
+    the summary is one explode-join-agg. Engine-specific float
+    geometry (k-means) ⇒ no SQL oracle; semantics are pytest-covered
+    on a planted two-topic corpus.
+    """
+    from sqltask_spark.operators.similarity import (
+        _sample_matrix,
+        _spherical_kmeans,
+    )
+
+    vecs = tfidf_dense_vectors(
+        docs, id_col=id_col, text_col=text_col, n_buckets=n_buckets
+    )
+    vecs = vecs.persist()
+    try:
+        sample = _sample_matrix(vecs, "doc_id", "vec", sample_cap)
+        cents = _spherical_kmeans(sample, n_clusters, kmeans_iters)
+        # argmax over ≤ n_clusters dot products; vectors are unit so
+        # cosine ≡ dot. Plan-time-constant centroid literals, short
+        # fold per centroid (64 adds) — stays JVM-side.
+        best_c, best_s = F.lit(0), F.lit(-2.0)
+        for c_id, cent in enumerate(cents):
+            dot = F.aggregate(
+                F.zip_with(
+                    F.col("vec"),
+                    F.array(*[F.lit(float(x)) for x in cent]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            take = dot > best_s
+            best_c = F.when(take, F.lit(c_id)).otherwise(best_c)
+            best_s = F.when(take, dot).otherwise(best_s)
+        assign = vecs.select("doc_id", best_c.alias("cluster_id"))
+
+        toks = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tx.tokenize(F.col(text_col))).alias("term"),
+        ).filter(F.col("term") != "")
+        term_counts = (
+            toks.join(assign, "doc_id")
+            .groupBy("cluster_id", "term")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        w = Window.partitionBy("cluster_id").orderBy(
+            F.col("cnt").desc(), F.col("term")
+        )
+        tops = (
+            term_counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= top_terms)
+            .groupBy("cluster_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("rn", "term"))
+                ).alias("ranked")
+            )
+            .select(
+                "cluster_id",
+                F.array_join(
+                    F.transform(F.col("ranked"), lambda s: s["term"]),
+                    " ",
+                ).alias("top_terms"),
+            )
+        )
+        sizes = assign.groupBy("cluster_id").agg(
+            F.count(F.lit(1)).alias("n_docs")
+        )
+        out = sizes.join(tops, "cluster_id").select(
+            "cluster_id", "n_docs", "top_terms"
+        ).orderBy("cluster_id")
+        from sqltask_spark.data import materialize_and_release
+
+        return materialize_and_release(out, vecs)
+    except BaseException:
+        vecs.unpersist()
+        raise

@@ -1,0 +1,168 @@
+"""Retrieval queries over the ``documents`` table: BM25 search,
+hashed TF-IDF vectorization, and an embedding-free topic map.
+
+``search_bm25`` and ``doc_tfidf_vectors`` are fully deterministic
+(fixed-point micro-unit sums, md5 feature hashing) and carry DuckDB
+oracles that reproduce the exact arithmetic. ``topic_cluster_documents``
+runs spherical k-means (engine-specific float geometry) → rows-only
+for the driver; its semantics are pytest-covered on a planted
+two-topic corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sqltask_spark.data import load_table
+from sqltask_spark.operators.retrieval import (
+    _query_frame,
+    bm25_search,
+    hashed_tfidf,
+    topic_clusters,
+)
+
+#: normalization fragments shared with the oracle (DuckDB needs the
+#: 'g' flag for replace-all; Spark replaces all by default)
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_TOKS = f"string_split({_NORM}, ' ')"
+
+#: The benchmark query set — fixed literals over the corpus
+#: vocabulary so both engines embed the identical constant relation.
+_BM25_QUERIES: list[tuple[int, str]] = [
+    (1, "hash join merge"),
+    (2, "stream window agg"),
+    (3, "the fast sort"),
+    (4, "vector data spark"),
+    (5, "slow query filter scan"),
+]
+
+_BM25_K = 10
+
+
+def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_search(
+        docs, _query_frame(spark, _BM25_QUERIES), k=_BM25_K
+    ).orderBy("query_id", "rank")
+
+
+def _values_clause() -> str:
+    return ", ".join(
+        f"({qid}, '{text}')" for qid, text in _BM25_QUERIES
+    )
+
+
+_BM25_SQL = f"""
+WITH qs(query_id, query_text) AS (VALUES {_values_clause()}),
+qterms AS (
+  SELECT query_id, term FROM (
+    SELECT query_id,
+           UNNEST(list_distinct(string_split(
+             regexp_replace(lower(trim(query_text)), '\\s+', ' ', 'g'),
+             ' '))) AS term
+    FROM qs
+  ) WHERE term <> ''
+),
+toks AS MATERIALIZED (SELECT doc_id, {_TOKS} AS t FROM documents),
+stats AS (SELECT COUNT(*) AS n_docs, SUM(LEN(t)) AS sum_dl FROM toks),
+base AS (SELECT doc_id, LEN(t) AS dl, UNNEST(t) AS term FROM toks),
+postings AS (
+  SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl
+  FROM base
+  WHERE term IN (SELECT DISTINCT term FROM qterms)
+  GROUP BY doc_id, term
+),
+dfc AS (SELECT term, COUNT(*) AS df FROM postings GROUP BY term),
+scored AS (
+  SELECT p.term, p.doc_id,
+    CAST(ROUND(
+      LN((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+      * ((tf * (1.2 + 1.0))
+         / (tf + 1.2 * (1.0 - 0.75
+                        + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs))))
+      * 1000000.0) AS BIGINT) AS contrib_micro
+  FROM postings p JOIN dfc USING (term), stats
+),
+agg AS (
+  SELECT query_id, doc_id,
+         SUM(contrib_micro) AS score_micro,
+         COUNT(*) AS n_matched
+  FROM scored JOIN qterms USING (term)
+  GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rank,
+         doc_id, n_matched, score_micro
+  FROM agg
+)
+SELECT query_id, rank, doc_id, n_matched,
+       ROUND(score_micro / 1000000.0, 6) AS score
+FROM ranked WHERE rank <= {_BM25_K}
+ORDER BY query_id, rank
+"""
+
+
+_TFIDF_BUCKETS = 1024
+
+
+def doc_tfidf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return hashed_tfidf(docs, n_buckets=_TFIDF_BUCKETS).orderBy(
+        "doc_id", "bucket"
+    )
+
+
+def _nibble_sql(pos: int) -> str:
+    return f"(strpos('0123456789abcdef', substring(md5(term), {pos}, 1)) - 1)"
+
+
+_BUCKET_SQL = (
+    f"(((({_nibble_sql(1)} * 16 + {_nibble_sql(2)}) * 16 "
+    f"+ {_nibble_sql(3)}) * 16 + {_nibble_sql(4)}) % {_TFIDF_BUCKETS})"
+)
+
+_TFIDF_SQL = f"""
+WITH base AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, UNNEST({_TOKS}) AS term FROM documents
+  ) WHERE term <> ''
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM base GROUP BY doc_id, term
+),
+dfc AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+stats AS (SELECT COUNT(*) AS n_docs FROM documents),
+weighted AS (
+  SELECT doc_id, {_BUCKET_SQL} AS bucket,
+    CAST(ROUND(tf * (LN((n_docs + 1.0) / (df + 1.0)) + 1.0) * 1000000.0)
+         AS BIGINT) AS w_micro
+  FROM tf JOIN dfc USING (term), stats
+)
+SELECT doc_id, bucket, COUNT(*) AS n_terms,
+       ROUND(SUM(w_micro) / 1000000.0, 6) AS weight
+FROM weighted
+GROUP BY doc_id, bucket
+ORDER BY doc_id, bucket
+"""
+
+
+def topic_cluster_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return topic_clusters(docs, n_clusters=8)
+
+
+QUERIES = {
+    "search_bm25": search_bm25,
+    "doc_tfidf_vectors": doc_tfidf_vectors,
+    "topic_cluster_documents": topic_cluster_documents,
+}
+
+ORACLES = {
+    "search_bm25": _BM25_SQL,
+    "doc_tfidf_vectors": _TFIDF_SQL,
+    # topic_cluster_documents: intentionally no oracle — k-means
+    # float geometry is engine-specific; pytest covers semantics.
+}

@@ -1,0 +1,185 @@
+"""BM25 search, hashed TF-IDF, and topic clustering semantics."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+
+from sqltask_spark.operators.retrieval import (
+    _query_frame,
+    bm25_search,
+    hashed_tfidf,
+    topic_clusters,
+)
+
+_K1, _B = 1.2, 0.75
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _ref_bm25(corpus, queries, k=10, max_term_df=None):
+    """Pure-python BM25 reference mirroring the operator's exact
+    fixed-point arithmetic (HALF_UP micro rounding)."""
+    toks = {d: t.lower().split() for d, t in corpus}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    df = {}
+    for t in toks.values():
+        for term in set(t):
+            df[term] = df.get(term, 0) + 1
+    out = []
+    for qid, qtext in queries:
+        scores = {}
+        matched = {}
+        for term in dict.fromkeys(qtext.lower().split()):
+            if term not in df:
+                continue
+            if max_term_df is not None and df[term] > max_term_df:
+                continue
+            idf = math.log((n - df[term] + 0.5) / (df[term] + 0.5) + 1.0)
+            for d, t in toks.items():
+                tf = t.count(term)
+                if not tf:
+                    continue
+                tfn = (tf * (_K1 + 1.0)) / (
+                    tf + _K1 * (1.0 - _B + _B * len(t) / avgdl)
+                )
+                micro = math.floor(idf * tfn * 1e6 + 0.5)
+                scores[d] = scores.get(d, 0) + micro
+                matched[d] = matched.get(d, 0) + 1
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        for rank, (d, micro) in enumerate(ranked[:k], start=1):
+            out.append((qid, rank, d, matched[d], micro / 1e6))
+    return out
+
+
+_CORPUS = [
+    (1, "apple banana"),
+    (2, "apple apple banana banana banana"),
+    (3, "cherry cherry cherry"),
+    (4, "apple cherry plum"),
+    (5, "plum fig date"),
+    (6, "fig fig date date quince quince"),
+    (7, "the the the apple"),
+    (8, "the plum"),
+]
+
+
+def test_bm25_matches_python_reference(spark):
+    docs = _docs(spark, _CORPUS)
+    queries = [(1, "apple banana"), (2, "cherry"), (3, "fig date quince")]
+    got = [
+        (r.query_id, r.rank, r.doc_id, r.n_matched, r.score)
+        for r in bm25_search(docs, _query_frame(spark, queries), k=10)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    want = _ref_bm25(_CORPUS, queries)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[:4] == w[:4]
+        assert g[4] == pytest.approx(w[4], abs=1e-9)
+
+
+def test_bm25_rarer_terms_and_tf_dominate(spark):
+    docs = _docs(spark, _CORPUS)
+    res = bm25_search(
+        docs, _query_frame(spark, [(1, "cherry")]), k=3
+    ).collect()
+    # highest-tf doc for the query term ranks first
+    assert res[0].doc_id == 3 and res[0].rank == 1
+
+
+def test_bm25_max_term_df_drops_stopword_terms(spark):
+    docs = _docs(spark, _CORPUS)
+    q = _query_frame(spark, [(1, "the apple")])
+    uncapped = bm25_search(docs, q, k=10).collect()
+    capped = bm25_search(docs, q, k=10, max_term_df=2).collect()
+    # 'the' (df=2) survives the cap; 'apple' (df=4) is dropped, so
+    # capped results only match on 'the'
+    assert {r.doc_id for r in capped} == {7, 8}
+    assert all(r.n_matched == 1 for r in capped)
+    assert {r.doc_id for r in uncapped} > {7, 8}
+
+
+def _ref_tfidf(corpus, n_buckets=64):
+    toks = {d: t.lower().split() for d, t in corpus}
+    n = len(toks)
+    df = {}
+    for t in toks.values():
+        for term in set(t):
+            df[term] = df.get(term, 0) + 1
+    out = {}
+    for d, t in toks.items():
+        tf = {}
+        for term in t:
+            tf[term] = tf.get(term, 0) + 1
+        for term, f in tf.items():
+            b = int(hashlib.md5(term.encode()).hexdigest()[:4], 16) % n_buckets
+            idf = math.log((n + 1.0) / (df[term] + 1.0)) + 1.0
+            micro = math.floor(f * idf * 1e6 + 0.5)
+            cnt, tot = out.get((d, b), (0, 0))
+            out[(d, b)] = (cnt + 1, tot + micro)
+    return {
+        (d, b): (cnt, tot / 1e6) for (d, b), (cnt, tot) in out.items()
+    }
+
+
+def test_hashed_tfidf_matches_python_reference(spark):
+    docs = _docs(spark, _CORPUS)
+    got = {
+        (r.doc_id, r.bucket): (r.n_terms, r.weight)
+        for r in hashed_tfidf(docs, n_buckets=64).collect()
+    }
+    want = _ref_tfidf(_CORPUS, n_buckets=64)
+    assert set(got) == set(want)
+    for key, (cnt, w) in want.items():
+        assert got[key][0] == cnt
+        assert got[key][1] == pytest.approx(w, abs=1e-9)
+
+
+def test_topic_clusters_separate_planted_topics(spark):
+    animals = "cat dog pet fur paw whisker"
+    finance = "stock bond market trade price index"
+    rows = []
+    for i in range(20):
+        words = animals.split()
+        rows.append((i, " ".join(words * (1 + i % 3)) + " " + words[i % 6]))
+    for i in range(20):
+        words = finance.split()
+        rows.append(
+            (100 + i, " ".join(words * (1 + i % 3)) + " " + words[i % 6])
+        )
+    docs = _docs(spark, rows)
+    out = topic_clusters(docs, n_clusters=4, top_terms=3).collect()
+    assert sum(r.n_docs for r in out) == 40
+    a_vocab, f_vocab = set(animals.split()), set(finance.split())
+    a_docs = f_docs = 0
+    for r in out:
+        terms = set(r.top_terms.split())
+        # every cluster is PURE: its summary vocabulary comes from
+        # exactly one planted topic (topics are orthogonal in the
+        # hashed space, so k-means must not mix them even if it
+        # splits one topic across cells)
+        assert terms <= a_vocab or terms <= f_vocab
+        if terms <= a_vocab:
+            a_docs += r.n_docs
+        else:
+            f_docs += r.n_docs
+    assert a_docs == 20 and f_docs == 20
+
+
+def test_bm25_plan_no_cartesian_broadcast_hash(spark, sf_dir):
+    from sqltask_spark.plans import plan_report
+    from sqltask_spark.queries import QUERIES
+
+    r = plan_report(QUERIES["search_bm25"](spark, sf_dir))
+    # the only nested-loop is the 1-row corpus-stats broadcast; term
+    # joins are broadcast hash joins (query terms are tiny)
+    assert "CartesianProduct" not in r.join_strategies
+    assert "BroadcastHashJoin" in r.join_strategies
+    assert r.has_codegen
