@@ -177,6 +177,121 @@ def md5_bucket(col, n_buckets: int):
     return v % F.lit(n_buckets)
 
 
+def md5_long(col) -> "F.Column":
+    """Portable 60-bit integer hash of a string: first 15 md5 nibbles.
+
+    Spark: ``conv(substring(md5(s),1,15),16,10)`` — DuckDB mirrors it
+    with ``('0x' || substring(md5(s),1,15))::BIGINT`` (verified
+    bit-identical). Used where a shuffle key must be both compact
+    (long, not the raw string) and reproducible by the oracle engine
+    — xxhash64 is Spark-only.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def tfidf_near_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: Optional[int] = None,
+) -> DataFrame:
+    """Near-duplicate pairs by **TF-IDF-weighted cosine** over word
+    shingles — the weighted complement of the Jaccard family
+    (:func:`sqltask_spark.operators.dedup.ngram_jaccard_pairs`): rare
+    shared shingles count more than boilerplate ones, and shingle
+    multiplicity matters.
+
+    Pipeline: shingle multiset per doc → portable 60-bit shingle keys
+    (:func:`md5_long` — longs through every shuffle, oracle-
+    reproducible) → per-(doc, shingle) tf → df census → centi-unit
+    fixed-point weights ``w = round(tf·idf·100)`` → inverted-index
+    self-join accumulating ``dot = Σ w_a·w_b`` as integers → cosine
+    against integer-exact norms. All cross-partition sums are BIGINT,
+    so the result is bit-stable under any partitioning; products stay
+    below 2^53 for any realistic document (w ≤ ~10^5, shingles ≤
+    ~10^4 → Σw² ≤ 10^14), so the oracle's HUGEINT→double conversion
+    is exact.
+
+    ``max_shingle_df`` drops shingles whose document frequency
+    exceeds the cap from the vector space entirely (weights AND
+    norms) — principled stopword-shingle removal: those features
+    carry near-zero idf but quadratic join cost. At 100 TB the cap is
+    mandatory (same boilerplate blowup as the Jaccard index); one hot
+    shingle shared by k docs costs O(k²) pairs.
+    """
+    from sqltask_spark.data import (
+        ensure_min_partitions,
+        materialize_and_release,
+    )
+    from sqltask_spark.operators.dedup import word_shingles
+
+    inv0 = ensure_min_partitions(docs).select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s"),
+    ).select("id", md5_long(F.col("s")).alias("sh"))
+    tf = (
+        inv0.groupBy("id", "sh")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    try:
+        dfc = tf.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+        if max_shingle_df is not None:
+            dfc = dfc.filter(F.col("df") <= F.lit(max_shingle_df))
+        stats = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+        idf = (
+            F.log(
+                (F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))
+            )
+            + F.lit(1.0)
+        )
+        w = (
+            tf.join(dfc, "sh")
+            .crossJoin(F.broadcast(stats))
+            .select(
+                "id",
+                "sh",
+                F.round(F.col("tf") * idf * F.lit(100.0))
+                .cast("long")
+                .alias("w"),
+            )
+        )
+        norms = w.groupBy("id").agg(
+            F.sum(F.col("w") * F.col("w")).alias("n2")
+        )
+        a, b = w.alias("a"), w.alias("b")
+        pairs = (
+            a.join(b, "sh")
+            .filter(F.col("a.id") < F.col("b.id"))
+            .groupBy(
+                F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+            )
+            .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+        )
+        na = norms.select(
+            F.col("id").alias("id_a"), F.col("n2").alias("n2_a")
+        )
+        nb = norms.select(
+            F.col("id").alias("id_b"), F.col("n2").alias("n2_b")
+        )
+        cos = F.col("dot") / (
+            F.sqrt(F.col("n2_a")) * F.sqrt(F.col("n2_b"))
+        )
+        out = (
+            pairs.join(na, "id_a")
+            .join(nb, "id_b")
+            .filter(cos >= F.lit(threshold))
+            .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        )
+        return materialize_and_release(out, tf)
+    except BaseException:
+        tf.unpersist()
+        raise
+
+
 def hashed_tfidf(
     docs: DataFrame,
     *,

@@ -87,6 +87,7 @@ _OVERFLOW = [
     "dedup_ngram_jaccard",
     "bpe_encode_documents",
     "topic_cluster_documents",
+    "rolling_fingerprint",
 ]
 
 _LLM_FIRST = [

@@ -18,6 +18,7 @@ from sqltask_spark.operators.retrieval import (
     _query_frame,
     bm25_search,
     hashed_tfidf,
+    tfidf_near_pairs,
     topic_clusters,
 )
 
@@ -154,15 +155,91 @@ def topic_cluster_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topic_clusters(docs, n_clusters=8)
 
 
+# --------------------------------------------------------------------------
+# dedup_tfidf_cosine — TF-IDF-weighted cosine near-dup pairs: the
+# weighted complement of the Jaccard family (rare shared shingles
+# count more; multiplicity matters). Fixed-point integer sums +
+# md5-derived shingle keys keep the entry oracle-hashed; the hot-
+# shingle df cap is default-ON (the production 100 TB shape) and
+# mirrored in the SQL.
+# --------------------------------------------------------------------------
+
+_COSINE_THRESHOLD = 0.6
+_COSINE_MAX_DF = 50
+
+#: shingle MULTISET (no list_distinct — multiplicity carries tf)
+_SHINGLES_MULTI = f"""
+CASE WHEN LEN({_TOKS}) >= 3
+     THEN list_transform(
+            generate_series(1, LEN({_TOKS}) - 2),
+            i -> concat_ws(' ', {_TOKS}[i], {_TOKS}[i+1], {_TOKS}[i+2]))
+     ELSE [{_NORM}] END
+"""
+
+
+def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_near_pairs(
+        docs,
+        shingle_n=3,
+        threshold=_COSINE_THRESHOLD,
+        max_shingle_df=_COSINE_MAX_DF,
+    ).orderBy("id_a", "id_b")
+
+
+_TFIDF_COSINE_SQL = f"""
+WITH sh AS MATERIALIZED (
+  SELECT doc_id AS id, {_SHINGLES_MULTI} AS shingles FROM documents
+),
+inv0 AS MATERIALIZED (
+  SELECT id, ('0x' || substring(md5(s), 1, 15))::BIGINT AS sh
+  FROM (SELECT id, UNNEST(shingles) AS s FROM sh)
+),
+tf AS MATERIALIZED (
+  SELECT id, sh, COUNT(*) AS tf FROM inv0 GROUP BY id, sh
+),
+dfc AS (
+  SELECT sh, COUNT(*) AS df FROM tf
+  GROUP BY sh HAVING COUNT(*) <= {_COSINE_MAX_DF}
+),
+stats AS (SELECT COUNT(*) AS n_docs FROM documents),
+w AS MATERIALIZED (
+  SELECT id, sh,
+    CAST(ROUND(tf * (LN((n_docs + 1.0) / (df + 1.0)) + 1.0) * 100.0)
+         AS BIGINT) AS w
+  FROM tf JOIN dfc USING (sh), stats
+),
+norms AS MATERIALIZED (SELECT id, SUM(w * w) AS n2 FROM w GROUP BY id),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, SUM(a.w * b.w) AS dot
+  FROM w a JOIN w b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+scored AS (
+  SELECT id_a, id_b,
+         dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cos_raw
+  FROM pairs
+  JOIN norms na ON na.id = id_a
+  JOIN norms nb ON nb.id = id_b
+)
+SELECT id_a, id_b, ROUND(cos_raw, 6) AS cosine
+FROM scored
+WHERE cos_raw >= {_COSINE_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES = {
     "search_bm25": search_bm25,
     "doc_tfidf_vectors": doc_tfidf_vectors,
+    "dedup_tfidf_cosine": dedup_tfidf_cosine,
     "topic_cluster_documents": topic_cluster_documents,
 }
 
 ORACLES = {
     "search_bm25": _BM25_SQL,
     "doc_tfidf_vectors": _TFIDF_SQL,
+    "dedup_tfidf_cosine": _TFIDF_COSINE_SQL,
     # topic_cluster_documents: intentionally no oracle — k-means
     # float geometry is engine-specific; pytest covers semantics.
 }

@@ -11,6 +11,7 @@ from sqltask_spark.operators.retrieval import (
     _query_frame,
     bm25_search,
     hashed_tfidf,
+    tfidf_near_pairs,
     topic_clusters,
 )
 
@@ -171,6 +172,112 @@ def test_topic_clusters_separate_planted_topics(spark):
         else:
             f_docs += r.n_docs
     assert a_docs == 20 and f_docs == 20
+
+
+def _ref_tfidf_cosine(corpus, shingle_n=3, max_df=None):
+    """Python reference for tfidf_near_pairs' exact fixed-point math."""
+
+    def shingles(text):
+        t = text.lower().split()
+        if len(t) < shingle_n:
+            return [" ".join(t)] if t else [""]
+        return [
+            " ".join(t[i : i + shingle_n])
+            for i in range(len(t) - shingle_n + 1)
+        ]
+
+    tf = {}
+    for d, text in corpus:
+        for s in shingles(text):
+            key = int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+            tf[(d, key)] = tf.get((d, key), 0) + 1
+    df = {}
+    for (_, key) in tf:
+        df[key] = df.get(key, 0) + 1
+    n = len(corpus)
+    w = {}
+    for (d, key), f in tf.items():
+        if max_df is not None and df[key] > max_df:
+            continue
+        idf = math.log((n + 1.0) / (df[key] + 1.0)) + 1.0
+        w[(d, key)] = math.floor(f * idf * 100.0 + 0.5)
+    norms = {}
+    for (d, _), x in w.items():
+        norms[d] = norms.get(d, 0) + x * x
+    dots = {}
+    for (da, key), xa in w.items():
+        for (db, k2), xb in w.items():
+            if k2 == key and da < db:
+                p = (da, db)
+                dots[p] = dots.get(p, 0) + xa * xb
+    return {
+        p: dot / (math.sqrt(norms[p[0]]) * math.sqrt(norms[p[1]]))
+        for p, dot in dots.items()
+    }
+
+
+_COSINE_CORPUS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy cat"),
+    (3, "a completely different document about finance markets today"),
+    (4, "a completely different document about finance markets yesterday"),
+    (5, "unrelated words entirely separate topic matter here now"),
+]
+
+
+def test_tfidf_cosine_matches_python_reference(spark):
+    docs = _docs(spark, _COSINE_CORPUS)
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in tfidf_near_pairs(docs, threshold=0.0).collect()
+    }
+    want = {
+        p: c for p, c in _ref_tfidf_cosine(_COSINE_CORPUS).items()
+    }
+    assert set(got) == set(want)
+    for p, c in want.items():
+        assert got[p] == pytest.approx(c, abs=1e-6)
+    # near-dup pairs score far above cross-topic pairs
+    assert got[(1, 2)] > 0.5 and got[(3, 4)] > 0.5
+
+
+def test_tfidf_cosine_df_cap_removes_hot_shingles(spark):
+    # docs 10/11 share ONLY the boilerplate preamble every doc carries;
+    # with the df cap the boilerplate features vanish and so does the
+    # (10, 11) pair, while the genuine near-dup pair (12, 13) survives
+    boiler = "standard legal disclaimer applies to all content"
+    rows = [
+        (10, boiler + " alpha beta gamma delta epsilon"),
+        (11, boiler + " one two three four five"),
+        (12, boiler + " same story told once more here"),
+        (13, boiler + " same story told once more there"),
+        (14, boiler + " noise filler words nothing shared"),
+    ]
+    docs = _docs(spark, rows)
+    # idf already discounts boilerplate (df=5 shingles get idf=1.0 vs
+    # ~2.1 for unique ones), so the boiler-only pair scores low —
+    # threshold 0.05 keeps it visible in the uncapped run
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in tfidf_near_pairs(docs, threshold=0.05).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in tfidf_near_pairs(
+            docs, threshold=0.05, max_shingle_df=3
+        ).collect()
+    }
+    assert (10, 11) in uncapped
+    assert (10, 11) not in capped
+    assert (12, 13) in capped
+
+
+def test_tfidf_cosine_plan_no_cartesian(spark, sf_dir):
+    from sqltask_spark.plans import plan_report
+    from sqltask_spark.queries import QUERIES
+
+    r = plan_report(QUERIES["dedup_tfidf_cosine"](spark, sf_dir))
+    assert "CartesianProduct" not in r.join_strategies
 
 
 def test_bm25_plan_no_cartesian_broadcast_hash(spark, sf_dir):
