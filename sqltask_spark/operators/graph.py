@@ -265,6 +265,80 @@ def _connected_components_star(
     )
 
 
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 10,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Undirected PageRank in exact integer fixed-point arithmetic.
+
+    Damping is fixed at 0.85 with micro-unit ranks: every node starts
+    at 1,000,000 and each iteration computes
+
+        rank'(v) = 150000 + Σ_{u ∈ N(v)} (rank(u) · 85) div (100 · deg(u))
+
+    entirely in BIGINT (floor division) — so the result is
+    bit-identical under any partitioning AND reproducible by any
+    engine with integer division, which is what lets the catalog
+    entry carry a DuckDB oracle (floating-point PageRank never hashes
+    across engines). Overflow-safe: Σ ranks stays ≈ n·10⁶, a single
+    rank is ≤ that, ×85 ≤ 8.5·10¹⁵ ≪ 2⁶³.
+
+    Per iteration: one equi-join (edges ⋈ ranks) + one map-side-
+    combined sum — the same shuffle shape as a label-propagation
+    round; lineage is truncated per round (``checkpoint_dir`` selects
+    the fault-tolerant mode, exactly as
+    :func:`connected_components`). Nodes are those appearing in at
+    least one edge (symmetric graph ⇒ no dangling mass).
+
+    Returns (node: long, rank_micro: long, rank: double).
+    """
+    reliable = checkpoint_dir is not None
+    if reliable:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("u"),
+            F.col(dst).cast("long").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+    )
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    # (u, v, deg(u)) — the per-iteration join probe side, computed once
+    sd = _truncate_lineage(sym.join(deg, "u"), reliable)
+
+    ranks = deg.select(
+        F.col("u").alias("node"),
+        F.lit(1_000_000).cast("long").alias("r"),
+    )
+    for _ in range(n_iter):
+        contribs = sd.join(
+            ranks.withColumnRenamed("node", "u"), "u"
+        ).select(
+            F.col("v").alias("node"),
+            F.expr("(r * 85) div (100 * deg)").alias("c"),
+        )
+        ranks = _truncate_lineage(
+            contribs.groupBy("node").agg(
+                (F.lit(150_000).cast("long") + F.sum("c")).alias("r")
+            ),
+            reliable,
+        )
+    return ranks.select(
+        "node",
+        F.col("r").alias("rank_micro"),
+        F.round(F.col("r") / F.lit(1_000_000.0), 6).alias("rank"),
+    )
+
+
 def cluster_documents(
     pairs: DataFrame,
     id_a: str = "id_a",

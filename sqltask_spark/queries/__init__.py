@@ -88,6 +88,7 @@ _OVERFLOW = [
     "bpe_encode_documents",
     "topic_cluster_documents",
     "rolling_fingerprint",
+    "vector_norms",
 ]
 
 _LLM_FIRST = [

@@ -408,6 +408,64 @@ ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
+# doc_centrality_pagerank — PageRank over the (capped) near-dup pair
+# graph: the canonical-document-selection signal. Exact integer
+# fixed-point arithmetic (see operators.graph.pagerank) means the
+# iterative algorithm still hashes across engines — the oracle
+# unrolls the same 10 iterations as chained CTEs.
+# --------------------------------------------------------------------------
+
+_PR_ITERS = 10
+
+
+def doc_centrality_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sqltask_spark.operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=3, threshold=_JACCARD_THRESHOLD,
+        max_shingle_df=_MAX_NGRAM_DF,
+    )
+    return (
+        pagerank(pairs, src="id_a", dst="id_b", n_iter=_PR_ITERS)
+        .select(F.col("node").alias("doc_id"), "rank_micro", "rank")
+        .orderBy("doc_id")
+    )
+
+
+def _pagerank_rounds() -> str:
+    rounds = []
+    for i in range(1, _PR_ITERS + 1):
+        rounds.append(
+            f"r{i} AS (\n"
+            f"  SELECT v AS node,\n"
+            f"         CAST(150000 + SUM((r * 85) // (100 * deg))"
+            f" AS BIGINT) AS r\n"
+            f"  FROM sd JOIN r{i - 1} ON r{i - 1}.node = sd.u\n"
+            f"  GROUP BY v\n"
+            f")"
+        )
+    return ",\n".join(rounds)
+
+
+_PAGERANK_SQL = f"""
+WITH {_NGRAM_CAPPED_BODY},
+sym AS MATERIALIZED (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+deg AS (SELECT u, COUNT(*) AS deg FROM sym GROUP BY u),
+sd AS MATERIALIZED (SELECT sym.u, sym.v, deg FROM sym JOIN deg USING (u)),
+r0 AS (SELECT u AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
+{_pagerank_rounds()}
+SELECT node AS doc_id, r AS rank_micro, ROUND(r / 1000000.0, 6) AS rank
+FROM r{_PR_ITERS}
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # chunk_documents — overlapping token chunks for embedding pipelines.
 # --------------------------------------------------------------------------
 
@@ -954,6 +1012,7 @@ QUERIES = {
     "dedup_ngram_jaccard_capped": dedup_ngram_jaccard_capped,
     "dedup_clusters": dedup_clusters,
     "dedup_keep_best": dedup_keep_best,
+    "doc_centrality_pagerank": doc_centrality_pagerank,
     "chunk_documents": chunk_documents,
     "repetition_stats": repetition_stats,
     "redact_documents": redact_documents,
@@ -977,6 +1036,7 @@ ORACLES = {
     "dedup_ngram_jaccard_capped": _NGRAM_CAPPED_SQL,
     "dedup_clusters": _CLUSTERS_SQL,
     "dedup_keep_best": _KEEP_BEST_SQL,
+    "doc_centrality_pagerank": _PAGERANK_SQL,
     "chunk_documents": _CHUNK_SQL,
     "repetition_stats": _REPETITION_SQL,
     "redact_documents": _REDACT_SQL,

@@ -570,6 +570,35 @@ def test_connected_components_empty(spark):
     assert connected_components(edges).count() == 0
 
 
+def test_pagerank_matches_python_reference(spark):
+    from sqltask_spark.operators.graph import pagerank
+
+    # star centered at 1 (+ a 4-5 bar): 1 must out-rank the leaves,
+    # and every micro value must equal the exact integer recurrence
+    raw = [(1, 2), (1, 3), (2, 3), (1, 4), (4, 5)]
+    edges = spark.createDataFrame(raw, ["src", "dst"])
+    got = {
+        r["node"]: (r["rank_micro"], r["rank"])
+        for r in pagerank(edges, n_iter=10).collect()
+    }
+
+    nbrs: dict[int, set[int]] = {}
+    for u, v in raw:
+        nbrs.setdefault(u, set()).add(v)
+        nbrs.setdefault(v, set()).add(u)
+    r = {n: 1_000_000 for n in nbrs}
+    for _ in range(10):
+        r = {
+            n: 150_000
+            + sum((r[u] * 85) // (100 * len(nbrs[u])) for u in nbrs[n])
+            for n in nbrs
+        }
+    assert {n: m for n, (m, _) in got.items()} == r
+    assert got[1][0] == max(m for m, _ in got.values())
+    for n, (m, rank) in got.items():
+        assert rank == pytest.approx(round(m / 1e6, 6))
+
+
 def test_cluster_documents_canonical_flags(spark):
     from sqltask_spark.operators.graph import cluster_documents
 
