@@ -51,6 +51,9 @@ HEADLINE = [
     "materialize_packs",
     "dup_span_stats",
     "semdedup_keep",
+    "search_bm25",
+    "dedup_tfidf_cosine",
+    "doc_centrality_pagerank",
 ]
 
 

@@ -75,6 +75,13 @@ def bm25_search(
     corpus-sized scoring group (same trap and same fix as
     ``ngram_jaccard_pairs(max_shingle_df=...)``).
     """
+    from sqltask_spark.data import ensure_min_partitions
+
+    # tokenize+explode is CPU-bound per-row work: widen a small scan
+    # (a single parquet file arrives as one input split and would
+    # serialize the whole corpus pass on one core)
+    docs = ensure_min_partitions(docs)
+
     # per-query distinct terms; tiny → broadcast everywhere below
     qterms = queries.select(
         "query_id",
@@ -84,14 +91,21 @@ def bm25_search(
     ).filter(F.col("term") != "")
     term_set = qterms.select("term").distinct()
 
-    dl = tx.token_count(F.col(text_col))
-    # ONE corpus pass: explode → prune to query terms BEFORE any
-    # shuffle (broadcast semi-join at the scan) → per-(doc, term) tf
+    # ONE corpus pass: tokenize once per row (a projection boundary —
+    # explode's generator input is not CSE'd with sibling expressions,
+    # so `size(tokenize(..))` next to `explode(tokenize(..))` would
+    # run the regex tokenizer twice per document) → explode → prune to
+    # query terms BEFORE any shuffle (broadcast semi-join at the scan)
+    # → per-(doc, term) tf
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tx.tokenize(F.col(text_col)).alias("toks"),
+    )
     postings = (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            dl.alias("dl"),
-            F.explode(tx.tokenize(F.col(text_col))).alias("term"),
+        toks.select(
+            "doc_id",
+            F.size("toks").alias("dl"),
+            F.explode("toks").alias("term"),
         )
         .join(F.broadcast(term_set), "term")
         .groupBy("doc_id", "term")
@@ -99,9 +113,9 @@ def bm25_search(
     )
 
     # corpus stats: one map-side-combined aggregate, no explode
-    stats = docs.agg(
+    stats = toks.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(dl).alias("sum_dl"),
+        F.sum(F.size("toks")).alias("sum_dl"),
     )
 
     # document frequency of the (pruned) query terms
@@ -314,7 +328,9 @@ def hashed_tfidf(
 
     Weights are fixed-point micro-unit sums (order-independent).
     """
-    base = docs.select(
+    from sqltask_spark.data import ensure_min_partitions
+
+    base = ensure_min_partitions(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(tx.tokenize(F.col(text_col))).alias("term"),
     ).filter(F.col("term") != "")
