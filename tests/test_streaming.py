@@ -323,6 +323,57 @@ def test_dedup_stream_state_bounded(spark, tables, sliced_events_dir):
     assert got == tables["events"].select("event_id").distinct().count()
 
 
+def test_stream_stream_join_state_bounded(spark, tables, sliced_events_dir):
+    """Stream-stream interval join: watermarks actually EVICT join
+    state as micro-batches advance (numRowsRemoved > 0, peak state ≪
+    total events) while the inner-join output still reconciles with
+    the batch equivalent — slices arrive in event-time order and the
+    1h match horizon sits inside the 2h watermark, so nothing is
+    dropped by eviction."""
+    from sqltask_spark.streaming.events import attributed_purchases_stream
+
+    stream = streaming_source(
+        spark, sliced_events_dir, max_files_per_trigger=1
+    )
+    progress = run_stream_to_memory(
+        attributed_purchases_stream(
+            stream, horizon="1 hour", watermark="2 hours"
+        ),
+        "attrib_bounded_out",
+        output_mode="append",
+    )
+    state_batches = [p for p in progress if p.stateOperators]
+    assert len(state_batches) >= 8  # really ran micro-batch by micro-batch
+    removed = sum(
+        p.stateOperators[0].numRowsRemoved for p in state_batches
+    )
+    peak = max(p.stateOperators[0].numRowsTotal for p in state_batches)
+    total = tables["events"].count()
+    assert removed > 0  # the watermark evicted join state mid-run
+    # events span ~30 days; 2h of live state is a small slice of them
+    assert peak < total / 2
+    ev = tables["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts")
+    )
+    want = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("cu"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr("INTERVAL 1 hour")
+        ),
+    ).count()
+    got = spark.sql(
+        "SELECT count(*) AS n FROM attrib_bounded_out"
+    ).collect()[0]["n"]
+    assert got == want and want > 0
+
+
 def test_stateful_ttl_eviction(spark, tables, sliced_events_dir):
     """Event-time TTL: hour-buckets idle past the TTL on the
     event-time clock are evicted (final row flagged evicted=true,
