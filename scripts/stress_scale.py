@@ -70,6 +70,11 @@ ENTRIES = [
     "semdedup_keep",
     "lm_perplexity",
     "ann_topk_ivf_pq",
+    "search_bm25",
+    "doc_tfidf_vectors",
+    "dedup_tfidf_cosine",
+    "doc_centrality_pagerank",
+    "topic_cluster_documents",
     # NOT knn_graph: the exact graph is O(n²) by definition — at
     # 128k vectors that is 8G pair scores; the documented scale path
     # for neighbor graphs is IVF cells (see operators.similarity).
