@@ -89,6 +89,7 @@ _OVERFLOW = [
     "topic_cluster_documents",
     "rolling_fingerprint",
     "vector_norms",
+    "zorder_layout_stats",
 ]
 
 _LLM_FIRST = [

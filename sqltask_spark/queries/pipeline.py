@@ -876,7 +876,66 @@ ORDER BY doc_id, copy_idx
 """
 
 
+# --------------------------------------------------------------------------
+# zorder_layout_stats — multi-dimensional data-skipping layout, made
+# visible as a query: write events z-ordered by (user_id, event_id),
+# read back the parquet row-group stats, and report the fraction of
+# rows a reader skips for a 20%-box predicate on EACH dimension vs a
+# round-robin baseline. Rows-only (the result summarizes a write
+# artifact, not a relational computation); the layout math and the
+# skipping proof are pytest-covered (tests/test_layout.py).
+# --------------------------------------------------------------------------
+
+
+def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from sqltask_spark.operators.layout import (
+        rowgroup_spans,
+        skipped_fraction,
+        zorder_write,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    bounds = ev.agg(
+        F.min("event_id"), F.max("event_id"),
+        F.min("user_id"), F.max("user_id"),
+    ).collect()[0]
+    boxes = {
+        "event_id": (bounds[0] + (bounds[1] - bounds[0]) * 2 // 5,
+                     bounds[0] + (bounds[1] - bounds[0]) * 3 // 5),
+        "user_id": (bounds[2] + (bounds[3] - bounds[2]) * 2 // 5,
+                    bounds[2] + (bounds[3] - bounds[2]) * 3 // 5),
+    }
+    tmp = tempfile.mkdtemp(prefix="zorder_stats_")
+    try:
+        rows = []
+        for layout, write in (
+            ("roundrobin", lambda p: ev.repartition(16).write.parquet(p)),
+            ("zorder", lambda p: zorder_write(
+                ev, p, by=["user_id", "event_id"], n_files=16
+            )),
+        ):
+            path = f"{tmp}/{layout}"
+            write(path)
+            spans = rowgroup_spans(path, list(boxes))
+            for col, (lo, hi) in boxes.items():
+                rows.append(
+                    (layout, col,
+                     round(skipped_fraction(spans[col], lo, hi), 4))
+                )
+        return spark.createDataFrame(
+            rows, "layout string, column string, skipped_fraction double"
+        ).orderBy("layout", "column")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 QUERIES = {
+    "zorder_layout_stats": zorder_layout_stats,
     "stratified_sample_documents": stratified_sample_documents,
     "apply_mix_sampling": apply_mix_sampling,
     "length_histogram": length_histogram,
