@@ -599,6 +599,28 @@ def test_pagerank_matches_python_reference(spark):
         assert rank == pytest.approx(round(m / 1e6, 6))
 
 
+def test_pagerank_checkpoint_mode_and_empty(spark, tmp_path):
+    from sqltask_spark.operators.graph import pagerank
+
+    empty = spark.createDataFrame([], "src LONG, dst LONG")
+    assert pagerank(empty, n_iter=3).count() == 0
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    ckpt = str(tmp_path / "pr_ckpt")
+    got = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank(edges, n_iter=5, checkpoint_dir=ckpt).collect()
+    }
+    base = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank(edges, n_iter=5).collect()
+    }
+    assert got == base  # reliable checkpointing never changes results
+    import glob
+
+    assert glob.glob(f"{ckpt}/**/rdd-*", recursive=True)  # really wrote
+
+
 def test_cluster_documents_canonical_flags(spark):
     from sqltask_spark.operators.graph import cluster_documents
 
