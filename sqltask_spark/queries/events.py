@@ -501,8 +501,162 @@ ORDER BY user_id
 """
 
 
+# --------------------------------------------------------------------------
+# funnel_conversion — ordered-step funnel (view → click → purchase):
+# a user counts for step k only with a step-k event STRICTLY AFTER
+# their step-(k-1) entry time. Chained conditional mins — each step
+# is one filter + one join on user_id + one min-agg (all map-side
+# combinable, no per-user event collection, no window over the full
+# history), so the shape is k small shuffles regardless of corpus
+# size.
+# --------------------------------------------------------------------------
+
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    entered = (
+        ev.filter(F.col("event_type") == _FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+    stages = [entered]
+    for step in _FUNNEL_STEPS[1:]:
+        prev = stages[-1]
+        stages.append(
+            ev.filter(F.col("event_type") == step)
+            .join(prev.select("user_id", F.col("t").alias("t_prev")), "user_id")
+            .filter(F.col("ts") > F.col("t_prev"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t"))
+        )
+    import math
+
+    first_n = stages[0].count()
+    rows = []
+    for i, (step, df) in enumerate(zip(_FUNNEL_STEPS, stages), start=1):
+        n = df.count() if i > 1 else first_n
+        # HALF_UP to mirror SQL ROUND (python round() is half-even)
+        pct = (
+            math.floor(n / first_n * 1e6 + 0.5) / 1e6 if first_n else 0.0
+        )
+        rows.append((i, " -> ".join(_FUNNEL_STEPS[:i]), n, pct))
+    return spark.createDataFrame(
+        rows, "step int, funnel string, n_users bigint, pct_of_first double"
+    ).orderBy("step")
+
+
+def _funnel_sql() -> str:
+    steps = _FUNNEL_STEPS
+    ctes = [
+        f"s1 AS (SELECT user_id, MIN(ts) AS t FROM events "
+        f"WHERE event_type = '{steps[0]}' GROUP BY user_id)"
+    ]
+    for i, step in enumerate(steps[1:], start=2):
+        ctes.append(
+            f"s{i} AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e "
+            f"JOIN s{i - 1} p ON e.user_id = p.user_id "
+            f"WHERE e.event_type = '{step}' AND e.ts > p.t "
+            f"GROUP BY e.user_id)"
+        )
+    selects = []
+    for i in range(1, len(steps) + 1):
+        funnel = " -> ".join(steps[:i])
+        selects.append(
+            f"SELECT {i} AS step, '{funnel}' AS funnel, "
+            f"(SELECT COUNT(*) FROM s{i}) AS n_users, "
+            f"ROUND((SELECT COUNT(*) FROM s{i}) * 1.0 "
+            f"/ (SELECT COUNT(*) FROM s1), 6) AS pct_of_first"
+        )
+    body = " UNION ALL ".join(selects)
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT * FROM ({body}) "
+        "ORDER BY step"
+    )
+
+
+_FUNNEL_SQL = _funnel_sql()
+
+
+# --------------------------------------------------------------------------
+# retention_cohorts — weekly cohort retention: users grouped by the
+# week of their first event; for each later week, the fraction still
+# active. Two shuffles on user_id (first-event min + distinct active
+# weeks) and one small agg on (cohort, week_n) — never a per-user
+# matrix.
+# --------------------------------------------------------------------------
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("w")
+    ).distinct()
+    joined = active.join(first, "user_id").select(
+        "cohort_week",
+        # week boundaries make the diff an exact multiple of 7, but
+        # use floor division anyway: a float `/` + cast would truncate
+        # in Spark yet ROUND in DuckDB's CAST — an engine mismatch trap
+        F.expr("cast(datediff(w, cohort_week) div 7 as int)").alias(
+            "week_n"
+        ),
+        "user_id",
+    )
+    sizes = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        joined.groupBy("cohort_week", "week_n")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(sizes, "cohort_week")
+        .select(
+            "cohort_week", "week_n", "n_active", "cohort_size",
+            F.round(F.col("n_active") / F.col("cohort_size"), 6).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_week", "week_n")
+    )
+
+
+_RETENTION_SQL = """
+WITH first AS (
+  SELECT user_id,
+         CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
+  FROM events
+),
+joined AS (
+  SELECT cohort_week,
+         CAST(datediff('day', cohort_week, w) // 7 AS INTEGER) AS week_n,
+         a.user_id
+  FROM active a JOIN first f ON a.user_id = f.user_id
+),
+sizes AS (
+  SELECT cohort_week, COUNT(*) AS cohort_size FROM first
+  GROUP BY cohort_week
+)
+SELECT j.cohort_week, week_n, COUNT(*) AS n_active, cohort_size,
+       ROUND(COUNT(*) * 1.0 / cohort_size, 6) AS retention
+FROM joined j JOIN sizes s ON j.cohort_week = s.cohort_week
+GROUP BY j.cohort_week, week_n, cohort_size
+ORDER BY j.cohort_week, week_n
+"""
+
+
 QUERIES = {
     "sessionize_events": sessionize_events,
+    "funnel_conversion": funnel_conversion,
+    "retention_cohorts": retention_cohorts,
     "tumbling_events": tumbling_events,
     "pivot_user_event_counts": pivot_user_event_counts,
     "asof_click_purchase": asof_click_purchase,
@@ -516,6 +670,8 @@ QUERIES = {
 
 ORACLES = {
     "sessionize_events": _SESSIONIZE_SQL,
+    "funnel_conversion": _FUNNEL_SQL,
+    "retention_cohorts": _RETENTION_SQL,
     "tumbling_events": _TUMBLING_SQL,
     "pivot_user_event_counts": _PIVOT_SQL,
     "asof_click_purchase": _ASOF_SQL,

@@ -570,6 +570,36 @@ def test_connected_components_empty(spark):
     assert connected_components(edges).count() == 0
 
 
+def test_funnel_requires_strict_step_order(spark, tmp_path):
+    from datetime import datetime
+
+    from sqltask_spark.queries.events import funnel_conversion
+
+    def ts(h):
+        return datetime(2026, 1, 1, h)
+
+    rows = [
+        # user 1 completes the funnel in order
+        (1, 1, "view", ts(1)), (2, 1, "click", ts(2)),
+        (3, 1, "purchase", ts(3)),
+        # user 2 purchases BEFORE clicking → stops at step 2
+        (4, 2, "view", ts(1)), (5, 2, "purchase", ts(2)),
+        (6, 2, "click", ts(3)),
+        # user 3 never views → counts nowhere
+        (7, 3, "click", ts(1)), (8, 3, "purchase", ts(2)),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    path = str(tmp_path / "funnel_events")
+    ev.write.parquet(f"{path}/events.parquet")
+    got = {
+        r.step: (r.n_users, r.pct_of_first)
+        for r in funnel_conversion(spark, path).collect()
+    }
+    assert got == {1: (2, 1.0), 2: (2, 1.0), 3: (1, 0.5)}
+
+
 def test_pagerank_matches_python_reference(spark):
     from sqltask_spark.operators.graph import pagerank
 
