@@ -467,3 +467,53 @@ def score_with_bigram_lm(
             F.round(F.exp(nll), 4).alias("ppl"),
         )
     )
+
+
+def dsir_importance_weights(
+    df: "DataFrame",
+    target: "DataFrame",
+    id_col: str,
+    text_col: str,
+) -> "DataFrame":
+    """DSIR-style importance weights for data selection (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling"): score every document under an LM trained on the
+    TARGET distribution and one trained on the SOURCE (the corpus
+    itself); the per-bigram mean log-likelihood ratio
+
+        log_ratio = avg_nll_source − avg_nll_target
+
+    is positive for documents that look more like the target than
+    like the raw corpus, and ``weight = exp(log_ratio)`` is the
+    importance-sampling weight a resampling pass draws with
+    (composable with :func:`~sqltask_spark.queries.pipeline
+    .apply_mix_sampling`'s deterministic copy-count materializer).
+
+    Both LMs are the add-one bigram artifact (:class:`BigramLM`), so
+    the whole computation inherits its scale shape — vocabulary-sized
+    count tables, hashed-long shuffles, fixed-point micro-nat sums —
+    and its engine portability: every value here is derived from the
+    two rounded ``avg_nll`` scores with identical double arithmetic,
+    which keeps the operator oracle-hashable despite being a
+    two-model composition.
+
+    Returns (doc_id, n_bigrams, nll_source, nll_target, log_ratio,
+    weight) for every ≥2-token document of ``df``.
+    """
+    lm_target = train_bigram_lm(target, id_col, text_col)
+    lm_source = train_bigram_lm(df, id_col, text_col)
+    s_src = score_with_bigram_lm(df, lm_source, id_col, text_col).select(
+        "doc_id", "n_bigrams", F.col("avg_nll").alias("nll_source")
+    )
+    s_tgt = score_with_bigram_lm(df, lm_target, id_col, text_col).select(
+        "doc_id", F.col("avg_nll").alias("nll_target")
+    )
+    ratio = F.col("nll_source") - F.col("nll_target")
+    return s_src.join(s_tgt, "doc_id").select(
+        "doc_id",
+        "n_bigrams",
+        "nll_source",
+        "nll_target",
+        F.round(ratio, 6).alias("log_ratio"),
+        F.round(F.exp(ratio), 6).alias("weight"),
+    )

@@ -90,6 +90,7 @@ _OVERFLOW = [
     "rolling_fingerprint",
     "vector_norms",
     "zorder_layout_stats",
+    "dup_span_stats",
 ]
 
 _LLM_FIRST = [

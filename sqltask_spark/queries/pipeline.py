@@ -877,6 +877,80 @@ ORDER BY doc_id, copy_idx
 
 
 # --------------------------------------------------------------------------
+# dsir_weights — DSIR-style importance weights for data selection
+# (Xie et al. 2023): LM trained on the target subset (source='src1'
+# stands in for the curated reference corpus) vs LM trained on the
+# whole corpus; weight = exp(avg_nll_source − avg_nll_target). Both
+# models are the fixed-point BigramLM artifact, so the two-model
+# composition still hashes against the oracle, which replays the
+# exact same left-join + add-one-backoff arithmetic in SQL.
+# --------------------------------------------------------------------------
+
+_DSIR_TARGET_SOURCE = "src1"
+
+
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source") == _DSIR_TARGET_SOURCE)
+    return tx.dsir_importance_weights(
+        docs, target, "doc_id", "text"
+    ).orderBy("doc_id")
+
+
+_DSIR_SQL = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, source, {_TOKS} AS t FROM documents
+  WHERE LEN({_TOKS}) >= 2
+),
+bg AS MATERIALIZED (
+  SELECT doc_id, source, t[i] AS prev, t[i] || ' ' || t[i+1] AS bigram
+  FROM toks, UNNEST(generate_series(1, LEN(t) - 1)) AS u(i)
+),
+v_src AS (SELECT COUNT(DISTINCT tok) AS v
+          FROM (SELECT UNNEST(t) AS tok FROM toks)),
+v_tgt AS (SELECT COUNT(DISTINCT tok) AS v
+          FROM (SELECT UNNEST(t) AS tok FROM toks
+                WHERE source = '{_DSIR_TARGET_SOURCE}')),
+bgc_src AS (SELECT bigram, COUNT(*) AS c FROM bg GROUP BY bigram),
+ctx_src AS (SELECT prev, COUNT(*) AS c FROM bg GROUP BY prev),
+bgc_tgt AS (SELECT bigram, COUNT(*) AS c FROM bg
+            WHERE source = '{_DSIR_TARGET_SOURCE}' GROUP BY bigram),
+ctx_tgt AS (SELECT prev, COUNT(*) AS c FROM bg
+            WHERE source = '{_DSIR_TARGET_SOURCE}' GROUP BY prev),
+q AS (
+  SELECT bg.doc_id,
+    CAST(ROUND(LN((COALESCE(bs.c, 0) + 1.0)
+                  / (COALESCE(cs.c, 0) + v_src.v)) * 1000000.0)
+         AS BIGINT) AS q_src,
+    CAST(ROUND(LN((COALESCE(bt.c, 0) + 1.0)
+                  / (COALESCE(ct.c, 0) + v_tgt.v)) * 1000000.0)
+         AS BIGINT) AS q_tgt
+  FROM bg
+  LEFT JOIN bgc_src bs USING (bigram)
+  LEFT JOIN ctx_src cs USING (prev)
+  LEFT JOIN bgc_tgt bt USING (bigram)
+  LEFT JOIN ctx_tgt ct USING (prev), v_src, v_tgt
+),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         SUM(q_src) AS sum_src, SUM(q_tgt) AS sum_tgt
+  FROM q GROUP BY doc_id
+),
+scored AS (
+  SELECT doc_id, n_bigrams,
+         ROUND(-sum_src / (n_bigrams * 1000000.0), 6) AS nll_source,
+         ROUND(-sum_tgt / (n_bigrams * 1000000.0), 6) AS nll_target
+  FROM agg
+)
+SELECT doc_id, n_bigrams, nll_source, nll_target,
+       ROUND(nll_source - nll_target, 6) AS log_ratio,
+       ROUND(EXP(nll_source - nll_target), 6) AS weight
+FROM scored
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # zorder_layout_stats — multi-dimensional data-skipping layout, made
 # visible as a query: write events z-ordered by (user_id, event_id),
 # read back the parquet row-group stats, and report the fraction of
@@ -936,6 +1010,7 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "zorder_layout_stats": zorder_layout_stats,
+    "dsir_weights": dsir_weights,
     "stratified_sample_documents": stratified_sample_documents,
     "apply_mix_sampling": apply_mix_sampling,
     "length_histogram": length_histogram,
@@ -955,6 +1030,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dsir_weights": _DSIR_SQL,
     "stratified_sample_documents": _STRAT_SQL,
     "apply_mix_sampling": _APPLY_MIX_SQL,
     "length_histogram": _HIST_SQL,

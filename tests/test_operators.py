@@ -570,6 +570,33 @@ def test_connected_components_empty(spark):
     assert connected_components(edges).count() == 0
 
 
+def test_dsir_weights_favor_target_like_documents(spark):
+    from sqltask_spark.operators.text import dsir_importance_weights
+
+    finance = [
+        (i, "stock bond market trade price index fund yield")
+        for i in range(5)
+    ]
+    animals = [
+        (10 + i, "cat dog pet fur paw whisker tail collar")
+        for i in range(5)
+    ]
+    corpus = spark.createDataFrame(
+        finance + animals, "doc_id long, text string"
+    )
+    target = spark.createDataFrame(finance, "doc_id long, text string")
+    w = {
+        r.doc_id: r.weight
+        for r in dsir_importance_weights(
+            corpus, target, "doc_id", "text"
+        ).collect()
+    }
+    # every target-like doc out-weighs every off-target doc
+    assert min(w[i] for i in range(5)) > max(w[10 + i] for i in range(5))
+    # and target-like docs are upweighted in absolute terms
+    assert all(w[i] > 1.0 for i in range(5))
+
+
 def test_funnel_requires_strict_step_order(spark, tmp_path):
     from datetime import datetime
 
