@@ -149,13 +149,16 @@ def minhash_signatures(
     )
 
 
-def _lsh_pairs_from_signatures(
-    wide: DataFrame, bands: int, rows_per_band: int, max_bucket_size: int
+def _banded_signatures(
+    wide: DataFrame, bands: int, rows_per_band: int
 ) -> DataFrame:
-    """Candidate pairs from wide signatures (id, m0..mN).
+    """(id, band, band_hash) from wide signatures (id, m0..mN).
 
     Band hashes are multi-argument ``xxhash64`` directly over the
     band's signature columns — no array building, no string concat.
+    The shared banding of the in-memory pair path and the persisted
+    index (:mod:`sqltask_spark.operators.dedup_index`) — identical
+    expressions guarantee probe/per-call bucket agreement.
     """
     band_hashes = [
         F.xxhash64(
@@ -166,10 +169,17 @@ def _lsh_pairs_from_signatures(
         )
         for b in range(bands)
     ]
-    banded = wide.select(
+    return wide.select(
         "id",
         F.posexplode(F.array(*band_hashes)).alias("band", "band_hash"),
     )
+
+
+def _lsh_pairs_from_signatures(
+    wide: DataFrame, bands: int, rows_per_band: int, max_bucket_size: int
+) -> DataFrame:
+    """Candidate pairs from wide signatures (id, m0..mN)."""
+    banded = _banded_signatures(wide, bands, rows_per_band)
     buckets = (
         banded.groupBy("band", "band_hash")
         .agg(F.collect_list("id").alias("ids"))

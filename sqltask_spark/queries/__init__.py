@@ -91,6 +91,7 @@ _OVERFLOW = [
     "vector_norms",
     "zorder_layout_stats",
     "dup_span_stats",
+    "dedup_index_screen",
 ]
 
 _LLM_FIRST = [

@@ -998,6 +998,39 @@ def bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# dedup_index_screen — the persisted-index ingest screen: build the
+# MinHash-LSH index on the corpus once, then screen a synthetic
+# "new batch" (every 10th document with one appended token — true
+# near-dups of indexed docs) against it. Rows-only (xxhash64
+# signatures); probe ≡ per-call-operator equivalence and incremental
+# semantics are pytest-verified (test_minhash_index_*).
+# --------------------------------------------------------------------------
+
+
+def dedup_index_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from sqltask_spark.operators.dedup_index import (
+        build_minhash_index,
+        probe_minhash_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="mh_index_")
+    try:
+        build_minhash_index(docs, tmp)
+        batch = docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" nearly")).alias("text"),
+        )
+        out = probe_minhash_index(spark, tmp, batch, threshold=0.5)
+        return out.orderBy("batch_id", "corpus_id")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 QUERIES = {
     "text_stats": text_stats,
     "doc_fingerprint": doc_fingerprint,
@@ -1022,6 +1055,7 @@ QUERIES = {
     "lm_perplexity": lm_perplexity,
     "bpe_learn_merges": bpe_learn_merges,
     "bpe_encode_documents": bpe_encode_documents,
+    "dedup_index_screen": dedup_index_screen,
 }
 
 ORACLES = {

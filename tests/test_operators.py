@@ -570,6 +570,57 @@ def test_connected_components_empty(spark):
     assert connected_components(edges).count() == 0
 
 
+def test_minhash_index_probe_matches_percall(spark, tables, tmp_path):
+    from sqltask_spark.operators.dedup import minhash_dedup_pairs
+    from sqltask_spark.operators.dedup_index import (
+        build_minhash_index,
+        probe_minhash_index,
+    )
+
+    docs = tables["documents"]
+    idx = str(tmp_path / "mh_index")
+    build_minhash_index(docs, idx)
+    probed = probe_minhash_index(spark, idx, docs, threshold=0.5)
+    got = {
+        (min(r.batch_id, r.corpus_id), max(r.batch_id, r.corpus_id)): (
+            r.n_shared_bands,
+            round(r.jaccard, 9),
+        )
+        for r in probed.collect()
+    }
+    want = {
+        (r.id_a, r.id_b): (r.n_shared_bands, round(r.jaccard, 9))
+        for r in minhash_dedup_pairs(
+            docs, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert got == want and want  # identical pairs, non-vacuous
+
+
+def test_minhash_index_screens_new_batch(spark, tables, tmp_path):
+    from sqltask_spark.operators.dedup_index import (
+        build_minhash_index,
+        probe_minhash_index,
+    )
+
+    docs = tables["documents"]
+    idx = str(tmp_path / "mh_index_b")
+    build_minhash_index(docs, idx)
+    base = docs.select("doc_id", "text").first()
+    batch = spark.createDataFrame(
+        [
+            # near-dup of an indexed doc: one appended token
+            (900001, base["text"] + " extra"),
+            # novel doc: shares no shingles with the corpus
+            (900002, "xq zz yy ww vv uu tt ss rr qq pp oo nn mm"),
+        ],
+        "doc_id long, text string",
+    )
+    hits = probe_minhash_index(spark, idx, batch, threshold=0.5).collect()
+    assert {r.batch_id for r in hits} == {900001}
+    assert any(r.corpus_id == base["doc_id"] for r in hits)
+
+
 def test_dsir_weights_favor_target_like_documents(spark):
     from sqltask_spark.operators.text import dsir_importance_weights
 
