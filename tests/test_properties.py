@@ -309,3 +309,53 @@ def test_bigram_lm_scores_partition_invariant(spark):
         outs.append(got)
     assert outs[0] == outs[1] == outs[2]
     assert len(outs[0]) == 40
+
+
+_WORDS = st.lists(
+    st.sampled_from("alpha beta gamma delta eps zeta eta theta".split()),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(_WORDS, min_size=2, max_size=12))
+def test_bm25_matches_reference_on_random_corpora(spark, docs_words):
+    from test_retrieval import _ref_bm25
+
+    from sqltask_spark.operators.retrieval import _query_frame, bm25_search
+
+    corpus = [(i, " ".join(w)) for i, w in enumerate(docs_words)]
+    queries = [(1, "alpha beta"), (2, "theta")]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = [
+        (r.query_id, r.rank, r.doc_id, r.n_matched, r.score)
+        for r in bm25_search(df, _query_frame(spark, queries), k=50)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    want = _ref_bm25(corpus, queries, k=50)
+    assert [g[:4] for g in got] == [w[:4] for w in want]
+    for g, w in zip(got, want):
+        assert abs(g[4] - w[4]) < 1e-9
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(_WORDS, min_size=2, max_size=8))
+def test_tfidf_cosine_matches_reference_on_random_corpora(
+    spark, docs_words
+):
+    from test_retrieval import _ref_tfidf_cosine
+
+    from sqltask_spark.operators.retrieval import tfidf_near_pairs
+
+    corpus = [(i, " ".join(w)) for i, w in enumerate(docs_words)]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in tfidf_near_pairs(df, threshold=0.0).collect()
+    }
+    want = _ref_tfidf_cosine(corpus)
+    assert set(got) == set(want)
+    for p, c in want.items():
+        assert abs(got[p] - round(c, 6)) < 1e-9
