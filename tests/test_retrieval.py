@@ -107,6 +107,13 @@ def test_bm25_max_term_df_drops_stopword_terms(spark):
     assert {r.doc_id for r in uncapped} > {7, 8}
 
 
+def test_bm25_empty_and_unknown_query_terms(spark):
+    docs = _docs(spark, _CORPUS)
+    # whitespace-only query → no terms → no rows; unknown terms → no rows
+    q = _query_frame(spark, [(1, "   "), (2, "zzzz qqqq")])
+    assert bm25_search(docs, q, k=5).count() == 0
+
+
 def _ref_tfidf(corpus, n_buckets=64):
     toks = {d: t.lower().split() for d, t in corpus}
     n = len(toks)
