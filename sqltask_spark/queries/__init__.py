@@ -92,6 +92,7 @@ _OVERFLOW = [
     "zorder_layout_stats",
     "dup_span_stats",
     "dedup_index_screen",
+    "sample_k_per_source",
 ]
 
 _LLM_FIRST = [

@@ -653,10 +653,166 @@ ORDER BY j.cohort_week, week_n
 """
 
 
+# --------------------------------------------------------------------------
+# resample_fill_events — time-series regularization: hourly means per
+# series with the gaps GENERATED (sequence explode over each series'
+# observed range) and forward-filled (last non-null over an ordered
+# window). The per-bucket mean is rounded BEFORE the fill so filled
+# copies are bit-identical in both engines; mean accumulates in
+# exact decimal (shuffle-order-free). Scale: one groupBy on
+# (series, hour), one tiny per-series range agg, one window per
+# series — the standard continuous-timeline shape.
+# --------------------------------------------------------------------------
+
+
+def resample_fill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(28,10)")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            (F.sum(v).cast("double") / F.count(F.lit(1))), 6
+        ).alias("value_mean"),
+    )
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("interval 1 hour"))
+            ).alias("hour"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = spine.join(hourly, ["event_type", "hour"], "left")
+    return (
+        joined.select(
+            "event_type",
+            "hour",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("value_mean", ignorenulls=True).over(w).alias(
+                "value_mean"
+            ),
+            F.col("value_mean").isNull().alias("filled"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+_RESAMPLE_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         COUNT(*) AS n_events,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
+               / COUNT(*), 6) AS value_mean
+  FROM events GROUP BY 1, 2
+),
+spine AS (
+  SELECT event_type, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR))
+           AS hour
+  FROM (SELECT event_type, MIN(hour) AS h0, MAX(hour) AS h1
+        FROM hourly GROUP BY event_type)
+)
+SELECT s.event_type, s.hour,
+       COALESCE(n_events, 0) AS n_events,
+       LAST_VALUE(value_mean IGNORE NULLS) OVER (
+         PARTITION BY s.event_type ORDER BY s.hour
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS value_mean,
+       value_mean IS NULL AS filled
+FROM spine s
+LEFT JOIN hourly h ON h.event_type = s.event_type AND h.hour = s.hour
+ORDER BY s.event_type, s.hour
+"""
+
+
+# --------------------------------------------------------------------------
+# winsorized_event_stats — robust statistics: per-series p01/p99 by
+# exact interpolated percentile, values clipped to that band, clipped
+# mean in exact decimal. The outlier-resistant counterpart of
+# event_value_stats.
+# --------------------------------------------------------------------------
+
+
+def winsorized_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pcts = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.01)").alias("p01"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99"))
+    vd = F.col("value").cast("decimal(28,10)")
+    cd = clipped.cast("decimal(28,10)")
+    agg = (
+        ev.join(F.broadcast(pcts), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("p01").alias("p01"),
+            F.min("p99").alias("p99"),
+            F.sum(vd).alias("__s"),
+            F.sum(cd).alias("__cs"),
+            F.sum(
+                F.when(
+                    (F.col("value") < F.col("p01"))
+                    | (F.col("value") > F.col("p99")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_clipped"),
+        )
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        F.round("p01", 6).alias("p01"),
+        F.round("p99", 6).alias("p99"),
+        F.round(F.col("__s").cast("double") / F.col("n"), 6).alias(
+            "mean_raw"
+        ),
+        F.round(F.col("__cs").cast("double") / F.col("n"), 6).alias(
+            "mean_winsorized"
+        ),
+        "n_clipped",
+    ).orderBy("event_type")
+
+
+_WINSOR_SQL = """
+WITH pcts AS (
+  SELECT event_type,
+         quantile_cont(value, 0.01) AS p01,
+         quantile_cont(value, 0.99) AS p99
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       COUNT(*) AS n,
+       ROUND(MIN(p01), 6) AS p01,
+       ROUND(MIN(p99), 6) AS p99,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_raw,
+       ROUND(CAST(SUM(CAST(LEAST(GREATEST(value, p01), p99)
+                           AS DECIMAL(28,10))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_winsorized,
+       CAST(SUM(CASE WHEN value < p01 OR value > p99 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clipped
+FROM events e JOIN pcts p ON e.event_type = p.event_type
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""
+
+
 QUERIES = {
     "sessionize_events": sessionize_events,
     "funnel_conversion": funnel_conversion,
     "retention_cohorts": retention_cohorts,
+    "resample_fill_events": resample_fill_events,
+    "winsorized_event_stats": winsorized_event_stats,
     "tumbling_events": tumbling_events,
     "pivot_user_event_counts": pivot_user_event_counts,
     "asof_click_purchase": asof_click_purchase,
@@ -672,6 +828,8 @@ ORACLES = {
     "sessionize_events": _SESSIONIZE_SQL,
     "funnel_conversion": _FUNNEL_SQL,
     "retention_cohorts": _RETENTION_SQL,
+    "resample_fill_events": _RESAMPLE_SQL,
+    "winsorized_event_stats": _WINSOR_SQL,
     "tumbling_events": _TUMBLING_SQL,
     "pivot_user_event_counts": _PIVOT_SQL,
     "asof_click_purchase": _ASOF_SQL,

@@ -877,6 +877,47 @@ ORDER BY doc_id, copy_idx
 
 
 # --------------------------------------------------------------------------
+# sample_k_per_source — EXACT-k stratified sampling: the k docs per
+# stratum with the smallest md5(doc_id) — deterministic, engine-
+# portable (any md5 engine draws the identical sample), stable under
+# repartitioning/backfill, and — unlike fraction-based sampling
+# (stratified_sample_documents) — guaranteed exactly min(k, |stratum|)
+# rows per stratum. One window per stratum; Spark plans the rank
+# filter as a partial top-k before the shuffle (WindowGroupLimit), so
+# the shuffle carries ~k rows per stratum, not the stratum.
+# --------------------------------------------------------------------------
+
+_SAMPLE_K = 5
+
+
+def sample_k_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(key, "doc_id")
+    return (
+        docs.select(
+            "source", "doc_id", F.row_number().over(w).alias("draw")
+        )
+        .filter(F.col("draw") <= _SAMPLE_K)
+        .orderBy("source", "draw")
+    )
+
+
+_SAMPLE_K_SQL = f"""
+SELECT source, doc_id, draw FROM (
+  SELECT source, doc_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS INTEGER) AS draw
+  FROM documents
+)
+WHERE draw <= {_SAMPLE_K}
+ORDER BY source, draw
+"""
+
+
+# --------------------------------------------------------------------------
 # dsir_weights — DSIR-style importance weights for data selection
 # (Xie et al. 2023): LM trained on the target subset (source='src1'
 # stands in for the curated reference corpus) vs LM trained on the
@@ -1011,6 +1052,7 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "zorder_layout_stats": zorder_layout_stats,
     "dsir_weights": dsir_weights,
+    "sample_k_per_source": sample_k_per_source,
     "stratified_sample_documents": stratified_sample_documents,
     "apply_mix_sampling": apply_mix_sampling,
     "length_histogram": length_histogram,
@@ -1031,6 +1073,7 @@ QUERIES = {
 
 ORACLES = {
     "dsir_weights": _DSIR_SQL,
+    "sample_k_per_source": _SAMPLE_K_SQL,
     "stratified_sample_documents": _STRAT_SQL,
     "apply_mix_sampling": _APPLY_MIX_SQL,
     "length_histogram": _HIST_SQL,
