@@ -93,6 +93,7 @@ _OVERFLOW = [
     "dup_span_stats",
     "dedup_index_screen",
     "sample_k_per_source",
+    "ccnet_ppl_buckets",
 ]
 
 _LLM_FIRST = [

@@ -877,6 +877,71 @@ ORDER BY doc_id, copy_idx
 
 
 # --------------------------------------------------------------------------
+# ccnet_ppl_buckets — the CCNet selection step (Wenzek et al. 2020):
+# per-language perplexity TERCILES split the corpus into head (most
+# fluent) / middle / tail buckets; downstream pipelines keep head+
+# middle or reweight by bucket. Composes the fixed-point corpus LM
+# (oracle-hashable scores) with exact interpolated percentiles
+# (Spark `percentile` ≡ DuckDB `quantile_cont`, verified by
+# winsorized_event_stats).
+# --------------------------------------------------------------------------
+
+_TERCILES = (0.3333333333333333, 0.6666666666666666)
+
+
+def ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = tx.bigram_lm_nll(docs, "doc_id", "text").select(
+        "doc_id", "ppl"
+    )
+    scored = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    cuts = scored.groupBy("lang").agg(
+        F.expr(f"percentile(ppl, {_TERCILES[0]!r})").alias("t1"),
+        F.expr(f"percentile(ppl, {_TERCILES[1]!r})").alias("t2"),
+    )
+    bucket = (
+        F.when(F.col("ppl") <= F.col("t1"), F.lit("head"))
+        .when(F.col("ppl") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        scored.join(F.broadcast(cuts), "lang")
+        .select("doc_id", "lang", "ppl", bucket.alias("bucket"))
+        .orderBy("doc_id")
+    )
+
+
+_CCNET_SQL = None  # assigned below (needs textops.LM_BODY_SQL)
+
+
+def _ccnet_sql() -> str:
+    from sqltask_spark.queries.textops import LM_BODY_SQL
+
+    return f"""
+WITH {LM_BODY_SQL},
+scored AS (
+  SELECT lm.doc_id, lm.ppl, d.lang
+  FROM lm JOIN documents d ON d.doc_id = lm.doc_id
+),
+cuts AS (
+  SELECT lang,
+         quantile_cont(ppl, {_TERCILES[0]!r}) AS t1,
+         quantile_cont(ppl, {_TERCILES[1]!r}) AS t2
+  FROM scored GROUP BY lang
+)
+SELECT doc_id, s.lang, ppl,
+       CASE WHEN ppl <= t1 THEN 'head'
+            WHEN ppl <= t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored s JOIN cuts c ON s.lang = c.lang
+ORDER BY doc_id
+"""
+
+
+_CCNET_SQL = _ccnet_sql()
+
+
+# --------------------------------------------------------------------------
 # sample_k_per_source — EXACT-k stratified sampling: the k docs per
 # stratum with the smallest md5(doc_id) — deterministic, engine-
 # portable (any md5 engine draws the identical sample), stable under
@@ -1052,6 +1117,7 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "zorder_layout_stats": zorder_layout_stats,
     "dsir_weights": dsir_weights,
+    "ccnet_ppl_buckets": ccnet_ppl_buckets,
     "sample_k_per_source": sample_k_per_source,
     "stratified_sample_documents": stratified_sample_documents,
     "apply_mix_sampling": apply_mix_sampling,
@@ -1073,6 +1139,7 @@ QUERIES = {
 
 ORACLES = {
     "dsir_weights": _DSIR_SQL,
+    "ccnet_ppl_buckets": _CCNET_SQL,
     "sample_k_per_source": _SAMPLE_K_SQL,
     "stratified_sample_documents": _STRAT_SQL,
     "apply_mix_sampling": _APPLY_MIX_SQL,

@@ -913,8 +913,11 @@ def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.bigram_lm_nll(docs, "doc_id", "text").orderBy("doc_id")
 
 
-_LM_PPL_SQL = f"""
-WITH toks AS MATERIALIZED (
+#: the corpus-LM scoring pipeline as a reusable CTE chain ending in
+#: ``lm(doc_id, n_bigrams, avg_nll, ppl)`` — shared by the
+#: lm_perplexity entry and the CCNet-style bucket selection
+#: (queries/pipeline.py).
+LM_BODY_SQL = f"""toks AS MATERIALIZED (
   SELECT doc_id, {_TOKS} AS t FROM documents
   WHERE LEN({_TOKS}) >= 2
 ), vocab AS (
@@ -935,11 +938,17 @@ WITH toks AS MATERIALIZED (
 ), agg AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, SUM(q) AS sum_q
   FROM q GROUP BY doc_id
-)
-SELECT doc_id, n_bigrams,
-       ROUND(-sum_q / (n_bigrams * 1000000.0), 6) AS avg_nll,
-       ROUND(EXP(-sum_q / (n_bigrams * 1000000.0)), 4) AS ppl
-FROM agg
+), lm AS (
+  SELECT doc_id, n_bigrams,
+         ROUND(-sum_q / (n_bigrams * 1000000.0), 6) AS avg_nll,
+         ROUND(EXP(-sum_q / (n_bigrams * 1000000.0)), 4) AS ppl
+  FROM agg
+)"""
+
+_LM_PPL_SQL = f"""
+WITH {LM_BODY_SQL}
+SELECT doc_id, n_bigrams, avg_nll, ppl
+FROM lm
 ORDER BY doc_id
 """
 
