@@ -54,6 +54,7 @@ HEADLINE = [
     "search_bm25",
     "dedup_tfidf_cosine",
     "doc_centrality_pagerank",
+    "dsir_weights",
 ]
 
 

@@ -71,6 +71,8 @@ ENTRIES = [
     "lm_perplexity",
     "ann_topk_ivf_pq",
     "search_bm25",
+    "dsir_weights",
+    "ccnet_ppl_buckets",
     "doc_tfidf_vectors",
     "dedup_tfidf_cosine",
     "doc_centrality_pagerank",
