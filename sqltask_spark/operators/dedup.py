@@ -670,3 +670,77 @@ def cut_spans(
         )
     )
     return out
+
+
+def cut_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """End-to-end exact-substring dedup (Lee et al.): find duplicated
+    token runs, keep ONE copy, splice the rest out of the text.
+
+    Keeper policy — deterministic and per-shingle: the minimum
+    ``id_col`` among the documents containing a duplicated shingle
+    keeps it; every other occurrence's position is marked for cutting.
+    Marked positions coalesce into maximal runs (gaps-and-islands)
+    and :func:`cut_spans` splices them out, so exactly one copy of
+    each duplicated run survives in the corpus — the production cut
+    policy, with a min-id tie-break instead of arrival order so the
+    result is reproducible across partitionings.
+
+    Scale shape is :func:`duplicate_spans` plus the one extra
+    ``min(id)`` in the same shingle census — still one positional
+    explode (8-byte hashed shingles), one map-side-combined census,
+    one equi-join back, one window per doc, one join for the splice.
+    Never all-pairs.
+
+    Returns (id, text, n_tokens_removed) for EVERY input document
+    (uncut docs pass through with 0 removed).
+    """
+    from pyspark.sql import Window
+
+    from sqltask_spark.data import materialize_and_release
+
+    sh = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(word_shingles(F.col(text_col), shingle_n)).alias(
+                "pos", "sh_str"
+            ),
+        )
+        .select("doc_id", "pos", F.xxhash64("sh_str").alias("shingle"))
+        .persist()
+    )
+    keepers = (
+        sh.groupBy("shingle")
+        .agg(
+            F.min("doc_id").alias("keeper"),
+            F.count_distinct("doc_id").alias("ndocs"),
+        )
+        .filter(F.col("ndocs") >= 2)
+    )
+    cut_pos = (
+        sh.join(keepers, "shingle")
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .select("doc_id", "pos")
+    )
+    w_pos = Window.partitionBy("doc_id").orderBy("pos")
+    spans = (
+        cut_pos.withColumn(
+            "island", F.col("pos") - F.row_number().over(w_pos)
+        )
+        .groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("start_token"),
+            (F.max("pos") + F.lit(shingle_n - 1)).alias("end_token"),
+        )
+    )
+    out = cut_spans(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col)),
+        spans,
+        id_col="doc_id",
+        text_col=text_col,
+    ).select(F.col("doc_id").alias(id_col), text_col, "n_tokens_removed")
+    return materialize_and_release(out, sh)

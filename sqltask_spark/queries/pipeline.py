@@ -895,9 +895,19 @@ def ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "ppl"
     )
     scored = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    # Cuts rounded to a fixed decimal before the bucket compare:
+    # Spark `percentile` and DuckDB `quantile_cont` share the
+    # interpolation FORMULA but not a bit-identical evaluation order,
+    # so a ppl landing exactly on an unrounded cut could flip
+    # head/middle between engines. 4 decimals matches ppl's own
+    # rounding granularity and swamps any ~1e-15 formula divergence.
     cuts = scored.groupBy("lang").agg(
-        F.expr(f"percentile(ppl, {_TERCILES[0]!r})").alias("t1"),
-        F.expr(f"percentile(ppl, {_TERCILES[1]!r})").alias("t2"),
+        F.round(
+            F.expr(f"percentile(ppl, {_TERCILES[0]!r})"), 4
+        ).alias("t1"),
+        F.round(
+            F.expr(f"percentile(ppl, {_TERCILES[1]!r})"), 4
+        ).alias("t2"),
     )
     bucket = (
         F.when(F.col("ppl") <= F.col("t1"), F.lit("head"))
@@ -925,8 +935,8 @@ scored AS (
 ),
 cuts AS (
   SELECT lang,
-         quantile_cont(ppl, {_TERCILES[0]!r}) AS t1,
-         quantile_cont(ppl, {_TERCILES[1]!r}) AS t2
+         ROUND(quantile_cont(ppl, {_TERCILES[0]!r}), 4) AS t1,
+         ROUND(quantile_cont(ppl, {_TERCILES[1]!r}), 4) AS t2
   FROM scored GROUP BY lang
 )
 SELECT doc_id, s.lang, ppl,

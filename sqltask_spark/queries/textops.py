@@ -901,6 +901,66 @@ ORDER BY doc_id, span_idx
 
 
 # --------------------------------------------------------------------------
+# corpus_cut_spans — the CUT half of exact-substring dedup, end to
+# end: duplicated 3-gram runs found (exact_dup_spans' census), a
+# deterministic min-doc_id keeper retains one copy of each duplicated
+# shingle, and every other occurrence's run is spliced out of the
+# text (operators.dedup.cut_duplicate_spans). Emits the REWRITTEN
+# corpus — every doc, cut or not — so the oracle exercises the splice
+# arithmetic itself, not just the coordinates.
+# --------------------------------------------------------------------------
+
+def corpus_cut_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sqltask_spark.operators.dedup import cut_duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cut_duplicate_spans(docs, "doc_id", "text", shingle_n=3).orderBy(
+        "doc_id"
+    )
+
+
+_CUT_SPANS_SQL = f"""
+WITH sh AS MATERIALIZED (
+  SELECT doc_id, CAST(i - 1 AS INT) AS pos, grams[i] AS shingle
+  FROM (SELECT doc_id, {_POS_SHINGLES} AS grams FROM documents),
+       UNNEST(generate_series(1, LEN(grams))) AS t(i)
+), keepers AS (
+  SELECT shingle, MIN(doc_id) AS keeper
+  FROM sh GROUP BY shingle HAVING COUNT(DISTINCT doc_id) >= 2
+), cut AS (
+  SELECT s.doc_id, s.pos
+  FROM sh s JOIN keepers k ON s.shingle = k.shingle
+  WHERE s.doc_id <> k.keeper
+), runs AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+           AS island
+  FROM cut
+), spans AS (
+  SELECT doc_id, MIN(pos) AS s0, MAX(pos) + 2 AS s1
+  FROM runs GROUP BY doc_id, island
+), agg AS (
+  SELECT doc_id, LIST([s0, s1]) AS spans FROM spans GROUP BY doc_id
+), kept AS (
+  SELECT tk.doc_id, tk.t,
+         list_filter(
+           generate_series(1, LEN(tk.t)),
+           i -> LEN(list_filter(
+                  COALESCE(a.spans, CAST([] AS INT[][])),
+                  s -> i - 1 >= s[1] AND i - 1 <= s[2])) = 0) AS ki
+  FROM (SELECT doc_id, {_TOKS} AS t FROM documents) tk
+  LEFT JOIN agg a USING (doc_id)
+)
+SELECT doc_id,
+       COALESCE(array_to_string(list_transform(ki, i -> t[i]), ' '), '')
+         AS text,
+       CAST(LEN(t) - LEN(ki) AS INT) AS n_tokens_removed
+FROM kept
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # lm_perplexity — corpus-trained add-one bigram LM, per-document mean
 # negative log-likelihood + perplexity (the CCNet quality signal; see
 # operators.text.bigram_lm_nll for the scale shape: hashed-bigram
@@ -1061,6 +1121,7 @@ QUERIES = {
     "doc_salient_terms": doc_salient_terms,
     "dup_span_stats": dup_span_stats,
     "exact_dup_spans": exact_dup_spans,
+    "corpus_cut_spans": corpus_cut_spans,
     "lm_perplexity": lm_perplexity,
     "bpe_learn_merges": bpe_learn_merges,
     "bpe_encode_documents": bpe_encode_documents,
@@ -1086,6 +1147,7 @@ ORACLES = {
     "doc_salient_terms": _SALIENT_SQL,
     "dup_span_stats": _DUP_SPAN_SQL,
     "exact_dup_spans": _DUP_SPANS_SQL,
+    "corpus_cut_spans": _CUT_SPANS_SQL,
     "lm_perplexity": _LM_PPL_SQL,
     # dedup_minhash_pairs / dedup_simhash_pairs: intentionally no
     # oracle — Spark-native xxhash64 signatures.

@@ -1401,6 +1401,32 @@ def test_cut_spans_splices_and_preserves_keeper(spark):
     assert got[3][1] == 0
 
 
+def test_cut_duplicate_spans_min_id_keeper(spark):
+    """End-to-end cut: the min-doc_id owner of each duplicated
+    shingle keeps its copy verbatim, later copies lose exactly the
+    shared run, unique docs pass through, and a full duplicate of an
+    earlier doc is cut to empty."""
+    from sqltask_spark.operators.dedup import cut_duplicate_spans
+
+    docs = list_source(
+        spark,
+        ["doc_id", "text"],
+        [
+            [1, "a b c d e f g h"],
+            [2, "x y z d e f g h q"],
+            [3, "totally unique words only appearing here"],
+            [4, "a b c d e f g h"],
+        ],
+    )
+    cut = cut_duplicate_spans(docs, "doc_id", "text", shingle_n=3)
+    got = {r["doc_id"]: (r["text"], r["n_tokens_removed"])
+           for r in cut.collect()}
+    assert got[1] == ("a b c d e f g h", 0)
+    assert got[2] == ("x y z q", 5)
+    assert got[3] == ("totally unique words only appearing here", 0)
+    assert got[4] == ("", 8)
+
+
 def test_apply_mix_sampling_degenerate_sources(spark, tmp_path):
     """Defined behavior at the edges: an all-NULL-text source drops
     out entirely (NULL weight propagates to a NULL copy count, never
