@@ -5,9 +5,13 @@ to source databases via embedded SQL (``reference README.md:16-17``,
 ``sqltask/sources/sql.py:17-62``) — as first-class, scale-shaped Spark
 plans:
 
-- dimension joins carry explicit ``F.broadcast`` hints (region/nation/
-  supplier/part stay far below broadcast limits even at 100 TB fact
-  scale);
+- only CONSTANT-size dimensions (region = 5 rows, nation = 25 rows,
+  1-row scalar aggregates) carry explicit ``F.broadcast`` hints. In
+  TPC-H, customer/supplier/part scale LINEARLY with the fact — at a
+  100 TB lineitem they are billions of rows, and a hard hint there is
+  a driver OOM that AQE cannot undo. Those joins are left unhinted so
+  Catalyst's size-based planning broadcasts them when (and only when)
+  they actually fit ``autoBroadcastJoinThreshold``;
 - fact-fact joins (orders×lineitem) shuffle on the join key and rely
   on AQE for skew handling;
 - aggregates use decimal accumulators (exact + order-independent,
@@ -109,7 +113,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.lit(1).cast(DEC_SMALL) - F.col("l_discount").cast(DEC_SMALL))
     ).cast("double")
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(li, orders.o_orderkey == li.l_orderkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(revenue.alias("revenue"))
@@ -156,9 +160,9 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("double")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
         .join(
-            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            customer.select("c_custkey", "c_nationkey"),
             (orders.o_custkey == F.col("c_custkey"))
             & (supplier.s_nationkey == F.col("c_nationkey")),
         )
@@ -244,7 +248,7 @@ def topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("o_totalprice"), F.asc("o_orderkey")
     )
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .withColumn("rank_in_segment", F.row_number().over(w))
         .filter(F.col("rank_in_segment") <= 3)
         .select(
@@ -354,7 +358,7 @@ def customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_orders") >= 2)
     )
     return (
-        stats.join(F.broadcast(customer), stats.o_custkey == customer.c_custkey)
+        stats.join(customer, stats.o_custkey == customer.c_custkey)
         .select(
             F.col("c_custkey").alias("custkey"),
             F.col("c_name").alias("name"),
@@ -445,7 +449,7 @@ def part_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).cast(DEC_SMALL) - F.col("l_discount").cast(DEC_SMALL)
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_type")
         .agg(
             F.sum(disc_price).cast("double").alias("revenue"),
@@ -862,8 +866,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("double")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
-        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
         .join(
             F.broadcast(
                 nation.select(
@@ -931,7 +935,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("double")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy("c_custkey", "c_name", "c_acctbal")
         .agg(revenue.alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
@@ -973,7 +977,7 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_brand", "p_size"
     )
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    joined = li.join(part, li.l_partkey == part.p_partkey)
     cond = (
         ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10)
          & (F.col("l_quantity") >= 10))

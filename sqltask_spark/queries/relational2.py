@@ -102,8 +102,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
     )
     pair_cost = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
         .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal",
                  "n_name")
         .agg(F.min("unit_price").alias("pair_cost"))
@@ -192,10 +192,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).cast(DEC_SMALL) - _dsmall("l_discount")
     )
     joined = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             F.year("o_orderdate").alias("o_year"),
             volume.alias("volume"),
@@ -267,7 +267,7 @@ ORDER BY o_year
 
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
-    sup = F.broadcast(
+    sup = (
         load_table(spark, sf_dir, "supplier")
         .join(
             F.broadcast(nation),
@@ -275,7 +275,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", "n_name")
     )
-    part = F.broadcast(
+    part = (
         load_table(spark, sf_dir, "part")
         .filter(F.col("p_name").like("%widget%"))
         .select("p_partkey", "p_retailprice")
@@ -348,7 +348,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region").filter(
         F.col("r_name") == "ASIA"
     )
-    sup = F.broadcast(
+    sup = (
         load_table(spark, sf_dir, "supplier")
         .join(
             F.broadcast(
@@ -454,9 +454,7 @@ ORDER BY custdist DESC, c_count DESC
 # --------------------------------------------------------------------------
 
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    part = F.broadcast(
-        load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
-    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
@@ -530,8 +528,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_rev = revenue.agg(
         F.max("total_revenue_dec").alias("max_revenue_dec")
     )
-    sup = F.broadcast(
-        load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
     )
     return (
         revenue.join(
@@ -595,7 +593,7 @@ def q16_supplier_part_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey")
     )
-    part = F.broadcast(
+    part = (
         load_table(spark, sf_dir, "part").filter(
             (F.col("p_brand") != "Brand#23")
             & (F.col("p_type") != "PROMO")
@@ -607,7 +605,7 @@ def q16_supplier_part_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_partkey", "l_suppkey")
         .dropDuplicates(["l_partkey", "l_suppkey"])
         .join(
-            F.broadcast(excluded),
+            excluded,
             F.col("l_suppkey") == F.col("s_suppkey"),
             "left_anti",
         )
@@ -653,13 +651,11 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sum_qty_dec") > F.lit(300).cast(DEC))
     )
     orders = load_table(spark, sf_dir, "orders")
-    cust = F.broadcast(
-        load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
     )
     return (
-        orders.join(
-            F.broadcast(big), orders.o_orderkey == F.col("b_orderkey")
-        )
+        orders.join(big, orders.o_orderkey == F.col("b_orderkey"))
         .join(cust, orders.o_custkey == F.col("c_custkey"))
         .select(
             "c_name",
@@ -792,13 +788,13 @@ def q21_returns_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("r3_orderkey"),
         F.col("l_suppkey").alias("r3_suppkey"),
     ).dropDuplicates(["r3_orderkey", "r3_suppkey"])
-    final_orders = F.broadcast(
+    final_orders = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == "F")
         .select("o_orderkey")
     )
-    sup = F.broadcast(
-        load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
     )
     blamed = (
         returned.join(

@@ -18,6 +18,12 @@ def spark():
             "spark.sql.shuffle.partitions": "4",
             "spark.ui.enabled": "false",
             "spark.driver.memory": "4g",
+            # Plan tests assert BroadcastHashJoin on dimension joins.
+            # Queries only HINT the constant-size dims (region/nation);
+            # SF-scaled dims (customer/supplier/part) must be chosen by
+            # Catalyst's size-based planning, so pin the threshold the
+            # assertions rely on at test scale (10 MB = Spark default).
+            "spark.sql.autoBroadcastJoinThreshold": "10485760",
         },
     )
     yield spark
