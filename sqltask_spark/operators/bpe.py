@@ -2,27 +2,34 @@
 tokenizer's merge table on a Spark corpus.
 
 The classic Sennrich et al. (2016) algorithm, re-expressed for the
-cluster: the corpus collapses to a (word, freq) table (vocabulary-
-sized, tiny next to the corpus), each word becomes its symbol
-sequence, and every merge round is
+cluster the way production tokenizer trainers do it: the ONLY
+corpus-sized pass is the distributed (word, freq) census — one
+explode + map-side-combined groupBy. BPE's merge loop itself never
+touches the corpus again; it trains on that vocabulary-sized table,
+which is bounded (capped at ``max_words`` by freq with a
+deterministic tie-break) and collected ONCE. The merge loop then
+runs locally with an incremental pair-count index and a lazy-deletion
+heap — O(word_len) updates per affected word per merge — so a real
+30k-merge table trains in seconds instead of launching 30k
+sequential Spark jobs (one census + one collect per merge, the shape
+this module had before round 4: days of scheduler overhead at real
+merge counts).
 
-  1. one distributed pair census — adjacent-symbol pairs exploded
-     JVM-side and summed with map-side combine, weighted by word
-     freq;
-  2. a 1-row driver collect of the argmax pair (deterministic
-     tie-break: freq desc, then pair lexicographic);
-  3. one JVM-side fold (``F.aggregate``) that rewrites every word's
-     symbol sequence left-to-right, exactly the greedy merge order
-     reference BPE uses.
-
-Nothing corpus-sized ever reaches the driver: the census is the only
-shuffle per round and the collect is a single row. The returned merge
-table itself is ``n_merges`` rows. No reference-counterpart: the
-reference engine (villebro/sqltask) has no tokenizer surface; this
-belongs to the training-data-pipeline extension.
+Encoding the corpus with the learned table is the other corpus-sized
+pass — :func:`encode_corpus` (Arrow-batched Pandas UDF) is the scale
+path for that. Determinism: exact integer pair counts, ties broken
+by pair lexicographic order, greedy left-to-right rewrites — the
+output is reproducible across partitionings and cluster sizes, and
+identical to the old one-job-per-merge implementation on any corpus
+that fits ``max_words`` (the textbook-sequence pytest pins it). No
+reference counterpart: the reference engine (villebro/sqltask) has
+no tokenizer surface; this belongs to the training-data-pipeline
+extension.
 """
 
 from __future__ import annotations
+
+import heapq
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -68,11 +75,87 @@ def apply_merge(symbols: Column, left: str, right: str) -> Column:
     )
 
 
+def _merge_word(syms: list[str], left: str, right: str) -> list[str]:
+    """Greedy left-to-right single-merge rewrite — the exact local
+    twin of the :func:`apply_merge` JVM fold (property-tested
+    equivalent): append each symbol unless it completes (left, right)
+    with the output's tail, in which case the tail becomes merged."""
+    out: list[str] = []
+    for s in syms:
+        if out and out[-1] == left and s == right:
+            out[-1] = left + right
+        else:
+            out.append(s)
+    return out
+
+
+def _train_merges_local(
+    vocab: list[tuple[str, int]],
+    n_merges: int,
+    min_pair_freq: int,
+) -> list[tuple[int, str, str, str, int]]:
+    """The in-driver BPE merge loop over a (word, freq) vocabulary.
+
+    Incremental index: ``pair_counts`` holds exact adjacent-pair
+    frequencies; ``pair_words`` maps each pair to the word indices
+    that (at some point) contained it — stale members are harmless
+    because rewrites recount from the word's CURRENT symbols. The
+    argmax is a lazy-deletion heap keyed ``(-count, pair)``, which
+    reproduces the distributed census' ordering exactly: count desc,
+    then pair lexicographic asc.
+    """
+    words = [list(w) for w, _ in vocab]
+    freqs = [f for _, f in vocab]
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+
+    def recount(idx: int, sign: int, changed: set) -> None:
+        f = freqs[idx] * sign
+        syms = words[idx]
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + f
+            changed.add(p)
+            if sign > 0:
+                pair_words.setdefault(p, set()).add(idx)
+
+    init: set = set()
+    for i in range(len(words)):
+        recount(i, 1, init)
+    heap = [(-c, p) for p, c in pair_counts.items() if c > 0]
+    heapq.heapify(heap)
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        best = None
+        while heap:
+            negc, p = heapq.heappop(heap)
+            if pair_counts.get(p, 0) == -negc:  # else: stale entry
+                best = (p, -negc)
+                break
+        if best is None or best[1] < min_pair_freq:
+            break
+        (left, right), count = best
+        merges.append((rank, left, right, left + right, count))
+        changed: set = set()
+        for idx in pair_words.pop((left, right), set()):
+            recount(idx, -1, changed)
+            words[idx] = _merge_word(words[idx], left, right)
+            recount(idx, 1, changed)
+        pair_counts.pop((left, right), None)
+        changed.discard((left, right))
+        for p in changed:
+            c = pair_counts.get(p, 0)
+            if c > 0:
+                heapq.heappush(heap, (-c, p))
+    return merges
+
+
 def learn_bpe_merges(
     docs: DataFrame,
     text_col: str = "text",
     n_merges: int = 10,
     min_pair_freq: int = 2,
+    max_words: int | None = 5_000_000,
 ) -> DataFrame:
     """Learn the top ``n_merges`` BPE merges from a document corpus.
 
@@ -81,63 +164,20 @@ def learn_bpe_merges(
     ``min_pair_freq``. Deterministic for a given corpus (ties broken
     by pair lexicographic order), so the output is reproducible
     across partitionings and cluster sizes.
+
+    One distributed corpus pass (the word-frequency census), one
+    bounded collect: the vocabulary BPE actually trains on is tiny
+    next to the corpus, and ``max_words`` caps the collect
+    deterministically (freq desc, word asc) against pathological
+    open vocabularies — at that point rare tail words cannot win a
+    merge anyway. Pass ``None`` to forbid truncation.
     """
     spark = docs.sparkSession
-    cur = (
-        word_freq_table(docs, text_col)
-        .select("freq", F.split(F.col("word"), "").alias("symbols"))
-        .persist()
-    )
-    cur.count()
-    merges: list[tuple[int, str, str, str, int]] = []
-    try:
-        for rank in range(1, n_merges + 1):
-            pairs = cur.select(
-                "freq",
-                F.explode(
-                    F.when(
-                        F.size("symbols") >= 2,
-                        F.zip_with(
-                            F.slice(
-                                "symbols", F.lit(1), F.size("symbols") - 1
-                            ),
-                            F.slice(
-                                "symbols", F.lit(2), F.size("symbols") - 1
-                            ),
-                            lambda l, r: F.struct(
-                                l.alias("l"), r.alias("r")
-                            ),
-                        ),
-                    ).otherwise(
-                        F.array().cast("array<struct<l:string,r:string>>")
-                    )
-                ).alias("pair"),
-            )
-            top = (
-                pairs.groupBy(
-                    F.col("pair.l").alias("l"), F.col("pair.r").alias("r")
-                )
-                .agg(F.sum("freq").alias("pair_freq"))
-                .orderBy(F.desc("pair_freq"), "l", "r")
-                .limit(1)
-                .collect()
-            )
-            if not top or top[0]["pair_freq"] < min_pair_freq:
-                break
-            left, right = top[0]["l"], top[0]["r"]
-            merges.append(
-                (rank, left, right, left + right, int(top[0]["pair_freq"]))
-            )
-            nxt = cur.select(
-                "freq", apply_merge(F.col("symbols"), left, right).alias(
-                    "symbols"
-                )
-            ).persist()
-            nxt.count()
-            cur.unpersist()
-            cur = nxt
-    finally:
-        cur.unpersist()
+    wf = word_freq_table(docs, text_col)
+    if max_words is not None:
+        wf = wf.orderBy(F.desc("freq"), "word").limit(max_words)
+    vocab = [(r["word"], int(r["freq"])) for r in wf.collect()]
+    merges = _train_merges_local(vocab, n_merges, min_pair_freq)
     return spark.createDataFrame(merges, _MERGE_SCHEMA)
 
 
