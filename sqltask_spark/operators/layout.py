@@ -124,15 +124,25 @@ def rowgroup_spans(path: str, columns: Sequence[str]):
     out: dict[str, list] = {c: [] for c in columns}
     for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
         md = pq.ParquetFile(f).metadata
+        if md.num_row_groups == 0:
+            # zero-row part file (repartitionByRange can emit empty
+            # partitions on small/skewed data) — nothing to span
+            continue
+        # column name→index from the schema, not row_group(0)
         names = {
-            md.row_group(0).column(i).path_in_schema: i
-            for i in range(md.num_columns)
+            md.schema.column(i).path: i for i in range(md.num_columns)
         }
         for g in range(md.num_row_groups):
             rg = md.row_group(g)
             for c in columns:
                 st = rg.column(names[c]).statistics
-                out[c].append((st.min, st.max, rg.num_rows))
+                if st is None or not st.has_min_max:
+                    # stats absent → a reader cannot skip this group;
+                    # record an unbounded span so skipped_fraction
+                    # counts it as always-touched
+                    out[c].append((None, None, rg.num_rows))
+                else:
+                    out[c].append((st.min, st.max, rg.num_rows))
     return out
 
 
@@ -142,6 +152,9 @@ def skipped_fraction(spans, lo, hi) -> float:
     merit."""
     total = sum(n for _, _, n in spans)
     touched = sum(
-        n for mn, mx, n in spans if not (mx < lo or mn > hi)
+        n
+        for mn, mx, n in spans
+        # missing stats (None) = unskippable: the reader must touch it
+        if mn is None or mx is None or not (mx < lo or mn > hi)
     )
     return 1.0 - touched / total if total else 0.0

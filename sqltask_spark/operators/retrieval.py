@@ -131,16 +131,21 @@ def bm25_search(
         stats_src = slim
     else:
         # very large query batches: fall back to the broadcast
-        # semi-join after the explode (still prunes pre-shuffle)
-        slim = None
-        hits_src = toks.select(
-            "doc_id",
-            F.size("toks").alias("dl"),
-            F.explode("toks").alias("term"),
+        # semi-join after the explode (still prunes pre-shuffle).
+        # The (doc_id, dl, toks) projection is persisted so the regex
+        # tokenizer still runs exactly once per document even though
+        # both the postings explode and the corpus-stats aggregate
+        # consume it — same one-corpus-pass contract as the inline
+        # branch (this caches tokenized text, heavier than the inline
+        # branch's matched-terms-only cache, but bounded by corpus
+        # token bytes and spillable).
+        slim = toks.select(
+            "doc_id", F.size("toks").alias("dl"), "toks"
+        ).persist()
+        hits_src = slim.select(
+            "doc_id", "dl", F.explode("toks").alias("term")
         ).join(F.broadcast(term_set), "term")
-        stats_src = toks.select(
-            "doc_id", F.size("toks").alias("dl")
-        )
+        stats_src = slim.select("doc_id", "dl")
     postings = hits_src.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl")
     )

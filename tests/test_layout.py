@@ -100,3 +100,33 @@ def test_zorder_write_improves_multi_dim_skipping(spark, sf_dir, tmp_path):
         .collect()
     )
     assert got == want
+
+
+def test_rowgroup_spans_empty_parts_and_missing_stats(tmp_path):
+    """Zero-row part files (repartitionByRange can emit empty
+    partitions) and stat-less row groups must not crash the span
+    census; missing stats count as unskippable."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sqltask_spark.operators.layout import (
+        rowgroup_spans,
+        skipped_fraction,
+    )
+
+    d = str(tmp_path / "parts")
+    import os
+    os.makedirs(d)
+    pq.write_table(
+        pa.table({"x": pa.array([], type=pa.int64())}),
+        os.path.join(d, "empty.parquet"),
+    )
+    pq.write_table(pa.table({"x": [1, 2, 3]}), os.path.join(d, "full.parquet"))
+    spans = rowgroup_spans(d, ["x"])["x"]
+    assert (1, 3, 3) in spans
+    # a predicate far outside [1,3] skips the full group; the
+    # stat-less/empty groups contribute no rows either way
+    frac = skipped_fraction(spans, 10, 20)
+    assert frac == 1.0
+    # explicit missing-stats group: always touched
+    assert skipped_fraction([(None, None, 5), (1, 3, 5)], 10, 20) == 0.5

@@ -107,6 +107,29 @@ def test_bm25_max_term_df_drops_stopword_terms(spark):
     assert {r.doc_id for r in uncapped} > {7, 8}
 
 
+def test_bm25_fallback_path_matches_inline(spark):
+    """>256 distinct query terms forces the broadcast-semi-join
+    fallback branch; padding one query with unknown terms must not
+    change its results vs the inline (IN-list) branch."""
+    docs = _docs(spark, _CORPUS)
+    queries = [(1, "apple banana"), (2, "cherry")]
+    inline = [
+        (r.query_id, r.rank, r.doc_id, r.n_matched, r.score)
+        for r in bm25_search(docs, _query_frame(spark, queries), k=10)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    pad = " ".join(f"zz{i}" for i in range(300))  # 300 unknown terms
+    padded = [(1, "apple banana " + pad), (2, "cherry")]
+    fb = [
+        (r.query_id, r.rank, r.doc_id, r.n_matched, r.score)
+        for r in bm25_search(docs, _query_frame(spark, padded), k=10)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    assert fb == inline
+
+
 def test_bm25_empty_and_unknown_query_terms(spark):
     docs = _docs(spark, _CORPUS)
     # whitespace-only query → no terms → no rows; unknown terms → no rows
