@@ -561,6 +561,7 @@ def cosine_topk_ivf(
     n_probe: int = 4,
     round_digits: int = 6,
     quantize_bits: int | None = None,
+    max_driver_queries: int | None = 8192,
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) partitioning.
 
@@ -639,34 +640,64 @@ def cosine_topk_ivf(
             as_double_array(F.col(corpus_vec)).alias("cv"),
             _cell_assign_udf(cents, 1)(F.col(corpus_vec))[0].alias("cell"),
         ).withColumn("cn", l2_norm(F.col("cv")))
-    # query side is broadcast-small by contract → assign its probe
-    # cells driver-side (one less Python-worker stage, cf. the LSH op)
-    q_rows = queries.select(
+    # Dual query path (cf. bm25_search): typical query sets are
+    # broadcast-small → collect and assign probe cells driver-side
+    # (one less Python-worker stage). Past ``max_driver_queries`` the
+    # collect itself is the bottleneck/OOM, so the SAME numpy
+    # assignment runs as a vectorized UDF over the query frame and
+    # the joins drop their broadcast hints (size-based planning
+    # decides) — no driver materialization of the query set.
+    q_base = queries.select(
         F.col(query_id).alias("query_id"), F.col(query_vec).alias("qv")
-    ).collect()
-    q_mat = np.array([list(r["qv"]) for r in q_rows], dtype=np.float64)
-    qn = np.linalg.norm(q_mat, axis=1)
-    qn[qn == 0] = 1.0
-    cn = np.linalg.norm(cents, axis=1)
-    cn[cn == 0] = 1.0
-    sims = (q_mat / qn[:, None]) @ (cents / cn[:, None]).T
-    order = np.argsort(-sims, axis=1)[:, :n_probe]
-    probes_df = spark.createDataFrame(
-        [
-            (r["query_id"], int(order[i, j]))
-            for i, r in enumerate(q_rows)
-            for j in range(order.shape[1])
-        ],
-        ["query_id", "cell"],
     )
-    qvecs_df = spark.createDataFrame(
-        [(r["query_id"], [float(x) for x in r["qv"]]) for r in q_rows],
-        ["query_id", "qv"],
-    ).withColumn("qn", l2_norm(F.col("qv")))
+    q_rows = (
+        q_base.limit(max_driver_queries + 1).collect()
+        if max_driver_queries is not None
+        else None
+    )
+    if q_rows is not None and len(q_rows) <= max_driver_queries:
+        q_mat = np.array([list(r["qv"]) for r in q_rows], dtype=np.float64)
+        qn = np.linalg.norm(q_mat, axis=1)
+        qn[qn == 0] = 1.0
+        cn = np.linalg.norm(cents, axis=1)
+        cn[cn == 0] = 1.0
+        sims = (q_mat / qn[:, None]) @ (cents / cn[:, None]).T
+        order = np.argsort(-sims, axis=1)[:, :n_probe]
+        probes_df = F.broadcast(
+            spark.createDataFrame(
+                [
+                    (r["query_id"], int(order[i, j]))
+                    for i, r in enumerate(q_rows)
+                    for j in range(order.shape[1])
+                ],
+                ["query_id", "cell"],
+            )
+        )
+        qvecs_df = F.broadcast(
+            spark.createDataFrame(
+                [
+                    (r["query_id"], [float(x) for x in r["qv"]])
+                    for r in q_rows
+                ],
+                ["query_id", "qv"],
+            ).withColumn("qn", l2_norm(F.col("qv")))
+        )
+    else:
+        assigned = q_base.select(
+            "query_id",
+            as_double_array(F.col("qv")).alias("qv"),
+            _cell_assign_udf(cents, n_probe)(F.col("qv")).alias("cells"),
+        )
+        probes_df = assigned.select(
+            "query_id", F.explode("cells").alias("cell")
+        )
+        qvecs_df = assigned.select("query_id", "qv").withColumn(
+            "qn", l2_norm(F.col("qv"))
+        )
     scored = (
-        ci.join(F.broadcast(probes_df), "cell")
+        ci.join(probes_df, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .join(F.broadcast(qvecs_df), "query_id")
+        .join(qvecs_df, "query_id")
         .withColumn(
             "score",
             F.round(
@@ -702,6 +733,7 @@ def cosine_topk_lsh(
     round_digits: int = 6,
     probe_hamming: int = 1,
     max_bucket_size: int | None = 1000,
+    max_driver_queries: int | None = 8192,
 ) -> DataFrame:
     """Approximate top-k: candidates share an LSH bucket in ≥1 table.
 
@@ -716,9 +748,11 @@ def cosine_topk_lsh(
     high recall without multiplying hash tables.
 
     Shape: the corpus side computes all hash tables' signatures in one
-    vectorized UDF pass; the query side — which is by contract small
-    enough to broadcast — is collected and signed driver-side (same
-    memory budget as the broadcast, one less Python-worker stage),
+    vectorized UDF pass; a query side up to ``max_driver_queries``
+    rows is collected and signed driver-side (same memory budget as
+    the broadcast it feeds, one less Python-worker stage), while
+    larger batches are signed distributed by the same UDF with no
+    driver collect (``max_driver_queries=None`` forces this path);
     then ONE equi-join on (table, bucket) generates candidates — not
     a join per table — so the corpus shuffles/broadcast-probes once.
 
@@ -746,30 +780,65 @@ def cosine_topk_lsh(
         F.posexplode(sig_udf(F.col(corpus_vec))).alias("t", "bucket"),
     ).persist()
 
-    q_rows = queries.select(
-        F.col(query_id).alias("query_id"), F.col(query_vec).alias("qv")
-    ).collect()
-    q_mat = np.array([list(r["qv"]) for r in q_rows], dtype=np.float64)
-    sigs = _bucket_matrix(
-        q_mat, _plane_matrix(dim, n_planes, tables, seed), n_planes, tables
-    )
+    # Dual query path (cf. bm25_search / cosine_topk_ivf): collect +
+    # sign driver-side while the query set is broadcast-small; past
+    # ``max_driver_queries``, sign the query frame with the SAME
+    # vectorized signature UDF the corpus uses and expand multi-probe
+    # flips JVM-side — no driver materialization of the query set.
     flips = [0] + (
         [1 << i for i in range(n_planes)] if probe_hamming >= 1 else []
     )
-    probe_rows = [
-        (r["query_id"], t, int(sigs[i, t]) ^ flip)
-        for i, r in enumerate(q_rows)
-        for t in range(tables)
-        for flip in flips
-    ]
-    # schemas inferred so non-long id types keep working
-    probes_df = spark.createDataFrame(
-        probe_rows, ["query_id", "t", "bucket"]
+    q_base = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("qv")
     )
-    qvecs_df = spark.createDataFrame(
-        [(r["query_id"], [float(x) for x in r["qv"]]) for r in q_rows],
-        ["query_id", "qv"],
+    q_rows = (
+        q_base.limit(max_driver_queries + 1).collect()
+        if max_driver_queries is not None
+        else None
     )
+    if q_rows is not None and len(q_rows) <= max_driver_queries:
+        q_mat = np.array([list(r["qv"]) for r in q_rows], dtype=np.float64)
+        sigs = _bucket_matrix(
+            q_mat,
+            _plane_matrix(dim, n_planes, tables, seed),
+            n_planes,
+            tables,
+        )
+        probe_rows = [
+            (r["query_id"], t, int(sigs[i, t]) ^ flip)
+            for i, r in enumerate(q_rows)
+            for t in range(tables)
+            for flip in flips
+        ]
+        # schemas inferred so non-long id types keep working
+        probes_df = spark.createDataFrame(
+            probe_rows, ["query_id", "t", "bucket"]
+        )
+        qvecs_df = spark.createDataFrame(
+            [(r["query_id"], [float(x) for x in r["qv"]]) for r in q_rows],
+            ["query_id", "qv"],
+        )
+        broadcast_q = True
+    else:
+        signed = q_base.select(
+            "query_id",
+            as_double_array(F.col("qv")).alias("qv"),
+            F.posexplode(sig_udf(F.col("qv"))).alias("t", "sig"),
+        )
+        probes_df = signed.select(
+            "query_id",
+            "t",
+            F.explode(F.array(*[F.lit(f) for f in flips])).alias("flip"),
+            "sig",
+        ).select(
+            "query_id", "t", F.col("sig").bitwiseXOR(F.col("flip")).alias(
+                "bucket"
+            )
+        )
+        qvecs_df = q_base.select(
+            "query_id", as_double_array(F.col("qv")).alias("qv")
+        )
+        broadcast_q = False
     if max_bucket_size is not None:
         # Probe-side hot-bucket cap: a boilerplate-heavy corpus
         # collapses into a few signatures; a hot (table, bucket) key
@@ -786,8 +855,10 @@ def cosine_topk_lsh(
             .filter(F.col("bucket_sz") <= max_bucket_size)
             .drop("bucket_sz")
         )
+    if broadcast_q:
+        probes_df = F.broadcast(probes_df)
     cand = (
-        ci.join(F.broadcast(probes_df), ["t", "bucket"])
+        ci.join(probes_df, ["t", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
     )
@@ -800,6 +871,8 @@ def cosine_topk_lsh(
         as_double_array(F.col(corpus_vec)).alias("cv"),
     ).withColumn("cn", l2_norm(F.col("cv")))
     qvecs_df = qvecs_df.withColumn("qn", l2_norm(F.col("qv")))
+    if broadcast_q:
+        qvecs_df = F.broadcast(qvecs_df)
     # Explicit hash repartition on query_id before scoring: the
     # candidate set is BYTE-small but COMPUTE-heavy (one interpreted
     # HOF fold per row), so AQE — which targets bytes — would coalesce
@@ -812,7 +885,7 @@ def cosine_topk_lsh(
     )
     scored = (
         cand.join(cvecs, "neighbor_id")
-        .join(F.broadcast(qvecs_df), "query_id")
+        .join(qvecs_df, "query_id")
         .repartition(n_part, "query_id")
         .withColumn(
             "score",
@@ -987,6 +1060,44 @@ def _pq_encode_udf(centroids: np.ndarray, codebooks: list[np.ndarray]):
     return encode
 
 
+def _pq_query_udf(
+    centroids: np.ndarray,
+    codebooks: list[np.ndarray],
+    n_probe: int,
+):
+    """Vectorized query-side IVF-PQ prep for the large-batch path:
+    probe cells (argsort by cosine against the coarse centroids —
+    bit-identical to the driver-side assignment) plus the ADC lookup
+    table (normalized sub-vector · sub-codeword dot products,
+    row-major by subspace) in ONE Arrow-batched stage →
+    struct<cells array<int>, lut array<double>>."""
+    from pyspark.sql.functions import pandas_udf
+
+    cn = np.linalg.norm(centroids, axis=1)
+    cn[cn == 0] = 1.0
+    unit_cents = centroids / cn[:, None]
+    subdim = codebooks[0].shape[1]
+
+    @pandas_udf("cells array<int>, lut array<double>")
+    def prep(emb: pd.Series) -> pd.DataFrame:
+        mat = np.stack(emb.to_numpy()).astype(np.float64)
+        vn = np.linalg.norm(mat, axis=1)
+        vn[vn == 0] = 1.0
+        unit = mat / vn[:, None]
+        sims = unit @ unit_cents.T
+        order = np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int32)
+        luts = np.concatenate(
+            [
+                unit[:, j * subdim : (j + 1) * subdim] @ cb.T
+                for j, cb in enumerate(codebooks)
+            ],
+            axis=1,
+        )
+        return pd.DataFrame({"cells": list(order), "lut": list(luts)})
+
+    return prep
+
+
 def cosine_topk_ivf_pq(
     queries: DataFrame,
     corpus: DataFrame,
@@ -1002,6 +1113,7 @@ def cosine_topk_ivf_pq(
     refine_factor: int = 8,
     round_digits: int = 6,
     sample_cap: int = 4096,
+    max_driver_queries: int | None = 8192,
 ) -> DataFrame:
     """Approximate top-k via IVF + Product Quantization (Jégou et al.
     2011) with exact re-ranking — the memory layout billion-vector
@@ -1012,8 +1124,10 @@ def cosine_topk_ivf_pq(
     plus an int cell id. Candidate scoring is asymmetric distance
     computation: each query precomputes a lookup table of its
     normalized sub-vectors' dot products with every sub-codeword
-    (``m × pq_k`` doubles, built driver-side for the broadcast-small
-    query set), and a candidate's approximate cosine is ``m`` JVM
+    (``m × pq_k`` doubles — built driver-side for query sets up to
+    ``max_driver_queries``, by an Arrow-batched UDF with no driver
+    collect beyond that), and a candidate's approximate cosine is
+    ``m`` JVM
     array lookups + adds — no per-pair multiply over the original
     dimension at all. The ADC top ``refine_factor × k`` then joins
     back to the exact vectors by id (an equi-join on a candidate set
@@ -1060,42 +1174,69 @@ def cosine_topk_ivf_pq(
         .select("neighbor_id", "e.cell", "e.codes")
     )
 
-    # broadcast-small query side: probes + ADC lookup tables driver-side
-    q_rows = queries.select(
+    # Dual query path (cf. cosine_topk_ivf): probes + ADC lookup
+    # tables driver-side while the query set is broadcast-small; past
+    # ``max_driver_queries`` the same math runs as ONE Arrow-batched
+    # UDF over the query frame and the joins drop their broadcast
+    # hints — no driver materialization of the query set.
+    q_base = queries.select(
         F.col(query_id).alias("query_id"), F.col(query_vec).alias("qv")
-    ).collect()
-    q_mat = np.array([list(r["qv"]) for r in q_rows], dtype=np.float64)
-    qn = np.linalg.norm(q_mat, axis=1)
-    qn_safe = np.where(qn == 0, 1.0, qn)
-    q_unit = q_mat / qn_safe[:, None]
-    ccn = np.linalg.norm(cents, axis=1)
-    ccn[ccn == 0] = 1.0
-    sims = q_unit @ (cents / ccn[:, None]).T
-    order = np.argsort(-sims, axis=1)[:, :n_probe]
-    probes_df = spark.createDataFrame(
-        [
-            (r["query_id"], int(order[i, j]))
-            for i, r in enumerate(q_rows)
-            for j in range(order.shape[1])
-        ],
-        ["query_id", "cell"],
     )
-    luts = np.concatenate(
-        [q_unit[:, j * subdim : (j + 1) * subdim] @ codebooks[j].T
-         for j in range(m)],
-        axis=1,
-    )  # (n_queries, m * pq_k), row-major by subspace
-    qlut_df = spark.createDataFrame(
-        [
-            (
-                r["query_id"],
-                [float(x) for x in luts[i]],
-                [float(x) for x in r["qv"]],
+    q_rows = (
+        q_base.limit(max_driver_queries + 1).collect()
+        if max_driver_queries is not None
+        else None
+    )
+    if q_rows is not None and len(q_rows) <= max_driver_queries:
+        q_mat = np.array([list(r["qv"]) for r in q_rows], dtype=np.float64)
+        qn = np.linalg.norm(q_mat, axis=1)
+        qn_safe = np.where(qn == 0, 1.0, qn)
+        q_unit = q_mat / qn_safe[:, None]
+        ccn = np.linalg.norm(cents, axis=1)
+        ccn[ccn == 0] = 1.0
+        sims = q_unit @ (cents / ccn[:, None]).T
+        order = np.argsort(-sims, axis=1)[:, :n_probe]
+        probes_df = F.broadcast(
+            spark.createDataFrame(
+                [
+                    (r["query_id"], int(order[i, j]))
+                    for i, r in enumerate(q_rows)
+                    for j in range(order.shape[1])
+                ],
+                ["query_id", "cell"],
             )
-            for i, r in enumerate(q_rows)
-        ],
-        ["query_id", "lut", "qv"],
-    ).withColumn("qn", l2_norm(F.col("qv")))
+        )
+        luts = np.concatenate(
+            [q_unit[:, j * subdim : (j + 1) * subdim] @ codebooks[j].T
+             for j in range(m)],
+            axis=1,
+        )  # (n_queries, m * pq_k), row-major by subspace
+        qlut_df = spark.createDataFrame(
+            [
+                (
+                    r["query_id"],
+                    [float(x) for x in luts[i]],
+                    [float(x) for x in r["qv"]],
+                )
+                for i, r in enumerate(q_rows)
+            ],
+            ["query_id", "lut", "qv"],
+        ).withColumn("qn", l2_norm(F.col("qv")))
+        broadcast_q = True
+    else:
+        prep = _pq_query_udf(cents, codebooks, n_probe)
+        prepped = q_base.select(
+            "query_id",
+            as_double_array(F.col("qv")).alias("qv"),
+            prep(F.col("qv")).alias("e"),
+        )
+        probes_df = prepped.select(
+            "query_id", F.explode("e.cells").alias("cell")
+        )
+        qlut_df = prepped.select(
+            "query_id", F.col("e.lut").alias("lut"), "qv"
+        ).withColumn("qn", l2_norm(F.col("qv")))
+        broadcast_q = False
 
     # UNROLLED, not a HOF fold: m is a plan-time constant, so the ADC
     # sum compiles to m static element_at lookups. A/B at 128k
@@ -1112,10 +1253,13 @@ def cosine_topk_ivf_pq(
     adc = terms[0]
     for t in terms[1:]:
         adc = adc + t
+    qlut_slim = qlut_df.select("query_id", "lut")
+    if broadcast_q:
+        qlut_slim = F.broadcast(qlut_slim)
     cands = (
-        ci.join(F.broadcast(probes_df), "cell")
+        ci.join(probes_df, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .join(F.broadcast(qlut_df.select("query_id", "lut")), "query_id")
+        .join(qlut_slim, "query_id")
         .withColumn("adc", adc)
         .drop("lut", "codes", "cell")
     )
@@ -1138,7 +1282,12 @@ def cosine_topk_ivf_pq(
             "neighbor_id",
         )
         .withColumn("cn", l2_norm(F.col("cv")))
-        .join(F.broadcast(qlut_df.select("query_id", "qv", "qn")), "query_id")
+        .join(
+            F.broadcast(qlut_df.select("query_id", "qv", "qn"))
+            if broadcast_q
+            else qlut_df.select("query_id", "qv", "qn"),
+            "query_id",
+        )
         .withColumn(
             "score",
             F.round(

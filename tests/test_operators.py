@@ -244,6 +244,76 @@ def test_cosine_lsh_recall(spark, tables):
     assert recall >= 0.5, f"LSH recall too low: {recall}"
 
 
+def test_ann_distributed_query_path_matches_driver_path(spark, tables):
+    """max_driver_queries=None forces the no-collect distributed query
+    path; results must be identical to the driver-side path (same
+    probe assignment math, same scoring) for LSH, IVF, and IVF-PQ."""
+    from sqltask_spark.operators.similarity import (
+        cosine_topk_ivf,
+        cosine_topk_ivf_pq,
+    )
+
+    emb = tables["embeddings"]
+    queries = emb.filter(F.col("vec_id") <= 5)
+
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"], r["score"])
+            for r in df.collect()
+        )
+
+    for op, kw in (
+        (cosine_topk_lsh, dict(dim=64, k=5, n_planes=8, tables=4)),
+        (cosine_topk_ivf, dict(k=5, n_cells=8, n_probe=2)),
+        (cosine_topk_ivf_pq, dict(k=5, n_cells=8, n_probe=2, m=8)),
+    ):
+        drv = rows(op(queries, emb, "vec_id", "vec_id", **kw))
+        dist = rows(
+            op(
+                queries, emb, "vec_id", "vec_id",
+                max_driver_queries=None, **kw,
+            )
+        )
+        assert dist == drv, op.__name__
+
+
+def test_ann_50k_queries_no_driver_collect(spark, tables):
+    """The large-batch contract: 50k queries flow through LSH and IVF
+    with max_driver_queries=None — the query set is never collected
+    to the driver — and every query gets ranked results."""
+    from sqltask_spark.operators.similarity import cosine_topk_ivf
+
+    emb = tables["embeddings"]
+    big_q = (
+        emb.crossJoin(spark.range(100).select(F.col("id").alias("rep")))
+        .select(
+            (F.col("vec_id") * 1000 + F.col("rep")).alias("vec_id"),
+            "embedding",
+        )
+    )  # 500 × 100 = 50k query vectors
+    assert big_q.count() == 50_000
+
+    ivf = cosine_topk_ivf(
+        big_q, emb, "vec_id", "vec_id", k=3, n_cells=16, n_probe=1,
+        max_driver_queries=None,
+    )
+    agg = ivf.agg(
+        F.countDistinct("query_id").alias("nq"),
+        F.max("rank").alias("maxr"),
+    ).collect()[0]
+    assert agg["nq"] == 50_000 and agg["maxr"] <= 3
+
+    lsh = cosine_topk_lsh(
+        big_q, emb, "vec_id", "vec_id", dim=64, k=3,
+        n_planes=8, tables=2, probe_hamming=0,
+        max_driver_queries=None,
+    )
+    n = lsh.select(F.countDistinct("query_id").alias("nq")).collect()[0]
+    # LSH drops queries whose buckets are empty; the replicated set
+    # shares buckets with its source vectors, so coverage stays high
+    assert n["nq"] >= 45_000
+
+
 # -- ngram jaccard / embedding near-dup / text fingerprints -----------------
 
 def test_ngram_jaccard_pairs_exact(spark):
