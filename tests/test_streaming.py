@@ -594,3 +594,80 @@ def test_lm_scoring_at_ingest_matches_batch(spark, tmp_path):
         r["doc_id"]: (r["n_bigrams"], r["avg_nll"], r["ppl"]) for r in got
     } == want
     assert len(want) == 3
+
+
+def test_stream_screen_matches_batchwise_incremental_dedup(spark, tmp_path):
+    """Streaming↔batch parity: over the same micro-batch sequence, the
+    online SimHash screen (max_distance=0 ⇒ exact-content matches)
+    flags exactly the doc_ids that batch-wise incremental fingerprint
+    dedup (anti-join vs reference + first-wins within batch, the
+    dedup_incremental shape) drops. The two implementations share
+    semantics but no code."""
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    from sqltask_spark.operators.text import normalize_text
+    from sqltask_spark.streaming.corpus import near_dup_screen_stream
+
+    def mk(i):
+        return " ".join(f"tok{i}w{j}x{(i * 7 + j) % 13}" for j in range(30))
+
+    batches = [
+        [(1, mk(1)), (2, mk(2)), (3, mk(3)), (4, mk(4)), (5, mk(5))],
+        [(6, mk(6)), (7, mk(7)), (8, mk(2)), (9, mk(2))],
+        [(10, mk(6)), (11, mk(11)), (12, mk(11))],
+    ]
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+
+    # -- batch-wise incremental dedup over the same sequence ----------
+    fp = F.md5(normalize_text(F.col("text"))).alias("fingerprint")
+    ref = None
+    flagged_batch: set[int] = set()
+    for rows in batches:
+        b = spark.createDataFrame(rows, schema).select("doc_id", fp)
+        nodup = b if ref is None else b.join(ref, "fingerprint", "left_anti")
+        w = Window.partitionBy("fingerprint").orderBy("doc_id")
+        kept = (
+            nodup.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", "fingerprint")
+        )
+        kept_ids = {r["doc_id"] for r in kept.collect()}
+        flagged_batch |= {r[0] for r in rows} - kept_ids
+        new_ref = kept.select("fingerprint")
+        ref = new_ref if ref is None else ref.union(new_ref).distinct()
+
+    # -- the same sequence through the streaming screen ---------------
+    src = tmp_path / "parity_docs"
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    result = near_dup_screen_stream(
+        stream, max_distance=0, bands=4, state_ttl_minutes=None
+    )
+    q = (
+        result.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("parity_screen_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    flagged_stream = {
+        r["doc_id"]
+        for r in spark.sql(
+            "SELECT doc_id FROM parity_screen_out "
+            "WHERE matched_id IS NOT NULL"
+        ).collect()
+    }
+    assert flagged_batch == {8, 9, 10, 12}
+    assert flagged_stream == flagged_batch
