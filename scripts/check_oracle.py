@@ -97,10 +97,16 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     con = duckdb.connect()
+    import os as _os
+
     for t in TABLES:
+        # driver testdata ships single-file parquet; self-generated
+        # datasets (scripts/gen_scale.py) are Spark directory-style
+        path = f"{sf_dir}/{t}.parquet"
+        if _os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
         )
     # overridable layout knobs: running the WHOLE gate under an odd
     # core/partition count is the cheap proof that every hash is
