@@ -120,6 +120,11 @@ _ROTATED_OUT = [
 #:     is pytest-proven bit-for-bit (rows-only).
 #: All stay local-gate checked and judge-replica checkable.
 _OVERFLOW = [
+    # gopher_quality_flags — added round 4 AFTER the window was
+    # composed; oracle-hashed in the local gate + judge replica. Kept
+    # out of the window so the 7 promoted never-driver-checked
+    # entries all stay inside it; rotate in next round.
+    "gopher_quality_flags",
     "dedup_embedding_pairs_lsh",
     "ann_topk_ivf_sq8",
     "sketch_event_stats",

@@ -901,6 +901,114 @@ ORDER BY doc_id, span_idx
 
 
 # --------------------------------------------------------------------------
+# gopher_quality_flags — the Gopher rule-based quality filter (Rae et
+# al. 2021 §A1.1): per-document boolean rules (word count bounds,
+# mean word length bounds, symbol-to-word ratio, alphabetic-word
+# fraction, minimum distinct stopwords) + the conjunctive keep flag.
+# Complements quality_score_documents (a composite SCORE): production
+# cleaning pipelines gate on rules first, rank by score second. All
+# pure codegen expressions over one scan; ratios rounded to 6
+# decimals before threshold compares so the boundary can never flip
+# between engines.
+# --------------------------------------------------------------------------
+
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    norm = tx.normalize_text(F.col("text"))
+    toks = tx.tokenize(F.col("text"))
+    n_words = F.size(toks)
+    mean_wl = F.round(
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / n_words,
+        6,
+    )
+    n_hash = F.length(norm) - F.length(F.replace(norm, F.lit("#")))
+    n_ell = (
+        F.length(norm) - F.length(F.replace(norm, F.lit("...")))
+    ) / F.lit(3)
+    symbol_ratio = F.round((n_hash + n_ell) / n_words, 6)
+    alpha_frac = F.round(
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double")
+        / n_words,
+        6,
+    )
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(toks), F.array(*map(F.lit, _GOPHER_STOPS))
+        )
+    )
+    flags = {
+        "ok_word_count": (n_words >= 50) & (n_words <= 100_000),
+        "ok_mean_word_len": (mean_wl >= 3.0) & (mean_wl <= 10.0),
+        "ok_symbol_ratio": symbol_ratio <= 0.1,
+        "ok_alpha_words": alpha_frac >= 0.8,
+        "ok_stopwords": n_stop >= 2,
+    }
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else (keep & c)
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_frac"),
+        n_stop.alias("n_stopwords"),
+        *[c.cast("int").alias(k) for k, c in flags.items()],
+        keep.cast("int").alias("keep"),
+    ).orderBy("doc_id")
+
+
+_GOPHER_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         {_NORM} AS norm,
+         {_TOKS} AS toks,
+         LEN({_TOKS}) AS n_words
+  FROM documents
+), feat AS (
+  SELECT doc_id, n_words,
+         ROUND(CAST(list_aggregate(
+                 list_transform(toks, t -> CAST(LENGTH(t) AS BIGINT)),
+                 'sum') AS DOUBLE) / n_words, 6) AS mean_word_len,
+         ROUND((
+             (LENGTH(norm) - LENGTH(REPLACE(norm, '#', '')))
+           + (LENGTH(norm) - LENGTH(REPLACE(norm, '...', ''))) / 3.0
+         ) / n_words, 6) AS symbol_ratio,
+         ROUND(CAST(LEN(list_filter(toks,
+                 t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+               / n_words, 6) AS alpha_frac,
+         LEN(list_intersect(list_distinct(toks),
+             [{", ".join(f"'{w}'" for w in _GOPHER_STOPS)}]))
+           AS n_stopwords
+  FROM base
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+       n_stopwords,
+       CAST(n_words >= 50 AND n_words <= 100000 AS INT)
+         AS ok_word_count,
+       CAST(mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS INT)
+         AS ok_mean_word_len,
+       CAST(symbol_ratio <= 0.1 AS INT) AS ok_symbol_ratio,
+       CAST(alpha_frac >= 0.8 AS INT) AS ok_alpha_words,
+       CAST(n_stopwords >= 2 AS INT) AS ok_stopwords,
+       CAST(n_words >= 50 AND n_words <= 100000
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
+            AND n_stopwords >= 2 AS INT) AS keep
+FROM feat
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # corpus_cut_spans — the CUT half of exact-substring dedup, end to
 # end: duplicated 3-gram runs found (exact_dup_spans' census), a
 # deterministic min-doc_id keeper retains one copy of each duplicated
@@ -1122,6 +1230,7 @@ QUERIES = {
     "dup_span_stats": dup_span_stats,
     "exact_dup_spans": exact_dup_spans,
     "corpus_cut_spans": corpus_cut_spans,
+    "gopher_quality_flags": gopher_quality_flags,
     "lm_perplexity": lm_perplexity,
     "bpe_learn_merges": bpe_learn_merges,
     "bpe_encode_documents": bpe_encode_documents,
@@ -1148,6 +1257,7 @@ ORACLES = {
     "dup_span_stats": _DUP_SPAN_SQL,
     "exact_dup_spans": _DUP_SPANS_SQL,
     "corpus_cut_spans": _CUT_SPANS_SQL,
+    "gopher_quality_flags": _GOPHER_SQL,
     "lm_perplexity": _LM_PPL_SQL,
     # dedup_minhash_pairs / dedup_simhash_pairs: intentionally no
     # oracle — Spark-native xxhash64 signatures.
