@@ -215,9 +215,17 @@ def main() -> None:
     )
 
     idx = os.path.join(tmp, "ivf_index")
-    t0 = time.perf_counter()
-    build_ivf_index(corpus, idx, "vec_id", "embedding", n_cells=32)
-    times["xover_index_build"] = round(time.perf_counter() - t0, 3)
+    # best-of-N like every other entry: the build is paid once in a
+    # serving loop, but a single-shot measurement is noise-prone (r4
+    # recorded a 3× phantom regression from exactly that)
+    best = None
+    for _ in range(repeats):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        build_ivf_index(corpus, idx, "vec_id", "embedding", n_cells=32)
+        elapsed = time.perf_counter() - t0
+        best = elapsed if best is None else min(best, elapsed)
+    times["xover_index_build"] = round(best, 3)
     print(f"# xover_index_build: {times['xover_index_build']}s",
           file=sys.stderr)
     best = None

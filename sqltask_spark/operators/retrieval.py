@@ -212,6 +212,165 @@ def bm25_search(
     return out
 
 
+def hybrid_rrf_search(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    leg_k: int = 20,
+    rrf_k: int = 60,
+    n_buckets: int = 1024,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Hybrid retrieval: BM25 ∪ hashed-TF-IDF-cosine, fused by
+    Reciprocal Rank Fusion (Cormack, Clarke & Büttcher 2009).
+
+    No reference counterpart (north-star extension). Two independent
+    rankers each produce their top ``leg_k`` per query:
+
+    - **sparse leg** — :func:`bm25_search` (term-match relevance);
+    - **dense leg** — cosine between the query's and each document's
+      hashed TF-IDF vector (:func:`hashed_tfidf` geometry: md5
+      feature-hashing into ``n_buckets``, corpus idf weighting both
+      sides, centi-unit fixed-point weights so dots and norms are
+      exact BIGINT sums).
+
+    Fusion: ``score = Σ_legs 1/(rrf_k + rank)`` computed in micro
+    units (``round(1e6/(rrf_k+rank))`` per leg, summed as BIGINT) so
+    the fused ordering is bit-stable under any shuffle; ties break on
+    doc_id. Returns
+    ``(query_id, rank, doc_id, bm25_rank, dense_rank, score)`` with
+    nullable per-leg ranks (null = outside that leg's top ``leg_k``).
+
+    Scale shape: the BM25 leg prunes the corpus to broadcast query
+    terms before its explode; the dense leg touches the corpus once
+    (token census → bucket weights, both map-side combined) and its
+    query⋈doc join carries only shared buckets of the ≤
+    ``n_buckets``-wide query vector. The fusion join is over two
+    ``|Q|·leg_k``-sized rank lists — outer-join on (query_id,
+    doc_id), no corpus-sized input. All legs reuse their operators'
+    plans; nothing new shuffles corpus bytes.
+    """
+    bm25 = bm25_search(
+        docs, queries, id_col=id_col, text_col=text_col,
+        k=leg_k, k1=k1, b=b,
+    ).select("query_id", "doc_id", F.col("rank").alias("bm25_rank"))
+
+    # ---- dense leg: hashed-TF-IDF cosine, centi-unit fixed point ----
+    from sqltask_spark.data import ensure_min_partitions
+
+    base = ensure_min_partitions(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tx.tokenize(F.col(text_col))).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = base.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = (
+        F.log(
+            (F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))
+        )
+        + F.lit(1.0)
+    )
+    # centi-units (not micro): dot products multiply two weights, and
+    # centi keeps Σ w_q·w_d well under 2^53 so the oracle's
+    # HUGEINT→double conversion stays exact (same budget analysis as
+    # tfidf_near_pairs).
+    w_d = (
+        tf.join(dfc, "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            md5_bucket(F.col("term"), n_buckets).alias("bucket"),
+            F.round(F.col("tf") * idf * F.lit(100.0))
+            .cast("long")
+            .alias("w"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("w").alias("w"))
+    )
+    qtf = (
+        queries.select(
+            "query_id",
+            F.explode(tx.tokenize(F.col("query_text"))).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("query_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # corpus idf weights the query too; a term absent from the corpus
+    # (df=0 via the left join) can't match any document, and the query
+    # norm cancels inside per-query ranking, so dropping it is exact
+    w_q = (
+        qtf.join(dfc, "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            md5_bucket(F.col("term"), n_buckets).alias("bucket"),
+            F.round(F.col("tf") * idf * F.lit(100.0))
+            .cast("long")
+            .alias("w"),
+        )
+        .groupBy("query_id", "bucket")
+        .agg(F.sum("w").alias("w"))
+    )
+    n2_d = w_d.groupBy("doc_id").agg(
+        F.sum(F.col("w") * F.col("w")).alias("n2_d")
+    )
+    n2_q = w_q.groupBy("query_id").agg(
+        F.sum(F.col("w") * F.col("w")).alias("n2_q")
+    )
+    dots = (
+        w_q.select("query_id", "bucket", F.col("w").alias("wq"))
+        .join(w_d.select("doc_id", "bucket", F.col("w").alias("wd")),
+              "bucket")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.col("wq") * F.col("wd")).alias("dot"))
+    )
+    cos = F.col("dot") / (F.sqrt("n2_q") * F.sqrt("n2_d"))
+    w_dense = Window.partitionBy("query_id").orderBy(
+        F.round(cos, 9).desc(), F.col("doc_id")
+    )
+    dense = (
+        dots.join(F.broadcast(n2_q), "query_id")
+        .join(n2_d, "doc_id")
+        .withColumn("dense_rank", F.row_number().over(w_dense))
+        .filter(F.col("dense_rank") <= leg_k)
+        .select("query_id", "doc_id", "dense_rank")
+    )
+
+    # ---- fusion: micro-unit reciprocal ranks, BIGINT sum ----
+    rr = lambda c: F.when(  # noqa: E731
+        F.col(c).isNotNull(),
+        F.round(F.lit(float(_MICRO)) / (F.lit(rrf_k) + F.col(c)))
+        .cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    fused = (
+        bm25.join(dense, ["query_id", "doc_id"], "full_outer")
+        .withColumn("rrf_micro", rr("bm25_rank") + rr("dense_rank"))
+    )
+    w_out = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_micro").desc(), F.col("doc_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w_out))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "doc_id",
+            "bm25_rank",
+            "dense_rank",
+            F.round(F.col("rrf_micro") / F.lit(float(_MICRO)), 6).alias(
+                "score"
+            ),
+        )
+    )
+
+
 def _hex_nibble(col, pos: int):
     """Value 0–15 of the ``pos``-th (1-based) hex char of ``col``."""
     return F.instr(

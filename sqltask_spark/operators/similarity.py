@@ -418,6 +418,93 @@ def quantize_symmetric(
     return with_q.withColumn("recon_err", err).drop("v")
 
 
+def sparse_projection_matrix(
+    dim: int, out_dim: int, seed: int = 7
+) -> list[tuple[int, int, int]]:
+    """Achlioptas (2003) sparse random-projection matrix as nonzero
+    COO triples ``(i, j, s)`` with ``s ∈ {-1, +1}`` (each w.p. 1/6;
+    zero w.p. 2/3). Integer entries are the point: the projection
+    becomes an exact BIGINT sum — order-independent, hash-stable, and
+    reproducible by any engine — while preserving the
+    Johnson–Lindenstrauss distance guarantees of a dense Gaussian
+    matrix. Seeded → same matrix on every call/engine."""
+    rng = np.random.default_rng(seed)
+    draws = rng.integers(0, 6, size=(dim, out_dim))
+    out = []
+    for i in range(dim):
+        for j in range(out_dim):
+            if draws[i, j] == 0:
+                out.append((i, j, 1))
+            elif draws[i, j] == 1:
+                out.append((i, j, -1))
+    return out
+
+
+def random_projection(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    out_dim: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction by sparse
+    random projection — the pre-ANN compression step: project 64-d
+    (or 768-d…) embeddings to ``out_dim`` dims before clustering /
+    LSH / IVF training, cutting every downstream shuffle and
+    distance computation proportionally.
+
+    Exact fixed-point arithmetic end-to-end: inputs quantize to
+    micro-units (``round(v_i · 1e6)`` as BIGINT — float inputs cast
+    to double losslessly first), the projection is
+    ``Σ_i vq_i · s_ij`` over the ±1 sparse matrix (exact BIGINT,
+    |Σ| bounded by dim · max|v| · 1e6 ≪ 2^63), and only the final
+    output divides back to a double with the JL scale factor
+    ``sqrt(3/out_dim)``. Result is bit-stable under any partitioning
+    and carries a DuckDB oracle.
+
+    Long/COO output ``(id, j, value)`` — the joinable, driver-
+    hashable shape (cf. :func:`~sqltask_spark.operators.retrieval.
+    hashed_tfidf`).
+
+    Scale shape: one corpus pass (posexplode → broadcast-join the
+    ~dim·out_dim/3-row matrix → map-side-combined sum). No sampling,
+    no training, no Python UDFs.
+    """
+    import math
+
+    spark = df.sparkSession
+    # matrix size depends on the actual vector dim: read it from the
+    # first row (a 1-row limit — metadata-cheap)
+    first = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    dim = int(first[0]["d"]) if first else 0
+    triples = sparse_projection_matrix(dim, out_dim, seed)
+    mat = spark.createDataFrame(triples, schema="i int, j int, s long")
+    scale = math.sqrt(3.0 / out_dim)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(as_double_array(F.col(vec_col))).alias("i", "v"),
+    ).select(
+        "id",
+        "i",
+        F.round(F.col("v") * F.lit(1_000_000.0)).cast("long").alias("vq"),
+    )
+    return (
+        base.join(F.broadcast(mat), "i")
+        .groupBy("id", "j")
+        .agg(F.sum(F.col("vq") * F.col("s")).alias("m"))
+        .select(
+            "id",
+            "j",
+            F.round(
+                F.col("m").cast("double")
+                * F.lit(scale)
+                / F.lit(1_000_000.0),
+                6,
+            ).alias("value"),
+        )
+    )
+
+
 def _plane_matrix(dim: int, n_planes: int, tables: int, seed: int):
     """Seeded Gaussian hyperplanes, (tables · n_planes) × dim."""
     rng = np.random.default_rng(seed)
@@ -547,6 +634,45 @@ def _cell_assign_udf(centroids, n_probe: int):
         return pd.Series(list(order))
 
     return cells
+
+
+def _salted_cell_join(
+    ci: DataFrame, probes_df: DataFrame, n_cells: int
+) -> DataFrame:
+    """Corpus-cells ⋈ probe-cells equi-join for the LARGE-batch query
+    path, where the probe relation is not broadcast.
+
+    ``cell`` has only ``n_cells`` distinct values, so a plain shuffle
+    join hashes the entire corpus × probe workload onto ``n_cells``
+    reducer keys — heavy skew whenever n_cells < shuffle parallelism
+    (AQE's skew splitting targets oversized partitions by bytes and
+    is not guaranteed to fire on this byte-small/compute-heavy
+    shape). Deterministic salting: the corpus side derives
+    ``salt = pmod(xxhash64(neighbor_id), S)``, the probe side is
+    replicated across all S salts, and the join runs on
+    ``(cell, salt)`` — key cardinality becomes ``n_cells × S ≈
+    shuffle partitions`` so every core participates. S is bounded to
+    what parallelism needs (ceil(shuffle_partitions / n_cells)), so
+    probe-side replication never exceeds S×. No RNG: same inputs →
+    same plan → same result, per the engine-wide determinism rule.
+    """
+    spark = ci.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    n_salt = max(1, -(-n_part // max(1, n_cells)))
+    if n_salt == 1:
+        return ci.join(probes_df, "cell")
+    salted_ci = ci.withColumn(
+        "_salt", F.pmod(F.xxhash64("neighbor_id"), F.lit(n_salt))
+    )
+    salted_probes = probes_df.withColumn(
+        "_salt",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"), F.lit(n_salt - 1).cast("long")
+            )
+        ),
+    )
+    return salted_ci.join(salted_probes, ["cell", "_salt"]).drop("_salt")
 
 
 def cosine_topk_ivf(
@@ -682,20 +808,26 @@ def cosine_topk_ivf(
                 ["query_id", "qv"],
             ).withColumn("qn", l2_norm(F.col("qv")))
         )
+        assigned = None
+        joined = ci.join(probes_df, "cell")
     else:
+        # persist: the Arrow-batched assignment UDF feeds BOTH the
+        # probe relation and the query-vector relation — without the
+        # persist it runs twice per query row (advisor finding r4)
         assigned = q_base.select(
             "query_id",
             as_double_array(F.col("qv")).alias("qv"),
             _cell_assign_udf(cents, n_probe)(F.col("qv")).alias("cells"),
-        )
+        ).persist()
         probes_df = assigned.select(
             "query_id", F.explode("cells").alias("cell")
         )
         qvecs_df = assigned.select("query_id", "qv").withColumn(
             "qn", l2_norm(F.col("qv"))
         )
+        joined = _salted_cell_join(ci, probes_df, n_cells)
     scored = (
-        ci.join(probes_df, "cell")
+        joined
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .join(qvecs_df, "query_id")
         .withColumn(
@@ -712,10 +844,15 @@ def cosine_topk_ivf(
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("neighbor_id")
     )
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+    if assigned is not None:
+        from sqltask_spark.data import materialize_and_release
+
+        return materialize_and_release(out, assigned)
+    return out
 
 
 def cosine_topk_lsh(
@@ -1223,13 +1360,17 @@ def cosine_topk_ivf_pq(
             ["query_id", "lut", "qv"],
         ).withColumn("qn", l2_norm(F.col("qv")))
         broadcast_q = True
+        prepped = None
     else:
+        # persist: the Arrow prep UDF feeds the probe relation, the
+        # ADC-LUT relation, AND the refine join — without the persist
+        # it recomputes up to 3× per query row (advisor finding r4)
         prep = _pq_query_udf(cents, codebooks, n_probe)
         prepped = q_base.select(
             "query_id",
             as_double_array(F.col("qv")).alias("qv"),
             prep(F.col("qv")).alias("e"),
-        )
+        ).persist()
         probes_df = prepped.select(
             "query_id", F.explode("e.cells").alias("cell")
         )
@@ -1256,8 +1397,11 @@ def cosine_topk_ivf_pq(
     qlut_slim = qlut_df.select("query_id", "lut")
     if broadcast_q:
         qlut_slim = F.broadcast(qlut_slim)
+        joined = ci.join(probes_df, "cell")
+    else:
+        joined = _salted_cell_join(ci, probes_df, n_cells)
     cands = (
-        ci.join(probes_df, "cell")
+        joined
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .join(qlut_slim, "query_id")
         .withColumn("adc", adc)
@@ -1302,10 +1446,15 @@ def cosine_topk_ivf_pq(
     w2 = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("neighbor_id")
     )
-    return (
+    out = (
         exact.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
     )
+    if prepped is not None:
+        from sqltask_spark.data import materialize_and_release
+
+        return materialize_and_release(out, prepped)
+    return out
 
 
 def knn_graph_cells(

@@ -68,25 +68,36 @@ _FLAGSHIP = [
     "grouping_sets_priority_status",
 ]
 
-#: Round-4 rotation INTO the driver's 50-row window: every entry here
-#: carries a DuckDB oracle but has NEVER had a driver CORRECTNESS row
-#: (they landed after the r3 window froze or sat in overflow) —
-#: VERDICT r3 item 1 demands the driver prove them. corpus_cut_spans
-#: is new this round.
+#: Round-5 rotation INTO the driver's 50-row window: every catalog
+#: entry that has NEVER had a driver CORRECTNESS row. After round 4
+#: only these remain unproven — gopher_quality_flags and
+#: dedup_ngram_jaccard carry DuckDB oracles (hash check); the other
+#: seven are rows-only by design (variants / float-centroid /
+#: layout-introspection ops), so the driver records the weaker
+#: rows-only check and pytest carries their semantics. Promoting all
+#: nine means every entry in the catalog will have been through the
+#: driver's own gate at least once across rounds 1-5.
 _PROMOTED = [
-    "dup_span_stats",
-    "sample_k_per_source",
-    "ccnet_ppl_buckets",
-    "funnel_conversion",
-    "retention_cohorts",
-    "resample_fill_events",
-    "winsorized_event_stats",
+    # new this round (both oracled):
+    "search_hybrid_rrf",
+    "embedding_random_projection",
+    "gopher_quality_flags",
+    "dedup_ngram_jaccard",
+    "sketch_event_stats",
+    "topic_cluster_documents",
+    "bpe_encode_documents",
+    "dedup_embedding_pairs_lsh",
+    "ann_topk_ivf_sq8",
+    "zorder_layout_stats",
+    "dedup_index_screen",
 ]
 
-#: Rotated OUT of the window to make room for _PROMOTED: all eight
-#: have a green r3 driver row, a DuckDB oracle that the local gate
-#: (scripts/check_oracle.py) still checks every session, and pytest
-#: coverage — they lose nothing but a redundant third verification.
+#: Rotated OUT of the window to make room for _PROMOTED: every entry
+#: here has two+ rounds of green driver history, a DuckDB oracle that
+#: the local gate (scripts/check_oracle.py) still checks every
+#: session, and pytest coverage — they lose nothing but a redundant
+#: extra verification. (The round-4 rotation list is folded in; those
+#: eight keep their green r1-r3 rows.)
 _ROTATED_OUT = [
     "text_stats",
     "doc_fingerprint",
@@ -96,54 +107,33 @@ _ROTATED_OUT = [
     "repetition_stats",
     "redact_documents",
     "doc_salient_terms",
+    "token_count_bpe",
+    "lm_perplexity",
+    "doc_tfidf_vectors",
+    "embedding_quantize_int8",
+    "multimodal_payload_stats",
+    "length_histogram",
+    "split_train_eval",
+    "vocab_top_tokens",
+    "pack_sequences",
 ]
 
-#: LLM-pipeline entries deliberately ordered PAST the 50-row window —
-#: ten entries, each either a variant of an in-window entry or a
-#: rows-only op whose semantics pytest covers:
-#:   dedup_embedding_pairs_lsh — LSH candidate variant of the
-#:     oracle-hashed blocked dedup_embedding_pairs (rows-only);
-#:   ann_topk_ivf_sq8 — superseded by the strictly-stronger IVF-PQ
-#:     path, kept for the A/B (rows-only);
-#:   sketch_event_stats — approximate twin of the exact, in-window
-#:     event stats (rows-only by nature);
-#:   dedup_ngram_jaccard — UNCAPPED variant of the in-window capped
-#:     production entry; oracle-hashed in the local gate;
-#:   bpe_encode_documents — corpus-encode of bpe_learn_merges'
-#:     output, UDF≡JVM-fold property-tested (rows-only);
-#:   topic_cluster_documents — k-means over the oracle-hashed
-#:     doc_tfidf_vectors (rows-only: float centroids);
-#:   rolling_fingerprint — oracle-hashed, green r2 driver row;
-#:   vector_norms — oracle-hashed, green r2 driver row;
-#:   zorder_layout_stats — file-layout introspection, rows-only;
-#:   dedup_index_screen — persisted-index probe ≡ per-call operator
-#:     is pytest-proven bit-for-bit (rows-only).
-#: All stay local-gate checked and judge-replica checkable.
+#: Entries ordered PAST the 50-row window: oracle-hashed ops with
+#: green r2 driver rows (rolling_fingerprint, vector_norms) that the
+#: local gate still checks every session.
 _OVERFLOW = [
-    # gopher_quality_flags — added round 4 AFTER the window was
-    # composed; oracle-hashed in the local gate + judge replica. Kept
-    # out of the window so the 7 promoted never-driver-checked
-    # entries all stay inside it; rotate in next round.
-    "gopher_quality_flags",
-    "dedup_embedding_pairs_lsh",
-    "ann_topk_ivf_sq8",
-    "sketch_event_stats",
-    "dedup_ngram_jaccard",
-    "bpe_encode_documents",
-    "topic_cluster_documents",
     "rolling_fingerprint",
     "vector_norms",
-    "zorder_layout_stats",
-    "dedup_index_screen",
 ]
 
+_EXCLUDED = set(_OVERFLOW) | set(_ROTATED_OUT) | set(_PROMOTED)
 _LLM_FIRST = [
     k
     for mod in (_textops, _retrieval, _vector, _multimodal, _pipeline)
     for k in mod.QUERIES
-    if k not in set(_OVERFLOW) and k not in set(_ROTATED_OUT)
+    if k not in _EXCLUDED
 ]
-_ORDER = _LLM_FIRST + _PROMOTED + _ROTATED_OUT + _OVERFLOW + _FLAGSHIP
+_ORDER = _PROMOTED + _LLM_FIRST + _FLAGSHIP + _ROTATED_OUT + _OVERFLOW
 QUERIES = {
     **{k: QUERIES[k] for k in _ORDER},
     **{k: v for k, v in QUERIES.items() if k not in set(_ORDER)},

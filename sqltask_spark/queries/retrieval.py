@@ -18,6 +18,7 @@ from sqltask_spark.operators.retrieval import (
     _query_frame,
     bm25_search,
     hashed_tfidf,
+    hybrid_rrf_search,
     tfidf_near_pairs,
     topic_clusters,
 )
@@ -229,8 +230,155 @@ ORDER BY id_a, id_b
 """
 
 
+# --------------------------------------------------------------------------
+# search_hybrid_rrf — BM25 ∪ hashed-TF-IDF-cosine fused by Reciprocal
+# Rank Fusion. Both legs and the fusion are fixed-point, so the full
+# hybrid ranking is oracle-hashed.
+# --------------------------------------------------------------------------
+
+_RRF_K = 60
+_LEG_K = 20
+_HYBRID_K = 10
+
+
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return hybrid_rrf_search(
+        docs,
+        _query_frame(spark, _BM25_QUERIES),
+        k=_HYBRID_K,
+        leg_k=_LEG_K,
+        rrf_k=_RRF_K,
+        n_buckets=_TFIDF_BUCKETS,
+    ).orderBy("query_id", "rank")
+
+
+_HYBRID_SQL = f"""
+WITH qs(query_id, query_text) AS (VALUES {_values_clause()}),
+qterms AS (
+  SELECT query_id, term FROM (
+    SELECT query_id,
+           UNNEST(list_distinct(string_split(
+             regexp_replace(lower(trim(query_text)), '\\s+', ' ', 'g'),
+             ' '))) AS term
+    FROM qs
+  ) WHERE term <> ''
+),
+toks AS MATERIALIZED (SELECT doc_id, {_TOKS} AS t FROM documents),
+stats AS (SELECT COUNT(*) AS n_docs, SUM(LEN(t)) AS sum_dl FROM toks),
+base AS MATERIALIZED (
+  SELECT doc_id, LEN(t) AS dl, UNNEST(t) AS term FROM toks
+),
+-- ======================= BM25 leg =======================
+bm_postings AS (
+  SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl
+  FROM base
+  WHERE term IN (SELECT DISTINCT term FROM qterms)
+  GROUP BY doc_id, term
+),
+bm_dfc AS (SELECT term, COUNT(*) AS df FROM bm_postings GROUP BY term),
+bm_scored AS (
+  SELECT p.term, p.doc_id,
+    CAST(ROUND(
+      LN((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+      * ((tf * (1.2 + 1.0))
+         / (tf + 1.2 * (1.0 - 0.75
+                        + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs))))
+      * 1000000.0) AS BIGINT) AS contrib_micro
+  FROM bm_postings p JOIN bm_dfc USING (term), stats
+),
+bm_agg AS (
+  SELECT query_id, doc_id, SUM(contrib_micro) AS score_micro
+  FROM bm_scored JOIN qterms USING (term)
+  GROUP BY query_id, doc_id
+),
+bm_ranked AS (
+  SELECT query_id, doc_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY score_micro DESC, doc_id) AS INTEGER) AS bm25_rank
+  FROM bm_agg
+),
+bm_leg AS (
+  SELECT query_id, doc_id, bm25_rank FROM bm_ranked
+  WHERE bm25_rank <= {_LEG_K}
+),
+-- =================== dense (TF-IDF cosine) leg ===================
+d_tf AS MATERIALIZED (
+  SELECT doc_id, term, COUNT(*) AS tf FROM base GROUP BY doc_id, term
+),
+d_dfc AS MATERIALIZED (
+  SELECT term, COUNT(*) AS df FROM d_tf GROUP BY term
+),
+w_d AS MATERIALIZED (
+  SELECT doc_id, {_BUCKET_SQL} AS bucket,
+         SUM(CAST(ROUND(tf * (LN((n_docs + 1.0) / (df + 1.0)) + 1.0)
+                        * 100.0) AS BIGINT)) AS w
+  FROM d_tf JOIN d_dfc USING (term), stats
+  GROUP BY doc_id, {_BUCKET_SQL}
+),
+q_tf AS (
+  SELECT query_id, term, COUNT(*) AS tf FROM (
+    SELECT query_id,
+           UNNEST(string_split(
+             regexp_replace(lower(trim(query_text)), '\\s+', ' ', 'g'),
+             ' ')) AS term
+    FROM qs
+  ) WHERE term <> '' GROUP BY query_id, term
+),
+w_q AS MATERIALIZED (
+  SELECT query_id, {_BUCKET_SQL} AS bucket,
+         SUM(CAST(ROUND(tf * (LN((n_docs + 1.0) / (df + 1.0)) + 1.0)
+                        * 100.0) AS BIGINT)) AS w
+  FROM q_tf JOIN d_dfc USING (term), stats
+  GROUP BY query_id, {_BUCKET_SQL}
+),
+n2_d AS (SELECT doc_id, SUM(w * w) AS n2_d FROM w_d GROUP BY doc_id),
+n2_q AS (SELECT query_id, SUM(w * w) AS n2_q FROM w_q GROUP BY query_id),
+dots AS (
+  SELECT q.query_id, d.doc_id, SUM(q.w * d.w) AS dot
+  FROM w_q q JOIN w_d d USING (bucket)
+  GROUP BY q.query_id, d.doc_id
+),
+dense_ranked AS (
+  SELECT query_id, doc_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY ROUND(dot / (sqrt(n2_q) * sqrt(n2_d)), 9) DESC,
+                    doc_id) AS INTEGER) AS dense_rank
+  FROM dots JOIN n2_q USING (query_id) JOIN n2_d USING (doc_id)
+),
+dense_leg AS (
+  SELECT query_id, doc_id, dense_rank FROM dense_ranked
+  WHERE dense_rank <= {_LEG_K}
+),
+-- ======================= RRF fusion =======================
+fused AS (
+  SELECT query_id, doc_id, bm25_rank, dense_rank,
+         COALESCE(CAST(ROUND(1000000.0 / ({_RRF_K} + bm25_rank))
+                       AS BIGINT), 0)
+         + COALESCE(CAST(ROUND(1000000.0 / ({_RRF_K} + dense_rank))
+                         AS BIGINT), 0) AS rrf_micro
+  FROM bm_leg FULL OUTER JOIN dense_leg USING (query_id, doc_id)
+),
+out_ranked AS (
+  SELECT query_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY rrf_micro DESC, doc_id) AS INTEGER) AS rank,
+         doc_id, bm25_rank, dense_rank,
+         ROUND(rrf_micro / 1000000.0, 6) AS score
+  FROM fused
+)
+SELECT query_id, rank, doc_id, bm25_rank, dense_rank, score
+FROM out_ranked WHERE rank <= {_HYBRID_K}
+ORDER BY query_id, rank
+"""
+
+
 QUERIES = {
     "search_bm25": search_bm25,
+    "search_hybrid_rrf": search_hybrid_rrf,
     "doc_tfidf_vectors": doc_tfidf_vectors,
     "dedup_tfidf_cosine": dedup_tfidf_cosine,
     "topic_cluster_documents": topic_cluster_documents,
@@ -238,6 +386,7 @@ QUERIES = {
 
 ORACLES = {
     "search_bm25": _BM25_SQL,
+    "search_hybrid_rrf": _HYBRID_SQL,
     "doc_tfidf_vectors": _TFIDF_SQL,
     "dedup_tfidf_cosine": _TFIDF_COSINE_SQL,
     # topic_cluster_documents: intentionally no oracle — k-means

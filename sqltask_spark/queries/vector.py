@@ -474,8 +474,61 @@ ORDER BY vec_id
 """
 
 
+# --------------------------------------------------------------------------
+# embedding_random_projection — JL sparse random projection 64→16
+# dims in exact fixed-point; the pre-ANN compression step. The ±1
+# Achlioptas matrix is seeded, so both engines embed the identical
+# constant relation and the BIGINT projection sums hash-match.
+# --------------------------------------------------------------------------
+
+_RP_OUT_DIM = 16
+_RP_SEED = 7
+
+
+def embedding_random_projection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from sqltask_spark.operators.similarity import random_projection
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return random_projection(
+        emb, "vec_id", out_dim=_RP_OUT_DIM, seed=_RP_SEED
+    ).orderBy("id", "j")
+
+
+def _rp_sql() -> str:
+    import math
+
+    from sqltask_spark.operators.similarity import (
+        sparse_projection_matrix,
+    )
+
+    triples = sparse_projection_matrix(EMBED_DIM, _RP_OUT_DIM, _RP_SEED)
+    values = ", ".join(f"({i}, {j}, {s})" for i, j, s in triples)
+    scale = repr(math.sqrt(3.0 / _RP_OUT_DIM))
+    return f"""
+WITH mat(i, j, s) AS (VALUES {values}),
+base AS (
+  SELECT vec_id AS id,
+         UNNEST(generate_series(0, LEN(embedding) - 1)) AS i,
+         UNNEST(embedding) AS v
+  FROM embeddings
+),
+q AS (
+  SELECT id, i,
+         CAST(ROUND(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT) AS vq
+  FROM base
+)
+SELECT id, j, ROUND(SUM(vq * s) * {scale} / 1000000.0, 6) AS value
+FROM q JOIN mat USING (i)
+GROUP BY id, j
+ORDER BY id, j
+"""
+
+
 QUERIES = {
     "ann_topk_brute": ann_topk_brute,
+    "embedding_random_projection": embedding_random_projection,
     "vector_norms": vector_norms,
     "ann_topk_lsh": ann_topk_lsh,
     "ann_topk_ivf": ann_topk_ivf,
@@ -492,6 +545,7 @@ QUERIES = {
 
 ORACLES = {
     "ann_topk_brute": _ANN_BRUTE_SQL,
+    "embedding_random_projection": _rp_sql(),
     "vector_norms": _NORMS_SQL,
     "dedup_embedding_pairs": _EMB_PAIRS_SQL,
     "embedding_quantize_int8": _QUANT_SQL,

@@ -1592,3 +1592,81 @@ def test_knn_graph_cells_recall_vs_exact(spark, tables):
     assert recall >= 0.6, f"cell-graph recall too low: {recall}"
     for e in hits:
         assert approx[e] == exact[e]
+
+
+def test_random_projection_matches_numpy_reference(spark, tables):
+    """Exact fixed-point equality: vq = round(v·1e6) BIGINT, S ∈
+    {-1,0,+1} from the seeded Achlioptas draw, out = (vq @ S) ·
+    sqrt(3/p)/1e6 rounded to 6 — bit-identical to the numpy fold."""
+    import math
+
+    import numpy as np
+
+    from sqltask_spark.operators.similarity import (
+        random_projection,
+        sparse_projection_matrix,
+    )
+
+    emb = tables["embeddings"]
+    rows = emb.select("vec_id", "embedding").collect()
+    dim = len(rows[0]["embedding"])
+    p = 16
+    S = np.zeros((dim, p), dtype=np.int64)
+    for i, j, s in sparse_projection_matrix(dim, p, seed=7):
+        S[i, j] = s
+    got = {
+        (r["id"], r["j"]): r["value"]
+        for r in random_projection(
+            emb, "vec_id", out_dim=p, seed=7
+        ).collect()
+    }
+    scale = math.sqrt(3.0 / p)
+    n_checked = 0
+    for r in rows:
+        vq = np.array(
+            [math.floor(float(v) * 1e6 + 0.5) for v in r["embedding"]],
+            dtype=np.int64,
+        )
+        out = vq @ S
+        for j in range(p):
+            if not S[:, j].any():
+                continue  # all-zero column never joins → no row
+            want = round(float(out[j]) * scale / 1e6, 6)
+            assert got[(r["vec_id"], j)] == want
+            n_checked += 1
+    assert n_checked >= len(rows) * (p - 1)
+
+
+def test_random_projection_preserves_relative_distances(spark, tables):
+    """JL sanity: the projection keeps near things nearer than far
+    things on average (not a per-pair guarantee at p=16)."""
+    import numpy as np
+
+    from sqltask_spark.operators.similarity import random_projection
+
+    emb = tables["embeddings"].limit(40)
+    orig = {
+        r["vec_id"]: np.array(r["embedding"], dtype=float)
+        for r in emb.collect()
+    }
+    proj_rows = random_projection(emb, "vec_id", out_dim=16).collect()
+    proj = {}
+    for r in proj_rows:
+        proj.setdefault(r["id"], {})[r["j"]] = r["value"]
+    pv = {k: np.array([v.get(j, 0.0) for j in range(16)])
+          for k, v in proj.items()}
+    ids = sorted(orig)
+    ratios = []
+    for a in range(0, len(ids), 3):
+        for b in range(a + 1, len(ids), 5):
+            d_orig = np.linalg.norm(orig[ids[a]] - orig[ids[b]])
+            d_proj = np.linalg.norm(pv[ids[a]] - pv[ids[b]])
+            if d_orig > 0:
+                ratios.append(d_proj / d_orig)
+    ratios = np.array(ratios)
+    # JL with p=16: per-pair distortion can reach ~±60%, but the
+    # estimator is unbiased — the mean ratio concentrates near 1
+    assert 0.8 < ratios.mean() < 1.2, f"mean ratio {ratios.mean()}"
+    assert (ratios > 0.3).all() and (ratios < 2.0).all(), (
+        ratios.min(), ratios.max()
+    )

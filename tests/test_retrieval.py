@@ -320,3 +320,111 @@ def test_bm25_plan_no_cartesian_broadcast_hash(spark, sf_dir):
     assert "CartesianProduct" not in r.join_strategies
     assert "BroadcastHashJoin" in r.join_strategies
     assert r.has_codegen
+
+
+def _ref_hybrid_rrf(corpus, queries, *, k=10, leg_k=20, rrf_k=60,
+                    n_buckets=1024):
+    """Python reference for hybrid_rrf_search's exact arithmetic."""
+    # --- BM25 leg ranks ---
+    bm = {}
+    for qid, rank, d, _, _ in _ref_bm25(corpus, queries, k=leg_k):
+        bm[(qid, d)] = rank
+    # --- dense leg: hashed-TF-IDF cosine, centi fixed point ---
+    toks = {d: t.lower().split() for d, t in corpus}
+    n = len(toks)
+    df = {}
+    for t in toks.values():
+        for term in set(t):
+            df[term] = df.get(term, 0) + 1
+
+    def bucket(term):
+        return int(hashlib.md5(term.encode()).hexdigest()[:4], 16) % n_buckets
+
+    def weights(terms):
+        tf = {}
+        for term in terms:
+            tf[term] = tf.get(term, 0) + 1
+        w = {}
+        for term, f in tf.items():
+            if term not in df:
+                continue
+            idf = math.log((n + 1.0) / (df[term] + 1.0)) + 1.0
+            b = bucket(term)
+            w[b] = w.get(b, 0) + math.floor(f * idf * 100.0 + 0.5)
+        return w
+
+    dw = {d: weights(t) for d, t in toks.items()}
+    dense = {}
+    for qid, qtext in queries:
+        qw = weights(qtext.lower().split())
+        if not qw:
+            continue
+        n2q = sum(x * x for x in qw.values())
+        cands = []
+        for d, w in dw.items():
+            dot = sum(qw[b] * w[b] for b in qw if b in w)
+            if not dot:
+                continue
+            n2d = sum(x * x for x in w.values())
+            cos = dot / (math.sqrt(n2q) * math.sqrt(n2d))
+            cands.append((round(cos, 9), d))
+        cands.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (_, d) in enumerate(cands[:leg_k], start=1):
+            dense[(qid, d)] = rank
+    # --- RRF fusion ---
+    out = []
+    for qid, _ in queries:
+        fused = []
+        for (q, d) in set(bm) | set(dense):
+            if q != qid:
+                continue
+            micro = 0
+            for leg in (bm, dense):
+                r = leg.get((qid, d))
+                if r is not None:
+                    micro += math.floor(1e6 / (rrf_k + r) + 0.5)
+            fused.append((micro, d))
+        fused.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (micro, d) in enumerate(fused[:k], start=1):
+            out.append(
+                (qid, rank, d, bm.get((qid, d)), dense.get((qid, d)),
+                 micro / 1e6)
+            )
+    return out
+
+
+def test_hybrid_rrf_matches_python_reference(spark):
+    from sqltask_spark.operators.retrieval import hybrid_rrf_search
+
+    docs = _docs(spark, _CORPUS)
+    queries = [(1, "apple banana"), (2, "cherry plum"), (3, "fig date")]
+    got = [
+        (r.query_id, r.rank, r.doc_id, r.bm25_rank, r.dense_rank, r.score)
+        for r in hybrid_rrf_search(
+            docs, _query_frame(spark, queries), k=5, leg_k=4
+        ).orderBy("query_id", "rank").collect()
+    ]
+    want = _ref_hybrid_rrf(_CORPUS, queries, k=5, leg_k=4)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[:5] == w[:5]
+        assert g[5] == pytest.approx(w[5], abs=1e-9)
+
+
+def test_hybrid_rrf_both_legs_beat_single_leg(spark):
+    """A document ranked #1 by both legs must outrank a document
+    ranked #1 by only one leg; single-leg docs carry a null rank for
+    the missing leg."""
+    from sqltask_spark.operators.retrieval import hybrid_rrf_search
+
+    docs = _docs(spark, _CORPUS)
+    res = hybrid_rrf_search(
+        docs, _query_frame(spark, [(1, "apple banana")]), k=10
+    ).orderBy("rank").collect()
+    assert res, "no results"
+    top = res[0]
+    # doc 2 has max tf for both query terms → top of both legs
+    assert top.bm25_rank is not None and top.dense_rank is not None
+    # rrf score strictly decreases with rank position (ties broken)
+    scores = [r.score for r in res]
+    assert scores == sorted(scores, reverse=True)
