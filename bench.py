@@ -52,6 +52,8 @@ HEADLINE = [
     "dup_span_stats",
     "semdedup_keep",
     "search_bm25",
+    "search_hybrid_rrf",
+    "embedding_random_projection",
     "dedup_tfidf_cosine",
     "doc_centrality_pagerank",
     "dsir_weights",

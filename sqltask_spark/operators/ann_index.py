@@ -134,6 +134,83 @@ def build_ivf_index(
     return n_cells
 
 
+def probe_ivf_index_distributed(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    query_id: str,
+    query_vec: str = "embedding",
+    k: int = 10,
+    n_probe: int = 8,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Large-batch probe of a prebuilt IVF index: no driver collect
+    of the query set (cf. the per-call operators' dual path —
+    :func:`~sqltask_spark.operators.similarity.cosine_topk_ivf` with
+    a query set past ``max_driver_queries``).
+
+    The probe-cell assignment runs as the same Arrow-batched UDF the
+    per-call path uses (bit-identical argsort), the index⋈probe join
+    is salted (:func:`~sqltask_spark.operators.similarity.
+    _salted_cell_join` — the cell key alone has only n_cells distinct
+    values), and nothing query-sized ever lands on the driver.
+
+    Directory pruning is intentionally absent here: a query batch
+    large enough for this path probes essentially every cell, so the
+    scan-pruning win of :func:`probe_ivf_index` does not exist for it
+    — what remains is the index's other amortization (no re-train /
+    re-encode per call), which this path keeps.
+    """
+    from sqltask_spark.data import ensure_min_partitions
+    from sqltask_spark.operators.similarity import _salted_cell_join
+
+    cent_rows = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(),
+        key=lambda r: r["cell"],
+    )
+    cents = np.array([list(r["centroid"]) for r in cent_rows])
+    assigned = queries.select(
+        F.col(query_id).alias("query_id"),
+        as_double_array(F.col(query_vec)).alias("qv"),
+        _cell_assign_udf(cents, n_probe)(F.col(query_vec)).alias(
+            "cells"
+        ),
+    ).persist()
+    probes_df = assigned.select(
+        "query_id", F.explode("cells").alias("cell")
+    )
+    qvecs_df = assigned.select("query_id", "qv").withColumn(
+        "qn", l2_norm(F.col("qv"))
+    )
+    ci = ensure_min_partitions(spark.read.parquet(f"{path}/vectors"))
+    scored = (
+        _salted_cell_join(ci, probes_df, len(cents))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(qvecs_df, "query_id")
+        .withColumn(
+            "score",
+            F.round(
+                cosine_prenormed(
+                    F.col("qv"), as_double_array(F.col("cv")),
+                    F.col("qn"), F.col("cn")
+                ),
+                round_digits,
+            ),
+        )
+        .select("query_id", "neighbor_id", "score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    from sqltask_spark.data import materialize_and_release
+
+    return materialize_and_release(out, assigned)
+
+
 def probe_ivf_index(
     spark: SparkSession,
     path: str,
@@ -157,6 +234,8 @@ def probe_ivf_index(
     top ``refine_factor × k`` ids before the final exact-cosine
     ranking (same two-phase shape as
     :func:`~sqltask_spark.operators.similarity.cosine_topk_ivf_pq`).
+    For query batches too large to collect, use
+    :func:`probe_ivf_index_distributed`.
     """
     cent_rows = sorted(
         spark.read.parquet(f"{path}/centroids").collect(),

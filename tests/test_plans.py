@@ -311,3 +311,34 @@ def test_ivf_pq_index_probe_matches_and_prunes_columns(
     assert any("cell" in p for p in r.partition_filters)
     # the ADC pass reads codes only — some vectors scan must omit cv
     assert any("codes" in s and "cv" not in s for s in r.read_schemas)
+
+
+def test_ivf_index_distributed_probe_matches_driver_probe(
+    spark, sf_dir, tmp_path
+):
+    """The no-driver-collect probe path must reproduce the driver-side
+    probe bit-for-bit (same Arrow-batched cell argsort, same salted
+    join result, same tie-breaks)."""
+    from sqltask_spark.operators.ann_index import (
+        build_ivf_index,
+        probe_ivf_index,
+        probe_ivf_index_distributed,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") <= 7)
+    idx = str(tmp_path / "ivf_dist")
+    build_ivf_index(emb, idx, "vec_id", "embedding", n_cells=16)
+    want = {
+        (r["query_id"], r["rank"], r["neighbor_id"], r["score"])
+        for r in probe_ivf_index(
+            spark, idx, queries, "vec_id", "embedding", k=5, n_probe=8
+        ).collect()
+    }
+    got = {
+        (r["query_id"], r["rank"], r["neighbor_id"], r["score"])
+        for r in probe_ivf_index_distributed(
+            spark, idx, queries, "vec_id", "embedding", k=5, n_probe=8
+        ).collect()
+    }
+    assert got == want
