@@ -63,7 +63,11 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    import re as _re
+
+    # tolerate generated-dataset dirs like /tmp/sf1_gen
+    _m = _re.search(r"sf(\d+(?:\.\d+)?)", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    sf = float(_m.group(1)) if _m else -1.0
     spark = get_spark(
         app_name="sqltask_spark_bench",
         master=f"local[{cpus}]",

@@ -7,6 +7,10 @@ and an order-insensitive value hash (rows sorted, columns sorted by
 name, values stringified with stable float formatting).
 
 Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+       python scripts/check_oracle.py sf_dir -x q1 -x q2   # run all BUT
+
+Per-entry wall seconds print with each verdict (flush immediately, so
+a piped log shows live progress and a killed run keeps its prefix).
 """
 
 from __future__ import annotations
@@ -93,8 +97,19 @@ def _driver_emulation_problems(con, oracle_sql, sdf):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    skip: set[str] = set()
+    rest: list[str] = []
+    i = 0
+    while i < len(args):
+        if args[i] == "-x":
+            skip.add(args[i + 1])
+            i += 2
+        else:
+            rest.append(args[i])
+            i += 1
+    sf_dir = rest[0] if rest else "/root/testdata/sf0.001"
+    only = set(rest[1:])
 
     con = duckdb.connect()
     import os as _os
@@ -123,26 +138,33 @@ def main() -> int:
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = []
+    import time as _time
+
     for name, fn in queries.items():
-        if only and name not in only:
+        if (only and name not in only) or name in skip:
             continue
+        t0 = _time.perf_counter()
         try:
             sdf = fn(spark, sf_dir)
             srows = sdf.collect()
             scols = sdf.columns
         except Exception as e:
-            print(f"FAIL  {name}: spark error: {str(e)[:300]}")
+            print(f"FAIL  {name}: spark error: {str(e)[:300]}", flush=True)
             failures.append(name)
             continue
         if name not in oracles:
-            print(f"ok    {name}: rows-only ({len(srows)} rows, no oracle)")
+            print(
+                f"ok    {name}: rows-only ({len(srows)} rows, no oracle) "
+                f"[{_time.perf_counter() - t0:.1f}s]",
+                flush=True,
+            )
             continue
         try:
             cur = con.execute(oracles[name])
             ocols = [d[0] for d in cur.description]
             orows = cur.fetchall()
         except Exception as e:
-            print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
+            print(f"FAIL  {name}: duckdb error: {str(e)[:300]}", flush=True)
             failures.append(name)
             continue
         problems = []
@@ -181,10 +203,14 @@ def main() -> int:
         if not problems:
             problems.extend(_driver_emulation_problems(con, oracles[name], sdf))
         if problems:
-            print(f"FAIL  {name}: {'; '.join(problems)}")
+            print(f"FAIL  {name}: {'; '.join(problems)}", flush=True)
             failures.append(name)
         else:
-            print(f"PASS  {name} ({len(srows)} rows)")
+            print(
+                f"PASS  {name} ({len(srows)} rows) "
+                f"[{_time.perf_counter() - t0:.1f}s]",
+                flush=True,
+            )
     print()
     if failures:
         print(f"{len(failures)} failing: {failures}")

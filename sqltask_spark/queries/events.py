@@ -667,14 +667,36 @@ ORDER BY j.cohort_week, week_n
 
 def resample_fill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    v = F.col("value").cast("decimal(28,10)")
-    hourly = ev.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("hour")
-    ).agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.round(
-            (F.sum(v).cast("double") / F.count(F.lit(1))), 6
-        ).alias("value_mean"),
+    # Exact integer mean, not ROUND(double_sum / n, 6): low-decimal-
+    # entropy values make sum/n land EXACTLY on 1e-6 half-boundaries,
+    # where Spark (BigDecimal HALF_UP on the binary expansion) and
+    # DuckDB (multiply-based float round) disagree — two of ~3600
+    # buckets split at the sf1 gate. Here: values quantize to micro
+    # decimal (exact — binary noise of parquet doubles is ~1e-14),
+    # the micro sum is an exact BIGINT, and round-half-up of sum/n is
+    # the INTEGER identity (2s + n) div (2n) — engine-independent by
+    # construction (values are non-negative; the identity is the
+    # away-from-zero rounding only for s >= 0).
+    v6 = F.col("value").cast("decimal(18,6)")
+    s_micro = (
+        F.sum(v6).cast("decimal(24,6)") * F.lit(1000000)
+    ).cast("bigint")
+    n = F.count(F.lit(1))
+    mean_micro = F.expr(
+        "(2 * __s_micro + __n) div (2 * __n)"
+    )
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            n.alias("__n"),
+            s_micro.alias("__s_micro"),
+        )
+        .select(
+            "event_type",
+            "hour",
+            F.col("__n").alias("n_events"),
+            (mean_micro / F.lit(1000000.0)).alias("value_mean"),
+        )
     )
     spine = (
         hourly.groupBy("event_type")
@@ -710,8 +732,9 @@ _RESAMPLE_SQL = """
 WITH hourly AS (
   SELECT event_type, date_trunc('hour', ts) AS hour,
          COUNT(*) AS n_events,
-         ROUND(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
-               / COUNT(*), 6) AS value_mean
+         ((2 * CAST(CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                         AS DECIMAL(24,6)) * 1000000 AS BIGINT)
+           + COUNT(*)) // (2 * COUNT(*))) / 1000000.0 AS value_mean
   FROM events GROUP BY 1, 2
 ),
 spine AS (
@@ -743,22 +766,36 @@ ORDER BY s.event_type, s.hour
 
 def winsorized_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # The winsorization THRESHOLDS are the micro-quantized
+    # percentiles: the raw interpolated value is an engine-specific
+    # expression tree over doubles (Spark `percentile` vs DuckDB
+    # `quantile_cont` differ by ±1 ulp), and rows sitting exactly at
+    # the threshold flip the strict comparison — 10 rows at the sf1
+    # gate. round(·, 6) of two 1-ulp-apart doubles is identical
+    # unless the true value sits within an ulp of a 1e-6 half-
+    # boundary, which interpolations of centi-grained data don't.
     pcts = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.01)").alias("p01"),
-        F.expr("percentile(value, 0.99)").alias("p99"),
+        F.round(F.expr("percentile(value, 0.01)"), 6).alias("p01"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
     )
     clipped = F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99"))
-    vd = F.col("value").cast("decimal(28,10)")
-    cd = clipped.cast("decimal(28,10)")
+    # exact integer means (see resample_fill_events: ROUND of a
+    # double mean splits engines on exact 1e-6 half-boundaries)
+    vd = F.col("value").cast("decimal(18,6)")
+    cd = clipped.cast("decimal(18,6)")
     agg = (
         ev.join(F.broadcast(pcts), "event_type")
         .groupBy("event_type")
         .agg(
-            F.count(F.lit(1)).alias("n"),
+            F.count(F.lit(1)).alias("__n"),
             F.min("p01").alias("p01"),
             F.min("p99").alias("p99"),
-            F.sum(vd).alias("__s"),
-            F.sum(cd).alias("__cs"),
+            (F.sum(vd).cast("decimal(24,6)") * F.lit(1000000))
+            .cast("bigint")
+            .alias("__s_micro"),
+            (F.sum(cd).cast("decimal(24,6)") * F.lit(1000000))
+            .cast("bigint")
+            .alias("__cs_micro"),
             F.sum(
                 F.when(
                     (F.col("value") < F.col("p01"))
@@ -770,15 +807,17 @@ def winsorized_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agg.select(
         "event_type",
-        "n",
-        F.round("p01", 6).alias("p01"),
-        F.round("p99", 6).alias("p99"),
-        F.round(F.col("__s").cast("double") / F.col("n"), 6).alias(
-            "mean_raw"
-        ),
-        F.round(F.col("__cs").cast("double") / F.col("n"), 6).alias(
-            "mean_winsorized"
-        ),
+        F.col("__n").alias("n"),
+        "p01",
+        "p99",
+        (
+            F.expr("(2 * __s_micro + __n) div (2 * __n)")
+            / F.lit(1000000.0)
+        ).alias("mean_raw"),
+        (
+            F.expr("(2 * __cs_micro + __n) div (2 * __n)")
+            / F.lit(1000000.0)
+        ).alias("mean_winsorized"),
         "n_clipped",
     ).orderBy("event_type")
 
@@ -786,19 +825,21 @@ def winsorized_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WINSOR_SQL = """
 WITH pcts AS (
   SELECT event_type,
-         quantile_cont(value, 0.01) AS p01,
-         quantile_cont(value, 0.99) AS p99
+         ROUND(quantile_cont(value, 0.01), 6) AS p01,
+         ROUND(quantile_cont(value, 0.99), 6) AS p99
   FROM events GROUP BY event_type
 )
 SELECT e.event_type,
        COUNT(*) AS n,
-       ROUND(MIN(p01), 6) AS p01,
-       ROUND(MIN(p99), 6) AS p99,
-       ROUND(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
-             / COUNT(*), 6) AS mean_raw,
-       ROUND(CAST(SUM(CAST(LEAST(GREATEST(value, p01), p99)
-                           AS DECIMAL(28,10))) AS DOUBLE)
-             / COUNT(*), 6) AS mean_winsorized,
+       MIN(p01) AS p01,
+       MIN(p99) AS p99,
+       ((2 * CAST(CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                       AS DECIMAL(24,6)) * 1000000 AS BIGINT)
+         + COUNT(*)) // (2 * COUNT(*))) / 1000000.0 AS mean_raw,
+       ((2 * CAST(CAST(SUM(CAST(LEAST(GREATEST(value, p01), p99)
+                                AS DECIMAL(18,6)))
+                       AS DECIMAL(24,6)) * 1000000 AS BIGINT)
+         + COUNT(*)) // (2 * COUNT(*))) / 1000000.0 AS mean_winsorized,
        CAST(SUM(CASE WHEN value < p01 OR value > p99 THEN 1 ELSE 0 END)
             AS BIGINT) AS n_clipped
 FROM events e JOIN pcts p ON e.event_type = p.event_type

@@ -55,8 +55,23 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
             F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
+            # re-scale the wide-scale sums to cents BEFORE the double
+            # cast: at scale 4/6 the unscaled integer outgrows 2^53
+            # around sf1, where DuckDB's int128/10^scale conversion
+            # double-rounds while the JVM's BigDecimal.doubleValue is
+            # correctly rounded — a 1-ulp hash split (caught by the
+            # sf1-equivalent gate). At scale 2 the conversion is a
+            # single rounding in both engines well past sf1000.
+            # ROUND (half away from zero in BOTH engines, decimal in,
+            # decimal out), NOT a decimal CAST — DuckDB's cast
+            # rescales half-to-EVEN and these sums land on exact
+            # half-cents constantly (cents × 2-decimal factors).
+            F.round(F.sum(disc_price), 2)
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.round(F.sum(charge), 2)
+            .cast("double")
+            .alias("sum_charge"),
             (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)))
             .alias("avg_qty"),
             (F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1)))
@@ -74,13 +89,13 @@ SELECT
   l_linestatus,
   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-           * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
-       AS DOUBLE) AS sum_disc_price,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))),
+       2) AS DOUBLE) AS sum_disc_price,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
            * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
-           * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2))))
-       AS DOUBLE) AS sum_charge,
+           * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))),
+       2) AS DOUBLE) AS sum_charge,
   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
   CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
