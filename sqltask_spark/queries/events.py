@@ -412,8 +412,18 @@ _MULTIRES_SQL = (
 def event_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     v = F.col("value").cast("decimal(28,10)")
+    # mean via the exact integer identity (see resample_fill_events:
+    # ROUND of a double mean splits engines on exact 1e-6 half-
+    # boundaries, which centi-grained values hit systematically);
+    # stddev keeps the double pipeline — a sqrt is a generic
+    # irrational, so its half-boundary probability is measure-zero,
+    # unlike the rational sum/n
+    v6 = F.col("value").cast("decimal(18,6)")
     agg = ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
+        F.count(F.lit(1)).alias("__n"),
+        (F.sum(v6).cast("decimal(24,6)") * F.lit(1000000))
+        .cast("bigint")
+        .alias("__s_micro"),
         F.sum(v).alias("__s"),
         F.sum(v * v).alias("__ss"),
         F.min("value").alias("min_value"),
@@ -421,13 +431,15 @@ def event_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = F.col("__s").cast("double")
     ss = F.col("__ss").cast("double")
-    n = F.col("n").cast("double")
-    mean = s / n
+    n = F.col("__n").cast("double")
     var = (ss - s * s / n) / (n - F.lit(1.0))
     return agg.select(
         "event_type",
-        "n",
-        F.round(mean, 6).alias("mean_value"),
+        F.col("__n").alias("n"),
+        (
+            F.expr("(2 * __s_micro + __n) div (2 * __n)")
+            / F.lit(1000000.0)
+        ).alias("mean_value"),
         F.round(F.sqrt(var), 6).alias("stddev_value"),
         F.round("min_value", 6).alias("min_value"),
         F.round("max_value", 6).alias("max_value"),
@@ -439,6 +451,8 @@ WITH m AS (
   SELECT
     event_type,
     COUNT(*) AS n,
+    CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(24,6))
+         * 1000000 AS BIGINT) AS s_micro,
     SUM(CAST(value AS DECIMAL(28,10))) AS s,
     SUM(CAST(value AS DECIMAL(28,10)) * CAST(value AS DECIMAL(28,10))) AS ss,
     MIN(value) AS min_v,
@@ -449,7 +463,7 @@ WITH m AS (
 SELECT
   event_type,
   n,
-  ROUND(CAST(s AS DOUBLE) / n, 6) AS mean_value,
+  ((2 * s_micro + n) // (2 * n)) / 1000000.0 AS mean_value,
   ROUND(SQRT((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
              / (n - 1.0)), 6) AS stddev_value,
   ROUND(min_v, 6) AS min_value,
