@@ -253,6 +253,15 @@ def hybrid_rrf_search(
     ``|Q|·leg_k``-sized rank lists — outer-join on (query_id,
     doc_id), no corpus-sized input. All legs reuse their operators'
     plans; nothing new shuffles corpus bytes.
+
+    Two independent tokenize passes DELIBERATELY: a shared persisted
+    token census (one tokenize feeding both legs, mirroring the
+    oracle's shared ``base`` CTE) was implemented and measured SLOWER
+    at both sf0.1 (8.0s vs 6.6s) and sf1 (13.0s vs 11.4s) — caching
+    corpus token arrays costs more than the regex pass it saves,
+    while the standalone legs keep their optimal shapes (BM25 prunes
+    inside the token array pre-explode; the dense census explodes
+    without per-doc length baggage).
     """
     bm25 = bm25_search(
         docs, queries, id_col=id_col, text_col=text_col,
