@@ -78,9 +78,10 @@ _FLAGSHIP = [
 #: nine means every entry in the catalog will have been through the
 #: driver's own gate at least once across rounds 1-5.
 _PROMOTED = [
-    # new this round (both oracled):
+    # new this round (all oracled):
     "search_hybrid_rrf",
     "embedding_random_projection",
+    "dedup_clusters_capped",
     "gopher_quality_flags",
     "dedup_ngram_jaccard",
     "sketch_event_stats",

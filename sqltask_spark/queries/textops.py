@@ -408,6 +408,59 @@ ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
+# dedup_clusters_capped — the production-shaped clustering pipeline:
+# the SAME connected-components operator as dedup_clusters, fed by the
+# df-CAPPED candidate index (bounded pair work at any corpus size).
+# Unlike the uncapped twin — whose recursive-CTE oracle is
+# deliberately kept as the small-scale cross-check and proved
+# infeasible at the sf1 gate — this oracle runs on the capped pair
+# set, so the entry stays hash-checked at every gate scale (the
+# keep_best / pagerank entries already proved the capped CTE pipeline
+# completes at sf1).
+# --------------------------------------------------------------------------
+
+
+def dedup_clusters_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped near-dup pairs → per-document cluster id + canonical flag.
+
+    The corpus-shrinking pipeline a 100 TB run would actually use:
+    hot-shingle df cap bounds the candidate join, exact Jaccard on the
+    survivors, large-star/small-star-capable components on the result.
+    """
+    from sqltask_spark.operators.graph import cluster_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=3, threshold=_JACCARD_THRESHOLD,
+        max_shingle_df=_MAX_NGRAM_DF,
+    )
+    return cluster_documents(pairs).orderBy("doc_id")
+
+
+_CLUSTERS_CAPPED_SQL = f"""
+WITH RECURSIVE {_NGRAM_CAPPED_BODY},
+edges AS MATERIALIZED (
+  -- MATERIALIZED is load-bearing — see _CLUSTERS_SQL
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, u AS v FROM edges GROUP BY u
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT
+  u AS doc_id,
+  MIN(v) AS cluster_id,
+  MIN(v) = u AS is_canonical
+FROM reach
+GROUP BY u
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # doc_centrality_pagerank — PageRank over the (capped) near-dup pair
 # graph: the canonical-document-selection signal. Exact integer
 # fixed-point arithmetic (see operators.graph.pagerank) means the
@@ -1221,6 +1274,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_ngram_jaccard_capped": dedup_ngram_jaccard_capped,
     "dedup_clusters": dedup_clusters,
+    "dedup_clusters_capped": dedup_clusters_capped,
     "dedup_keep_best": dedup_keep_best,
     "doc_centrality_pagerank": doc_centrality_pagerank,
     "chunk_documents": chunk_documents,
@@ -1248,6 +1302,7 @@ ORACLES = {
     "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
     "dedup_ngram_jaccard_capped": _NGRAM_CAPPED_SQL,
     "dedup_clusters": _CLUSTERS_SQL,
+    "dedup_clusters_capped": _CLUSTERS_CAPPED_SQL,
     "dedup_keep_best": _KEEP_BEST_SQL,
     "doc_centrality_pagerank": _PAGERANK_SQL,
     "chunk_documents": _CHUNK_SQL,

@@ -812,6 +812,34 @@ def test_cluster_documents_canonical_flags(spark):
     assert [d for d, r in sorted(rows.items()) if r["is_canonical"]] == [3, 7]
 
 
+def test_dedup_clusters_capped_entry(spark, sf_dir):
+    """The production (df-capped) clustering entry: every capped pair
+    is also an uncapped pair, so capped clusters can only split —
+    never merge — relative to the uncapped clustering; and the
+    canonical-flag invariant (exactly one canonical = min member per
+    cluster) holds."""
+    from sqltask_spark.queries.textops import (
+        dedup_clusters,
+        dedup_clusters_capped,
+    )
+
+    capped = {r["doc_id"]: r for r in
+              dedup_clusters_capped(spark, sf_dir).collect()}
+    full = {r["doc_id"]: r["cluster_id"] for r in
+            dedup_clusters(spark, sf_dir).collect()}
+    assert set(capped) <= set(full)  # cap only removes candidates
+    for doc_id, r in capped.items():
+        # capped cluster id is itself a member doc, and all docs
+        # sharing a capped cluster share the uncapped cluster too
+        assert full[r["cluster_id"]] == full[doc_id]
+        assert r["is_canonical"] == (r["cluster_id"] == doc_id)
+    by_cluster: dict = {}
+    for doc_id, r in capped.items():
+        by_cluster.setdefault(r["cluster_id"], []).append(doc_id)
+    for cid, members in by_cluster.items():
+        assert cid == min(members)
+
+
 def test_contamination_cap_bounds_boilerplate(spark, tmp_path):
     """contamination_overlap's hot-shingle cap: a boilerplate sentence
     shared by every document must not produce train x eval pairs (its
