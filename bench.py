@@ -55,6 +55,7 @@ HEADLINE = [
     "search_hybrid_rrf",
     "embedding_random_projection",
     "dedup_tfidf_cosine",
+    "dedup_clusters_capped",
     "doc_centrality_pagerank",
     "dsir_weights",
 ]
