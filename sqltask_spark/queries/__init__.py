@@ -82,6 +82,7 @@ _PROMOTED = [
     "search_hybrid_rrf",
     "embedding_random_projection",
     "dedup_clusters_capped",
+    "source_quality_cap",
     "gopher_quality_flags",
     "dedup_ngram_jaccard",
     "sketch_event_stats",

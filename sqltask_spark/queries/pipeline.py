@@ -993,6 +993,64 @@ ORDER BY source, draw
 
 
 # --------------------------------------------------------------------------
+# source_quality_cap — per-source QUALITY-RANKED cap (the RefinedWeb /
+# CCNet "per-domain cap" selection policy): keep the K highest-quality
+# documents from each source, deterministic tie-break on doc_id.
+# Distinct from sample_k_per_source (which draws a hash-random sample
+# — representative, quality-blind); this is the curation policy that
+# stops one mega-domain from dominating a training mix while keeping
+# its best pages. Same WindowGroupLimit shape as the sampler: Spark
+# plans the rank filter as a partial top-k BEFORE the shuffle, so the
+# exchange carries ~K rows per source, not the source's corpus.
+# Ordering by the 9-dp-rounded quality + doc_id is the engine-portable
+# pattern proven by dedup_keep_best at the sf1 gate.
+# --------------------------------------------------------------------------
+
+_SOURCE_CAP_K = 10
+
+
+def source_quality_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        docs.select(
+            "source",
+            "doc_id",
+            F.round(tx.quality_score(F.col("text")), 9).alias("quality"),
+        )
+        .withColumn("qrank", F.row_number().over(w))
+        .filter(F.col("qrank") <= _SOURCE_CAP_K)
+        .orderBy("source", "qrank")
+    )
+
+
+_SOURCE_CAP_SQL = f"""
+SELECT source, doc_id, quality, qrank FROM (
+  SELECT source, doc_id, quality,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY quality DESC, doc_id
+         ) AS INTEGER) AS qrank
+  FROM (
+    SELECT source, doc_id,
+      ROUND(
+        (CAST(LEN(list_distinct({_TOKS})) AS DOUBLE) / LEN({_TOKS})) * 0.5
+        + LEAST(CAST(LEN({_TOKS}) AS DOUBLE) / 100.0, 1.0) * 0.3
+        + (1.0 - CAST(LEN(list_filter({_TOKS},
+              t -> list_contains({_STOP_SQL['en']}, t))) AS DOUBLE)
+            / LEN({_TOKS})) * 0.2,
+        9) AS quality
+    FROM documents
+  )
+)
+WHERE qrank <= {_SOURCE_CAP_K}
+ORDER BY source, qrank
+"""
+
+
+# --------------------------------------------------------------------------
 # dsir_weights — DSIR-style importance weights for data selection
 # (Xie et al. 2023): LM trained on the target subset (source='src1'
 # stands in for the curated reference corpus) vs LM trained on the
@@ -1129,6 +1187,7 @@ QUERIES = {
     "dsir_weights": dsir_weights,
     "ccnet_ppl_buckets": ccnet_ppl_buckets,
     "sample_k_per_source": sample_k_per_source,
+    "source_quality_cap": source_quality_cap,
     "stratified_sample_documents": stratified_sample_documents,
     "apply_mix_sampling": apply_mix_sampling,
     "length_histogram": length_histogram,
@@ -1151,6 +1210,7 @@ ORACLES = {
     "dsir_weights": _DSIR_SQL,
     "ccnet_ppl_buckets": _CCNET_SQL,
     "sample_k_per_source": _SAMPLE_K_SQL,
+    "source_quality_cap": _SOURCE_CAP_SQL,
     "stratified_sample_documents": _STRAT_SQL,
     "apply_mix_sampling": _APPLY_MIX_SQL,
     "length_histogram": _HIST_SQL,

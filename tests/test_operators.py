@@ -1232,6 +1232,47 @@ def test_domain_mix_weights_equalizes(spark, tmp_path):
     assert abs(sum(r["token_share"] for r in got.values()) - 1.0) < 1e-9
 
 
+def test_source_quality_cap_selects_best_per_source(spark, sf_dir):
+    """Per-source quality cap: exactly min(K, |source|) survivors per
+    source, every survivor's quality >= every dropped doc's quality in
+    the same source, ranks dense from 1, quality non-increasing."""
+    from sqltask_spark.queries.pipeline import (
+        _SOURCE_CAP_K,
+        source_quality_cap,
+    )
+    from sqltask_spark.data import load_table
+    from sqltask_spark.operators import text as tx
+    from pyspark.sql import functions as F
+
+    kept = source_quality_cap(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    all_q = {
+        (r["source"], r["doc_id"]): r["quality"]
+        for r in docs.select(
+            "source", "doc_id",
+            F.round(tx.quality_score(F.col("text")), 9).alias("quality"),
+        ).collect()
+    }
+    per_source: dict = {}
+    for r in kept:
+        per_source.setdefault(r["source"], []).append(r)
+    src_sizes: dict = {}
+    for (src, _), _q in all_q.items():
+        src_sizes[src] = src_sizes.get(src, 0) + 1
+    assert set(per_source) == set(src_sizes)
+    for src, rows in per_source.items():
+        assert len(rows) == min(_SOURCE_CAP_K, src_sizes[src])
+        rows.sort(key=lambda r: r["qrank"])
+        assert [r["qrank"] for r in rows] == list(range(1, len(rows) + 1))
+        quals = [r["quality"] for r in rows]
+        assert quals == sorted(quals, reverse=True)
+        kept_ids = {r["doc_id"] for r in rows}
+        floor = min(quals)
+        for (s, did), q in all_q.items():
+            if s == src and did not in kept_ids:
+                assert q <= floor
+
+
 def test_apply_mix_sampling_equalizes_and_is_deterministic(spark, tmp_path):
     """Materialized mix: big sources down-sample (copy counts 0/1),
     small ones up-sample by repetition (counts ≥1); the resampled
