@@ -213,6 +213,23 @@ def test_corpus_to_training_data_single_chain(spark, sf_dir):
     assert r.has_codegen
 
 
+def test_source_quality_cap_partial_topk_before_shuffle(spark, sf_dir):
+    """The per-source cap must plan as WindowGroupLimit Partial →
+    Exchange → Final, so the shuffle carries ~K rows per source
+    instead of the whole source — the property that makes a
+    per-domain cap feasible against a mega-domain at 100 TB."""
+    df = QUERIES["source_quality_cap"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    partial = plan.index("Partial")
+    # the Partial limit sits BELOW (after, in toString order) the
+    # per-source hash exchange it protects
+    exch = plan.index("Exchange hashpartitioning(source")
+    assert exch < partial
+    assert "CartesianProduct" not in plan
+
+
 def test_lm_perplexity_no_cartesian_vocab_broadcast(spark, sf_dir):
     # count-table joins are equi-joins on the bigram hash; the only
     # nested-loop is the 1-row vocab scalar Spark broadcasts
