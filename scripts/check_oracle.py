@@ -61,6 +61,24 @@ def result_hash(columns, rows):
     return h.hexdigest()
 
 
+def _spark_canon_problems(sdf):
+    """Driver-canonicalizer emulation for ORACLE-LESS entries: the
+    driver still converts the Spark result to pandas and sorts every
+    column, so an unsortable cell type (list/dict columns) crashes its
+    gate even when no oracle comparison runs."""
+    problems = []
+    try:
+        pdf = sdf.toPandas()
+        canon = pdf.reindex(sorted(pdf.columns), axis=1)
+        try:
+            canon.sort_values(by=list(canon.columns))
+        except TypeError as e:
+            problems.append(f"spark pandas-canon unsortable: {e}")
+    except Exception as e:
+        problems.append(f"pandas-canon error: {str(e)[:200]}")
+    return problems
+
+
 def _driver_emulation_problems(con, oracle_sql, sdf):
     """Emulate the driver's pandas canonicalizer, which differs from the
     fetchall path above in two known ways: DuckDB ``fetchdf`` renders
@@ -103,6 +121,9 @@ def main() -> int:
     i = 0
     while i < len(args):
         if args[i] == "-x":
+            if i + 1 >= len(args):
+                print("usage: check_oracle.py [sf_dir] [q ...] [-x q]")
+                return 2
             skip.add(args[i + 1])
             i += 2
         else:
@@ -153,11 +174,22 @@ def main() -> int:
             failures.append(name)
             continue
         if name not in oracles:
-            print(
-                f"ok    {name}: rows-only ({len(srows)} rows, no oracle) "
-                f"[{_time.perf_counter() - t0:.1f}s]",
-                flush=True,
-            )
+            # rows-only entries still pass through the driver's pandas
+            # canonicalizer (which sorts every column) — r5 shipped an
+            # array-celled entry that crashed it because this path
+            # skipped the emulation. Sortability is checked here too.
+            problems = _spark_canon_problems(sdf)
+            if problems:
+                print(
+                    f"FAIL  {name}: {'; '.join(problems)}", flush=True
+                )
+                failures.append(name)
+            else:
+                print(
+                    f"ok    {name}: rows-only ({len(srows)} rows, "
+                    f"no oracle) [{_time.perf_counter() - t0:.1f}s]",
+                    flush=True,
+                )
             continue
         try:
             cur = con.execute(oracles[name])

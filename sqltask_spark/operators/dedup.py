@@ -180,6 +180,17 @@ def _lsh_pairs_from_signatures(
 ) -> DataFrame:
     """Candidate pairs from wide signatures (id, m0..mN)."""
     banded = _banded_signatures(wide, bands, rows_per_band)
+    return _pairs_from_banded(banded, max_bucket_size)
+
+
+def _pairs_from_banded(
+    banded: DataFrame, max_bucket_size: int
+) -> DataFrame:
+    """(id, band, band_hash) → (id_a, id_b, n_shared_bands).
+
+    Shared by the xxhash64 production path and the md5 oracled twin —
+    bucket capping and pair explosion are hash-family independent.
+    """
     buckets = (
         banded.groupBy("band", "band_hash")
         .agg(F.collect_list("id").alias("ids"))
@@ -274,6 +285,128 @@ def minhash_dedup_pairs(
     cand = _lsh_pairs_from_signatures(
         wide, bands, num_perm // bands, max_bucket_size
     )
+    a = shingled.select(F.col("id").alias("id_a"), F.col("h").alias("h_a"))
+    b = shingled.select(F.col("id").alias("id_b"), F.col("h").alias("h_b"))
+    inter = F.size(F.array_intersect("h_a", "h_b"))
+    union = F.size(F.array_union("h_a", "h_b"))
+    out = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", inter.cast("double") / union)
+        .drop("h_a", "h_b")
+    )
+    if threshold > 0:
+        out = out.filter(F.col("jaccard") >= threshold)
+    if eager:
+        out = materialize_and_release(out, shingled)
+    return out
+
+
+def _md5_long_of(col: Column) -> Column:
+    """Portable 60-bit hash: first 15 md5 nibbles as a BIGINT.
+
+    Same construction as ``operators.retrieval.md5_long`` (kept as a
+    local helper to avoid a cross-module import in the hot path);
+    DuckDB mirrors it as ``('0x' || substring(md5(e),1,15))::BIGINT``.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def md5_shingled_docs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, h: array<bigint>) with 60-bit **md5** shingle hashes.
+
+    The engine-portable twin of :func:`shingled_docs` — md5 instead of
+    xxhash64 so an external SQL engine (the DuckDB oracle) reproduces
+    every hash bit-for-bit.
+    """
+    from sqltask_spark.data import ensure_min_partitions
+
+    return ensure_min_partitions(df).select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(
+            F.transform(
+                word_shingles(F.col(text_col), shingle_n), _md5_long_of
+            )
+        ).alias("h"),
+    )
+
+
+def minhash_dedup_pairs_md5(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    shingle_n: int = 3,
+    max_bucket_size: int = 1000,
+    threshold: float = 0.0,
+    eager: bool = True,
+) -> DataFrame:
+    """:func:`minhash_dedup_pairs` with an md5-based hash family —
+    the ORACLED twin of the production xxhash64 pipeline.
+
+    Same algorithm shape end to end (shingle → permute → min-agg →
+    band → bucket-cap → pair → exact-Jaccard verify); only the hash
+    family differs:
+
+    - shingle hash: first 15 md5 nibbles → 60-bit long;
+    - permutation ``i``: md5 of ``"seed:i:shingle_hash"``;
+    - band hash: md5 of the comma-joined band signature values.
+
+    Every step is reproducible in DuckDB (``md5`` + hex→BIGINT cast),
+    which converts this operator class from a permanent rows-only
+    driver row into a hash-checked one. The xxhash64 form stays the
+    production path — md5-over-strings costs several× more CPU per
+    (shingle × permutation), which is why ``num_perm`` defaults lower
+    here (32×8 bands vs 64×16; collision behavior per band is
+    equivalent at rows_per_band=4). Collision quality is unchanged:
+    both families are uniform 60+-bit hashes.
+    """
+    assert num_perm % bands == 0, "bands must divide num_perm"
+    rpb = num_perm // bands
+    from sqltask_spark.data import materialize_and_release
+
+    shingled = md5_shingled_docs(df, id_col, text_col, shingle_n)
+    if eager:
+        shingled = shingled.persist()
+    exploded = shingled.select("id", F.explode("h").alias("h"))
+
+    def perm(i: int) -> Column:
+        return _md5_long_of(
+            F.concat_ws(
+                ":",
+                F.lit(str(seed)),
+                F.lit(str(i)),
+                F.col("h").cast("string"),
+            )
+        )
+
+    wide = exploded.groupBy("id").agg(
+        *[F.min(perm(i)).alias(f"m{i}") for i in range(num_perm)]
+    )
+    band_hashes = [
+        _md5_long_of(
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"m{b * rpb + j}").cast("string")
+                    for j in range(rpb)
+                ],
+            )
+        )
+        for b in range(bands)
+    ]
+    banded = wide.select(
+        "id",
+        F.posexplode(F.array(*band_hashes)).alias("band", "band_hash"),
+    )
+    cand = _pairs_from_banded(banded, max_bucket_size)
     a = shingled.select(F.col("id").alias("id_a"), F.col("h").alias("h_a"))
     b = shingled.select(F.col("id").alias("id_b"), F.col("h").alias("h_b"))
     inter = F.size(F.array_intersect("h_a", "h_b"))

@@ -24,9 +24,34 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
 }
 
 
+#: Unicode-whitespace contract, pinned as an EXPLICIT character class.
+#: `\s` diverges between engines — Java regex (Spark) and RE2 (DuckDB)
+#: treat it as ASCII-only while Python's is Unicode-aware — so the
+#: class is spelled out as literal characters, which every engine
+#: interprets identically. The set is exactly Python's
+#: ``str.isspace()`` / Unicode-``\s`` set (verified by an exhaustive
+#: scan in tests): ASCII ws, \x1c-\x1f separators, NEL, NBSP, ogham,
+#: en/em-class spaces, line/para separators, narrow NBSP, math space,
+#: ideographic space.
+UNICODE_WS_CLASS = (
+    "[ \t\n\x0b\f\r\x1c-\x1f\x85\xa0\u1680\u2000-\u200a"
+    "\u2028\u2029\u202f\u205f\u3000]"
+)
+
+
 def normalize_text(col: Column) -> Column:
-    """Lowercase, trim, collapse whitespace runs to single spaces."""
-    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    """Lowercase, collapse Unicode-whitespace runs to single spaces,
+    trim.
+
+    Whitespace is :data:`UNICODE_WS_CLASS` — two documents differing
+    only in exotic whitespace (NBSP vs space, U+2028 vs \\n) normalize
+    identically, which is what the dedup family needs. The collapse
+    runs before the trim so a whitespace-only document normalizes to
+    the empty string (not a single space).
+    """
+    return F.trim(
+        F.regexp_replace(F.lower(col), UNICODE_WS_CLASS + "+", " ")
+    )
 
 
 def tokenize(col: Column) -> Column:

@@ -502,19 +502,83 @@ ORDER BY doc_id
 
 def sketch_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
+    # One quantile sketch per group, projected to SCALAR columns —
+    # the driver's pandas canonicalizer sorts every output column, so
+    # catalog entries must never expose array cells (r5 lesson: the
+    # array<double> form crashed the gate's sort_values).
+    sketched = events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias(
+            "approx_users"
+        ),
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias(
+            "_vq"
+        ),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return sketched.select(
+        "event_type",
+        "approx_users",
+        F.col("_vq")[0].alias("value_p50"),
+        F.col("_vq")[1].alias("value_p95"),
+        F.col("_vq")[2].alias("value_p99"),
+        "n_events",
+    ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# sketch_event_stats_checked — the ORACLED certificate for the sketch
+# entry above: joins the sketches against their exact counterparts and
+# emits bound-check booleans alongside the exact aggregates. DuckDB
+# cannot reproduce Spark's HLL/KLL sketch values, but it CAN assert
+# the contract — the oracle emits the exact sides plus TRUE flags, so
+# if Spark's sketches ever drift outside their documented error
+# bounds the booleans flip and the driver hash mismatches. The exact
+# countDistinct/percentile here are harness-only costs (this entry
+# certifies the sketches; production telemetry uses
+# sketch_event_stats, which never computes the exact forms).
+# --------------------------------------------------------------------------
+
+def sketch_event_stats_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    ex = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("percentile(value, 0.4)").alias("_p40"),
+        F.expr("percentile(value, 0.6)").alias("_p60"),
+    )
+    sk = events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("_au"),
+        F.percentile_approx("value", 0.5, 10000).alias("_p50"),
+    )
+    hll_ok = F.abs(
+        F.col("_au").cast("double") - F.col("exact_users")
+    ) <= F.greatest(F.lit(3.0), F.col("exact_users") * 0.1)
+    p50_ok = (F.col("_p50") >= F.col("_p40")) & (
+        F.col("_p50") <= F.col("_p60")
+    )
     return (
-        events.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias(
-                "approx_users"
-            ),
-            F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias(
-                "value_quantiles"
-            ),
-            F.count(F.lit(1)).alias("n_events"),
+        ex.join(sk, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            "exact_users",
+            hll_ok.alias("hll_ok"),
+            p50_ok.alias("p50_ok"),
         )
         .orderBy("event_type")
     )
+
+
+_SKETCH_CHECKED_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS hll_ok,
+       TRUE AS p50_ok
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1204,6 +1268,7 @@ QUERIES = {
     # window overflow is managed centrally — see _OVERFLOW in
     # queries/__init__.py
     "sketch_event_stats": sketch_event_stats,
+    "sketch_event_stats_checked": sketch_event_stats_checked,
 }
 
 ORACLES = {
@@ -1215,7 +1280,9 @@ ORACLES = {
     "apply_mix_sampling": _APPLY_MIX_SQL,
     "length_histogram": _HIST_SQL,
     # sketch_event_stats: rows-only (sketch encodings are
-    # engine-specific; error bounds pytest-verified)
+    # engine-specific; error bounds pytest-verified); the _checked
+    # twin below certifies the bounds against exact aggregates
+    "sketch_event_stats_checked": _SKETCH_CHECKED_SQL,
     "split_train_eval": _SPLIT_SQL,
     "vocab_top_tokens": _VOCAB_SQL,
     "pack_sequences": _PACK_SQL,

@@ -23,10 +23,10 @@ from sqltask_spark.operators.retrieval import (
     topic_clusters,
 )
 
-#: normalization fragments shared with the oracle (DuckDB needs the
-#: 'g' flag for replace-all; Spark replaces all by default)
-_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
-_TOKS = f"string_split({_NORM}, ' ')"
+#: normalization fragments shared with the oracle — single source of
+#: truth in textops (pinned Unicode-whitespace class, identical to the
+#: Spark side's Java regex)
+from sqltask_spark.queries.textops import _NORM, _TOKS, _norm_sql  # noqa: E402
 
 #: The benchmark query set — fixed literals over the corpus
 #: vocabulary so both engines embed the identical constant relation.
@@ -60,7 +60,7 @@ qterms AS (
   SELECT query_id, term FROM (
     SELECT query_id,
            UNNEST(list_distinct(string_split(
-             regexp_replace(lower(trim(query_text)), '\\s+', ' ', 'g'),
+             {_norm_sql('query_text')},
              ' '))) AS term
     FROM qs
   ) WHERE term <> ''
@@ -259,7 +259,7 @@ qterms AS (
   SELECT query_id, term FROM (
     SELECT query_id,
            UNNEST(list_distinct(string_split(
-             regexp_replace(lower(trim(query_text)), '\\s+', ' ', 'g'),
+             {_norm_sql('query_text')},
              ' '))) AS term
     FROM qs
   ) WHERE term <> ''
@@ -321,7 +321,7 @@ q_tf AS (
   SELECT query_id, term, COUNT(*) AS tf FROM (
     SELECT query_id,
            UNNEST(string_split(
-             regexp_replace(lower(trim(query_text)), '\\s+', ' ', 'g'),
+             {_norm_sql('query_text')},
              ' ')) AS term
     FROM qs
   ) WHERE term <> '' GROUP BY query_id, term

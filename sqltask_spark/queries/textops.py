@@ -27,10 +27,34 @@ _STOP_SQL = {
     for lang, words in tx.STOPWORDS.items()
 }
 
+def _norm_sql(expr: str = "text") -> str:
+    """DuckDB fragment mirroring :func:`tx.normalize_text` exactly.
+
+    The whitespace class is the SAME literal character class the Spark
+    side compiles into its Java regex (``tx.UNICODE_WS_CLASS``) — RE2
+    and Java regex agree on literal classes, unlike on ``\\s`` (ASCII
+    in both engines here, but Unicode in Python; the explicit class
+    pins one contract for all three). Collapse before trim, so a
+    whitespace-only document normalizes to ''.
+    """
+    return (
+        f"trim(regexp_replace(lower({expr}), "
+        f"'{tx.UNICODE_WS_CLASS}+', ' ', 'g'), ' ')"
+    )
+
+
 #: shared normalization/tokenization SQL fragments (DuckDB needs the
 #: 'g' flag for replace-all; Spark replaces all by default)
-_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_NORM = _norm_sql()
 _TOKS = f"string_split({_NORM}, ' ')"
+
+_SHINGLES = f"""
+CASE WHEN LEN({_TOKS}) >= 3
+     THEN list_distinct(list_transform(
+            generate_series(1, LEN({_TOKS}) - 2),
+            i -> concat_ws(' ', {_TOKS}[i], {_TOKS}[i+1], {_TOKS}[i+2])))
+     ELSE [{_NORM}] END
+"""
 
 
 # --------------------------------------------------------------------------
@@ -187,6 +211,190 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# dedup_minhash_pairs_md5 — the ORACLED twin of dedup_minhash_pairs:
+# identical algorithm shape (shingle → permute → min-agg → band →
+# bucket-cap → pair → exact-Jaccard verify) with an md5 hash family
+# DuckDB reproduces bit-for-bit. The xxhash64 entry stays the
+# production path (md5-over-strings costs several× more CPU); this
+# twin exists so the banded-LSH operator CLASS carries a driver
+# hash-match instead of a permanent rows-only row.
+# --------------------------------------------------------------------------
+
+_MH_SEED = 42
+_MH_PERM = 32
+_MH_BANDS = 8
+_MH_RPB = _MH_PERM // _MH_BANDS
+_MH_CAP = 1000
+
+
+def dedup_minhash_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sqltask_spark.operators.dedup import minhash_dedup_pairs_md5
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_dedup_pairs_md5(
+        docs,
+        "doc_id",
+        "text",
+        num_perm=_MH_PERM,
+        bands=_MH_BANDS,
+        seed=_MH_SEED,
+        max_bucket_size=_MH_CAP,
+    ).select(
+        "id_a",
+        "id_b",
+        "n_shared_bands",
+        F.round("jaccard", 6).alias("jaccard"),
+    ).orderBy("id_a", "id_b")
+
+
+def _md5long_sql(e: str) -> str:
+    """60-bit md5 hash — DuckDB mirror of dedup._md5_long_of."""
+    return f"('0x' || substring(md5({e}), 1, 15))::BIGINT"
+
+
+def _mh_perm_sql(i: int) -> str:
+    return _md5long_sql(f"'{_MH_SEED}:{i}:' || CAST(h AS VARCHAR)")
+
+
+def _mh_band_sql(b: int) -> str:
+    cols = " || ',' || ".join(
+        f"CAST(m{b * _MH_RPB + j} AS VARCHAR)" for j in range(_MH_RPB)
+    )
+    return _md5long_sql(cols)
+
+
+_MINHASH_MD5_SQL = f"""
+WITH sh AS MATERIALIZED (
+  SELECT doc_id AS id,
+         list_distinct(list_transform(
+           {_SHINGLES}, s -> {_md5long_sql('s')})) AS h
+  FROM documents
+),
+ex AS MATERIALIZED (SELECT id, UNNEST(h) AS h FROM sh),
+sig AS MATERIALIZED (
+  SELECT id,
+         {", ".join(f"MIN({_mh_perm_sql(i)}) AS m{i}" for i in range(_MH_PERM))}
+  FROM ex GROUP BY id
+),
+banded AS MATERIALIZED (
+  {" UNION ALL ".join(
+      f"SELECT id, {b} AS band, {_mh_band_sql(b)} AS band_hash FROM sig"
+      for b in range(_MH_BANDS))}
+),
+ok AS (
+  SELECT band, band_hash FROM banded
+  GROUP BY band, band_hash
+  HAVING COUNT(*) >= 2 AND COUNT(*) <= {_MH_CAP}
+),
+cand AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+  FROM banded a
+  JOIN banded b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.id < b.id
+  JOIN ok ON ok.band = a.band AND ok.band_hash = a.band_hash
+  GROUP BY a.id, b.id
+)
+SELECT cand.id_a, cand.id_b, cand.n_shared_bands,
+       ROUND(CAST(LEN(list_intersect(sa.h, sb.h)) AS DOUBLE)
+             / LEN(list_distinct(sa.h || sb.h)), 6) AS jaccard
+FROM cand
+JOIN sh sa ON sa.id = cand.id_a
+JOIN sh sb ON sb.id = cand.id_b
+ORDER BY id_a, id_b
+"""
+
+
+# --------------------------------------------------------------------------
+# bpe_encode_fixed — ORACLED certificate for the BPE encode fold.
+#
+# bpe_encode_documents (rows-only) learns its merge table from the
+# corpus, which no static oracle SQL can reproduce. This twin applies
+# a FIXED merge table (common English pairs) through the SAME
+# greedy left-to-right ``apply_merge`` JVM fold the learned path
+# uses, and the DuckDB oracle re-implements that exact fold with
+# nested ``list_reduce`` (list-of-lists accumulator) — so the driver
+# hash-checks the merge fold's semantics end to end, overlap cases
+# included. (A first cut tried a separator-string replace chain; it
+# is NOT equivalent — a literal replace can match into the prefix of
+# a longer following symbol, e.g. ["aa","aa"] + (aa,a) — so the fold
+# itself ships on both sides.) Output stays scalar (count + md5 of
+# the space-joined subtoken stream) for the driver's canonicalizer.
+# --------------------------------------------------------------------------
+
+#: fixed merge table, applied in rank order (pairs chosen from the
+#: most frequent English letter bigrams; content is irrelevant to the
+#: certificate — only that both engines apply the same fold)
+FIXED_BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"),
+    ("an", "d"), ("o", "n"), ("r", "e"), ("a", "t"), ("e", "n"),
+    ("o", "r"), ("e", "s"), ("s", "t"), ("in", "g"), ("t", "o"),
+    ("o", "u"), ("i", "t"), ("a", "l"), ("a", "r"), ("er", "s"),
+)
+
+
+def bpe_encode_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sqltask_spark.operators.bpe import apply_merge
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def encode_word(w):
+        # '.' never misses a char: post-normalization text contains
+        # no newlines (all whitespace collapsed to 0x20)
+        syms = F.regexp_extract_all(w, F.lit("."), 0)
+        for left, right in FIXED_BPE_MERGES:
+            syms = apply_merge(syms, left, right)
+        return syms
+
+    enc = F.flatten(
+        F.transform(tx.tokenize(F.col("text")), encode_word)
+    )
+    return docs.select(
+        "doc_id",
+        F.size(enc).cast("long").alias("n_subtokens"),
+        F.md5(F.concat_ws(" ", enc)).alias("enc_fingerprint"),
+    ).orderBy("doc_id")
+
+
+def _bpe_fold_sql() -> str:
+    """Nested list_reduce chain mirroring apply_merge per merge rank.
+
+    Each level's accumulator is list<string>; elements are wrapped as
+    singleton lists so acc and x share a type (list_reduce requires
+    it). The CASE reproduces apply_merge exactly: if the accumulator
+    tail equals ``left`` and the incoming symbol equals ``right``,
+    replace the tail with the merged symbol, else append.
+    """
+    expr = "list_transform(regexp_extract_all(w, '.'), c -> [c])"
+    first = True
+    for left, right in FIXED_BPE_MERGES:
+        src = expr if first else f"list_transform({expr}, s -> [s])"
+        first = False
+        expr = (
+            f"list_reduce({src}, (acc, x) -> "
+            f"CASE WHEN acc[-1] = '{left}' AND x[1] = '{right}' "
+            f"THEN acc[1:len(acc)-1] || ['{left}{right}'] "
+            f"ELSE acc || x END)"
+        )
+    return f"CASE WHEN length(w) = 0 THEN []::VARCHAR[] ELSE {expr} END"
+
+
+_BPE_FIXED_SQL = f"""
+WITH enc AS (
+  SELECT doc_id,
+         flatten(list_transform({_TOKS}, w -> {_bpe_fold_sql()})) AS toks
+  FROM documents
+)
+SELECT
+  doc_id,
+  CAST(LEN(toks) AS BIGINT) AS n_subtokens,
+  md5(array_to_string(toks, ' ')) AS enc_fingerprint
+FROM enc
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # token_count_bpe — BPE-style regex pre-tokenization counts.
 # --------------------------------------------------------------------------
 
@@ -254,13 +462,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-_SHINGLES = f"""
-CASE WHEN LEN({_TOKS}) >= 3
-     THEN list_distinct(list_transform(
-            generate_series(1, LEN({_TOKS}) - 2),
-            i -> concat_ws(' ', {_TOKS}[i], {_TOKS}[i+1], {_TOKS}[i+2])))
-     ELSE [{_NORM}] END
-"""
 
 # MATERIALIZED + jaccard-computed-once: without the hints DuckDB
 # inlines the shingle CTE into its 3 consumers and evaluates the
@@ -1268,6 +1469,8 @@ QUERIES = {
     "lang_id_documents": lang_id_documents,
     "quality_score_documents": quality_score_documents,
     "dedup_minhash_pairs": dedup_minhash_pairs,
+    "dedup_minhash_pairs_md5": dedup_minhash_pairs_md5,
+    "bpe_encode_fixed": bpe_encode_fixed,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "token_count_bpe": token_count_bpe,
     "rolling_fingerprint": rolling_fingerprint,
@@ -1314,6 +1517,8 @@ ORACLES = {
     "corpus_cut_spans": _CUT_SPANS_SQL,
     "gopher_quality_flags": _GOPHER_SQL,
     "lm_perplexity": _LM_PPL_SQL,
+    "dedup_minhash_pairs_md5": _MINHASH_MD5_SQL,
+    "bpe_encode_fixed": _BPE_FIXED_SQL,
     # dedup_minhash_pairs / dedup_simhash_pairs: intentionally no
     # oracle — Spark-native xxhash64 signatures.
 }

@@ -201,6 +201,25 @@ def test_minhash_finds_near_dups(spark):
     assert (1, 4) not in got
 
 
+def test_minhash_md5_twin_semantics(spark):
+    """The md5-family twin keeps the banding contract: identical docs
+    share every band (n_shared_bands == bands, jaccard == 1.0) and
+    unrelated docs never pair. Cross-engine hash equality with the
+    DuckDB oracle is the driver gate's job; this pins semantics."""
+    from sqltask_spark.operators.dedup import minhash_dedup_pairs_md5
+
+    docs = _corpus(spark)
+    out = minhash_dedup_pairs_md5(
+        docs, "doc_id", "text", num_perm=16, bands=4
+    ).collect()
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_shared_bands"], r["jaccard"])
+        for r in out
+    }
+    assert got[(1, 2)] == (4, 1.0)  # identical docs: all bands, J=1
+    assert (1, 4) not in got
+
+
 def test_simhash_near_pairs(spark):
     out = simhash_near_pairs(
         _corpus(spark), "doc_id", "text", max_distance=3
@@ -350,7 +369,8 @@ def test_sketch_event_stats_error_bounds(spark, sf_dir):
         want = exact[et]["users"]
         assert abs(r["approx_users"] - want) <= max(3, 0.1 * want)
         p40, p60 = exact[et]["p46"]
-        assert p40 <= r["value_quantiles"][0] <= p60
+        assert p40 <= r["value_p50"] <= p60
+        assert r["value_p50"] <= r["value_p95"] <= r["value_p99"]
 
 
 def test_ngram_jaccard_capped_mode(spark):
@@ -1739,3 +1759,50 @@ def test_random_projection_preserves_relative_distances(spark, tables):
     assert (ratios > 0.3).all() and (ratios < 2.0).all(), (
         ratios.min(), ratios.max()
     )
+
+
+def test_bpe_fixed_encode_matches_python_fold(spark):
+    """bpe_encode_fixed (the oracled certificate entry) agrees with a
+    pure-Python greedy left-to-right merge fold — including overlap
+    cases ("aaa" + (a,a)) and merges whose results feed later merges
+    (th + e -> the). Pins the Spark side; the DuckDB list_reduce
+    oracle is pinned against the same fold by the driver gate."""
+    import hashlib
+    import re
+
+    from sqltask_spark.operators.bpe import _merge_word
+    from sqltask_spark.queries.textops import (
+        FIXED_BPE_MERGES,
+        bpe_encode_fixed,
+    )
+
+    texts = [
+        "the cat in the hat",
+        "aaa aaaa themes another",
+        "ers erser serser",
+        "ing thing triangle",
+        "x",
+        "",
+        "thththth era errand",
+    ]
+    import os
+    import tempfile
+
+    tmp = tempfile.mkdtemp()
+    spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+    got = {
+        r["doc_id"]: (r["n_subtokens"], r["enc_fingerprint"])
+        for r in bpe_encode_fixed(spark, tmp).collect()
+    }
+    for i, t in enumerate(texts):
+        norm = re.sub(r"\s+", " ", t.lower()).strip(" ")
+        stream = []
+        for w in norm.split(" "):
+            syms = list(w)
+            for left, right in FIXED_BPE_MERGES:
+                syms = _merge_word(syms, left, right)
+            stream.extend(syms)
+        want_fp = hashlib.md5(" ".join(stream).encode()).hexdigest()
+        assert got[i] == (len(stream), want_fp), f"doc {i}"

@@ -10,23 +10,27 @@ from __future__ import annotations
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
-# printable, no surrogates, keeps normalize/tokenize semantics simple
+# no surrogates/control-plane exotica, but INCLUDES the exotic
+# whitespace the engine's pinned class must handle (NEL \x85, NBSP
+# \xa0, plus U+2000-block spaces and line/para separators)
 _TEXT = st.text(
-    alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+    alphabet=st.one_of(
+        st.characters(min_codepoint=32, max_codepoint=0x2FF),
+        st.sampled_from("\t\n\x0b\f\r\x1c\x85\xa0\u2000\u2028\u3000"),
+    ),
     min_size=0,
     max_size=80,
 )
 
 
 def _ref_rolling(text: str, base=31, mod=1_000_000_007, init=7) -> int:
-    """Python model of normalize+fold. Mirrors engine semantics:
-    trim strips only 0x20 (Spark/DuckDB trim), and regex \\s is ASCII
-    (Java regex / RE2) — unlike Python's unicode-aware \\s/strip."""
+    """Python model of normalize+fold. The engine pins an explicit
+    Unicode-whitespace class (tx.UNICODE_WS_CLASS) equal to Python's
+    ``\\s``, so the model is plain Python regex semantics: collapse
+    whitespace runs, then strip the remaining edge spaces."""
     import re
 
-    norm = re.sub(
-        r"[ \t\n\x0b\f\r]+", " ", text.strip(" ").lower()
-    )
+    norm = re.sub(r"\s+", " ", text.lower()).strip(" ")
     h = init
     for c in norm:
         h = (h * base + ord(c)) % mod
@@ -359,3 +363,22 @@ def test_tfidf_cosine_matches_reference_on_random_corpora(
     assert set(got) == set(want)
     for p, c in want.items():
         assert abs(got[p] - round(c, 6)) < 1e-9
+
+
+def test_ws_class_equals_python_unicode_ws_exhaustive():
+    """The pinned engine whitespace class (UNICODE_WS_CLASS, compiled
+    into Spark's Java regex and DuckDB's RE2 oracle fragments) matches
+    Python's unicode-aware \\s on every BMP codepoint — the contract
+    that lets the pytest models use plain Python regex semantics."""
+    import re
+
+    from sqltask_spark.operators.text import UNICODE_WS_CLASS
+
+    pat = re.compile(UNICODE_WS_CLASS)
+    ws = re.compile(r"\s")
+    diff = [
+        hex(c)
+        for c in range(0x10000)
+        if bool(pat.match(chr(c))) != bool(ws.match(chr(c)))
+    ]
+    assert diff == []
