@@ -143,6 +143,7 @@ def probe_ivf_index_distributed(
     k: int = 10,
     n_probe: int = 8,
     round_digits: int = 6,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Large-batch probe of a prebuilt IVF index: no driver collect
     of the query set (cf. the per-call operators' dual path —
@@ -183,9 +184,18 @@ def probe_ivf_index_distributed(
         "qn", l2_norm(F.col("qv"))
     )
     ci = ensure_min_partitions(spark.read.parquet(f"{path}/vectors"))
+    joined = _salted_cell_join(ci, probes_df, len(cents))
+    if exclude_self:
+        # corpus-style probes share the corpus id space, where a
+        # query's own row is a degenerate hit. For an EXTERNAL query
+        # batch whose ids only coincidentally collide with corpus
+        # ids, pass exclude_self=False or a legitimate neighbor is
+        # silently dropped.
+        joined = joined.filter(
+            F.col("query_id") != F.col("neighbor_id")
+        )
     scored = (
-        _salted_cell_join(ci, probes_df, len(cents))
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        joined
         .join(qvecs_df, "query_id")
         .withColumn(
             "score",

@@ -446,6 +446,7 @@ def random_projection(
     vec_col: str = "embedding",
     out_dim: int = 16,
     seed: int = 7,
+    expected_dim: int | None = None,
 ) -> DataFrame:
     """Johnson–Lindenstrauss dimensionality reduction by sparse
     random projection — the pre-ANN compression step: project 64-d
@@ -477,6 +478,14 @@ def random_projection(
     # first row (a 1-row limit — metadata-cheap)
     first = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
     dim = int(first[0]["d"]) if first else 0
+    if expected_dim is not None and first and dim != expected_dim:
+        # callers that pair this with a dim-frozen external oracle
+        # (the catalog entry freezes its matrix at EMBED_DIM) must
+        # fail loudly instead of silently projecting with a matrix
+        # built for the wrong width
+        raise ValueError(
+            f"embedding dim {dim} != expected {expected_dim}"
+        )
     triples = sparse_projection_matrix(dim, out_dim, seed)
     mat = spark.createDataFrame(triples, schema="i int, j int, s long")
     scale = math.sqrt(3.0 / out_dim)

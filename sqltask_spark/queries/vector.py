@@ -491,8 +491,15 @@ def embedding_random_projection(
     from sqltask_spark.operators.similarity import random_projection
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # expected_dim: the oracle's projection matrix is frozen at
+    # EMBED_DIM when _rp_sql() renders — a different data width must
+    # error here, not silently hash-mismatch
     return random_projection(
-        emb, "vec_id", out_dim=_RP_OUT_DIM, seed=_RP_SEED
+        emb,
+        "vec_id",
+        out_dim=_RP_OUT_DIM,
+        seed=_RP_SEED,
+        expected_dim=EMBED_DIM,
     ).orderBy("id", "j")
 
 

@@ -218,15 +218,19 @@ def test_source_quality_cap_partial_topk_before_shuffle(spark, sf_dir):
     Exchange → Final, so the shuffle carries ~K rows per source
     instead of the whole source — the property that makes a
     per-domain cap feasible against a mega-domain at 100 TB."""
+    import re
+
     df = QUERIES["source_quality_cap"](spark, sf_dir)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "WindowGroupLimit" in plan
-    partial = plan.index("Partial")
+    # anchor to the WindowGroupLimit node's own mode marker — a bare
+    # "Partial" substring can hit partial aggregates elsewhere
+    partial_wgl = re.search(r"WindowGroupLimit .*\bPartial\b", plan)
+    assert partial_wgl, "no Partial-mode WindowGroupLimit in plan"
     # the Partial limit sits BELOW (after, in toString order) the
     # per-source hash exchange it protects
     exch = plan.index("Exchange hashpartitioning(source")
-    assert exch < partial
+    assert exch < partial_wgl.start()
     assert "CartesianProduct" not in plan
 
 
