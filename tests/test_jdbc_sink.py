@@ -197,3 +197,86 @@ def test_snowflake_sink_requires_connector(spark):
     df = _batch_df(spark, dt.date(2020, 1, 1), ["a"])
     with pytest.raises(RuntimeError, match="spark-snowflake"):
         sink.write_batch(df, table)
+
+
+# -- S2 live read path: jdbc_source against the same embedded Derby -------
+
+def _seed_numbers(spark, table: str, n: int = 20) -> None:
+    # uppercase column names: the Spark JDBC writer quotes identifiers
+    # verbatim, and Derby folds unquoted query identifiers to upper
+    df = spark.createDataFrame(
+        [(i, f"name{i}", float(i) * 1.5) for i in range(n)],
+        "ID INT, LABEL STRING, AMOUNT DOUBLE",
+    )
+    (
+        df.write.format("jdbc")
+        .option("url", DERBY_URL)
+        .option("driver", DERBY_DRIVER)
+        .option("dbtable", table)
+        # Derby maps StringType to CLOB by default, which cannot be
+        # compared against literals — pin VARCHAR for the query tests
+        .option("createTableColumnTypes", "LABEL VARCHAR(50)")
+        .mode("overwrite")
+        .save()
+    )
+
+
+def test_jdbc_source_live_read_with_bound_params(spark):
+    """S2's pushdown read path against a real database: the :name
+    binding interpolates into the shipped subquery and the external
+    engine (Derby) executes it — completing the Derby story that
+    test_jdbc_write_batch_* already proves for the W2 sink."""
+    from sqltask_spark.sources.sql import jdbc_source
+
+    _seed_numbers(spark, "s2_read", 20)
+    got = jdbc_source(
+        spark,
+        DERBY_URL,
+        "SELECT id, label, amount FROM s2_read "
+        "WHERE amount >= :min_amount AND label <> :skip",
+        params={"min_amount": 12.0, "skip": "name10"},
+        properties={"driver": DERBY_DRIVER},
+    )
+    rows = {r["ID"]: r["AMOUNT"] for r in got.collect()}
+    # amount = 1.5*id >= 12 → id >= 8, minus the excluded name10
+    assert set(rows) == {i for i in range(8, 20) if i != 10}
+    assert rows[9] == 13.5
+
+
+def test_jdbc_source_partitioned_read(spark):
+    """The partitioning triple must turn the single-connection read
+    into N range-partitioned scans over the same rows — the scale
+    lever the reference's one-cursor read lacks."""
+    from sqltask_spark.sources.sql import jdbc_source
+
+    _seed_numbers(spark, "s2_part", 30)
+    got = jdbc_source(
+        spark,
+        DERBY_URL,
+        "SELECT id, amount FROM s2_part",
+        properties={"driver": DERBY_DRIVER},
+        partition_column="id",
+        lower_bound=0,
+        upper_bound=30,
+        num_partitions=4,
+    )
+    assert got.rdd.getNumPartitions() == 4
+    assert sorted(r["ID"] for r in got.collect()) == list(range(30))
+
+
+def test_jdbc_source_filter_pushdown_reaches_scan(spark):
+    """A Spark-side filter on the JDBC frame must appear in the scan's
+    PushedFilters — i.e. travel to the external database as SQL
+    instead of filtering rows after transfer."""
+    from sqltask_spark.sources.sql import jdbc_source
+
+    _seed_numbers(spark, "s2_push", 10)
+    df = jdbc_source(
+        spark,
+        DERBY_URL,
+        "SELECT id, label, amount FROM s2_push",
+        properties={"driver": DERBY_DRIVER},
+    ).filter("amount > 6.0")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "GreaterThan" in plan, plan
+    assert {r["ID"] for r in df.collect()} == {5, 6, 7, 8, 9}
