@@ -648,6 +648,90 @@ def simhash_near_pairs(
     return verified
 
 
+def simhash_near_pairs_md5(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_distance: int = 3,
+    shingle_n: int = 2,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """:func:`simhash_near_pairs` with a 60-bit md5 hash family —
+    the ORACLED twin of the SimHash pipeline (cf.
+    :func:`minhash_dedup_pairs_md5` for the pattern and rationale).
+
+    Same shape end to end: per-shingle hash → per-bit majority vote →
+    pigeonhole banding (``max_distance + 1`` chunks) → hot-bucket cap
+    → candidate join → exact Hamming verify. 60 bits (md5_long's
+    width) instead of 64 — with distance 3 that banding is 4 clean
+    15-bit chunks, and every operation (shifts, masks, bit_count,
+    xor) is reproducible in DuckDB. Production stays on the xxhash64
+    64-bit form.
+    """
+    from sqltask_spark.data import ensure_min_partitions
+    from sqltask_spark.operators.bucketing import drop_hot_buckets
+
+    bits = 60
+    chunks = max_distance + 1
+    assert bits % chunks == 0, "chunks must divide 60"
+    width = bits // chunks
+
+    hashes = F.array_distinct(
+        F.transform(
+            word_shingles(F.col(text_col), shingle_n), _md5_long_of
+        )
+    )
+    exploded = ensure_min_partitions(df).select(
+        F.col(id_col).alias("id"), F.explode(hashes).alias("h")
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for bit in range(bits):
+        mask = F.lit(1 << bit).cast("long")
+        aggs.append(
+            F.sum(
+                F.when(F.col("h").bitwiseAND(mask) != 0, 1).otherwise(0)
+            ).alias(f"b{bit}")
+        )
+    counted = exploded.groupBy("id").agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for bit in range(bits):
+        sig = sig.bitwiseOR(
+            F.when(
+                F.col(f"b{bit}") * 2 >= F.col("n"),
+                F.lit(1 << bit).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    sigs = counted.select("id", sig.alias("sig"))
+
+    chunk_cols = [
+        F.shiftrightunsigned(F.col("sig"), i * width).bitwiseAND(
+            F.lit((1 << width) - 1)
+        )
+        for i in range(chunks)
+    ]
+    banded = sigs.select(
+        "id", "sig", F.posexplode(F.array(*chunk_cols)).alias("ci", "cv")
+    )
+    banded = drop_hot_buckets(banded, ["ci", "cv"], max_bucket_size)
+    a = banded.select(
+        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "ci", "cv"
+    )
+    b = banded.select(
+        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "ci", "cv"
+    )
+    return (
+        a.join(b, ["ci", "cv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))),
+        )
+        .filter(F.col("hamming") <= max_distance)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def exact_dedup(
     df: DataFrame,
     text_col: str,

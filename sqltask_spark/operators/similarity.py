@@ -374,6 +374,121 @@ def cosine_near_pairs_lsh(
     )
 
 
+def cosine_near_pairs_lsh_fixed(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 4,
+    tables: int = 8,
+    seed: int = 101,
+    max_bucket_size: int | None = 1000,
+    round_digits: int = 6,
+) -> DataFrame:
+    """:func:`cosine_near_pairs_lsh` with engine-portable signatures —
+    the ORACLED twin of the random-hyperplane LSH family.
+
+    Two substitutions make every bucket reproducible by an external
+    SQL engine while keeping the algorithm shape identical
+    (sign-bit signatures → per-table buckets → hot-bucket cap →
+    candidate equi-join → exact cosine verify):
+
+    - planes are the seeded Achlioptas ±1 sparse matrix
+      (:func:`sparse_projection_matrix` — same family the oracled JL
+      projection uses) instead of Gaussian draws;
+    - plane dot products run in exact BIGINT micro fixed point
+      (``round(v_i·1e6)`` · ±1, summed), so each sign bit — and
+      therefore each bucket id — is bit-identical in any engine.
+
+    Sign-recall intuition is unchanged: Achlioptas planes satisfy the
+    same random-projection guarantees as Gaussian ones (that is their
+    point), so collision probabilities match in expectation. The
+    Gaussian/Arrow-UDF form stays the production path — one BLAS
+    matmul per batch beats the explode + join when signatures dominate
+    — but this twin is itself scale-sane: the explode is
+    O(rows · dim), the matrix broadcast is tiny, and the candidate
+    join is the same capped bucket join.
+    """
+    from sqltask_spark.data import ensure_min_partitions
+    from sqltask_spark.operators.bucketing import drop_hot_buckets
+
+    spark = df.sparkSession
+    first = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    dim = int(first[0]["d"]) if first else 0
+    n_sig = tables * n_planes
+    triples = sparse_projection_matrix(dim, n_sig, seed)
+    mat = spark.createDataFrame(triples, schema="i int, j int, s long")
+
+    base = ensure_min_partitions(df).select(
+        F.col(id_col).alias("id"),
+        as_double_array(F.col(vec_col)).alias("v"),
+    )
+    vq = base.select(
+        "id", F.posexplode("v").alias("i", "x")
+    ).select(
+        "id",
+        "i",
+        F.round(F.col("x") * F.lit(1_000_000.0)).cast("long").alias("q"),
+    )
+    # sign bit per plane (exact integer dot), then pack n_planes bits
+    # per table — two skinny aggregations, no vector payload shuffled
+    bits = (
+        vq.join(F.broadcast(mat), "i")
+        .groupBy("id", "j")
+        .agg(F.sum(F.col("q") * F.col("s")).alias("dot"))
+        .select(
+            "id",
+            F.expr(f"j div {n_planes}").alias("t"),
+            F.when(
+                F.col("dot") >= 0,
+                # shiftleft's python wrapper wants a literal shift;
+                # the SQL form takes a column
+                F.expr(f"shiftleft(1, j % {n_planes})"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("bit"),
+        )
+    )
+    buckets = bits.groupBy("id", "t").agg(F.sum("bit").alias("bucket"))
+    capped = drop_hot_buckets(buckets, ["t", "bucket"], max_bucket_size)
+    cand = (
+        capped.alias("a")
+        .join(
+            capped.alias("b"),
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    prenormed = base.withColumn("nrm", l2_norm(F.col("v")))
+    va = prenormed.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    vb = prenormed.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
+            "cosine",
+            F.round(
+                cosine_prenormed(
+                    F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+                ),
+                round_digits,
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def quantize_symmetric(
     df: DataFrame,
     id_col: str,

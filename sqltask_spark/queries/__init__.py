@@ -87,6 +87,8 @@ _FLAGSHIP = [
 #: one.
 _PROMOTED = [
     "dedup_minhash_pairs_md5",
+    "dedup_simhash_pairs_md5",
+    "dedup_embedding_pairs_lsh_fixed",
     "bpe_encode_fixed",
     "sketch_event_stats_checked",
 ]

@@ -395,6 +395,95 @@ ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
+# dedup_simhash_pairs_md5 — ORACLED twin of dedup_simhash_pairs (cf.
+# dedup_minhash_pairs_md5): 60-bit md5 token-hash family, per-bit
+# majority vote, 4×15-bit pigeonhole banding, hot-bucket cap, exact
+# Hamming verify — all reproducible in DuckDB.
+# --------------------------------------------------------------------------
+
+_SH_BITS = 60
+_SH_DIST = 3
+_SH_CHUNKS = _SH_DIST + 1
+_SH_WIDTH = _SH_BITS // _SH_CHUNKS
+_SH_CAP = 1000
+
+#: bigram shingles with whole-text fallback — the shingle_n=2 mirror
+#: of _SHINGLES
+_SHINGLES2 = f"""
+CASE WHEN LEN({_TOKS}) >= 2
+     THEN list_distinct(list_transform(
+            generate_series(1, LEN({_TOKS}) - 1),
+            i -> concat_ws(' ', {_TOKS}[i], {_TOKS}[i+1])))
+     ELSE [{_NORM}] END
+"""
+
+
+def dedup_simhash_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sqltask_spark.operators.dedup import simhash_near_pairs_md5
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_pairs_md5(
+        docs,
+        "doc_id",
+        "text",
+        max_distance=_SH_DIST,
+        max_bucket_size=_SH_CAP,
+    ).orderBy("id_a", "id_b")
+
+
+def _simhash_md5_sql() -> str:
+    bit_sums = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE 0 END) AS b{b}"
+        for b in range(_SH_BITS)
+    )
+    sig_terms = " + ".join(
+        f"(CASE WHEN b{b} * 2 >= n THEN {1 << b} ELSE 0 END)"
+        for b in range(_SH_BITS)
+    )
+    mask = (1 << _SH_WIDTH) - 1
+    banded = " UNION ALL ".join(
+        f"SELECT id, sig, {i} AS ci, (sig >> {i * _SH_WIDTH}) & {mask}"
+        f" AS cv FROM sig"
+        for i in range(_SH_CHUNKS)
+    )
+    return f"""
+WITH sh AS MATERIALIZED (
+  SELECT doc_id AS id,
+         list_distinct(list_transform(
+           {_SHINGLES2}, s -> {_md5long_sql('s')})) AS hs
+  FROM documents
+),
+ex AS (SELECT id, UNNEST(hs) AS h FROM sh),
+bits AS (
+  SELECT id, COUNT(*) AS n,
+         {bit_sums}
+  FROM ex GROUP BY id
+),
+sig AS MATERIALIZED (
+  SELECT id, CAST({sig_terms} AS BIGINT) AS sig FROM bits
+),
+banded AS MATERIALIZED ({banded}),
+ok AS (
+  SELECT ci, cv FROM banded GROUP BY ci, cv
+  HAVING COUNT(*) <= {_SH_CAP}
+),
+capped AS (
+  SELECT b.id, b.sig, b.ci, b.cv FROM banded b JOIN ok USING (ci, cv)
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         a.sig AS sig_a, b.sig AS sig_b
+  FROM capped a
+  JOIN capped b ON a.ci = b.ci AND a.cv = b.cv AND a.id < b.id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(sig_a, sig_b)) <= {_SH_DIST}
+ORDER BY id_a, id_b
+"""
+
+
+# --------------------------------------------------------------------------
 # token_count_bpe — BPE-style regex pre-tokenization counts.
 # --------------------------------------------------------------------------
 
@@ -1471,6 +1560,7 @@ QUERIES = {
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_minhash_pairs_md5": dedup_minhash_pairs_md5,
     "bpe_encode_fixed": bpe_encode_fixed,
+    "dedup_simhash_pairs_md5": dedup_simhash_pairs_md5,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "token_count_bpe": token_count_bpe,
     "rolling_fingerprint": rolling_fingerprint,
@@ -1519,6 +1609,7 @@ ORACLES = {
     "lm_perplexity": _LM_PPL_SQL,
     "dedup_minhash_pairs_md5": _MINHASH_MD5_SQL,
     "bpe_encode_fixed": _BPE_FIXED_SQL,
+    "dedup_simhash_pairs_md5": _simhash_md5_sql(),
     # dedup_minhash_pairs / dedup_simhash_pairs: intentionally no
     # oracle — Spark-native xxhash64 signatures.
 }

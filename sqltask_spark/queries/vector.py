@@ -203,6 +203,102 @@ def dedup_embedding_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+# --------------------------------------------------------------------------
+# dedup_embedding_pairs_lsh_fixed — ORACLED twin of the LSH pairs
+# entry: seeded Achlioptas ±1 planes + exact BIGINT fixed-point sign
+# bits make every bucket reproducible in DuckDB, so the whole
+# bucket-join → cap → exact-cosine-verify pipeline hash-checks. The
+# Gaussian/Arrow-UDF entry stays the production path.
+# --------------------------------------------------------------------------
+
+_LSH_FIXED_SEED = 101
+_LSH_FIXED_PLANES = 4
+_LSH_FIXED_TABLES = 16
+_LSH_FIXED_CAP = 1000
+
+
+def dedup_embedding_pairs_lsh_fixed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from sqltask_spark.operators.similarity import (
+        cosine_near_pairs_lsh_fixed,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_near_pairs_lsh_fixed(
+        emb,
+        "vec_id",
+        "embedding",
+        threshold=_EMB_DUP_THRESHOLD,
+        n_planes=_LSH_FIXED_PLANES,
+        tables=_LSH_FIXED_TABLES,
+        seed=_LSH_FIXED_SEED,
+        max_bucket_size=_LSH_FIXED_CAP,
+    ).orderBy("id_a", "id_b")
+
+
+def _lsh_fixed_sql() -> str:
+    from sqltask_spark.operators.similarity import (
+        sparse_projection_matrix,
+    )
+
+    n_sig = _LSH_FIXED_TABLES * _LSH_FIXED_PLANES
+    triples = sparse_projection_matrix(
+        EMBED_DIM, n_sig, _LSH_FIXED_SEED
+    )
+    values = ", ".join(f"({i}, {j}, {s})" for i, j, s in triples)
+    return f"""
+WITH mat(i, j, s) AS (VALUES {values}),
+e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings),
+base AS (
+  SELECT vec_id AS id,
+         UNNEST(generate_series(0, LEN(embedding) - 1)) AS i,
+         UNNEST(embedding) AS x
+  FROM embeddings
+),
+q AS (
+  SELECT id, i,
+         CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+  FROM base
+),
+dots AS (
+  SELECT id, j, SUM(q * s) AS dot FROM q JOIN mat USING (i)
+  GROUP BY id, j
+),
+buckets AS (
+  SELECT id, j // {_LSH_FIXED_PLANES} AS t,
+         SUM(CASE WHEN dot >= 0
+                  THEN (1 << (j % {_LSH_FIXED_PLANES})) ELSE 0 END)
+           AS bucket
+  FROM dots GROUP BY id, j // {_LSH_FIXED_PLANES}
+),
+ok AS (
+  SELECT t, bucket FROM buckets GROUP BY t, bucket
+  HAVING COUNT(*) <= {_LSH_FIXED_CAP}
+),
+capped AS (SELECT b.id, b.t, b.bucket FROM buckets b JOIN ok USING (t, bucket)),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM capped a
+  JOIN capped b ON a.t = b.t AND a.bucket = b.bucket AND a.id < b.id
+),
+scored AS (
+  SELECT id_a, id_b,
+         ROUND(list_dot_product(ea.v, eb.v)
+               / (sqrt(list_dot_product(ea.v, ea.v))
+                  * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cosine
+  FROM cand
+  JOIN e ea ON ea.id = cand.id_a
+  JOIN e eb ON eb.id = cand.id_b
+)
+SELECT id_a, id_b, cosine
+FROM scored
+WHERE cosine >= {_EMB_DUP_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
 _EMB_PAIRS_SQL = f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -543,6 +639,7 @@ QUERIES = {
     "ann_topk_ivf_pq": ann_topk_ivf_pq,
     "dedup_embedding_pairs": dedup_embedding_pairs,
     "dedup_embedding_pairs_lsh": dedup_embedding_pairs_lsh,
+    "dedup_embedding_pairs_lsh_fixed": dedup_embedding_pairs_lsh_fixed,
     "embedding_quantize_int8": embedding_quantize_int8,
     "semdedup_keep": semdedup_keep,
     "label_centroids": label_centroids,
@@ -555,6 +652,7 @@ ORACLES = {
     "embedding_random_projection": _rp_sql(),
     "vector_norms": _NORMS_SQL,
     "dedup_embedding_pairs": _EMB_PAIRS_SQL,
+    "dedup_embedding_pairs_lsh_fixed": _lsh_fixed_sql(),
     "embedding_quantize_int8": _QUANT_SQL,
     "embedding_outliers": _OUTLIERS_SQL,
     "label_centroids": _CENTROIDS_SQL,

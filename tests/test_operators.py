@@ -220,6 +220,20 @@ def test_minhash_md5_twin_semantics(spark):
     assert (1, 4) not in got
 
 
+def test_simhash_md5_twin_semantics(spark):
+    """The md5-family SimHash twin keeps the contract: identical docs
+    pair at hamming 0, unrelated docs don't pair. Cross-engine bit
+    equality with the DuckDB oracle is the driver gate's job."""
+    from sqltask_spark.operators.dedup import simhash_near_pairs_md5
+
+    out = simhash_near_pairs_md5(
+        _corpus(spark), "doc_id", "text", max_distance=3
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in out}
+    assert got[(1, 2)] == 0
+    assert (1, 4) not in got
+
+
 def test_simhash_near_pairs(spark):
     out = simhash_near_pairs(
         _corpus(spark), "doc_id", "text", max_distance=3
@@ -261,6 +275,36 @@ def test_cosine_lsh_recall(spark, tables):
     lset = {(r["query_id"], r["neighbor_id"]) for r in lsh.collect()}
     recall = len(bset & lset) / len(bset)
     assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_cosine_lsh_fixed_precision_and_recall(spark, tables):
+    """The oracled fixed-point LSH twin: every reported pair must be a
+    true pair at the threshold (precision exact by construction —
+    cosine verify), and recall against the exact blocked join stays
+    usable. Cross-engine bucket equality is the driver gate's job."""
+    from sqltask_spark.operators.similarity import (
+        cosine_near_pairs_blocked,
+        cosine_near_pairs_lsh_fixed,
+    )
+
+    emb = tables["embeddings"]
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_pairs_blocked(
+            emb, "vec_id", "embedding", threshold=0.4
+        ).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_pairs_lsh_fixed(
+            emb, "vec_id", "embedding", threshold=0.4,
+            n_planes=4, tables=16,
+        ).collect()
+    }
+    assert got <= exact, "false positives survived the cosine verify"
+    assert exact, "test corpus has no pairs at the threshold"
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.5, f"fixed-LSH recall too low: {recall}"
 
 
 def test_ann_distributed_query_path_matches_driver_path(spark, tables):
