@@ -1,10 +1,12 @@
 """Text-analysis & dedup queries over the ``documents`` table.
 
 Every deterministic operator carries a DuckDB oracle that reproduces
-the exact same arithmetic; MinHash/SimHash signatures use
-Spark-native ``xxhash64`` so those entries are declared without an
-oracle (rows-only check) — their correctness is covered by pytest
-against hand-built corpora instead.
+the exact same arithmetic. The production MinHash/SimHash entries use
+Spark-native ``xxhash64`` (rows-only driver check, pytest semantics),
+and each family additionally ships an ``_md5`` twin whose hash family
+DuckDB reproduces bit-for-bit — so the algorithm shape itself is
+hash-checked by the driver gate while the faster xxhash64 form stays
+the production path.
 """
 
 from __future__ import annotations

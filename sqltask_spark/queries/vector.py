@@ -2,10 +2,12 @@
 
 Brute-force cosine top-k carries a DuckDB oracle (both engines fold
 the same doubles in element order; scores rounded before ranking with
-an id tie-break → fully deterministic). The LSH variant uses seeded
-random hyperplanes — deterministic but not practical to express in
-SQL, so it is declared without an oracle and validated in pytest by
-measuring recall against the brute-force result.
+an id tie-break → fully deterministic). The production LSH variants
+use seeded Gaussian hyperplanes via a BLAS Arrow UDF (rows-only;
+recall measured in pytest against brute force); the
+``dedup_embedding_pairs_lsh_fixed`` twin swaps in seeded Achlioptas
+±1 planes with exact fixed-point sign bits, which DuckDB reproduces —
+hash-checking the bucket→cap→verify pipeline end to end.
 """
 
 from __future__ import annotations

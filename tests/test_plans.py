@@ -363,3 +363,24 @@ def test_ivf_index_distributed_probe_matches_driver_probe(
         ).collect()
     }
     assert got == want
+
+
+def test_lsh_fixed_plan_broadcast_matrix_no_cartesian(spark, sf_dir):
+    """The oracled fixed-point LSH twin must keep the production
+    shape: the plane matrix joins as a broadcast (it is ~dim·planes/3
+    rows — never shuffled against the corpus), the candidate stage is
+    an equi-join on (t, bucket), and nothing degenerates into a
+    cartesian product."""
+    r = plan_report(QUERIES["dedup_embedding_pairs_lsh_fixed"](spark, sf_dir))
+    assert "CartesianProduct" not in r.join_strategies
+    assert "BroadcastHashJoin" in r.join_strategies
+    assert r.has_codegen
+
+
+def test_minhash_md5_plan_no_cartesian(spark, sf_dir):
+    """The md5 MinHash twin keeps the banded-LSH shape: bucket
+    equi-joins only — the O(n²) cross product must never appear even
+    though the twin exists for oracle parity, not speed."""
+    r = plan_report(QUERIES["dedup_minhash_pairs_md5"](spark, sf_dir))
+    assert "CartesianProduct" not in r.join_strategies
+    assert r.has_codegen
