@@ -384,6 +384,7 @@ def cosine_near_pairs_lsh_fixed(
     seed: int = 101,
     max_bucket_size: int | None = 1000,
     round_digits: int = 6,
+    expected_dim: int | None = None,
 ) -> DataFrame:
     """:func:`cosine_near_pairs_lsh` with engine-portable signatures —
     the ORACLED twin of the random-hyperplane LSH family.
@@ -415,6 +416,12 @@ def cosine_near_pairs_lsh_fixed(
     spark = df.sparkSession
     first = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
     dim = int(first[0]["d"]) if first else 0
+    if expected_dim is not None and first and dim != expected_dim:
+        # same contract as random_projection: a dim-frozen external
+        # oracle must fail loudly on a different data width
+        raise ValueError(
+            f"embedding dim {dim} != expected {expected_dim}"
+        )
     n_sig = tables * n_planes
     triples = sparse_projection_matrix(dim, n_sig, seed)
     mat = spark.createDataFrame(triples, schema="i int, j int, s long")

@@ -236,6 +236,7 @@ def dedup_embedding_pairs_lsh_fixed(
         tables=_LSH_FIXED_TABLES,
         seed=_LSH_FIXED_SEED,
         max_bucket_size=_LSH_FIXED_CAP,
+        expected_dim=EMBED_DIM,
     ).orderBy("id_a", "id_b")
 
 
