@@ -256,6 +256,81 @@ def redaction_counts(col: Column) -> tuple[Column, Column]:
     return n_email, n_num
 
 
+#: Extended PII cascade (portable: no lookarounds/backrefs, literal
+#: classes only). Order IS the contract — each later rule runs on the
+#: previous rule's redacted output: emails first (their digits must
+#: not count as numbers), then dotted quads, then +international
+#: phone shapes, then bare long digit runs.
+IPV4_PATTERN = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+PHONE_PATTERN = r"\+[0-9][0-9()\- ]{5,}[0-9]"
+
+
+def redact_pii_extended(col: Column) -> dict[str, Column]:
+    """Four-stage PII scrub over normalized text → columns dict:
+    per-type match counts plus the fully-redacted text.
+
+    Pure regexp cascade (JVM codegen, no UDF, zero shuffle). Counts
+    are computed on the SAME intermediate the replace runs on, so the
+    semantics are exactly "what the cascade replaced".
+    """
+    stages = (
+        ("emails", EMAIL_PATTERN, "<email>"),
+        ("ipv4", IPV4_PATTERN, "<ip>"),
+        ("phones", PHONE_PATTERN, "<phone>"),
+        ("nums", LONG_NUM_PATTERN, "<num>"),
+    )
+    cur = normalize_text(col)
+    out: dict[str, Column] = {}
+    for name, pat, token in stages:
+        out[f"n_{name}"] = F.size(
+            F.regexp_extract_all(cur, F.lit(pat), 0)
+        )
+        cur = F.regexp_replace(cur, pat, token)
+    out["redacted"] = cur
+    return out
+
+
+#: Unicode script classes as literal codepoint ranges — like
+#: UNICODE_WS_CLASS, spelled out so Java regex and RE2 agree exactly
+#: (script *names* differ between engines: Java \p{IsLatin} vs RE2
+#: \p{Latin}). Coverage is the common blocks, not exhaustive Unicode:
+#: the operator is a routing signal (which decoder/tokenizer/lang-id
+#: family), not a full script taxonomy.
+SCRIPT_CLASSES: tuple[tuple[str, str], ...] = (
+    ("arabic", "[\u0600-\u06ff]"),
+    ("cjk", "[\u3040-\u30ff\u4e00-\u9fff\uac00-\ud7af]"),
+    ("cyrillic", "[\u0400-\u04ff]"),
+    ("digit", "[0-9]"),
+    ("greek", "[\u0370-\u03ff]"),
+    ("latin", "[a-zA-Z\u00c0-\u024f]"),
+)
+
+
+def script_counts(col: Column) -> dict[str, Column]:
+    """Per-script character counts: each class is one char wide, so
+    ``length(s) − length(s with class removed)`` counts matches —
+    one regexp_replace per script, all inside codegen."""
+    return {
+        name: F.length(col)
+        - F.length(F.regexp_replace(col, cls, ""))
+        for name, cls in SCRIPT_CLASSES
+    }
+
+
+def dominant_script(col: Column) -> Column:
+    """Argmax script by character count; ties break alphabetically,
+    all-zero → 'none' (same argmax shape as :func:`lang_id`)."""
+    counts = script_counts(col)
+    best_name = F.lit("none")
+    best_count = F.lit(0)
+    for name in sorted(counts):
+        c = counts[name]
+        take = c > best_count
+        best_name = F.when(take, F.lit(name)).otherwise(best_name)
+        best_count = F.when(take, c).otherwise(best_count)
+    return best_name
+
+
 def bigram_lm_nll(
     df: "DataFrame",
     id_col: str,

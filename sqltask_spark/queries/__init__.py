@@ -91,6 +91,8 @@ _PROMOTED = [
     "dedup_embedding_pairs_lsh_fixed",
     "bpe_encode_fixed",
     "sketch_event_stats_checked",
+    "redact_pii_extended",
+    "script_mix_documents",
 ]
 
 #: Oracled LLM-pipeline entries fill the rest of the window in module

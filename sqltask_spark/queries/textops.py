@@ -486,6 +486,92 @@ ORDER BY id_a, id_b
 
 
 # --------------------------------------------------------------------------
+# redact_pii_extended — four-stage PII scrub (email → dotted quad →
+# +phone → long digit run), counts + md5 of the redacted stream.
+# Cascade order is the contract; both engines run the identical
+# portable patterns (no lookarounds), so the driver hash-checks the
+# whole scrub. Pure regexp cascade: codegen, zero shuffle.
+# --------------------------------------------------------------------------
+
+def redact_pii_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cols = tx.redact_pii_extended(F.col("text"))
+    return docs.select(
+        "doc_id",
+        cols["n_emails"].alias("n_emails"),
+        cols["n_ipv4"].alias("n_ipv4"),
+        cols["n_phones"].alias("n_phones"),
+        cols["n_nums"].alias("n_nums"),
+        F.md5(cols["redacted"]).alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
+def _pii_ext_sql() -> str:
+    stages = (
+        ("emails", tx.EMAIL_PATTERN, "<email>"),
+        ("ipv4", tx.IPV4_PATTERN, "<ip>"),
+        ("phones", tx.PHONE_PATTERN, "<phone>"),
+        ("nums", tx.LONG_NUM_PATTERN, "<num>"),
+    )
+    cur = _NORM
+    counts = []
+    for name, pat, token in stages:
+        counts.append(
+            f"LEN(regexp_extract_all({cur}, '{pat}')) AS n_{name}"
+        )
+        cur = f"regexp_replace({cur}, '{pat}', '{token}', 'g')"
+    cols = ",\n  ".join(counts)
+    return (
+        f"SELECT\n  doc_id,\n  {cols},\n  md5({cur}) AS redacted_md5\n"
+        "FROM documents\nORDER BY doc_id"
+    )
+
+
+# --------------------------------------------------------------------------
+# script_mix_documents — Unicode-script character histogram + dominant
+# script: the routing signal a multilingual pipeline needs before
+# choosing tokenizer / lang-id family. Literal codepoint-range classes
+# (cf. UNICODE_WS_CLASS) so Java regex and RE2 agree; counts via
+# length-difference — one regexp_replace per script, all codegen.
+# --------------------------------------------------------------------------
+
+def script_mix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = tx.script_counts(F.col("text"))
+    return docs.select(
+        "doc_id",
+        *[counts[n].alias(f"n_{n}") for n in sorted(counts)],
+        tx.dominant_script(F.col("text")).alias("dominant_script"),
+    ).orderBy("doc_id")
+
+
+def _script_sql() -> str:
+    score = {
+        n: (
+            f"(LENGTH(text) - "
+            f"LENGTH(regexp_replace(text, '{cls}', '', 'g')))"
+        )
+        for n, cls in tx.SCRIPT_CLASSES
+    }
+    greatest = "GREATEST(" + ", ".join(
+        score[n] for n in sorted(score)
+    ) + ")"
+    whens = "\n    ".join(
+        f"WHEN {score[n]} = {greatest} THEN '{n}'" for n in sorted(score)
+    )
+    cols = ",\n  ".join(f"{score[n]} AS n_{n}" for n in sorted(score))
+    return f"""
+SELECT
+  doc_id,
+  {cols},
+  CASE WHEN {greatest} = 0 THEN 'none'
+    {whens} END AS dominant_script
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # token_count_bpe — BPE-style regex pre-tokenization counts.
 # --------------------------------------------------------------------------
 
@@ -1563,6 +1649,8 @@ QUERIES = {
     "dedup_minhash_pairs_md5": dedup_minhash_pairs_md5,
     "bpe_encode_fixed": bpe_encode_fixed,
     "dedup_simhash_pairs_md5": dedup_simhash_pairs_md5,
+    "redact_pii_extended": redact_pii_extended,
+    "script_mix_documents": script_mix_documents,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "token_count_bpe": token_count_bpe,
     "rolling_fingerprint": rolling_fingerprint,
@@ -1612,6 +1700,8 @@ ORACLES = {
     "dedup_minhash_pairs_md5": _MINHASH_MD5_SQL,
     "bpe_encode_fixed": _BPE_FIXED_SQL,
     "dedup_simhash_pairs_md5": _simhash_md5_sql(),
+    "redact_pii_extended": _pii_ext_sql(),
+    "script_mix_documents": _script_sql(),
     # dedup_minhash_pairs / dedup_simhash_pairs: intentionally no
     # oracle — Spark-native xxhash64 signatures.
 }

@@ -1850,3 +1850,65 @@ def test_bpe_fixed_encode_matches_python_fold(spark):
             stream.extend(syms)
         want_fp = hashlib.md5(" ".join(stream).encode()).hexdigest()
         assert got[i] == (len(stream), want_fp), f"doc {i}"
+
+
+def test_redact_pii_extended_cascade(spark):
+    """Cascade semantics: email digits never double-count as numbers,
+    dotted quads win over bare digit runs, +international shapes
+    become phones, leftovers of >=6 digits become nums."""
+    from sqltask_spark.operators.text import redact_pii_extended
+
+    rows = [
+        (1, "Contact Bob123456@corp.example.com or +1 (555) 123-4567"),
+        (2, "server at 192.168.10.255 port 8080"),
+        (3, "account 12345678 and pin 1234"),
+        (4, "clean text, nothing to scrub"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cols = redact_pii_extended(F.col("text"))
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            *[cols[k].alias(k) for k in
+              ("n_emails", "n_ipv4", "n_phones", "n_nums", "redacted")],
+        ).collect()
+    }
+    assert got[1]["n_emails"] == 1
+    assert got[1]["n_phones"] == 1
+    assert got[1]["n_nums"] == 0        # digits consumed by email/phone
+    assert "<email>" in got[1]["redacted"]
+    assert "<phone>" in got[1]["redacted"]
+    assert got[2]["n_ipv4"] == 1
+    assert got[2]["n_nums"] == 0        # quad consumed before num rule
+    assert got[3]["n_nums"] == 1        # 12345678 yes, 1234 too short
+    assert got[4] ["n_emails"] + got[4]["n_ipv4"] + got[4]["n_phones"] \
+        + got[4]["n_nums"] == 0
+
+
+def test_script_mix_detects_dominant_script(spark):
+    from sqltask_spark.operators.text import dominant_script, script_counts
+
+    rows = [
+        (1, "plain english text"),
+        (2, "русский текст"),
+        (3, "中文文本处理"),
+        (4, "12345 67890"),
+        (5, "   "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    counts = script_counts(F.col("text"))
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            dominant_script(F.col("text")).alias("dom"),
+            counts["latin"].alias("n_latin"),
+            counts["cjk"].alias("n_cjk"),
+        ).collect()
+    }
+    assert got[1]["dom"] == "latin" and got[1]["n_latin"] == 16
+    assert got[2]["dom"] == "cyrillic"
+    assert got[3]["dom"] == "cjk" and got[3]["n_cjk"] == 6
+    assert got[4]["dom"] == "digit"
+    assert got[5]["dom"] == "none"
