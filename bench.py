@@ -36,6 +36,10 @@ HEADLINE = [
     "asof_click_purchase",
     "dedup_exact",
     "dedup_minhash_pairs",
+    # the oracled md5 twin rides along to MEASURE its cost premium
+    # over the xxhash64 production entry above (the docstring's
+    # "md5-over-strings costs several× more CPU" claim)
+    "dedup_minhash_pairs_md5",
     "dedup_simhash_pairs",
     "dedup_ngram_jaccard_capped",
     "text_stats",
