@@ -382,3 +382,89 @@ def test_ws_class_equals_python_unicode_ws_exhaustive():
         if bool(pat.match(chr(c))) != bool(ws.match(chr(c)))
     ]
     assert diff == []
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(_TEXT, min_size=1, max_size=15))
+def test_script_counts_match_python_model(spark, texts):
+    """Per-script counts equal a Python model applying the same
+    literal codepoint-range classes (Python re, Java regex, and RE2
+    agree on literal classes — the property the operator relies on),
+    and the dominant script is the alphabetical-first argmax."""
+    import re
+
+    from sqltask_spark.operators.text import (
+        SCRIPT_CLASSES,
+        dominant_script,
+        script_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["id", "text"]
+    )
+    counts = script_counts(F.col("text"))
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            dominant_script(F.col("text")).alias("dom"),
+            *[counts[n].alias(n) for n, _ in SCRIPT_CLASSES],
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        model = {
+            n: len(re.findall(cls, t)) for n, cls in SCRIPT_CLASSES
+        }
+        for n, want in model.items():
+            assert rows[i][n] == want, (i, n, t)
+        best, best_c = "none", 0
+        for n in sorted(model):
+            if model[n] > best_c:
+                best, best_c = n, model[n]
+        assert rows[i]["dom"] == best
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(_TEXT, min_size=1, max_size=12))
+def test_redact_pii_cascade_matches_python_model(spark, texts):
+    """The 4-stage redaction cascade equals a Python model running
+    the same portable patterns in the same order on the normalized
+    text — counts and the final redacted string."""
+    import re
+
+    from sqltask_spark.operators.text import (
+        EMAIL_PATTERN,
+        IPV4_PATTERN,
+        LONG_NUM_PATTERN,
+        PHONE_PATTERN,
+        redact_pii_extended,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["id", "text"]
+    )
+    cols = redact_pii_extended(F.col("text"))
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            *[
+                cols[k].alias(k)
+                for k in (
+                    "n_emails", "n_ipv4", "n_phones", "n_nums", "redacted"
+                )
+            ],
+        ).collect()
+    }
+    stages = (
+        ("n_emails", EMAIL_PATTERN, "<email>"),
+        ("n_ipv4", IPV4_PATTERN, "<ip>"),
+        ("n_phones", PHONE_PATTERN, "<phone>"),
+        ("n_nums", LONG_NUM_PATTERN, "<num>"),
+    )
+    for i, t in enumerate(texts):
+        cur = re.sub(r"\s+", " ", t.lower()).strip(" ")
+        for key, pat, token in stages:
+            assert rows[i][key] == len(re.findall(pat, cur)), (i, key)
+            cur = re.sub(pat, token, cur)
+        assert rows[i]["redacted"] == cur, i
