@@ -80,11 +80,12 @@ _FLAGSHIP = [
 #: sortability emulation for the oracle-less ones) and their pytest
 #: semantics coverage.
 #:
-#: The three entries NEW this round lead the window (first driver
-#: check): the md5-family MinHash twin, the fixed-merge BPE fold
-#: certificate, and the sketch-bounds certificate — each converts a
+#: The entries NEW this round lead the window (first driver check):
+#: the md5-family MinHash/SimHash twins, the fixed-point embedding
+#: LSH twin, the fixed-merge BPE fold certificate, the sketch-bounds
+#: certificate, and the z-value certificate — each converts a
 #: formerly permanently-rows-only operator class into a hash-checked
-#: one.
+#: one — plus the two new PII/script operators.
 _PROMOTED = [
     "dedup_minhash_pairs_md5",
     "dedup_simhash_pairs_md5",
@@ -93,6 +94,7 @@ _PROMOTED = [
     "sketch_event_stats_checked",
     "redact_pii_extended",
     "script_mix_documents",
+    "zorder_values",
 ]
 
 #: Oracled LLM-pipeline entries fill the rest of the window in module

@@ -1199,6 +1199,93 @@ ORDER BY doc_id
 # --------------------------------------------------------------------------
 
 
+_Z_BITS = 16
+
+
+def zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLED certificate for the z-order math itself: per-event
+    cell ids (min-max scaled to 16 bits) and the Morton-interleaved
+    z-value over (event_id, user_id) — pure integer/double arithmetic
+    DuckDB reproduces bit-for-bit. `zorder_layout_stats` (the
+    file-level skipping measurement) stays rows-only — row-group
+    layout is engine-internal — but the curve that layout clusters by
+    is hash-checked here.
+    """
+    from sqltask_spark.operators.layout import (
+        _cell_id,
+        morton_interleave,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id"
+    )
+    b = ev.agg(
+        F.min("event_id").alias("mn_e"),
+        F.max("event_id").alias("mx_e"),
+        F.min("user_id").alias("mn_u"),
+        F.max("user_id").alias("mx_u"),
+    )
+    with_bounds = ev.crossJoin(F.broadcast(b))
+    ce = _cell_id(
+        F.col("event_id"), F.col("mn_e"), F.col("mx_e"), _Z_BITS
+    )
+    cu = _cell_id(
+        F.col("user_id"), F.col("mn_u"), F.col("mx_u"), _Z_BITS
+    )
+    return (
+        with_bounds.select(
+            "event_id",
+            "user_id",
+            ce.alias("cell_e"),
+            cu.alias("cell_u"),
+        )
+        .withColumn(
+            "zvalue",
+            morton_interleave(
+                [F.col("cell_e"), F.col("cell_u")], _Z_BITS
+            ),
+        )
+        .orderBy("event_id")
+    )
+
+
+def _zorder_sql() -> str:
+    qmax = float((1 << _Z_BITS) - 1)
+
+    def cell(x: str, mn: str, mx: str) -> str:
+        return (
+            f"COALESCE(CAST(FLOOR(CASE WHEN CAST({mx} - {mn} AS DOUBLE)"
+            f" > 0 THEN ((CAST({x} AS DOUBLE) - CAST({mn} AS DOUBLE))"
+            f" / CAST({mx} - {mn} AS DOUBLE)) * {qmax!r}"
+            f" ELSE 0.0 END) AS BIGINT), 0)"
+        )
+
+    # bit i of column j lands at i*2 + (1 - j): event (j=0) gets the
+    # more significant slot per level — mirrors morton_interleave
+    terms = " + ".join(
+        f"(((cell_e >> {i}) & 1) << {i * 2 + 1})"
+        f" + (((cell_u >> {i}) & 1) << {i * 2})"
+        for i in range(_Z_BITS)
+    )
+    return f"""
+WITH b AS (
+  SELECT MIN(event_id) AS mn_e, MAX(event_id) AS mx_e,
+         MIN(user_id) AS mn_u, MAX(user_id) AS mx_u
+  FROM events
+),
+cells AS (
+  SELECT event_id, user_id,
+         {cell('event_id', 'mn_e', 'mx_e')} AS cell_e,
+         {cell('user_id', 'mn_u', 'mx_u')} AS cell_u
+  FROM events, b
+)
+SELECT event_id, user_id, cell_e, cell_u,
+       CAST({terms} AS BIGINT) AS zvalue
+FROM cells
+ORDER BY event_id
+"""
+
+
 def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
@@ -1269,6 +1356,7 @@ QUERIES = {
     # queries/__init__.py
     "sketch_event_stats": sketch_event_stats,
     "sketch_event_stats_checked": sketch_event_stats_checked,
+    "zorder_values": zorder_values,
 }
 
 ORACLES = {
@@ -1283,6 +1371,7 @@ ORACLES = {
     # engine-specific; error bounds pytest-verified); the _checked
     # twin below certifies the bounds against exact aggregates
     "sketch_event_stats_checked": _SKETCH_CHECKED_SQL,
+    "zorder_values": _zorder_sql(),
     "split_train_eval": _SPLIT_SQL,
     "vocab_top_tokens": _VOCAB_SQL,
     "pack_sequences": _PACK_SQL,

