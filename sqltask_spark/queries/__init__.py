@@ -95,6 +95,7 @@ _PROMOTED = [
     "redact_pii_extended",
     "script_mix_documents",
     "zorder_values",
+    "bpe_learn_certified",
 ]
 
 #: Oracled LLM-pipeline entries fill the rest of the window in module

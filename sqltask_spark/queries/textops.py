@@ -572,6 +572,82 @@ ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
+# bpe_learn_certified — ORACLED certificate for the BPE TRAINING loop
+# (bpe_learn_merges stays rows-only at production merge counts). The
+# first 8 merges are re-derived entirely in DuckDB: word-frequency
+# census → per-level adjacent-pair census (freq-weighted, with
+# multiplicity) → argmax (count desc, pair lex asc — the exact heap
+# tie-break) → vocabulary rewrite via the same list_reduce fold the
+# encode certificate uses, with the winning pair referenced as a
+# correlated column inside the lambda. An empty argmax level empties
+# all later levels — the same early-stop as the trainer. This
+# hash-checks the learner's argmax/tie-break/rewrite semantics; the
+# driver-side heap loop's job is only to do the same thing FAST at
+# 30k merges.
+# --------------------------------------------------------------------------
+
+_BPE_LEARN_K = 8
+_BPE_LEARN_MIN_FREQ = 2
+
+
+def bpe_learn_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sqltask_spark.operators.bpe import learn_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    return learn_bpe_merges(
+        docs,
+        n_merges=_BPE_LEARN_K,
+        min_pair_freq=_BPE_LEARN_MIN_FREQ,
+    ).orderBy("rank")
+
+
+def _bpe_learn_sql() -> str:
+    ctes = [
+        f"""w0 AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+         regexp_extract_all(word, '.') AS syms
+  FROM (SELECT UNNEST({_TOKS}) AS word FROM documents)
+  WHERE word <> ''
+  GROUP BY word
+)"""
+    ]
+    for k in range(_BPE_LEARN_K):
+        ctes.append(
+            f"""p{k} AS (
+  SELECT z[1] AS l, z[2] AS r, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM (SELECT freq,
+               UNNEST(list_zip(syms[1:len(syms)-1], syms[2:len(syms)]))
+                 AS z
+        FROM w{k})
+  GROUP BY 1, 2
+)"""
+        )
+        ctes.append(
+            f"""m{k} AS (
+  SELECT l, r, cnt FROM p{k} WHERE cnt >= {_BPE_LEARN_MIN_FREQ}
+  ORDER BY cnt DESC, l, r LIMIT 1
+)"""
+        )
+        if k < _BPE_LEARN_K - 1:
+            ctes.append(
+                f"""w{k + 1} AS (
+  SELECT word, freq,
+    list_reduce(list_transform(syms, s -> [s]),
+      (acc, x) -> CASE WHEN acc[-1] = m{k}.l AND x[1] = m{k}.r
+                  THEN acc[1:len(acc)-1] || [m{k}.l || m{k}.r]
+                  ELSE acc || x END) AS syms
+  FROM w{k}, m{k}
+)"""
+            )
+    sel = "\nUNION ALL\n".join(
+        f'SELECT CAST({k + 1} AS INTEGER) AS rank, l AS "left", '
+        f'r AS "right", l || r AS merged, cnt AS pair_freq FROM m{k}'
+        for k in range(_BPE_LEARN_K)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + sel + "\nORDER BY rank"
+
+
+# --------------------------------------------------------------------------
 # token_count_bpe — BPE-style regex pre-tokenization counts.
 # --------------------------------------------------------------------------
 
@@ -1651,6 +1727,7 @@ QUERIES = {
     "dedup_simhash_pairs_md5": dedup_simhash_pairs_md5,
     "redact_pii_extended": redact_pii_extended,
     "script_mix_documents": script_mix_documents,
+    "bpe_learn_certified": bpe_learn_certified,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "token_count_bpe": token_count_bpe,
     "rolling_fingerprint": rolling_fingerprint,
@@ -1702,6 +1779,7 @@ ORACLES = {
     "dedup_simhash_pairs_md5": _simhash_md5_sql(),
     "redact_pii_extended": _pii_ext_sql(),
     "script_mix_documents": _script_sql(),
+    "bpe_learn_certified": _bpe_learn_sql(),
     # dedup_minhash_pairs / dedup_simhash_pairs: intentionally no
     # oracle — Spark-native xxhash64 signatures.
 }
