@@ -1,4 +1,4 @@
-"""Remaining TPC-H query shapes (Q2/6/8/9/11/13/14/15/16/18/20/21).
+"""Remaining TPC-H query shapes (Q2/6/8/9/11/13/14/15/16/17/18/20/21).
 
 Together with :mod:`sqltask_spark.queries.relational` this completes
 the 22-query TPC-H sweep of SURVEY.md §2.8 — the relational surface
@@ -948,8 +948,67 @@ ORDER BY g_priority, g_status, o_orderpriority, o_orderstatus
 """
 
 
+# --------------------------------------------------------------------------
+# q17_small_quantity — TPC-H Q17 (small-quantity-order revenue):
+# yearly revenue lost if small orders (below 20% of a part's average
+# quantity) stopped shipping. Reference shape is a correlated scalar
+# subquery per part; Spark-first shape is ONE window over the
+# brand-filtered fact: broadcast the 73-part dim into lineitem, then
+# count/sum per part via a single hash-partitioned window — no second
+# scan, no re-join of a stats aggregate (adapted: no p_container
+# column in this schema, brand filter only). Hash stability: the
+# "qty < 0.2·avg" comparison is division-free — qty·5·cnt < sum in
+# exact DECIMAL on both engines, so no float boundary can flip a row.
+# --------------------------------------------------------------------------
+
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    flt = li.join(
+        F.broadcast(part), li.l_partkey == F.col("p_partkey")
+    )
+    w = Window.partitionBy("l_partkey")
+    q5c = _dec("l_quantity") * F.lit(5) * F.count(F.lit(1)).over(w)
+    sq = F.sum(_dec("l_quantity")).over(w)
+    return (
+        flt.withColumn("_small", q5c < sq)
+        .filter(F.col("_small"))
+        .agg(
+            F.round(
+                F.sum(_dec("l_extendedprice")).cast("double")
+                / F.lit(7.0),
+                6,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+_Q17_SQL = """
+SELECT ROUND(CAST(SUM(price_dec) AS DOUBLE) / 7.0, 6) AS avg_yearly
+FROM (
+  SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS price_dec,
+         CAST(l_quantity AS DECIMAL(18,2)) * 5
+           * COUNT(*) OVER (PARTITION BY l_partkey) AS q5c,
+         SUM(CAST(l_quantity AS DECIMAL(18,2)))
+           OVER (PARTITION BY l_partkey) AS sq
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = 'Brand#23'
+)
+WHERE q5c < sq
+"""
+
+
 QUERIES = {
     "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q17_small_quantity": q17_small_quantity,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q8_market_share": q8_market_share,
     "q9_product_profit": q9_product_profit,
@@ -967,6 +1026,7 @@ QUERIES = {
 
 ORACLES = {
     "q2_min_cost_supplier": _Q2_SQL,
+    "q17_small_quantity": _Q17_SQL,
     "q6_forecast_revenue": _Q6_SQL,
     "q8_market_share": _Q8_SQL,
     "q9_product_profit": _Q9_SQL,

@@ -384,3 +384,14 @@ def test_minhash_md5_plan_no_cartesian(spark, sf_dir):
     r = plan_report(QUERIES["dedup_minhash_pairs_md5"](spark, sf_dir))
     assert "CartesianProduct" not in r.join_strategies
     assert r.has_codegen
+
+
+def test_q17_broadcast_dim_single_window_shuffle(spark, sf_dir):
+    """Q17: the part dim broadcasts into lineitem and the per-part
+    stats come from ONE window (no stats re-join, no second fact
+    scan) — the correlated-subquery shape flattened to a single hash
+    exchange plus the 1-row final aggregate."""
+    r = plan_report(QUERIES["q17_small_quantity"](spark, sf_dir))
+    assert "BroadcastHashJoin" in r.join_strategies
+    assert "CartesianProduct" not in r.join_strategies
+    assert r.n_exchanges <= 3  # window hash + final agg single-part
