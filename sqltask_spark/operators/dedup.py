@@ -743,6 +743,13 @@ def exact_dedup(
     Returns one row per distinct text: (fingerprint, kept id, n_copies).
     ``keep='min'`` keeps the smallest id — deterministic, matching the
     reference lookup first-wins spirit (``lookup_source.py:28-31``).
+
+    NULL policy (pytest-pinned, ``test_null_and_empty_text_semantics``):
+    NULL-text documents fingerprint to NULL and GROUP TOGETHER (SQL
+    GROUP BY semantics — identical in the DuckDB oracle, so the
+    cross-engine-stable choice); the empty string is a real value with
+    its own md5('') group. Callers that want nulls ignored filter
+    them upstream.
     """
     from sqltask_spark.operators.text import fingerprint_md5
 

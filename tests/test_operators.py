@@ -1947,3 +1947,64 @@ def test_zorder_values_interleave_and_locality(spark, sf_dir):
         )
     # mean per-quartile span must beat the unclustered full span
     assert sum(spans) / 4 < full_span
+
+
+def test_null_and_empty_text_semantics(spark):
+    """Pin the NULL/empty-text contract across the text/dedup family
+    (at corpus scale null and empty documents WILL appear):
+
+    - row-level functions propagate SQL NULL (normalize, fingerprint,
+      token_count of NULL are NULL);
+    - the empty string is a real value: it fingerprints to md5('')
+      and dedups as its own group;
+    - exact_dedup groups NULL-text docs together (SQL GROUP BY
+      semantics — the DuckDB oracle does the same, so this is the
+      cross-engine-stable choice);
+    - MinHash collapses NULL docs into one mutual near-dup bucket
+      (their shingle sets are identical singletons), consistent with
+      the exact-dedup collapse.
+    Callers that want nulls ignored filter them upstream — these
+    semantics make that a visible choice, not an accident.
+    """
+    from sqltask_spark.operators.dedup import (
+        exact_dedup,
+        minhash_dedup_pairs,
+    )
+    from sqltask_spark.operators.text import (
+        fingerprint_md5,
+        normalize_text,
+        token_count,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, ""), (4, ""), (5, "hello")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            normalize_text(F.col("text")).alias("norm"),
+            fingerprint_md5(F.col("text")).alias("fp"),
+            token_count(F.col("text")).alias("ntok"),
+        ).collect()
+    }
+    assert rows[1]["norm"] is None and rows[1]["fp"] is None
+    assert rows[1]["ntok"] is None
+    assert rows[3]["fp"] == "d41d8cd98f00b204e9800998ecf8427e"
+
+    groups = exact_dedup(df, "text", "doc_id").collect()
+    by_kept = {r["kept_id"]: r for r in groups}
+    assert len(groups) == 3  # nulls, empties, 'hello'
+    assert by_kept[1]["n_copies"] == 2  # both nulls together
+    assert by_kept[3]["n_copies"] == 2  # both empties together
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_dedup_pairs(
+            df, "doc_id", "text", num_perm=16, bands=4
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # null docs collapse together
+    assert pairs[(3, 4)] == 1.0  # empty docs collapse together
+    assert (1, 3) not in pairs   # but null != empty
