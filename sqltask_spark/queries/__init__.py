@@ -96,6 +96,7 @@ _PROMOTED = [
     "script_mix_documents",
     "zorder_values",
     "bpe_learn_certified",
+    "pps_sample_documents",
 ]
 
 #: Oracled LLM-pipeline entries fill the rest of the window in module

@@ -1057,6 +1057,80 @@ ORDER BY source, draw
 
 
 # --------------------------------------------------------------------------
+# pps_sample_documents — systematic probability-proportional-to-size
+# sampling by TOKEN MASS: lay the corpus out in doc_id order, drop k
+# equally-spaced checkpoints on the cumulative token axis, and select
+# the document containing each checkpoint. A document's selection
+# probability is ∝ its token count (the PPS property training-data
+# subsampling wants: sampling documents uniformly under-represents
+# long documents per token), the draw is deterministic — repartition/
+# backfill stable, no RNG — and the math is ALL BIGINT (doc selected
+# iff floor(cum·k/total) > floor(cum_before·k/total)), so the oracle
+# reproduces the exact selection. One window cumsum + a 1-row total
+# broadcast; zero-token documents are never selected.
+# --------------------------------------------------------------------------
+
+_PPS_K = 200
+
+
+def pps_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sqltask_spark.data import materialize_and_release
+    from sqltask_spark.operators.prefix import global_prefix_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = tx.token_count(F.col("text"))
+    base = docs.select(
+        "doc_id", "source", n_tokens.cast("long").alias("n_tokens")
+    )
+    # distributed two-phase prefix sum — NOT an unpartitioned window
+    # (which would funnel the corpus through one task at scale)
+    summed, cached = global_prefix_sum(
+        base, "doc_id", "n_tokens", out_col="cum", return_cached=True
+    )
+    with_cum = summed.withColumn(
+        "cum_before", F.col("cum") - F.col("n_tokens")
+    )
+    total = base.agg(F.sum("n_tokens").alias("total"))
+    # INTEGER division (not double): floor(cum*k/total) via `div` is
+    # exact for any corpus size (double division drifts past 2^53 —
+    # cum*k reaches 2e16 at 100 TB), and positive-operand `div`
+    # equals floor on both engines.
+    ckpt = F.expr(f"cum * {_PPS_K} div total")
+    ckpt_before = F.expr(f"cum_before * {_PPS_K} div total")
+    sel = with_cum.crossJoin(F.broadcast(total)).filter(
+        ckpt > ckpt_before
+    )
+    out = sel.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        ckpt.cast("long").alias("checkpoint"),
+    ).orderBy("doc_id")
+    # ≤K rows — materialize them and free the corpus-sized cumsum cache
+    return materialize_and_release(out, cached)
+
+
+_PPS_SQL = f"""
+WITH base AS (
+  SELECT doc_id, source, CAST(LEN({_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+cums AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM base
+),
+tot AS (SELECT SUM(n_tokens) AS total FROM base)
+SELECT doc_id, source, n_tokens,
+       CAST((cum * {_PPS_K}) // total AS BIGINT) AS checkpoint
+FROM cums, tot
+WHERE (cum * {_PPS_K}) // total > ((cum - n_tokens) * {_PPS_K}) // total
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # source_quality_cap — per-source QUALITY-RANKED cap (the RefinedWeb /
 # CCNet "per-domain cap" selection policy): keep the K highest-quality
 # documents from each source, deterministic tie-break on doc_id.
@@ -1357,6 +1431,7 @@ QUERIES = {
     "sketch_event_stats": sketch_event_stats,
     "sketch_event_stats_checked": sketch_event_stats_checked,
     "zorder_values": zorder_values,
+    "pps_sample_documents": pps_sample_documents,
 }
 
 ORACLES = {
@@ -1372,6 +1447,7 @@ ORACLES = {
     # twin below certifies the bounds against exact aggregates
     "sketch_event_stats_checked": _SKETCH_CHECKED_SQL,
     "zorder_values": _zorder_sql(),
+    "pps_sample_documents": _PPS_SQL,
     "split_train_eval": _SPLIT_SQL,
     "vocab_top_tokens": _VOCAB_SQL,
     "pack_sequences": _PACK_SQL,

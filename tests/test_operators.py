@@ -2008,3 +2008,55 @@ def test_null_and_empty_text_semantics(spark):
     assert pairs[(1, 2)] == 1.0  # null docs collapse together
     assert pairs[(3, 4)] == 1.0  # empty docs collapse together
     assert (1, 3) not in pairs   # but null != empty
+
+
+def test_pps_sample_guarantees(spark, sf_dir):
+    """Systematic PPS selection guarantees: at most K docs selected,
+    all with tokens; any document heavier than total/K token mass
+    MUST be selected (it spans a checkpoint — the deterministic
+    analogue of 'certainty units' in PPS survey sampling)."""
+    from sqltask_spark.queries.pipeline import (
+        _PPS_K,
+        pps_sample_documents,
+    )
+    from sqltask_spark.data import load_table
+    from sqltask_spark.operators.text import token_count
+
+    sel = pps_sample_documents(spark, sf_dir).collect()
+    assert 0 < len(sel) <= _PPS_K
+    assert all(r["n_tokens"] > 0 for r in sel)
+    picked = {r["doc_id"] for r in sel}
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("nt")
+    )
+    total = docs.agg(F.sum("nt")).collect()[0][0]
+    heavy = {
+        r["doc_id"]
+        for r in docs.filter(
+            F.col("nt") * _PPS_K > F.lit(int(total))
+        ).collect()
+    }
+    assert heavy <= picked, heavy - picked
+
+
+def test_global_prefix_sum_matches_local_model(spark):
+    """The two-phase distributed prefix sum equals a local running
+    total for any partition count, including more partitions than
+    rows (empty range partitions) and a partition count of 1."""
+    from sqltask_spark.operators.prefix import global_prefix_sum
+
+    rows = [(i, (i * 7) % 13) for i in range(100)]
+    df = spark.createDataFrame(rows, "k long, v long").repartition(7)
+    want, run = {}, 0
+    for k, v in sorted(rows):
+        run += v
+        want[k] = run
+    for parts in (1, 3, 200):
+        got = {
+            r["k"]: r["cum"]
+            for r in global_prefix_sum(
+                df, "k", "v", num_partitions=parts
+            ).collect()
+        }
+        assert got == want, parts
