@@ -97,6 +97,7 @@ _PROMOTED = [
     "zorder_values",
     "bpe_learn_certified",
     "pps_sample_documents",
+    "heavy_hitter_tokens",
 ]
 
 #: Oracled LLM-pipeline entries fill the rest of the window in module

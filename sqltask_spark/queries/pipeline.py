@@ -1131,6 +1131,46 @@ ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
+# heavy_hitter_tokens — exact φ-heavy hitters (φ = 1/(k+1)) of the
+# token stream via the Misra–Gries prune (operators/sketches.py):
+# per-partition mergeable MG summaries → driver merge (≤ k·P tiny
+# rows) → exact count of the ≤k candidates only. Never a
+# full-vocabulary shuffle; output is exact and partition-layout
+# independent (the sketch only PRUNES — MG guarantees candidates ⊇
+# true heavies for any layout), which is why plain SQL can oracle it.
+# --------------------------------------------------------------------------
+
+_HH_K = 30
+
+
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sqltask_spark.operators.sketches import heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(tx.tokenize(F.col("text"))).alias("token")
+    ).filter(F.col("token") != "")
+    return heavy_hitters(toks, "token", k=_HH_K).withColumnRenamed(
+        "item", "token"
+    )
+
+
+_HH_SQL = f"""
+WITH tt AS (
+  SELECT token
+  FROM (SELECT UNNEST({_TOKS}) AS token FROM documents)
+  WHERE token <> ''
+),
+tot AS (SELECT COUNT(*) AS n FROM tt)
+SELECT token, COUNT(*) AS n_occurrences
+FROM tt, tot
+GROUP BY token, n
+HAVING COUNT(*) * {_HH_K + 1} > n
+ORDER BY n_occurrences DESC, token
+"""
+
+
+# --------------------------------------------------------------------------
 # source_quality_cap — per-source QUALITY-RANKED cap (the RefinedWeb /
 # CCNet "per-domain cap" selection policy): keep the K highest-quality
 # documents from each source, deterministic tie-break on doc_id.
@@ -1432,6 +1472,7 @@ QUERIES = {
     "sketch_event_stats_checked": sketch_event_stats_checked,
     "zorder_values": zorder_values,
     "pps_sample_documents": pps_sample_documents,
+    "heavy_hitter_tokens": heavy_hitter_tokens,
 }
 
 ORACLES = {
@@ -1448,6 +1489,7 @@ ORACLES = {
     "sketch_event_stats_checked": _SKETCH_CHECKED_SQL,
     "zorder_values": _zorder_sql(),
     "pps_sample_documents": _PPS_SQL,
+    "heavy_hitter_tokens": _HH_SQL,
     "split_train_eval": _SPLIT_SQL,
     "vocab_top_tokens": _VOCAB_SQL,
     "pack_sequences": _PACK_SQL,

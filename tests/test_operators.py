@@ -2060,3 +2060,30 @@ def test_global_prefix_sum_matches_local_model(spark):
             ).collect()
         }
         assert got == want, parts
+
+
+def test_heavy_hitters_exact_and_layout_independent(spark):
+    """Misra-Gries prune + exact verify returns EXACTLY the
+    phi-heavy items (count*(k+1) > n) on a skewed stream, for any
+    partition layout — the MG guarantee says candidates always
+    include the true heavies, and the exact-count filter removes
+    sketch noise."""
+    from sqltask_spark.operators.sketches import heavy_hitters
+
+    # 1000 rows: 'a' x400, 'b' x251, then 349 near-distinct items;
+    # k=3 -> strict threshold count*4 > 1000, so 'b' (1004) is in and
+    # an exactly-at-threshold item (250*4 = 1000) would be out
+    rows = (
+        [("a",)] * 400 + [("b",)] * 251
+        + [(f"x{i}",) for i in range(349)]
+    )
+    df = spark.createDataFrame(rows, "item string")
+    want = {("a", 400), ("b", 251)}
+    for parts in (1, 4, 17):
+        got = {
+            (r["item"], r["n_occurrences"])
+            for r in heavy_hitters(
+                df.repartition(parts), "item", k=3
+            ).collect()
+        }
+        assert got == want, (parts, got)
