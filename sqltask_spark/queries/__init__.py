@@ -22,6 +22,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from sqltask_spark.queries import cluster as _cluster
 from sqltask_spark.queries import events as _events
 from sqltask_spark.queries import multimodal as _multimodal
 from sqltask_spark.queries import pipeline as _pipeline
@@ -42,8 +43,8 @@ ORACLES: dict[str, str] = {}
 # they must sit inside that window. Relational/events flagships fill
 # the remaining slots via _FLAGSHIP below; the rest (all with green
 # driver history from rounds 1-2 and plan tests) follow.
-for mod in (_textops, _retrieval, _vector, _multimodal, _pipeline,
-            _relational, _relational2, _events):
+for mod in (_textops, _retrieval, _vector, _cluster, _multimodal,
+            _pipeline, _relational, _relational2, _events):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
 
@@ -87,6 +88,13 @@ _FLAGSHIP = [
 #: formerly permanently-rows-only operator class into a hash-checked
 #: one — plus the two new PII/script operators.
 _PROMOTED = [
+    # newest first: the k-means-family certificates (training loop,
+    # IVF probe, SemDeDup prune) and the fixed-codec multimodal twin
+    # get their first driver rows this round
+    "kmeans_certified",
+    "ann_topk_ivf_fixed",
+    "semdedup_fixed",
+    "multimodal_features_fixed",
     "dedup_minhash_pairs_md5",
     "dedup_simhash_pairs_md5",
     "dedup_embedding_pairs_lsh_fixed",
@@ -107,7 +115,8 @@ _PROMOTED = [
 #: local full gate + bench.
 _LLM_ORACLED = [
     k
-    for mod in (_textops, _retrieval, _vector, _multimodal, _pipeline)
+    for mod in (_textops, _retrieval, _vector, _cluster, _multimodal,
+                _pipeline)
     for k in mod.QUERIES
     if k in ORACLES and k not in _PROMOTED
 ]

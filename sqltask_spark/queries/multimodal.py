@@ -169,17 +169,112 @@ ORDER BY kept_id
 """
 
 
+# --------------------------------------------------------------------------
+# multimodal_features_fixed — ORACLED certificate twin of the
+# decode/featurize pipeline. The production fake codec chains sha256
+# over raw digest BYTES, which DuckDB cannot replay (its sha256 takes
+# VARCHAR only) — so the twin chains over HEX STRINGS instead:
+# d0 = sha256(payload), d1 = sha256(d0), d2 = sha256(d1) (128 hex
+# chars of deterministic "decoded stream"), and each of the 16
+# features is the u16 parsed from the leading 4 hex chars of every
+# 8-char group — mirroring the production codec's "2 bytes of every
+# 4-byte window" shape. Spark runs it as pure JVM expressions (no
+# Python at all — codegen the whole row), DuckDB replays every hash
+# and hex-parse bit-for-bit, so the driver hash-checks the entire
+# decode→featurize→digest plumbing. The mapInPandas production entry
+# (multimodal_features) remains the real-codec seam.
+# --------------------------------------------------------------------------
+
+_FEAT_DIM = 16
+_HEX = "0123456789abcdef"
+
+
+def multimodal_features_fixed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    media = _media_from_documents(spark, sf_dir)
+    d0 = F.sha2(F.col("payload"), 256)
+    base = media.select(
+        "media_id",
+        F.col("meta.mime").alias("mime"),
+        F.octet_length("payload").alias("n_bytes"),
+        d0.alias("sha256"),
+    ).withColumn(
+        "_cc",
+        F.concat(
+            F.sha2(F.col("sha256"), 256),
+            F.sha2(F.sha2(F.col("sha256"), 256), 256),
+        ),
+    )
+    u16s = [
+        F.conv(F.substring("_cc", 8 * i + 1, 4), 16, 10).cast("bigint")
+        for i in range(_FEAT_DIM)
+    ]
+    feat_l1 = u16s[0]
+    for c in u16s[1:]:
+        feat_l1 = feat_l1 + c
+    return base.select(
+        "media_id",
+        "mime",
+        "n_bytes",
+        "sha256",
+        feat_l1.alias("feat_l1"),
+        F.md5(
+            F.concat_ws(",", *[c.cast("string") for c in u16s])
+        ).alias("feat_md5"),
+    ).orderBy("media_id")
+
+
+def _features_fixed_sql() -> str:
+    def u16(i: int) -> str:
+        chars = [
+            f"(strpos('{_HEX}', substr(cc, {8 * i + 1 + j}, 1)) - 1)"
+            for j in range(4)
+        ]
+        expr = chars[0]
+        for c in chars[1:]:
+            expr = f"({expr} * 16 + {c})"
+        return f"CAST({expr} AS BIGINT)"
+
+    cols = [u16(i) for i in range(_FEAT_DIM)]
+    l1 = " + ".join(cols)
+    md5_args = ", ".join(
+        f"CAST({c} AS VARCHAR)" for c in cols
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id AS media_id,
+         'text/plain' AS mime,
+         octet_length(encode(text)) AS n_bytes,
+         sha256(text) AS d0
+  FROM documents),
+chain AS (
+  SELECT media_id, mime, n_bytes, d0,
+         sha256(d0) || sha256(sha256(d0)) AS cc
+  FROM base)
+SELECT media_id, mime, n_bytes, d0 AS sha256,
+       {l1} AS feat_l1,
+       md5(concat_ws(',', {md5_args})) AS feat_md5
+FROM chain
+ORDER BY media_id
+"""
+
+
 QUERIES = {
     "multimodal_payload_stats": multimodal_payload_stats,
     "multimodal_features": multimodal_features,
+    "multimodal_features_fixed": multimodal_features_fixed,
     "multimodal_frame_plan": multimodal_frame_plan,
     "multimodal_dedup": multimodal_dedup,
 }
 
 ORACLES = {
     "multimodal_payload_stats": _PAYLOAD_SQL,
-    # multimodal_features: rows-only (fake-codec features are not
-    # SQL-expressible; exact values pytest-verified).
+    # multimodal_features: rows-only (the fake codec chains sha256
+    # over raw digest BYTES — no BLOB sha256 in DuckDB; exact values
+    # pytest-verified). multimodal_features_fixed is its oracled
+    # certificate twin over hex-string chains.
+    "multimodal_features_fixed": _features_fixed_sql(),
     "multimodal_frame_plan": _FRAME_PLAN_SQL,
     "multimodal_dedup": _MM_DEDUP_SQL,
 }

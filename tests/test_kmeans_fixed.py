@@ -1,0 +1,193 @@
+"""Fixed-point Lloyd k-means (operators.kmeans_fixed) + the cluster
+certificate entries (queries.cluster, queries.multimodal fixed twin).
+
+The certificates' cross-engine guarantees rest on a handful of pinned
+semantics — each test here pins one:
+
+- truncating integer division agrees between Spark ``div`` and
+  DuckDB ``//`` (the centroid-update mean);
+- Lloyd's inertia is non-increasing round over round (the algorithm
+  is actually descending, not just deterministic);
+- results are layout-invariant (1 vs 7 partitions — fixed-point sums
+  cannot depend on shuffle order);
+- the IVF-fixed probe is a strict subset of brute force with decent
+  recall (probing 2 of 8 cells finds most true neighbors);
+- the fixed-codec features are deterministic and in range.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from sqltask_spark.data import load_table
+from sqltask_spark.operators.kmeans_fixed import (
+    assign_cells,
+    init_centroids_md5,
+    kmeans_fixed,
+    to_fixed_long,
+)
+
+
+def test_truncating_div_matches_duckdb(spark):
+    """The centroid update divides with Spark ``div``; the oracle
+    uses DuckDB ``//``. Both must truncate toward zero, including on
+    negative sums (quantized embeddings go negative)."""
+    cases = [(-7, 2), (7, 2), (-7, -2), (7, -2), (-1, 3), (1, 3), (0, 5)]
+    got_spark = [
+        spark.sql(f"SELECT CAST({a} AS BIGINT) div {b} AS q").first().q
+        for a, b in cases
+    ]
+    got_duck = [
+        duckdb.sql(
+            f"SELECT CAST({a} AS BIGINT) // {b} AS q"
+        ).fetchone()[0]
+        for a, b in cases
+    ]
+    assert got_spark == got_duck
+
+
+def test_inertia_non_increasing(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = to_fixed_long(emb, "vec_id").persist()
+    cents = init_centroids_md5(pts, 8)
+    inertias = []
+    for _ in range(4):
+        assign = assign_cells(pts, cents)
+        inertias.append(assign.agg(F.sum("dist")).first()[0])
+        # same update as kmeans_fixed, one literal round-trip
+        from sqltask_spark.operators.kmeans_fixed import _update
+
+        rows = _update(pts, assign, cents).collect()
+        cents = spark.createDataFrame(rows, "cid int, pos int, c bigint")
+    pts.unpersist()
+    assert all(a >= b for a, b in zip(inertias, inertias[1:])), inertias
+
+
+def test_kmeans_layout_invariant(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    outs = []
+    for parts in (1, 7):
+        assign, cents = kmeans_fixed(
+            emb.repartition(parts), "vec_id", k=8, iters=2
+        )
+        outs.append(
+            (
+                sorted(map(tuple, assign.collect())),
+                sorted(map(tuple, cents.collect())),
+            )
+        )
+        assign.unpersist()
+    assert outs[0] == outs[1]
+
+
+def test_every_point_assigned_once(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign, _ = kmeans_fixed(emb, "vec_id", k=8, iters=2)
+    n = emb.count()
+    assert assign.count() == n
+    assert assign.select("id").distinct().count() == n
+    assert assign.filter(~F.col("cid").between(0, 7)).count() == 0
+    assign.unpersist()
+
+
+def test_ivf_fixed_subset_of_brute_with_recall(spark, sf_dir):
+    """Probing 3 of 8 cells: every returned neighbor must be a real
+    corpus vector != query, scores must agree with exact cosine
+    (they ARE exact within the candidate set), and recall vs the
+    exact top-10 should clear 0.5 on this corpus."""
+    from sqltask_spark.queries.cluster import ann_topk_ivf_fixed
+    from sqltask_spark.queries.vector import ann_topk_brute
+
+    ivf = ann_topk_ivf_fixed(spark, sf_dir).collect()
+    brute = ann_topk_brute(spark, sf_dir).collect()
+    brute_sets = {}
+    for r in brute:
+        brute_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    brute_scores = {(r.query_id, r.neighbor_id): r.score for r in brute}
+    hits = total = 0
+    for r in ivf:
+        assert r.neighbor_id != r.query_id
+        # the candidate scoring is exact: any (q, n) also present in
+        # the brute table must carry the identical rounded score
+        if (r.query_id, r.neighbor_id) in brute_scores:
+            assert r.score == brute_scores[(r.query_id, r.neighbor_id)]
+        total += 1
+        if r.neighbor_id in brute_sets.get(r.query_id, set()):
+            hits += 1
+    assert total > 0
+    assert hits / total >= 0.5, f"recall {hits}/{total}"
+
+
+def test_semdedup_fixed_no_close_pair_survives(spark, sf_dir):
+    """Within any cell, no two SURVIVORS may be ≥ threshold close —
+    the defining postcondition of the prune."""
+    from sqltask_spark.operators.similarity import as_double_array, cosine
+    from sqltask_spark.queries.cluster import SEM_THRESHOLD, semdedup_fixed
+
+    kept = semdedup_fixed(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array(F.col("embedding")).alias("v")
+    )
+    k = kept.join(emb, "vec_id")
+    a = k.select(
+        "cell", F.col("vec_id").alias("ia"), F.col("v").alias("va")
+    )
+    b = k.select(
+        "cell", F.col("vec_id").alias("ib"), F.col("v").alias("vb")
+    )
+    viol = (
+        a.join(b, "cell")
+        .filter(F.col("ia") < F.col("ib"))
+        .filter(
+            F.round(cosine(F.col("va"), F.col("vb")), 6) >= SEM_THRESHOLD
+        )
+        .count()
+    )
+    assert viol == 0
+
+
+def test_multimodal_features_fixed_deterministic_and_in_range(
+    spark, sf_dir
+):
+    from sqltask_spark.queries.multimodal import multimodal_features_fixed
+
+    rows = multimodal_features_fixed(spark, sf_dir).collect()
+    again = multimodal_features_fixed(spark, sf_dir).collect()
+    assert rows == again
+    for r in rows[:50]:
+        # 16 u16 features: the L1 sum is bounded by 16 · 65535
+        assert 0 <= r.feat_l1 <= 16 * 65535
+        assert len(r.feat_md5) == 32
+        assert len(r.sha256) == 64
+
+
+@pytest.mark.parametrize("k", [2, 8])
+def test_init_is_md5_rank_prefix(spark, sf_dir, k):
+    """Init picks exactly the K ids with the smallest md5 rank — the
+    contract the DuckDB oracle replays."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = to_fixed_long(emb, "vec_id")
+    cents = init_centroids_md5(pts, k)
+    assert cents.select("cid").distinct().count() == k
+    import hashlib
+
+    ids = [r.vec_id for r in emb.select("vec_id").collect()]
+    want = sorted(
+        ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+    )[:k]
+    got_c0 = (
+        cents.filter(F.col("cid") == 0)
+        .join(
+            pts.withColumnRenamed("el", "pel"),
+            ["pos"],
+        )
+        .filter(F.col("c") == F.col("pel"))
+        .select("id")
+        .groupBy("id")
+        .count()
+        .filter(F.col("count") == 64)
+        .collect()
+    )
+    assert want[0] in {r.id for r in got_c0}
