@@ -11,7 +11,7 @@ semantics — each test here pins one:
 - results are layout-invariant (1 vs 7 partitions — fixed-point sums
   cannot depend on shuffle order);
 - the IVF-fixed probe is a strict subset of brute force with decent
-  recall (probing 2 of 8 cells finds most true neighbors);
+  recall (probing 3 of 8 cells finds most true neighbors);
 - the fixed-codec features are deterministic and in range.
 """
 
@@ -191,3 +191,32 @@ def test_init_is_md5_rank_prefix(spark, sf_dir, k):
         .collect()
     )
     assert want[0] in {r.id for r in got_c0}
+
+
+def test_cluster_certificate_plans(spark, sf_dir):
+    """Plan shapes for the new certificate entries: centroid side of
+    the assignment join broadcasts (K·D rows — the corpus side must
+    never shuffle for assignment) and nothing degenerates into a
+    cartesian product."""
+    from sqltask_spark.plans import plan_report
+    from sqltask_spark.queries import QUERIES
+
+    for name in ("ann_topk_ivf_fixed", "semdedup_fixed"):
+        r = plan_report(QUERIES[name](spark, sf_dir))
+        assert "BroadcastHashJoin" in r.join_strategies, name
+        assert "CartesianProduct" not in r.join_strategies, name
+
+
+def test_multimodal_fixed_is_pure_codegen(spark, sf_dir):
+    """The fixed-codec twin must stay entirely JVM-side: no Python
+    evals, no joins, no exchanges beyond the final sort."""
+    from sqltask_spark.plans import plan_report
+    from sqltask_spark.queries import QUERIES
+
+    df = QUERIES["multimodal_features_fixed"](spark, sf_dir)
+    r = plan_report(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert r.join_strategies == []
+    assert r.has_codegen
