@@ -71,6 +71,7 @@ __all__ = [
     "init_centroids_md5",
     "assign_cells",
     "kmeans_fixed",
+    "kmeans_fixed_sparse",
 ]
 
 #: fixed-point scale shared with label_centroids (2^-20 resolution)
@@ -200,6 +201,109 @@ def kmeans_fixed(
     final_assign = assign_cells(pts, cents)
     # materialize the (small) outputs before releasing the cache
     final_assign = final_assign.persist()
+    final_assign.count()
+    pts.unpersist()
+    return final_assign, cents
+
+
+# --------------------------------------------------------------------------
+# Sparse variant: long-format points where an absent (id, pos) row
+# means 0 — the natural shape for hashed term-count vectors (most
+# dimensions of most documents are zero, so densifying would multiply
+# the shuffled rows by the vocabulary-to-document ratio for nothing).
+# --------------------------------------------------------------------------
+
+
+def _assign_sparse(pts: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment over sparse points/centroids.
+
+    With absent = 0 on both sides the exact squared distance
+    decomposes into three exact BIGINT pieces:
+
+        dist(id, cid) = Σ el² − 2·Σ_common el·c + Σ c²
+                        (per id)  (per id,cid)    (per cid)
+
+    so only the middle term needs the points-×-centroids join (on
+    common positions only — the sparse win), and (id, cid) pairs with
+    no common position fall back to dsq + c2 via the tiny id × cid
+    grid (broadcast cid side).
+    """
+    dsq = pts.groupBy("id").agg(
+        F.sum(F.col("el") * F.col("el")).alias("dsq")
+    )
+    csq = cents.groupBy("cid").agg(
+        F.sum(F.col("c") * F.col("c")).alias("c2")
+    )
+    cross = (
+        pts.join(F.broadcast(cents), "pos")
+        .groupBy("id", "cid")
+        .agg(F.sum(F.col("el") * F.col("c")).alias("x"))
+    )
+    grid = dsq.crossJoin(F.broadcast(csq))
+    dists = grid.join(cross, ["id", "cid"], "left").select(
+        "id",
+        "cid",
+        (
+            F.col("dsq")
+            - F.lit(2) * F.coalesce("x", F.lit(0).cast("bigint"))
+            + F.col("c2")
+        ).alias("dist"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("id").orderBy("dist", "cid")
+    )
+    return (
+        dists.withColumn("_rn", rn)
+        .filter(F.col("_rn") == 1)
+        .select("id", "cid", "dist")
+    )
+
+
+def _update_sparse(
+    pts: DataFrame, assign: DataFrame, cents: DataFrame
+) -> DataFrame:
+    """Sparse centroid update: truncating integer mean over ALL
+    cluster members (absent rows count as 0, so the divisor is the
+    member count, not the present-row count); exactly-zero centroid
+    components are dropped to keep centroids sparse; empty clusters
+    keep their previous centroid."""
+    msize = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
+    upd = (
+        pts.join(assign.select("id", "cid"), "id")
+        .groupBy("cid", "pos")
+        .agg(F.sum("el").alias("s"))
+        .join(msize, "cid")
+        .select(
+            "cid",
+            "pos",
+            F.expr("s div n").cast("bigint").alias("c"),
+        )
+        .filter(F.col("c") != 0)
+    )
+    kept_old = cents.join(msize.select("cid"), "cid", "left_anti")
+    return upd.unionByName(kept_old)
+
+
+def kmeans_fixed_sparse(
+    pts: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd k-means over sparse long-format integer points
+    ``(id, pos, el)`` (absent = 0). Same determinism contract and
+    per-round centroid literalization as :func:`kmeans_fixed`;
+    distances use the sparse three-term decomposition (see
+    :func:`_assign_sparse`). Returns ``(assign, centroids)``."""
+    spark: SparkSession = pts.sparkSession
+    pts = pts.persist()
+    cents = init_centroids_md5(pts, k)
+    for _ in range(iters):
+        assign = _assign_sparse(pts, cents)
+        rows = _update_sparse(pts, assign, cents).collect()
+        cents = spark.createDataFrame(
+            rows, "cid int, pos int, c bigint"
+        )
+    final_assign = _assign_sparse(pts, cents).persist()
     final_assign.count()
     pts.unpersist()
     return final_assign, cents

@@ -94,6 +94,7 @@ _PROMOTED = [
     "kmeans_certified",
     "ann_topk_ivf_fixed",
     "semdedup_fixed",
+    "topic_cluster_certified",
     "multimodal_features_fixed",
     "dedup_minhash_pairs_md5",
     "dedup_simhash_pairs_md5",

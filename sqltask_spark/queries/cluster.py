@@ -2,9 +2,9 @@
 
 The production k-means family (IVF ANN, SemDeDup, topic cells) trains
 float centroids on a driver-side sample — the right 100 TB shape but
-engine-specific math, so those entries are rows-only. These three
-entries re-run the SAME algorithm shapes on the exact BIGINT Lloyd
-recurrence of :mod:`sqltask_spark.operators.kmeans_fixed`, which
+engine-specific math, so those entries are rows-only. These entries
+re-run the SAME algorithm shapes on the exact BIGINT Lloyd recurrence
+(dense and sparse) of :mod:`sqltask_spark.operators.kmeans_fixed`, which
 DuckDB replays as plain SQL — converting the whole family into
 driver-hash-checked certificates (the ``bpe_learn_certified``
 pattern applied to clustering):
@@ -18,6 +18,10 @@ pattern applied to clustering):
 - ``semdedup_fixed`` — the SemDeDup prune: within-cell pairwise
   cosine ≥ threshold drops the higher id (keep-lowest-id, the
   engine-wide survivor convention).
+- ``topic_cluster_certified`` — the TOPIC-MAP shape: hashed
+  term-count vectors (sparse long format, 60-bit md5 buckets) →
+  sparse fixed-point k-means → per-cluster doc/token counts + top
+  terms, all in exact integers.
 
 The production entries (``ann_topk_ivf``, ``semdedup_keep``,
 ``topic_cluster_documents``) remain the performance path; recall and
@@ -31,9 +35,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from sqltask_spark.data import load_table
+from sqltask_spark.operators import text as tx
+from sqltask_spark.operators.dedup import _md5_long_of
 from sqltask_spark.operators.kmeans_fixed import (
     FP_SCALE,
     kmeans_fixed,
+    kmeans_fixed_sparse,
     to_fixed_long,
 )
 from sqltask_spark.operators.similarity import as_double_array, cosine
@@ -190,6 +197,75 @@ def semdedup_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_TOPIC_BUCKETS = 32
+K_TOPICS = 8
+TOPIC_ITERS = 3
+TOP_TERMS = 3
+
+
+def topic_cluster_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-map certificate: 32-bucket hashed term-count vectors →
+    sparse fixed-point k-means → (cluster_id, n_docs, n_tokens,
+    top_terms). Documents with zero tokens have no vector and are
+    excluded by construction (identically on both engines). The
+    production ``topic_cluster_documents`` stays the TF-IDF +
+    spherical-float path."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(tx.tokenize(F.col("text"))).alias("term"),
+    ).filter(F.col("term") != "")
+    pts = (
+        toks.select(
+            "id",
+            (_md5_long_of(F.col("term")) % N_TOPIC_BUCKETS)
+            .cast("int")
+            .alias("pos"),
+        )
+        .groupBy("id", "pos")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("el"))
+    )
+    assign, _cents = kmeans_fixed_sparse(
+        pts, k=K_TOPICS, iters=TOPIC_ITERS
+    )
+    members = assign.select("id", "cid")
+    tcnt = (
+        toks.join(members, "id")
+        .groupBy("cid", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("cid").orderBy(F.desc("cnt"), F.asc("term"))
+    topj = (
+        tcnt.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_TERMS)
+        .groupBy("cid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rk", "term"))),
+                    lambda s: s["term"],
+                ),
+                ",",
+            ).alias("top_terms")
+        )
+    )
+    stats = members.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    ntok = tcnt.groupBy("cid").agg(F.sum("cnt").alias("n_tokens"))
+    return (
+        stats.join(ntok, "cid")
+        .join(topj, "cid")
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "n_docs",
+            "n_tokens",
+            "top_terms",
+        )
+        .orderBy("cluster_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles — the identical recurrence as unrolled CTEs
 # --------------------------------------------------------------------------
@@ -206,39 +282,39 @@ def _kmeans_ctes(k: int = K_CELLS, iters: int = ITERS) -> str:
     ``cent{iters}`` (trained centroids) and ``fasg`` (final
     assignment with BIGINT squared distance)."""
     ctes = [
-        f"""pts AS (
+        f"""pts AS MATERIALIZED (
   SELECT vec_id AS id,
          UNNEST(generate_series(0, len(embedding) - 1)) AS pos,
          CAST(floor(CAST(UNNEST(embedding) AS DOUBLE) * {FP_SCALE}.0)
               AS BIGINT) AS el
   FROM embeddings)""",
-        """ids AS (
+        """ids AS MATERIALIZED (
   SELECT id,
          ROW_NUMBER() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) AS rk
   FROM (SELECT DISTINCT id FROM pts))""",
-        f"""cent0 AS (
+        f"""cent0 AS MATERIALIZED (
   SELECT CAST(rk - 1 AS INT) AS cid, pos, el AS c
   FROM ids JOIN pts USING (id) WHERE rk <= {k})""",
     ]
     for i in range(iters):
-        ctes.append(f"""dist{i} AS (
+        ctes.append(f"""dist{i} AS MATERIALIZED (
   SELECT p.id, c.cid, CAST(SUM((p.el - c.c) * (p.el - c.c)) AS BIGINT) AS d
   FROM pts p JOIN cent{i} c USING (pos) GROUP BY p.id, c.cid)""")
-        ctes.append(f"""asg{i} AS (
+        ctes.append(f"""asg{i} AS MATERIALIZED (
   SELECT id, cid FROM (
     SELECT id, cid,
            ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) AS rn
     FROM dist{i}) WHERE rn = 1)""")
-        ctes.append(f"""upd{i} AS (
+        ctes.append(f"""upd{i} AS MATERIALIZED (
   SELECT a.cid, p.pos, CAST(SUM(p.el) // COUNT(*) AS BIGINT) AS c_new
   FROM asg{i} a JOIN pts p USING (id) GROUP BY a.cid, p.pos)""")
-        ctes.append(f"""cent{i + 1} AS (
+        ctes.append(f"""cent{i + 1} AS MATERIALIZED (
   SELECT o.cid, o.pos, COALESCE(u.c_new, o.c) AS c
   FROM cent{i} o LEFT JOIN upd{i} u ON u.cid = o.cid AND u.pos = o.pos)""")
-    ctes.append(f"""fdist AS (
+    ctes.append(f"""fdist AS MATERIALIZED (
   SELECT p.id, c.cid, CAST(SUM((p.el - c.c) * (p.el - c.c)) AS BIGINT) AS d
   FROM pts p JOIN cent{iters} c USING (pos) GROUP BY p.id, c.cid)""")
-    ctes.append("""fasg AS (
+    ctes.append("""fasg AS MATERIALIZED (
   SELECT id, cid, d FROM (
     SELECT id, cid, d,
            ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) AS rn
@@ -322,14 +398,108 @@ ORDER BY vec_id
 """
 
 
+def _sparse_kmeans_ctes(k: int, iters: int) -> str:
+    """Sparse fixed-point Lloyd recurrence over hashed term counts,
+    ending in ``fasg`` (final assignment). Mirrors
+    ``operators.kmeans_fixed.kmeans_fixed_sparse`` exactly: the
+    three-term distance decomposition, member-count divisor,
+    zero-component drop, keep-previous on empty clusters."""
+    from sqltask_spark.queries.textops import _TOKS, _md5long_sql
+
+    ctes = [
+        f"""toks AS MATERIALIZED (SELECT doc_id AS id, UNNEST({_TOKS}) AS term
+        FROM documents)""",
+        """tok AS MATERIALIZED (SELECT id, term FROM toks WHERE term <> '')""",
+        f"""pts AS MATERIALIZED (
+  SELECT id, CAST({_md5long_sql("term")} % {N_TOPIC_BUCKETS} AS INT)
+           AS pos,
+         CAST(COUNT(*) AS BIGINT) AS el
+  FROM tok GROUP BY 1, 2)""",
+        """ids AS MATERIALIZED (
+  SELECT id,
+         ROW_NUMBER() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) AS rk
+  FROM (SELECT DISTINCT id FROM pts))""",
+        f"""cent0 AS MATERIALIZED (
+  SELECT CAST(rk - 1 AS INT) AS cid, pos, el AS c
+  FROM ids JOIN pts USING (id) WHERE rk <= {k})""",
+        """dsq AS MATERIALIZED (
+  SELECT id, CAST(SUM(el * el) AS BIGINT) AS dsq FROM pts GROUP BY id)""",
+    ]
+
+    def round_ctes(i: int, cent: str, tag: str) -> list[str]:
+        return [
+            f"""csq{tag} AS MATERIALIZED (
+  SELECT cid, CAST(SUM(c * c) AS BIGINT) AS c2 FROM {cent} GROUP BY cid)""",
+            f"""xp{tag} AS MATERIALIZED (
+  SELECT p.id, c.cid, CAST(SUM(p.el * c.c) AS BIGINT) AS x
+  FROM pts p JOIN {cent} c USING (pos) GROUP BY p.id, c.cid)""",
+            f"""dist{tag} AS MATERIALIZED (
+  SELECT d.id, s.cid,
+         d.dsq - 2 * COALESCE(x.x, CAST(0 AS BIGINT)) + s.c2 AS dist
+  FROM dsq d CROSS JOIN csq{tag} s
+  LEFT JOIN xp{tag} x ON x.id = d.id AND x.cid = s.cid)""",
+            f"""asg{tag} AS MATERIALIZED (
+  SELECT id, cid FROM (
+    SELECT id, cid,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist, cid) AS rn
+    FROM dist{tag}) WHERE rn = 1)""",
+        ]
+
+    for i in range(iters):
+        ctes += round_ctes(i, f"cent{i}", str(i))
+        ctes.append(f"""msz{i} AS MATERIALIZED (
+  SELECT cid, COUNT(*) AS n FROM asg{i} GROUP BY cid)""")
+        ctes.append(f"""upd{i} AS MATERIALIZED (
+  SELECT cid, pos, c FROM (
+    SELECT a.cid, p.pos, CAST(SUM(p.el) // MIN(m.n) AS BIGINT) AS c
+    FROM asg{i} a JOIN pts p USING (id) JOIN msz{i} m ON m.cid = a.cid
+    GROUP BY a.cid, p.pos) WHERE c <> 0)""")
+        ctes.append(f"""cent{i + 1} AS MATERIALIZED (
+  SELECT cid, pos, c FROM upd{i}
+  UNION ALL
+  SELECT o.cid, o.pos, o.c FROM cent{i} o
+  WHERE o.cid NOT IN (SELECT cid FROM msz{i}))""")
+    ctes += round_ctes(iters, f"cent{iters}", "F")
+    ctes.append("fasg AS MATERIALIZED (SELECT id, cid FROM asgF)")
+    return ",\n".join(ctes)
+
+
+def _topic_certified_sql() -> str:
+    return f"""
+WITH {_sparse_kmeans_ctes(K_TOPICS, TOPIC_ITERS)},
+tcnt AS MATERIALIZED (
+  SELECT a.cid, t.term, COUNT(*) AS cnt
+  FROM fasg a JOIN tok t USING (id) GROUP BY a.cid, t.term),
+topj AS (
+  SELECT cid, string_agg(term, ',' ORDER BY rk) AS top_terms
+  FROM (
+    SELECT cid, term,
+           ROW_NUMBER() OVER (
+             PARTITION BY cid ORDER BY cnt DESC, term) AS rk
+    FROM tcnt) WHERE rk <= {TOP_TERMS}
+  GROUP BY cid),
+stats AS (SELECT cid, COUNT(*) AS n_docs FROM fasg GROUP BY cid),
+ntok AS MATERIALIZED (
+  SELECT cid, CAST(SUM(cnt) AS BIGINT) AS n_tokens
+  FROM tcnt GROUP BY cid)
+SELECT s.cid AS cluster_id, s.n_docs, n.n_tokens, j.top_terms
+FROM stats s
+JOIN ntok n USING (cid)
+JOIN topj j USING (cid)
+ORDER BY cluster_id
+"""
+
+
 QUERIES = {
     "kmeans_certified": kmeans_certified,
     "ann_topk_ivf_fixed": ann_topk_ivf_fixed,
     "semdedup_fixed": semdedup_fixed,
+    "topic_cluster_certified": topic_cluster_certified,
 }
 
 ORACLES = {
     "kmeans_certified": _kmeans_certified_sql(),
     "ann_topk_ivf_fixed": _ann_ivf_fixed_sql(),
     "semdedup_fixed": _semdedup_fixed_sql(),
+    "topic_cluster_certified": _topic_certified_sql(),
 }

@@ -220,3 +220,106 @@ def test_multimodal_fixed_is_pure_codegen(spark, sf_dir):
     assert "ArrowEvalPython" not in plan
     assert r.join_strategies == []
     assert r.has_codegen
+
+
+def test_sparse_equals_dense_on_dense_input(spark, sf_dir):
+    """On a fully-dense long-format input the sparse three-term
+    distance decomposition must reproduce the dense variant's
+    assignment exactly (the decomposition is an identity, not an
+    approximation)."""
+    from sqltask_spark.operators.kmeans_fixed import kmeans_fixed_sparse
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dense_assign, _ = kmeans_fixed(emb, "vec_id", k=8, iters=2)
+    pts = to_fixed_long(emb, "vec_id")
+    sparse_assign, _ = kmeans_fixed_sparse(pts, k=8, iters=2)
+    d = {r.id: (r.cid, r.dist) for r in dense_assign.collect()}
+    s = {r.id: (r.cid, r.dist) for r in sparse_assign.collect()}
+    assert d == s
+    dense_assign.unpersist()
+    sparse_assign.unpersist()
+
+
+def test_sparse_kmeans_layout_invariant(spark):
+    """Term-count shaped sparse points: identical assignment and
+    centroids at 1 vs 7 input partitions."""
+    import random
+
+    from sqltask_spark.operators.kmeans_fixed import kmeans_fixed_sparse
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(60):
+        for pos in rng.sample(range(32), rng.randint(2, 10)):
+            rows.append((i, pos, rng.randint(1, 9)))
+    outs = []
+    for parts in (1, 7):
+        pts = spark.createDataFrame(
+            rows, "id bigint, pos int, el bigint"
+        ).repartition(parts)
+        assign, cents = kmeans_fixed_sparse(pts, k=4, iters=3)
+        outs.append(
+            (
+                sorted(map(tuple, assign.collect())),
+                sorted(map(tuple, cents.collect())),
+            )
+        )
+        assign.unpersist()
+    assert outs[0] == outs[1]
+
+
+def test_topic_certified_separates_planted_topics(spark, tmp_path):
+    """Two disjoint vocabularies whose two md5-rank-smallest doc ids
+    land in different topics: k=2 sparse k-means must split the
+    corpus exactly along the topics."""
+    import hashlib
+
+    from sqltask_spark.queries.cluster import (
+        N_TOPIC_BUCKETS,
+        TOPIC_ITERS,
+    )
+    from sqltask_spark.operators.dedup import _md5_long_of
+    from sqltask_spark.operators.kmeans_fixed import kmeans_fixed_sparse
+    from sqltask_spark.operators import text as tx
+
+    ids = list(range(1, 41))
+    by_rank = sorted(
+        ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+    )
+    # the two seeds must start in different topics
+    topic_of = {by_rank[0]: 0, by_rank[1]: 1}
+    for j, i in enumerate(by_rank[2:]):
+        topic_of[i] = j % 2
+    vocab = [
+        "alpha beta gamma delta epsilon",
+        "zork quux fnord blarg wibble",
+    ]
+    docs = spark.createDataFrame(
+        [(i, vocab[topic_of[i]] + f" x{'y' * (i % 3)}".replace(
+            "x", vocab[topic_of[i]].split()[i % 5]
+        )) for i in ids],
+        "doc_id bigint, text string",
+    )
+    toks = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(tx.tokenize(F.col("text"))).alias("term"),
+    ).filter(F.col("term") != "")
+    pts = (
+        toks.select(
+            "id",
+            (_md5_long_of(F.col("term")) % N_TOPIC_BUCKETS)
+            .cast("int")
+            .alias("pos"),
+        )
+        .groupBy("id", "pos")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("el"))
+    )
+    assign, _ = kmeans_fixed_sparse(pts, k=2, iters=TOPIC_ITERS)
+    got = {r.id: r.cid for r in assign.collect()}
+    assign.unpersist()
+    clusters_of_topic = {
+        t: {got[i] for i in ids if topic_of[i] == t} for t in (0, 1)
+    }
+    assert clusters_of_topic[0].isdisjoint(clusters_of_topic[1])
+    assert len(clusters_of_topic[0]) == 1
+    assert len(clusters_of_topic[1]) == 1
