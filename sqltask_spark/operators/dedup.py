@@ -424,6 +424,138 @@ def minhash_dedup_pairs_md5(
     return out
 
 
+def minhash_contamination_pairs_md5(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    side_col: str,
+    num_perm: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    shingle_n: int = 3,
+    max_bucket_size: int = 1000,
+    threshold: float = 0.0,
+    eager: bool = True,
+) -> DataFrame:
+    """Cross-corpus fuzzy contamination screen: banded md5 MinHash
+    pairs ONLY between side 0 (index/train) and side 1 (probe/eval).
+
+    The fuzzy complement of exact n-gram ``contamination_overlap``:
+    an eval document that was paraphrased or lightly edited into the
+    training set shares most shingles but no exact n-gram window, and
+    only a near-dup screen catches it (the decontamination step of
+    every published LLM data pipeline, e.g. GPT-3 appendix C's 13-gram
+    + fuzzy dedup combination).
+
+    Scale shape: ONE signature pass over the union corpus (the index
+    side is not re-signed per probe batch), then the banded bucket
+    join emits only cross-side pairs — train×train collisions, the
+    overwhelming bulk of every bucket, are never materialized. Bucket
+    cap bounds the worst hot bucket exactly as in
+    :func:`minhash_dedup_pairs_md5`; the md5 permutation family keeps
+    every step DuckDB-replayable, so the driver hash-checks the whole
+    screen.
+
+    Returns (index_id, probe_id, n_shared_bands, jaccard) with exact
+    shingle-set Jaccard ≥ ``threshold``.
+    """
+    assert num_perm % bands == 0, "bands must divide num_perm"
+    rpb = num_perm // bands
+    from sqltask_spark.data import materialize_and_release
+
+    sides = docs.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_text"),
+        F.col(side_col).cast("int").alias("side"),
+    )
+    shingled = md5_shingled_docs(sides, "_id", "_text", shingle_n).join(
+        sides.select(F.col("_id").alias("id"), "side"), "id"
+    )
+    if eager:
+        shingled = shingled.persist()
+    exploded = shingled.select("id", F.explode("h").alias("h"))
+
+    def perm(i: int) -> Column:
+        return _md5_long_of(
+            F.concat_ws(
+                ":",
+                F.lit(str(seed)),
+                F.lit(str(i)),
+                F.col("h").cast("string"),
+            )
+        )
+
+    wide = exploded.groupBy("id").agg(
+        *[F.min(perm(i)).alias(f"m{i}") for i in range(num_perm)]
+    )
+    band_hashes = [
+        _md5_long_of(
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"m{b * rpb + j}").cast("string")
+                    for j in range(rpb)
+                ],
+            )
+        )
+        for b in range(bands)
+    ]
+    banded = wide.join(
+        shingled.select("id", "side"), "id"
+    ).select(
+        "id",
+        "side",
+        F.posexplode(F.array(*band_hashes)).alias("band", "band_hash"),
+    )
+    buckets = (
+        banded.groupBy("band", "band_hash")
+        .agg(F.collect_list(F.struct("id", "side")).alias("members"))
+        .filter(
+            (F.size("members") >= 2)
+            & (F.size("members") <= max_bucket_size)
+        )
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        F.col("members"),
+                        lambda a: F.transform(
+                            F.col("members"),
+                            lambda b: F.struct(a.alias("a"), b.alias("b")),
+                        ),
+                    )
+                ),
+                lambda s: (s["a"]["side"] == 0) & (s["b"]["side"] == 1),
+            )
+        ).alias("pair")
+    )
+    cand = pairs.groupBy(
+        F.col("pair.a.id").alias("index_id"),
+        F.col("pair.b.id").alias("probe_id"),
+    ).agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    a = shingled.select(
+        F.col("id").alias("index_id"), F.col("h").alias("h_a")
+    )
+    b = shingled.select(
+        F.col("id").alias("probe_id"), F.col("h").alias("h_b")
+    )
+    inter = F.size(F.array_intersect("h_a", "h_b"))
+    union = F.size(F.array_union("h_a", "h_b"))
+    out = (
+        cand.join(a, "index_id")
+        .join(b, "probe_id")
+        .withColumn("jaccard", inter.cast("double") / union)
+        .drop("h_a", "h_b")
+    )
+    if threshold > 0:
+        out = out.filter(F.col("jaccard") >= threshold)
+    if eager:
+        out = materialize_and_release(out, shingled)
+    return out
+
+
 def jaccard_pairs(
     pairs: DataFrame,
     docs: DataFrame,

@@ -96,6 +96,7 @@ _PROMOTED = [
     "semdedup_fixed",
     "topic_cluster_certified",
     "multimodal_features_fixed",
+    "contamination_fuzzy",
     "dedup_minhash_pairs_md5",
     "dedup_simhash_pairs_md5",
     "dedup_embedding_pairs_lsh_fixed",

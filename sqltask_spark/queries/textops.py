@@ -308,6 +308,119 @@ ORDER BY id_a, id_b
 
 
 # --------------------------------------------------------------------------
+# contamination_fuzzy — cross-corpus NEAR-DUP contamination screen:
+# banded md5 MinHash pairs between the train and eval sides of the
+# standard hash split (same bucket rule as split_train_eval), exact
+# shingle-Jaccard verified. The fuzzy complement of the exact n-gram
+# contamination_overlap entry: a paraphrased/lightly-edited eval doc
+# leaks into training with no exact n-gram window intact, and only a
+# near-dup screen catches it. One signature pass over the union
+# corpus; the bucket join emits ONLY cross-side pairs (train×train
+# collisions — the bulk of every bucket — are never materialized).
+# Fully oracled via the md5 permutation family.
+# --------------------------------------------------------------------------
+
+_CONTAM_TRAIN_PCT = 90
+_CONTAM_THRESHOLD = 0.5
+
+
+def contamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sqltask_spark.operators.dedup import (
+        minhash_contamination_pairs_md5,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    digest = F.md5(F.col("doc_id").cast("string"))
+    bucket = F.pmod(
+        F.ascii(F.substring(digest, 1, 1)) * 256
+        + F.ascii(F.substring(digest, 2, 1)),
+        F.lit(100),
+    )
+    sided = docs.withColumn(
+        "_side",
+        F.when(bucket < _CONTAM_TRAIN_PCT, F.lit(0)).otherwise(F.lit(1)),
+    )
+    return (
+        minhash_contamination_pairs_md5(
+            sided,
+            "doc_id",
+            "text",
+            "_side",
+            num_perm=_MH_PERM,
+            bands=_MH_BANDS,
+            seed=_MH_SEED,
+            max_bucket_size=_MH_CAP,
+            threshold=_CONTAM_THRESHOLD,
+        )
+        .select(
+            F.col("index_id").alias("train_id"),
+            F.col("probe_id").alias("eval_id"),
+            "n_shared_bands",
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+        .orderBy("train_id", "eval_id")
+    )
+
+
+_CONTAM_FUZZY_SQL = f"""
+WITH sp AS MATERIALIZED (
+  SELECT doc_id AS id, text,
+         CASE WHEN (ascii(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+                    * 256
+                    + ascii(substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)))
+                   % 100 < {_CONTAM_TRAIN_PCT}
+              THEN 0 ELSE 1 END AS side
+  FROM documents
+),
+sh AS MATERIALIZED (
+  SELECT id, side,
+         list_distinct(list_transform(
+           {_SHINGLES}, s -> {_md5long_sql('s')})) AS h
+  FROM sp
+),
+ex AS MATERIALIZED (SELECT id, UNNEST(h) AS h FROM sh),
+sig AS MATERIALIZED (
+  SELECT id,
+         {", ".join(f"MIN({_mh_perm_sql(i)}) AS m{i}" for i in range(_MH_PERM))}
+  FROM ex GROUP BY id
+),
+banded AS MATERIALIZED (
+  {" UNION ALL ".join(
+      f"SELECT sig.id, sh.side, {b} AS band, {_mh_band_sql(b)} AS band_hash"
+      f" FROM sig JOIN sh ON sh.id = sig.id"
+      for b in range(_MH_BANDS))}
+),
+ok AS (
+  SELECT band, band_hash FROM banded
+  GROUP BY band, band_hash
+  HAVING COUNT(*) >= 2 AND COUNT(*) <= {_MH_CAP}
+),
+cand AS (
+  SELECT a.id AS train_id, b.id AS eval_id,
+         CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+  FROM banded a
+  JOIN banded b
+    ON a.band = b.band AND a.band_hash = b.band_hash
+   AND a.side = 0 AND b.side = 1
+  JOIN ok ON ok.band = a.band AND ok.band_hash = a.band_hash
+  GROUP BY a.id, b.id
+),
+scored AS (
+  SELECT cand.train_id, cand.eval_id, cand.n_shared_bands,
+         CAST(LEN(list_intersect(sa.h, sb.h)) AS DOUBLE)
+           / LEN(list_distinct(sa.h || sb.h)) AS jacc
+  FROM cand
+  JOIN sh sa ON sa.id = cand.train_id
+  JOIN sh sb ON sb.id = cand.eval_id
+)
+SELECT train_id, eval_id, n_shared_bands, ROUND(jacc, 6) AS jaccard
+FROM scored
+WHERE jacc >= {_CONTAM_THRESHOLD}
+ORDER BY train_id, eval_id
+"""
+
+
+# --------------------------------------------------------------------------
 # bpe_encode_fixed — ORACLED certificate for the BPE encode fold.
 #
 # bpe_encode_documents (rows-only) learns its merge table from the
@@ -1723,6 +1836,7 @@ QUERIES = {
     "quality_score_documents": quality_score_documents,
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_minhash_pairs_md5": dedup_minhash_pairs_md5,
+    "contamination_fuzzy": contamination_fuzzy,
     "bpe_encode_fixed": bpe_encode_fixed,
     "dedup_simhash_pairs_md5": dedup_simhash_pairs_md5,
     "redact_pii_extended": redact_pii_extended,
@@ -1775,6 +1889,7 @@ ORACLES = {
     "gopher_quality_flags": _GOPHER_SQL,
     "lm_perplexity": _LM_PPL_SQL,
     "dedup_minhash_pairs_md5": _MINHASH_MD5_SQL,
+    "contamination_fuzzy": _CONTAM_FUZZY_SQL,
     "bpe_encode_fixed": _BPE_FIXED_SQL,
     "dedup_simhash_pairs_md5": _simhash_md5_sql(),
     "redact_pii_extended": _pii_ext_sql(),

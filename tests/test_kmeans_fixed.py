@@ -323,3 +323,35 @@ def test_topic_certified_separates_planted_topics(spark, tmp_path):
     assert clusters_of_topic[0].isdisjoint(clusters_of_topic[1])
     assert len(clusters_of_topic[0]) == 1
     assert len(clusters_of_topic[1]) == 1
+
+
+def test_contamination_fuzzy_planted_paraphrase(spark):
+    """A lightly-edited eval copy of a train document must surface as
+    a cross-side pair; a near-dup WITHIN the train side must not
+    (the screen reports contamination, not train-train duplication)."""
+    from sqltask_spark.operators.dedup import (
+        minhash_contamination_pairs_md5,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill and the birds sing in the "
+        "garden under a bright morning sun near the old stone wall"
+    )
+    rows = [
+        (1, base, 0),
+        (2, base + " extra", 0),          # train-train near-dup
+        (3, base.replace("dog", "hound"), 1),  # contaminated eval doc
+        (4, "completely different text about spark shuffles and "
+            "partitions and adaptive query execution plans", 1),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, side int")
+    got = minhash_contamination_pairs_md5(
+        docs, "doc_id", "text", "side", threshold=0.5
+    ).collect()
+    pairs = {(r.index_id, r.probe_id) for r in got}
+    assert (1, 3) in pairs          # paraphrase caught
+    assert (2, 3) in pairs          # via its near-dup too
+    assert all(p != (1, 2) and p != (2, 1) for p in pairs)
+    assert all(r.probe_id in (3, 4) for r in got)
+    assert all(r.jaccard >= 0.5 for r in got)
