@@ -62,6 +62,10 @@ HEADLINE = [
     "dedup_clusters_capped",
     "doc_centrality_pagerank",
     "dsir_weights",
+    # fuzzy train/eval decontamination (production shape; the
+    # k-means/codec certificate entries stay out of bench — they are
+    # correctness gates, their production twins already ride here)
+    "contamination_fuzzy",
 ]
 
 

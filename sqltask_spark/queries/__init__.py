@@ -97,6 +97,7 @@ _PROMOTED = [
     "topic_cluster_certified",
     "multimodal_features_fixed",
     "contamination_fuzzy",
+    "token_budget_select",
     "dedup_minhash_pairs_md5",
     "dedup_simhash_pairs_md5",
     "dedup_embedding_pairs_lsh_fixed",

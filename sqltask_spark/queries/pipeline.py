@@ -1131,6 +1131,93 @@ ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
+# token_budget_select — greedy best-quality-first corpus selection up
+# to a global token budget ("take the best 20% of the corpus by token
+# mass"): rank documents by quality (desc, doc_id tiebreak), running
+# token total in that order, select every document that STARTS before
+# the budget line (the straddling document is included — the greedy
+# fill rule, pinned by pytest). The running total rides the same
+# distributed two-phase prefix sum as pps_sample_documents — never an
+# unpartitioned window — over a STRING sort key
+# lpad(1e9 − quality_micro)·'-'·lpad(doc_id) (no BIGINT packing that
+# could overflow at large id spaces). Budget arithmetic is exact
+# integer: total · PCT div 100. The oracle replays the identical key
+# and rule with a plain window (single-node DuckDB can afford it —
+# the Spark side is the one that has to scale).
+# --------------------------------------------------------------------------
+
+_BUDGET_PCT = 20
+
+
+def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sqltask_spark.data import materialize_and_release
+    from sqltask_spark.operators.prefix import global_prefix_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    quality = F.round(tx.quality_score(F.col("text")), 9)
+    qmicro = F.round(quality * F.lit(1000000000.0)).cast("bigint")
+    key = F.concat(
+        F.lpad((F.lit(1000000000) - qmicro).cast("string"), 10, "0"),
+        F.lit("-"),
+        F.lpad(F.col("doc_id").cast("string"), 12, "0"),
+    )
+    base = docs.select(
+        "doc_id",
+        quality.alias("quality"),
+        tx.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        key.alias("qkey"),
+    )
+    summed, cached = global_prefix_sum(
+        base, "qkey", "n_tokens", out_col="cum_tokens", return_cached=True
+    )
+    total = base.agg(F.sum("n_tokens").alias("total"))
+    sel = summed.crossJoin(F.broadcast(total)).filter(
+        F.col("cum_tokens") - F.col("n_tokens")
+        < F.expr(f"total * {_BUDGET_PCT} div 100")
+    )
+    out = sel.select(
+        "doc_id", "quality", "n_tokens", "cum_tokens"
+    ).orderBy("cum_tokens", "doc_id")
+    return materialize_and_release(out, cached)
+
+
+_TOKEN_BUDGET_SQL = f"""
+WITH base AS (
+  SELECT
+    doc_id,
+    ROUND(
+      (CAST(LEN(list_distinct({_TOKS})) AS DOUBLE) / LEN({_TOKS})) * 0.5
+      + LEAST(CAST(LEN({_TOKS}) AS DOUBLE) / 100.0, 1.0) * 0.3
+      + (1.0 - CAST(LEN(list_filter({_TOKS},
+            t -> list_contains({_STOP_SQL['en']}, t))) AS DOUBLE)
+          / LEN({_TOKS})) * 0.2,
+      9) AS quality,
+    CAST(LEN({_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id, quality, n_tokens,
+         lpad(CAST(1000000000 - CAST(ROUND(quality * 1000000000.0)
+                                     AS BIGINT) AS VARCHAR), 10, '0')
+         || '-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS qkey
+  FROM base
+),
+cums AS (
+  SELECT doc_id, quality, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY qkey
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM keyed
+),
+tot AS (SELECT SUM(n_tokens) AS total FROM base)
+SELECT doc_id, quality, n_tokens,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM cums, tot
+WHERE cum_tokens - n_tokens < (total * {_BUDGET_PCT}) // 100
+ORDER BY cum_tokens, doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # heavy_hitter_tokens — exact φ-heavy hitters (φ = 1/(k+1)) of the
 # token stream via the Misra–Gries prune (operators/sketches.py):
 # per-partition mergeable MG summaries → driver merge (≤ k·P tiny
@@ -1472,6 +1559,7 @@ QUERIES = {
     "sketch_event_stats_checked": sketch_event_stats_checked,
     "zorder_values": zorder_values,
     "pps_sample_documents": pps_sample_documents,
+    "token_budget_select": token_budget_select,
     "heavy_hitter_tokens": heavy_hitter_tokens,
 }
 
@@ -1489,6 +1577,7 @@ ORACLES = {
     "sketch_event_stats_checked": _SKETCH_CHECKED_SQL,
     "zorder_values": _zorder_sql(),
     "pps_sample_documents": _PPS_SQL,
+    "token_budget_select": _TOKEN_BUDGET_SQL,
     "heavy_hitter_tokens": _HH_SQL,
     "split_train_eval": _SPLIT_SQL,
     "vocab_top_tokens": _VOCAB_SQL,

@@ -355,3 +355,57 @@ def test_contamination_fuzzy_planted_paraphrase(spark):
     assert all(p != (1, 2) and p != (2, 1) for p in pairs)
     assert all(r.probe_id in (3, 4) for r in got)
     assert all(r.jaccard >= 0.5 for r in got)
+
+
+def test_token_budget_select_greedy_fill_rule(spark, sf_dir):
+    """The selection must equal the greedy fill: docs sorted by
+    (quality desc, doc_id), running token total, every doc that
+    STARTS before budget = 20% of corpus token mass — straddler
+    included, next doc excluded. Model recomputed from the same
+    scoring expressions; what's under test is the distributed prefix
+    sum + key construction + boundary rule."""
+    from sqltask_spark.operators import text as tx
+    from sqltask_spark.queries.pipeline import (
+        _BUDGET_PCT,
+        token_budget_select,
+    )
+
+    got = token_budget_select(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.round(tx.quality_score(F.col("text")), 9).alias("q"),
+        tx.token_count(F.col("text")).cast("long").alias("n"),
+    ).collect()
+    ordered = sorted(docs, key=lambda r: (-r.q, r.doc_id))
+    total = sum(r.n for r in ordered)
+    budget = total * _BUDGET_PCT // 100
+    cum, want = 0, []
+    for r in ordered:
+        if cum < budget:
+            want.append((r.doc_id, cum + r.n))
+        cum += r.n
+    assert [(r.doc_id, r.cum_tokens) for r in got] == want
+    # the straddler rule: last selected doc may end past the budget,
+    # but every selected doc starts before it
+    assert all(r.cum_tokens - r.n_tokens < budget for r in got)
+
+
+def test_token_budget_select_layout_invariant(spark, sf_dir, tmp_path):
+    """Same rows whatever the input partitioning (the prefix sum's
+    range repartition owns the order, not the input layout)."""
+    import shutil
+
+    from sqltask_spark.queries.pipeline import token_budget_select
+
+    base = load_table(spark, sf_dir, "documents")
+    out = []
+    for parts in (1, 13):
+        d = str(tmp_path / f"p{parts}")
+        base.repartition(parts).write.mode("overwrite").parquet(
+            f"{d}/documents.parquet"
+        )
+        out.append(
+            [tuple(r) for r in token_budget_select(spark, d).collect()]
+        )
+        shutil.rmtree(d, ignore_errors=True)
+    assert out[0] == out[1]
