@@ -98,6 +98,8 @@ _PROMOTED = [
     "multimodal_features_fixed",
     "contamination_fuzzy",
     "token_budget_select",
+    "dedup_graph_triangles",
+    "doc_novelty_score",
     "dedup_minhash_pairs_md5",
     "dedup_simhash_pairs_md5",
     "dedup_embedding_pairs_lsh_fixed",

@@ -927,6 +927,175 @@ ORDER BY id_a, id_b
 
 
 # --------------------------------------------------------------------------
+# dedup_graph_triangles — per-document triangle counts + local
+# clustering coefficient over the capped near-dup pair graph. The
+# graph-shape quality signal of a dedup run: organic near-dup
+# clusters are triangle-dense (copies of copies all match each
+# other), while chains of borderline matches — the classic
+# false-positive shape — have coefficient ≈ 0, so this is the metric
+# that separates "real duplicate family" from "threshold artifact"
+# before anything is deleted. Triangles are enumerated once in the
+# a<b<c orientation (each edge list joined twice — the standard
+# distributed triangle count; work is bounded because the pair feed
+# is df-capped). Coefficient in exact integer micro units:
+# 2·T·10⁶ div d·(d−1).
+# --------------------------------------------------------------------------
+
+
+def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=3,
+        threshold=_JACCARD_THRESHOLD, max_shingle_df=_MAX_NGRAM_DF,
+    ).select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    wedges = (
+        pairs.alias("x")
+        .join(pairs.alias("y"), F.col("x.b") == F.col("y.a"))
+        .select(
+            F.col("x.a").alias("ta"),
+            F.col("x.b").alias("tb"),
+            F.col("y.b").alias("tc"),
+        )
+    )
+    tri = wedges.join(
+        pairs.alias("z"),
+        (F.col("ta") == F.col("z.a")) & (F.col("tc") == F.col("z.b")),
+    ).select(
+        F.col("ta").alias("a"),
+        F.col("tb").alias("b"),
+        F.col("tc").alias("c"),
+    )
+    node_t = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        pairs.select(F.col("a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.join(node_t, "doc_id", "left")
+        .select(
+            "doc_id",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0).cast("long")).alias(
+                "n_triangles"
+            ),
+            F.when(
+                F.col("degree") >= 2,
+                F.expr(
+                    "(2 * coalesce(n_triangles, 0) * 1000000)"
+                    " div (degree * (degree - 1))"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("coeff_micro"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_TRIANGLES_SQL = f"""
+WITH {_NGRAM_CAPPED_BODY},
+e AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs),
+tri AS MATERIALIZED (
+  SELECT x.a, x.b, y.b AS c
+  FROM e x
+  JOIN e y ON y.a = x.b
+  JOIN e z ON z.a = x.a AND z.b = y.b
+),
+nt AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM (SELECT a AS doc_id FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri)
+  GROUP BY doc_id
+),
+deg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM (SELECT a AS doc_id FROM e UNION ALL SELECT b FROM e)
+  GROUP BY doc_id
+)
+SELECT d.doc_id AS doc_id, d.degree,
+       COALESCE(nt.n_triangles, CAST(0 AS BIGINT)) AS n_triangles,
+       CASE WHEN d.degree >= 2
+            THEN CAST((2 * COALESCE(nt.n_triangles, 0) * 1000000)
+                      // (d.degree * (d.degree - 1)) AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS coeff_micro
+FROM deg d LEFT JOIN nt ON nt.doc_id = d.doc_id
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# doc_novelty_score — per-document novelty: the fraction of a doc's
+# distinct 3-gram shingles whose corpus-wide FIRST occurrence
+# (min doc_id — id order as the corpus/arrival order) is this doc.
+# The memorization/diversity signal data-curation pipelines rank by:
+# boilerplate-heavy or near-duplicate documents score near 0, fresh
+# content near 1 — and unlike a dedup threshold it is graded, so it
+# feeds sampling weights directly. One shingle census (the same
+# shuffle shape as the dedup inverted index — uniform md5-free keys,
+# df irrelevant since min() is a cheap partial agg) + one join back.
+# --------------------------------------------------------------------------
+
+
+def doc_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles(F.col("text"), 3))
+        ).alias("shingle"),
+    )
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    ).cast("long")
+    return (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            novel.alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_shingles"), 6
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_NOVELTY_SQL = f"""
+WITH sh AS MATERIALIZED (
+  SELECT doc_id, UNNEST(list_distinct({_SHINGLES})) AS shingle
+  FROM documents
+),
+first AS (
+  SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       ROUND(CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS novelty
+FROM sh JOIN first USING (shingle)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # dedup_clusters — connected components over the Jaccard pair graph.
 # --------------------------------------------------------------------------
 
@@ -1837,6 +2006,8 @@ QUERIES = {
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_minhash_pairs_md5": dedup_minhash_pairs_md5,
     "contamination_fuzzy": contamination_fuzzy,
+    "dedup_graph_triangles": dedup_graph_triangles,
+    "doc_novelty_score": doc_novelty_score,
     "bpe_encode_fixed": bpe_encode_fixed,
     "dedup_simhash_pairs_md5": dedup_simhash_pairs_md5,
     "redact_pii_extended": redact_pii_extended,
@@ -1890,6 +2061,8 @@ ORACLES = {
     "lm_perplexity": _LM_PPL_SQL,
     "dedup_minhash_pairs_md5": _MINHASH_MD5_SQL,
     "contamination_fuzzy": _CONTAM_FUZZY_SQL,
+    "dedup_graph_triangles": _TRIANGLES_SQL,
+    "doc_novelty_score": _NOVELTY_SQL,
     "bpe_encode_fixed": _BPE_FIXED_SQL,
     "dedup_simhash_pairs_md5": _simhash_md5_sql(),
     "redact_pii_extended": _pii_ext_sql(),

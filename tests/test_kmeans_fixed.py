@@ -409,3 +409,68 @@ def test_token_budget_select_layout_invariant(spark, sf_dir, tmp_path):
         )
         shutil.rmtree(d, ignore_errors=True)
     assert out[0] == out[1]
+
+
+def _write_docs(spark, tmp_path, rows):
+    import os
+
+    d = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "documents.parquet"))
+    return d
+
+
+def test_triangles_planted_clique_and_chain(spark, tmp_path):
+    """Three mutual near-dups = one triangle and coefficient 10⁶ at
+    every member; a 2-chain whose ends don't match = zero triangles,
+    coefficient 0 at the hub."""
+    from sqltask_spark.queries.textops import dedup_graph_triangles
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    chain_mid = "one two three four five six seven eight nine ten"
+    rows = [
+        (1, base, "en", "s"),
+        (2, base + " extra", "en", "s"),
+        (3, base + " other", "en", "s"),
+        # chain: 10 matches mid, 12 matches mid, but 10 vs 12 share
+        # only the mid's overlap — construct ends disjoint enough
+        (10, chain_mid + " aa bb cc dd ee ff gg hh", "en", "s"),
+        (11, chain_mid + " aa bb cc dd ee qq rr ss", "en", "s"),
+    ]
+    d = _write_docs(spark, tmp_path, rows)
+    got = {r.doc_id: r for r in dedup_graph_triangles(spark, d).collect()}
+    for i in (1, 2, 3):
+        assert got[i].n_triangles == 1
+        assert got[i].degree == 2
+        assert got[i].coeff_micro == 1_000_000
+    # the pair 10-11 forms an edge but no triangle
+    if 10 in got:
+        assert got[10].n_triangles == 0
+        assert got[10].coeff_micro == 0
+
+
+def test_novelty_score_duplicates_and_fresh(spark, tmp_path):
+    """An exact duplicate of an earlier doc scores 0 novelty; a doc
+    with entirely fresh vocabulary scores 1; the FIRST copy owns its
+    shingles."""
+    from sqltask_spark.queries.textops import doc_novelty_score
+
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    b = "zork quux fnord wibble blarg xyzzy plugh foobar grault thud"
+    rows = [
+        (1, a, "en", "s"),
+        (2, a, "en", "s"),      # exact duplicate, later id
+        (3, b, "en", "s"),      # all-fresh vocabulary
+    ]
+    d = _write_docs(spark, tmp_path, rows)
+    got = {r.doc_id: r for r in doc_novelty_score(spark, d).collect()}
+    assert got[1].novelty == 1.0      # first copy owns every shingle
+    assert got[2].novelty == 0.0      # nothing novel in the dup
+    assert got[3].novelty == 1.0
+    assert got[2].n_shingles == got[1].n_shingles
