@@ -100,6 +100,7 @@ _PROMOTED = [
     "token_budget_select",
     "dedup_graph_triangles",
     "doc_novelty_score",
+    "source_divergence_kl",
     "dedup_minhash_pairs_md5",
     "dedup_simhash_pairs_md5",
     "dedup_embedding_pairs_lsh_fixed",

@@ -1096,6 +1096,110 @@ ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
+# source_divergence_kl — per-source unigram KL divergence from the
+# corpus distribution: KL(P_source ‖ P_corpus) = Σ_t P_s(t)·ln(P_s(t)
+# / Q(t)). The mixture-drift monitor a multi-source pipeline alarms
+# on (a source whose token distribution runs away from the blend gets
+# its mix weight revisited — the DoReMi/domain-weights companion
+# diagnostic). Every source token is in the corpus by construction so
+# Q(t) > 0 — no smoothing needed. Cross-row float sums would be
+# shuffle-order-dependent, so the per-term contribution is rounded to
+# fixed-point micro-nats FIRST and summed exactly as BIGINT (the
+# lm_perplexity/dsir_weights discipline). Shape: one (source, token)
+# census with map-side combine; corpus totals re-aggregated from it;
+# linear, two shuffles.
+# --------------------------------------------------------------------------
+
+
+def source_divergence_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(tx.tokenize(F.col("text"))).alias("t")
+    ).filter(F.col("t") != "")
+    st = toks.groupBy("source", "t").agg(
+        F.count(F.lit(1)).alias("n_st")
+    )
+    src_tot = st.groupBy("source").agg(
+        F.sum("n_st").alias("n_s"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    tok_tot = st.groupBy("t").agg(F.sum("n_st").alias("n_t"))
+    corpus = st.agg(F.sum("n_st").alias("n"))
+    contrib = (
+        st.join(tok_tot, "t")
+        .join(src_tot.select("source", "n_s"), "source")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "source",
+            F.round(
+                (F.col("n_st").cast("double") / F.col("n_s"))
+                * F.log(
+                    (F.col("n_st") * F.col("n")).cast("double")
+                    / (F.col("n_s") * F.col("n_t")).cast("double")
+                )
+                * F.lit(1000000.0)
+            )
+            .cast("long")
+            .alias("kl_micro_t"),
+        )
+    )
+    per_src = contrib.groupBy("source").agg(
+        F.sum("kl_micro_t").alias("kl_micro")
+    )
+    return (
+        src_tot.join(per_src, "source")
+        .select(
+            "source",
+            F.col("n_s").alias("n_tokens"),
+            "vocab",
+            "kl_micro",
+            F.round(F.col("kl_micro") / F.lit(1000000.0), 6).alias("kl"),
+        )
+        .orderBy("source")
+    )
+
+
+_SOURCE_KL_SQL = f"""
+WITH toks AS MATERIALIZED (
+  SELECT source, UNNEST({_TOKS}) AS t FROM documents
+),
+st AS MATERIALIZED (
+  SELECT source, t, CAST(COUNT(*) AS BIGINT) AS n_st
+  FROM toks WHERE t <> '' GROUP BY source, t
+),
+src_tot AS (
+  SELECT source, CAST(SUM(n_st) AS BIGINT) AS n_s,
+         CAST(COUNT(*) AS BIGINT) AS vocab
+  FROM st GROUP BY source
+),
+tok_tot AS (
+  SELECT t, CAST(SUM(n_st) AS BIGINT) AS n_t FROM st GROUP BY t
+),
+corpus AS (SELECT CAST(SUM(n_st) AS BIGINT) AS n FROM st),
+contrib AS (
+  SELECT st.source,
+         CAST(ROUND(
+           (CAST(st.n_st AS DOUBLE) / s.n_s)
+           * LN(CAST(st.n_st * c.n AS DOUBLE)
+                / CAST(s.n_s * tt.n_t AS DOUBLE))
+           * 1000000.0) AS BIGINT) AS kl_micro_t
+  FROM st
+  JOIN tok_tot tt ON tt.t = st.t
+  JOIN src_tot s ON s.source = st.source
+  CROSS JOIN corpus c
+),
+per_src AS (
+  SELECT source, CAST(SUM(kl_micro_t) AS BIGINT) AS kl_micro
+  FROM contrib GROUP BY source
+)
+SELECT s.source, s.n_s AS n_tokens, s.vocab, p.kl_micro,
+       ROUND(p.kl_micro / 1000000.0, 6) AS kl
+FROM src_tot s JOIN per_src p USING (source)
+ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
 # dedup_clusters — connected components over the Jaccard pair graph.
 # --------------------------------------------------------------------------
 
@@ -2008,6 +2112,7 @@ QUERIES = {
     "contamination_fuzzy": contamination_fuzzy,
     "dedup_graph_triangles": dedup_graph_triangles,
     "doc_novelty_score": doc_novelty_score,
+    "source_divergence_kl": source_divergence_kl,
     "bpe_encode_fixed": bpe_encode_fixed,
     "dedup_simhash_pairs_md5": dedup_simhash_pairs_md5,
     "redact_pii_extended": redact_pii_extended,
@@ -2063,6 +2168,7 @@ ORACLES = {
     "contamination_fuzzy": _CONTAM_FUZZY_SQL,
     "dedup_graph_triangles": _TRIANGLES_SQL,
     "doc_novelty_score": _NOVELTY_SQL,
+    "source_divergence_kl": _SOURCE_KL_SQL,
     "bpe_encode_fixed": _BPE_FIXED_SQL,
     "dedup_simhash_pairs_md5": _simhash_md5_sql(),
     "redact_pii_extended": _pii_ext_sql(),

@@ -474,3 +474,26 @@ def test_novelty_score_duplicates_and_fresh(spark, tmp_path):
     assert got[2].novelty == 0.0      # nothing novel in the dup
     assert got[3].novelty == 1.0
     assert got[2].n_shingles == got[1].n_shingles
+
+
+def test_source_kl_zero_for_single_source_and_nonnegative(
+    spark, sf_dir, tmp_path
+):
+    """A single-source corpus has P == Q, so every per-term
+    contribution is ln(1) = 0 — KL exactly 0. On a real multi-source
+    corpus Gibbs' inequality bounds KL ≥ 0 up to the per-term
+    rounding (±0.5 micro-nat each, so ≥ -vocab/2 micro)."""
+    from sqltask_spark.queries.textops import source_divergence_kl
+
+    rows = [
+        (1, "alpha beta gamma delta", "en", "only"),
+        (2, "alpha beta epsilon zeta", "en", "only"),
+    ]
+    d = _write_docs(spark, tmp_path, rows)
+    got = source_divergence_kl(spark, d).collect()
+    assert len(got) == 1 and got[0].kl_micro == 0
+
+    real = source_divergence_kl(spark, sf_dir).collect()
+    assert len(real) >= 2
+    for r in real:
+        assert r.kl_micro >= -(r.vocab // 2 + 1), r
