@@ -39,6 +39,8 @@ ENTRIES = [
     "dedup_clusters_capped",
     "dedup_keep_best",
     "doc_centrality_pagerank",
+    "dedup_graph_triangles",
+    "doc_novelty_score",
 ]
 
 UI = "http://localhost:4040"
