@@ -468,3 +468,96 @@ def test_redact_pii_cascade_matches_python_model(spark, texts):
             assert rows[i][key] == len(re.findall(pat, cur)), (i, key)
             cur = re.sub(pat, token, cur)
         assert rows[i]["redacted"] == cur, i
+
+
+# --------------------------------------------------------------------------
+# fixed-point k-means: the Spark recurrence must equal a direct
+# Python re-implementation of the pinned contract (md5-rank init,
+# BIGINT argmin with (dist, cid) ties, truncating-integer-mean
+# update, keep-previous empty clusters) on arbitrary integer points.
+# --------------------------------------------------------------------------
+
+
+def _kmeans_model(pts, k, iters):
+    """pts: dict id -> dict pos -> el (sparse, absent = 0)."""
+    import hashlib
+
+    ids = sorted(pts, key=lambda i: (
+        hashlib.md5(str(i).encode()).hexdigest(), i))
+    cents = {c: dict(pts[i]) for c, i in enumerate(ids[:k])}
+
+    def dist(v, c):
+        keys = set(v) | set(c)
+        return sum((v.get(p, 0) - c.get(p, 0)) ** 2 for p in keys)
+
+    def assign():
+        return {
+            i: min(cents, key=lambda c: (dist(pts[i], cents[c]), c))
+            for i in pts
+        }
+
+    for _ in range(iters):
+        a = assign()
+        new = {}
+        for c in cents:
+            members = [i for i in a if a[i] == c]
+            if not members:
+                new[c] = cents[c]
+                continue
+            sums = {}
+            for i in members:
+                for p, v in pts[i].items():
+                    sums[p] = sums.get(p, 0) + v
+            n = len(members)
+            # int() truncates toward zero like Spark div / DuckDB //
+            cd = {p: int(s / n) if s >= 0 else -int(-s / n)
+                  for p, s in sums.items()}
+            new[c] = {p: v for p, v in cd.items() if v != 0}
+        cents = new
+    return assign(), cents
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.dictionaries(
+        st.integers(min_value=0, max_value=30),       # id
+        st.dictionaries(
+            st.integers(min_value=0, max_value=7),    # pos
+            st.integers(min_value=-1000, max_value=1000),
+            min_size=1,
+            max_size=5,
+        ),
+        min_size=2,
+        max_size=12,
+    ),
+    st.integers(min_value=1, max_value=4),            # k
+    st.integers(min_value=1, max_value=3),            # iters
+)
+def test_sparse_kmeans_matches_python_model(spark, data, k, iters):
+    from sqltask_spark.operators.kmeans_fixed import kmeans_fixed_sparse
+
+    k = min(k, len(data))
+    rows = [
+        (i, p, v)
+        for i, vec in data.items()
+        for p, v in vec.items()
+        if v != 0
+    ]
+    # drop ids whose vector became empty (all-zero): the operator's
+    # contract is long-format NON-ZERO components
+    live = {i for i, _, _ in rows}
+    data = {i: {p: v for p, v in vec.items() if v != 0}
+            for i, vec in data.items() if i in live}
+    if len(data) < 2:
+        return
+    k = min(k, len(data))
+    pts = spark.createDataFrame(rows, "id bigint, pos int, el bigint")
+    assign, cents = kmeans_fixed_sparse(pts, k=k, iters=iters)
+    got_a = {r.id: r.cid for r in assign.collect()}
+    got_c = {}
+    for r in cents.collect():
+        got_c.setdefault(r.cid, {})[r.pos] = r.c
+    assign.unpersist()
+    want_a, want_c = _kmeans_model(data, k, iters)
+    assert got_a == want_a
+    assert got_c == {c: v for c, v in want_c.items() if v}
