@@ -1155,7 +1155,15 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     quality = F.round(tx.quality_score(F.col("text")), 9)
-    qmicro = F.round(quality * F.lit(1000000000.0)).cast("bigint")
+    # NULL-text pin: quality is NULL for a NULL document; without an
+    # explicit rule the sort key would be NULL and the engines would
+    # disagree on its position (Spark orders NULLS FIRST ascending,
+    # DuckDB NULLS LAST). Rule: null docs rank WORST (inv = 10^9 + 1,
+    # past every real quality) and weigh 0 tokens.
+    qmicro = F.coalesce(
+        F.round(quality * F.lit(1000000000.0)).cast("bigint"),
+        F.lit(-1).cast("bigint"),
+    )
     key = F.concat(
         F.lpad((F.lit(1000000000) - qmicro).cast("string"), 10, "0"),
         F.lit("-"),
@@ -1164,7 +1172,10 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.select(
         "doc_id",
         quality.alias("quality"),
-        tx.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.coalesce(
+            tx.token_count(F.col("text")).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("n_tokens"),
         key.alias("qkey"),
     )
     summed, cached = global_prefix_sum(
@@ -1192,13 +1203,16 @@ WITH base AS (
             t -> list_contains({_STOP_SQL['en']}, t))) AS DOUBLE)
           / LEN({_TOKS})) * 0.2,
       9) AS quality,
-    CAST(LEN({_TOKS}) AS BIGINT) AS n_tokens
+    COALESCE(CAST(LEN({_TOKS}) AS BIGINT), CAST(0 AS BIGINT))
+      AS n_tokens
   FROM documents
 ),
 keyed AS (
   SELECT doc_id, quality, n_tokens,
-         lpad(CAST(1000000000 - CAST(ROUND(quality * 1000000000.0)
-                                     AS BIGINT) AS VARCHAR), 10, '0')
+         lpad(CAST(1000000000
+                   - COALESCE(CAST(ROUND(quality * 1000000000.0)
+                                   AS BIGINT), -1)
+                   AS VARCHAR), 10, '0')
          || '-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS qkey
   FROM base
 ),

@@ -497,3 +497,40 @@ def test_source_kl_zero_for_single_source_and_nonnegative(
     assert len(real) >= 2
     for r in real:
         assert r.kl_micro >= -(r.vocab // 2 + 1), r
+
+
+def test_token_budget_null_text_pinned_cross_engine(spark, tmp_path):
+    """A NULL document must rank WORST (explicit rule — without it
+    the engines disagree on NULL sort position) and weigh 0 tokens.
+    Checked the strong way: the Spark entry vs the DuckDB oracle on
+    the same null-containing parquet."""
+    import glob
+    import os
+
+    from sqltask_spark.queries.pipeline import (
+        _TOKEN_BUDGET_SQL,
+        token_budget_select,
+    )
+
+    rows = [
+        (1, "a decent document with several reasonable words here",
+         "en", "s"),
+        (2, None, "en", "s"),
+        (3, "another fine document with plenty of words to count on",
+         "en", "s"),
+        (4, "short words", "en", "s"),
+    ]
+    d = _write_docs(spark, tmp_path, rows)
+    got = token_budget_select(spark, d).collect()
+    assert all(r.doc_id != 2 for r in got)  # null doc never selected
+
+    files = glob.glob(os.path.join(d, "documents.parquet", "*.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        + repr(files) + ")"
+    )
+    want = con.execute(_TOKEN_BUDGET_SQL).fetchall()
+    assert [
+        (r.doc_id, r.quality, r.n_tokens, r.cum_tokens) for r in got
+    ] == want
