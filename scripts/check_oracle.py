@@ -164,6 +164,10 @@ def main() -> int:
     for name, fn in queries.items():
         if (only and name not in only) or name in skip:
             continue
+        # entries may persist small result relations (the documented
+        # materialize_and_release pattern); drop them between entries
+        # so a 144-entry session doesn't accumulate cache
+        spark.catalog.clearCache()
         t0 = _time.perf_counter()
         try:
             sdf = fn(spark, sf_dir)

@@ -457,7 +457,9 @@ def minhash_contamination_pairs_md5(
     screen.
 
     Returns (index_id, probe_id, n_shared_bands, jaccard) with exact
-    shingle-set Jaccard ≥ ``threshold``.
+    shingle-set Jaccard ≥ ``threshold``. ``side_col`` must be 0
+    (index) or 1 (probe); rows with any other side value enter the
+    bucket census (and count toward the cap) but never pair.
     """
     assert num_perm % bands == 0, "bands must divide num_perm"
     rpb = num_perm // bands
