@@ -208,3 +208,93 @@ def near_dup_screen_stream(
         outputMode="append",
         timeoutConf=conf,
     )
+
+
+# --------------------------------------------------------------------------
+# token_quota_admit_stream — per-source token-quota admission at
+# ingest: the streaming form of queries.pipeline.token_budget_select's
+# budget rule ("stop taking a source's documents once its token quota
+# fills"), applied continuously as micro-batches arrive.
+# --------------------------------------------------------------------------
+
+QUOTA_OUT_SCHEMA = (
+    "doc_id BIGINT, source STRING, n_tokens BIGINT, "
+    "cum_source_tokens BIGINT, admitted BOOLEAN"
+)
+_QUOTA_STATE_SCHEMA = "tot BIGINT"
+
+
+def token_quota_admit_stream(
+    docs: DataFrame,
+    quota_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Admit each source's documents until its token quota fills.
+
+    Admission rule — identical to the batch ``token_budget_select``
+    boundary: a document is admitted iff the source's admitted total
+    BEFORE it is `` < quota_tokens`` (the straddling document is
+    included, everything after rejected). Rejected documents still
+    flow through flagged ``admitted = false`` so downstream can audit
+    or divert them. Within a micro-batch, a source's rows are
+    processed in ``id_col`` order, so a replay with the same
+    micro-batch boundaries is bit-identical (stream ≡ per-source
+    batch cumsum whenever arrival order is id order — pytest-pinned).
+
+    Scale shape: token counting is a JVM expression BEFORE the
+    shuffle; the grouped state is ONE BIGINT per source (cardinality
+    of sources, not documents), so the state store stays trivially
+    bounded and never needs eviction — which is also semantically
+    required: a quota must be remembered for the stream's lifetime,
+    so the operator registers NoTimeout.
+    """
+    from sqltask_spark.operators import text as tx
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    keyed = docs.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(
+            tx.token_count(F.col(text_col)).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("n_tokens"),
+    )
+
+    def update(key, pdfs, state: GroupState):
+        source = key[0]
+        tot = int(state.get[0]) if state.exists else 0
+        rows = []
+        for pdf in pdfs:
+            rows.extend(
+                (int(r.doc_id), int(r.n_tokens))
+                for r in pdf.itertuples()
+            )
+        rows.sort()
+        out = {
+            "doc_id": [], "source": [], "n_tokens": [],
+            "cum_source_tokens": [], "admitted": [],
+        }
+        for doc_id, n in rows:
+            admitted = tot < quota_tokens
+            if admitted:
+                tot += n
+            out["doc_id"].append(doc_id)
+            out["source"].append(source)
+            out["n_tokens"].append(n)
+            out["cum_source_tokens"].append(tot)
+            out["admitted"].append(admitted)
+        state.update((tot,))
+        yield pd.DataFrame(out)
+
+    return keyed.groupBy("source").applyInPandasWithState(
+        update,
+        outputStructType=QUOTA_OUT_SCHEMA,
+        stateStructType=_QUOTA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -671,3 +671,66 @@ def test_stream_screen_matches_batchwise_incremental_dedup(spark, tmp_path):
     }
     assert flagged_batch == {8, 9, 10, 12}
     assert flagged_stream == flagged_batch
+
+
+def test_token_quota_admit_stream_matches_batch(spark, tmp_path):
+    """Per-source quota admission across micro-batches ≡ the
+    per-source batch cumsum rule (straddler admitted, rest rejected),
+    with the quota REMEMBERED between micro-batches."""
+    from pyspark.sql import types as T
+
+    from sqltask_spark.streaming.corpus import token_quota_admit_stream
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("source", T.StringType()),
+    ])
+    mk = lambda n: " ".join(f"w{i}" for i in range(n))  # noqa: E731
+    batch1 = [
+        (1, mk(6), "a"),   # a: 6
+        (2, mk(5), "b"),   # b: 5
+        (3, mk(5), "a"),   # a: 11 — straddles the quota of 10
+    ]
+    batch2 = [
+        (4, mk(2), "a"),   # a past quota → rejected
+        (5, mk(4), "b"),   # b: 9 < 10 → admitted
+        (6, mk(3), "b"),   # b straddler (starts at 9) → admitted
+        (7, mk(1), "b"),   # b past quota → rejected
+    ]
+    src = tmp_path / "quota_in"
+    import time
+
+    for rows in (batch1, batch2):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        time.sleep(0.05)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        token_quota_admit_stream(stream, quota_tokens=10)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("quota_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.doc_id: (r.admitted, r.cum_source_tokens)
+        for r in spark.sql("SELECT * FROM quota_out").collect()
+    }
+    assert got == {
+        1: (True, 6),
+        2: (True, 5),
+        3: (True, 11),   # straddler included
+        4: (False, 11),  # state remembered across micro-batches
+        5: (True, 9),
+        6: (True, 12),   # b's straddler
+        7: (False, 12),
+    }
