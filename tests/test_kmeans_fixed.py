@@ -534,3 +534,32 @@ def test_token_budget_null_text_pinned_cross_engine(spark, tmp_path):
     assert [
         (r.doc_id, r.quality, r.n_tokens, r.cum_tokens) for r in got
     ] == want
+
+
+def test_contamination_fuzzy_plan(spark, sf_dir):
+    """No cartesian anywhere; the bucket join is an equi-join."""
+    from sqltask_spark.plans import plan_report
+    from sqltask_spark.queries import QUERIES
+
+    r = plan_report(QUERIES["contamination_fuzzy"](spark, sf_dir))
+    assert "CartesianProduct" not in r.join_strategies
+    assert any("SortMergeJoin" in s or "BroadcastHashJoin" in s
+               or "ShuffledHashJoin" in s for s in r.join_strategies)
+
+
+def test_token_budget_select_no_global_window(spark, sf_dir):
+    """The prefix sum must ride partition-local windows after a range
+    repartition — never a single-partition global window (the
+    unpartitioned-window funnel is the scale failure this operator
+    exists to avoid)."""
+    from sqltask_spark.queries import QUERIES
+
+    df = QUERIES["token_budget_select"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # every Window node must be partitioned (by __pid); an
+    # unpartitioned window shows an empty partition spec
+    import re
+
+    for m in re.finditer(r"Window \[(.*?)\], \[(.*?)\]", plan):
+        assert "__pid" in m.group(0) or m.group(2).strip(), m.group(0)
+    assert "rangepartitioning" in plan.lower()
