@@ -140,13 +140,15 @@ def assign_cells(pts: DataFrame, cents: DataFrame) -> DataFrame:
         .groupBy("id", "cid")
         .agg(F.sum(d * d).alias("dist"))
     )
-    rn = F.row_number().over(
-        Window.partitionBy("id").orderBy("dist", "cid")
+    # argmin as ONE aggregation: min over struct(dist, cid) compares
+    # dist first, ties to the smallest cid — the exact ROW_NUMBER
+    # (ORDER BY dist, cid) semantics the oracle replays, without the
+    # window's extra shuffle + sort per Lloyd round
+    best = dists.groupBy("id").agg(
+        F.min(F.struct("dist", "cid")).alias("m")
     )
-    return (
-        dists.withColumn("_rn", rn)
-        .filter(F.col("_rn") == 1)
-        .select("id", "cid", "dist")
+    return best.select(
+        "id", F.col("m.cid").alias("cid"), F.col("m.dist").alias("dist")
     )
 
 
@@ -249,13 +251,12 @@ def _assign_sparse(pts: DataFrame, cents: DataFrame) -> DataFrame:
             + F.col("c2")
         ).alias("dist"),
     )
-    rn = F.row_number().over(
-        Window.partitionBy("id").orderBy("dist", "cid")
+    # same single-aggregation argmin as assign_cells
+    best = dists.groupBy("id").agg(
+        F.min(F.struct("dist", "cid")).alias("m")
     )
-    return (
-        dists.withColumn("_rn", rn)
-        .filter(F.col("_rn") == 1)
-        .select("id", "cid", "dist")
+    return best.select(
+        "id", F.col("m.cid").alias("cid"), F.col("m.dist").alias("dist")
     )
 
 
