@@ -101,6 +101,7 @@ _PROMOTED = [
     "dedup_graph_triangles",
     "doc_novelty_score",
     "source_divergence_kl",
+    "corpus_to_training_data_v2",
     "dedup_minhash_pairs_md5",
     "dedup_simhash_pairs_md5",
     "dedup_embedding_pairs_lsh_fixed",

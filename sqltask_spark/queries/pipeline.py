@@ -794,6 +794,169 @@ ORDER BY source, pack_id
 
 
 # --------------------------------------------------------------------------
+# corpus_to_training_data_v2 — the end-to-end recipe WITH fuzzy
+# decontamination: clean cascade → exact dedup → hash split → drop
+# every train document whose md5-MinHash screen matches ANY eval
+# document (contamination_fuzzy's pair set — leakage is about eval
+# CONTENT, so the screen runs on the raw corpus, not the cleaned
+# subset: a train doc that paraphrases a low-quality eval doc is
+# still leakage) → per-source greedy packing. One composed DataFrame
+# program; the oracle replays the whole thing, contamination chain
+# included, via the shared _CONTAM_BODY CTE.
+# --------------------------------------------------------------------------
+
+
+def corpus_to_training_data_v2(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from sqltask_spark.operators.dedup import (
+        minhash_contamination_pairs_md5,
+    )
+    from sqltask_spark.queries.textops import (
+        _CONTAM_THRESHOLD,
+        _CONTAM_TRAIN_PCT,
+        _MH_BANDS,
+        _MH_CAP,
+        _MH_PERM,
+        _MH_SEED,
+    )
+
+    docs_all = load_table(spark, sf_dir, "documents")
+    digest_all = F.md5(F.col("doc_id").cast("string"))
+    bucket_all = F.pmod(
+        F.ascii(F.substring(digest_all, 1, 1)) * 256
+        + F.ascii(F.substring(digest_all, 2, 1)),
+        F.lit(100),
+    )
+    sided = docs_all.withColumn(
+        "_side",
+        F.when(bucket_all < _CONTAM_TRAIN_PCT, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    )
+    contaminated = (
+        minhash_contamination_pairs_md5(
+            sided,
+            "doc_id",
+            "text",
+            "_side",
+            num_perm=_MH_PERM,
+            bands=_MH_BANDS,
+            seed=_MH_SEED,
+            max_bucket_size=_MH_CAP,
+            threshold=_CONTAM_THRESHOLD,
+        )
+        .select(F.col("index_id").alias("doc_id"))
+        .distinct()
+    )
+
+    docs = docs_all.filter(F.col("n_chars") >= _MIN_CHARS)
+    scored = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        F.round(tx.quality_score(F.col("text")), 9).alias("quality"),
+        F.md5(tx.normalize_text(F.col("text"))).alias("fingerprint"),
+    ).filter(F.col("quality") >= _MIN_QUALITY)
+    w_dup = Window.partitionBy("fingerprint").orderBy("doc_id")
+    deduped = (
+        scored.withColumn("rn", F.row_number().over(w_dup))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "fingerprint", "quality")
+    )
+    digest = F.md5(F.col("doc_id").cast("string"))
+    bucket = F.pmod(
+        F.ascii(F.substring(digest, 1, 1)) * 256
+        + F.ascii(F.substring(digest, 2, 1)),
+        F.lit(100),
+    )
+    train = (
+        deduped.filter(bucket < _TRAIN_PCT)
+        .join(contaminated, "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            "source",
+            tx.token_count(F.col("text")).alias("n_tokens"),
+        )
+    )
+    w_pack = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_before = F.sum("n_tokens").over(w_pack) - F.col("n_tokens")
+    packed = train.withColumn(
+        "pack_id",
+        F.floor(cum_before.cast("double") / F.lit(float(_PACK_CAPACITY))),
+    )
+    return (
+        packed.groupBy("source", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("source", "pack_id")
+    )
+
+
+def _e2e_v2_sql() -> str:
+    from sqltask_spark.queries.textops import _CONTAM_BODY
+
+    return f"""
+WITH {_CONTAM_BODY},
+q_scored AS (
+  SELECT
+    doc_id, source, text,
+    ROUND(
+      (CAST(LEN(list_distinct({_TOKS})) AS DOUBLE) / LEN({_TOKS})) * 0.5
+      + LEAST(CAST(LEN({_TOKS}) AS DOUBLE) / 100.0, 1.0) * 0.3
+      + (1.0 - CAST(LEN(list_filter({_TOKS},
+            t -> list_contains({_STOP_SQL['en']}, t))) AS DOUBLE)
+          / LEN({_TOKS})) * 0.2,
+      9) AS quality,
+    md5({_NORM}) AS fingerprint
+  FROM documents
+  WHERE n_chars >= {_MIN_CHARS}
+), deduped AS (
+  SELECT doc_id, source, text
+  FROM (
+    SELECT doc_id, source, text,
+           ROW_NUMBER() OVER (PARTITION BY fingerprint
+                              ORDER BY doc_id) AS rn
+    FROM q_scored
+    WHERE quality >= {_MIN_QUALITY}
+  )
+  WHERE rn = 1
+), train AS (
+  SELECT doc_id, source, LEN({_TOKS}) AS n_tokens
+  FROM deduped
+  WHERE (ascii(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256
+         + ascii(substring(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100
+        < {_TRAIN_PCT}
+    AND doc_id NOT IN (SELECT DISTINCT train_id FROM contam)
+), packed AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(FLOOR(CAST(
+           SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) - n_tokens
+           AS DOUBLE) / {_PACK_CAPACITY}.0) AS BIGINT) AS pack_id
+  FROM train
+)
+SELECT
+  source, pack_id,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+  MIN(doc_id) AS min_doc_id,
+  MAX(doc_id) AS max_doc_id
+FROM packed
+GROUP BY source, pack_id
+ORDER BY source, pack_id
+"""
+
+
+# --------------------------------------------------------------------------
 # length_histogram — per-source token-length distribution in fixed-
 # width buckets: the planning input for sequence packing (capacity
 # choice), truncation policy, and domain mixing (length skew between
@@ -1567,6 +1730,7 @@ QUERIES = {
     "domain_mix_weights": domain_mix_weights,
     "corpus_shuffle_shards": corpus_shuffle_shards,
     "corpus_to_training_data": corpus_to_training_data,
+    "corpus_to_training_data_v2": corpus_to_training_data_v2,
     # window overflow is managed centrally — see _OVERFLOW in
     # queries/__init__.py
     "sketch_event_stats": sketch_event_stats,
@@ -1603,4 +1767,5 @@ ORACLES = {
     "domain_mix_weights": _MIX_SQL,
     "corpus_shuffle_shards": _SHUFFLE_SQL,
     "corpus_to_training_data": _E2E_SQL,
+    "corpus_to_training_data_v2": _e2e_v2_sql(),
 }

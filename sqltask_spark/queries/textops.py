@@ -362,8 +362,11 @@ def contamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CONTAM_FUZZY_SQL = f"""
-WITH sp AS MATERIALIZED (
+#: the shared contamination chain: split -> signatures -> banding
+#: -> cross-side candidates -> exact-Jaccard verify, ending in a
+#: ``contam(train_id, eval_id, n_shared_bands, jaccard)`` CTE.
+#: Reused verbatim by corpus_to_training_data_v2 (queries/pipeline).
+_CONTAM_BODY = f"""sp AS MATERIALIZED (
   SELECT doc_id AS id, text,
          CASE WHEN (ascii(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1))
                     * 256
@@ -405,17 +408,21 @@ cand AS (
   JOIN ok ON ok.band = a.band AND ok.band_hash = a.band_hash
   GROUP BY a.id, b.id
 ),
-scored AS (
-  SELECT cand.train_id, cand.eval_id, cand.n_shared_bands,
-         CAST(LEN(list_intersect(sa.h, sb.h)) AS DOUBLE)
-           / LEN(list_distinct(sa.h || sb.h)) AS jacc
-  FROM cand
-  JOIN sh sa ON sa.id = cand.train_id
-  JOIN sh sb ON sb.id = cand.eval_id
-)
-SELECT train_id, eval_id, n_shared_bands, ROUND(jacc, 6) AS jaccard
-FROM scored
-WHERE jacc >= {_CONTAM_THRESHOLD}
+contam AS MATERIALIZED (
+  SELECT train_id, eval_id, n_shared_bands, ROUND(jacc, 6) AS jaccard
+  FROM (
+    SELECT cand.train_id, cand.eval_id, cand.n_shared_bands,
+           CAST(LEN(list_intersect(sa.h, sb.h)) AS DOUBLE)
+             / LEN(list_distinct(sa.h || sb.h)) AS jacc
+    FROM cand
+    JOIN sh sa ON sa.id = cand.train_id
+    JOIN sh sb ON sb.id = cand.eval_id)
+  WHERE jacc >= {_CONTAM_THRESHOLD})"""
+
+_CONTAM_FUZZY_SQL = f"""
+WITH {_CONTAM_BODY}
+SELECT train_id, eval_id, n_shared_bands, jaccard
+FROM contam
 ORDER BY train_id, eval_id
 """
 

