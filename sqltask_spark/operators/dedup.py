@@ -289,9 +289,14 @@ def minhash_dedup_pairs(
     b = shingled.select(F.col("id").alias("id_b"), F.col("h").alias("h_b"))
     inter = F.size(F.array_intersect("h_a", "h_b"))
     union = F.size(F.array_union("h_a", "h_b"))
+    # a/b carry per-doc shingle arrays — corpus-scaled relations
+    # whose in-memory size dwarfs the planner's compressed estimate;
+    # pin shuffle joins so no scale tips them into a driver broadcast
+    # (observed at 500k docs in ngram_jaccard_pairs before the same
+    # fix there)
     out = (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
+        cand.join(a.hint("merge"), "id_a")
+        .join(b.hint("merge"), "id_b")
         .withColumn("jaccard", inter.cast("double") / union)
         .drop("h_a", "h_b")
     )
@@ -411,9 +416,14 @@ def minhash_dedup_pairs_md5(
     b = shingled.select(F.col("id").alias("id_b"), F.col("h").alias("h_b"))
     inter = F.size(F.array_intersect("h_a", "h_b"))
     union = F.size(F.array_union("h_a", "h_b"))
+    # a/b carry per-doc shingle arrays — corpus-scaled relations
+    # whose in-memory size dwarfs the planner's compressed estimate;
+    # pin shuffle joins so no scale tips them into a driver broadcast
+    # (observed at 500k docs in ngram_jaccard_pairs before the same
+    # fix there)
     out = (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
+        cand.join(a.hint("merge"), "id_a")
+        .join(b.hint("merge"), "id_b")
         .withColumn("jaccard", inter.cast("double") / union)
         .drop("h_a", "h_b")
     )
@@ -546,8 +556,8 @@ def minhash_contamination_pairs_md5(
     inter = F.size(F.array_intersect("h_a", "h_b"))
     union = F.size(F.array_union("h_a", "h_b"))
     out = (
-        cand.join(a, "index_id")
-        .join(b, "probe_id")
+        cand.join(a.hint("merge"), "index_id")
+        .join(b.hint("merge"), "probe_id")
         .withColumn("jaccard", inter.cast("double") / union)
         .drop("h_a", "h_b")
     )
@@ -586,7 +596,7 @@ def jaccard_pairs(
     b = shingled.select(
         F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")
     )
-    joined = pairs.join(a, "id_a").join(b, "id_b")
+    joined = pairs.join(a.hint("merge"), "id_a").join(b.hint("merge"), "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     out = joined.withColumn(
@@ -640,8 +650,16 @@ def ngram_jaccard_pairs(
         df_counts = inv.groupBy("shingle").agg(
             F.count(F.lit(1)).alias("df")
         )
+        # the allowed-shingle side is O(vocabulary) — it GROWS with
+        # the corpus, so it must never be broadcast. AQE's runtime
+        # size estimate sits near the threshold at mid scales and
+        # picking broadcast blows the driver (observed at 500k docs);
+        # the merge hint pins a shuffle join, and AQE's skew-join
+        # splitting still applies to the hot-shingle partitions.
         inv = inv.join(
-            df_counts.filter(F.col("df") <= max_shingle_df).select("shingle"),
+            df_counts.filter(F.col("df") <= max_shingle_df)
+            .select("shingle")
+            .hint("merge"),
             "shingle",
         )
     # Candidate self-join on the HASH of the shingle, not the string:
@@ -655,7 +673,11 @@ def ngram_jaccard_pairs(
     a = inv_h.select(F.col("id").alias("id_a"), "sh")
     b = inv_h.select(F.col("id").alias("id_b"), "sh")
     cand = (
-        a.join(b, "sh")
+        # equal corpus-scaled sides: the planner's static estimate of
+        # the capped inverted index sat under the broadcast threshold
+        # at 500k docs and built a ~1 GiB driver relation — pin SMJ
+        # (AQE skew-split still applies to hot shingles)
+        a.join(b.hint("merge"), "sh")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
@@ -668,9 +690,11 @@ def ngram_jaccard_pairs(
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
+    # the shingle-array sides are corpus-scaled: pin shuffle joins
+    # (see the self-join note above — same 500k-doc broadcast OOM)
     out = (
-        cand.join(sh_a, "id_a")
-        .join(sh_b, "id_b")
+        cand.join(sh_a.hint("merge"), "id_a")
+        .join(sh_b.hint("merge"), "id_b")
         .withColumn("jaccard", inter.cast("double") / union)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -767,7 +791,7 @@ def simhash_near_pairs(
     b = exploded.select(
         F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "ci", "cv"
     )
-    cands = a.join(b, ["ci", "cv"]).filter(F.col("id_a") < F.col("id_b"))
+    cands = a.join(b.hint("merge"), ["ci", "cv"]).filter(F.col("id_a") < F.col("id_b"))
     verified = (
         cands.dropDuplicates(["id_a", "id_b"])
         .withColumn(
@@ -854,7 +878,7 @@ def simhash_near_pairs_md5(
         F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "ci", "cv"
     )
     return (
-        a.join(b, ["ci", "cv"])
+        a.join(b.hint("merge"), ["ci", "cv"])
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
         .withColumn(

@@ -289,7 +289,7 @@ def hybrid_rrf_search(
     # HUGEINT→double conversion stays exact (same budget analysis as
     # tfidf_near_pairs).
     w_d = (
-        tf.join(dfc, "term")
+        tf.join(dfc.hint("merge"), "term")
         .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",
@@ -474,7 +474,7 @@ def tfidf_near_pairs(
             + F.lit(1.0)
         )
         w = (
-            tf.join(dfc, "sh")
+            tf.join(dfc.hint("merge"), "sh")
             .crossJoin(F.broadcast(stats))
             .select(
                 "id",
@@ -489,7 +489,7 @@ def tfidf_near_pairs(
         )
         a, b = w.alias("a"), w.alias("b")
         pairs = (
-            a.join(b, "sh")
+            a.join(b.hint("merge"), "sh")
             .filter(F.col("a.id") < F.col("b.id"))
             .groupBy(
                 F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
@@ -556,7 +556,7 @@ def hashed_tfidf(
         + F.lit(1.0)
     )
     weighted = (
-        tf.join(dfc, "term")
+        tf.join(dfc.hint("merge"), "term")
         .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",

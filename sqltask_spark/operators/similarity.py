@@ -358,8 +358,8 @@ def cosine_near_pairs_lsh(
         F.col("nrm").alias("nb"),
     )
     return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
+        cand.join(va.hint("merge"), "id_a")
+        .join(vb.hint("merge"), "id_b")
         .withColumn(
             "cosine",
             F.round(
@@ -480,8 +480,8 @@ def cosine_near_pairs_lsh_fixed(
         F.col("nrm").alias("nb"),
     )
     return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
+        cand.join(va.hint("merge"), "id_a")
+        .join(vb.hint("merge"), "id_b")
         .withColumn(
             "cosine",
             F.round(
