@@ -105,6 +105,55 @@ def main() -> None:
     # (identical queries vary 5-10x run-to-run); the minimum is the
     # stable estimate of the query's actual cost
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+
+    # --- host calibration (r6 judge Next #3) --------------------------
+    # Cross-round bench comparisons died twice on host CPU steal, so
+    # every run times two PINNED CPU-bound JVM probes in the same
+    # session and reports each entry raw AND calibration-normalized.
+    # The probes bracket the two cost families in HEADLINE: codegen
+    # integer hashing (shuffle/join-shaped entries) and regex over
+    # generated strings (the text family, the most drift-sensitive).
+    # _CAL_REF are the probes' min-of-3 seconds on the round-7 build
+    # host, measured back-to-back with BENCH_r07; factor > 1 means
+    # today's host is that many times slower than that reference, and
+    # normalized = raw / factor puts every round on the r7 host scale.
+    _CAL_REF = {"cal_hash": 1.480, "cal_regex": 2.166}
+
+    def _cal_hash() -> None:
+        spark.range(600_000_000, numPartitions=int(cpus)).select(
+            F.sum(F.xxhash64("id"))
+        ).collect()
+
+    def _cal_regex() -> None:
+        spark.range(3_000_000, numPartitions=int(cpus)).select(
+            F.sum(
+                F.length(
+                    F.regexp_replace(
+                        F.md5(F.col("id").cast("string")),
+                        "[0-9]+",
+                        "#",
+                    )
+                )
+            )
+        ).collect()
+
+    calibration: dict[str, float] = {}
+    for cal_name, cal_fn in (("cal_hash", _cal_hash),
+                             ("cal_regex", _cal_regex)):
+        best = None
+        for _ in range(max(repeats, 3)):
+            t0 = time.perf_counter()
+            cal_fn()
+            elapsed = time.perf_counter() - t0
+            best = elapsed if best is None else min(best, elapsed)
+        calibration[cal_name] = round(best, 3)
+    factor = (
+        (calibration["cal_hash"] / _CAL_REF["cal_hash"])
+        * (calibration["cal_regex"] / _CAL_REF["cal_regex"])
+    ) ** 0.5
+    calibration["factor"] = round(factor, 4)
+    print(f"# calibration: {calibration}", file=sys.stderr)
+
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
@@ -259,6 +308,7 @@ def main() -> None:
     shutil.rmtree(tmp, ignore_errors=True)
 
     total = round(sum(times.values()), 3)
+    normalized = {k: round(v / factor, 3) for k, v in times.items()}
     print(
         json.dumps(
             {
@@ -266,6 +316,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "calibration": calibration,
+                "queries_normalized": normalized,
+                "value_normalized": round(total / factor, 3),
                 "sf": sf,
             }
         )

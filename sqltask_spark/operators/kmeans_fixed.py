@@ -63,7 +63,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
+from pyspark.sql import types as T
 
 __all__ = [
     "FP_SCALE",
@@ -103,26 +103,53 @@ def to_fixed_long(
     )
 
 
-def init_centroids_md5(pts: DataFrame, k: int) -> DataFrame:
-    """Deterministic, engine-portable init: the K ids with the
-    smallest ``(md5(id_string), id)`` seed clusters 0..K-1."""
-    ids = (
+def _seed_ids_topk(pts: DataFrame, k: int) -> DataFrame:
+    """The K distinct ids with the smallest ``(md5(id_string), id)``,
+    as a lazy DataFrame ``(id, _h)``.
+
+    Spelled ``orderBy(...).limit(k)`` so Catalyst plans it as
+    ``TakeOrderedAndProject`` — a per-partition top-k with a driver
+    merge of K rows per partition — NEVER a single-partition
+    ``WindowExec`` sort of the full distinct-id set (the scale bug
+    this replaced: ``row_number().over(Window.orderBy(...))`` with no
+    partition spec funnels every distinct id through one task).
+    """
+    return (
         pts.select("id")
         .distinct()
         .withColumn("_h", F.md5(F.col("id").cast("string")))
+        .orderBy("_h", "id")
+        .limit(k)
     )
-    w = F.row_number().over(Window.orderBy("_h", "id"))
-    chosen = (
-        ids.withColumn("_rk", w)
-        .filter(F.col("_rk") <= k)
-        .select("id", (F.col("_rk") - 1).alias("cid"))
+
+
+def init_centroids_md5(pts: DataFrame, k: int) -> DataFrame:
+    """Deterministic, engine-portable init: the K ids with the
+    smallest ``(md5(id_string), id)`` seed clusters 0..K-1.
+
+    The top-k selection runs distributed (``TakeOrderedAndProject``,
+    see :func:`_seed_ids_topk`); only the ≤K winners are collected and
+    ranked driver-side — the same bounded-collect device as the
+    per-round centroid literalization. Selection semantics are
+    identical to the previous global row_number spelling, so every
+    certificate hash is unchanged.
+    """
+    spark: SparkSession = pts.sparkSession
+    top = _seed_ids_topk(pts, k).collect()
+    # TakeOrderedAndProject returns sorted output, but re-sort the ≤K
+    # rows driver-side so cid assignment never depends on plan choice
+    top.sort(key=lambda r: (r["_h"], r["id"]))
+    schema = T.StructType(
+        [
+            T.StructField("id", pts.schema["id"].dataType),
+            T.StructField("cid", T.IntegerType()),
+        ]
     )
-    # K rows — a driver-side rank over distinct ids would also work,
-    # but the single-partition window on a K-truncated md5 ordering
-    # is only ever evaluated over the distinct-id set (bounded by the
-    # corpus, tiny at train-sample scale).
+    chosen = spark.createDataFrame(
+        [(r["id"], i) for i, r in enumerate(top)], schema
+    )
     return (
-        pts.join(chosen, "id")
+        pts.join(F.broadcast(chosen), "id")
         .select("cid", "pos", F.col("el").alias("c"))
     )
 
@@ -267,7 +294,16 @@ def _update_sparse(
     cluster members (absent rows count as 0, so the divisor is the
     member count, not the present-row count); exactly-zero centroid
     components are dropped to keep centroids sparse; empty clusters
-    keep their previous centroid."""
+    keep their previous centroid.
+
+    A NON-empty cluster whose every component truncates to zero must
+    not vanish from the centroid table (k would silently shrink — it
+    would drop out of ``csq`` and the assignment grid next round): it
+    keeps one ``(cid, pos=0, c=0)`` sentinel row, which is distance-
+    neutral (contributes 0 to both ``c²`` and the cross term) but
+    keeps the cluster competing for members. Mirrored verbatim by
+    ``queries.cluster._sparse_kmeans_ctes``.
+    """
     msize = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
     upd = (
         pts.join(assign.select("id", "cid"), "id")
@@ -281,8 +317,17 @@ def _update_sparse(
         )
         .filter(F.col("c") != 0)
     )
+    sentinel = (
+        msize.select("cid")
+        .join(upd.select("cid").distinct(), "cid", "left_anti")
+        .select(
+            "cid",
+            F.lit(0).cast("int").alias("pos"),
+            F.lit(0).cast("bigint").alias("c"),
+        )
+    )
     kept_old = cents.join(msize.select("cid"), "cid", "left_anti")
-    return upd.unionByName(kept_old)
+    return upd.unionByName(sentinel).unionByName(kept_old)
 
 
 def kmeans_fixed_sparse(

@@ -54,7 +54,10 @@ def global_prefix_sum(
     ``return_cached=True`` the call returns ``(out, cached)`` so a
     caller whose downstream reduces the result (e.g. the PPS sampler)
     can ``materialize_and_release`` the small result and free the
-    corpus-sized cache.
+    corpus-sized cache. With the default ``return_cached=False`` the
+    RESULT comes back persisted-and-materialized and the intermediate
+    is released before returning (it must not leak for the session —
+    ADVICE r6); callers should ``unpersist()`` the result when done.
     """
     spark = df.sparkSession
     if num_partitions is None:
@@ -82,7 +85,10 @@ def global_prefix_sum(
     if not offsets:
         # empty input: no partitions materialized — emit the schema
         out = df.withColumn(out_col, F.lit(0).cast("long"))
-        return (out, local) if return_cached else out
+        if return_cached:
+            return out, local
+        local.unpersist()
+        return out
     off_df = spark.createDataFrame(offsets, "__pid int, __off long")
     out = (
         local.join(F.broadcast(off_df), "__pid")
@@ -91,4 +97,13 @@ def global_prefix_sum(
         )
         .drop("__pid", "__local_cum")
     )
-    return (out, local) if return_cached else out
+    if return_cached:
+        return out, local
+    # default path: pin the result the caller actually consumes, then
+    # release the corpus-sized intermediate (correct boundaries are
+    # baked into the materialized output, so the recompute hazard is
+    # gone and nothing leaks)
+    out = out.persist()
+    out.count()
+    local.unpersist()
+    return out

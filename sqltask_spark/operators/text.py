@@ -282,8 +282,11 @@ def redact_pii_extended(col: Column) -> dict[str, Column]:
     cur = normalize_text(col)
     out: dict[str, Column] = {}
     for name, pat, token in stages:
-        out[f"n_{name}"] = F.size(
-            F.regexp_extract_all(cur, F.lit(pat), 0)
+        # NULL text → 0 matches on BOTH engines (Spark size(NULL) and
+        # DuckDB LEN(NULL) would otherwise diverge: -1/NULL vs NULL)
+        out[f"n_{name}"] = F.coalesce(
+            F.size(F.regexp_extract_all(cur, F.lit(pat), 0)),
+            F.lit(0),
         )
         cur = F.regexp_replace(cur, pat, token)
     out["redacted"] = cur
@@ -309,10 +312,14 @@ SCRIPT_CLASSES: tuple[tuple[str, str], ...] = (
 def script_counts(col: Column) -> dict[str, Column]:
     """Per-script character counts: each class is one char wide, so
     ``length(s) − length(s with class removed)`` counts matches —
-    one regexp_replace per script, all inside codegen."""
+    one regexp_replace per script, all inside codegen. NULL text
+    counts as 0 (pinned: the oracle COALESCEs identically, and
+    ``dominant_script`` must see 0s, not NULLs, to return 'none')."""
     return {
-        name: F.length(col)
-        - F.length(F.regexp_replace(col, cls, ""))
+        name: F.coalesce(
+            F.length(col) - F.length(F.regexp_replace(col, cls, "")),
+            F.lit(0),
+        )
         for name, cls in SCRIPT_CLASSES
     }
 

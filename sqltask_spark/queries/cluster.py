@@ -403,7 +403,8 @@ def _sparse_kmeans_ctes(k: int, iters: int) -> str:
     ending in ``fasg`` (final assignment). Mirrors
     ``operators.kmeans_fixed.kmeans_fixed_sparse`` exactly: the
     three-term distance decomposition, member-count divisor,
-    zero-component drop, keep-previous on empty clusters."""
+    zero-component drop with the all-zero sentinel row,
+    keep-previous on empty clusters."""
     from sqltask_spark.queries.textops import _TOKS, _md5long_sql
 
     ctes = [
@@ -454,8 +455,16 @@ def _sparse_kmeans_ctes(k: int, iters: int) -> str:
     SELECT a.cid, p.pos, CAST(SUM(p.el) // MIN(m.n) AS BIGINT) AS c
     FROM asg{i} a JOIN pts p USING (id) JOIN msz{i} m ON m.cid = a.cid
     GROUP BY a.cid, p.pos) WHERE c <> 0)""")
+        # the second arm is the all-zero sentinel: a non-empty cluster
+        # whose every component truncated to 0 keeps one (cid, 0, 0)
+        # row so it stays in csq / the assignment grid (mirrors
+        # operators.kmeans_fixed._update_sparse — k must never
+        # silently shrink)
         ctes.append(f"""cent{i + 1} AS MATERIALIZED (
   SELECT cid, pos, c FROM upd{i}
+  UNION ALL
+  SELECT m.cid, CAST(0 AS INT) AS pos, CAST(0 AS BIGINT) AS c
+  FROM msz{i} m WHERE m.cid NOT IN (SELECT cid FROM upd{i})
   UNION ALL
   SELECT o.cid, o.pos, o.c FROM cent{i} o
   WHERE o.cid NOT IN (SELECT cid FROM msz{i}))""")

@@ -550,11 +550,25 @@ def sketch_event_stats_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.02).alias("_au"),
         F.percentile_approx("value", 0.5, 10000).alias("_p50"),
     )
-    hll_ok = F.abs(
-        F.col("_au").cast("double") - F.col("exact_users")
-    ) <= F.greatest(F.lit(3.0), F.col("exact_users") * 0.1)
-    p50_ok = (F.col("_p50") >= F.col("_p40")) & (
-        F.col("_p50") <= F.col("_p60")
+    # Flags are pinned to non-NULL booleans (ADVICE r6): a group with
+    # all-NULL `value` makes both the exact percentile and the sketch
+    # NULL — the contract holds vacuously (TRUE, matching the oracle's
+    # constant) rather than surfacing as a confusing NULL-hash
+    # mismatch; any OTHER NULL (one side null, the other not) is a
+    # genuine anomaly and fails as FALSE.
+    hll_ok = F.coalesce(
+        F.abs(F.col("_au").cast("double") - F.col("exact_users"))
+        <= F.greatest(F.lit(3.0), F.col("exact_users") * 0.1),
+        F.lit(False),
+    )
+    p50_ok = F.when(
+        F.col("_p40").isNull() & F.col("_p50").isNull(), F.lit(True)
+    ).otherwise(
+        F.coalesce(
+            (F.col("_p50") >= F.col("_p40"))
+            & (F.col("_p50") <= F.col("_p60")),
+            F.lit(False),
+        )
     )
     return (
         ex.join(sk, "event_type")

@@ -636,8 +636,10 @@ def _pii_ext_sql() -> str:
     cur = _NORM
     counts = []
     for name, pat, token in stages:
+        # COALESCE: NULL text → 0 matches, pinned on both engines
         counts.append(
-            f"LEN(regexp_extract_all({cur}, '{pat}')) AS n_{name}"
+            f"COALESCE(LEN(regexp_extract_all({cur}, '{pat}')), 0)"
+            f" AS n_{name}"
         )
         cur = f"regexp_replace({cur}, '{pat}', '{token}', 'g')"
     cols = ",\n  ".join(counts)
@@ -666,10 +668,12 @@ def script_mix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _script_sql() -> str:
+    # COALESCE: NULL text scores 0 per script (so the dominant CASE
+    # lands on 'none', matching Spark's fold over coalesced counts)
     score = {
         n: (
-            f"(LENGTH(text) - "
-            f"LENGTH(regexp_replace(text, '{cls}', '', 'g')))"
+            f"COALESCE(LENGTH(text) - "
+            f"LENGTH(regexp_replace(text, '{cls}', '', 'g')), 0)"
         )
         for n, cls in tx.SCRIPT_CLASSES
     }
@@ -685,7 +689,7 @@ SELECT
   doc_id,
   {cols},
   CASE WHEN {greatest} = 0 THEN 'none'
-    {whens} END AS dominant_script
+    {whens} ELSE 'none' END AS dominant_script
 FROM documents
 ORDER BY doc_id
 """

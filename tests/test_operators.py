@@ -2009,6 +2009,61 @@ def test_null_and_empty_text_semantics(spark):
     assert pairs[(3, 4)] == 1.0  # empty docs collapse together
     assert (1, 3) not in pairs   # but null != empty
 
+    # NULL-text contract for the r6 additions (ADVICE r6): PII counts
+    # coalesce to 0 (not NULL / -1), redacted md5 stays NULL; script
+    # counts coalesce to 0 and the dominant script is 'none' — the
+    # oracles COALESCE identically, so a NULL-text doc can never flip
+    # a driver hash.
+    from sqltask_spark.operators.text import (
+        dominant_script,
+        redact_pii_extended,
+        script_counts,
+    )
+
+    pii = redact_pii_extended(F.col("text"))
+    sc = script_counts(F.col("text"))
+    extra = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            pii["n_emails"].alias("n_emails"),
+            pii["n_nums"].alias("n_nums"),
+            F.md5(pii["redacted"]).alias("redacted_md5"),
+            sc["latin"].alias("n_latin"),
+            dominant_script(F.col("text")).alias("dom"),
+        ).collect()
+    }
+    assert extra[1]["n_emails"] == 0 and extra[1]["n_nums"] == 0
+    assert extra[1]["redacted_md5"] is None
+    assert extra[1]["n_latin"] == 0 and extra[1]["dom"] == "none"
+    assert extra[3]["n_emails"] == 0 and extra[3]["dom"] == "none"
+    assert extra[5]["n_latin"] == 5 and extra[5]["dom"] == "latin"
+
+    # and DuckDB's oracle SQL agrees on the same NULL/empty rows
+    import duckdb
+
+    from sqltask_spark.queries.textops import _pii_ext_sql, _script_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        "(1, CAST(NULL AS VARCHAR)), (3, ''), (5, 'hello')) "
+        "AS t(doc_id, text)"
+    )
+    pii_oracle = {r[0]: r for r in con.execute(_pii_ext_sql()).fetchall()}
+    # columns: doc_id, n_emails, n_ipv4, n_phones, n_nums, redacted_md5
+    assert pii_oracle[1][1:5] == (0, 0, 0, 0)
+    assert pii_oracle[1][5] is None
+    script_oracle = {
+        r[0]: r for r in con.execute(_script_sql()).fetchall()
+    }
+    # columns: doc_id, n_* (sorted scripts), dominant_script
+    assert script_oracle[1][-1] == "none"
+    assert all(c == 0 for c in script_oracle[1][1:-1])
+    assert script_oracle[3][-1] == "none"
+    assert script_oracle[5][-1] == "latin"
+    con.close()
+
 
 def test_pps_sample_guarantees(spark, sf_dir):
     """Systematic PPS selection guarantees: at most K docs selected,
