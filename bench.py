@@ -117,15 +117,17 @@ def main() -> None:
     # host, measured back-to-back with BENCH_r07; factor > 1 means
     # today's host is that many times slower than that reference, and
     # normalized = raw / factor puts every round on the r7 host scale.
-    _CAL_REF = {"cal_hash": 1.480, "cal_regex": 2.166}
+    _CAL_REF = {"cal_hash": 1.033, "cal_regex": 1.519}
 
     def _cal_hash() -> None:
-        spark.range(600_000_000, numPartitions=int(cpus)).select(
-            F.sum(F.xxhash64("id"))
+        # bit_count bounds the sum (<= 64 per row) so the 6B-row
+        # aggregate cannot overflow BIGINT under ANSI mode
+        spark.range(6_000_000_000, numPartitions=int(cpus)).select(
+            F.sum(F.bit_count(F.xxhash64("id")))
         ).collect()
 
     def _cal_regex() -> None:
-        spark.range(3_000_000, numPartitions=int(cpus)).select(
+        spark.range(24_000_000, numPartitions=int(cpus)).select(
             F.sum(
                 F.length(
                     F.regexp_replace(

@@ -13,11 +13,18 @@ REST API.
 Replication shape (mirrors scripts/stress_dedup_chain.py's corpus-like
 structure): replica 0 = original, replica 1 = true near-duplicate
 (+1e-3 per component — stays above the 0.6 cosine pair threshold), and
-replicas ≥2 circular-shift the vector by (rep mod dim−1)+1 positions
-with a per-replica decorrelating epsilon — near-orthogonal to the
-original for random embeddings, so expected LSH pairs grow LINEARLY
-in corpus size (each original pairs with its one near-dup), never
-quadratically.
+replicas ≥2 circular-shift the vector by (rep mod dim−1)+1 positions —
+near-orthogonal to the original for random embeddings. Shift classes
+repeat every dim−1 replicas, so replicas in the same class ALSO get a
+per-generation (rep div (dim−1)) sign-flip pattern on alternating
+components (cosine is scale-invariant but not sign-pattern-invariant:
+flipping half the components drives same-class cross-generation
+cosine to ~0). Expected LSH pairs therefore grow LINEARLY in corpus
+size (each original pairs with its one near-dup), never
+quadratically — the first 250-rep run without the sign flips measured
+exactly that failure mode (734k true pairs from ε-only same-class
+replicas; the operator survived it in 198s, which is itself recorded
+as the hot-corpus robustness point).
 
 Scale discipline under test:
 - index build: √n cell auto-scale (constant expected cell occupancy);
@@ -26,7 +33,10 @@ Scale discipline under test:
   n_probe · n / √n), strongly sub-linear per corpus decade;
 - LSH pairs: n_planes grown with log2(n / target_occupancy) — the
   production occupancy rule (cf. bench.py's xover comment) — holding
-  bucket occupancy ~constant so the bucket join stays linear.
+  bucket occupancy ~constant so the bucket join stays linear. The
+  target is ~16/bucket (the pair-enumeration regime: candidate pairs
+  ≈ n · occupancy · tables / 2, so occupancy IS the per-doc work;
+  bench's 128k-vector xover uses ~8/bucket for the same reason).
 
 Usage: python scripts/stress_ann_family.py [reps] [base_sf_dir]
        reps=3 → 6k vectors, 25 → 50k, 250 → 500k
@@ -89,10 +99,21 @@ def main() -> None:
         emb = spark.read.parquet(os.path.join(base, "embeddings.parquet"))
         dim = len(emb.select("embedding").first()["embedding"])
         rep = spark.range(reps).withColumnRenamed("id", "_rep")
-        shifted = F.expr(
+        shifted = (
             "concat(slice(embedding, (_rep % (size(embedding) - 1)) + 2, "
             "size(embedding)), "
             "slice(embedding, 1, (_rep % (size(embedding) - 1)) + 1))"
+        )
+        # per-generation sign flips: generation g = rep div (dim-1);
+        # component i flips when bit (i % 2) of g is set — distinct
+        # generations of the same shift class differ in ~half their
+        # signs, so their cosine collapses to ~0 (or −1, equally
+        # below threshold)
+        signed = F.expr(
+            f"transform({shifted}, (x, i) -> "
+            "CAST(x AS DOUBLE) * CAST(1 - 2 * "
+            "(shiftright(_rep div (size(embedding) - 1), i % 2) & 1) "
+            "AS DOUBLE))"
         )
         vec = (
             F.when(F.col("_rep") == 0, F.col("embedding"))
@@ -102,7 +123,7 @@ def main() -> None:
             )
             .otherwise(
                 F.transform(
-                    shifted,
+                    signed,
                     lambda x: x + F.col("_rep").cast("double") * 1e-4,
                 )
             )
@@ -168,7 +189,7 @@ def main() -> None:
         cosine_near_pairs_lsh_fixed,
     )
 
-    n_planes = max(4, math.ceil(math.log2(max(n, 2) / 500)))
+    n_planes = max(4, math.ceil(math.log2(max(n, 2) / 16)))
     timed(
         f"lsh_pairs_planes{n_planes}",
         lambda: cosine_near_pairs_lsh_fixed(

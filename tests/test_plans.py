@@ -395,3 +395,49 @@ def test_q17_broadcast_dim_single_window_shuffle(spark, sf_dir):
     assert "BroadcastHashJoin" in r.join_strategies
     assert "CartesianProduct" not in r.join_strategies
     assert r.n_exchanges <= 3  # window hash + final agg single-part
+
+
+def test_catalog_no_global_sort_window(spark, sf_dir):
+    """Catalog-WIDE plan invariant (r6's only named scale-killer was a
+    partition-less row_number window that no per-entry test caught):
+    no entry may plan a Window whose spec has sort columns but NO
+    partition columns — that is a single-task sort of its whole input.
+
+    Window specs print as ``windowspecdefinition(part..., sort ASC
+    ..., specifiedwindowframe(...))``; args carrying ASC/DESC are sort
+    keys, bare args are partition keys. Global-TOTAL windows (no
+    partition, no sort — e.g. ``sum(x) over ()``) are allowed only for
+    entries computing corpus constants over provably bounded inputs
+    (per-source aggregates, ~|sources| rows), listed explicitly."""
+    import re
+
+    from sqltask_spark.queries import QUERIES
+
+    #: global-total windows over bounded pre-aggregated relations
+    #: (input = one row per source BEFORE the window — adding a new
+    #: entry here requires the same boundedness argument in review)
+    GLOBAL_TOTAL_OK = {"apply_mix_sampling", "domain_mix_weights"}
+
+    bad: dict[str, list[str]] = {}
+    for name, fn in QUERIES.items():
+        df = fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for m in re.finditer(
+            r"windowspecdefinition\((.*?)specifiedwindowframe", plan
+        ):
+            head = m.group(1)
+            parts = [p.strip() for p in head.split(",") if p.strip()]
+            sorts = [p for p in parts if " ASC" in p or " DESC" in p]
+            partition = [
+                p for p in parts if " ASC" not in p and " DESC" not in p
+            ]
+            if sorts and not partition:
+                bad.setdefault(name, []).append(
+                    f"global-sort window: {head[:120]}"
+                )
+            elif not sorts and not partition and name not in GLOBAL_TOTAL_OK:
+                bad.setdefault(name, []).append(
+                    f"global-total window: {head[:120]}"
+                )
+        spark.catalog.clearCache()
+    assert not bad, bad
