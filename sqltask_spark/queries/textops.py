@@ -2026,6 +2026,96 @@ ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
+# collocation_pmi — top-k adjacent-token collocations by pointwise
+# mutual information: PMI(a,b) = ln(c_ab · N / (c_left(a) ·
+# c_right(b))) over the corpus bigram stream — the standard
+# collocation / multi-word-expression extractor a tokenizer or
+# phrase-vocabulary pipeline runs before committing merges. Micro-nat
+# fixed point via ROUND(LN·1e6) (the lm_perplexity cross-engine
+# discipline); a count floor prunes the hapax tail BEFORE the log;
+# the top-k is orderBy().limit() = TakeOrderedAndProject (the
+# catalog-wide global-sort-window invariant keeps this honest).
+#
+# Scale shape: the bigram census is ONE map-side-combinable groupBy;
+# the left/right marginal tables are vocabulary-sized; all joins are
+# equi-joins; N is a 1-row broadcast. The bigram stream is persisted
+# skinny for its four readers and released before returning.
+# --------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 3
+_PMI_TOPK = 50
+
+
+def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sqltask_spark.data import materialize_and_release
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size("t")
+    toks = docs.select(tx.tokenize(F.col("text")).alias("t")).filter(
+        n >= 2
+    )
+    bg = (
+        toks.select(
+            F.explode(
+                F.zip_with(
+                    F.slice("t", 1, n - 1),
+                    F.slice("t", 2, n - 1),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .persist()
+    )
+    bgc = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_bg"))
+    la = bg.groupBy("a").agg(F.count(F.lit(1)).alias("c_a"))
+    rb = bg.groupBy("b").agg(F.count(F.lit(1)).alias("c_b"))
+    tot = bg.agg(F.count(F.lit(1)).alias("n_tot"))
+    scored = (
+        bgc.filter(F.col("c_bg") >= _PMI_MIN_COUNT)
+        .join(la, "a")
+        .join(rb, "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.concat_ws(" ", "a", "b").alias("bigram"),
+            "c_bg",
+            F.round(
+                F.log(
+                    (F.col("c_bg").cast("double") * F.col("n_tot"))
+                    / (F.col("c_a").cast("double") * F.col("c_b"))
+                )
+                * F.lit(1000000.0)
+            )
+            .cast("long")
+            .alias("pmi_micro"),
+        )
+    )
+    out = scored.orderBy(F.desc("pmi_micro"), "bigram").limit(_PMI_TOPK)
+    return materialize_and_release(out, bg)
+
+
+_PMI_SQL = f"""
+WITH toks AS MATERIALIZED (
+  SELECT {_TOKS} AS t FROM documents WHERE LEN({_TOKS}) >= 2
+), bg AS MATERIALIZED (
+  SELECT t[i] AS a, t[i + 1] AS b
+  FROM toks, UNNEST(generate_series(1, LEN(t) - 1)) AS u(i)
+), bgc AS (
+  SELECT a, b, COUNT(*) AS c_bg FROM bg GROUP BY a, b
+  HAVING COUNT(*) >= {_PMI_MIN_COUNT}
+), la AS (SELECT a, COUNT(*) AS c_a FROM bg GROUP BY a),
+rb AS (SELECT b, COUNT(*) AS c_b FROM bg GROUP BY b),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM bg)
+SELECT a || ' ' || b AS bigram, c_bg,
+       CAST(ROUND(LN((c_bg * 1.0 * n_tot) / (c_a * 1.0 * c_b))
+                  * 1000000) AS BIGINT) AS pmi_micro
+FROM bgc JOIN la USING (a) JOIN rb USING (b), tot
+ORDER BY pmi_micro DESC, bigram
+LIMIT {_PMI_TOPK}
+"""
+
+
+# --------------------------------------------------------------------------
 # bpe_learn_merges — train a BPE tokenizer's merge table on the
 # corpus (see sqltask_spark.operators.bpe for the distributed
 # algorithm). Rows-only for the driver: the output is the merge
@@ -2147,6 +2237,7 @@ QUERIES = {
     "corpus_cut_spans": corpus_cut_spans,
     "gopher_quality_flags": gopher_quality_flags,
     "lm_perplexity": lm_perplexity,
+    "collocation_pmi": collocation_pmi,
     "bpe_learn_merges": bpe_learn_merges,
     "bpe_encode_documents": bpe_encode_documents,
     "dedup_index_screen": dedup_index_screen,
@@ -2175,6 +2266,7 @@ ORACLES = {
     "corpus_cut_spans": _CUT_SPANS_SQL,
     "gopher_quality_flags": _GOPHER_SQL,
     "lm_perplexity": _LM_PPL_SQL,
+    "collocation_pmi": _PMI_SQL,
     "dedup_minhash_pairs_md5": _MINHASH_MD5_SQL,
     "contamination_fuzzy": _CONTAM_FUZZY_SQL,
     "dedup_graph_triangles": _TRIANGLES_SQL,

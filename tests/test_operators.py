@@ -2142,3 +2142,40 @@ def test_heavy_hitters_exact_and_layout_independent(spark):
             ).collect()
         }
         assert got == want, (parts, got)
+
+
+def test_collocation_pmi_planted_collocation_ranks_first(spark, tmp_path):
+    """A planted rigid collocation (tokens that ONLY ever occur
+    together) must out-PMI every free-combining pair, and the count
+    floor must drop hapax bigrams entirely."""
+    import itertools
+
+    rows = []
+    # background: free-combining filler tokens in rotating order
+    filler = ["aa", "bb", "cc", "dd", "ee"]
+    for i, perm in enumerate(itertools.permutations(filler)):
+        rows.append((i, " ".join(perm)))
+    # planted: 'zig zag' always adjacent, each token never elsewhere
+    for j in range(5):
+        rows.append((1000 + j, "zig zag " + " ".join(filler[:3])))
+    # hapax pair seen once — must be floored out
+    rows.append((2000, "rare pair"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tmp_path / "pmi_sf"
+    df.write.parquet(str(out / "documents.parquet"))
+
+    from sqltask_spark.queries.textops import collocation_pmi
+
+    got = collocation_pmi(spark, str(out)).collect()
+    assert got, "no collocations found"
+    by_bigram = {r["bigram"]: r for r in got}
+    assert "rare pair" not in by_bigram  # count floor
+    top = max(got, key=lambda r: (r["pmi_micro"], r["bigram"]))
+    assert top["bigram"] == "zig zag", top
+    assert by_bigram["zig zag"]["c_bg"] == 5
+    # PMI of the rigid pair: c_ab = c_a = c_b = 5 -> ln(N / 5)
+    import math
+
+    n_tot = sum(len(r[1].split()) - 1 for r in rows if len(r[1].split()) >= 2)
+    want = round(math.log(n_tot / 5) * 1e6)
+    assert abs(by_bigram["zig zag"]["pmi_micro"] - want) <= 1
