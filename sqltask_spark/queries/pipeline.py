@@ -1234,6 +1234,71 @@ ORDER BY source, draw
 
 
 # --------------------------------------------------------------------------
+# weighted_sample_wor — deterministic weighted sampling WITHOUT
+# replacement (Efraimidis–Spirakis 2006 exponential keys): each doc
+# gets key = ln(u)/w with u a deterministic md5-derived uniform and
+# w its token count; the k largest keys are exactly a weighted
+# without-replacement draw. Complements pps_sample_documents: PPS is
+# a SYSTEMATIC design (selection ∝ size along a fixed layout axis),
+# E-S is the per-item-independent draw a shard-parallel sampler wants
+# (any subset of the corpus can be scored without global state; a
+# cross-shard merge of per-shard top-k is the global sample).
+#
+# Engine portability: u = (md5_60bit(doc_id)+1)/(2^60+1) — the same
+# 60-bit md5 construction the dedup family pins cross-engine; the key
+# is rounded to pico units (ROUND(ln(u)·1e12 / w) — the lm_perplexity
+# fixed-point discipline) so the hash compares integers. Top-k is
+# orderBy().limit() = TakeOrderedAndProject: per-partition heaps, K
+# rows per partition to the driver merge — no global sort, no window.
+# --------------------------------------------------------------------------
+
+_WSAMPLE_K = 200
+
+
+def weighted_sample_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    base = docs.select(
+        "doc_id",
+        tx.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        h.alias("h"),
+    ).filter(F.col("n_tokens") >= 1)
+    u = (F.col("h") + F.lit(1)).cast("double") / F.lit(
+        float((1 << 60) + 1)
+    )
+    key = (
+        F.round(F.log(u) * F.lit(1e12) / F.col("n_tokens"))
+        .cast("long")
+        .alias("es_key_pico")
+    )
+    return (
+        base.select("doc_id", "n_tokens", key)
+        .orderBy(F.desc("es_key_pico"), "doc_id")
+        .limit(_WSAMPLE_K)
+    )
+
+
+_WSAMPLE_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(LEN({_TOKS}) AS BIGINT) AS n_tokens,
+         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           AS h
+  FROM documents
+  WHERE LEN({_TOKS}) >= 1
+)
+SELECT doc_id, n_tokens,
+       CAST(ROUND(LN((h + 1) / {float((1 << 60) + 1)!r})
+                  * 1e12 / n_tokens) AS BIGINT) AS es_key_pico
+FROM base
+ORDER BY es_key_pico DESC, doc_id
+LIMIT {_WSAMPLE_K}
+"""
+
+
+# --------------------------------------------------------------------------
 # pps_sample_documents — systematic probability-proportional-to-size
 # sampling by TOKEN MASS: lay the corpus out in doc_id order, drop k
 # equally-spaced checkpoints on the cumulative token axis, and select
@@ -1751,6 +1816,7 @@ QUERIES = {
     "sketch_event_stats_checked": sketch_event_stats_checked,
     "zorder_values": zorder_values,
     "pps_sample_documents": pps_sample_documents,
+    "weighted_sample_wor": weighted_sample_wor,
     "token_budget_select": token_budget_select,
     "heavy_hitter_tokens": heavy_hitter_tokens,
 }
@@ -1769,6 +1835,7 @@ ORACLES = {
     "sketch_event_stats_checked": _SKETCH_CHECKED_SQL,
     "zorder_values": _zorder_sql(),
     "pps_sample_documents": _PPS_SQL,
+    "weighted_sample_wor": _WSAMPLE_SQL,
     "token_budget_select": _TOKEN_BUDGET_SQL,
     "heavy_hitter_tokens": _HH_SQL,
     "split_train_eval": _SPLIT_SQL,

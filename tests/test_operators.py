@@ -2179,3 +2179,58 @@ def test_collocation_pmi_planted_collocation_ranks_first(spark, tmp_path):
     n_tot = sum(len(r[1].split()) - 1 for r in rows if len(r[1].split()) >= 2)
     want = round(math.log(n_tot / 5) * 1e6)
     assert abs(by_bigram["zig zag"]["pmi_micro"] - want) <= 1
+
+
+def test_weighted_sample_wor_matches_python_model(spark, sf_dir):
+    """The Efraimidis–Spirakis draw must reproduce an exact Python
+    replay: md5-uniform, ln-key, pico rounding, (key DESC, doc_id)
+    top-k. Keys are compared within ±1 pico-unit (libm vs Java log
+    may differ in the last ulp); the SELECTED ID SET must be exact.
+    Also pins the weighting property: the draw differs from both the
+    unweighted-uniform draw and plain largest-w selection."""
+    import hashlib
+    import math
+    import re
+
+    from sqltask_spark.data import load_table
+    from sqltask_spark.queries.pipeline import (
+        _WSAMPLE_K,
+        weighted_sample_wor,
+    )
+
+    got = weighted_sample_wor(spark, sf_dir).collect()
+    assert len(got) == min(
+        _WSAMPLE_K,
+        load_table(spark, sf_dir, "documents")
+        .filter("text IS NOT NULL")
+        .count(),
+    )
+
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    )
+    model = []
+    for r in rows:
+        if r.text is None:
+            continue
+        norm = re.sub(r"\s+", " ", r.text.lower()).strip(" ")
+        w = len(norm.split(" "))
+        h = int(
+            hashlib.md5(str(r.doc_id).encode()).hexdigest()[:15], 16
+        )
+        u = (h + 1) / float((1 << 60) + 1)
+        model.append((r.doc_id, w, math.log(u) * 1e12 / w))
+    model.sort(key=lambda t: (-t[2], t[0]))
+    want = model[: _WSAMPLE_K]
+    assert {r.doc_id for r in got} == {t[0] for t in want}
+    want_keys = {t[0]: t[2] for t in want}
+    for r in got:
+        assert abs(r.es_key_pico - round(want_keys[r.doc_id])) <= 1
+    # weighted, not uniform: the draw must differ from the unweighted
+    # md5 top-k AND from deterministic largest-weight selection
+    uni = sorted(model, key=lambda t: (-(t[2] * t[1]), t[0]))[:_WSAMPLE_K]
+    heavy = sorted(model, key=lambda t: (-t[1], t[0]))[:_WSAMPLE_K]
+    assert {r.doc_id for r in got} != {t[0] for t in uni}
+    assert {r.doc_id for r in got} != {t[0] for t in heavy}
