@@ -613,16 +613,28 @@ def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(tx.token_count(F.col("text"))).alias("n_tokens"),
     )
-    w = Window.partitionBy()
-    share = F.col("n_tokens") / F.sum("n_tokens").over(w)
-    target = F.lit(1.0) / F.count(F.lit(1)).over(w)
-    return per.select(
-        "source",
-        "n_docs",
-        "n_tokens",
-        F.round(share, 9).alias("token_share"),
-        F.round(target / share, 9).alias("sample_weight"),
-    ).orderBy("source")
+    # corpus totals as a 1-row broadcast join, NOT a partition-less
+    # window: the window form funnels the relation through one task —
+    # harmless on a per-source aggregate, but expressing it as
+    # agg+broadcast keeps the catalog's "no global window anywhere"
+    # invariant unconditional (tests/test_plans.py)
+    tot = per.agg(
+        F.sum("n_tokens").alias("_tot_tokens"),
+        F.count(F.lit(1)).alias("_n_sources"),
+    )
+    share = F.col("n_tokens") / F.col("_tot_tokens")
+    target = F.lit(1.0) / F.col("_n_sources")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(share, 9).alias("token_share"),
+            F.round(target / share, 9).alias("sample_weight"),
+        )
+        .orderBy("source")
+    )
 
 
 _MIX_SQL = f"""
@@ -1048,10 +1060,16 @@ def apply_mix_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = docs.groupBy("source").agg(
         F.sum(tx.token_count(F.col("text"))).alias("n_tokens")
     )
-    w = Window.partitionBy()
-    share = F.col("n_tokens") / F.sum("n_tokens").over(w)
-    target = F.lit(1.0) / F.count(F.lit(1)).over(w)
-    weights = per.select(
+    # totals via 1-row broadcast, not a partition-less window (same
+    # rationale as domain_mix_weights — keeps the catalog's global-
+    # window invariant unconditional)
+    tot = per.agg(
+        F.sum("n_tokens").alias("_tot_tokens"),
+        F.count(F.lit(1)).alias("_n_sources"),
+    )
+    share = F.col("n_tokens") / F.col("_tot_tokens")
+    target = F.lit(1.0) / F.col("_n_sources")
+    weights = per.crossJoin(F.broadcast(tot)).select(
         "source",
         F.floor(target / share).cast("long").alias("base_copies"),
         F.round(

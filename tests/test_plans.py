@@ -406,17 +406,16 @@ def test_catalog_no_global_sort_window(spark, sf_dir):
     Window specs print as ``windowspecdefinition(part..., sort ASC
     ..., specifiedwindowframe(...))``; args carrying ASC/DESC are sort
     keys, bare args are partition keys. Global-TOTAL windows (no
-    partition, no sort — e.g. ``sum(x) over ()``) are allowed only for
-    entries computing corpus constants over provably bounded inputs
-    (per-source aggregates, ~|sources| rows), listed explicitly."""
+    partition, no sort — e.g. ``sum(x) over ()``) are banned too: the
+    two entries that used them over bounded per-source aggregates now
+    express the totals as agg + 1-row broadcast join, so the invariant
+    holds UNCONDITIONALLY — the whitelist is empty and should stay
+    that way."""
     import re
 
     from sqltask_spark.queries import QUERIES
 
-    #: global-total windows over bounded pre-aggregated relations
-    #: (input = one row per source BEFORE the window — adding a new
-    #: entry here requires the same boundedness argument in review)
-    GLOBAL_TOTAL_OK = {"apply_mix_sampling", "domain_mix_weights"}
+    GLOBAL_TOTAL_OK: set[str] = set()
 
     bad: dict[str, list[str]] = {}
     for name, fn in QUERIES.items():
