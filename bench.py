@@ -66,6 +66,9 @@ HEADLINE = [
     # k-means/codec certificate entries stay out of bench — they are
     # correctness gates, their production twins already ride here)
     "contamination_fuzzy",
+    # r7 additions: PMI collocation census + E-S weighted draw
+    "collocation_pmi",
+    "weighted_sample_wor",
 ]
 
 

@@ -198,9 +198,16 @@ def test_semdedup_cell_join_no_nested_loop(spark, sf_dir):
 
 
 def test_domain_mix_single_aggregation(spark, sf_dir):
-    # one corpus-sized agg; the window runs over one-row-per-domain
+    # one corpus-sized agg; corpus totals arrive as a 1-ROW broadcast
+    # join (replacing the former partition-less window — the global-
+    # window invariant now holds catalog-wide with no exceptions), so
+    # the only joins allowed are broadcast nested-loop against that
+    # single-row relation; never a shuffle join, never a cartesian
     r = plan_report(QUERIES["domain_mix_weights"](spark, sf_dir))
-    assert r.join_strategies == []
+    assert set(r.join_strategies) <= {"BroadcastNestedLoopJoin"}, (
+        r.join_strategies
+    )
+    assert "CartesianProduct" not in r.join_strategies
     assert r.has_codegen
 
 
