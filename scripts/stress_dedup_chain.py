@@ -15,8 +15,11 @@ one JSON line with wall seconds, result rows, and per-entry shuffle
 read/write bytes (from the Spark UI REST API — the number that
 decides whether a step survives a 1000-executor cluster).
 
-Usage: python scripts/stress_dedup_chain.py [reps] [base_sf_dir]
+Usage: python scripts/stress_dedup_chain.py [reps] [base_sf_dir] [entry ...]
        reps=10 → ~50k docs (sf1-equivalent), 100 → ~500k (sf10-equiv)
+       extra args replace the default ENTRIES list — e.g. the r7
+       retrieval-family wave: search_bm25 search_hybrid_rrf
+       dedup_tfidf_cosine (the remaining r6 shuffle-pin sites)
 """
 
 from __future__ import annotations
@@ -67,6 +70,7 @@ def _shuffle_totals() -> tuple[int, int]:
 def main() -> None:
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     base = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    entries = sys.argv[3:] or ENTRIES
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(
         app_name=f"stress_dedup_chain_x{reps}",
@@ -113,7 +117,7 @@ def main() -> None:
     print(f"# corpus: {n_docs} documents (x{reps})", file=sys.stderr)
 
     out: dict[str, dict] = {}
-    for name in ENTRIES:
+    for name in entries:
         spark.catalog.clearCache()
         r0, w0 = _shuffle_totals()
         t0 = time.perf_counter()
