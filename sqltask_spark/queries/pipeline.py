@@ -1252,6 +1252,118 @@ ORDER BY source, draw
 
 
 # --------------------------------------------------------------------------
+# corpus_diff_snapshot — dataset-versioning reconciliation between two
+# corpus snapshots: ONE full-outer equi-join on doc_id comparing
+# content fingerprints classifies every document as unchanged /
+# modified / added / removed, aggregated to per-status doc and token
+# totals. The "next crawl" snapshot is derived deterministically from
+# the documents table (removals: doc_id % 11 = 3; in-place edits:
+# doc_id % 13 = 5; additions: a derivative per doc_id % 17 = 2) so the
+# oracle replays it exactly — the operator under test is the
+# reconciliation join, the corpus-diff primitive every incremental
+# training-data pipeline runs before deciding what to re-process.
+#
+# Scale shape: two scans + one shuffle join on the UNIQUE doc_id (no
+# skew by construction), map-side-combined aggregate to 4 rows.
+# Fingerprint comparison is null-safe (a NULL-text doc equals itself).
+# --------------------------------------------------------------------------
+
+_DIFF_ADD_BASE = 10_000_000
+
+
+def corpus_diff_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_tok = F.coalesce(tx.token_count(F.col("text")), F.lit(0))
+    old = docs.select(
+        "doc_id",
+        tx.fingerprint_md5(F.col("text")).alias("fp_old"),
+        n_tok.cast("long").alias("tok_old"),
+        F.lit(1).alias("_o"),
+    )
+    survived = docs.filter(F.col("doc_id") % 11 != 3)
+    edited = F.when(
+        F.col("doc_id") % 13 == 5,
+        F.concat(F.col("text"), F.lit(" updated")),
+    ).otherwise(F.col("text"))
+    added = docs.filter(F.col("doc_id") % 17 == 2).select(
+        (F.col("doc_id") + F.lit(_DIFF_ADD_BASE)).alias("doc_id"),
+        F.concat(F.lit("new revision "), F.col("text")).alias("text"),
+    )
+    new = survived.select("doc_id", edited.alias("text")).unionByName(
+        added
+    )
+    newp = new.select(
+        "doc_id",
+        tx.fingerprint_md5(F.col("text")).alias("fp_new"),
+        F.coalesce(tx.token_count(F.col("text")), F.lit(0))
+        .cast("long")
+        .alias("tok_new"),
+        F.lit(1).alias("_n"),
+    )
+    status = (
+        F.when(F.col("_n").isNull(), F.lit("removed"))
+        .when(F.col("_o").isNull(), F.lit("added"))
+        .when(
+            F.col("fp_old").eqNullSafe(F.col("fp_new")),
+            F.lit("unchanged"),
+        )
+        .otherwise(F.lit("modified"))
+    )
+    return (
+        old.join(newp, "doc_id", "full_outer")
+        .select(
+            status.alias("status"),
+            F.coalesce("tok_old", F.lit(0)).alias("t_old"),
+            F.coalesce("tok_new", F.lit(0)).alias("t_new"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("t_old").cast("long").alias("n_tokens_old"),
+            F.sum("t_new").cast("long").alias("n_tokens_new"),
+        )
+        .orderBy("status")
+    )
+
+
+_DIFF_SQL = f"""
+WITH old AS (
+  SELECT doc_id, md5({_NORM}) AS fp_old,
+         CAST(COALESCE(LEN({_TOKS}), 0) AS BIGINT) AS tok_old,
+         1 AS _o
+  FROM documents
+), newdocs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 5 THEN text || ' updated'
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 11 <> 3
+  UNION ALL
+  SELECT doc_id + {_DIFF_ADD_BASE} AS doc_id,
+         'new revision ' || text AS text
+  FROM documents WHERE doc_id % 17 = 2
+), newp AS (
+  SELECT doc_id, md5({_NORM}) AS fp_new,
+         CAST(COALESCE(LEN({_TOKS}), 0) AS BIGINT) AS tok_new,
+         1 AS _n
+  FROM newdocs
+), j AS (
+  SELECT CASE WHEN n._n IS NULL THEN 'removed'
+              WHEN o._o IS NULL THEN 'added'
+              WHEN o.fp_old IS NOT DISTINCT FROM n.fp_new
+                THEN 'unchanged'
+              ELSE 'modified' END AS status,
+         COALESCE(o.tok_old, 0) AS t_old,
+         COALESCE(n.tok_new, 0) AS t_new
+  FROM old o FULL OUTER JOIN newp n USING (doc_id)
+)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(t_old) AS BIGINT) AS n_tokens_old,
+       CAST(SUM(t_new) AS BIGINT) AS n_tokens_new
+FROM j GROUP BY status ORDER BY status
+"""
+
+
+# --------------------------------------------------------------------------
 # weighted_sample_wor — deterministic weighted sampling WITHOUT
 # replacement (Efraimidis–Spirakis 2006 exponential keys): each doc
 # gets key = ln(u)/w with u a deterministic md5-derived uniform and
@@ -1835,6 +1947,7 @@ QUERIES = {
     "zorder_values": zorder_values,
     "pps_sample_documents": pps_sample_documents,
     "weighted_sample_wor": weighted_sample_wor,
+    "corpus_diff_snapshot": corpus_diff_snapshot,
     "token_budget_select": token_budget_select,
     "heavy_hitter_tokens": heavy_hitter_tokens,
 }
@@ -1854,6 +1967,7 @@ ORACLES = {
     "zorder_values": _zorder_sql(),
     "pps_sample_documents": _PPS_SQL,
     "weighted_sample_wor": _WSAMPLE_SQL,
+    "corpus_diff_snapshot": _DIFF_SQL,
     "token_budget_select": _TOKEN_BUDGET_SQL,
     "heavy_hitter_tokens": _HH_SQL,
     "split_train_eval": _SPLIT_SQL,

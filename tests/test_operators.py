@@ -2234,3 +2234,39 @@ def test_weighted_sample_wor_matches_python_model(spark, sf_dir):
     heavy = sorted(model, key=lambda t: (-t[1], t[0]))[:_WSAMPLE_K]
     assert {r.doc_id for r in got} != {t[0] for t in uni}
     assert {r.doc_id for r in got} != {t[0] for t in heavy}
+
+
+def test_corpus_diff_snapshot_planted_statuses(spark, tmp_path):
+    """Every status class planted by id arithmetic: removed (id%11=3),
+    modified (id%13=5), added derivative (id%17=2), unchanged
+    otherwise; a NULL-text doc must reconcile as unchanged (null-safe
+    fingerprint compare), never as modified."""
+    rows = [
+        (1, "alpha beta"),        # unchanged (2 tokens)
+        (2, "gamma"),             # unchanged + spawns added 10000002
+        (3, "will vanish"),       # removed (3 % 11 == 3)
+        (5, "edit me now"),       # modified (5 % 13 == 5)
+        (12, None),               # NULL text -> unchanged
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tmp_path / "diff_sf"
+    df.write.parquet(str(out / "documents.parquet"))
+
+    from sqltask_spark.queries.pipeline import corpus_diff_snapshot
+
+    got = {r["status"]: r for r in corpus_diff_snapshot(
+        spark, str(out)
+    ).collect()}
+    assert got["removed"]["n_docs"] == 1
+    assert got["removed"]["n_tokens_old"] == 2
+    assert got["removed"]["n_tokens_new"] == 0
+    assert got["modified"]["n_docs"] == 1
+    assert got["modified"]["n_tokens_old"] == 3   # 'edit me now'
+    assert got["modified"]["n_tokens_new"] == 4   # + 'updated'
+    assert got["added"]["n_docs"] == 1
+    assert got["added"]["n_tokens_old"] == 0
+    assert got["added"]["n_tokens_new"] == 3      # 'new revision gamma'
+    # unchanged: ids 1, 2, and the NULL-text 12
+    assert got["unchanged"]["n_docs"] == 3
+    assert got["unchanged"]["n_tokens_old"] == 3  # 2 + 1 + 0
+    assert got["unchanged"]["n_tokens_new"] == 3
