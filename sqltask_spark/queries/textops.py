@@ -517,6 +517,86 @@ ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
+# tokenizer_fertility — per-language subwords-per-word under the
+# FIXED_BPE_MERGES certificate table: the tokenizer-evaluation metric
+# (fertility ≫ 1 for a language ⇒ the merge table under-serves it —
+# the signal that drives vocabulary rebalancing across languages).
+# Reuses the bpe_encode_fixed greedy fold verbatim, so the whole
+# metric is driver-hash-checked; the production path swaps in the
+# learned 30k-merge table via the same encoder (rows-only family).
+# One corpus pass, map-side-combinable group-by-lang, |langs| rows;
+# the ratio is exact integer micro units (·1e6 then truncating div —
+# the cross-engine div contract pinned in tests/test_kmeans_fixed).
+# --------------------------------------------------------------------------
+
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sqltask_spark.operators.bpe import apply_merge
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def encode_word(w):
+        syms = F.regexp_extract_all(w, F.lit("."), 0)
+        for left, right in FIXED_BPE_MERGES:
+            syms = apply_merge(syms, left, right)
+        return syms
+
+    toks = tx.tokenize(F.col("text"))
+    n_words = F.coalesce(
+        F.size(F.filter(toks, lambda w: F.length(w) > 0)), F.lit(0)
+    )
+    n_sub = F.coalesce(
+        F.size(F.flatten(F.transform(toks, encode_word))), F.lit(0)
+    )
+    per = docs.select(
+        "lang",
+        n_words.cast("long").alias("w"),
+        n_sub.cast("long").alias("s"),
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("w").alias("n_words"),
+            F.sum("s").alias("n_subwords"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_subwords",
+            F.when(
+                F.col("n_words") > 0,
+                F.expr("(n_subwords * 1000000) div n_words"),
+            )
+            .cast("long")
+            .alias("fertility_micro"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _fertility_sql() -> str:
+    return f"""
+WITH per AS (
+  SELECT lang,
+         CAST(COALESCE(LEN(list_filter({_TOKS}, w -> length(w) > 0)),
+                       0) AS BIGINT) AS w,
+         CAST(COALESCE(LEN(flatten(list_transform({_TOKS},
+                       w -> {_bpe_fold_sql()}))), 0) AS BIGINT) AS s
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(w) AS BIGINT) AS n_words,
+       CAST(SUM(s) AS BIGINT) AS n_subwords,
+       CASE WHEN SUM(w) > 0
+            THEN CAST((SUM(s) * 1000000) // SUM(w) AS BIGINT)
+            ELSE NULL END AS fertility_micro
+FROM per GROUP BY lang ORDER BY lang
+"""
+
+
+# --------------------------------------------------------------------------
 # dedup_simhash_pairs_md5 — ORACLED twin of dedup_simhash_pairs (cf.
 # dedup_minhash_pairs_md5): 60-bit md5 token-hash family, per-bit
 # majority vote, 4×15-bit pigeonhole banding, hot-bucket cap, exact
@@ -2238,6 +2318,7 @@ QUERIES = {
     "gopher_quality_flags": gopher_quality_flags,
     "lm_perplexity": lm_perplexity,
     "collocation_pmi": collocation_pmi,
+    "tokenizer_fertility": tokenizer_fertility,
     "bpe_learn_merges": bpe_learn_merges,
     "bpe_encode_documents": bpe_encode_documents,
     "dedup_index_screen": dedup_index_screen,
@@ -2267,6 +2348,7 @@ ORACLES = {
     "gopher_quality_flags": _GOPHER_SQL,
     "lm_perplexity": _LM_PPL_SQL,
     "collocation_pmi": _PMI_SQL,
+    "tokenizer_fertility": _fertility_sql(),
     "dedup_minhash_pairs_md5": _MINHASH_MD5_SQL,
     "contamination_fuzzy": _CONTAM_FUZZY_SQL,
     "dedup_graph_triangles": _TRIANGLES_SQL,

@@ -2270,3 +2270,35 @@ def test_corpus_diff_snapshot_planted_statuses(spark, tmp_path):
     assert got["unchanged"]["n_docs"] == 3
     assert got["unchanged"]["n_tokens_old"] == 3  # 2 + 1 + 0
     assert got["unchanged"]["n_tokens_new"] == 3
+
+
+def test_tokenizer_fertility_exact_on_planted_corpus(spark, tmp_path):
+    """Fertility under the fixed merge table, verified against a
+    hand-computed encoding: 'the' folds to one symbol ((t,h) then
+    (th,e)), 'zz' stays two chars (no z merges). Also pins: fertility
+    is >= 1e6 (every word is at least one symbol), NULL-text docs
+    count 0 words / 0 subwords but still count as docs."""
+    rows = [
+        (1, "the the", "en"),   # 2 words -> 1 + 1 subwords
+        (2, "zz", "en"),        # 1 word  -> 2 subwords (z z)
+        (3, None, "xx"),        # NULL text
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = tmp_path / "fert_sf"
+    df.write.parquet(str(out / "documents.parquet"))
+
+    from sqltask_spark.queries.textops import tokenizer_fertility
+
+    got = {r["lang"]: r for r in tokenizer_fertility(
+        spark, str(out)
+    ).collect()}
+    en = got["en"]
+    assert en["n_docs"] == 2
+    assert en["n_words"] == 3
+    assert en["n_subwords"] == 4  # th|e->the, the, z z
+    assert en["fertility_micro"] == (4 * 1_000_000) // 3
+    assert en["fertility_micro"] >= 1_000_000
+    xx = got["xx"]
+    assert xx["n_docs"] == 1
+    assert xx["n_words"] == 0 and xx["n_subwords"] == 0
+    assert xx["fertility_micro"] is None
