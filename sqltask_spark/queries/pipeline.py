@@ -1252,6 +1252,78 @@ ORDER BY source, draw
 
 
 # --------------------------------------------------------------------------
+# eval_ngram_coverage — graded memorization-risk score per EVAL doc:
+# the fraction of its distinct 3-gram shingles that occur anywhere in
+# the train split. Complements contamination_overlap (binary pair
+# screen with a shared-shingle floor): coverage is the continuous
+# per-document signal an eval-integrity report ranks by — 1.0 means
+# the eval doc is fully reconstructible from train n-grams even when
+# no single train doc clears the pair threshold.
+#
+# Scale shape: one shingle pass; the train side is DEDUPED to
+# distinct shingles before the join, so the left join matches ≤1 row
+# per eval shingle (no pair blowup — the join output is exactly the
+# eval shingle stream). A pathologically hot shingle key concentrates
+# only that shingle's EVAL rows on one reducer (bounded by the eval
+# split); salting applies if a real corpus needs it.
+# --------------------------------------------------------------------------
+
+def eval_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles(F.col("text"), 3))
+        ).alias("shingle"),
+    )
+    train_sh = (
+        sh.filter(F.col("doc_id") % 10 != 0)
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    eval_sh = sh.filter(F.col("doc_id") % 10 == 0)
+    return (
+        eval_sh.join(train_sh, "shingle", "left")
+        .groupBy(F.col("doc_id").alias("eval_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce("_hit", F.lit(0)))
+            .cast("long")
+            .alias("n_covered"),
+        )
+        .select(
+            "eval_id",
+            "n_shingles",
+            "n_covered",
+            F.expr("(n_covered * 1000000) div n_shingles")
+            .cast("long")
+            .alias("coverage_micro"),
+        )
+        .orderBy("eval_id")
+    )
+
+
+_COVERAGE_SQL = f"""
+WITH sh AS MATERIALIZED (
+  SELECT doc_id, UNNEST({_SHINGLES}) AS shingle FROM documents
+), tr AS MATERIALIZED (
+  SELECT DISTINCT shingle FROM sh
+  WHERE doc_id % 10 <> 0 AND shingle IS NOT NULL
+)
+SELECT s.doc_id AS eval_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(COUNT(t.shingle) AS BIGINT) AS n_covered,
+       CAST((COUNT(t.shingle) * 1000000) // COUNT(*) AS BIGINT)
+         AS coverage_micro
+FROM sh s LEFT JOIN tr t ON s.shingle = t.shingle
+WHERE s.doc_id % 10 = 0
+GROUP BY s.doc_id
+ORDER BY eval_id
+"""
+
+
+# --------------------------------------------------------------------------
 # corpus_diff_snapshot — dataset-versioning reconciliation between two
 # corpus snapshots: ONE full-outer equi-join on doc_id comparing
 # content fingerprints classifies every document as unchanged /
@@ -1948,6 +2020,7 @@ QUERIES = {
     "pps_sample_documents": pps_sample_documents,
     "weighted_sample_wor": weighted_sample_wor,
     "corpus_diff_snapshot": corpus_diff_snapshot,
+    "eval_ngram_coverage": eval_ngram_coverage,
     "token_budget_select": token_budget_select,
     "heavy_hitter_tokens": heavy_hitter_tokens,
 }
@@ -1968,6 +2041,7 @@ ORACLES = {
     "pps_sample_documents": _PPS_SQL,
     "weighted_sample_wor": _WSAMPLE_SQL,
     "corpus_diff_snapshot": _DIFF_SQL,
+    "eval_ngram_coverage": _COVERAGE_SQL,
     "token_budget_select": _TOKEN_BUDGET_SQL,
     "heavy_hitter_tokens": _HH_SQL,
     "split_train_eval": _SPLIT_SQL,

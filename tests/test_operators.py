@@ -2302,3 +2302,35 @@ def test_tokenizer_fertility_exact_on_planted_corpus(spark, tmp_path):
     assert xx["n_docs"] == 1
     assert xx["n_words"] == 0 and xx["n_subwords"] == 0
     assert xx["fertility_micro"] is None
+
+
+def test_eval_ngram_coverage_planted(spark, tmp_path):
+    """Coverage semantics on a planted split (eval = doc_id % 10 == 0):
+    an eval doc copied verbatim from train scores 1.0; a fully novel
+    one scores 0; a half-overlapping one lands strictly between."""
+    train_text = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, train_text),                       # train
+        (3, "one two three four five six"),    # train
+        (10, train_text),                      # eval: full copy -> 1.0
+        (20, "novel words only here today friend"),  # eval: 0.0
+        # eval: first 4 tokens shared with train doc 1, last 4 novel
+        (30, "alpha beta gamma delta qq ww ee rr"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tmp_path / "cov_sf"
+    df.write.parquet(str(out / "documents.parquet"))
+
+    from sqltask_spark.queries.pipeline import eval_ngram_coverage
+
+    got = {r["eval_id"]: r for r in eval_ngram_coverage(
+        spark, str(out)
+    ).collect()}
+    assert got[10]["coverage_micro"] == 1_000_000
+    assert got[10]["n_shingles"] == 4  # 6 tokens -> 4 distinct 3-grams
+    assert got[20]["coverage_micro"] == 0
+    # doc 30: shingles = 6 trigrams; covered = the 2 fully inside the
+    # shared prefix ('alpha beta gamma', 'beta gamma delta')
+    assert got[30]["n_shingles"] == 6
+    assert got[30]["n_covered"] == 2
+    assert got[30]["coverage_micro"] == (2 * 1_000_000) // 6
