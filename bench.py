@@ -109,18 +109,30 @@ def main() -> None:
     # stable estimate of the query's actual cost
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
-    # --- host calibration (r6 judge Next #3) --------------------------
+    # --- host calibration (r6 judge Next #3; r7 judge Next #7) --------
     # Cross-round bench comparisons died twice on host CPU steal, so
-    # every run times two PINNED CPU-bound JVM probes in the same
-    # session and reports each entry raw AND calibration-normalized.
-    # The probes bracket the two cost families in HEADLINE: codegen
-    # integer hashing (shuffle/join-shaped entries) and regex over
-    # generated strings (the text family, the most drift-sensitive).
-    # _CAL_REF are the probes' min-of-3 seconds on the round-7 build
-    # host, measured back-to-back with BENCH_r07; factor > 1 means
-    # today's host is that many times slower than that reference, and
+    # every run times PINNED probes in the same session and reports
+    # each entry raw AND calibration-normalized. The probes bracket
+    # the three cost families in HEADLINE: codegen integer hashing,
+    # regex over generated strings (the text family, the most
+    # drift-sensitive), and — new in r8, because both r7 probes were
+    # CPU-bound and over-corrected shuffle-heavy entries — a full-data
+    # hash-exchange probe (repartition of 60M rows on a high-entropy
+    # key, ~1 GB of shuffle write, no map-side combine to shrink it).
+    # _CAL_REF are the probes' min-of-3 seconds on the ROUND-7 build
+    # host: cal_hash/cal_regex measured back-to-back with BENCH_r07;
+    # cal_shuffle did not exist then, so its reference is anchored by
+    # construction — measured on the r8 build host and divided by that
+    # session's two-probe CPU factor, which expresses it on the same
+    # r7-host scale (exact if the hosts differ by a uniform slowdown;
+    # the residual shuffle-vs-CPU skew is precisely what tracking the
+    # third ratio from now on makes visible). factor > 1 means today's
+    # host is that many times slower than the r7 reference, and
     # normalized = raw / factor puts every round on the r7 host scale.
-    _CAL_REF = {"cal_hash": 1.033, "cal_regex": 1.519}
+    # cal_shuffle anchoring measurement (r8 build host, lightly
+    # loaded): cal_hash 1.093 / cal_regex 1.474 → two-probe CPU
+    # factor 1.0133; cal_shuffle 1.311 / 1.0133 = 1.294.
+    _CAL_REF = {"cal_hash": 1.033, "cal_regex": 1.519, "cal_shuffle": 1.294}
 
     def _cal_hash() -> None:
         # bit_count bounds the sum (<= 64 per row) so the 6B-row
@@ -142,9 +154,22 @@ def main() -> None:
             )
         ).collect()
 
+    def _cal_shuffle() -> None:
+        # a plain repartition on a high-entropy key moves EVERY row's
+        # full payload through the shuffle (unlike a groupBy, whose
+        # map-side combine would collapse the probe back to CPU); the
+        # trailing sum forces the read side (bit_count bounds it ≤ 64
+        # per row — no BIGINT overflow under ANSI mode)
+        spark.range(60_000_000, numPartitions=int(cpus)).select(
+            "id", F.xxhash64("id").alias("h")
+        ).repartition(int(cpus), "h").agg(
+            F.sum(F.bit_count("h"))
+        ).collect()
+
     calibration: dict[str, float] = {}
     for cal_name, cal_fn in (("cal_hash", _cal_hash),
-                             ("cal_regex", _cal_regex)):
+                             ("cal_regex", _cal_regex),
+                             ("cal_shuffle", _cal_shuffle)):
         best = None
         for _ in range(max(repeats, 3)):
             t0 = time.perf_counter()
@@ -152,10 +177,15 @@ def main() -> None:
             elapsed = time.perf_counter() - t0
             best = elapsed if best is None else min(best, elapsed)
         calibration[cal_name] = round(best, 3)
-    factor = (
-        (calibration["cal_hash"] / _CAL_REF["cal_hash"])
-        * (calibration["cal_regex"] / _CAL_REF["cal_regex"])
-    ) ** 0.5
+    ratios = [
+        calibration[k] / ref
+        for k, ref in _CAL_REF.items()
+        if ref is not None
+    ]
+    prod = 1.0
+    for r in ratios:
+        prod *= r
+    factor = prod ** (1.0 / len(ratios))
     calibration["factor"] = round(factor, 4)
     print(f"# calibration: {calibration}", file=sys.stderr)
 
@@ -314,20 +344,42 @@ def main() -> None:
 
     total = round(sum(times.values()), 3)
     normalized = {k: round(v / factor, 3) for k, v in times.items()}
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "calibration": calibration,
-                "queries_normalized": normalized,
-                "value_normalized": round(total / factor, 3),
-                "sf": sf,
-            }
-        )
+    record = {
+        "metric": "headline_queries_total_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "calibration": calibration,
+        "value_normalized": round(total / factor, 3),
+        "sf": sf,
+    }
+    # the driver parses the FINAL stdout line and captures only a
+    # ~2000-char tail of stdout; r7's line embedded the full
+    # normalized dict, outgrew that window, and the round's bench
+    # record archived as `parsed: null` (VERDICT r7 #1). The stdout
+    # line therefore stays compact — raw per-entry times, the
+    # calibration block, and the two totals — while the per-entry
+    # NORMALIZED times go to stderr and to a sidecar JSON next to
+    # this script.
+    detail = dict(record, queries_normalized=normalized)
+    print(f"# queries_normalized: {json.dumps(normalized)}",
+          file=sys.stderr)
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    try:
+        with open(sidecar, "w") as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError as exc:  # a read-only checkout must not kill bench
+        print(f"# sidecar write failed: {exc}", file=sys.stderr)
+    line = json.dumps(record)
+    # belt-and-braces: if the compact line ever outgrows the driver's
+    # tail window again, shed the bulkiest field rather than archive
+    # another parsed:null round (the sidecar keeps the full record)
+    if len(line) > 1800:
+        record.pop("queries")
+        line = json.dumps(record)
+    print(line)
 
 
 if __name__ == "__main__":

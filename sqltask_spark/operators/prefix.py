@@ -83,10 +83,15 @@ def global_prefix_sum(
         offsets.append((int(r["__pid"]), running))
         running += int(r["t"] or 0)
     if not offsets:
-        # empty input: no partitions materialized — emit the schema
+        # empty input: no partitions materialized — emit the schema.
+        # The default path still honors the documented contract (the
+        # result comes back persisted-and-materialized, so a caller's
+        # unpersist() is meaningful on every path — ADVICE r7).
         out = df.withColumn(out_col, F.lit(0).cast("long"))
         if return_cached:
             return out, local
+        out = out.persist()
+        out.count()
         local.unpersist()
         return out
     off_df = spark.createDataFrame(offsets, "__pid int, __off long")

@@ -67,6 +67,15 @@ def _driver_history() -> dict[str, int]:
     instead of the newest additions monopolizing the window. Missing
     or unreadable history files degrade gracefully to the static
     catalog order (everything maps to −1).
+
+    Deliberate tradeoff (ADVICE r7): this is filesystem I/O at import
+    time, so catalog order depends on the repo root's CORRECTNESS
+    artifacts — acceptable because the committed history files ARE
+    the repo state (the driver commits them every round), and a
+    checkout without them just degrades to the static order. Do not
+    cache the ordering in a separate committed file: it would add a
+    per-round maintenance step that, when forgotten, silently
+    freezes the rotation.
     """
     import json
     import re
@@ -122,6 +131,10 @@ TWINS: dict[str, str] = {
     "dedup_index_screen": "dedup_incremental",
     "bpe_learn_merges": "bpe_learn_certified",
     "bpe_encode_documents": "bpe_encode_fixed",
+    # learned-table fertility: same metric as the oracled fixed-table
+    # entry; the UDF-encoder ≡ JVM-fold identity under a shared table
+    # is pytest-pinned (test_fertility_learned_identity_on_fixed_table)
+    "tokenizer_fertility_learned": "tokenizer_fertility",
     "topic_cluster_documents": "topic_cluster_certified",
     # sign-LSH bucket → cap → exact-cosine verify is the hash-checked
     # shape; the top-k ranking layer is recall-tested vs the oracled

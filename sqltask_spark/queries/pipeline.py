@@ -601,10 +601,11 @@ ORDER BY event_type
 # that would equalize the token mixture across sources
 # (target_share / actual_share — the static form of DoReMi-style
 # domain reweighting). One map-side-combined agg over the corpus;
-# the unpartitioned window runs over ONE ROW PER DOMAIN (dozens at
-# 100 TB, never data-sized), so the single-partition window is safe
-# by construction. Shares are ratios of exact integer sums, so both
-# engines compute bit-identical doubles.
+# the corpus totals come from a second 1-row aggregate broadcast-
+# joined back onto the per-source rows (NOT a partition-less window —
+# see the inline note; the catalog-wide no-global-window invariant in
+# tests/test_plans.py holds unconditionally). Shares are ratios of
+# exact integer sums, so both engines compute bit-identical doubles.
 # --------------------------------------------------------------------------
 
 def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1338,9 +1339,12 @@ ORDER BY eval_id
 # Scale shape: two scans + one shuffle join on the UNIQUE doc_id (no
 # skew by construction), map-side-combined aggregate to 4 rows.
 # Fingerprint comparison is null-safe (a NULL-text doc equals itself).
+# Added ids live in a provably disjoint keyspace — doc_id offset by
+# max(doc_id)+1 (a 1-row broadcast, replayed by the oracle as a
+# scalar subquery) — so an added id can never collide with a
+# surviving id and silently merge two documents into one "modified"
+# row (ADVICE r7: the old fixed 10M offset assumed doc_id < 10M).
 # --------------------------------------------------------------------------
-
-_DIFF_ADD_BASE = 10_000_000
 
 
 def corpus_diff_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1357,9 +1361,14 @@ def corpus_diff_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 13 == 5,
         F.concat(F.col("text"), F.lit(" updated")),
     ).otherwise(F.col("text"))
-    added = docs.filter(F.col("doc_id") % 17 == 2).select(
-        (F.col("doc_id") + F.lit(_DIFF_ADD_BASE)).alias("doc_id"),
-        F.concat(F.lit("new revision "), F.col("text")).alias("text"),
+    add_base = docs.agg((F.max("doc_id") + 1).alias("_add_base"))
+    added = (
+        docs.filter(F.col("doc_id") % 17 == 2)
+        .crossJoin(F.broadcast(add_base))
+        .select(
+            (F.col("doc_id") + F.col("_add_base")).alias("doc_id"),
+            F.concat(F.lit("new revision "), F.col("text")).alias("text"),
+        )
     )
     new = survived.select("doc_id", edited.alias("text")).unionByName(
         added
@@ -1410,7 +1419,7 @@ WITH old AS (
               ELSE text END AS text
   FROM documents WHERE doc_id % 11 <> 3
   UNION ALL
-  SELECT doc_id + {_DIFF_ADD_BASE} AS doc_id,
+  SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents) AS doc_id,
          'new revision ' || text AS text
   FROM documents WHERE doc_id % 17 = 2
 ), newp AS (
@@ -1448,8 +1457,17 @@ FROM j GROUP BY status ORDER BY status
 #
 # Engine portability: u = (md5_60bit(doc_id)+1)/(2^60+1) — the same
 # 60-bit md5 construction the dedup family pins cross-engine; the key
-# is rounded to pico units (ROUND(ln(u)·1e12 / w) — the lm_perplexity
-# fixed-point discipline) so the hash compares integers. Top-k is
+# is rounded to MICRO units (ROUND(ln(u)·1e6 / w)) so the hash
+# compares integers. Micro — not the pico the r7 version used — is a
+# deliberate boundary-safety margin (VERDICT r7 #2): the double value
+# ln(u)·s/w can differ between libm (DuckDB) and Java Math.log
+# (Spark) by up to ~2 ulp of ln(u) ≈ 1.4e-14, i.e. ≤ 1.4e-8/w key
+# units at s=1e6 but ≤ 1.4e-2/w at s=1e12 — a pico key sits six
+# decades closer to a .5 ROUND boundary flip. The canary pytest
+# (test_weighted_sample_key_boundary_margin) measures every shipped
+# doc's distance to its nearest boundary and fails if any key drifts
+# boundary-fragile. Selection quality is unaffected: micro keys are
+# tie-broken by doc_id identically on both engines. Top-k is
 # orderBy().limit() = TakeOrderedAndProject: per-partition heaps, K
 # rows per partition to the driver merge — no global sort, no window.
 # --------------------------------------------------------------------------
@@ -1471,13 +1489,13 @@ def weighted_sample_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
         float((1 << 60) + 1)
     )
     key = (
-        F.round(F.log(u) * F.lit(1e12) / F.col("n_tokens"))
+        F.round(F.log(u) * F.lit(1e6) / F.col("n_tokens"))
         .cast("long")
-        .alias("es_key_pico")
+        .alias("es_key_micro")
     )
     return (
         base.select("doc_id", "n_tokens", key)
-        .orderBy(F.desc("es_key_pico"), "doc_id")
+        .orderBy(F.desc("es_key_micro"), "doc_id")
         .limit(_WSAMPLE_K)
     )
 
@@ -1493,9 +1511,9 @@ WITH base AS (
 )
 SELECT doc_id, n_tokens,
        CAST(ROUND(LN((h + 1) / {float((1 << 60) + 1)!r})
-                  * 1e12 / n_tokens) AS BIGINT) AS es_key_pico
+                  * 1e6 / n_tokens) AS BIGINT) AS es_key_micro
 FROM base
-ORDER BY es_key_pico DESC, doc_id
+ORDER BY es_key_micro DESC, doc_id
 LIMIT {_WSAMPLE_K}
 """
 

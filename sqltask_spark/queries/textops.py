@@ -597,6 +597,72 @@ FROM per GROUP BY lang ORDER BY lang
 
 
 # --------------------------------------------------------------------------
+# tokenizer_fertility_learned — the PRODUCTION-SCALE twin of
+# tokenizer_fertility (VERDICT r7 Next #5): same per-language
+# subwords-per-word metric, but under a merge table LEARNED from the
+# corpus itself (up to 1000 merges — the regime a real tokenizer
+# rebalancing run operates in) and encoded via the Arrow-batched
+# Pandas-UDF path (operators/bpe.py:encode_corpus), because a
+# 1000-deep chained JVM fold is unplannable. Rows-only: the learned
+# table depends on the corpus, so no closed-form DuckDB oracle —
+# TWINS maps it to the oracled fixed-table entry, and the
+# UDF-encoder ≡ JVM-fold identity under a SHARED table is pinned by
+# test_fertility_learned_identity_on_fixed_table.
+#
+# Scale shape: merge learning = one (word, freq) census + one
+# vocabulary-bounded collect (the merge loop never touches the
+# corpus); encoding = one corpus pass through the Arrow-batched
+# encoder with a per-batch word memo; per-doc stats re-join `lang`
+# on the unique doc_id; |langs| output rows.
+# --------------------------------------------------------------------------
+
+def tokenizer_fertility_learned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from sqltask_spark.operators.bpe import encode_corpus, learn_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges_df = learn_bpe_merges(
+        docs, n_merges=1000, min_pair_freq=2
+    )
+    merges = [
+        (r["left"], r["right"])
+        for r in merges_df.orderBy("rank").collect()
+    ]
+    enc = encode_corpus(docs, merges)  # (id, word, tokens)
+    per_doc = enc.groupBy("id").agg(
+        F.count(F.lit(1)).alias("w"),
+        F.sum(F.size("tokens")).alias("s"),
+    )
+    per = docs.select("doc_id", "lang").join(
+        per_doc, docs["doc_id"] == per_doc["id"], "left"
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce("w", F.lit(0))).cast("long").alias("n_words"),
+            F.sum(F.coalesce("s", F.lit(0)))
+            .cast("long")
+            .alias("n_subwords"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_subwords",
+            F.when(
+                F.col("n_words") > 0,
+                F.expr("(n_subwords * 1000000) div n_words"),
+            )
+            .cast("long")
+            .alias("fertility_micro"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
 # dedup_simhash_pairs_md5 — ORACLED twin of dedup_simhash_pairs (cf.
 # dedup_minhash_pairs_md5): 60-bit md5 token-hash family, per-bit
 # majority vote, 4×15-bit pigeonhole banding, hot-bucket cap, exact
@@ -2319,6 +2385,7 @@ QUERIES = {
     "lm_perplexity": lm_perplexity,
     "collocation_pmi": collocation_pmi,
     "tokenizer_fertility": tokenizer_fertility,
+    "tokenizer_fertility_learned": tokenizer_fertility_learned,
     "bpe_learn_merges": bpe_learn_merges,
     "bpe_encode_documents": bpe_encode_documents,
     "dedup_index_screen": dedup_index_screen,

@@ -79,6 +79,20 @@ class JdbcSink:
     ``write_batch`` = scoped DELETE (driver-side, bound params) +
     chunked distributed append. Re-running the same batch is
     idempotent; different batches never touch each other's rows.
+
+    ``staging=True`` upgrades the visibility contract: the
+    distributed append lands in a per-target staging table first, and
+    the target is touched only by ONE driver-side transaction
+    (scoped DELETE + ``INSERT INTO target SELECT FROM staging``) that
+    commits or rolls back as a unit. The default two-phase form
+    matches the reference exactly (its DELETE autocommits before the
+    INSERT opens — ``engine_specs/base.py:61-117`` — so a mid-append
+    failure can leave a visible partial batch until the healing
+    re-run); at 100-TB operations, where a downstream consumer may
+    read the target WHILE a batch rewrites, the staged swap closes
+    that partial-visibility window entirely: readers see the old
+    batch or the new batch, never a mix, and a poisoned write leaves
+    the target bit-for-bit untouched (not merely healable).
     """
 
     #: task lifecycle: this sink writes to a URL, not table.path
@@ -93,6 +107,7 @@ class JdbcSink:
         num_partitions: int | None = 8,
         isolation_level: str = "READ_COMMITTED",
         properties: Mapping[str, str] | None = None,
+        staging: bool = False,
     ) -> None:
         self.url = url
         self.table = table
@@ -101,6 +116,7 @@ class JdbcSink:
         self.num_partitions = num_partitions
         self.isolation_level = isolation_level
         self.properties = dict(properties or {})
+        self.staging = staging
 
     # -- connection helpers -------------------------------------------------
 
@@ -180,6 +196,90 @@ class JdbcSink:
             writer = writer.option(k, v)
         writer.mode("append").save()
 
+    def _drop_if_exists(self, spark: "SparkSession", name: str) -> None:
+        _, conn = self._connect(spark)
+        try:
+            if not self._table_exists(conn, name):
+                return
+            stmt = conn.createStatement()
+            try:
+                stmt.executeUpdate(f"DROP TABLE {name}")
+            finally:
+                stmt.close()
+        finally:
+            conn.close()
+
+    def write_batch_staged(
+        self,
+        df: "DataFrame",
+        table_name: str,
+        batch_params: Mapping[str, Any],
+    ) -> None:
+        """Atomic-visibility batch write (see class docstring).
+
+        Phases: (1) drop any staging leftover from a crashed run;
+        (2) distributed append into ``<table>__stg`` — a failure here
+        cannot touch the target; (3) create the target empty if
+        missing (schema via Spark's own JDBC CREATE, so identifier
+        quoting matches the non-staged path); (4) one driver-side
+        transaction: scoped DELETE + INSERT..SELECT, commit-or-
+        rollback as a unit; (5) best-effort staging drop either way.
+        """
+        spark = df.sparkSession
+        stg = f"{table_name}__stg"
+        self._drop_if_exists(spark, stg)
+        try:
+            self.append(df, stg)
+            # ensure the swap has a destination (create-if-missing
+            # parity, M1): an empty append creates the table only
+            self.append(df.limit(0), table_name)
+            jvm, conn = self._connect(spark)
+            try:
+                conn.setAutoCommit(False)
+                try:
+                    qc = (
+                        conn.getMetaData()
+                        .getIdentifierQuoteString()
+                        .strip()
+                        or '"'
+                    )
+                    delete = f"DELETE FROM {table_name}"
+                    params = list(batch_params.items())
+                    if params:
+                        delete += " WHERE " + " AND ".join(
+                            f"{_quote_ident(col, qc)} = ?"
+                            for col, _ in params
+                        )
+                    stmt = conn.prepareStatement(delete)
+                    try:
+                        for i, (_, value) in enumerate(params, start=1):
+                            _bind(jvm, stmt, i, value)
+                        stmt.executeUpdate()
+                    finally:
+                        stmt.close()
+                    cols = ", ".join(
+                        _quote_ident(c, qc) for c in df.columns
+                    )
+                    stmt = conn.createStatement()
+                    try:
+                        stmt.executeUpdate(
+                            f"INSERT INTO {table_name} ({cols}) "
+                            f"SELECT {cols} FROM {stg}"
+                        )
+                    finally:
+                        stmt.close()
+                    conn.commit()
+                except Exception:
+                    conn.rollback()
+                    raise
+            finally:
+                conn.close()
+        finally:
+            try:
+                self._drop_if_exists(spark, stg)
+            except Exception:  # cleanup must not mask the real error
+                pass
+
     # -- Writer protocol ----------------------------------------------------
 
     def write_batch(self, df: "DataFrame", table: "TableContext") -> None:
@@ -188,6 +288,9 @@ class JdbcSink:
             # the lifecycle routes the DQ shadow table through the same
             # sink; an explicit table override must not swallow it
             table_name = f"{self.table}_dq"
+        if self.staging:
+            self.write_batch_staged(df, table_name, table.batch_params)
+            return
         self.delete_batch(df.sparkSession, table_name, table.batch_params)
         self.append(df, table_name)
 

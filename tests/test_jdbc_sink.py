@@ -370,3 +370,88 @@ def test_jdbc_failed_append_isolates_batches_and_rerun_heals(spark):
     }
     assert d2_rows == {"e", "f", "g"}
     assert got.count() == 5  # d1's two + d2's three, nothing else
+
+
+def test_jdbc_staged_write_poisoned_batch_leaves_target_untouched(spark):
+    """``staging=True`` upgrades W2 from heal-on-rerun to atomic
+    visibility (VERDICT r7 Next #6): the distributed append lands in
+    a staging table, and the target changes only via one driver-side
+    DELETE + INSERT..SELECT transaction. A poisoned rewrite (PK
+    collision with ANOTHER batch's row) must roll the whole swap
+    back: the target keeps BOTH batches bit-for-bit — including the
+    batch being rewritten, which the non-staged path may leave
+    partial — and the staging table is cleaned up. A clean staged
+    re-run then lands the rewrite atomically and idempotently."""
+    _exec_ddl(
+        spark,
+        'CREATE TABLE w2_staged ("report_date" DATE NOT NULL, '
+        '"customer_name" VARCHAR(50) NOT NULL PRIMARY KEY, '
+        '"balance" DOUBLE)',
+    )
+    d1, d2 = dt.date(2023, 2, 1), dt.date(2023, 2, 2)
+    t1 = TableContext(
+        name="w2_staged", schema=_schema(), batch_params={"report_date": d1}
+    )
+    t2 = TableContext(
+        name="w2_staged", schema=_schema(), batch_params={"report_date": d2}
+    )
+    sink = JdbcSink(DERBY_URL, driver=DERBY_DRIVER, staging=True)
+    sink.write_batch(_batch_df(spark, d1, ["a", "b"]), t1)
+    sink.write_batch(_batch_df(spark, d2, ["c", "d"]), t2)
+
+    def snapshot() -> set:
+        return {
+            (r["report_date"], r["customer_name"], r["balance"])
+            for r in sink.read(spark, "w2_staged").collect()
+        }
+
+    before = snapshot()
+    assert len(before) == 4
+
+    # poisoned rewrite of d2: good rows plus a duplicate of d1's PK
+    # 'a' — the swap transaction must fail and roll back whole
+    poisoned = _batch_df(spark, d2, ["e", "f"]).union(
+        _batch_df(spark, d2, ["a"])
+    )
+    with pytest.raises(Exception, match="(?i)duplicate|constraint"):
+        sink.write_batch(poisoned, t2)
+
+    # the target is UNTOUCHED — d2 still holds the OLD c/d rows (the
+    # non-staged path deletes them before the append fails)
+    assert snapshot() == before
+    # and the staging table did not leak
+    jvm = spark._jvm  # noqa: SLF001
+    jvm.java.lang.Class.forName(DERBY_DRIVER)
+    conn = jvm.java.sql.DriverManager.getConnection(DERBY_URL)
+    try:
+        assert not sink._table_exists(conn, "w2_staged__stg")
+    finally:
+        conn.close()
+
+    # clean staged rewrite lands atomically; re-run stays idempotent
+    sink.write_batch(_batch_df(spark, d2, ["e", "f", "g"]), t2)
+    sink.write_batch(_batch_df(spark, d2, ["e", "f", "g"]), t2)
+    got = sink.read(spark, "w2_staged")
+    assert got.count() == 5
+    d2_rows = {
+        r["customer_name"]
+        for r in got.filter(F.col("report_date") == F.lit(d2)).collect()
+    }
+    assert d2_rows == {"e", "f", "g"}
+
+
+def test_jdbc_staged_write_creates_missing_target(spark):
+    """M1 parity holds under staging: the first staged write against
+    an absent target creates it (via Spark's own JDBC CREATE, so
+    identifier quoting matches the non-staged path) and lands the
+    batch."""
+    d = dt.date(2023, 3, 1)
+    t = TableContext(
+        name="w2_staged_new",
+        schema=_schema(),
+        batch_params={"report_date": d},
+    )
+    sink = JdbcSink(DERBY_URL, driver=DERBY_DRIVER, staging=True)
+    sink.write_batch(_batch_df(spark, d, ["x", "y"]), t)
+    got = sink.read(spark, "w2_staged_new")
+    assert {r["customer_name"] for r in got.collect()} == {"x", "y"}

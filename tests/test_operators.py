@@ -2183,8 +2183,8 @@ def test_collocation_pmi_planted_collocation_ranks_first(spark, tmp_path):
 
 def test_weighted_sample_wor_matches_python_model(spark, sf_dir):
     """The Efraimidis–Spirakis draw must reproduce an exact Python
-    replay: md5-uniform, ln-key, pico rounding, (key DESC, doc_id)
-    top-k. Keys are compared within ±1 pico-unit (libm vs Java log
+    replay: md5-uniform, ln-key, micro rounding, (key DESC, doc_id)
+    top-k. Keys are compared within ±1 micro-unit (libm vs Java log
     may differ in the last ulp); the SELECTED ID SET must be exact.
     Also pins the weighting property: the draw differs from both the
     unweighted-uniform draw and plain largest-w selection."""
@@ -2221,19 +2221,83 @@ def test_weighted_sample_wor_matches_python_model(spark, sf_dir):
             hashlib.md5(str(r.doc_id).encode()).hexdigest()[:15], 16
         )
         u = (h + 1) / float((1 << 60) + 1)
-        model.append((r.doc_id, w, math.log(u) * 1e12 / w))
+        model.append((r.doc_id, w, math.log(u) * 1e6 / w))
     model.sort(key=lambda t: (-t[2], t[0]))
     want = model[: _WSAMPLE_K]
     assert {r.doc_id for r in got} == {t[0] for t in want}
     want_keys = {t[0]: t[2] for t in want}
     for r in got:
-        assert abs(r.es_key_pico - round(want_keys[r.doc_id])) <= 1
+        assert abs(r.es_key_micro - round(want_keys[r.doc_id])) <= 1
     # weighted, not uniform: the draw must differ from the unweighted
     # md5 top-k AND from deterministic largest-weight selection
     uni = sorted(model, key=lambda t: (-(t[2] * t[1]), t[0]))[:_WSAMPLE_K]
     heavy = sorted(model, key=lambda t: (-t[1], t[0]))[:_WSAMPLE_K]
     assert {r.doc_id for r in got} != {t[0] for t in uni}
     assert {r.doc_id for r in got} != {t[0] for t in heavy}
+
+
+def test_weighted_sample_key_boundary_margin():
+    """ROUND-boundary canary for the E-S key (VERDICT r7 #2): the key
+    ROUND(ln(u)·1e6/w) is computed in double on BOTH engines, and
+    libm (DuckDB/Python) vs Java Math.log may disagree by up to ~2
+    ulp of ln(u) ≈ 1.4e-14 — i.e. ≤ 1.4e-8/w key units after the
+    ·1e6/w scaling. A doc whose key lands closer than that to a .5
+    boundary could round differently per engine and flip a driver
+    hash. This scans EVERY shipped corpus doc (plus the generated
+    sf1 corpus when present) and asserts dist·w > 1e-5 — ~700× the
+    divergence bound (measured r8: the actual min across all four
+    corpora is 6.5e-4). Pure-Python replay: libm is the same ln both
+    DuckDB and CPython call, and 1e-5 ≫ any cross-libm ulp. If this
+    ever fails, the key needs restating (coarser quantum or an
+    integer-exact construction), not a threshold bump."""
+    import glob
+    import hashlib
+    import math
+    import os
+    import re
+
+    import pyarrow.parquet as pq
+
+    corpora = [
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+        "/tmp/sf1_gen",
+    ]
+    checked = 0
+    for base in corpora:
+        path = os.path.join(base, "documents.parquet")
+        if not os.path.exists(path):
+            continue
+        files = (
+            sorted(glob.glob(os.path.join(path, "*.parquet")))
+            if os.path.isdir(path)
+            else [path]
+        )
+        for f in files:
+            t = pq.read_table(f, columns=["doc_id", "text"])
+            for doc_id, text in zip(
+                t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+            ):
+                if text is None:
+                    continue
+                norm = re.sub(r"\s+", " ", text.lower()).strip(" ")
+                w = len(norm.split(" ")) if norm else 0
+                if w < 1:
+                    continue
+                h = int(
+                    hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16
+                )
+                u = (h + 1) / float((1 << 60) + 1)
+                x = math.log(u) * 1e6 / w
+                frac = x - math.floor(x)
+                dist = abs(frac - 0.5)
+                assert dist * w > 1e-5, (
+                    f"boundary-fragile E-S key: corpus={base} "
+                    f"doc_id={doc_id} w={w} key={x!r} dist={dist!r}"
+                )
+                checked += 1
+    assert checked >= 1000, "canary scanned suspiciously few documents"
 
 
 def test_corpus_diff_snapshot_planted_statuses(spark, tmp_path):
@@ -2243,7 +2307,8 @@ def test_corpus_diff_snapshot_planted_statuses(spark, tmp_path):
     fingerprint compare), never as modified."""
     rows = [
         (1, "alpha beta"),        # unchanged (2 tokens)
-        (2, "gamma"),             # unchanged + spawns added 10000002
+        (2, "gamma"),             # unchanged + spawns an added doc
+                                  # (id 2 + max_id+1 = 15 — disjoint)
         (3, "will vanish"),       # removed (3 % 11 == 3)
         (5, "edit me now"),       # modified (5 % 13 == 5)
         (12, None),               # NULL text -> unchanged
@@ -2302,6 +2367,79 @@ def test_tokenizer_fertility_exact_on_planted_corpus(spark, tmp_path):
     assert xx["n_docs"] == 1
     assert xx["n_words"] == 0 and xx["n_subwords"] == 0
     assert xx["fertility_micro"] is None
+
+
+def test_fertility_learned_identity_on_fixed_table(spark, sf_dir):
+    """The learned-path pipeline (Arrow-batched encode_corpus +
+    per-doc re-join aggregation) must reproduce tokenizer_fertility's
+    JVM-fold output EXACTLY when handed the same FIXED_BPE_MERGES
+    table — the certificate that the production twin's encoder and
+    aggregation shape compute the identical metric, differing only in
+    which merge table they apply."""
+    from pyspark.sql import functions as F
+
+    from sqltask_spark.data import load_table
+    from sqltask_spark.operators.bpe import encode_corpus
+    from sqltask_spark.queries.textops import (
+        FIXED_BPE_MERGES,
+        tokenizer_fertility,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    enc = encode_corpus(docs, list(FIXED_BPE_MERGES))
+    per_doc = enc.groupBy("id").agg(
+        F.count(F.lit(1)).alias("w"),
+        F.sum(F.size("tokens")).alias("s"),
+    )
+    got = (
+        docs.select("doc_id", "lang")
+        .join(per_doc, docs["doc_id"] == per_doc["id"], "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce("w", F.lit(0))).cast("long").alias("n_words"),
+            F.sum(F.coalesce("s", F.lit(0)))
+            .cast("long")
+            .alias("n_subwords"),
+        )
+        .orderBy("lang")
+        .collect()
+    )
+    want = tokenizer_fertility(spark, sf_dir).orderBy("lang").collect()
+    assert [
+        (r["lang"], r["n_docs"], r["n_words"], r["n_subwords"])
+        for r in got
+    ] == [
+        (r["lang"], r["n_docs"], r["n_words"], r["n_subwords"])
+        for r in want
+    ]
+
+
+def test_tokenizer_fertility_learned_sanity(spark, sf_dir):
+    """The learned-table entry runs end-to-end: per-lang rows cover
+    every language, n_words matches the table-independent word count
+    of the fixed entry, every word is >= 1 subword, and the learned
+    table compresses at least as well as no table at all (subwords
+    <= characters)."""
+    from sqltask_spark.queries.textops import (
+        tokenizer_fertility,
+        tokenizer_fertility_learned,
+    )
+
+    got = {
+        r["lang"]: r
+        for r in tokenizer_fertility_learned(spark, sf_dir).collect()
+    }
+    fixed = {
+        r["lang"]: r for r in tokenizer_fertility(spark, sf_dir).collect()
+    }
+    assert set(got) == set(fixed)
+    for lang, r in got.items():
+        assert r["n_docs"] == fixed[lang]["n_docs"]
+        assert r["n_words"] == fixed[lang]["n_words"]
+        if r["n_words"] > 0:
+            assert r["n_subwords"] >= r["n_words"]
+            assert r["fertility_micro"] >= 1_000_000
 
 
 def test_eval_ngram_coverage_planted(spark, tmp_path):

@@ -424,6 +424,26 @@ def test_catalog_no_global_sort_window(spark, sf_dir):
 
     GLOBAL_TOTAL_OK: set[str] = set()
 
+    def split_top_level(s: str) -> list[str]:
+        """Split on commas OUTSIDE parentheses only — a sort key that
+        is itself a function call (``cast(x as int) ASC``) must stay
+        one arg, or its fragments would miscount as partition keys
+        and a global-sort window over a computed key would slip
+        through (ADVICE r7)."""
+        out, depth, cur = [], 0, []
+        for ch in s:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                out.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        out.append("".join(cur))
+        return out
+
     bad: dict[str, list[str]] = {}
     for name, fn in QUERIES.items():
         df = fn(spark, sf_dir)
@@ -432,7 +452,7 @@ def test_catalog_no_global_sort_window(spark, sf_dir):
             r"windowspecdefinition\((.*?)specifiedwindowframe", plan
         ):
             head = m.group(1)
-            parts = [p.strip() for p in head.split(",") if p.strip()]
+            parts = [p.strip() for p in split_top_level(head) if p.strip()]
             sorts = [p for p in parts if " ASC" in p or " DESC" in p]
             partition = [
                 p for p in parts if " ASC" not in p and " DESC" not in p
