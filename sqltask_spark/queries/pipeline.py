@@ -2010,6 +2010,273 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+# --------------------------------------------------------------------------
+# source_token_quantiles — per-source document-length distribution
+# (min / p25 / p50 / p90 / max token counts): the profiling step that
+# precedes any per-domain length policy. EXACT percentiles are safe
+# at scale HERE because the value domain is bounded: Spark's
+# percentile aggregates a (value → count) histogram whose size is
+# capped by the longest document, not the corpus — the aggregation
+# state is mergeable and map-side combined. (For unbounded/continuous
+# domains the scale path is approx_percentile's GK sketch, which is
+# engine-specific and would make this rows-only.) Cross-engine: both
+# engines use type-7 linear interpolation ((n-1)·q), probed
+# bit-identical on the shipped corpora — see NOTES_r8.
+# --------------------------------------------------------------------------
+
+def source_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        tx.token_count(F.col("text")).cast("long").alias("w"),
+    ).filter(F.col("w").isNotNull())
+    return (
+        base.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("w").alias("min_tokens"),
+            F.expr("percentile(w, 0.25)").alias("p25_tokens"),
+            F.expr("percentile(w, 0.5)").alias("p50_tokens"),
+            F.expr("percentile(w, 0.9)").alias("p90_tokens"),
+            F.max("w").alias("max_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+_QUANTILES_SQL = f"""
+WITH base AS (
+  SELECT source, CAST(LEN({_TOKS}) AS BIGINT) AS w FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(w) AS BIGINT) AS min_tokens,
+       quantile_cont(w, 0.25) AS p25_tokens,
+       quantile_cont(w, 0.5) AS p50_tokens,
+       quantile_cont(w, 0.9) AS p90_tokens,
+       CAST(MAX(w) AS BIGINT) AS max_tokens
+FROM base WHERE w IS NOT NULL
+GROUP BY source ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# quality_filter_adaptive — per-domain ADAPTIVE length filtering: each
+# source's own p10 token count becomes its floor (a fixed global
+# floor over-prunes terse domains and under-prunes verbose ones —
+# the per-domain-threshold shape CCNet applies to perplexity). Two
+# passes over a pruned 2-column projection: histogram-state
+# percentile per source, thresholds broadcast back (|sources| rows),
+# map-side-combined verdict aggregate. No window, no corpus shuffle.
+# --------------------------------------------------------------------------
+
+def quality_filter_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        tx.token_count(F.col("text")).cast("long").alias("w"),
+    ).filter(F.col("w").isNotNull())
+    thr = base.groupBy("source").agg(
+        F.expr("percentile(w, 0.10)").alias("thr_p10")
+    )
+    kept = F.col("w") >= F.col("thr_p10")
+    return (
+        base.join(F.broadcast(thr), "source")
+        .groupBy("source", "thr_p10")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept.cast("long")).cast("long").alias("n_kept"),
+            F.sum("w").cast("long").alias("tokens_total"),
+            F.sum(F.when(kept, F.col("w")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("tokens_kept"),
+        )
+        .select(
+            "source",
+            "thr_p10",
+            "n_docs",
+            "n_kept",
+            "tokens_total",
+            "tokens_kept",
+            F.expr("(n_kept * 1000000) div n_docs")
+            .cast("long")
+            .alias("kept_share_micro"),
+        )
+        .orderBy("source")
+    )
+
+
+_QFILTER_SQL = f"""
+WITH base AS (
+  SELECT source, CAST(LEN({_TOKS}) AS BIGINT) AS w FROM documents
+), b2 AS (
+  SELECT * FROM base WHERE w IS NOT NULL
+), thr AS (
+  SELECT source, quantile_cont(w, 0.10) AS thr_p10
+  FROM b2 GROUP BY source
+)
+SELECT b2.source, thr.thr_p10,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN w >= thr_p10 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(w) AS BIGINT) AS tokens_total,
+       CAST(SUM(CASE WHEN w >= thr_p10 THEN w ELSE 0 END) AS BIGINT)
+         AS tokens_kept,
+       CAST((SUM(CASE WHEN w >= thr_p10 THEN 1 ELSE 0 END) * 1000000)
+            // COUNT(*) AS BIGINT) AS kept_share_micro
+FROM b2 JOIN thr ON b2.source = thr.source
+GROUP BY b2.source, thr.thr_p10
+ORDER BY b2.source
+"""
+
+
+# --------------------------------------------------------------------------
+# source_unigram_entropy — per-source unigram Shannon entropy (the
+# lexical-diversity signal behind domain-mixing and synthetic-data
+# collapse detection: a domain whose entropy drops is repeating
+# itself). Fixed-point milli-nats via the lm_perplexity discipline:
+# H = ln N − (Σ c·ln c)/N, with each ln(c) rounded to an integer
+# milli-nat FIRST so the corpus-sized sum is exact BIGINT arithmetic
+# (order-free, shuffle-stable). Milli (not micro) bounds the sum:
+# Σ c·ROUND(ln c·1e3) ≤ N·ln(N)·1e3 stays under 2^63 to N ≈ 1.7e14
+# tokens (~600 TB of raw text); under ANSI mode a corpus past that
+# fails loudly rather than silently wrapping. Quantization error is
+# ≤ 0.5 milli-nat — noise for a diversity metric.
+#
+# Scale shape: one token census (map-side combined, shuffle is
+# vocabulary-bounded), then a per-source aggregate of census rows.
+# --------------------------------------------------------------------------
+
+def source_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(tx.tokenize(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    cen = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    q_milli = F.round(F.log("c") * F.lit(1e3)).cast("long")
+    per = cen.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(F.col("c") * q_milli).cast("long").alias("s_milli"),
+    )
+    return per.select(
+        "source",
+        "n_tokens",
+        "n_distinct",
+        (
+            F.round(F.log("n_tokens") * F.lit(1e3)).cast("long")
+            - F.expr("s_milli div n_tokens")
+        )
+        .cast("long")
+        .alias("entropy_millinat"),
+    ).orderBy("source")
+
+
+_ENTROPY_SQL = f"""
+WITH toks AS (
+  SELECT source, UNNEST({_TOKS}) AS tok FROM documents
+), cen AS (
+  SELECT source, tok, COUNT(*) AS c
+  FROM toks WHERE tok <> '' GROUP BY source, tok
+), per AS (
+  SELECT source,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         CAST(SUM(c * CAST(ROUND(LN(c) * 1000) AS BIGINT)) AS BIGINT)
+           AS s_milli
+  FROM cen GROUP BY source
+)
+SELECT source, n_tokens, n_distinct,
+       CAST(CAST(ROUND(LN(n_tokens) * 1000) AS BIGINT)
+            - (s_milli // n_tokens) AS BIGINT) AS entropy_millinat
+FROM per ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# dup_rate_by_source — per-domain duplication diagnostic: for each
+# source, how many of its documents are exact duplicates (fingerprint
+# shared with an earlier doc anywhere in the corpus) and how many
+# participate in CROSS-source duplication (the copies-from-elsewhere
+# signal that drives source-level dedup policy). NULL-text docs
+# fingerprint to '' (mutual duplicates — the COALESCE-pinned NULL
+# contract), so the per-source doc counts stay total.
+#
+# Scale shape: no corpus-sized join — one census groupBy
+# (source, fp) on the uniform md5 digest, a fingerprint-level rollup
+# of those census rows (keeper source via min_by on the unique
+# doc_id), then a census×rollup equi-join on fp — both sides are
+# census-sized (≤ one row per (source, fp)), never doc-sized.
+# --------------------------------------------------------------------------
+
+def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.coalesce(tx.fingerprint_md5(F.col("text")), F.lit(""))
+    sfp = docs.select("source", "doc_id", fp.alias("fp"))
+    census = sfp.groupBy("source", "fp").agg(
+        F.count(F.lit(1)).alias("c"), F.min("doc_id").alias("min_doc")
+    )
+    fps = census.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("n_src"),
+        F.min_by("source", "min_doc").alias("keeper_src"),
+    )
+    dup_c = F.col("c") - F.when(
+        F.col("source") == F.col("keeper_src"), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        census.join(fps, "fp")
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_docs"),
+            F.sum(dup_c).cast("long").alias("n_dup_docs"),
+            F.sum(
+                F.when(F.col("n_src") > 1, F.col("c")).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_cross_docs"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dup_docs",
+            "n_cross_docs",
+            F.expr("(n_dup_docs * 1000000) div n_docs")
+            .cast("long")
+            .alias("dup_rate_micro"),
+        )
+        .orderBy("source")
+    )
+
+
+_DUP_RATE_SQL = f"""
+WITH sfp AS (
+  SELECT source, doc_id, COALESCE(md5({_NORM}), '') AS fp
+  FROM documents
+), census AS (
+  SELECT source, fp, COUNT(*) AS c, MIN(doc_id) AS min_doc
+  FROM sfp GROUP BY source, fp
+), fps AS (
+  SELECT fp, COUNT(*) AS n_src,
+         arg_min(source, min_doc) AS keeper_src
+  FROM census GROUP BY fp
+)
+SELECT census.source,
+       CAST(SUM(c) AS BIGINT) AS n_docs,
+       CAST(SUM(c - CASE WHEN census.source = keeper_src
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       CAST(SUM(CASE WHEN n_src > 1 THEN c ELSE 0 END) AS BIGINT)
+         AS n_cross_docs,
+       CAST((SUM(c - CASE WHEN census.source = keeper_src
+                          THEN 1 ELSE 0 END) * 1000000)
+            // SUM(c) AS BIGINT) AS dup_rate_micro
+FROM census JOIN fps USING (fp)
+GROUP BY census.source
+ORDER BY census.source
+"""
+
+
 QUERIES = {
     "zorder_layout_stats": zorder_layout_stats,
     "dsir_weights": dsir_weights,
@@ -2041,9 +2308,17 @@ QUERIES = {
     "eval_ngram_coverage": eval_ngram_coverage,
     "token_budget_select": token_budget_select,
     "heavy_hitter_tokens": heavy_hitter_tokens,
+    "source_token_quantiles": source_token_quantiles,
+    "quality_filter_adaptive": quality_filter_adaptive,
+    "source_unigram_entropy": source_unigram_entropy,
+    "dup_rate_by_source": dup_rate_by_source,
 }
 
 ORACLES = {
+    "source_token_quantiles": _QUANTILES_SQL,
+    "quality_filter_adaptive": _QFILTER_SQL,
+    "source_unigram_entropy": _ENTROPY_SQL,
+    "dup_rate_by_source": _DUP_RATE_SQL,
     "dsir_weights": _DSIR_SQL,
     "ccnet_ppl_buckets": _CCNET_SQL,
     "sample_k_per_source": _SAMPLE_K_SQL,

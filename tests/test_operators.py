@@ -2300,6 +2300,101 @@ def test_weighted_sample_key_boundary_margin():
     assert checked >= 1000, "canary scanned suspiciously few documents"
 
 
+def test_source_token_quantiles_planted(spark, tmp_path):
+    """Type-7 interpolation on a hand-checkable ladder: counts 1..5
+    give p25=2, p50=3, p90=4.6; a NULL-text doc is excluded from the
+    distribution entirely."""
+    rows = [(i, " ".join(["w"] * i), "A") for i in range(1, 6)]
+    rows.append((99, None, "A"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = tmp_path / "q_sf"
+    df.write.parquet(str(out / "documents.parquet"))
+
+    from sqltask_spark.queries.pipeline import source_token_quantiles
+
+    got = source_token_quantiles(spark, str(out)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["n_docs"], r["min_tokens"], r["max_tokens"]) == (5, 1, 5)
+    assert (r["p25_tokens"], r["p50_tokens"]) == (2.0, 3.0)
+    assert abs(r["p90_tokens"] - 4.6) < 1e-12
+
+
+def test_quality_filter_adaptive_planted(spark, tmp_path):
+    """Counts 1..10 in one source: p10 = 1.9, so exactly the 1-token
+    doc is dropped — 9/10 kept, kept share 900000 micro, token sums
+    exact."""
+    rows = [(i, " ".join(["w"] * i), "A") for i in range(1, 11)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = tmp_path / "qf_sf"
+    df.write.parquet(str(out / "documents.parquet"))
+
+    from sqltask_spark.queries.pipeline import quality_filter_adaptive
+
+    r = quality_filter_adaptive(spark, str(out)).collect()[0]
+    assert abs(r["thr_p10"] - 1.9) < 1e-12
+    assert (r["n_docs"], r["n_kept"]) == (10, 9)
+    assert (r["tokens_total"], r["tokens_kept"]) == (55, 54)
+    assert r["kept_share_micro"] == 900_000
+
+
+def test_source_unigram_entropy_planted(spark, tmp_path):
+    """Three regimes hand-computed in milli-nats: uniform 4-token
+    vocab → ln(4)≈1386; a single repeated token → 0; a 2:1 mix →
+    ln(3) − (2·ln 2)/3 ≈ 637 (fixed-point replay: 1099 − 462)."""
+    rows = [
+        (1, "a b c d", "uniform"),
+        (2, "x x x x", "degenerate"),
+        (3, "a a b", "mixed"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = tmp_path / "ent_sf"
+    df.write.parquet(str(out / "documents.parquet"))
+
+    from sqltask_spark.queries.pipeline import source_unigram_entropy
+
+    got = {r["source"]: r for r in source_unigram_entropy(
+        spark, str(out)
+    ).collect()}
+    assert got["uniform"]["entropy_millinat"] == 1386
+    assert got["uniform"]["n_distinct"] == 4
+    assert got["degenerate"]["entropy_millinat"] == 0
+    assert got["degenerate"]["n_distinct"] == 1
+    # 2:1 mix: ROUND(ln3*1e3)=1099 minus (2*ROUND(ln2*1e3)) div 3 = 462
+    assert got["mixed"]["entropy_millinat"] == 1099 - 462
+    assert got["mixed"]["n_tokens"] == 3
+
+
+def test_dup_rate_by_source_planted(spark, tmp_path):
+    """Keeper attribution and cross-source accounting: fingerprint
+    't1' spans sources A (docs 1,2 — keeper 1) and B (doc 4): A has
+    one dup (doc 2) and two cross-participants; B's copy is a dup
+    AND cross. A NULL-text doc fingerprints to '' and stays counted
+    in n_docs without inventing duplicates."""
+    rows = [
+        (1, "t1", "A"),
+        (2, "t1", "A"),
+        (3, "t2", "A"),
+        (6, None, "A"),
+        (4, "t1", "B"),
+        (5, "t3", "B"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = tmp_path / "dup_sf"
+    df.write.parquet(str(out / "documents.parquet"))
+
+    from sqltask_spark.queries.pipeline import dup_rate_by_source
+
+    got = {r["source"]: r for r in dup_rate_by_source(
+        spark, str(out)
+    ).collect()}
+    a, b = got["A"], got["B"]
+    assert (a["n_docs"], a["n_dup_docs"], a["n_cross_docs"]) == (4, 1, 2)
+    assert a["dup_rate_micro"] == 250_000
+    assert (b["n_docs"], b["n_dup_docs"], b["n_cross_docs"]) == (2, 1, 1)
+    assert b["dup_rate_micro"] == 500_000
+
+
 def test_corpus_diff_snapshot_planted_statuses(spark, tmp_path):
     """Every status class planted by id arithmetic: removed (id%11=3),
     modified (id%13=5), added derivative (id%17=2), unchanged
