@@ -69,6 +69,11 @@ HEADLINE = [
     # r7 additions: PMI collocation census + E-S weighted draw
     "collocation_pmi",
     "weighted_sample_wor",
+    # r8 additions: the per-source corpus diagnostics
+    "source_token_quantiles",
+    "quality_filter_adaptive",
+    "source_unigram_entropy",
+    "dup_rate_by_source",
 ]
 
 

@@ -869,9 +869,68 @@ ORDER BY e.event_type
 """
 
 
+# --------------------------------------------------------------------------
+# event_key_skew_profile — hot-key diagnostic per key domain: for each
+# event_type, how concentrated is the user_id distribution (max and
+# p-est top share vs a uniform spread). This is the measurement a
+# 100 TB job runs BEFORE picking a join strategy — skew_ratio ≈ 1
+# means hash-partitioning is safe; a large ratio says the hottest
+# key's reducer will straggle and the join needs salting
+# (operators/skew.py) or AQE skew handling. Exact integer outputs:
+# skew_ratio_micro = max_user_events · n_users · 1e6 div n_events
+# (max over mean, in micro units, all BIGINT).
+#
+# Scale shape: one map-side-combined census groupBy(event_type,
+# user_id) — shuffle is distinct-key-sized, never event-sized — then
+# a per-type rollup of census rows. No window, no join.
+# --------------------------------------------------------------------------
+
+def event_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    census = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        census.groupBy("event_type")
+        .agg(
+            F.sum("c").cast("long").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.max("c").cast("long").alias("max_user_events"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_users",
+            "max_user_events",
+            F.expr("(max_user_events * n_users * 1000000) div n_events")
+            .cast("long")
+            .alias("skew_ratio_micro"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SKEW_PROFILE_SQL = """
+WITH census AS (
+  SELECT event_type, user_id, COUNT(*) AS c
+  FROM events GROUP BY event_type, user_id
+)
+SELECT event_type,
+       CAST(SUM(c) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(MAX(c) AS BIGINT) AS max_user_events,
+       CAST((MAX(c) * COUNT(*) * 1000000) // SUM(c) AS BIGINT)
+         AS skew_ratio_micro
+FROM census
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "sessionize_events": sessionize_events,
     "funnel_conversion": funnel_conversion,
+    "event_key_skew_profile": event_key_skew_profile,
     "retention_cohorts": retention_cohorts,
     "resample_fill_events": resample_fill_events,
     "winsorized_event_stats": winsorized_event_stats,
@@ -889,6 +948,7 @@ QUERIES = {
 ORACLES = {
     "sessionize_events": _SESSIONIZE_SQL,
     "funnel_conversion": _FUNNEL_SQL,
+    "event_key_skew_profile": _SKEW_PROFILE_SQL,
     "retention_cohorts": _RETENTION_SQL,
     "resample_fill_events": _RESAMPLE_SQL,
     "winsorized_event_stats": _WINSOR_SQL,

@@ -2297,8 +2297,8 @@ QUERIES = {
     "corpus_shuffle_shards": corpus_shuffle_shards,
     "corpus_to_training_data": corpus_to_training_data,
     "corpus_to_training_data_v2": corpus_to_training_data_v2,
-    # window overflow is managed centrally — see _OVERFLOW in
-    # queries/__init__.py
+    # driver-window placement is managed centrally by the staleness
+    # rotation in queries/__init__.py
     "sketch_event_stats": sketch_event_stats,
     "sketch_event_stats_checked": sketch_event_stats_checked,
     "zorder_values": zorder_values,

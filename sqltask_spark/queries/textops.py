@@ -308,6 +308,189 @@ ORDER BY id_a, id_b
 
 
 # --------------------------------------------------------------------------
+# dedup_minhash_calibration — accuracy certificate for the MinHash
+# approximation itself: over the banded candidate pairs, compare the
+# SIGNATURE-estimated Jaccard (matching permutations / num_perm)
+# against the exact shingle Jaccard, aggregated into exact-Jaccard
+# decile buckets (n_pairs, mean estimate, mean exact, mean |error|).
+# This is the evidence a dedup operator owes its operator: whether
+# 32 permutations × 8 bands actually place the collision threshold
+# where the pipeline assumes — and it turns "the LSH parameters are
+# probably fine" into a driver-hash-checked statement. All integer
+# micro units (counts are exact rationals: matches·1e6 div 32,
+# |∩|·1e6 div |∪|), md5 family throughout, so DuckDB replays it.
+#
+# Scale shape: identical to dedup_minhash_pairs_md5 (one shingle
+# census, permutation min-agg, banded bucket join with the hot-bucket
+# cap) plus two signature-array equi-joins on the unique doc id;
+# output is ≤ 11 rows.
+# --------------------------------------------------------------------------
+
+def dedup_minhash_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from sqltask_spark.operators.dedup import (
+        _md5_long_of,
+        _pairs_from_banded,
+        md5_shingled_docs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    rpb = _MH_PERM // _MH_BANDS
+    shingled = md5_shingled_docs(docs, "doc_id", "text", 3).persist()
+    exploded = shingled.select("id", F.explode("h").alias("h"))
+
+    def perm(i: int):
+        return _md5_long_of(
+            F.concat_ws(
+                ":",
+                F.lit(str(_MH_SEED)),
+                F.lit(str(i)),
+                F.col("h").cast("string"),
+            )
+        )
+
+    wide = exploded.groupBy("id").agg(
+        *[F.min(perm(i)).alias(f"m{i}") for i in range(_MH_PERM)]
+    )
+    band_hashes = [
+        _md5_long_of(
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"m{b * rpb + j}").cast("string")
+                    for j in range(rpb)
+                ],
+            )
+        )
+        for b in range(_MH_BANDS)
+    ]
+    sig = wide.select(
+        "id",
+        F.array(*[F.col(f"m{i}") for i in range(_MH_PERM)]).alias("sig"),
+        F.array(*band_hashes).alias("bh"),
+    ).persist()
+    banded = sig.select(
+        "id", F.posexplode("bh").alias("band", "band_hash")
+    )
+    cand = _pairs_from_banded(banded, _MH_CAP)
+    sa = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    ha = shingled.select(F.col("id").alias("id_a"), F.col("h").alias("h_a"))
+    hb = shingled.select(F.col("id").alias("id_b"), F.col("h").alias("h_b"))
+    matches = F.aggregate(
+        F.zip_with(
+            "sig_a", "sig_b", lambda x, y: (x == y).cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    inter = F.size(F.array_intersect("h_a", "h_b")).cast("long")
+    union = F.size(F.array_union("h_a", "h_b")).cast("long")
+    scored = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .join(ha.hint("merge"), "id_a")
+        .join(hb.hint("merge"), "id_b")
+        .select(
+            (matches * F.lit(1_000_000)).alias("_mm"),
+            (inter * F.lit(1_000_000)).alias("_ii"),
+            union.alias("_u"),
+        )
+        .select(
+            F.expr(f"_mm div {_MH_PERM}").alias("est_micro"),
+            F.expr("_ii div _u").alias("jac_micro"),
+        )
+    )
+    out = (
+        scored.select(
+            F.expr("jac_micro div 100000").alias("jac_decile"),
+            "est_micro",
+            "jac_micro",
+            F.abs(F.col("est_micro") - F.col("jac_micro")).alias("err"),
+        )
+        .groupBy("jac_decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.expr("sum(est_micro) div count(1)")
+            .cast("long")
+            .alias("mean_est_micro"),
+            F.expr("sum(jac_micro) div count(1)")
+            .cast("long")
+            .alias("mean_jac_micro"),
+            F.expr("sum(err) div count(1)")
+            .cast("long")
+            .alias("mean_abs_err_micro"),
+        )
+        .orderBy("jac_decile")
+    )
+    from sqltask_spark.data import materialize_and_release
+
+    out = materialize_and_release(out, shingled)
+    sig.unpersist()
+    return out
+
+
+def _minhash_calibration_sql() -> str:
+    match_terms = " + ".join(
+        f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)"
+        for i in range(_MH_PERM)
+    )
+    return f"""
+WITH sh AS MATERIALIZED (
+  SELECT doc_id AS id,
+         list_distinct(list_transform(
+           {_SHINGLES}, s -> {_md5long_sql('s')})) AS h
+  FROM documents
+),
+ex AS MATERIALIZED (SELECT id, UNNEST(h) AS h FROM sh),
+sig AS MATERIALIZED (
+  SELECT id,
+         {", ".join(f"MIN({_mh_perm_sql(i)}) AS m{i}" for i in range(_MH_PERM))}
+  FROM ex GROUP BY id
+),
+banded AS MATERIALIZED (
+  {" UNION ALL ".join(
+      f"SELECT id, {b} AS band, {_mh_band_sql(b)} AS band_hash FROM sig"
+      for b in range(_MH_BANDS))}
+),
+ok AS (
+  SELECT band, band_hash FROM banded
+  GROUP BY band, band_hash
+  HAVING COUNT(*) >= 2 AND COUNT(*) <= {_MH_CAP}
+),
+cand AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM banded a
+  JOIN banded b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.id < b.id
+  JOIN ok ON ok.band = a.band AND ok.band_hash = a.band_hash
+  GROUP BY a.id, b.id
+),
+scored AS (
+  SELECT (({match_terms}) * 1000000) // {_MH_PERM} AS est_micro,
+         (CAST(LEN(list_intersect(ga.h, gb.h)) AS BIGINT) * 1000000)
+           // CAST(LEN(list_distinct(ga.h || gb.h)) AS BIGINT)
+           AS jac_micro
+  FROM cand
+  JOIN sig sa ON sa.id = cand.id_a
+  JOIN sig sb ON sb.id = cand.id_b
+  JOIN sh ga ON ga.id = cand.id_a
+  JOIN sh gb ON gb.id = cand.id_b
+)
+SELECT jac_micro // 100000 AS jac_decile,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(est_micro) // COUNT(*) AS BIGINT) AS mean_est_micro,
+       CAST(SUM(jac_micro) // COUNT(*) AS BIGINT) AS mean_jac_micro,
+       CAST(SUM(ABS(est_micro - jac_micro)) // COUNT(*) AS BIGINT)
+         AS mean_abs_err_micro
+FROM scored
+GROUP BY jac_micro // 100000
+ORDER BY jac_decile
+"""
+
+
+# --------------------------------------------------------------------------
 # contamination_fuzzy — cross-corpus NEAR-DUP contamination screen:
 # banded md5 MinHash pairs between the train and eval sides of the
 # standard hash split (same bucket rule as split_train_eval), exact
@@ -2356,6 +2539,7 @@ QUERIES = {
     "quality_score_documents": quality_score_documents,
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_minhash_pairs_md5": dedup_minhash_pairs_md5,
+    "dedup_minhash_calibration": dedup_minhash_calibration,
     "contamination_fuzzy": contamination_fuzzy,
     "dedup_graph_triangles": dedup_graph_triangles,
     "doc_novelty_score": doc_novelty_score,
@@ -2417,6 +2601,7 @@ ORACLES = {
     "collocation_pmi": _PMI_SQL,
     "tokenizer_fertility": _fertility_sql(),
     "dedup_minhash_pairs_md5": _MINHASH_MD5_SQL,
+    "dedup_minhash_calibration": _minhash_calibration_sql(),
     "contamination_fuzzy": _CONTAM_FUZZY_SQL,
     "dedup_graph_triangles": _TRIANGLES_SQL,
     "doc_novelty_score": _NOVELTY_SQL,

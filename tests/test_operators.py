@@ -2300,6 +2300,73 @@ def test_weighted_sample_key_boundary_margin():
     assert checked >= 1000, "canary scanned suspiciously few documents"
 
 
+def test_event_key_skew_profile_planted(spark, tmp_path):
+    """Skew arithmetic on a planted distribution: a type where one
+    user owns 8 of 10 events scores max·users·1e6 div n = 2.4e6; a
+    perfectly uniform type scores exactly 1e6."""
+    import datetime as dt
+
+    rows = []
+    t0 = dt.datetime(2024, 1, 1)
+    for i in range(8):
+        rows.append((i, t0, 1, "hot", 1.0, None))
+    rows.append((8, t0, 2, "hot", 1.0, None))
+    rows.append((9, t0, 3, "hot", 1.0, None))
+    for i, u in enumerate([10, 10, 11, 11]):
+        rows.append((20 + i, t0, u, "flat", 1.0, None))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = tmp_path / "skew_sf"
+    df.write.parquet(str(out / "events.parquet"))
+
+    from sqltask_spark.queries.events import event_key_skew_profile
+
+    got = {r["event_type"]: r for r in event_key_skew_profile(
+        spark, str(out)
+    ).collect()}
+    hot, flat = got["hot"], got["flat"]
+    assert (hot["n_events"], hot["n_users"], hot["max_user_events"]) == (
+        10, 3, 8,
+    )
+    assert hot["skew_ratio_micro"] == 2_400_000
+    assert flat["skew_ratio_micro"] == 1_000_000
+
+
+def test_minhash_calibration_planted_and_bounded(spark, sf_dir, tmp_path):
+    """Exact duplicates must calibrate perfectly (every permutation
+    min matches → estimate 1e6, exact 1e6, error 0, the dedicated
+    decile-10 bucket); and on the corpus fixture every bucket's mean
+    |estimate − exact| must stay within the 32-permutation sampling
+    bound (σ ≤ 0.09 → mean error well under 0.15)."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),
+        (3, "one two three four five six seven eight nine"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tmp_path / "cal_sf"
+    df.write.parquet(str(out / "documents.parquet"))
+
+    from sqltask_spark.queries.textops import dedup_minhash_calibration
+
+    got = {r["jac_decile"]: r for r in dedup_minhash_calibration(
+        spark, str(out)
+    ).collect()}
+    ten = got[10]
+    assert ten["n_pairs"] == 1
+    assert ten["mean_est_micro"] == 1_000_000
+    assert ten["mean_jac_micro"] == 1_000_000
+    assert ten["mean_abs_err_micro"] == 0
+    # the fully-distinct doc 3 must not appear in any candidate pair
+    assert sum(r["n_pairs"] for r in got.values()) == 1
+
+    for r in dedup_minhash_calibration(spark, sf_dir).collect():
+        assert r["mean_abs_err_micro"] < 150_000, r
+
+
 def test_source_token_quantiles_planted(spark, tmp_path):
     """Type-7 interpolation on a hand-checkable ladder: counts 1..5
     give p25=2, p50=3, p90=4.6; a NULL-text doc is excluded from the
