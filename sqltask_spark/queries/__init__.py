@@ -135,6 +135,9 @@ TWINS: dict[str, str] = {
     # entry; the UDF-encoder ≡ JVM-fold identity under a shared table
     # is pytest-pinned (test_fertility_learned_identity_on_fixed_table)
     "tokenizer_fertility_learned": "tokenizer_fertility",
+    # GK-sketch quantiles: engine-specific encoding; rank-error
+    # contract pytest-verified against the exact twin's sort
+    "source_token_quantiles_approx": "source_token_quantiles",
     "topic_cluster_documents": "topic_cluster_certified",
     # sign-LSH bucket → cap → exact-cosine verify is the hash-checked
     # shape; the top-k ranking layer is recall-tested vs the oracled

@@ -2061,6 +2061,43 @@ GROUP BY source ORDER BY source
 
 
 # --------------------------------------------------------------------------
+# source_token_quantiles_approx — the UNBOUNDED-domain scale path for
+# the same profile: percentile_approx (Greenwald–Khanna sketch,
+# accuracy 10000 → rank error ≤ n/10000). The exact entry's histogram
+# state is bounded by max document length; for a continuous or
+# open-ended metric (floating quality scores, latencies) the GK
+# sketch is the right state, but its encoding is engine-specific —
+# rows-only, TWINS → source_token_quantiles, with the rank-error
+# contract pytest-verified against the exact sort
+# (test_source_token_quantiles_approx_rank_bound).
+# --------------------------------------------------------------------------
+
+def source_token_quantiles_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        tx.token_count(F.col("text")).cast("long").alias("w"),
+    ).filter(F.col("w").isNotNull())
+    return (
+        base.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("w").alias("min_tokens"),
+            F.expr("percentile_approx(w, 0.25, 10000)")
+            .alias("p25_tokens"),
+            F.expr("percentile_approx(w, 0.5, 10000)")
+            .alias("p50_tokens"),
+            F.expr("percentile_approx(w, 0.9, 10000)")
+            .alias("p90_tokens"),
+            F.max("w").alias("max_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
 # quality_filter_adaptive — per-domain ADAPTIVE length filtering: each
 # source's own p10 token count becomes its floor (a fixed global
 # floor over-prunes terse domains and under-prunes verbose ones —
@@ -2309,6 +2346,7 @@ QUERIES = {
     "token_budget_select": token_budget_select,
     "heavy_hitter_tokens": heavy_hitter_tokens,
     "source_token_quantiles": source_token_quantiles,
+    "source_token_quantiles_approx": source_token_quantiles_approx,
     "quality_filter_adaptive": quality_filter_adaptive,
     "source_unigram_entropy": source_unigram_entropy,
     "dup_rate_by_source": dup_rate_by_source,

@@ -2387,6 +2387,60 @@ def test_source_token_quantiles_planted(spark, tmp_path):
     assert abs(r["p90_tokens"] - 4.6) < 1e-12
 
 
+def test_source_token_quantiles_approx_rank_bound(spark, sf_dir):
+    """The GK-sketch twin honors its contract on the corpus fixture:
+    every approximate quantile is an OBSERVED value whose rank in the
+    source's sorted counts is within n/accuracy + 1 of the target
+    rank (accuracy 10000 → effectively exact at test scale), and the
+    quantiles are monotone between the exact min/max."""
+    from pyspark.sql import functions as F
+
+    from sqltask_spark.data import load_table
+    from sqltask_spark.operators import text as tx
+    from sqltask_spark.queries.pipeline import (
+        source_token_quantiles_approx,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    vals: dict[str, list[int]] = {}
+    for r in (
+        docs.select(
+            "source",
+            tx.token_count(F.col("text")).cast("long").alias("w"),
+        )
+        .filter("w IS NOT NULL")
+        .collect()
+    ):
+        vals.setdefault(r["source"], []).append(r["w"])
+    got = source_token_quantiles_approx(spark, sf_dir).collect()
+    assert len(got) == len(vals)
+    for r in got:
+        xs = sorted(vals[r["source"]])
+        n = len(xs)
+        assert r["n_docs"] == n
+        assert r["min_tokens"] == xs[0] and r["max_tokens"] == xs[-1]
+        assert (
+            xs[0]
+            <= r["p25_tokens"]
+            <= r["p50_tokens"]
+            <= r["p90_tokens"]
+            <= xs[-1]
+        )
+        for q, v in (
+            (0.25, r["p25_tokens"]),
+            (0.5, r["p50_tokens"]),
+            (0.9, r["p90_tokens"]),
+        ):
+            assert v in xs, "GK must return an observed value"
+            lo = xs.index(v)
+            hi = n - 1 - xs[::-1].index(v)
+            target = q * (n - 1)
+            tol = n / 10_000 + 1
+            assert lo - tol <= target <= hi + tol, (
+                r["source"], q, v, lo, hi, target,
+            )
+
+
 def test_quality_filter_adaptive_planted(spark, tmp_path):
     """Counts 1..10 in one source: p10 = 1.9, so exactly the 1-token
     doc is dropped — 9/10 kept, kept share 900000 micro, token sums
