@@ -2168,6 +2168,70 @@ ORDER BY b2.source
 
 
 # --------------------------------------------------------------------------
+# source_overlap_matrix — the WHO-copies-WHOM companion to
+# dup_rate_by_source: for every source pair sharing at least one
+# exact fingerprint, the count of shared distinct fingerprints and
+# the number of documents involved. This is the matrix a dedup
+# policy is actually decided from (crawl B mirrors crawl A →
+# drop B's copies wholesale; two curated sets overlap at 0.1% →
+# doc-level dedup suffices). NULL-text documents are excluded — the
+# '' sentinel fingerprint would otherwise fabricate an overlap
+# between every pair of sources that each contain one empty doc.
+#
+# Scale shape: the self-join runs on the (source, fp) CENSUS, keyed
+# by the uniform digest — per-fingerprint cost is (#sources holding
+# it)², bounded by the source count squared, never by copies; output
+# ≤ C(|sources|, 2) rows.
+# --------------------------------------------------------------------------
+
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    census = docs.select(
+        "source", tx.fingerprint_md5(F.col("text")).alias("fp")
+    ).groupBy("source", "fp").agg(F.count(F.lit(1)).alias("c"))
+    a = census.select(
+        F.col("source").alias("src_a"),
+        "fp",
+        F.col("c").alias("c_a"),
+    )
+    b = census.select(
+        F.col("source").alias("src_b"),
+        "fp",
+        F.col("c").alias("c_b"),
+    )
+    return (
+        a.join(b, "fp")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared_fps"),
+            F.sum(F.col("c_a") + F.col("c_b"))
+            .cast("long")
+            .alias("n_docs_involved"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+_OVERLAP_SQL = f"""
+WITH census AS (
+  SELECT source, md5({_NORM}) AS fp, COUNT(*) AS c
+  FROM documents WHERE text IS NOT NULL
+  GROUP BY source, md5({_NORM})
+)
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_fps,
+       CAST(SUM(a.c + b.c) AS BIGINT) AS n_docs_involved
+FROM census a JOIN census b
+  ON a.fp = b.fp AND a.source < b.source
+GROUP BY a.source, b.source
+ORDER BY src_a, src_b
+"""
+
+
+# --------------------------------------------------------------------------
 # source_unigram_entropy — per-source unigram Shannon entropy (the
 # lexical-diversity signal behind domain-mixing and synthetic-data
 # collapse detection: a domain whose entropy drops is repeating
@@ -2350,6 +2414,7 @@ QUERIES = {
     "quality_filter_adaptive": quality_filter_adaptive,
     "source_unigram_entropy": source_unigram_entropy,
     "dup_rate_by_source": dup_rate_by_source,
+    "source_overlap_matrix": source_overlap_matrix,
 }
 
 ORACLES = {
@@ -2357,6 +2422,7 @@ ORACLES = {
     "quality_filter_adaptive": _QFILTER_SQL,
     "source_unigram_entropy": _ENTROPY_SQL,
     "dup_rate_by_source": _DUP_RATE_SQL,
+    "source_overlap_matrix": _OVERLAP_SQL,
     "dsir_weights": _DSIR_SQL,
     "ccnet_ppl_buckets": _CCNET_SQL,
     "sample_k_per_source": _SAMPLE_K_SQL,

@@ -2516,6 +2516,38 @@ def test_dup_rate_by_source_planted(spark, tmp_path):
     assert b["dup_rate_micro"] == 500_000
 
 
+def test_source_overlap_matrix_planted(spark, tmp_path):
+    """Pair accounting on a planted overlap: text t1 lives in A(×2)
+    and B(×1) → (A,B) shares 1 fingerprint across 3 docs; t2 lives in
+    A and C → (A,C) shares 1 across 2; B and C share nothing. Two
+    NULL-text docs in different sources must NOT fabricate an
+    overlap. (The shipped sf0.01 corpus has zero cross-source exact
+    dups — the oracled gate there proves the empty case; sf0.1 has 8
+    shared fingerprints and gates non-empty.)"""
+    rows = [
+        (1, "t1", "A"),
+        (2, "t1", "A"),
+        (3, "t2", "A"),
+        (4, "t1", "B"),
+        (5, None, "B"),
+        (6, "t2", "C"),
+        (7, None, "C"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = tmp_path / "ovl_sf"
+    df.write.parquet(str(out / "documents.parquet"))
+
+    from sqltask_spark.queries.pipeline import source_overlap_matrix
+
+    got = {(r["src_a"], r["src_b"]): r for r in source_overlap_matrix(
+        spark, str(out)
+    ).collect()}
+    assert set(got) == {("A", "B"), ("A", "C")}
+    ab, ac = got[("A", "B")], got[("A", "C")]
+    assert (ab["n_shared_fps"], ab["n_docs_involved"]) == (1, 3)
+    assert (ac["n_shared_fps"], ac["n_docs_involved"]) == (1, 2)
+
+
 def test_corpus_diff_snapshot_planted_statuses(spark, tmp_path):
     """Every status class planted by id arithmetic: removed (id%11=3),
     modified (id%13=5), added derivative (id%17=2), unchanged
