@@ -491,6 +491,130 @@ ORDER BY jac_decile
 
 
 # --------------------------------------------------------------------------
+# source_near_overlap_matrix — the NEAR-dup companion to
+# source_overlap_matrix (queries/pipeline.py): per source pair
+# (diagonal included — within-source near-duplication is the
+# replica/boilerplate signal), the count of MinHash-verified near-dup
+# pairs at Jaccard ≥ 0.7 and their mean Jaccard in integer micro
+# units. Exact copies are the easy case; a crawl that LIGHTLY EDITS
+# what it mirrors only shows up here. Built on the md5 permutation
+# family end to end, so the whole matrix is driver-hash-checked.
+#
+# Cross-engine determinism of the micro mean: jaccard = |∩|/|∪| is a
+# single IEEE division of exact small integers — bit-identical on
+# both engines — and ROUND(j·1e6) therefore rounds the SAME double
+# (exact .5 halves round away-from-zero identically); the per-pair
+# BIGINT micro values then sum order-free.
+#
+# Scale shape: dedup_minhash_pairs_md5's census/banding (bucket-
+# capped) + two skinny source joins on the unique doc id; output ≤
+# |sources|² rows.
+# --------------------------------------------------------------------------
+
+_NEAR_OVERLAP_THRESHOLD = 0.7
+
+
+def source_near_overlap_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from sqltask_spark.operators.dedup import minhash_dedup_pairs_md5
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs_md5(
+        docs,
+        "doc_id",
+        "text",
+        num_perm=_MH_PERM,
+        bands=_MH_BANDS,
+        seed=_MH_SEED,
+        max_bucket_size=_MH_CAP,
+        threshold=_NEAR_OVERLAP_THRESHOLD,
+    )
+    sa = docs.select(
+        F.col("doc_id").alias("id_a"), F.col("source").alias("_sa")
+    )
+    sb = docs.select(
+        F.col("doc_id").alias("id_b"), F.col("source").alias("_sb")
+    )
+    jm = F.round(F.col("jaccard") * F.lit(1e6)).cast("long")
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.least("_sa", "_sb").alias("src_a"),
+            F.greatest("_sa", "_sb").alias("src_b"),
+            jm.alias("jm"),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.expr("sum(jm) div count(1)")
+            .cast("long")
+            .alias("mean_jac_micro"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+def _near_overlap_sql() -> str:
+    return f"""
+WITH sh AS MATERIALIZED (
+  SELECT doc_id AS id,
+         list_distinct(list_transform(
+           {_SHINGLES}, s -> {_md5long_sql('s')})) AS h
+  FROM documents
+),
+ex AS MATERIALIZED (SELECT id, UNNEST(h) AS h FROM sh),
+sig AS MATERIALIZED (
+  SELECT id,
+         {", ".join(f"MIN({_mh_perm_sql(i)}) AS m{i}" for i in range(_MH_PERM))}
+  FROM ex GROUP BY id
+),
+banded AS MATERIALIZED (
+  {" UNION ALL ".join(
+      f"SELECT id, {b} AS band, {_mh_band_sql(b)} AS band_hash FROM sig"
+      for b in range(_MH_BANDS))}
+),
+ok AS (
+  SELECT band, band_hash FROM banded
+  GROUP BY band, band_hash
+  HAVING COUNT(*) >= 2 AND COUNT(*) <= {_MH_CAP}
+),
+cand AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM banded a
+  JOIN banded b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.id < b.id
+  JOIN ok ON ok.band = a.band AND ok.band_hash = a.band_hash
+  GROUP BY a.id, b.id
+),
+verified AS (
+  SELECT cand.id_a, cand.id_b,
+         CAST(LEN(list_intersect(ga.h, gb.h)) AS DOUBLE)
+           / LEN(list_distinct(ga.h || gb.h)) AS jaccard
+  FROM cand
+  JOIN sh ga ON ga.id = cand.id_a
+  JOIN sh gb ON gb.id = cand.id_b
+),
+paired AS (
+  SELECT LEAST(da.source, db.source) AS src_a,
+         GREATEST(da.source, db.source) AS src_b,
+         CAST(ROUND(jaccard * 1000000) AS BIGINT) AS jm
+  FROM verified
+  JOIN documents da ON da.doc_id = verified.id_a
+  JOIN documents db ON db.doc_id = verified.id_b
+  WHERE jaccard >= {_NEAR_OVERLAP_THRESHOLD}
+)
+SELECT src_a, src_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(jm) // COUNT(*) AS BIGINT) AS mean_jac_micro
+FROM paired
+GROUP BY src_a, src_b
+ORDER BY src_a, src_b
+"""
+
+
+# --------------------------------------------------------------------------
 # contamination_fuzzy — cross-corpus NEAR-DUP contamination screen:
 # banded md5 MinHash pairs between the train and eval sides of the
 # standard hash split (same bucket rule as split_train_eval), exact
@@ -2540,6 +2664,7 @@ QUERIES = {
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_minhash_pairs_md5": dedup_minhash_pairs_md5,
     "dedup_minhash_calibration": dedup_minhash_calibration,
+    "source_near_overlap_matrix": source_near_overlap_matrix,
     "contamination_fuzzy": contamination_fuzzy,
     "dedup_graph_triangles": dedup_graph_triangles,
     "doc_novelty_score": doc_novelty_score,
@@ -2602,6 +2727,7 @@ ORACLES = {
     "tokenizer_fertility": _fertility_sql(),
     "dedup_minhash_pairs_md5": _MINHASH_MD5_SQL,
     "dedup_minhash_calibration": _minhash_calibration_sql(),
+    "source_near_overlap_matrix": _near_overlap_sql(),
     "contamination_fuzzy": _CONTAM_FUZZY_SQL,
     "dedup_graph_triangles": _TRIANGLES_SQL,
     "doc_novelty_score": _NOVELTY_SQL,

@@ -2516,6 +2516,35 @@ def test_dup_rate_by_source_planted(spark, tmp_path):
     assert b["dup_rate_micro"] == 500_000
 
 
+def test_source_near_overlap_matrix_planted(spark, tmp_path):
+    """A lightly-edited cross-source mirror (one appended token,
+    Jaccard 8/9 ≈ 0.889) must appear as an (A,B) near-overlap pair
+    with the exact micro Jaccard 888889; the unrelated doc pairs with
+    nothing. Exact duplicates within one source land on the diagonal
+    (A,A) at 1e6."""
+    base = "a b c d e f g h i j"
+    rows = [
+        (1, base, "A"),
+        (2, base, "A"),                 # exact dup within A
+        (3, base + " xx", "B"),         # near-dup mirror in B
+        (4, "q w e r t y u i o p", "C"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = tmp_path / "novl_sf"
+    df.write.parquet(str(out / "documents.parquet"))
+
+    from sqltask_spark.queries.textops import source_near_overlap_matrix
+
+    got = {(r["src_a"], r["src_b"]): r for r in source_near_overlap_matrix(
+        spark, str(out)
+    ).collect()}
+    assert ("A", "A") in got and got[("A", "A")]["mean_jac_micro"] == 1_000_000
+    ab = got[("A", "B")]
+    assert ab["n_pairs"] == 2  # docs 1 and 2 each pair with doc 3
+    assert ab["mean_jac_micro"] == 888_889  # ROUND(8e6/9) per pair
+    assert all("C" not in k for k in got)
+
+
 def test_source_overlap_matrix_planted(spark, tmp_path):
     """Pair accounting on a planted overlap: text t1 lives in A(×2)
     and B(×1) → (A,B) shares 1 fingerprint across 3 docs; t2 lives in
