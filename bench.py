@@ -182,11 +182,7 @@ def main() -> None:
             elapsed = time.perf_counter() - t0
             best = elapsed if best is None else min(best, elapsed)
         calibration[cal_name] = round(best, 3)
-    ratios = [
-        calibration[k] / ref
-        for k, ref in _CAL_REF.items()
-        if ref is not None
-    ]
+    ratios = [calibration[k] / ref for k, ref in _CAL_REF.items()]
     prod = 1.0
     for r in ratios:
         prod *= r

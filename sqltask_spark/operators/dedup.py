@@ -341,6 +341,53 @@ def md5_shingled_docs(
     )
 
 
+def md5_minhash_wide(
+    exploded: DataFrame, num_perm: int, seed: int
+) -> DataFrame:
+    """(id, h) exploded shingle hashes → one row per id with MinHash
+    signature columns ``m0..m{num_perm-1}`` under the md5 permutation
+    family (permutation i = md5 of ``"seed:i:shingle_hash"``).
+
+    THE single definition of the signature construction: the dedup
+    pair operators, the contamination screen, and the calibration
+    certificate (queries/textops.py) all call this, so a change to
+    the permutation format cannot silently desynchronize the
+    certificate from the operator it certifies."""
+
+    def perm(i: int) -> Column:
+        return _md5_long_of(
+            F.concat_ws(
+                ":",
+                F.lit(str(seed)),
+                F.lit(str(i)),
+                F.col("h").cast("string"),
+            )
+        )
+
+    return exploded.groupBy("id").agg(
+        *[F.min(perm(i)).alias(f"m{i}") for i in range(num_perm)]
+    )
+
+
+def md5_band_hash_cols(num_perm: int, bands: int) -> list:
+    """Band hashes over a :func:`md5_minhash_wide` row — band b =
+    md5 of the comma-joined signature values in its rows-per-band
+    slice. Shared for the same reason as the signature builder."""
+    rpb = num_perm // bands
+    return [
+        _md5_long_of(
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"m{b * rpb + j}").cast("string")
+                    for j in range(rpb)
+                ],
+            )
+        )
+        for b in range(bands)
+    ]
+
+
 def minhash_dedup_pairs_md5(
     df: DataFrame,
     id_col: str,
@@ -374,39 +421,14 @@ def minhash_dedup_pairs_md5(
     both families are uniform 60+-bit hashes.
     """
     assert num_perm % bands == 0, "bands must divide num_perm"
-    rpb = num_perm // bands
     from sqltask_spark.data import materialize_and_release
 
     shingled = md5_shingled_docs(df, id_col, text_col, shingle_n)
     if eager:
         shingled = shingled.persist()
     exploded = shingled.select("id", F.explode("h").alias("h"))
-
-    def perm(i: int) -> Column:
-        return _md5_long_of(
-            F.concat_ws(
-                ":",
-                F.lit(str(seed)),
-                F.lit(str(i)),
-                F.col("h").cast("string"),
-            )
-        )
-
-    wide = exploded.groupBy("id").agg(
-        *[F.min(perm(i)).alias(f"m{i}") for i in range(num_perm)]
-    )
-    band_hashes = [
-        _md5_long_of(
-            F.concat_ws(
-                ",",
-                *[
-                    F.col(f"m{b * rpb + j}").cast("string")
-                    for j in range(rpb)
-                ],
-            )
-        )
-        for b in range(bands)
-    ]
+    wide = md5_minhash_wide(exploded, num_perm, seed)
+    band_hashes = md5_band_hash_cols(num_perm, bands)
     banded = wide.select(
         "id",
         F.posexplode(F.array(*band_hashes)).alias("band", "band_hash"),
@@ -472,7 +494,6 @@ def minhash_contamination_pairs_md5(
     bucket census (and count toward the cap) but never pair.
     """
     assert num_perm % bands == 0, "bands must divide num_perm"
-    rpb = num_perm // bands
     from sqltask_spark.data import materialize_and_release
 
     sides = docs.select(
@@ -486,32 +507,8 @@ def minhash_contamination_pairs_md5(
     if eager:
         shingled = shingled.persist()
     exploded = shingled.select("id", F.explode("h").alias("h"))
-
-    def perm(i: int) -> Column:
-        return _md5_long_of(
-            F.concat_ws(
-                ":",
-                F.lit(str(seed)),
-                F.lit(str(i)),
-                F.col("h").cast("string"),
-            )
-        )
-
-    wide = exploded.groupBy("id").agg(
-        *[F.min(perm(i)).alias(f"m{i}") for i in range(num_perm)]
-    )
-    band_hashes = [
-        _md5_long_of(
-            F.concat_ws(
-                ",",
-                *[
-                    F.col(f"m{b * rpb + j}").cast("string")
-                    for j in range(rpb)
-                ],
-            )
-        )
-        for b in range(bands)
-    ]
+    wide = md5_minhash_wide(exploded, num_perm, seed)
+    band_hashes = md5_band_hash_cols(num_perm, bands)
     banded = wide.join(
         shingled.select("id", "side"), "id"
     ).select(

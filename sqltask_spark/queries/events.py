@@ -877,8 +877,15 @@ ORDER BY e.event_type
 # means hash-partitioning is safe; a large ratio says the hottest
 # key's reducer will straggle and the join needs salting
 # (operators/skew.py) or AQE skew handling. Exact integer outputs:
-# skew_ratio_micro = max_user_events · n_users · 1e6 div n_events
-# (max over mean, in micro units, all BIGINT).
+# skew_ratio_micro = (max_user_events · 1e6) div (n_events div
+# n_users) — max over the TRUNCATED integer mean, in micro units.
+# Dividing the mean out first (instead of the algebraically-equal
+# max·n_users·1e6 div n_events) keeps the BIGINT product bounded by
+# max·1e6 — overflow horizon 9.2e12 events on ONE key, versus
+# max·n_users·1e6 which overflows on exactly the hot-key shapes the
+# diagnostic exists to find (1e6-event key × 1e7 users = 1e19).
+# The truncated mean costs < 1 event of precision (mean ≥ 1 always:
+# every counted user has ≥ 1 event), noise for a straggler ratio.
 #
 # Scale shape: one map-side-combined census groupBy(event_type,
 # user_id) — shuffle is distinct-key-sized, never event-sized — then
@@ -902,7 +909,9 @@ def event_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "n_users",
             "max_user_events",
-            F.expr("(max_user_events * n_users * 1000000) div n_events")
+            F.expr(
+                "(max_user_events * 1000000) div (n_events div n_users)"
+            )
             .cast("long")
             .alias("skew_ratio_micro"),
         )
@@ -919,7 +928,7 @@ SELECT event_type,
        CAST(SUM(c) AS BIGINT) AS n_events,
        CAST(COUNT(*) AS BIGINT) AS n_users,
        CAST(MAX(c) AS BIGINT) AS max_user_events,
-       CAST((MAX(c) * COUNT(*) * 1000000) // SUM(c) AS BIGINT)
+       CAST((MAX(c) * 1000000) // (SUM(c) // COUNT(*)) AS BIGINT)
          AS skew_ratio_micro
 FROM census
 GROUP BY event_type

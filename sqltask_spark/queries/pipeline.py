@@ -1466,8 +1466,16 @@ FROM j GROUP BY status ORDER BY status
 # decades closer to a .5 ROUND boundary flip. The canary pytest
 # (test_weighted_sample_key_boundary_margin) measures every shipped
 # doc's distance to its nearest boundary and fails if any key drifts
-# boundary-fragile. Selection quality is unaffected: micro keys are
-# tie-broken by doc_id identically on both engines. Top-k is
+# boundary-fragile. The quantum trades RESOLUTION for that safety:
+# keys span ~41.6e6/w micro units, so the draw is E-S-faithful while
+# w ≪ 1e6 (at w ~ 1e4 there are still ~4000 distinct key values —
+# ample for a top-200 draw) but would degenerate to doc_id
+# tie-breaking for ~1e6-token documents; the canary pytest pins the
+# shipped corpora inside the valid regime (max w ≤ 1e4), and a
+# corpus of book-length documents should scale the quantum with its
+# weight range rather than silently inheriting this one. Ties at
+# equal micro keys break by doc_id identically on both engines.
+# Top-k is
 # orderBy().limit() = TakeOrderedAndProject: per-partition heaps, K
 # rows per partition to the driver merge — no global sort, no window.
 # --------------------------------------------------------------------------

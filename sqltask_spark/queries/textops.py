@@ -265,8 +265,14 @@ def _mh_band_sql(b: int) -> str:
     return _md5long_sql(cols)
 
 
-_MINHASH_MD5_SQL = f"""
-WITH sh AS MATERIALIZED (
+#: the shared md5-MinHash oracle chain — shingle sets → signatures →
+#: banding → capped buckets → candidate pairs, ending in
+#: ``cand(id_a, id_b, n_shared_bands)`` (with ``sh`` and ``sig``
+#: still addressable). ONE definition reused by the pair entry, the
+#: calibration certificate, and the near-overlap matrix, mirroring
+#: the shared Spark-side builders in operators/dedup.py — the same
+#: cannot-desynchronize argument, applied to the oracle text.
+_MH_BODY_SQL = f"""sh AS MATERIALIZED (
   SELECT doc_id AS id,
          list_distinct(list_transform(
            {_SHINGLES}, s -> {_md5long_sql('s')})) AS h
@@ -296,7 +302,10 @@ cand AS (
     ON a.band = b.band AND a.band_hash = b.band_hash AND a.id < b.id
   JOIN ok ON ok.band = a.band AND ok.band_hash = a.band_hash
   GROUP BY a.id, b.id
-)
+)"""
+
+_MINHASH_MD5_SQL = f"""
+WITH {_MH_BODY_SQL}
 SELECT cand.id_a, cand.id_b, cand.n_shared_bands,
        ROUND(CAST(LEN(list_intersect(sa.h, sb.h)) AS DOUBLE)
              / LEN(list_distinct(sa.h || sb.h)), 6) AS jaccard
@@ -330,41 +339,20 @@ def dedup_minhash_calibration(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     from sqltask_spark.operators.dedup import (
-        _md5_long_of,
         _pairs_from_banded,
+        md5_band_hash_cols,
+        md5_minhash_wide,
         md5_shingled_docs,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    rpb = _MH_PERM // _MH_BANDS
     shingled = md5_shingled_docs(docs, "doc_id", "text", 3).persist()
     exploded = shingled.select("id", F.explode("h").alias("h"))
-
-    def perm(i: int):
-        return _md5_long_of(
-            F.concat_ws(
-                ":",
-                F.lit(str(_MH_SEED)),
-                F.lit(str(i)),
-                F.col("h").cast("string"),
-            )
-        )
-
-    wide = exploded.groupBy("id").agg(
-        *[F.min(perm(i)).alias(f"m{i}") for i in range(_MH_PERM)]
-    )
-    band_hashes = [
-        _md5_long_of(
-            F.concat_ws(
-                ",",
-                *[
-                    F.col(f"m{b * rpb + j}").cast("string")
-                    for j in range(rpb)
-                ],
-            )
-        )
-        for b in range(_MH_BANDS)
-    ]
+    # the SHARED signature/band builders (operators/dedup.py) — the
+    # certificate must be constitutionally unable to drift from the
+    # operator it certifies
+    wide = md5_minhash_wide(exploded, _MH_PERM, _MH_SEED)
+    band_hashes = md5_band_hash_cols(_MH_PERM, _MH_BANDS)
     sig = wide.select(
         "id",
         F.array(*[F.col(f"m{i}") for i in range(_MH_PERM)]).alias("sig"),
@@ -387,9 +375,14 @@ def dedup_minhash_calibration(
     )
     inter = F.size(F.array_intersect("h_a", "h_b")).cast("long")
     union = F.size(F.array_union("h_a", "h_b")).cast("long")
+    # merge hints on ALL four corpus-scaled relations: sig carries 32
+    # BIGINTs/doc and shingled a full hash set/doc — the planner's
+    # compressed estimate can undershoot the broadcast threshold and
+    # collect them to the driver (observed at 500k docs for this
+    # relation class — operators/dedup.py)
     scored = (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
+        cand.join(sa.hint("merge"), "id_a")
+        .join(sb.hint("merge"), "id_b")
         .join(ha.hint("merge"), "id_a")
         .join(hb.hint("merge"), "id_b")
         .select(
@@ -437,36 +430,7 @@ def _minhash_calibration_sql() -> str:
         for i in range(_MH_PERM)
     )
     return f"""
-WITH sh AS MATERIALIZED (
-  SELECT doc_id AS id,
-         list_distinct(list_transform(
-           {_SHINGLES}, s -> {_md5long_sql('s')})) AS h
-  FROM documents
-),
-ex AS MATERIALIZED (SELECT id, UNNEST(h) AS h FROM sh),
-sig AS MATERIALIZED (
-  SELECT id,
-         {", ".join(f"MIN({_mh_perm_sql(i)}) AS m{i}" for i in range(_MH_PERM))}
-  FROM ex GROUP BY id
-),
-banded AS MATERIALIZED (
-  {" UNION ALL ".join(
-      f"SELECT id, {b} AS band, {_mh_band_sql(b)} AS band_hash FROM sig"
-      for b in range(_MH_BANDS))}
-),
-ok AS (
-  SELECT band, band_hash FROM banded
-  GROUP BY band, band_hash
-  HAVING COUNT(*) >= 2 AND COUNT(*) <= {_MH_CAP}
-),
-cand AS (
-  SELECT a.id AS id_a, b.id AS id_b
-  FROM banded a
-  JOIN banded b
-    ON a.band = b.band AND a.band_hash = b.band_hash AND a.id < b.id
-  JOIN ok ON ok.band = a.band AND ok.band_hash = a.band_hash
-  GROUP BY a.id, b.id
-),
+WITH {_MH_BODY_SQL},
 scored AS (
   SELECT (({match_terms}) * 1000000) // {_MH_PERM} AS est_micro,
          (CAST(LEN(list_intersect(ga.h, gb.h)) AS BIGINT) * 1000000)
@@ -558,36 +522,7 @@ def source_near_overlap_matrix(
 
 def _near_overlap_sql() -> str:
     return f"""
-WITH sh AS MATERIALIZED (
-  SELECT doc_id AS id,
-         list_distinct(list_transform(
-           {_SHINGLES}, s -> {_md5long_sql('s')})) AS h
-  FROM documents
-),
-ex AS MATERIALIZED (SELECT id, UNNEST(h) AS h FROM sh),
-sig AS MATERIALIZED (
-  SELECT id,
-         {", ".join(f"MIN({_mh_perm_sql(i)}) AS m{i}" for i in range(_MH_PERM))}
-  FROM ex GROUP BY id
-),
-banded AS MATERIALIZED (
-  {" UNION ALL ".join(
-      f"SELECT id, {b} AS band, {_mh_band_sql(b)} AS band_hash FROM sig"
-      for b in range(_MH_BANDS))}
-),
-ok AS (
-  SELECT band, band_hash FROM banded
-  GROUP BY band, band_hash
-  HAVING COUNT(*) >= 2 AND COUNT(*) <= {_MH_CAP}
-),
-cand AS (
-  SELECT a.id AS id_a, b.id AS id_b
-  FROM banded a
-  JOIN banded b
-    ON a.band = b.band AND a.band_hash = b.band_hash AND a.id < b.id
-  JOIN ok ON ok.band = a.band AND ok.band_hash = a.band_hash
-  GROUP BY a.id, b.id
-),
+WITH {_MH_BODY_SQL},
 verified AS (
   SELECT cand.id_a, cand.id_b,
          CAST(LEN(list_intersect(ga.h, gb.h)) AS DOUBLE)

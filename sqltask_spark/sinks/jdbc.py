@@ -196,6 +196,23 @@ class JdbcSink:
             writer = writer.option(k, v)
         writer.mode("append").save()
 
+    @staticmethod
+    def staging_table_name(
+        table_name: str, batch_params: Mapping[str, Any]
+    ) -> str:
+        """Batch-scoped staging table: deterministic per (target,
+        batch params), so a re-run of the SAME batch reclaims its own
+        leftover while concurrent writers of DIFFERENT batches stage
+        into disjoint tables."""
+        import hashlib
+
+        batch_key = hashlib.md5(
+            repr(
+                sorted((str(k), repr(v)) for k, v in batch_params.items())
+            ).encode()
+        ).hexdigest()[:10]
+        return f"{table_name}__stg_{batch_key}"
+
     def _drop_if_exists(self, spark: "SparkSession", name: str) -> None:
         _, conn = self._connect(spark)
         try:
@@ -217,22 +234,36 @@ class JdbcSink:
     ) -> None:
         """Atomic-visibility batch write (see class docstring).
 
-        Phases: (1) drop any staging leftover from a crashed run;
-        (2) distributed append into ``<table>__stg`` — a failure here
-        cannot touch the target; (3) create the target empty if
-        missing (schema via Spark's own JDBC CREATE, so identifier
-        quoting matches the non-staged path); (4) one driver-side
-        transaction: scoped DELETE + INSERT..SELECT, commit-or-
-        rollback as a unit; (5) best-effort staging drop either way.
+        Phases: (1) drop any staging leftover from a crashed run of
+        the SAME batch; (2) distributed append into the BATCH-SCOPED
+        staging table ``<table>__stg_<md5(batch params)[:10]>`` — a
+        failure here cannot touch the target, and concurrent writers
+        of DIFFERENT batches (supported in non-staged mode, so
+        supported here) stage into disjoint tables instead of
+        dropping or double-inserting each other's rows; (3) create
+        the target empty if missing (schema via Spark's own JDBC
+        CREATE, so identifier quoting matches the non-staged path —
+        probed first so the steady-state path pays no extra Spark
+        job); (4) one driver-side transaction: scoped DELETE +
+        INSERT..SELECT, commit-or-rollback as a unit; (5) best-effort
+        staging drop either way.
         """
         spark = df.sparkSession
-        stg = f"{table_name}__stg"
+        stg = self.staging_table_name(table_name, batch_params)
         self._drop_if_exists(spark, stg)
         try:
             self.append(df, stg)
             # ensure the swap has a destination (create-if-missing
-            # parity, M1): an empty append creates the table only
-            self.append(df.limit(0), table_name)
+            # parity, M1): an empty append creates the table only —
+            # probe existence first to skip the no-op Spark job on
+            # the steady-state path
+            _, probe = self._connect(spark)
+            try:
+                target_exists = self._table_exists(probe, table_name)
+            finally:
+                probe.close()
+            if not target_exists:
+                self.append(df.limit(0), table_name)
             jvm, conn = self._connect(spark)
             try:
                 conn.setAutoCommit(False)

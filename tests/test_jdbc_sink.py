@@ -419,14 +419,22 @@ def test_jdbc_staged_write_poisoned_batch_leaves_target_untouched(spark):
     # the target is UNTOUCHED — d2 still holds the OLD c/d rows (the
     # non-staged path deletes them before the append fails)
     assert snapshot() == before
-    # and the staging table did not leak
+    # and the batch-scoped staging table did not leak
     jvm = spark._jvm  # noqa: SLF001
     jvm.java.lang.Class.forName(DERBY_DRIVER)
     conn = jvm.java.sql.DriverManager.getConnection(DERBY_URL)
     try:
-        assert not sink._table_exists(conn, "w2_staged__stg")
+        assert not sink._table_exists(
+            conn,
+            JdbcSink.staging_table_name("w2_staged", {"report_date": d2}),
+        )
     finally:
         conn.close()
+    # different batches stage into disjoint tables — the concurrency
+    # precondition for staged writes of different batches
+    assert JdbcSink.staging_table_name(
+        "w2_staged", {"report_date": d1}
+    ) != JdbcSink.staging_table_name("w2_staged", {"report_date": d2})
 
     # clean staged rewrite lands atomically; re-run stays idempotent
     sink.write_batch(_batch_df(spark, d2, ["e", "f", "g"]), t2)
