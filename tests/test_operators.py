@@ -2529,6 +2529,50 @@ def test_dup_rate_by_source_planted(spark, tmp_path):
     assert b["dup_rate_micro"] == 500_000
 
 
+def test_r8_entries_tolerate_empty_corpus(spark, tmp_path):
+    """A 100 TB pipeline routinely produces empty slices (a filter
+    that matches nothing, a new source with no docs yet) — every r8
+    documents-table entry must return an EMPTY result on an empty
+    corpus, not throw (empty-group percentiles, ln of nothing,
+    zero-pair joins, empty top-k are all exercised)."""
+    empty = spark.createDataFrame(
+        [],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    out = tmp_path / "empty_sf"
+    empty.write.parquet(str(out / "documents.parquet"))
+
+    from sqltask_spark.queries.pipeline import (
+        dup_rate_by_source,
+        quality_filter_adaptive,
+        source_overlap_matrix,
+        source_token_quantiles,
+        source_token_quantiles_approx,
+        source_unigram_entropy,
+        weighted_sample_wor,
+    )
+    from sqltask_spark.queries.textops import (
+        dedup_minhash_calibration,
+        source_near_overlap_matrix,
+        tokenizer_fertility,
+    )
+
+    for fn in (
+        source_token_quantiles,
+        source_token_quantiles_approx,
+        quality_filter_adaptive,
+        source_unigram_entropy,
+        dup_rate_by_source,
+        source_overlap_matrix,
+        source_near_overlap_matrix,
+        dedup_minhash_calibration,
+        weighted_sample_wor,
+        tokenizer_fertility,
+    ):
+        assert fn(spark, str(out)).count() == 0, fn.__name__
+
+
 def test_source_near_overlap_matrix_planted(spark, tmp_path):
     """A lightly-edited cross-source mirror (one appended token,
     Jaccard 8/9 ≈ 0.889) must appear as an (A,B) near-overlap pair

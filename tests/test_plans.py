@@ -404,6 +404,42 @@ def test_q17_broadcast_dim_single_window_shuffle(spark, sf_dir):
     assert r.n_exchanges <= 3  # window hash + final agg single-part
 
 
+def test_r8_diagnostics_plan_shapes(spark, sf_dir):
+    """The r8 per-source diagnostics keep their designed shapes:
+    adaptive filtering broadcasts its |sources|-row thresholds (never
+    shuffles the corpus for the join), the census-rollup entries plan
+    no cartesian and no window anywhere, entropy's only exchanges are
+    the census + per-source aggregates, and the scans prune to the
+    2-3 columns each entry actually reads."""
+    qf = plan_report(QUERIES["quality_filter_adaptive"](spark, sf_dir))
+    assert "BroadcastHashJoin" in qf.join_strategies
+    assert "CartesianProduct" not in qf.join_strategies
+    assert all(
+        "doc_id" not in s for s in qf.read_schemas
+    ), "quality filter must not read doc_id"
+
+    ent = plan_report(QUERIES["source_unigram_entropy"](spark, sf_dir))
+    assert ent.join_strategies == []
+    assert ent.n_exchanges <= 3  # census + per-source agg (+ sort)
+
+    for name in ("dup_rate_by_source", "source_overlap_matrix",
+                 "event_key_skew_profile"):
+        r = plan_report(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in r.join_strategies, name
+        assert "BroadcastNestedLoopJoin" not in r.join_strategies, name
+
+
+def test_minhash_calibration_no_driver_broadcast_of_corpus(spark, sf_dir):
+    """The calibration's four corpus-scaled joins (signatures a/b,
+    shingle sets a/b) must stay shuffle joins — the merge hints exist
+    because the planner's compressed estimate can undershoot the
+    broadcast threshold and collect a 32-BIGINT-per-doc relation to
+    the driver (observed failure class at 500k docs)."""
+    r = plan_report(QUERIES["dedup_minhash_calibration"](spark, sf_dir))
+    assert r.join_strategies.count("SortMergeJoin") >= 4
+    assert "CartesianProduct" not in r.join_strategies
+
+
 def test_catalog_no_global_sort_window(spark, sf_dir):
     """Catalog-WIDE plan invariant (r6's only named scale-killer was a
     partition-less row_number window that no per-entry test caught):
