@@ -936,10 +936,85 @@ ORDER BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# event_decay_weighted_value — recency-weighted value aggregate (the
+# classic featurization op: an event's contribution decays with a
+# 7-day half-life from the corpus' newest timestamp, so recent
+# activity dominates without a hard cutoff). All fixed-point BIGINT:
+# v_milli = ROUND(value·1e3) (both engines round the SAME input
+# double — no cross-engine drift), w_milli = ROUND(exp(−ln2·age/7)·
+# 1e3) (the lm_perplexity ROUND-of-transcendental class, at milli —
+# even wider boundary margins than the accepted micro ln entries;
+# ln 2 is a shared literal, not a per-engine LN(2) call), and the
+# per-type sums are exact integer arithmetic (order-free). Unit of
+# the decayed sum: milli·milli = micro. Overflow horizon:
+# |v|≤10^3 ⇒ contribution ≤ 1e9/event ⇒ ~9e9 events per type.
+#
+# Scale shape: 1-row max-timestamp broadcast + one map-side-combined
+# aggregate; no window, no corpus shuffle.
+# --------------------------------------------------------------------------
+
+_DECAY_LN2 = 0.6931471805599453
+_DECAY_HALF_LIFE_DAYS = 7.0
+
+
+def event_decay_weighted_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max("ts").alias("_anchor"))
+    # whole-second age (unix_timestamp ≡ DuckDB FLOOR(epoch(…)) — the
+    # catalog's pinned NTZ-timestamp contract, cf. sessionize/tumbling)
+    age_days = (
+        F.unix_timestamp("_anchor") - F.unix_timestamp("ts")
+    ).cast("double") / F.lit(86400.0)
+    w_milli = F.round(
+        F.exp(age_days * F.lit(-_DECAY_LN2 / _DECAY_HALF_LIFE_DAYS))
+        * F.lit(1e3)
+    ).cast("long")
+    v_milli = F.round(F.col("value") * F.lit(1e3)).cast("long")
+    return (
+        ev.crossJoin(F.broadcast(anchor))
+        .select(
+            "event_type",
+            v_milli.alias("v"),
+            (v_milli * w_milli).alias("vw"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("v").cast("long").alias("value_milli"),
+            F.sum("vw").cast("long").alias("decayed_value_micro"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_DECAY_SQL = f"""
+WITH anchor AS (SELECT MAX(ts) AS a FROM events),
+per AS (
+  SELECT event_type,
+         CAST(ROUND(value * 1000) AS BIGINT) AS v,
+         CAST(ROUND(value * 1000) AS BIGINT)
+           * CAST(ROUND(EXP(
+               (FLOOR(epoch(a)) - FLOOR(epoch(ts))) / 86400.0
+               * {-_DECAY_LN2 / _DECAY_HALF_LIFE_DAYS!r}) * 1000)
+             AS BIGINT) AS vw
+  FROM events, anchor
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(v) AS BIGINT) AS value_milli,
+       CAST(SUM(vw) AS BIGINT) AS decayed_value_micro
+FROM per GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "sessionize_events": sessionize_events,
     "funnel_conversion": funnel_conversion,
     "event_key_skew_profile": event_key_skew_profile,
+    "event_decay_weighted_value": event_decay_weighted_value,
     "retention_cohorts": retention_cohorts,
     "resample_fill_events": resample_fill_events,
     "winsorized_event_stats": winsorized_event_stats,
@@ -958,6 +1033,7 @@ ORACLES = {
     "sessionize_events": _SESSIONIZE_SQL,
     "funnel_conversion": _FUNNEL_SQL,
     "event_key_skew_profile": _SKEW_PROFILE_SQL,
+    "event_decay_weighted_value": _DECAY_SQL,
     "retention_cohorts": _RETENTION_SQL,
     "resample_fill_events": _RESAMPLE_SQL,
     "winsorized_event_stats": _WINSOR_SQL,

@@ -2348,6 +2348,35 @@ def test_event_key_skew_profile_planted(spark, tmp_path):
     assert flat["skew_ratio_micro"] == 1_000_000
 
 
+def test_event_decay_weighted_value_planted(spark, tmp_path):
+    """Half-life arithmetic on planted ages: an event AT the anchor
+    weighs 1000 milli, one exactly 7 days old weighs 500, one 14 days
+    old weighs 250 — value 2.0 each gives decayed micro sum
+    2000·(1000+500+250) = 3,500,000."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 1, "buy", 2.0, None),
+        (2, t0 - dt.timedelta(days=7), 2, "buy", 2.0, None),
+        (3, t0 - dt.timedelta(days=14), 3, "buy", 2.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = tmp_path / "decay_sf"
+    df.write.parquet(str(out / "events.parquet"))
+
+    from sqltask_spark.queries.events import event_decay_weighted_value
+
+    r = event_decay_weighted_value(spark, str(out)).collect()[0]
+    assert r["n_events"] == 3
+    assert r["value_milli"] == 6000
+    assert r["decayed_value_micro"] == 2000 * (1000 + 500 + 250)
+
+
 def test_minhash_calibration_planted_and_bounded(spark, sf_dir, tmp_path):
     """Exact duplicates must calibrate perfectly (every permutation
     min matches → estimate 1e6, exact 1e6, error 0, the dedicated
