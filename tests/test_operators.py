@@ -755,6 +755,61 @@ def test_minhash_index_screens_new_batch(spark, tables, tmp_path):
     assert any(r.corpus_id == base["doc_id"] for r in hits)
 
 
+def test_minhash_index_append_learns_and_matches_rebuild(
+    spark, tables, tmp_path
+):
+    """The ingest-loop admit step: screen a batch, APPEND its novel
+    docs, and (a) the next batch's near-dup OF AN APPENDED DOC is
+    caught — the index learned; (b) every probe against the appended
+    index is bit-identical to a probe against a fresh build over the
+    union corpus — append changes WHEN work happens, never WHAT the
+    index contains."""
+    from sqltask_spark.operators.dedup_index import (
+        append_to_minhash_index,
+        build_minhash_index,
+        probe_minhash_index,
+    )
+
+    docs = tables["documents"]
+    idx = str(tmp_path / "mh_index_app")
+    build_minhash_index(docs, idx)
+    novel_text = "xq zz yy ww vv uu tt ss rr qq pp oo nn mm"
+    admitted = spark.createDataFrame(
+        [(900002, novel_text)], "doc_id long, text string"
+    )
+    # pre-append: a near-dup of the (not yet indexed) novel doc passes
+    probe2 = spark.createDataFrame(
+        [(900003, novel_text + " extra")], "doc_id long, text string"
+    )
+    assert (
+        probe_minhash_index(spark, idx, probe2, threshold=0.5).count() == 0
+    )
+    append_to_minhash_index(idx, admitted)
+    hits = probe_minhash_index(spark, idx, probe2, threshold=0.5).collect()
+    assert {(r.batch_id, r.corpus_id) for r in hits} == {(900003, 900002)}
+
+    # identity: appended index ≡ fresh build over the union corpus
+    idx2 = str(tmp_path / "mh_index_rebuilt")
+    build_minhash_index(
+        docs.select("doc_id", "text").unionByName(admitted), idx2
+    )
+    big_probe = docs.select("doc_id", "text").unionByName(probe2)
+
+    def canon(path):
+        return {
+            (r.batch_id, r.corpus_id): (
+                r.n_shared_bands,
+                round(r.jaccard, 9),
+            )
+            for r in probe_minhash_index(
+                spark, path, big_probe, threshold=0.5
+            ).collect()
+        }
+
+    got, want = canon(idx), canon(idx2)
+    assert got == want and want
+
+
 def test_dsir_weights_favor_target_like_documents(spark):
     from sqltask_spark.operators.text import dsir_importance_weights
 
