@@ -134,6 +134,67 @@ def build_ivf_index(
     return n_cells
 
 
+def append_to_ivf_index(
+    path: str,
+    batch: DataFrame,
+    corpus_id: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Add vectors to a prebuilt index under the FROZEN coarse
+    quantizer — the standard IVF ingest contract: new vectors assign
+    to the EXISTING cells (and, in PQ layout, encode against the
+    existing codebooks), so every prior probe result is untouched and
+    the append is batch-sized work (assign + one partitioned append —
+    no corpus rewrite, no retraining job). Re-training the quantizer
+    is by definition a rebuild, not an append; if the ingested
+    distribution drifts far from the training sample, cell occupancy
+    skews and recall degrades — monitor occupancy and rebuild on
+    drift, exactly as FAISS-style serving systems do. Caller
+    contract: ids must be new to the index.
+    """
+    import os
+
+    spark = batch.sparkSession
+    cent_rows = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(),
+        key=lambda r: r["cell"],
+    )
+    cents = np.array([list(r["centroid"]) for r in cent_rows])
+    if os.path.exists(f"{path}/codebooks"):
+        cb_rows = spark.read.parquet(f"{path}/codebooks").collect()
+        m = 1 + max(r["subspace"] for r in cb_rows)
+        pq_k = 1 + max(r["code"] for r in cb_rows)
+        subdim = len(cb_rows[0]["centroid"])
+        codebooks = [np.zeros((pq_k, subdim)) for _ in range(m)]
+        for r in cb_rows:
+            codebooks[r["subspace"]][r["code"]] = list(r["centroid"])
+        encode = _pq_encode_udf(cents, codebooks)
+        base = batch.select(
+            F.col(corpus_id).alias("neighbor_id"),
+            F.col(vec_col).cast("array<float>").alias("cv"),
+            encode(F.col(vec_col)).alias("e"),
+        ).select(
+            "neighbor_id", "cv", F.col("e.codes").alias("codes"),
+            F.col("e.cell").alias("cell"),
+        )
+    else:
+        base = batch.select(
+            F.col(corpus_id).alias("neighbor_id"),
+            F.col(vec_col).cast("array<float>").alias("cv"),
+            _cell_assign_udf(cents, 1)(F.col(vec_col))[0].alias("cell"),
+        )
+    (
+        base.withColumn("cn", l2_norm(as_double_array(F.col("cv"))))
+        .repartition("cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(f"{path}/vectors")
+    )
+    # probes in this session must see the appended files, not the
+    # cached listing
+    spark.catalog.refreshByPath(f"{path}/vectors")
+
+
 def probe_ivf_index_distributed(
     spark: SparkSession,
     path: str,

@@ -300,6 +300,45 @@ def test_ivf_index_probe_matches_percall_and_prunes(spark, sf_dir, tmp_path):
     assert not any("cell" in p for p in r.pushed_filters)
 
 
+def test_ivf_index_append_frozen_quantizer(spark, sf_dir, tmp_path):
+    """The ingest-loop append: an exact clone of the query vector
+    appended under the FROZEN quantizer must land at rank 1 with
+    cosine exactly 1.0 (it assigned to the query's own cell — the
+    frozen-centroid assignment is arrival-order independent), and
+    every pre-append neighbor must still appear, shifted down by
+    exactly one rank with its score unchanged — appends never perturb
+    existing results."""
+    from sqltask_spark.operators.ann_index import (
+        append_to_ivf_index,
+        build_ivf_index,
+        probe_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 1)
+    idx = str(tmp_path / "ivf_app")
+    build_ivf_index(emb, idx, "vec_id", "embedding", n_cells=16)
+    before = probe_ivf_index(
+        spark, idx, q, "vec_id", "embedding", k=5, n_probe=8
+    ).collect()
+    assert len(before) == 5
+
+    clone = q.select(
+        F.lit(990001).cast("long").alias("vec_id"), F.col("embedding")
+    )
+    append_to_ivf_index(idx, clone, "vec_id", "embedding")
+    after = probe_ivf_index(
+        spark, idx, q, "vec_id", "embedding", k=5, n_probe=8
+    ).collect()
+    top = [r for r in after if r["rank"] == 1][0]
+    assert top["neighbor_id"] == 990001 and top["score"] == 1.0
+    assert [
+        (r["neighbor_id"], r["score"]) for r in after if r["rank"] >= 2
+    ] == [
+        (r["neighbor_id"], r["score"]) for r in before if r["rank"] <= 4
+    ]
+
+
 def test_ivf_pq_index_probe_matches_and_prunes_columns(
     spark, sf_dir, tmp_path
 ):
