@@ -22,6 +22,37 @@ Determinism matches the per-call operator exactly: same sample, same
 Lloyd iterations, same rounded-cosine + id tie-break — so
 ``probe_ivf_index(build_ivf_index(c), q)`` reproduces
 ``cosine_topk_ivf(q, c)`` bit-for-bit (tested).
+
+Durability layout (the :mod:`~sqltask_spark.operators.index_fs`
+commit protocol — new-files-only + numbered-manifest publish)::
+
+    path/quantizer/g000001/centroids   frozen coarse quantizer
+    path/quantizer/g000001/codebooks   PQ sub-codebooks (pq only)
+    path/manifests/manifest-*.json newest parseable wins; carries
+                                   the layout params (n_cells, PQ
+                                   m/pq_k) and the quantizer version
+                                   atomically with the generation set
+    path/vectors/gen=g000001/cell=K/...  one generation per commit
+
+The quantizer is VERSIONED like the data: a rebuild writes a fresh
+quantizer directory and flips to it in the same manifest commit that
+publishes the re-encoded generation — a crash mid-rebuild can never
+leave probes assigning against a new quantizer while scanning cells
+laid out by the old one.
+
+Probes read exactly the generation directories the newest committed
+manifest names (``basePath`` keeps ``cell`` a partition column, so
+directory pruning is untouched — plan-tested); appends write a fresh
+generation and publish it with the next manifest. Appends are
+IDEMPOTENT (already-committed ids are anti-joined out, so a retried
+ingest batch is a no-op instead of a double-insert) and CRASH-ATOMIC
+(a crash before the manifest lands leaves probes serving the
+pre-append state bit-for-bit; the orphan generation is swept by the
+next writer, and re-running the append heals). The PQ-vs-plain
+layout is recorded in the manifest at build time and read back on
+append — never inferred from driver-local filesystem probes, which
+lie on HDFS/object stores. Single writer at a time is the contract;
+concurrent readers are always safe.
 """
 
 from __future__ import annotations
@@ -31,6 +62,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from sqltask_spark.operators import index_fs
 from sqltask_spark.operators.similarity import (
     _cell_assign_udf,
     _kmeans_euclid,
@@ -41,6 +73,53 @@ from sqltask_spark.operators.similarity import (
     cosine_prenormed,
     l2_norm,
 )
+
+
+def _committed(spark: SparkSession, path: str) -> dict:
+    m = index_fs.read_manifest(spark, path)
+    if m is None:
+        raise ValueError(f"no committed manifest under {path}")
+    return m
+
+
+def _read_vectors(spark: SparkSession, path: str, m: dict) -> DataFrame:
+    """Union of the committed generations. ``basePath`` keeps ``cell``
+    a PARTITION column across the multi-generation read, so the probe
+    predicates still prune directories (plan-tested)."""
+    return (
+        spark.read.option("basePath", f"{path}/vectors")
+        .parquet(
+            *[f"{path}/vectors/gen={g}" for g in m["generations"]]
+        )
+        .drop("gen")
+    )
+
+
+def _read_centroids(spark: SparkSession, path: str, m: dict):
+    """Frozen coarse quantizer of the committed manifest, as an
+    ndarray ordered by cell."""
+    cent_rows = sorted(
+        spark.read.parquet(
+            f"{path}/quantizer/{m['quantizer']}/centroids"
+        ).collect(),
+        key=lambda r: r["cell"],
+    )
+    return np.array([list(r["centroid"]) for r in cent_rows])
+
+
+def _read_pq_codebooks(spark: SparkSession, path: str, m_fest: dict):
+    """(m, pq_k, codebooks) decoded from the committed PQ
+    sub-codebooks."""
+    cb_rows = spark.read.parquet(
+        f"{path}/quantizer/{m_fest['quantizer']}/codebooks"
+    ).collect()
+    m = 1 + max(r["subspace"] for r in cb_rows)
+    pq_k = 1 + max(r["code"] for r in cb_rows)
+    subdim = len(cb_rows[0]["centroid"])
+    codebooks = [np.zeros((pq_k, subdim)) for _ in range(m)]
+    for r in cb_rows:
+        codebooks[r["subspace"]][r["code"]] = list(r["centroid"])
+    return m, pq_k, codebooks
 
 
 def build_ivf_index(
@@ -55,7 +134,8 @@ def build_ivf_index(
 ) -> int:
     """Train the coarse quantizer and write the cell-partitioned
     index under ``path``. Returns the cell count (√n auto-scale when
-    ``n_cells=None``).
+    ``n_cells=None``). REBUILD of an existing index is atomic: a
+    fresh generation, visible only at the manifest commit.
 
     With ``m`` set, PQ sub-codebooks train on the same sample and
     each row additionally carries its ``m`` byte codes; the ADC probe
@@ -69,6 +149,10 @@ def build_ivf_index(
     sample = _sample_matrix(corpus, corpus_id, vec_col, sample_cap)
     cents = _spherical_kmeans(sample, n_cells, 8)
     spark = corpus.sparkSession
+    prev = index_fs.read_manifest(spark, path)
+    gen = index_fs.fresh_gen(
+        spark, [f"{path}/vectors", f"{path}/quantizer"], prev
+    )
     if m is not None:
         norms = np.linalg.norm(sample, axis=1)
         unit = sample[norms > 0] / norms[norms > 0, None]
@@ -100,7 +184,7 @@ def build_ivf_index(
             )
             .coalesce(1)
             .write.mode("overwrite")
-            .parquet(f"{path}/codebooks")
+            .parquet(f"{path}/quantizer/{gen}/codebooks")
         )
     else:
         base = corpus.select(
@@ -120,7 +204,7 @@ def build_ivf_index(
         .repartition(n_cells, "cell")
         .write.mode("overwrite")
         .partitionBy("cell")
-        .parquet(f"{path}/vectors")
+        .parquet(f"{path}/vectors/gen={gen}")
     )
     (
         spark.createDataFrame(
@@ -129,7 +213,24 @@ def build_ivf_index(
         )
         .coalesce(1)
         .write.mode("overwrite")
-        .parquet(f"{path}/centroids")
+        .parquet(f"{path}/quantizer/{gen}/centroids")
+    )
+    # layout is RECORDED in the manifest, never inferred from
+    # filesystem probes (a driver-local exists() check lies on
+    # HDFS/S3 and would silently append PQ rows without codes)
+    index_fs.commit_manifest(
+        spark,
+        path,
+        {
+            "generations": [gen],
+            "quantizer": gen,
+            "params": {
+                "n_cells": n_cells,
+                "m": m,
+                "pq_k": pq_k if m is not None else None,
+            },
+        },
+        prev["_seq"] if prev else -1,
     )
     return n_cells
 
@@ -139,60 +240,128 @@ def append_to_ivf_index(
     batch: DataFrame,
     corpus_id: str,
     vec_col: str = "embedding",
-) -> None:
+) -> int:
     """Add vectors to a prebuilt index under the FROZEN coarse
     quantizer — the standard IVF ingest contract: new vectors assign
     to the EXISTING cells (and, in PQ layout, encode against the
     existing codebooks), so every prior probe result is untouched and
-    the append is batch-sized work (assign + one partitioned append —
-    no corpus rewrite, no retraining job). Re-training the quantizer
-    is by definition a rebuild, not an append; if the ingested
-    distribution drifts far from the training sample, cell occupancy
-    skews and recall degrades — monitor occupancy and rebuild on
-    drift, exactly as FAISS-style serving systems do. Caller
-    contract: ids must be new to the index.
-    """
-    import os
+    the append is batch-sized work (assign + one generation write —
+    no corpus rewrite, no retraining job). Returns the number of
+    vectors actually appended.
 
+    Idempotent: ids already committed are anti-joined out first (one
+    shuffle of the column-pruned id column — linear, id-only), so a
+    retried ingest batch is a no-op returning 0. Crash-atomic: the
+    new generation becomes visible only when the manifest commits;
+    earlier crashes leave probes on the pre-append state exactly, the
+    orphan directory is swept by the next writer, and re-running
+    heals. The layout (plain vs PQ) comes from the stored ``meta`` —
+    never from driver-local filesystem probes.
+
+    Re-training the quantizer is by definition a rebuild, not an
+    append; if the ingested distribution drifts far from the training
+    sample, cell occupancy skews and recall degrades — monitor with
+    :func:`ivf_occupancy_stats` and rebuild on drift, exactly as
+    FAISS-style serving systems do.
+    """
     spark = batch.sparkSession
-    cent_rows = sorted(
-        spark.read.parquet(f"{path}/centroids").collect(),
-        key=lambda r: r["cell"],
+    m_fest = _committed(spark, path)
+    index_fs.sweep_orphans(
+        spark, f"{path}/vectors", {f"gen={g}" for g in m_fest["generations"]},
+        "gen=",
     )
-    cents = np.array([list(r["centroid"]) for r in cent_rows])
-    if os.path.exists(f"{path}/codebooks"):
-        cb_rows = spark.read.parquet(f"{path}/codebooks").collect()
-        m = 1 + max(r["subspace"] for r in cb_rows)
-        pq_k = 1 + max(r["code"] for r in cb_rows)
-        subdim = len(cb_rows[0]["centroid"])
-        codebooks = [np.zeros((pq_k, subdim)) for _ in range(m)]
-        for r in cb_rows:
-            codebooks[r["subspace"]][r["code"]] = list(r["centroid"])
-        encode = _pq_encode_udf(cents, codebooks)
-        base = batch.select(
-            F.col(corpus_id).alias("neighbor_id"),
-            F.col(vec_col).cast("array<float>").alias("cv"),
-            encode(F.col(vec_col)).alias("e"),
-        ).select(
-            "neighbor_id", "cv", F.col("e.codes").alias("codes"),
-            F.col("e.cell").alias("cell"),
-        )
-    else:
-        base = batch.select(
-            F.col(corpus_id).alias("neighbor_id"),
-            F.col(vec_col).cast("array<float>").alias("cv"),
-            _cell_assign_udf(cents, 1)(F.col(vec_col))[0].alias("cell"),
-        )
-    (
-        base.withColumn("cn", l2_norm(as_double_array(F.col("cv"))))
-        .repartition("cell")
-        .write.mode("append")
-        .partitionBy("cell")
-        .parquet(f"{path}/vectors")
+    index_fs.sweep_orphans(
+        spark, f"{path}/quantizer", {m_fest["quantizer"]}, "g"
     )
-    # probes in this session must see the appended files, not the
-    # cached listing
-    spark.catalog.refreshByPath(f"{path}/vectors")
+    meta = m_fest["params"]
+    stored_ids = _read_vectors(spark, path, m_fest).select("neighbor_id")
+    novel = batch.join(
+        stored_ids, batch[corpus_id] == stored_ids["neighbor_id"],
+        "left_anti",
+    ).persist()
+    try:
+        n_novel = novel.count()
+        if n_novel == 0:
+            return 0
+        cents = _read_centroids(spark, path, m_fest)
+        if meta["m"] is not None:
+            _, _, codebooks = _read_pq_codebooks(spark, path, m_fest)
+            encode = _pq_encode_udf(cents, codebooks)
+            base = novel.select(
+                F.col(corpus_id).alias("neighbor_id"),
+                F.col(vec_col).cast("array<float>").alias("cv"),
+                encode(F.col(vec_col)).alias("e"),
+            ).select(
+                "neighbor_id", "cv", F.col("e.codes").alias("codes"),
+                F.col("e.cell").alias("cell"),
+            )
+        else:
+            base = novel.select(
+                F.col(corpus_id).alias("neighbor_id"),
+                F.col(vec_col).cast("array<float>").alias("cv"),
+                _cell_assign_udf(cents, 1)(F.col(vec_col))[0].alias("cell"),
+            )
+        gen = index_fs.next_gen(m_fest)
+        (
+            base.withColumn("cn", l2_norm(as_double_array(F.col("cv"))))
+            .repartition("cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(f"{path}/vectors/gen={gen}")
+        )
+        # the COMMIT: the generation was invisible until this line
+        index_fs.commit_manifest(
+            spark, path,
+            {
+                "generations": m_fest["generations"] + [gen],
+                "quantizer": m_fest["quantizer"],
+                "params": meta,
+            },
+            m_fest["_seq"],
+        )
+        return n_novel
+    finally:
+        novel.unpersist()
+
+
+def ivf_occupancy_stats(spark: SparkSession, path: str) -> DataFrame:
+    """The drift signal the frozen-quantizer contract prescribes: a
+    one-row summary of per-cell occupancy over the committed index.
+
+    The frozen quantizer stays healthy only while ingested batches
+    resemble the training sample; drift shows up as cells outgrowing
+    the mean. ``concentration_micro`` = max·1e6 div truncated-mean
+    (the :func:`~sqltask_spark.queries.events.event_key_skew_profile`
+    integer discipline — the micro product is bounded by max·1e6, so
+    it cannot overflow on exactly the hot-cell shapes it exists to
+    find). Rebuild when the ratio trends away from its build-time
+    value. One map-side-combined census groupBy(cell) — shuffle is
+    cell-count-sized, never vector-sized; the scan reads the
+    partition column only.
+    """
+    m = _committed(spark, path)
+    census = (
+        _read_vectors(spark, path, m)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return census.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells_used"),
+        F.sum("c").cast("long").alias("n_vectors"),
+        F.max("c").cast("long").alias("max_occupancy"),
+        F.min("c").cast("long").alias("min_occupancy"),
+    ).select(
+        "n_cells_used",
+        "n_vectors",
+        "max_occupancy",
+        "min_occupancy",
+        F.expr(
+            "(max_occupancy * 1000000)"
+            " div (n_vectors div n_cells_used)"
+        )
+        .cast("long")
+        .alias("concentration_micro"),
+    )
 
 
 def probe_ivf_index_distributed(
@@ -226,11 +395,8 @@ def probe_ivf_index_distributed(
     from sqltask_spark.data import ensure_min_partitions
     from sqltask_spark.operators.similarity import _salted_cell_join
 
-    cent_rows = sorted(
-        spark.read.parquet(f"{path}/centroids").collect(),
-        key=lambda r: r["cell"],
-    )
-    cents = np.array([list(r["centroid"]) for r in cent_rows])
+    m_fest = _committed(spark, path)
+    cents = _read_centroids(spark, path, m_fest)
     assigned = queries.select(
         F.col(query_id).alias("query_id"),
         as_double_array(F.col(query_vec)).alias("qv"),
@@ -244,7 +410,7 @@ def probe_ivf_index_distributed(
     qvecs_df = assigned.select("query_id", "qv").withColumn(
         "qn", l2_norm(F.col("qv"))
     )
-    ci = ensure_min_partitions(spark.read.parquet(f"{path}/vectors"))
+    ci = ensure_min_partitions(_read_vectors(spark, path, m_fest))
     joined = _salted_cell_join(ci, probes_df, len(cents))
     if exclude_self:
         # corpus-style probes share the corpus id space, where a
@@ -308,11 +474,8 @@ def probe_ivf_index(
     For query batches too large to collect, use
     :func:`probe_ivf_index_distributed`.
     """
-    cent_rows = sorted(
-        spark.read.parquet(f"{path}/centroids").collect(),
-        key=lambda r: r["cell"],
-    )
-    cents = np.array([list(r["centroid"]) for r in cent_rows])
+    m_fest = _committed(spark, path)
+    cents = _read_centroids(spark, path, m_fest)
     q_rows = queries.select(
         F.col(query_id).alias("query_id"), F.col(query_vec).alias("qv")
     ).collect()
@@ -347,7 +510,7 @@ def probe_ivf_index(
     from sqltask_spark.data import ensure_min_partitions
 
     ci = ensure_min_partitions(
-        spark.read.parquet(f"{path}/vectors").filter(
+        _read_vectors(spark, path, m_fest).filter(
             F.col("cell").isin(probed_cells)
         )
     )
@@ -355,13 +518,8 @@ def probe_ivf_index(
         F.desc("score"), F.asc("neighbor_id")
     )
     if use_pq:
-        cb_rows = spark.read.parquet(f"{path}/codebooks").collect()
-        m = 1 + max(r["subspace"] for r in cb_rows)
-        pq_k = 1 + max(r["code"] for r in cb_rows)
-        subdim = len(cb_rows[0]["centroid"])
-        codebooks = [np.zeros((pq_k, subdim)) for _ in range(m)]
-        for r in cb_rows:
-            codebooks[r["subspace"]][r["code"]] = list(r["centroid"])
+        m, pq_k, codebooks = _read_pq_codebooks(spark, path, m_fest)
+        subdim = codebooks[0].shape[1]
         q_unit = q_mat / qn[:, None]
         luts = np.concatenate(
             [
@@ -401,7 +559,7 @@ def probe_ivf_index(
         )
         exact = (
             cand.join(
-                spark.read.parquet(f"{path}/vectors").select(
+                _read_vectors(spark, path, m_fest).select(
                     "neighbor_id", "cv", "cn"
                 ),
                 "neighbor_id",

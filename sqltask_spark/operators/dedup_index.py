@@ -25,9 +25,30 @@ ANN index (:mod:`sqltask_spark.operators.ann_index`):
 - **append** closes the production ingest loop: after a probe
   admits a batch's novel documents, appending them makes the NEXT
   batch screen against them too — batch-sized work only (new
-  postings and shingles land as appended files; the skinny sizes
-  relation is the one rewritten artifact, merged as old ∪ new →
-  sum). At 100 TB the index is built once and only ever appended.
+  postings and shingles land as a fresh GENERATION directory; the
+  skinny sizes relation is re-derived as old ∪ new → sum into a
+  fresh VERSION directory). At 100 TB the index is built once and
+  only ever appended.
+
+Durability layout (the :mod:`~sqltask_spark.operators.index_fs`
+commit protocol — new-files-only + numbered-manifest publish)::
+
+    path/manifests/manifest-*.json newest parseable wins; carries
+                                   the signature params (atomic with
+                                   the generation set they sign)
+    path/data/g000001/postings     one generation per commit
+    path/data/g000001/shingles
+    path/sizes/g000001             full merged sizes per commit
+
+Appends are IDEMPOTENT and CRASH-ATOMIC, matching the engine-wide
+batch-idempotency principle (re-running a batch never corrupts —
+cf. the W1/W2 sinks): ids already committed are anti-joined out of
+the batch, so a retried ingest is a no-op rather than a silent
+posting double-insert; a crash anywhere before the manifest lands
+leaves every reader serving the pre-append state bit-for-bit (the
+orphan generation is swept by the next writer). Re-running the
+crashed append heals. Single WRITER at a time is the contract
+(standard for LSM-ish indexes); concurrent readers are always safe.
 
 Probing with the corpus itself reproduces the per-call operator's
 pairs exactly (tested) — the index changes WHEN work happens, never
@@ -45,6 +66,26 @@ from sqltask_spark.operators.dedup import (
     _signatures_wide,
     shingled_docs,
 )
+from sqltask_spark.operators import index_fs
+
+
+def _committed(spark: SparkSession, path: str) -> dict:
+    m = index_fs.read_manifest(spark, path)
+    if m is None:
+        raise ValueError(f"no committed manifest under {path}")
+    return m
+
+
+def _read_postings(spark: SparkSession, path: str, m: dict) -> DataFrame:
+    return spark.read.parquet(
+        *[f"{path}/data/{g}/postings" for g in m["generations"]]
+    )
+
+
+def _read_shingles(spark: SparkSession, path: str, m: dict) -> DataFrame:
+    return spark.read.parquet(
+        *[f"{path}/data/{g}/shingles" for g in m["generations"]]
+    )
 
 
 def build_minhash_index(
@@ -58,25 +99,53 @@ def build_minhash_index(
     shingle_n: int = 3,
 ) -> None:
     """One corpus pass → postings + sizes + shingles + meta under
-    ``path``."""
+    ``path``, published atomically by the next manifest. REBUILD of
+    an existing index is safe (and itself atomic): the new state
+    writes to a FRESH generation and becomes visible only at the
+    manifest commit; prior generations turn into orphans swept by the
+    next writer."""
     assert num_perm % bands == 0, "bands must divide num_perm"
+    spark = corpus.sparkSession
+    prev = index_fs.read_manifest(spark, path)
+    gen = index_fs.fresh_gen(
+        spark, [f"{path}/data", f"{path}/sizes"], prev
+    )
     shingled = shingled_docs(corpus, id_col, text_col, shingle_n).persist()
     try:
         wide = _signatures_wide(shingled, num_perm, seed)
         banded = _banded_signatures(wide, bands, num_perm // bands)
-        banded.write.mode("overwrite").parquet(f"{path}/postings")
+        banded.write.mode("overwrite").parquet(
+            f"{path}/data/{gen}/postings"
+        )
         (
             banded.groupBy("band", "band_hash")
-            .agg(F.count(F.lit(1)).alias("bucket_size"))
+            .agg(F.count(F.lit(1)).cast("long").alias("bucket_size"))
             .write.mode("overwrite")
-            .parquet(f"{path}/sizes")
+            .parquet(f"{path}/sizes/{gen}")
         )
-        shingled.write.mode("overwrite").parquet(f"{path}/shingles")
-        spark = corpus.sparkSession
-        spark.createDataFrame(
-            [(num_perm, bands, seed, shingle_n)],
-            "num_perm int, bands int, seed int, shingle_n int",
-        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+        shingled.write.mode("overwrite").parquet(
+            f"{path}/data/{gen}/shingles"
+        )
+        index_fs.commit_manifest(
+            spark,
+            path,
+            {
+                "generations": [gen],
+                "sizes": gen,
+                # signature params ride IN the manifest: a probe must
+                # band exactly as the generation set it reads was
+                # signed, and the manifest is the only artifact that
+                # changes atomically with that set (a separate meta
+                # file could tear against it on rebuild)
+                "params": {
+                    "num_perm": num_perm,
+                    "bands": bands,
+                    "seed": seed,
+                    "shingle_n": shingle_n,
+                },
+            },
+            prev["_seq"] if prev else -1,
+        )
     finally:
         shingled.unpersist()
 
@@ -86,57 +155,82 @@ def append_to_minhash_index(
     batch: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-) -> None:
+) -> int:
     """Add ``batch`` to an existing index — the admit step of the
     ingest loop (screen with :func:`probe_minhash_index`, keep the
-    novel documents, append exactly those).
+    novel documents, append exactly those). Returns the number of
+    documents actually appended.
 
-    Batch-sized work only: new postings and shingles are APPENDED
-    parquet files (never a corpus rewrite); the skinny
-    ``(band, band_hash, bucket_size)`` sizes relation is re-derived
-    as old ∪ new → sum and is the single rewritten artifact. Caller
-    contract: ids must be new to the index (append the probe's
-    ADMITTED set — re-appending an id would double its postings).
-    Crash note: sizes is written LAST, so an interrupted append
-    leaves sizes stale-low for the new buckets — re-running the same
-    append after removing the partial files, or rebuilding, heals
-    it; a production deployment would version the index directory.
+    Batch-sized work plus one skinny corpus-id pass: ids already in
+    the index are ANTI-JOINED out first (one shuffle of the
+    column-pruned id column against the batch — linear, id-only), so
+    a retried ingest batch is a NO-OP (returns 0) instead of a
+    silent posting double-insert; the engine-wide batch-idempotency
+    principle applied to the index. New postings and shingles land
+    as a fresh generation directory, the merged sizes as a fresh
+    version directory, and the commit is the manifest write — a
+    crash at ANY earlier point leaves probes serving the pre-append
+    state exactly (the orphan directories are swept on the next
+    append, and re-running the append heals). Single writer at a
+    time; readers never block.
     """
     spark = batch.sparkSession
-    meta = spark.read.parquet(f"{path}/meta").first()
-    bsh = shingled_docs(batch, id_col, text_col, meta["shingle_n"]).persist()
+    m = _committed(spark, path)
+    # sweep debris of a previously crashed append (uncommitted dirs)
+    index_fs.sweep_orphans(
+        spark, f"{path}/data", set(m["generations"]), "g"
+    )
+    index_fs.sweep_orphans(spark, f"{path}/sizes", {m["sizes"]}, "g")
+    meta = m["params"]
+    stored_ids = (
+        _read_shingles(spark, path, m).select("id").distinct()
+    )
+    novel = batch.join(
+        stored_ids, batch[id_col] == stored_ids["id"], "left_anti"
+    )
+    bsh = shingled_docs(novel, id_col, text_col, meta["shingle_n"]).persist()
     try:
+        n_novel = bsh.count()
+        if n_novel == 0:
+            return 0
+        gen = index_fs.next_gen(m)
         wide = _signatures_wide(bsh, meta["num_perm"], meta["seed"])
         banded = _banded_signatures(
             wide, meta["bands"], meta["num_perm"] // meta["bands"]
         ).persist()
-        banded.write.mode("append").parquet(f"{path}/postings")
-        bsh.write.mode("append").parquet(f"{path}/shingles")
-        new_sizes = banded.groupBy("band", "band_hash").agg(
-            F.count(F.lit(1)).alias("bucket_size")
+        banded.write.mode("overwrite").parquet(
+            f"{path}/data/{gen}/postings"
         )
-        merged = (
-            spark.read.parquet(f"{path}/sizes")
+        bsh.write.mode("overwrite").parquet(f"{path}/data/{gen}/shingles")
+        new_sizes = banded.groupBy("band", "band_hash").agg(
+            F.count(F.lit(1)).cast("long").alias("bucket_size")
+        )
+        # merged sizes go to a NEW version directory — the committed
+        # one is never touched (the old in-place swap both raced its
+        # own read plan and tore under a crash), and never a driver
+        # collect (the sizes relation is bucket-count-sized —
+        # corpus-scaled at 100 TB)
+        (
+            spark.read.parquet(f"{path}/sizes/{m['sizes']}")
             .unionByName(new_sizes)
             .groupBy("band", "band_hash")
             .agg(F.sum("bucket_size").cast("long").alias("bucket_size"))
+            .write.mode("overwrite")
+            .parquet(f"{path}/sizes/{gen}")
         )
-        # write-new-then-swap, NEVER overwrite-in-place (the merge
-        # plan reads the very files an in-place overwrite would
-        # truncate) and never a driver collect (the sizes relation is
-        # bucket-count-sized — corpus-scaled at 100 TB)
-        import shutil
-
-        merged.write.mode("overwrite").parquet(f"{path}/sizes__new")
-        shutil.rmtree(f"{path}/sizes")
-        shutil.move(f"{path}/sizes__new", f"{path}/sizes")
         banded.unpersist()
-        # Spark's session-shared file-status cache still lists the
-        # pre-append files (and misses the appended ones) — without
-        # the refresh, the next probe reads a stale listing and dies
-        # on FILE_NOT_EXIST for the swapped sizes relation
-        for rel in ("postings", "shingles", "sizes"):
-            spark.catalog.refreshByPath(f"{path}/{rel}")
+        # the COMMIT: everything above was invisible until this line
+        index_fs.commit_manifest(
+            spark,
+            path,
+            {
+                "generations": m["generations"] + [gen],
+                "sizes": gen,
+                "params": meta,
+            },
+            m["_seq"],
+        )
+        return n_novel
     finally:
         bsh.unpersist()
 
@@ -155,18 +249,21 @@ def probe_minhash_index(
     Returns (batch_id, corpus_id, n_shared_bands, jaccard) for every
     batch document whose exact shingle Jaccard with an indexed
     document reaches ``threshold``. Self-matches (same id) are
-    dropped so a corpus can be probed against its own index.
+    dropped so a corpus can be probed against its own index. Reads
+    only the generation set named by the newest committed manifest —
+    an in-flight or crashed append is invisible.
     """
     from sqltask_spark.data import materialize_and_release
 
-    meta = spark.read.parquet(f"{path}/meta").first()
-    sizes = spark.read.parquet(f"{path}/sizes").filter(
+    m = _committed(spark, path)
+    meta = m["params"]
+    sizes = spark.read.parquet(f"{path}/sizes/{m['sizes']}").filter(
         F.col("bucket_size") <= F.lit(max_bucket_size)
     )
-    postings = spark.read.parquet(f"{path}/postings").join(
+    postings = _read_postings(spark, path, m).join(
         sizes.select("band", "band_hash"), ["band", "band_hash"]
     )
-    corpus_sh = spark.read.parquet(f"{path}/shingles").select(
+    corpus_sh = _read_shingles(spark, path, m).select(
         F.col("id").alias("corpus_id"), F.col("h").alias("h_c")
     )
     bsh = shingled_docs(batch, id_col, text_col, meta["shingle_n"]).persist()

@@ -1,0 +1,172 @@
+"""Versioned-manifest plumbing shared by the persistent indexes.
+
+No reference counterpart (north-star extension; the reference,
+``/root/reference/sqltask``, has no index artifacts at all). Both
+persistent indexes (:mod:`sqltask_spark.operators.dedup_index`,
+:mod:`sqltask_spark.operators.ann_index`) follow the same commit
+protocol, the one Delta/Iceberg-style table formats use for exactly
+this problem:
+
+- every mutation writes ONLY NEW files (a fresh ``gen=g%06d``
+  generation directory; for relations that must be rewritten whole,
+  a fresh versioned directory) — nothing a committed reader can see
+  is ever modified or truncated in place;
+- the mutation becomes visible by writing the next numbered manifest
+  (``manifests/manifest-%012d.json``) listing exactly the committed
+  generation set. Readers take the NEWEST PARSEABLE manifest, so a
+  crash at any point before the manifest lands leaves the index
+  serving the pre-append state bit-for-bit, and a torn manifest file
+  (partial write) is skipped in favor of its predecessor;
+- orphan data directories (written by a crashed append, never named
+  by the newest manifest) are detectable mechanically and swept by
+  the next writer before it starts.
+
+All filesystem access goes through the Hadoop ``FileSystem`` API of
+the live SparkSession — NOT ``os``/``shutil`` — so the identical code
+path serves ``file:``, ``hdfs:``, and object stores. Manifests are
+created with ``overwrite=False``: on HDFS/posix, two racing writers
+cannot both win the same sequence number (create-exclusive), which
+turns the documented single-writer contract into a loud error instead
+of silent corruption. (On S3 create-exclusivity is weaker; a
+production deployment there would layer a conditional-PUT or a lock,
+exactly as the table formats do.)
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import SparkSession
+
+MANIFEST_DIR = "manifests"
+_MANIFEST_FMT = "manifest-%012d.json"
+
+
+def _fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` under the session's Hadoop
+    conf."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def path_exists(spark: SparkSession, path: str) -> bool:
+    fs, p = _fs(spark, path)
+    return bool(fs.exists(p))
+
+
+def delete_path(spark: SparkSession, path: str) -> None:
+    fs, p = _fs(spark, path)
+    fs.delete(p, True)
+
+
+def list_names(spark: SparkSession, path: str) -> list[str]:
+    """Child names under ``path`` (empty when absent)."""
+    fs, p = _fs(spark, path)
+    if not fs.exists(p):
+        return []
+    return sorted(s.getPath().getName() for s in fs.listStatus(p))
+
+
+def read_manifest(spark: SparkSession, path: str) -> dict | None:
+    """Newest parseable manifest under ``path``, or ``None``.
+
+    A partially written newest file (torn by a crash mid-create) is
+    skipped — its predecessor still describes a complete, committed
+    index state. The manifest's own sequence number rides along as
+    ``_seq`` for the next :func:`commit_manifest`.
+    """
+    fs, _ = _fs(spark, f"{path}/{MANIFEST_DIR}")
+    names = [
+        n
+        for n in list_names(spark, f"{path}/{MANIFEST_DIR}")
+        if n.startswith("manifest-") and n.endswith(".json")
+    ]
+    jvm = spark._jvm
+    for name in sorted(names, reverse=True):
+        jp = jvm.org.apache.hadoop.fs.Path(
+            f"{path}/{MANIFEST_DIR}/{name}"
+        )
+        stream = fs.open(jp)
+        try:
+            text = jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+        try:
+            data = json.loads(text)
+        except ValueError:
+            continue  # torn write — fall back to the predecessor
+        if isinstance(data, dict):
+            data["_seq"] = int(name[len("manifest-"):-len(".json")])
+            return data
+    return None
+
+
+def commit_manifest(
+    spark: SparkSession, path: str, data: dict, prev_seq: int
+) -> None:
+    """Atomically publish ``data`` as manifest ``prev_seq + 1``.
+
+    ``overwrite=False`` makes the sequence number a create-exclusive
+    claim: a second writer racing for the same slot errors instead of
+    clobbering (single-writer is the documented contract; this makes
+    violating it loud).
+    """
+    payload = dict(data)
+    payload.pop("_seq", None)
+    fs, _ = _fs(spark, path)
+    jvm = spark._jvm
+    jp = jvm.org.apache.hadoop.fs.Path(
+        f"{path}/{MANIFEST_DIR}/{_MANIFEST_FMT % (prev_seq + 1)}"
+    )
+    out = fs.create(jp, False)
+    try:
+        out.write(bytearray(json.dumps(payload).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def next_gen(manifest: dict | None) -> str:
+    """Next generation name after the committed ones (``g%06d``)."""
+    gens = (manifest or {}).get("generations", [])
+    if not gens:
+        return "g%06d" % 0
+    return "g%06d" % (1 + max(int(g[1:]) for g in gens))
+
+
+def fresh_gen(
+    spark: SparkSession, parents: list[str], manifest: dict | None
+) -> str:
+    """Generation name unused by the committed manifest AND by any
+    directory on disk under ``parents`` — so an atomic REBUILD of an
+    existing index writes only new files (a committed reader keeps
+    scanning the old generation untouched until the new manifest
+    lands) instead of overwriting in place."""
+    import re
+
+    nums = [-1]
+    for g in (manifest or {}).get("generations", []):
+        nums.append(int(g[1:]))
+    for parent in parents:
+        for n in list_names(spark, parent):
+            mm = re.search(r"g(\d{6})$", n)
+            if mm:
+                nums.append(int(mm.group(1)))
+    return "g%06d" % (1 + max(nums))
+
+
+def sweep_orphans(
+    spark: SparkSession, parent: str, committed: set[str], prefix: str
+) -> list[str]:
+    """Delete child dirs of ``parent`` matching ``prefix`` that no
+    committed manifest names — the debris of a crashed append. Returns
+    the swept names. Safe under the single-writer contract (only the
+    next WRITER sweeps, never a reader)."""
+    swept = []
+    for name in list_names(spark, parent):
+        if name.startswith(prefix) and name not in committed:
+            delete_path(spark, f"{parent}/{name}")
+            swept.append(name)
+    return swept

@@ -1,0 +1,251 @@
+"""Ingest-loop lifecycle of the persistent indexes: idempotent
+re-append, crash-atomic publish, orphan sweep, layout-from-meta.
+
+These pin the :mod:`sqltask_spark.operators.index_fs` commit protocol
+shared by the MinHash-LSH index and the IVF index: a mutation is
+visible IFF its manifest landed, a retried batch is a no-op, and
+debris from a crashed append is mechanically detected and swept.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sqltask_spark.operators import index_fs
+from sqltask_spark.operators.ann_index import (
+    append_to_ivf_index,
+    build_ivf_index,
+    ivf_occupancy_stats,
+    probe_ivf_index,
+)
+from sqltask_spark.operators.dedup_index import (
+    append_to_minhash_index,
+    build_minhash_index,
+    probe_minhash_index,
+)
+
+NOVEL = "xq zz yy ww vv uu tt ss rr qq pp oo nn mm"
+
+
+def _mh_canon(spark, path, probe_df):
+    return {
+        (r.batch_id, r.corpus_id): (r.n_shared_bands, round(r.jaccard, 9))
+        for r in probe_minhash_index(
+            spark, path, probe_df, threshold=0.5
+        ).collect()
+    }
+
+
+def _ivf_canon(spark, path, q, **kw):
+    return [
+        (r["query_id"], r["rank"], r["neighbor_id"], r["score"])
+        for r in probe_ivf_index(
+            spark, path, q, "vec_id", "embedding", k=5, n_probe=8, **kw
+        ).orderBy("query_id", "rank").collect()
+    ]
+
+
+def test_minhash_append_is_idempotent(spark, tables, tmp_path):
+    """Re-appending an already-committed batch (the W1/L2 re-run
+    scenario) is a NO-OP: returns 0, writes no generation, and the
+    probe result is bit-identical — no silent posting double-insert."""
+    docs = tables["documents"]
+    idx = str(tmp_path / "mh")
+    build_minhash_index(docs, idx)
+    batch = spark.createDataFrame(
+        [(900002, NOVEL)], "doc_id long, text string"
+    )
+    probe = spark.createDataFrame(
+        [(900003, NOVEL + " extra")], "doc_id long, text string"
+    )
+    assert append_to_minhash_index(idx, batch) == 1
+    before = _mh_canon(spark, idx, probe)
+    gens_before = index_fs.list_names(spark, f"{idx}/data")
+    assert append_to_minhash_index(idx, batch) == 0  # retried batch
+    assert index_fs.list_names(spark, f"{idx}/data") == gens_before
+    assert _mh_canon(spark, idx, probe) == before and before
+
+
+def test_minhash_append_crash_leaves_preappend_state(
+    spark, tables, tmp_path, monkeypatch
+):
+    """A crash at ANY point before the manifest lands (injected at
+    the commit itself — the latest possible point, after every data
+    file is on disk) leaves probes serving the pre-append state
+    bit-for-bit; re-running the append sweeps the orphan generation
+    and heals."""
+    docs = tables["documents"]
+    idx = str(tmp_path / "mh_crash")
+    build_minhash_index(docs, idx)
+    batch = spark.createDataFrame(
+        [(900002, NOVEL)], "doc_id long, text string"
+    )
+    probe = spark.createDataFrame(
+        [(900003, NOVEL + " extra")], "doc_id long, text string"
+    )
+    pre = _mh_canon(spark, idx, probe)
+    assert pre == {}
+
+    real = index_fs.commit_manifest
+
+    def crash(*a, **kw):
+        raise RuntimeError("injected crash before manifest commit")
+
+    monkeypatch.setattr(index_fs, "commit_manifest", crash)
+    with pytest.raises(RuntimeError, match="injected"):
+        append_to_minhash_index(idx, batch)
+    monkeypatch.setattr(index_fs, "commit_manifest", real)
+
+    # orphan generation data IS on disk, yet invisible to the probe
+    assert len(index_fs.list_names(spark, f"{idx}/data")) == 2
+    assert _mh_canon(spark, idx, probe) == pre
+    # re-run heals: orphan swept, append lands, probe sees the batch
+    assert append_to_minhash_index(idx, batch) == 1
+    assert len(index_fs.list_names(spark, f"{idx}/data")) == 2
+    hits = _mh_canon(spark, idx, probe)
+    assert set(hits) == {(900003, 900002)}
+
+
+def test_minhash_torn_manifest_falls_back(spark, tables, tmp_path):
+    """A torn (half-written) newest manifest is skipped in favor of
+    its parseable predecessor — a crash DURING the manifest write is
+    also safe."""
+    docs = tables["documents"]
+    idx = str(tmp_path / "mh_torn")
+    build_minhash_index(docs, idx)
+    batch = spark.createDataFrame(
+        [(900002, NOVEL)], "doc_id long, text string"
+    )
+    append_to_minhash_index(idx, batch)
+    good = index_fs.read_manifest(spark, idx)
+    with open(
+        os.path.join(idx, "manifests", "manifest-%012d.json" % 99), "w"
+    ) as f:
+        f.write('{"generations": ["g000000", "g0')  # torn mid-write
+    m = index_fs.read_manifest(spark, idx)
+    assert m["generations"] == good["generations"]
+    assert m["_seq"] == good["_seq"]
+
+
+def test_ivf_append_is_idempotent(spark, sf_dir, tmp_path):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 1)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, "vec_id", "embedding", n_cells=16)
+    clone = q.select(
+        F.lit(990001).cast("long").alias("vec_id"), F.col("embedding")
+    )
+    assert append_to_ivf_index(idx, clone, "vec_id", "embedding") == 1
+    before = _ivf_canon(spark, idx, q)
+    gens_before = index_fs.list_names(spark, f"{idx}/vectors")
+    assert append_to_ivf_index(idx, clone, "vec_id", "embedding") == 0
+    assert index_fs.list_names(spark, f"{idx}/vectors") == gens_before
+    assert _ivf_canon(spark, idx, q) == before
+    # exactly ONE appended copy: a double-insert would duplicate the
+    # rank-1 clone row
+    assert [r for r in before if r[3] == 1.0][0][2] == 990001
+    assert sum(1 for r in before if r[2] == 990001) == 1
+
+
+def test_ivf_append_crash_leaves_preappend_state(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 1)
+    idx = str(tmp_path / "ivf_crash")
+    build_ivf_index(emb, idx, "vec_id", "embedding", n_cells=16)
+    pre = _ivf_canon(spark, idx, q)
+    clone = q.select(
+        F.lit(990001).cast("long").alias("vec_id"), F.col("embedding")
+    )
+    real = index_fs.commit_manifest
+
+    def crash(*a, **kw):
+        raise RuntimeError("injected crash before manifest commit")
+
+    monkeypatch.setattr(index_fs, "commit_manifest", crash)
+    with pytest.raises(RuntimeError, match="injected"):
+        append_to_ivf_index(idx, clone, "vec_id", "embedding")
+    monkeypatch.setattr(index_fs, "commit_manifest", real)
+
+    assert len(index_fs.list_names(spark, f"{idx}/vectors")) == 2
+    assert _ivf_canon(spark, idx, q) == pre  # orphan gen invisible
+    assert append_to_ivf_index(idx, clone, "vec_id", "embedding") == 1
+    assert len(index_fs.list_names(spark, f"{idx}/vectors")) == 2
+    after = _ivf_canon(spark, idx, q)
+    assert [r for r in after if r[1] == 1][0][2] == 990001
+
+
+def test_ivf_pq_append_encodes_against_stored_codebooks(
+    spark, sf_dir, tmp_path
+):
+    """PQ-layout append: the layout is detected from the stored META
+    (not a driver-local filesystem probe), so appended rows carry
+    byte codes and the ADC probe ranks them — an appended exact clone
+    of the query must win rank 1 through the PQ path."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 1)
+    idx = str(tmp_path / "ivfpq_app")
+    build_ivf_index(
+        emb, idx, "vec_id", "embedding", n_cells=16, m=16, pq_k=16
+    )
+    clone = q.select(
+        F.lit(990001).cast("long").alias("vec_id"), F.col("embedding")
+    )
+    assert append_to_ivf_index(idx, clone, "vec_id", "embedding") == 1
+    m = index_fs.read_manifest(spark, idx)
+    appended = (
+        spark.read.option("basePath", f"{idx}/vectors")
+        .parquet(*[f"{idx}/vectors/gen={g}" for g in m["generations"]])
+        .filter(F.col("neighbor_id") == 990001)
+        .collect()
+    )
+    assert len(appended) == 1 and appended[0]["codes"] is not None
+    top = _ivf_canon(spark, idx, q, use_pq=True)[0]
+    assert top[2] == 990001 and top[3] == 1.0
+
+
+def test_ivf_occupancy_drift_signal_moves(spark, sf_dir, tmp_path):
+    """The frozen-quantizer operating contract: appending a skewed
+    batch (many vectors collapsing into one cell) must move the
+    concentration ratio UP — the rebuild trigger is observable."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = str(tmp_path / "ivf_occ")
+    build_ivf_index(emb, idx, "vec_id", "embedding", n_cells=16)
+    s0 = ivf_occupancy_stats(spark, idx).first()
+    assert s0["n_vectors"] == emb.count()
+    assert s0["concentration_micro"] >= 1_000_000  # max ≥ mean always
+
+    one = emb.filter(F.col("vec_id") == 1)
+    skewed = one.crossJoin(
+        spark.range(64).select((F.col("id") + 990001).alias("new_id"))
+    ).select(
+        F.col("new_id").alias("vec_id"), F.col("embedding")
+    )
+    assert append_to_ivf_index(idx, skewed, "vec_id", "embedding") == 64
+    s1 = ivf_occupancy_stats(spark, idx).first()
+    assert s1["n_vectors"] == s0["n_vectors"] + 64
+    # all 64 clones share ONE cell (they are copies of one vector),
+    # so some cell now holds ≥ 64 + its prior load — max outgrew the
+    # barely-moved mean
+    assert s1["max_occupancy"] > s0["max_occupancy"]
+    assert s1["max_occupancy"] >= 64
+    assert s1["concentration_micro"] > s0["concentration_micro"]
+
+
+def test_manifest_commit_is_create_exclusive(spark, tmp_path):
+    """Two writers racing for the same manifest slot: the second
+    create MUST fail loudly (single-writer violations error instead
+    of silently clobbering a committed state)."""
+    path = str(tmp_path / "idx")
+    index_fs.commit_manifest(spark, path, {"generations": ["g000000"]}, -1)
+    with pytest.raises(Exception):
+        index_fs.commit_manifest(
+            spark, path, {"generations": ["gXXXXXX"]}, -1
+        )
+    m = index_fs.read_manifest(spark, path)
+    assert m["generations"] == ["g000000"]
