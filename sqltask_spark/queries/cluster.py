@@ -22,6 +22,11 @@ pattern applied to clustering):
   term-count vectors (sparse long format, 60-bit md5 buckets) →
   sparse fixed-point k-means → per-cluster doc/token counts + top
   terms, all in exact integers.
+- ``ivf_occupancy_stats`` — the DRIFT MONITOR: per-cell occupancy
+  rollup (max/min/mean/p99 + overflow-safe concentration ratio),
+  the rebuild signal the frozen-quantizer append contract
+  (:func:`sqltask_spark.operators.ann_index.append_to_ivf_index`)
+  prescribes.
 
 The production entries (``ann_topk_ivf``, ``semdedup_keep``,
 ``topic_cluster_documents``) remain the performance path; recall and
@@ -195,6 +200,75 @@ def semdedup_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("cid").alias("cell"))
         .orderBy("vec_id")
     )
+
+
+def ivf_occupancy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF drift-monitor certificate: per-cell occupancy summary
+    of the trained quantizer's assignment — the signal the frozen-
+    quantizer append contract operates on (rebuild when concentration
+    trends away from its build-time value).
+
+    Same summary shape as the PRODUCTION operator over a committed
+    on-disk index (:func:`sqltask_spark.operators.ann_index.
+    ivf_occupancy_stats`, whose planted-drift behavior is
+    pytest-pinned in test_index_lifecycle); this entry computes it
+    over the certified fixed-point Lloyd assignment so DuckDB replays
+    every integer. ``concentration_micro`` = max·1e6 div
+    truncated-mean (the ``event_key_skew_profile`` overflow-safe
+    discipline — bounded by max·1e6; the truncated mean ≥ 1 always,
+    every counted cell holds ≥ 1 vector). ``p99_occupancy`` is the
+    exact type-7 percentile, bit-identical across engines on the
+    integer census. Scale shape: one map-side-combined groupBy(cid)
+    census (cell-count-sized shuffle), then a 1-row rollup.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign, _ = kmeans_fixed(
+        emb, "vec_id", "embedding", k=K_CELLS, iters=ITERS
+    )
+    census = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("c"))
+    return census.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells_used"),
+        F.sum("c").cast("long").alias("n_vectors"),
+        F.max("c").cast("long").alias("max_occupancy"),
+        F.min("c").cast("long").alias("min_occupancy"),
+        F.expr("percentile(c, 0.99D)").alias("p99_occupancy"),
+    ).select(
+        "n_cells_used",
+        "n_vectors",
+        "max_occupancy",
+        "min_occupancy",
+        (F.col("n_vectors") / F.col("n_cells_used")).alias(
+            "mean_occupancy"
+        ),
+        "p99_occupancy",
+        F.expr(
+            "(max_occupancy * 1000000)"
+            " div (n_vectors div n_cells_used)"
+        )
+        .cast("long")
+        .alias("concentration_micro"),
+    )
+
+
+def _ivf_occupancy_sql() -> str:
+    return f"""
+WITH {_kmeans_ctes()},
+census AS (SELECT cid, COUNT(*) AS c FROM fasg GROUP BY cid),
+roll AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_cells_used,
+         CAST(SUM(c) AS BIGINT) AS n_vectors,
+         CAST(MAX(c) AS BIGINT) AS max_occupancy,
+         CAST(MIN(c) AS BIGINT) AS min_occupancy,
+         quantile_cont(c, 0.99) AS p99_occupancy
+  FROM census)
+SELECT n_cells_used, n_vectors, max_occupancy, min_occupancy,
+       n_vectors / CAST(n_cells_used AS DOUBLE) AS mean_occupancy,
+       p99_occupancy,
+       CAST((max_occupancy * 1000000)
+            // (n_vectors // n_cells_used) AS BIGINT)
+         AS concentration_micro
+FROM roll
+"""
 
 
 N_TOPIC_BUCKETS = 32
@@ -502,6 +576,7 @@ ORDER BY cluster_id
 QUERIES = {
     "kmeans_certified": kmeans_certified,
     "ann_topk_ivf_fixed": ann_topk_ivf_fixed,
+    "ivf_occupancy_stats": ivf_occupancy_stats,
     "semdedup_fixed": semdedup_fixed,
     "topic_cluster_certified": topic_cluster_certified,
 }
@@ -509,6 +584,7 @@ QUERIES = {
 ORACLES = {
     "kmeans_certified": _kmeans_certified_sql(),
     "ann_topk_ivf_fixed": _ann_ivf_fixed_sql(),
+    "ivf_occupancy_stats": _ivf_occupancy_sql(),
     "semdedup_fixed": _semdedup_fixed_sql(),
     "topic_cluster_certified": _topic_certified_sql(),
 }
