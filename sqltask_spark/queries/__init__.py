@@ -129,6 +129,11 @@ TWINS: dict[str, str] = {
     # index probe ≡ per-call screen (pytest identity); the screen's
     # incremental batch-vs-corpus shape is the oracled entry
     "dedup_index_screen": "dedup_incremental",
+    # the 3-batch ingest loop composes the same probe/append
+    # primitives; per-step identities (probe ≡ per-call screen,
+    # append ≡ rebuild, idempotent re-append) are pytest-pinned in
+    # test_index_lifecycle
+    "corpus_ingest_loop": "dedup_incremental",
     "bpe_learn_merges": "bpe_learn_certified",
     "bpe_encode_documents": "bpe_encode_fixed",
     # learned-table fertility: same metric as the oracled fixed-table

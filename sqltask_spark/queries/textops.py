@@ -2590,6 +2590,73 @@ def dedup_index_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+# --------------------------------------------------------------------------
+# corpus_ingest_loop — the production ingest HOUR, end to end: build
+# the near-dup index on batch 0, then for each arriving batch
+# probe → flag → admit the novel docs → APPEND them, so batch N+1 is
+# screened against everything batch N admitted (the batch analog of
+# the streaming screen's parity pin, and the composition proof for
+# append_to_minhash_index). Batch 2 deliberately carries near-dups
+# OF BATCH-1 DOCS — catching them requires the index to have LEARNED
+# batch 1's admits (pytest-pinned). Rows-only (xxhash64 signatures);
+# certificate twin: dedup_incremental (the oracled batch-vs-corpus
+# screen shape); probe ≡ per-call and append ≡ rebuild identities are
+# pytest-verified (test_minhash_index_*, test_index_lifecycle).
+# Scale shape: every step is batch-sized against the stored index
+# (bucket-join probe, anti-join admit, generation append) — the
+# corpus is never re-signed.
+# --------------------------------------------------------------------------
+
+
+def corpus_ingest_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from sqltask_spark.operators.dedup_index import (
+        append_to_minhash_index,
+        build_minhash_index,
+        probe_minhash_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    b0 = docs.filter(F.col("doc_id") % 3 == 0)
+    b1 = docs.filter(F.col("doc_id") % 3 == 1)
+    near_dups_of_b1 = b1.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + F.lit(20_000_000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" nearly")).alias("text"),
+    )
+    b2 = (
+        docs.filter(F.col("doc_id") % 3 == 2)
+        .unionByName(near_dups_of_b1)
+    )
+    tmp = tempfile.mkdtemp(prefix="ingest_loop_")
+    try:
+        build_minhash_index(b0, tmp)
+        n_index = b0.count()
+        out = []
+        for batch_no, batch in ((1, b1), (2, b2)):
+            hits = probe_minhash_index(spark, tmp, batch, threshold=0.5)
+            flagged = hits.select("batch_id").distinct()
+            n_flagged = flagged.count()
+            admitted = batch.join(
+                flagged, batch["doc_id"] == flagged["batch_id"],
+                "left_anti",
+            )
+            n_admitted = append_to_minhash_index(tmp, admitted)
+            hits.unpersist()
+            n_index += n_admitted
+            out.append(
+                (batch_no, batch.count(), n_flagged, n_admitted, n_index)
+            )
+        return spark.createDataFrame(
+            out,
+            "batch_no int, n_docs long, n_flagged long,"
+            " n_admitted long, index_docs long",
+        ).orderBy("batch_no")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 QUERIES = {
     "text_stats": text_stats,
     "doc_fingerprint": doc_fingerprint,
@@ -2633,6 +2700,7 @@ QUERIES = {
     "bpe_learn_merges": bpe_learn_merges,
     "bpe_encode_documents": bpe_encode_documents,
     "dedup_index_screen": dedup_index_screen,
+    "corpus_ingest_loop": corpus_ingest_loop,
 }
 
 ORACLES = {

@@ -237,6 +237,32 @@ def test_ivf_occupancy_drift_signal_moves(spark, sf_dir, tmp_path):
     assert s1["concentration_micro"] > s0["concentration_micro"]
 
 
+def test_corpus_ingest_loop_learns_across_batches(spark, sf_dir):
+    """The catalog entry composing the ingest hour: batch 2 carries
+    one near-dup per fifth batch-1 doc, and catching them requires
+    the index to have learned batch 1's admits (or their original
+    near-partners) — every planted near-dup must be flagged, and
+    flag/admit must partition each batch exactly."""
+    from sqltask_spark.queries.textops import corpus_ingest_loop
+
+    rows = {r["batch_no"]: r for r in
+            corpus_ingest_loop(spark, sf_dir).collect()}
+    assert set(rows) == {1, 2}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_planted = docs.filter(
+        (F.col("doc_id") % 3 == 1) & (F.col("doc_id") % 5 == 0)
+    ).count()
+    assert n_planted > 0
+    for r in rows.values():
+        assert r["n_flagged"] + r["n_admitted"] == r["n_docs"]
+    # every planted near-dup of a batch-1 doc is caught at batch 2
+    assert rows[2]["n_flagged"] >= n_planted
+    # and the index grew monotonically by exactly the admits
+    assert rows[2]["index_docs"] == (
+        rows[1]["index_docs"] + rows[2]["n_admitted"]
+    )
+
+
 def test_manifest_commit_is_create_exclusive(spark, tmp_path):
     """Two writers racing for the same manifest slot: the second
     create MUST fail loudly (single-writer violations error instead
