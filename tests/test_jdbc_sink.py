@@ -448,6 +448,79 @@ def test_jdbc_staged_write_poisoned_batch_leaves_target_untouched(spark):
     assert d2_rows == {"e", "f", "g"}
 
 
+def test_jdbc_staged_concurrent_batches_both_land(spark):
+    """The scenario the BATCH-SCOPED staging names exist for: two
+    writers of DIFFERENT batches run their staged writes truly
+    concurrently (barrier-released threads) against one target. Each
+    must stage into its own table and swap only its own scope — both
+    batches land complete, each writer's scoped DELETE clears only
+    its own old rows, and neither drops or double-inserts the
+    other's (a single shared staging name fails exactly here)."""
+    import threading
+
+    _exec_ddl(
+        spark,
+        'CREATE TABLE w2_conc ("report_date" DATE NOT NULL, '
+        '"customer_name" VARCHAR(50) NOT NULL PRIMARY KEY, '
+        '"balance" DOUBLE)',
+    )
+    d1, d2 = dt.date(2023, 4, 1), dt.date(2023, 4, 2)
+    t1 = TableContext(
+        name="w2_conc", schema=_schema(), batch_params={"report_date": d1}
+    )
+    t2 = TableContext(
+        name="w2_conc", schema=_schema(), batch_params={"report_date": d2}
+    )
+    sink = JdbcSink(DERBY_URL, driver=DERBY_DRIVER, staging=True)
+    # pre-seed OLD rows so each concurrent swap also exercises its
+    # scoped DELETE under contention
+    sink.write_batch(_batch_df(spark, d1, ["old1"]), t1)
+    sink.write_batch(_batch_df(spark, d2, ["old2"]), t2)
+
+    barrier = threading.Barrier(2, timeout=120)
+    errors: list[BaseException] = []
+
+    def run(ctx, df):
+        try:
+            barrier.wait()
+            sink.write_batch(df, ctx)
+        except BaseException as e:  # surfaced in the main thread
+            errors.append(e)
+
+    threads = [
+        threading.Thread(
+            target=run, args=(t1, _batch_df(spark, d1, ["a1", "b1"]))
+        ),
+        threading.Thread(
+            target=run, args=(t2, _batch_df(spark, d2, ["a2", "b2"]))
+        ),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+    assert not errors, errors
+
+    got = sink.read(spark, "w2_conc").collect()
+    by_date = {}
+    for r in got:
+        by_date.setdefault(r["report_date"], set()).add(
+            r["customer_name"]
+        )
+    assert by_date == {d1: {"a1", "b1"}, d2: {"a2", "b2"}}
+    # neither writer's staging table leaked
+    jvm = spark._jvm  # noqa: SLF001
+    jvm.java.lang.Class.forName(DERBY_DRIVER)
+    conn = jvm.java.sql.DriverManager.getConnection(DERBY_URL)
+    try:
+        for params in ({"report_date": d1}, {"report_date": d2}):
+            assert not sink._table_exists(
+                conn, JdbcSink.staging_table_name("w2_conc", params)
+            )
+    finally:
+        conn.close()
+
+
 def test_jdbc_staged_write_creates_missing_target(spark):
     """M1 parity holds under staging: the first staged write against
     an absent target creates it (via Spark's own JDBC CREATE, so
