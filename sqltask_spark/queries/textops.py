@@ -346,82 +346,90 @@ def dedup_minhash_calibration(
     )
 
     docs = load_table(spark, sf_dir, "documents")
+    # both corpus-scaled persists release on ANY exit: eagerly via
+    # materialize_and_release on success, in the except arm on
+    # failure (the probe_minhash_index leak-guard pattern)
     shingled = md5_shingled_docs(docs, "doc_id", "text", 3).persist()
-    exploded = shingled.select("id", F.explode("h").alias("h"))
-    # the SHARED signature/band builders (operators/dedup.py) — the
-    # certificate must be constitutionally unable to drift from the
-    # operator it certifies
-    wide = md5_minhash_wide(exploded, _MH_PERM, _MH_SEED)
-    band_hashes = md5_band_hash_cols(_MH_PERM, _MH_BANDS)
-    sig = wide.select(
-        "id",
-        F.array(*[F.col(f"m{i}") for i in range(_MH_PERM)]).alias("sig"),
-        F.array(*band_hashes).alias("bh"),
-    ).persist()
-    banded = sig.select(
-        "id", F.posexplode("bh").alias("band", "band_hash")
-    )
-    cand = _pairs_from_banded(banded, _MH_CAP)
-    sa = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
-    sb = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
-    ha = shingled.select(F.col("id").alias("id_a"), F.col("h").alias("h_a"))
-    hb = shingled.select(F.col("id").alias("id_b"), F.col("h").alias("h_b"))
-    matches = F.aggregate(
-        F.zip_with(
-            "sig_a", "sig_b", lambda x, y: (x == y).cast("long")
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    inter = F.size(F.array_intersect("h_a", "h_b")).cast("long")
-    union = F.size(F.array_union("h_a", "h_b")).cast("long")
-    # merge hints on ALL four corpus-scaled relations: sig carries 32
-    # BIGINTs/doc and shingled a full hash set/doc — the planner's
-    # compressed estimate can undershoot the broadcast threshold and
-    # collect them to the driver (observed at 500k docs for this
-    # relation class — operators/dedup.py)
-    scored = (
-        cand.join(sa.hint("merge"), "id_a")
-        .join(sb.hint("merge"), "id_b")
-        .join(ha.hint("merge"), "id_a")
-        .join(hb.hint("merge"), "id_b")
-        .select(
-            (matches * F.lit(1_000_000)).alias("_mm"),
-            (inter * F.lit(1_000_000)).alias("_ii"),
-            union.alias("_u"),
+    sig = None
+    try:
+        exploded = shingled.select("id", F.explode("h").alias("h"))
+        # the SHARED signature/band builders (operators/dedup.py) — the
+        # certificate must be constitutionally unable to drift from the
+        # operator it certifies
+        wide = md5_minhash_wide(exploded, _MH_PERM, _MH_SEED)
+        band_hashes = md5_band_hash_cols(_MH_PERM, _MH_BANDS)
+        sig = wide.select(
+            "id",
+            F.array(*[F.col(f"m{i}") for i in range(_MH_PERM)]).alias("sig"),
+            F.array(*band_hashes).alias("bh"),
+        ).persist()
+        banded = sig.select(
+            "id", F.posexplode("bh").alias("band", "band_hash")
         )
-        .select(
-            F.expr(f"_mm div {_MH_PERM}").alias("est_micro"),
-            F.expr("_ii div _u").alias("jac_micro"),
+        cand = _pairs_from_banded(banded, _MH_CAP)
+        sa = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+        sb = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+        ha = shingled.select(F.col("id").alias("id_a"), F.col("h").alias("h_a"))
+        hb = shingled.select(F.col("id").alias("id_b"), F.col("h").alias("h_b"))
+        matches = F.aggregate(
+            F.zip_with(
+                "sig_a", "sig_b", lambda x, y: (x == y).cast("long")
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
         )
-    )
-    out = (
-        scored.select(
-            F.expr("jac_micro div 100000").alias("jac_decile"),
-            "est_micro",
-            "jac_micro",
-            F.abs(F.col("est_micro") - F.col("jac_micro")).alias("err"),
+        inter = F.size(F.array_intersect("h_a", "h_b")).cast("long")
+        union = F.size(F.array_union("h_a", "h_b")).cast("long")
+        # merge hints on ALL four corpus-scaled relations: sig carries 32
+        # BIGINTs/doc and shingled a full hash set/doc — the planner's
+        # compressed estimate can undershoot the broadcast threshold and
+        # collect them to the driver (observed at 500k docs for this
+        # relation class — operators/dedup.py)
+        scored = (
+            cand.join(sa.hint("merge"), "id_a")
+            .join(sb.hint("merge"), "id_b")
+            .join(ha.hint("merge"), "id_a")
+            .join(hb.hint("merge"), "id_b")
+            .select(
+                (matches * F.lit(1_000_000)).alias("_mm"),
+                (inter * F.lit(1_000_000)).alias("_ii"),
+                union.alias("_u"),
+            )
+            .select(
+                F.expr(f"_mm div {_MH_PERM}").alias("est_micro"),
+                F.expr("_ii div _u").alias("jac_micro"),
+            )
         )
-        .groupBy("jac_decile")
-        .agg(
-            F.count(F.lit(1)).alias("n_pairs"),
-            F.expr("sum(est_micro) div count(1)")
-            .cast("long")
-            .alias("mean_est_micro"),
-            F.expr("sum(jac_micro) div count(1)")
-            .cast("long")
-            .alias("mean_jac_micro"),
-            F.expr("sum(err) div count(1)")
-            .cast("long")
-            .alias("mean_abs_err_micro"),
+        out = (
+            scored.select(
+                F.expr("jac_micro div 100000").alias("jac_decile"),
+                "est_micro",
+                "jac_micro",
+                F.abs(F.col("est_micro") - F.col("jac_micro")).alias("err"),
+            )
+            .groupBy("jac_decile")
+            .agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.expr("sum(est_micro) div count(1)")
+                .cast("long")
+                .alias("mean_est_micro"),
+                F.expr("sum(jac_micro) div count(1)")
+                .cast("long")
+                .alias("mean_jac_micro"),
+                F.expr("sum(err) div count(1)")
+                .cast("long")
+                .alias("mean_abs_err_micro"),
+            )
+            .orderBy("jac_decile")
         )
-        .orderBy("jac_decile")
-    )
-    from sqltask_spark.data import materialize_and_release
+        from sqltask_spark.data import materialize_and_release
 
-    out = materialize_and_release(out, shingled)
-    sig.unpersist()
-    return out
+        return materialize_and_release(out, shingled, sig)
+    except BaseException:
+        shingled.unpersist()
+        if sig is not None:
+            sig.unpersist()
+        raise
 
 
 def _minhash_calibration_sql() -> str:

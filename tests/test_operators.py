@@ -3,6 +3,8 @@ mirrors the reference's unit matrix (SURVEY.md §5)."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -2291,6 +2293,56 @@ def test_weighted_sample_wor_matches_python_model(spark, sf_dir):
     assert {r.doc_id for r in got} != {t[0] for t in heavy}
 
 
+GATE_SF_DIR = os.environ.get(
+    "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+)
+
+
+def _shipped_corpora() -> list[str]:
+    """Corpus dirs the boundary canaries scan: every sf* sibling of
+    the GATE corpus (the one CORRECTNESS runs use, from
+    SPARK_GRAFT_TEST_SF_DIR — same default as conftest) plus the
+    generated sf1 dir (SPARK_GRAFT_SF1_DIR). Derived, not hardcoded,
+    so the canaries cover whatever data the gate actually reads on
+    this machine."""
+    import glob as _glob
+
+    parent = os.path.dirname(GATE_SF_DIR.rstrip("/"))
+    dirs = sorted(
+        d
+        for d in _glob.glob(os.path.join(parent, "sf*"))
+        if os.path.isdir(d)
+    )
+    if os.path.isdir(GATE_SF_DIR) and GATE_SF_DIR not in dirs:
+        dirs.insert(0, GATE_SF_DIR)
+    sf1 = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1_gen")
+    if os.path.isdir(sf1) and sf1 not in dirs:
+        dirs.append(sf1)
+    return dirs
+
+
+def _corpus_files(base: str, table: str) -> list[str]:
+    """Parquet files of ``table`` under corpus ``base`` ([] when the
+    table is absent — but NEVER for the gate corpus: if the gate
+    corpus dir exists its tables must be readable, and any error
+    below fails the canary instead of skipping it (a canary that
+    silently skips the exact data the CORRECTNESS gate reads is no
+    canary)."""
+    import glob as _glob
+
+    path = os.path.join(base, f"{table}.parquet")
+    if not os.path.exists(path):
+        if base == GATE_SF_DIR:
+            raise AssertionError(
+                f"gate corpus {base} exists but {table}.parquet is "
+                "missing — the canary cannot cover the gate data"
+            )
+        return []
+    if os.path.isdir(path):
+        return sorted(_glob.glob(os.path.join(path, "*.parquet")))
+    return [path]
+
+
 def test_weighted_sample_key_boundary_margin():
     """ROUND-boundary canary for the E-S key (VERDICT r7 #2): the key
     ROUND(ln(u)·1e6/w) is computed in double on BOTH engines, and
@@ -2305,38 +2357,21 @@ def test_weighted_sample_key_boundary_margin():
     DuckDB and CPython call, and 1e-5 ≫ any cross-libm ulp. If this
     ever fails, the key needs restating (coarser quantum or an
     integer-exact construction), not a threshold bump."""
-    import glob
     import hashlib
     import math
-    import os
     import re
 
     import pyarrow.parquet as pq
 
     import pytest
 
-    corpora = [
-        "/root/testdata/sf0.001",
-        "/root/testdata/sf0.01",
-        "/root/testdata/sf0.1",
-        "/tmp/sf1_gen",
-    ]
-    if not any(
-        os.path.exists(os.path.join(b, "documents.parquet"))
-        for b in corpora
-    ):
+    corpora = _shipped_corpora()
+    if not corpora:
         pytest.skip("no shipped corpora on this machine")
     checked = 0
     max_w = 0
     for base in corpora:
-        path = os.path.join(base, "documents.parquet")
-        if not os.path.exists(path):
-            continue
-        files = (
-            sorted(glob.glob(os.path.join(path, "*.parquet")))
-            if os.path.isdir(path)
-            else [path]
-        )
+        files = _corpus_files(base, "documents")
         for f in files:
             t = pq.read_table(f, columns=["doc_id", "text"])
             for doc_id, text in zip(
@@ -2366,6 +2401,60 @@ def test_weighted_sample_key_boundary_margin():
     # only while w << 1e6 (see the weighted_sample_wor header) — pin
     # that the shipped corpora stay far inside it
     assert max_w <= 10_000, max_w
+
+
+def test_decay_weight_boundary_margin():
+    """ROUND-boundary canary for event_decay_weighted_value's
+    w_milli = ROUND(exp(−ln2·age/7)·1e3) (ADVICE r8): Java Math.exp
+    (Spark) vs libm exp (DuckDB) may differ by ~1 ulp, i.e.
+    |Δ(x·1e3)| ≤ 1e3·2.2e-16 ≈ 2.2e-13 absolute on the milli weight.
+    Scans every shipped corpus event's distance from its weight to
+    the nearest .5 milli boundary and asserts > 1e-9 — ~4,500× the
+    divergence bound (measured r9: actual min across all corpora is
+    5.2e-6). The age term (whole-second diff / 86400, × a shared
+    float literal) is bit-identical across engines — only the exp
+    call can diverge. Mirrors test_weighted_sample_key_boundary_
+    margin; a failure means the weight needs restating, not a
+    threshold bump."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    import pytest
+
+    from sqltask_spark.queries.events import (
+        _DECAY_HALF_LIFE_DAYS,
+        _DECAY_LN2,
+    )
+
+    corpora = _shipped_corpora()
+    if not corpora:
+        pytest.skip("no shipped corpora on this machine")
+    factor = -_DECAY_LN2 / _DECAY_HALF_LIFE_DAYS
+    checked = 0
+    for base in corpora:
+        files = _corpus_files(base, "events")
+        tss = []
+        for f in files:
+            tss.extend(
+                pq.read_table(f, columns=["ts"]).column("ts").to_pylist()
+            )
+        if not tss:
+            continue
+        anchor = max(tss)
+        for t in tss:
+            # whole-second age, the pinned unix_timestamp ≡
+            # FLOOR(epoch) contract (tz-independent as a difference)
+            age_days = int((anchor - t).total_seconds()) / 86400.0
+            x = math.exp(age_days * factor) * 1e3
+            frac = x - math.floor(x)
+            dist = abs(frac - 0.5)
+            assert dist > 1e-9, (
+                f"boundary-fragile decay weight: corpus={base} "
+                f"age_days={age_days!r} w_milli={x!r} dist={dist!r}"
+            )
+            checked += 1
+    assert checked >= 1000, "canary scanned suspiciously few events"
 
 
 def test_event_key_skew_profile_planted(spark, tmp_path):
