@@ -76,6 +76,36 @@ HEADLINE = [
     "dup_rate_by_source",
 ]
 
+# Probe-class tags (r8 judge "what's wrong #2"): the three calibration
+# probes disagree with each other by ~2× when host contention is
+# non-uniform, so ONE scalar factor over a mixed workload carries
+# per-entry error of the same order — cross-round normalized
+# comparisons should use the PER-CLASS sums below (each normalized by
+# its own probe's ratio), and per-entry comparisons should use
+# min-of-N raw on a quiet host. Tags are a coarse judgment of the
+# DOMINANT cost: "regex" = tokenizer/regex-heavy text scans,
+# "shuffle" = exchange-dominated (pair joins, graph rounds, censuses
+# with corpus-sized exchanges), "hash" = everything codegen/CPU-bound
+# (relational aggs, vector math, window/session logic). Entries not
+# listed default to "hash".
+CLASS_OF = {
+    **{n: "regex" for n in (
+        "text_stats", "repetition_stats", "lm_perplexity",
+        "corpus_clean_pipeline", "collocation_pmi",
+        "source_unigram_entropy", "quality_filter_adaptive",
+        "source_token_quantiles", "dsir_weights", "weighted_sample_wor",
+    )},
+    **{n: "shuffle" for n in (
+        "dedup_minhash_pairs", "dedup_minhash_pairs_md5",
+        "dedup_simhash_pairs", "dedup_ngram_jaccard_capped",
+        "dup_span_stats", "dedup_clusters_capped",
+        "doc_centrality_pagerank", "search_bm25", "search_hybrid_rrf",
+        "dedup_tfidf_cosine", "contamination_overlap",
+        "contamination_fuzzy", "dup_rate_by_source",
+        "dedup_incremental",
+    )},
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -345,6 +375,21 @@ def main() -> None:
 
     total = round(sum(times.values()), 3)
     normalized = {k: round(v / factor, 3) for k, v in times.items()}
+    # per-class sums, each normalized by its OWN probe's ratio — the
+    # cross-round comparison unit (see CLASS_OF): a hash-bound entry
+    # normalized by a shuffle-inflated geomean reads as a phantom
+    # regression; these don't.
+    class_ratio = {
+        "hash": calibration["cal_hash"] / _CAL_REF["cal_hash"],
+        "regex": calibration["cal_regex"] / _CAL_REF["cal_regex"],
+        "shuffle": calibration["cal_shuffle"] / _CAL_REF["cal_shuffle"],
+    }
+    class_wall: dict[str, float] = {}
+    class_norm: dict[str, float] = {}
+    for name, t in times.items():
+        c = CLASS_OF.get(name, "hash")
+        class_wall[c] = class_wall.get(c, 0.0) + t
+        class_norm[c] = class_norm.get(c, 0.0) + t / class_ratio[c]
     record = {
         "metric": "headline_queries_total_wall_clock",
         "value": total,
@@ -352,6 +397,11 @@ def main() -> None:
         "queries": times,
         "calibration": calibration,
         "value_normalized": round(total / factor, 3),
+        "class_factors": {k: round(v, 4) for k, v in class_ratio.items()},
+        "class_wall": {k: round(v, 3) for k, v in class_wall.items()},
+        "class_wall_normalized": {
+            k: round(v, 3) for k, v in class_norm.items()
+        },
         "sf": sf,
     }
     # the driver parses the FINAL stdout line and captures only a
