@@ -33,6 +33,7 @@ commit protocol — new-files-only + numbered-manifest publish)::
                                    m/pq_k) and the quantizer version
                                    atomically with the generation set
     path/vectors/gen=g000001/cell=K/...  one generation per commit
+    path/tombstones/g000001        committed logical deletes
 
 The quantizer is VERSIONED like the data: a rebuild writes a fresh
 quantizer directory and flips to it in the same manifest commit that
@@ -48,7 +49,10 @@ IDEMPOTENT (already-committed ids are anti-joined out, so a retried
 ingest batch is a no-op instead of a double-insert) and CRASH-ATOMIC
 (a crash before the manifest lands leaves probes serving the
 pre-append state bit-for-bit; the orphan generation is swept by the
-next writer, and re-running the append heals). The PQ-vs-plain
+next writer, and re-running the append heals) — and so are DELETE
+(:func:`delete_from_ivf_index`, LSM tombstones probes anti-join) and
+COMPACT (:func:`compact_ivf_index`, merge generations + drop
+tombstoned rows under the frozen quantizer). The PQ-vs-plain
 layout is recorded in the manifest at build time and read back on
 append — never inferred from driver-local filesystem probes, which
 lie on HDFS/object stores. Single writer at a time is the contract;
@@ -82,16 +86,42 @@ def _committed(spark: SparkSession, path: str) -> dict:
     return m
 
 
-def _read_vectors(spark: SparkSession, path: str, m: dict) -> DataFrame:
+def _read_vectors(
+    spark: SparkSession,
+    path: str,
+    m: dict,
+    include_tombstoned: bool = False,
+) -> DataFrame:
     """Union of the committed generations. ``basePath`` keeps ``cell``
     a PARTITION column across the multi-generation read, so the probe
-    predicates still prune directories (plan-tested)."""
-    return (
+    predicates still prune directories (plan-tested). Tombstoned rows
+    are anti-joined out (skinny id set, broadcast-small) unless the
+    caller needs the physical view (``include_tombstoned=True`` — the
+    append idempotency check, which must keep deleted ids UNAVAILABLE
+    until compaction frees them)."""
+    out = (
         spark.read.option("basePath", f"{path}/vectors")
         .parquet(
             *[f"{path}/vectors/gen={g}" for g in m["generations"]]
         )
         .drop("gen")
+    )
+    tombs = _read_tombstones(spark, path, m)
+    if tombs is not None and not include_tombstoned:
+        out = out.join(tombs, "neighbor_id", "left_anti")
+    return out
+
+
+def _read_tombstones(
+    spark: SparkSession, path: str, m: dict
+) -> DataFrame | None:
+    """Union of committed tombstone sets (``(neighbor_id)``) or
+    ``None``."""
+    gens = m.get("tombstones", [])
+    if not gens:
+        return None
+    return spark.read.parquet(
+        *[f"{path}/tombstones/{g}" for g in gens]
     )
 
 
@@ -273,8 +303,17 @@ def append_to_ivf_index(
     index_fs.sweep_orphans(
         spark, f"{path}/quantizer", {m_fest["quantizer"]}, "g"
     )
+    index_fs.sweep_orphans(
+        spark, f"{path}/tombstones",
+        set(m_fest.get("tombstones", [])), "g",
+    )
     meta = m_fest["params"]
-    stored_ids = _read_vectors(spark, path, m_fest).select("neighbor_id")
+    # include_tombstoned: a deleted id stays unavailable until
+    # compaction (re-admitting earlier would be killed by its own
+    # tombstone — the LSM id-reuse hazard, excluded by construction)
+    stored_ids = _read_vectors(
+        spark, path, m_fest, include_tombstoned=True
+    ).select("neighbor_id")
     novel = batch.join(
         stored_ids, batch[corpus_id] == stored_ids["neighbor_id"],
         "left_anti",
@@ -316,12 +355,121 @@ def append_to_ivf_index(
                 "generations": m_fest["generations"] + [gen],
                 "quantizer": m_fest["quantizer"],
                 "params": meta,
+                "tombstones": m_fest.get("tombstones", []),
             },
             m_fest["_seq"],
         )
         return n_novel
     finally:
         novel.unpersist()
+
+
+def delete_from_ivf_index(
+    path: str,
+    ids: DataFrame,
+    corpus_id: str,
+) -> int:
+    """Tombstone vectors out of the index. Returns the number of ids
+    newly tombstoned.
+
+    LSM-style logical delete under the same manifest protocol as
+    append: a skinny committed tombstone set that every probe
+    anti-joins — deleted vectors stop ranking IMMEDIATELY; the rows
+    stay on disk until :func:`compact_ivf_index` removes them
+    physically. Idempotent (never-indexed and already-tombstoned ids
+    filter out, re-run returns 0), crash-atomic, and a tombstoned id
+    stays unavailable to :func:`append_to_ivf_index` until
+    compaction.
+    """
+    spark = ids.sparkSession
+    m = _committed(spark, path)
+    index_fs.sweep_orphans(
+        spark, f"{path}/tombstones", set(m.get("tombstones", [])), "g"
+    )
+    stored = _read_vectors(
+        spark, path, m, include_tombstoned=True
+    ).select("neighbor_id")
+    target = (
+        ids.select(F.col(corpus_id).alias("neighbor_id"))
+        .distinct()
+        .join(stored, "neighbor_id", "left_semi")
+    )
+    prior = _read_tombstones(spark, path, m)
+    if prior is not None:
+        target = target.join(prior, "neighbor_id", "left_anti")
+    target = target.persist()
+    try:
+        n = target.count()
+        if n == 0:
+            return 0
+        gen = index_fs.fresh_gen(spark, [f"{path}/tombstones"], None)
+        target.coalesce(1).write.mode("overwrite").parquet(
+            f"{path}/tombstones/{gen}"
+        )
+        index_fs.commit_manifest(
+            spark,
+            path,
+            {
+                "generations": m["generations"],
+                "quantizer": m["quantizer"],
+                "params": m["params"],
+                "tombstones": m.get("tombstones", []) + [gen],
+            },
+            m["_seq"],
+        )
+        return n
+    finally:
+        target.unpersist()
+
+
+def compact_ivf_index(spark: SparkSession, path: str) -> None:
+    """Rewrite the committed vectors as ONE generation: merge
+    generations, physically drop tombstoned rows, clear the tombstone
+    set, keep the FROZEN quantizer (compaction reorganizes storage,
+    it never retrains — that is a rebuild). Bounds probe read
+    amplification (#generation directories per pruned scan) and
+    frees deleted ids for re-admission. Atomic like every mutation;
+    superseded directories are swept after the manifest lands.
+    """
+    m = _committed(spark, path)
+    index_fs.sweep_orphans(
+        spark, f"{path}/vectors",
+        {f"gen={g}" for g in m["generations"]}, "gen=",
+    )
+    index_fs.sweep_orphans(
+        spark, f"{path}/quantizer", {m["quantizer"]}, "g"
+    )
+    index_fs.sweep_orphans(
+        spark, f"{path}/tombstones", set(m.get("tombstones", [])), "g"
+    )
+    gen = index_fs.fresh_gen(spark, [f"{path}/vectors"], m)
+    live = _read_vectors(spark, path, m)
+    (
+        live.repartition(int(m["params"]["n_cells"]), "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/vectors/gen={gen}")
+    )
+    index_fs.commit_manifest(
+        spark,
+        path,
+        {
+            "generations": [gen],
+            "quantizer": m["quantizer"],
+            "params": m["params"],
+            "tombstones": [],
+        },
+        m["_seq"],
+    )
+    # post-commit cleanup of the superseded state. An in-flight or
+    # not-yet-executed probe PLAN against the old manifest would need
+    # a retry after this sweep — the standard compaction caveat
+    # (probe_ivf_index returns lazy plans; execute them before
+    # compacting, or re-plan after).
+    index_fs.sweep_orphans(
+        spark, f"{path}/vectors", {f"gen={gen}"}, "gen="
+    )
+    index_fs.sweep_orphans(spark, f"{path}/tombstones", set(), "g")
 
 
 def ivf_occupancy_stats(spark: SparkSession, path: str) -> DataFrame:

@@ -28,7 +28,14 @@ ANN index (:mod:`sqltask_spark.operators.ann_index`):
   postings and shingles land as a fresh GENERATION directory; the
   skinny sizes relation is re-derived as old ∪ new → sum into a
   fresh VERSION directory). At 100 TB the index is built once and
-  only ever appended.
+  appended on every ingest.
+- **delete / compact** complete the mutation lifecycle LSM-style:
+  :func:`delete_from_minhash_index` commits a skinny tombstone set
+  probes anti-join (takedowns take effect immediately, rows stay on
+  disk); :func:`compact_minhash_index` merges the generations,
+  physically drops tombstoned docs, refreshes sizes, clears the
+  tombstones, and frees deleted ids for re-admission — bounding
+  probe read amplification on the LSM cadence.
 
 Durability layout (the :mod:`~sqltask_spark.operators.index_fs`
 commit protocol — new-files-only + numbered-manifest publish)::
@@ -39,8 +46,10 @@ commit protocol — new-files-only + numbered-manifest publish)::
     path/data/g000001/postings     one generation per commit
     path/data/g000001/shingles
     path/sizes/g000001             full merged sizes per commit
+    path/tombstones/g000001        committed logical deletes
 
-Appends are IDEMPOTENT and CRASH-ATOMIC, matching the engine-wide
+Every mutation (append, delete, compact, rebuild) is IDEMPOTENT and
+CRASH-ATOMIC, matching the engine-wide
 batch-idempotency principle (re-running a batch never corrupts —
 cf. the W1/W2 sinks): ids already committed are anti-joined out of
 the batch, so a retried ingest is a no-op rather than a silent
@@ -85,6 +94,18 @@ def _read_postings(spark: SparkSession, path: str, m: dict) -> DataFrame:
 def _read_shingles(spark: SparkSession, path: str, m: dict) -> DataFrame:
     return spark.read.parquet(
         *[f"{path}/data/{g}/shingles" for g in m["generations"]]
+    )
+
+
+def _read_tombstones(
+    spark: SparkSession, path: str, m: dict
+) -> DataFrame | None:
+    """Union of committed tombstone sets (``(id)``), or ``None``."""
+    gens = m.get("tombstones", [])
+    if not gens:
+        return None
+    return spark.read.parquet(
+        *[f"{path}/tombstones/{g}" for g in gens]
     )
 
 
@@ -181,6 +202,9 @@ def append_to_minhash_index(
         spark, f"{path}/data", set(m["generations"]), "g"
     )
     index_fs.sweep_orphans(spark, f"{path}/sizes", {m["sizes"]}, "g")
+    index_fs.sweep_orphans(
+        spark, f"{path}/tombstones", set(m.get("tombstones", [])), "g"
+    )
     meta = m["params"]
     stored_ids = (
         _read_shingles(spark, path, m).select("id").distinct()
@@ -227,12 +251,135 @@ def append_to_minhash_index(
                 "generations": m["generations"] + [gen],
                 "sizes": gen,
                 "params": meta,
+                "tombstones": m.get("tombstones", []),
             },
             m["_seq"],
         )
         return n_novel
     finally:
         bsh.unpersist()
+
+
+def delete_from_minhash_index(
+    path: str,
+    ids: DataFrame,
+    id_col: str = "doc_id",
+) -> int:
+    """Tombstone documents out of the index (takedowns, quality
+    purges). Returns the number of ids newly tombstoned.
+
+    LSM-style logical delete: a skinny tombstone set commits as its
+    own versioned relation, and probes anti-join it — the deleted
+    documents stop matching IMMEDIATELY while the posting/shingle
+    rows stay on disk until :func:`compact_minhash_index` removes
+    them physically. Idempotent (already-tombstoned and never-indexed
+    ids are filtered out, so a re-run returns 0) and crash-atomic
+    (same manifest protocol as append). A tombstoned id stays
+    UNAVAILABLE to :func:`append_to_minhash_index` until compaction —
+    re-admitting it earlier would be killed by its own tombstone
+    (the classic LSM id-reuse hazard, excluded by construction).
+    """
+    spark = ids.sparkSession
+    m = _committed(spark, path)
+    index_fs.sweep_orphans(
+        spark, f"{path}/tombstones", set(m.get("tombstones", [])), "g"
+    )
+    stored = _read_shingles(spark, path, m).select("id")
+    target = (
+        ids.select(F.col(id_col).alias("id"))
+        .distinct()
+        .join(stored, "id", "left_semi")
+    )
+    prior = _read_tombstones(spark, path, m)
+    if prior is not None:
+        target = target.join(prior, "id", "left_anti")
+    target = target.persist()
+    try:
+        n = target.count()
+        if n == 0:
+            return 0
+        gen = index_fs.fresh_gen(spark, [f"{path}/tombstones"], None)
+        target.coalesce(1).write.mode("overwrite").parquet(
+            f"{path}/tombstones/{gen}"
+        )
+        index_fs.commit_manifest(
+            spark,
+            path,
+            {
+                "generations": m["generations"],
+                "sizes": m["sizes"],
+                "params": m["params"],
+                "tombstones": m.get("tombstones", []) + [gen],
+            },
+            m["_seq"],
+        )
+        return n
+    finally:
+        target.unpersist()
+
+
+def compact_minhash_index(spark: SparkSession, path: str) -> None:
+    """Rewrite the committed state as ONE generation: merge all
+    generations, physically drop tombstoned documents, recompute the
+    sizes relation over the surviving postings, clear the tombstone
+    set — the LSM compaction step that bounds read amplification
+    (every probe joins #generations file lists) and frees deleted
+    ids for re-admission.
+
+    Full-index work by definition (run it on the amortization cadence
+    appropriate to the append rate, exactly like LSM engines do); the
+    commit is atomic like every other mutation — probes serve the old
+    state until the manifest lands, and the superseded directories
+    are swept once it has.
+    """
+    m = _committed(spark, path)
+    index_fs.sweep_orphans(
+        spark, f"{path}/data", set(m["generations"]), "g"
+    )
+    index_fs.sweep_orphans(spark, f"{path}/sizes", {m["sizes"]}, "g")
+    index_fs.sweep_orphans(
+        spark, f"{path}/tombstones", set(m.get("tombstones", [])), "g"
+    )
+    gen = index_fs.fresh_gen(
+        spark, [f"{path}/data", f"{path}/sizes"], m
+    )
+    postings = _read_postings(spark, path, m)
+    shingles = _read_shingles(spark, path, m)
+    tombs = _read_tombstones(spark, path, m)
+    if tombs is not None:
+        postings = postings.join(tombs, "id", "left_anti")
+        shingles = shingles.join(tombs, "id", "left_anti")
+    postings.write.mode("overwrite").parquet(
+        f"{path}/data/{gen}/postings"
+    )
+    shingles.write.mode("overwrite").parquet(
+        f"{path}/data/{gen}/shingles"
+    )
+    (
+        spark.read.parquet(f"{path}/data/{gen}/postings")
+        .groupBy("band", "band_hash")
+        .agg(F.count(F.lit(1)).cast("long").alias("bucket_size"))
+        .write.mode("overwrite")
+        .parquet(f"{path}/sizes/{gen}")
+    )
+    index_fs.commit_manifest(
+        spark,
+        path,
+        {
+            "generations": [gen],
+            "sizes": gen,
+            "params": m["params"],
+            "tombstones": [],
+        },
+        m["_seq"],
+    )
+    # post-commit cleanup of the superseded state. In-flight probes
+    # that PLANNED against the old manifest may need a retry — the
+    # standard compaction caveat; probes in this module eagerly
+    # materialize, so a returned result is never invalidated.
+    index_fs.sweep_orphans(spark, f"{path}/data", {gen}, "g")
+    index_fs.sweep_orphans(spark, f"{path}/sizes", {gen}, "g")
+    index_fs.sweep_orphans(spark, f"{path}/tombstones", set(), "g")
 
 
 def probe_minhash_index(
@@ -266,6 +413,18 @@ def probe_minhash_index(
     corpus_sh = _read_shingles(spark, path, m).select(
         F.col("id").alias("corpus_id"), F.col("h").alias("h_c")
     )
+    tombs = _read_tombstones(spark, path, m)
+    if tombs is not None:
+        # deleted docs stop matching IMMEDIATELY (tombstone anti-joins
+        # on the skinny id — broadcast-small until compaction removes
+        # the rows physically); sizes stay as-built, a conservative
+        # cap (compaction refreshes them)
+        postings = postings.join(tombs, "id", "left_anti")
+        corpus_sh = corpus_sh.join(
+            tombs.select(F.col("id").alias("corpus_id")),
+            "corpus_id",
+            "left_anti",
+        )
     bsh = shingled_docs(batch, id_col, text_col, meta["shingle_n"]).persist()
     try:
         wide = _signatures_wide(bsh, meta["num_perm"], meta["seed"])

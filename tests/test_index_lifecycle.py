@@ -19,12 +19,16 @@ from sqltask_spark.operators import index_fs
 from sqltask_spark.operators.ann_index import (
     append_to_ivf_index,
     build_ivf_index,
+    compact_ivf_index,
+    delete_from_ivf_index,
     ivf_occupancy_stats,
     probe_ivf_index,
 )
 from sqltask_spark.operators.dedup_index import (
     append_to_minhash_index,
     build_minhash_index,
+    compact_minhash_index,
+    delete_from_minhash_index,
     probe_minhash_index,
 )
 
@@ -235,6 +239,135 @@ def test_ivf_occupancy_drift_signal_moves(spark, sf_dir, tmp_path):
     assert s1["max_occupancy"] > s0["max_occupancy"]
     assert s1["max_occupancy"] >= 64
     assert s1["concentration_micro"] > s0["concentration_micro"]
+
+
+def test_minhash_delete_compact_lifecycle(spark, tables, tmp_path):
+    """The full mutation lifecycle: tombstone delete takes effect
+    immediately (probe stops matching the deleted doc, others
+    untouched), is idempotent, blocks id re-use until compaction;
+    compaction collapses the generations, is probe-invariant, and
+    frees the deleted id for re-admission."""
+    docs = tables["documents"]
+    idx = str(tmp_path / "mh_del")
+    build_minhash_index(docs, idx)
+    batch = spark.createDataFrame(
+        [(900002, NOVEL)], "doc_id long, text string"
+    )
+    probe = spark.createDataFrame(
+        [(900003, NOVEL + " extra")], "doc_id long, text string"
+    )
+    append_to_minhash_index(idx, batch)
+    full_probe = docs.select("doc_id", "text").unionByName(probe)
+    before = _mh_canon(spark, idx, full_probe)
+    assert any(c == 900002 for _, c in before)
+
+    # delete the appended doc: immediate, idempotent, others intact
+    ids = spark.createDataFrame([(900002,)], "doc_id long")
+    assert delete_from_minhash_index(idx, ids) == 1
+    assert delete_from_minhash_index(idx, ids) == 0  # idempotent
+    # never-indexed ids tombstone nothing
+    assert delete_from_minhash_index(
+        idx, spark.createDataFrame([(123456789,)], "doc_id long")
+    ) == 0
+    after_del = _mh_canon(spark, idx, full_probe)
+    assert after_del == {
+        k: v for k, v in before.items() if k[1] != 900002
+    }
+    # the tombstoned id is NOT re-admittable before compaction
+    assert append_to_minhash_index(idx, batch) == 0
+
+    # compaction: probe-invariant, one generation, tombstones cleared
+    compact_minhash_index(spark, idx)
+    assert _mh_canon(spark, idx, full_probe) == after_del
+    assert len(index_fs.list_names(spark, f"{idx}/data")) == 1
+    assert index_fs.read_manifest(spark, idx)["tombstones"] == []
+    assert index_fs.list_names(spark, f"{idx}/tombstones") == []
+    # the id is free again — re-admission works and matches again
+    assert append_to_minhash_index(idx, batch) == 1
+    assert any(
+        c == 900002 for _, c in _mh_canon(spark, idx, full_probe)
+    )
+
+
+def test_minhash_compact_crash_leaves_precompact_state(
+    spark, tables, tmp_path, monkeypatch
+):
+    """Compaction is atomic too: a crash before its manifest lands
+    leaves probes serving the multi-generation + tombstone state
+    bit-for-bit; re-running completes it."""
+    docs = tables["documents"]
+    idx = str(tmp_path / "mh_cc")
+    build_minhash_index(docs, idx)
+    batch = spark.createDataFrame(
+        [(900002, NOVEL)], "doc_id long, text string"
+    )
+    probe = spark.createDataFrame(
+        [(900003, NOVEL + " extra")], "doc_id long, text string"
+    )
+    append_to_minhash_index(idx, batch)
+    delete_from_minhash_index(
+        idx, spark.createDataFrame([(900002,)], "doc_id long")
+    )
+    pre = _mh_canon(spark, idx, probe)
+
+    real = index_fs.commit_manifest
+
+    def crash(*a, **kw):
+        raise RuntimeError("injected crash before manifest commit")
+
+    monkeypatch.setattr(index_fs, "commit_manifest", crash)
+    with pytest.raises(RuntimeError, match="injected"):
+        compact_minhash_index(spark, idx)
+    monkeypatch.setattr(index_fs, "commit_manifest", real)
+    assert _mh_canon(spark, idx, probe) == pre
+    m = index_fs.read_manifest(spark, idx)
+    assert len(m["generations"]) == 2 and m["tombstones"]
+
+    compact_minhash_index(spark, idx)
+    assert _mh_canon(spark, idx, probe) == pre
+    assert len(index_fs.read_manifest(spark, idx)["generations"]) == 1
+
+
+def test_ivf_delete_compact_lifecycle(spark, sf_dir, tmp_path):
+    """IVF mutation lifecycle: tombstoned vectors stop ranking
+    immediately (the clone at rank 1 disappears, the pre-append
+    ranking returns exactly), occupancy reflects the live view, id
+    re-use is blocked until compaction, and compaction is
+    probe-invariant with cell pruning intact."""
+    from tests.test_plans import plan_report
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 1)
+    idx = str(tmp_path / "ivf_del")
+    build_ivf_index(emb, idx, "vec_id", "embedding", n_cells=16)
+    before = _ivf_canon(spark, idx, q)
+    occ0 = ivf_occupancy_stats(spark, idx).first()
+    clone = q.select(
+        F.lit(990001).cast("long").alias("vec_id"), F.col("embedding")
+    )
+    append_to_ivf_index(idx, clone, "vec_id", "embedding")
+    assert _ivf_canon(spark, idx, q)[0][2] == 990001
+
+    ids = spark.createDataFrame([(990001,)], "vec_id long")
+    assert delete_from_ivf_index(idx, ids, "vec_id") == 1
+    assert delete_from_ivf_index(idx, ids, "vec_id") == 0
+    assert _ivf_canon(spark, idx, q) == before  # ranking restored
+    occ1 = ivf_occupancy_stats(spark, idx).first()
+    assert occ1["n_vectors"] == occ0["n_vectors"]  # live view
+    # cell pruning survives the tombstone anti-join
+    pr = plan_report(
+        probe_ivf_index(
+            spark, idx, q, "vec_id", "embedding", k=5, n_probe=8
+        )
+    )
+    assert any("cell" in p for p in pr.partition_filters)
+    # blocked re-use until compaction, then free again
+    assert append_to_ivf_index(idx, clone, "vec_id", "embedding") == 0
+    compact_ivf_index(spark, idx)
+    assert _ivf_canon(spark, idx, q) == before  # probe-invariant
+    assert len(index_fs.list_names(spark, f"{idx}/vectors")) == 1
+    assert append_to_ivf_index(idx, clone, "vec_id", "embedding") == 1
+    assert _ivf_canon(spark, idx, q)[0][2] == 990001
 
 
 def test_corpus_ingest_loop_learns_across_batches(spark, sf_dir):
