@@ -134,6 +134,10 @@ TWINS: dict[str, str] = {
     # append ≡ rebuild, idempotent re-append) are pytest-pinned in
     # test_index_lifecycle
     "corpus_ingest_loop": "dedup_incremental",
+    # takedown screen: delete/compact semantics pytest-pinned in
+    # test_index_lifecycle; the batch-vs-corpus screen shape is the
+    # oracled twin
+    "corpus_takedown_screen": "dedup_incremental",
     "bpe_learn_merges": "bpe_learn_certified",
     "bpe_encode_documents": "bpe_encode_fixed",
     # learned-table fertility: same metric as the oracled fixed-table

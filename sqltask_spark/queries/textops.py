@@ -2665,6 +2665,59 @@ def corpus_ingest_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+# --------------------------------------------------------------------------
+# corpus_takedown_screen — the takedown/purge path at corpus scale:
+# build the near-dup index, TOMBSTONE every 10th document (a legal
+# takedown list), then screen a batch of near-dups targeting every
+# 5th document. Half the batch targets deleted docs — those must NOT
+# match (the tombstone anti-join is the serving-path guarantee); the
+# other half must still match. The output carries the zero as data:
+# hits_on_deleted is driver-checked every round. Rows-only (xxhash64
+# signatures); twin: dedup_incremental; delete/compact semantics are
+# pytest-pinned in test_index_lifecycle. Scale shape: the tombstone
+# set is skinny and broadcast; probe work is batch-sized.
+# --------------------------------------------------------------------------
+
+
+def corpus_takedown_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from sqltask_spark.operators.dedup_index import (
+        build_minhash_index,
+        delete_from_minhash_index,
+        probe_minhash_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    takedown = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id")
+    batch = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + F.lit(30_000_000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" nearly")).alias("text"),
+    )
+    tmp = tempfile.mkdtemp(prefix="takedown_")
+    try:
+        build_minhash_index(docs, tmp)
+        n_deleted = delete_from_minhash_index(tmp, takedown)
+        hits = probe_minhash_index(spark, tmp, batch, threshold=0.5)
+        out = hits.agg(
+            F.lit(n_deleted).cast("long").alias("n_deleted"),
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+            F.coalesce(
+                F.sum((F.col("corpus_id") % 10 == 0).cast("long")),
+                F.lit(0),
+            ).cast("long").alias("hits_on_deleted"),
+            F.countDistinct("batch_id").cast("long").alias(
+                "batch_docs_matched"
+            ),
+        )
+        rows = out.collect()
+        hits.unpersist()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 QUERIES = {
     "text_stats": text_stats,
     "doc_fingerprint": doc_fingerprint,
@@ -2709,6 +2762,7 @@ QUERIES = {
     "bpe_encode_documents": bpe_encode_documents,
     "dedup_index_screen": dedup_index_screen,
     "corpus_ingest_loop": corpus_ingest_loop,
+    "corpus_takedown_screen": corpus_takedown_screen,
 }
 
 ORACLES = {

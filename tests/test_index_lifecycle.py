@@ -396,6 +396,18 @@ def test_corpus_ingest_loop_learns_across_batches(spark, sf_dir):
     )
 
 
+def test_corpus_takedown_screen_deleted_docs_never_match(spark, sf_dir):
+    """The takedown entry's own zero is real: near-dups targeting
+    tombstoned docs must produce no hit against them, while the
+    alive half of the batch still matches."""
+    from sqltask_spark.queries.textops import corpus_takedown_screen
+
+    r = corpus_takedown_screen(spark, sf_dir).first()
+    assert r["n_deleted"] > 0
+    assert r["hits_on_deleted"] == 0
+    assert r["n_hits"] > 0 and r["batch_docs_matched"] > 0
+
+
 def test_manifest_commit_is_create_exclusive(spark, tmp_path):
     """Two writers racing for the same manifest slot: the second
     create MUST fail loudly (single-writer violations error instead
