@@ -37,12 +37,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
-# LLM-pipeline modules FIRST: the driver's correctness gate checks the
-# first 50 entries in dict order, and the dedup / similarity / text /
-# multimodal / pipeline operators are the engine's north-star surface —
-# they must sit inside that window. Relational/events flagships fill
-# the remaining slots via _FLAGSHIP below; the rest (all with green
-# driver history from rounds 1-2 and plan tests) follow.
+# Module aggregation order is only the TIE-BREAK (_CATALOG_POS):
+# the driver-facing order is the staleness rotation below, which
+# fills the 50-entry driver window mechanically.
 for mod in (_textops, _retrieval, _vector, _cluster, _multimodal,
             _pipeline, _relational, _relational2, _events):
     QUERIES.update(mod.QUERIES)
