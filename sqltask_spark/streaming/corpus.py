@@ -298,3 +298,54 @@ def token_quota_admit_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def minhash_index_ingest_sink(
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_bucket_size: int = 1000,
+):
+    """``foreachBatch`` sink closing the STREAMING ingest loop over
+    the persistent MinHash index: per micro-batch, probe → flag →
+    admit the novel documents → append, so epoch N+1 is screened
+    against everything epoch N admitted (the streaming form of the
+    batch ``corpus_ingest_loop`` catalog entry).
+
+    Exactly-once EFFECT under foreachBatch's at-least-once delivery:
+    Structured Streaming may re-deliver an epoch after a failure, and
+    the index append anti-joins already-committed ids
+    (:func:`~sqltask_spark.operators.dedup_index.
+    append_to_minhash_index`), so a replayed epoch is a no-op instead
+    of a posting double-insert — the idempotent-sink contract
+    foreachBatch documents as the caller's responsibility, discharged
+    by the index's own commit protocol. A crash mid-epoch leaves the
+    index on its last committed manifest; the restarted epoch heals.
+
+    Usage::
+
+        stream.writeStream.foreachBatch(
+            minhash_index_ingest_sink(path)
+        ).trigger(availableNow=True).start()
+    """
+    from sqltask_spark.operators.dedup_index import (
+        append_to_minhash_index,
+        probe_minhash_index,
+    )
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        hits = probe_minhash_index(
+            spark, index_path, batch_df, id_col, text_col,
+            threshold, max_bucket_size,
+        )
+        flagged = hits.select("batch_id").distinct()
+        admitted = batch_df.join(
+            flagged, batch_df[id_col] == flagged["batch_id"],
+            "left_anti",
+        )
+        append_to_minhash_index(index_path, admitted, id_col, text_col)
+        hits.unpersist()
+
+    return ingest

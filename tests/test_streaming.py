@@ -734,3 +734,77 @@ def test_token_quota_admit_stream_matches_batch(spark, tmp_path):
         6: (True, 12),   # b's straddler
         7: (False, 12),
     }
+
+
+def test_minhash_index_stream_ingest_learns_and_replays_idempotently(
+    spark, tmp_path
+):
+    """The streaming ingest loop over the persistent index: epoch 2's
+    near-dup OF AN EPOCH-1 ADMIT is flagged (the index learned
+    mid-stream), near-dups of the prebuilt corpus are never admitted,
+    and replaying the WHOLE stream from a fresh checkpoint (the
+    at-least-once re-delivery case) leaves the index bit-identical —
+    the anti-join append makes the foreachBatch sink exactly-once in
+    effect."""
+    from pyspark.sql import types as T
+
+    from sqltask_spark.operators import index_fs
+    from sqltask_spark.operators.dedup_index import build_minhash_index
+    from sqltask_spark.streaming.corpus import minhash_index_ingest_sink
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    novel = "xq zz yy ww vv uu tt ss rr qq pp oo nn mm"
+    idx = str(tmp_path / "mh_stream_idx")
+    build_minhash_index(
+        spark.createDataFrame([(1, base)], schema), idx
+    )
+    src = tmp_path / "stream_in"
+    # epoch 1: a near-dup of the prebuilt corpus (flag, don't admit)
+    # + a novel doc (admit)
+    spark.createDataFrame(
+        [(101, base + " extra"), (100, novel)], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    # epoch 2: a near-dup of epoch 1's ADMIT — flagging it requires
+    # the index to have learned doc 100 mid-stream
+    spark.createDataFrame(
+        [(301, novel + " extra")], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    def run_stream():
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .writeStream.foreachBatch(minhash_index_ingest_sink(idx))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_stream()
+
+    def indexed_ids():
+        m = index_fs.read_manifest(spark, idx)
+        return (
+            {
+                r["id"]
+                for g in m["generations"]
+                for r in spark.read.parquet(
+                    f"{idx}/data/{g}/shingles"
+                ).select("id").collect()
+            },
+            len(m["generations"]),
+        )
+
+    ids, gens = indexed_ids()
+    # 100 admitted; 101 (corpus near-dup) and 301 (near-dup of the
+    # epoch-1 admit) both flagged out — cross-epoch learning
+    assert ids == {1, 100}
+    # full replay from a fresh checkpoint: re-delivered epochs are
+    # no-ops — same ids, no new generations
+    run_stream()
+    assert indexed_ids() == (ids, gens)
