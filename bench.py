@@ -74,6 +74,11 @@ HEADLINE = [
     "quality_filter_adaptive",
     "source_unigram_entropy",
     "dup_rate_by_source",
+    # r9 additions: the persistent-index ingest/mutation loops
+    # (build + probe + admit/append / tombstone under the manifest
+    # protocol, end to end)
+    "corpus_ingest_loop",
+    "corpus_takedown_screen",
 ]
 
 # Probe-class tags (r8 judge "what's wrong #2"): the three calibration
