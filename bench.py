@@ -430,8 +430,13 @@ def main() -> None:
         print(f"# sidecar write failed: {exc}", file=sys.stderr)
     line = json.dumps(record)
     # belt-and-braces: if the compact line ever outgrows the driver's
-    # tail window again, shed the bulkiest field rather than archive
-    # another parsed:null round (the sidecar keeps the full record)
+    # tail window again, shed fields rather than archive another
+    # parsed:null round (the sidecar keeps the full record) — first
+    # the DERIVABLE one (class_wall_normalized = class_wall /
+    # class_factors), the per-entry queries only as a last resort
+    if len(line) > 1800:
+        record.pop("class_wall_normalized")
+        line = json.dumps(record)
     if len(line) > 1800:
         record.pop("queries")
         line = json.dumps(record)
