@@ -213,6 +213,7 @@ def append_to_minhash_index(
         stored_ids, batch[id_col] == stored_ids["id"], "left_anti"
     )
     bsh = shingled_docs(novel, id_col, text_col, meta["shingle_n"]).persist()
+    banded = None
     try:
         n_novel = bsh.count()
         if n_novel == 0:
@@ -242,7 +243,6 @@ def append_to_minhash_index(
             .write.mode("overwrite")
             .parquet(f"{path}/sizes/{gen}")
         )
-        banded.unpersist()
         # the COMMIT: everything above was invisible until this line
         index_fs.commit_manifest(
             spark,
@@ -257,6 +257,12 @@ def append_to_minhash_index(
         )
         return n_novel
     finally:
+        # release BOTH caches on every exit — a crash between the
+        # postings write and the commit must not leak the banded
+        # signatures for the session (the calibration-entry leak
+        # class, ADVICE r8)
+        if banded is not None:
+            banded.unpersist()
         bsh.unpersist()
 
 
