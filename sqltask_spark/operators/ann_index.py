@@ -649,19 +649,35 @@ def probe_ivf_index(
     probed_cells = sorted({int(c) for row in order for c in row})
     # the isin predicate on the PARTITION column prunes directories at
     # the scan (PartitionFilters — plan-tested); the per-query cell
-    # equi-join then narrows within the read cells. The pruned scan
-    # then yields only as many input splits as probed FILES — without
-    # a min-partition guard the candidate scoring (the CPU-bound
-    # part) serializes onto a handful of cores (measured: probe
-    # SLOWER than the per-call op at 128k vectors; the same
-    # byte-small/compute-heavy trap as the LSH candidate stage).
+    # equi-join then narrows within the read cells. The scoring
+    # stage's parallelism must scale with the CANDIDATE VOLUME
+    # (scan rows × queries per probed cell), NOT the pruned file
+    # count: small appended generations coalesce into few input
+    # splits, and a map partition whose scored pairs outgrow the sort
+    # buffer sends the stage's partial top-k sort into disk spill —
+    # measured 9× (6.6 s → 58.8 s at 11.6M pairs on 16 splits after
+    # five small appends; 32+ splits restore it). The count() below
+    # is metadata-only (zero data columns on a partition-pruned
+    # scan); ~250k scored pairs per task stays far inside the buffer.
     from sqltask_spark.data import ensure_min_partitions
 
-    ci = ensure_min_partitions(
-        _read_vectors(spark, path, m_fest).filter(
-            F.col("cell").isin(probed_cells)
+    ci = _read_vectors(spark, path, m_fest).filter(
+        F.col("cell").isin(probed_cells)
+    )
+    n_cand = ci.count()
+    pairs_per_cand = max(
+        1, (len(q_rows) * n_probe) // max(1, len(probed_cells))
+    )
+    target = int(
+        min(
+            4096,
+            max(
+                spark.sparkContext.defaultParallelism,
+                (n_cand * pairs_per_cand) // 250_000,
+            ),
         )
     )
+    ci = ensure_min_partitions(ci, target)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("neighbor_id")
     )
