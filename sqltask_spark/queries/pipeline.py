@@ -2386,6 +2386,398 @@ ORDER BY census.source
 """
 
 
+# --------------------------------------------------------------------------
+# contamination_bloom — decontamination via a BROADCAST Bloom filter,
+# with its exact-join certificate riding in the output. The standard
+# at-scale shape: the eval suite's shingle set compresses into a
+# fixed-bits-per-element bitmap (10 bits/shingle → a benchmark suite
+# of 1M shingles is ~1.25 MB — broadcastable to every executor), so
+# screening 100 TB of train text is ONE map-side pass per shingle
+# probe instead of a corpus×eval shuffle. Bloom guarantees NO false
+# negatives (every inserted shingle hits), so the exact screen here
+# exists only to certify the filter: n_false_neg is emitted as data
+# and driver-hash-checked to zero every round, and n_false_pos /
+# n_probe_shingles IS the measured fp rate of the (k=2, 10 bits/elem)
+# configuration at each scale — the filter is sized from the
+# eval-shingle cardinality (one bounded scalar), so the rate is
+# scale-invariant instead of saturating as the corpus grows.
+#
+# Portability: positions derive from the md5-long family (probe j =
+# md5("bl:j:" || shingle) mod m_bits), words pack 63 bits (bit 63
+# would flip the BIGINT sign), build is bit_or over word groups —
+# every step reproducible bit-for-bit in DuckDB.
+# --------------------------------------------------------------------------
+
+_BLOOM_BITS_PER_ELEM = 10
+_BLOOM_K = 2
+_BLOOM_WORD_BITS = 63
+
+
+def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sqltask_spark.operators.retrieval import md5_long
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    sh = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(word_shingles(F.col("text"), 3))
+        ).alias("s"),
+    )
+    eval_sh = (
+        sh.filter(F.pmod("doc_id", F.lit(10)) == 0).select("s").distinct()
+    )
+    # the ONE bounded driver scalar: eval-shingle cardinality sizes the
+    # filter (fixed bits-per-element keeps the fp rate scale-free)
+    n_eval = eval_sh.count()
+    n_words = max(
+        64,
+        -(-n_eval * _BLOOM_BITS_PER_ELEM // _BLOOM_WORD_BITS),
+    )
+    m_bits = n_words * _BLOOM_WORD_BITS
+
+    def _positions(col):
+        return [
+            F.pmod(
+                md5_long(F.concat(F.lit(f"bl:{j}:"), col)), F.lit(m_bits)
+            )
+            for j in range(_BLOOM_K)
+        ]
+
+    bloom = (
+        eval_sh.select(
+            F.explode(F.array(*_positions(F.col("s")))).alias("pos")
+        )
+        .select(
+            F.expr(f"pos DIV {_BLOOM_WORD_BITS}").alias("word"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT),"
+                f" CAST(pos % {_BLOOM_WORD_BITS} AS INT))"
+            ).alias("bit_mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bit_mask").alias("bits"))
+    )
+    probes = (
+        sh.filter(F.pmod("doc_id", F.lit(10)) != 0)
+        .select(
+            "doc_id",
+            "source",
+            "s",
+            F.explode(F.array(*_positions(F.col("s")))).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "s",
+            F.expr(f"pos DIV {_BLOOM_WORD_BITS}").alias("word"),
+            F.pmod("pos", F.lit(_BLOOM_WORD_BITS)).cast("int").alias("bit"),
+        )
+    )
+    per_sh = (
+        probes.join(F.broadcast(bloom), "word", "left")
+        .withColumn(
+            "hit",
+            F.when(
+                F.col("bits").isNotNull()
+                & F.expr("(shiftright(bits, bit) & 1) = 1"),
+                1,
+            ).otherwise(0),
+        )
+        .groupBy("doc_id", "source", "s")
+        .agg(
+            (F.sum("hit") == F.lit(_BLOOM_K)).cast("int").alias("b")
+        )
+        # the exact screen: certificate only — at scale you'd skip it
+        .join(eval_sh.withColumn("e_m", F.lit(1)), "s", "left")
+        .select(
+            "doc_id",
+            "source",
+            "b",
+            F.coalesce("e_m", F.lit(0)).alias("e"),
+        )
+    )
+    per_doc = per_sh.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_sh"),
+        F.sum("b").alias("n_b"),
+        F.sum("e").alias("n_e"),
+        F.sum(
+            F.when((F.col("e") == 1) & (F.col("b") == 0), 1).otherwise(0)
+        ).alias("n_fn"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_train_docs"),
+            F.sum("n_sh").cast("long").alias("n_probe_shingles"),
+            F.sum("n_b").cast("long").alias("n_bloom_hits"),
+            F.sum("n_e").cast("long").alias("n_exact_hits"),
+            (F.sum("n_b") - F.sum("n_e")).cast("long").alias("n_false_pos"),
+            F.sum("n_fn").cast("long").alias("n_false_neg"),
+            F.sum((F.col("n_b") >= _MIN_SHARED).cast("int"))
+            .cast("long")
+            .alias("n_flagged_bloom"),
+            F.sum((F.col("n_e") >= _MIN_SHARED).cast("int"))
+            .cast("long")
+            .alias("n_flagged_exact"),
+            F.lit(n_eval).cast("long").alias("n_eval_shingles"),
+            F.lit(m_bits).cast("long").alias("m_bits"),
+        )
+        .orderBy("source")
+    )
+
+
+def _bloom_sql() -> str:
+    """DuckDB mirror of :func:`contamination_bloom` — same md5-long
+    positions, 63-bit words, bit_or build, shift-and-mask probe."""
+    from sqltask_spark.queries.textops import _md5long_sql
+
+    w = _BLOOM_WORD_BITS
+
+    def pos_expr(j: int) -> str:
+        return (
+            _md5long_sql(f"'bl:{j}:' || s") + " % (SELECT m_bits FROM dims)"
+        )
+
+    ev_pos = "\n  UNION ALL\n".join(
+        f"  SELECT {pos_expr(j)} AS pos FROM ev" for j in range(_BLOOM_K)
+    )
+    pr_pos = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, source, s, {pos_expr(j)} AS pos FROM tr"
+        for j in range(_BLOOM_K)
+    )
+    return f"""
+WITH sh AS MATERIALIZED (
+  SELECT doc_id, source, UNNEST({_SHINGLES}) AS s
+  FROM documents WHERE text IS NOT NULL
+), ev AS MATERIALIZED (
+  SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0
+), dims AS MATERIALIZED (
+  SELECT GREATEST(64, ({_BLOOM_BITS_PER_ELEM} * COUNT(*) + {w - 1}) // {w})
+           * {w} AS m_bits,
+         COUNT(*) AS n_eval
+  FROM ev
+), tr AS MATERIALIZED (
+  SELECT doc_id, source, s FROM sh WHERE doc_id % 10 <> 0
+), evpos AS (
+{ev_pos}
+), bloom AS MATERIALIZED (
+  SELECT pos // {w} AS word,
+         bit_or(1::BIGINT << (pos % {w})::INT) AS bits
+  FROM evpos GROUP BY 1
+), pr AS (
+{pr_pos}
+), hits AS (
+  SELECT p.doc_id, p.source, p.s,
+         CASE WHEN b.bits IS NOT NULL
+                   AND ((b.bits >> (p.pos % {w})::INT) & 1) = 1
+              THEN 1 ELSE 0 END AS hit
+  FROM pr p LEFT JOIN bloom b ON p.pos // {w} = b.word
+), per_sh AS (
+  SELECT h.doc_id, h.source, h.s,
+         CASE WHEN SUM(h.hit) = {_BLOOM_K} THEN 1 ELSE 0 END AS b,
+         CASE WHEN MAX(e.m) IS NULL THEN 0 ELSE 1 END AS e
+  FROM hits h LEFT JOIN (SELECT s, 1 AS m FROM ev) e ON h.s = e.s
+  GROUP BY h.doc_id, h.source, h.s
+), per_doc AS (
+  SELECT doc_id, source, COUNT(*) AS n_sh, SUM(b) AS n_b, SUM(e) AS n_e,
+         SUM(CASE WHEN e = 1 AND b = 0 THEN 1 ELSE 0 END) AS n_fn
+  FROM per_sh GROUP BY 1, 2
+)
+SELECT source,
+       COUNT(*)::BIGINT AS n_train_docs,
+       SUM(n_sh)::BIGINT AS n_probe_shingles,
+       SUM(n_b)::BIGINT AS n_bloom_hits,
+       SUM(n_e)::BIGINT AS n_exact_hits,
+       (SUM(n_b) - SUM(n_e))::BIGINT AS n_false_pos,
+       SUM(n_fn)::BIGINT AS n_false_neg,
+       SUM(CASE WHEN n_b >= {_MIN_SHARED} THEN 1 ELSE 0 END)::BIGINT
+         AS n_flagged_bloom,
+       SUM(CASE WHEN n_e >= {_MIN_SHARED} THEN 1 ELSE 0 END)::BIGINT
+         AS n_flagged_exact,
+       (SELECT n_eval FROM dims)::BIGINT AS n_eval_shingles,
+       (SELECT m_bits FROM dims)::BIGINT AS m_bits
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# source_distinct_hll — HyperLogLog distinct-document counting as a
+# hash-checked certificate. The 100 TB problem: COUNT(DISTINCT fp)
+# per shard requires shuffling every fingerprint; the production
+# answer is a MERGEABLE register sketch (m=256 registers, 8-bit index
+# + rank of the next 40 md5 bits) whose per-shard states combine by
+# element-wise MAX. This entry computes the per-source register
+# states, MERGES them into a '__ALL__' row (the combine step is the
+# point — per-shard sketches → corpus estimate with no re-scan), and
+# emits the raw HLL estimate in integer MILLI-docs next to the exact
+# distinct count, so the driver hash locks both the sketch state
+# (n_zero_registers, sum_rho) and the estimator arithmetic.
+#
+# All integer: rank rho is derived from binary-string length (no
+# logs), the harmonic sum is Σ 2^(24−rho) in BIGINT (rho capped at
+# 24 — the cap hits with probability ~n/2^24 per register and is
+# applied identically in both engines), and the estimate is one
+# BIGINT division with alpha in micro units. The raw estimator is
+# biased low in the small-range regime (n < 2.5m — linear counting
+# territory, which needs ln and is deliberately NOT baked into the
+# certificate); n_zero_registers rides along so a consumer can apply
+# it. Accuracy of the raw estimator at scale is pytest-pinned on a
+# planted 20k-distinct corpus.
+# --------------------------------------------------------------------------
+
+_HLL_M = 256
+_HLL_RHO_CAP = 24
+_HLL_ALPHA_MICRO = 718273  # round(1e6 * 0.7213 / (1 + 1.079/256))
+_HLL_NUM = _HLL_ALPHA_MICRO * _HLL_M * _HLL_M * (1 << _HLL_RHO_CAP)
+
+
+def source_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sqltask_spark.data import materialize_and_release
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    base = (
+        docs.select(
+            "source", tx.fingerprint_md5(F.col("text")).alias("fp")
+        )
+        .distinct()
+        .persist()
+    )
+    try:
+        idx = F.conv(F.substring(F.col("fp"), 1, 2), 16, 10).cast("int")
+        w = F.conv(F.substring(F.col("fp"), 3, 10), 16, 10).cast("long")
+        rho = F.when(w == 0, F.lit(_HLL_RHO_CAP)).otherwise(
+            F.least(
+                F.lit(41) - F.length(F.bin(w)), F.lit(_HLL_RHO_CAP)
+            )
+        )
+        regs_src = (
+            base.select("source", idx.alias("idx"), rho.alias("rho"))
+            .groupBy("source", "idx")
+            .agg(F.max("rho").alias("r"))
+        )
+        # the MERGE step: per-source sketches → corpus sketch by
+        # element-wise register MAX (no fingerprint re-scan)
+        regs = regs_src.unionByName(
+            regs_src.groupBy("idx")
+            .agg(F.max("r").alias("r"))
+            .withColumn("source", F.lit("__ALL__"))
+            .select("source", "idx", "r")
+        )
+        est = regs.groupBy("source").agg(
+            F.sum(
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT),"
+                    f" CAST({_HLL_RHO_CAP} - r AS INT))"
+                )
+            ).alias("s_present"),
+            F.count(F.lit(1)).alias("n_present"),
+            F.sum("r").cast("long").alias("sum_rho"),
+        ).select(
+            "source",
+            (F.lit(_HLL_M) - F.col("n_present"))
+            .cast("long")
+            .alias("n_zero_registers"),
+            "sum_rho",
+            F.expr(
+                f"CAST({_HLL_NUM} AS BIGINT) DIV (1000 * (s_present"
+                f" + ({_HLL_M} - n_present)"
+                f" * {1 << _HLL_RHO_CAP}))"
+            ).alias("est_milli"),
+        )
+        exact = base.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact")
+        ).unionByName(
+            base.select("fp")
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+            .withColumn("source", F.lit("__ALL__"))
+            .select("source", "n_exact")
+        )
+        out = (
+            est.join(exact, "source")
+            .select(
+                "source",
+                "n_exact",
+                "n_zero_registers",
+                "sum_rho",
+                "est_milli",
+                F.abs(F.col("est_milli") - F.col("n_exact") * 1000).alias(
+                    "abs_err_milli"
+                ),
+                F.expr(
+                    "abs(est_milli - n_exact * 1000) DIV n_exact"
+                ).alias("err_permille"),
+                # 1 = the HLL small-range regime (raw estimate below
+                # 2.5m with empty registers): a consumer should use
+                # linear counting here, not the raw estimate
+                F.when(
+                    (F.col("est_milli") < F.lit(2500 * _HLL_M))
+                    & (F.col("n_zero_registers") > 0),
+                    1,
+                )
+                .otherwise(0)
+                .cast("int")
+                .alias("lc_regime"),
+            )
+            .orderBy("source")
+        )
+        return materialize_and_release(out, base)
+    except BaseException:
+        base.unpersist()
+        raise
+
+
+_HLL_SQL = f"""
+WITH base AS MATERIALIZED (
+  SELECT DISTINCT source, md5({_NORM}) AS fp
+  FROM documents WHERE text IS NOT NULL
+), tagged AS (
+  SELECT source,
+         ('0x' || substring(fp, 1, 2))::BIGINT AS idx,
+         ('0x' || substring(fp, 3, 10))::BIGINT AS w
+  FROM base
+), rho_t AS (
+  SELECT source, idx,
+         CASE WHEN w = 0 THEN {_HLL_RHO_CAP}
+              ELSE LEAST(41 - length(bin(w)), {_HLL_RHO_CAP}) END AS rho
+  FROM tagged
+), regs_src AS (
+  SELECT source, idx, MAX(rho) AS r FROM rho_t GROUP BY 1, 2
+), regs AS (
+  SELECT source, idx, r FROM regs_src
+  UNION ALL
+  SELECT '__ALL__' AS source, idx, MAX(r) AS r FROM regs_src GROUP BY 2
+), est AS (
+  SELECT source,
+         ({_HLL_M} - COUNT(*))::BIGINT AS n_zero_registers,
+         SUM(r)::BIGINT AS sum_rho,
+         ({_HLL_NUM}::BIGINT // (1000 *
+            (SUM(1::BIGINT << ({_HLL_RHO_CAP} - r)::INT)
+             + ({_HLL_M} - COUNT(*)) * {1 << _HLL_RHO_CAP})))::BIGINT
+           AS est_milli
+  FROM regs GROUP BY 1
+), exact AS (
+  SELECT source, COUNT(*)::BIGINT AS n_exact FROM base GROUP BY 1
+  UNION ALL
+  SELECT '__ALL__' AS source, COUNT(DISTINCT fp)::BIGINT FROM base
+)
+SELECT e.source, x.n_exact, e.n_zero_registers, e.sum_rho, e.est_milli,
+       abs(e.est_milli - x.n_exact * 1000)::BIGINT AS abs_err_milli,
+       (abs(e.est_milli - x.n_exact * 1000) // x.n_exact)::BIGINT
+         AS err_permille,
+       CASE WHEN e.est_milli < {2500 * _HLL_M}
+                 AND e.n_zero_registers > 0
+            THEN 1 ELSE 0 END::INT AS lc_regime
+FROM est e JOIN exact x USING (source)
+ORDER BY source
+"""
+
+
 QUERIES = {
     "zorder_layout_stats": zorder_layout_stats,
     "dsir_weights": dsir_weights,
@@ -2423,6 +2815,8 @@ QUERIES = {
     "source_unigram_entropy": source_unigram_entropy,
     "dup_rate_by_source": dup_rate_by_source,
     "source_overlap_matrix": source_overlap_matrix,
+    "contamination_bloom": contamination_bloom,
+    "source_distinct_hll": source_distinct_hll,
 }
 
 ORACLES = {
@@ -2460,4 +2854,6 @@ ORACLES = {
     "corpus_shuffle_shards": _SHUFFLE_SQL,
     "corpus_to_training_data": _E2E_SQL,
     "corpus_to_training_data_v2": _e2e_v2_sql(),
+    "contamination_bloom": _bloom_sql(),
+    "source_distinct_hll": _HLL_SQL,
 }

@@ -2979,3 +2979,153 @@ def test_eval_ngram_coverage_planted(spark, tmp_path):
     assert got[30]["n_shingles"] == 6
     assert got[30]["n_covered"] == 2
     assert got[30]["coverage_micro"] == (2 * 1_000_000) // 6
+
+
+def test_contamination_bloom_planted(spark, tmp_path):
+    """Planted leak: train doc 1 is a verbatim copy of eval doc 10
+    (>= _MIN_SHARED shared shingles -> flagged by BOTH screens);
+    train doc 2 is fully novel (0 exact hits). The Bloom guarantee
+    rides in the output: zero false negatives, bloom hits a superset
+    of exact hits, flag counts monotone."""
+    leaked = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (10, leaked, "A"),                                   # eval
+        (1, leaked, "A"),                                    # train: leak
+        (2, "one two three four five six seven eight", "A"),  # train: novel
+        (3, "red green blue cyan magenta yellow black white", "B"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = tmp_path / "bloom_sf"
+    df.write.parquet(str(out / "documents.parquet"))
+
+    from sqltask_spark.queries.pipeline import contamination_bloom
+
+    got = {r["source"]: r for r in contamination_bloom(
+        spark, str(out)
+    ).collect()}
+    a = got["A"]
+    # doc 1 shares all 8 of eval doc 10's trigrams -> flagged exact
+    assert a["n_flagged_exact"] == 1
+    assert a["n_exact_hits"] == 8
+    for row in got.values():
+        assert row["n_false_neg"] == 0
+        assert row["n_bloom_hits"] >= row["n_exact_hits"]
+        assert row["n_flagged_bloom"] >= row["n_flagged_exact"]
+        assert row["n_false_pos"] == row["n_bloom_hits"] - row["n_exact_hits"]
+
+
+def test_contamination_bloom_invariants_real_corpus(spark, sf_dir):
+    """On the real corpus: the no-false-negative guarantee holds for
+    every source, and the measured shingle-level fp rate stays inside
+    the design envelope of the (k=2, 10 bits/element) configuration
+    (theory ~3.3%; assert < 10% to stay host/corpus-agnostic)."""
+    from sqltask_spark.queries.pipeline import contamination_bloom
+
+    rows = contamination_bloom(spark, sf_dir).collect()
+    assert rows, "corpus should produce at least one source row"
+    n_probe = sum(r["n_probe_shingles"] for r in rows)
+    n_fp = sum(r["n_false_pos"] for r in rows)
+    assert all(r["n_false_neg"] == 0 for r in rows)
+    assert n_fp * 10 < n_probe  # fp rate < 10%
+
+
+def test_source_distinct_hll_matches_python_model(spark, tmp_path):
+    """Cross-implementation pin: replicate the full register pipeline
+    (md5 -> idx/rank -> max-merge -> integer estimator) in plain
+    Python over a planted corpus and require BIT-EQUAL est_milli,
+    sum_rho and n_zero_registers from the Spark entry."""
+    import hashlib
+
+    texts = [(i, f"planted document number {i}", "A" if i % 2 else "B")
+             for i in range(1, 301)]
+    df = spark.createDataFrame(
+        texts, "doc_id long, text string, source string"
+    )
+    out = tmp_path / "hll_sf"
+    df.write.parquet(str(out / "documents.parquet"))
+
+    from sqltask_spark.queries.pipeline import (
+        _HLL_M,
+        _HLL_NUM,
+        _HLL_RHO_CAP,
+        source_distinct_hll,
+    )
+
+    def model(rows):
+        regs: dict[int, int] = {}
+        fps = set()
+        for t in rows:
+            fp = hashlib.md5(t.encode()).hexdigest()
+            fps.add(fp)
+        for fp in fps:
+            idx = int(fp[:2], 16)
+            w = int(fp[2:12], 16)
+            rho = _HLL_RHO_CAP if w == 0 else min(
+                41 - w.bit_length(), _HLL_RHO_CAP
+            )
+            regs[idx] = max(regs.get(idx, 0), rho)
+        s = sum(1 << (_HLL_RHO_CAP - r) for r in regs.values())
+        s += (_HLL_M - len(regs)) * (1 << _HLL_RHO_CAP)
+        return {
+            "n_exact": len(fps),
+            "n_zero_registers": _HLL_M - len(regs),
+            "sum_rho": sum(regs.values()),
+            "est_milli": _HLL_NUM // (1000 * s),
+        }
+
+    got = {r["source"]: r for r in source_distinct_hll(
+        spark, str(out)
+    ).collect()}
+    for src, sel in (
+        ("A", lambda t: t[2] == "A"),
+        ("B", lambda t: t[2] == "B"),
+        ("__ALL__", lambda t: True),
+    ):
+        want = model([t[1] for t in texts if sel(t)])
+        for k, v in want.items():
+            assert got[src][k] == v, (src, k, got[src][k], v)
+
+
+def test_source_distinct_hll_accuracy_at_scale(spark, tmp_path):
+    """The raw estimator's contract where it applies (n >> 2.5m):
+    20k distinct docs (each written twice -> distinctness matters)
+    estimate within 20 percent (m=256 -> sigma ~6.5%; 20% ~ 3 sigma),
+    and the row is NOT marked small-range."""
+    base = spark.range(1, 20_001).selectExpr(
+        "id AS doc_id",
+        "concat('unique content string ', id) AS text",
+        "'big' AS source",
+    )
+    dup = base.selectExpr("doc_id + 100000 AS doc_id", "text", "source")
+    out = tmp_path / "hll_big_sf"
+    base.unionByName(dup).write.parquet(str(out / "documents.parquet"))
+
+    from sqltask_spark.queries.pipeline import source_distinct_hll
+
+    got = {r["source"]: r for r in source_distinct_hll(
+        spark, str(out)
+    ).collect()}
+    row = got["big"]
+    assert row["n_exact"] == 20_000
+    assert row["err_permille"] < 200
+    assert row["lc_regime"] == 0
+    # merged __ALL__ over one source == that source's sketch
+    assert got["__ALL__"]["est_milli"] == row["est_milli"]
+
+
+def test_bloom_and_hll_tolerate_empty_corpus(spark, tmp_path):
+    empty = spark.createDataFrame(
+        [],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    out = tmp_path / "empty_sf9"
+    empty.write.parquet(str(out / "documents.parquet"))
+
+    from sqltask_spark.queries.pipeline import (
+        contamination_bloom,
+        source_distinct_hll,
+    )
+
+    assert contamination_bloom(spark, str(out)).count() == 0
+    assert source_distinct_hll(spark, str(out)).count() == 0
