@@ -1010,6 +1010,69 @@ FROM per GROUP BY event_type ORDER BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# scd2_user_state — slowly-changing-dimension (type 2) history build:
+# each user's "current event_type" attribute becomes a set of
+# validity intervals [valid_from, valid_to) with an is_current flag
+# and a version number. The warehouse-dimension op the reference's
+# ETL audience runs nightly (the reference delegates it to the target
+# database; here it is two windows over ONE user_id shuffle —
+# Catalyst reuses the exchange, so the history build is a single
+# pass however long the history gets).
+#
+# Semantics: consecutive duplicate states collapse (an event that
+# re-asserts the current state does not open a new version — the
+# standard SCD2 change-detection rule); ties on ts break by event_id
+# on both engines, so the interval chain is deterministic.
+# --------------------------------------------------------------------------
+
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    changed = ev.withColumn(
+        "prev", F.lag("event_type").over(w)
+    ).filter(
+        F.col("prev").isNull() | (F.col("prev") != F.col("event_type"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        changed.select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w2).alias("valid_to"),
+            F.lead("ts").over(w2).isNull().cast("int").alias("is_current"),
+            F.row_number().over(w2).cast("int").alias("version"),
+        )
+        .orderBy("user_id", "version")
+    )
+
+
+_SCD2_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), chg AS (
+  SELECT user_id, event_type AS state, ts, event_id
+  FROM seq WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, state,
+       ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END::INT
+         AS is_current,
+       (row_number() OVER w)::INT AS version
+FROM chg
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, version
+"""
+
+
 QUERIES = {
     "sessionize_events": sessionize_events,
     "funnel_conversion": funnel_conversion,
@@ -1027,6 +1090,7 @@ QUERIES = {
     "multires_rollup": multires_rollup,
     "event_value_stats": event_value_stats,
     "user_event_history": user_event_history,
+    "scd2_user_state": scd2_user_state,
 }
 
 ORACLES = {
@@ -1046,4 +1110,5 @@ ORACLES = {
     "multires_rollup": _MULTIRES_SQL,
     "event_value_stats": _STATS_EV_SQL,
     "user_event_history": _HISTORY_SQL,
+    "scd2_user_state": _SCD2_SQL,
 }

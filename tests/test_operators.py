@@ -3129,3 +3129,45 @@ def test_bloom_and_hll_tolerate_empty_corpus(spark, tmp_path):
 
     assert contamination_bloom(spark, str(out)).count() == 0
     assert source_distinct_hll(spark, str(out)).count() == 0
+
+
+def test_scd2_user_state_planted(spark, tmp_path):
+    """SCD2 semantics on a planted history: consecutive duplicate
+    states collapse into one version, intervals chain exactly
+    (valid_to == next valid_from), the last version is open-ended
+    and is_current, and a ts tie breaks by event_id."""
+    import datetime as dt
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # user 1: A, A (re-assert - no new version), B, back to A
+        (1, t(0), 1, "A", 1.0, None),
+        (2, t(5), 1, "A", 1.0, None),
+        (3, t(10), 1, "B", 1.0, None),
+        (4, t(20), 1, "A", 1.0, None),
+        # user 2: tie on ts -> event_id orders C before D
+        (5, t(0), 2, "C", 1.0, None),
+        (6, t(0), 2, "D", 1.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = tmp_path / "scd2_sf"
+    df.write.parquet(str(out / "events.parquet"))
+
+    from sqltask_spark.queries.events import scd2_user_state
+
+    got = scd2_user_state(spark, str(out)).collect()
+    u1 = [r for r in got if r["user_id"] == 1]
+    assert [(r["state"], r["version"]) for r in u1] == [
+        ("A", 1), ("B", 2), ("A", 3),
+    ]
+    assert u1[0]["valid_from"] == t(0) and u1[0]["valid_to"] == t(10)
+    assert u1[1]["valid_from"] == t(10) and u1[1]["valid_to"] == t(20)
+    assert u1[2]["valid_to"] is None and u1[2]["is_current"] == 1
+    assert [r["is_current"] for r in u1] == [0, 0, 1]
+    u2 = [r for r in got if r["user_id"] == 2]
+    assert [(r["state"], r["version"]) for r in u2] == [("C", 1), ("D", 2)]
+    assert u2[0]["valid_to"] == t(0)  # zero-length first interval: tie
