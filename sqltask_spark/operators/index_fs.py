@@ -68,6 +68,59 @@ def list_names(spark: SparkSession, path: str) -> list[str]:
     return sorted(s.getPath().getName() for s in fs.listStatus(p))
 
 
+def _read_manifest_file(spark: SparkSession, full: str) -> dict | None:
+    """Parse one manifest file; ``None`` when torn/unparseable."""
+    fs, jp = _fs(spark, full)
+    jvm = spark._jvm
+    stream = fs.open(jp)
+    try:
+        text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    try:
+        data = json.loads(text)
+    except ValueError:
+        return None
+    return data if isinstance(data, dict) else None
+
+
+def list_manifest_seqs(spark: SparkSession, path: str) -> list[int]:
+    """Committed manifest sequence numbers under ``path``, ascending
+    (torn files included — they are filtered at read time)."""
+    return sorted(
+        int(n[len("manifest-"):-len(".json")])
+        for n in list_names(spark, f"{path}/{MANIFEST_DIR}")
+        if n.startswith("manifest-") and n.endswith(".json")
+    )
+
+
+def read_manifest_at(
+    spark: SparkSession, path: str, seq: int
+) -> dict | None:
+    """The manifest with exactly sequence ``seq`` (time-travel read),
+    or ``None`` when absent or torn. Unlike :func:`read_manifest`
+    there is no fallback — a travel request names ONE version."""
+    full = f"{path}/{MANIFEST_DIR}/{_MANIFEST_FMT % seq}"
+    if not path_exists(spark, full):
+        return None
+    data = _read_manifest_file(spark, full)
+    if data is not None:
+        data["_seq"] = seq
+    return data
+
+
+def read_all_manifests(spark: SparkSession, path: str) -> list[dict]:
+    """Every parseable manifest under ``path``, ascending by seq —
+    the union of their file references is what a vacuum/orphan sweep
+    must treat as live when older versions stay readable."""
+    out = []
+    for seq in list_manifest_seqs(spark, path):
+        data = read_manifest_at(spark, path, seq)
+        if data is not None:
+            out.append(data)
+    return out
+
+
 def read_manifest(spark: SparkSession, path: str) -> dict | None:
     """Newest parseable manifest under ``path``, or ``None``.
 
@@ -76,31 +129,10 @@ def read_manifest(spark: SparkSession, path: str) -> dict | None:
     index state. The manifest's own sequence number rides along as
     ``_seq`` for the next :func:`commit_manifest`.
     """
-    fs, _ = _fs(spark, f"{path}/{MANIFEST_DIR}")
-    names = [
-        n
-        for n in list_names(spark, f"{path}/{MANIFEST_DIR}")
-        if n.startswith("manifest-") and n.endswith(".json")
-    ]
-    jvm = spark._jvm
-    for name in sorted(names, reverse=True):
-        jp = jvm.org.apache.hadoop.fs.Path(
-            f"{path}/{MANIFEST_DIR}/{name}"
-        )
-        stream = fs.open(jp)
-        try:
-            text = jvm.org.apache.commons.io.IOUtils.toString(
-                stream, "UTF-8"
-            )
-        finally:
-            stream.close()
-        try:
-            data = json.loads(text)
-        except ValueError:
-            continue  # torn write — fall back to the predecessor
-        if isinstance(data, dict):
-            data["_seq"] = int(name[len("manifest-"):-len(".json")])
-            return data
+    for seq in reversed(list_manifest_seqs(spark, path)):
+        data = read_manifest_at(spark, path, seq)
+        if data is not None:
+            return data  # torn write — fall back to the predecessor
     return None
 
 

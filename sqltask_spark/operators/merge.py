@@ -1,0 +1,376 @@
+"""MERGE INTO for parquet tables — copy-on-write upserts under the
+versioned-manifest commit protocol of :mod:`.index_fs`.
+
+No reference counterpart (north-star extension): the reference's only
+write repair is batch-scoped DELETE + INSERT against a live database
+(`/root/reference/sqltask/base.py` upload path); plain Spark parquet
+has no upsert at all — ``mode("overwrite")`` rewrites the world and a
+crash mid-write corrupts readers. This module provides the missing
+primitive the way Delta/Iceberg/Hudi do:
+
+- a table is a numbered-manifest directory; the CURRENT state is the
+  explicit FILE LIST in the newest parseable manifest (not "whatever
+  parquet files exist" — so concurrent readers never see a torn
+  write);
+- MERGE rewrites ONLY the files that contain matched keys
+  (copy-on-write file pruning: at 100 TB a merge touching 0.1% of
+  keys rewrites ~0.1% of files, not the table), unions the surviving
+  rows with the upserts, writes them as a fresh generation directory,
+  and publishes untouched-files + new-files in one manifest write;
+- a crash at ANY point before the manifest lands leaves readers on
+  the previous state bit-for-bit; debris is swept by the next writer;
+- a ``batch_id`` ledger rides in the manifest, so a retried merge of
+  an already-committed batch is a NO-OP — the engine-wide W1/L2
+  batch-idempotency principle applied to file tables;
+- every committed version stays readable (``read_parquet_table(...,
+  as_of=seq)`` — time travel) until :func:`vacuum_parquet_table`
+  reclaims it.
+
+Scale notes: the only driver-side materialization is the touched-file
+list (bounded by the table's file count, the same thing the driver
+already holds to plan a scan) and the 5-long counts row. Source-key
+uniqueness is validated with one aggregate (MERGE's standard
+multiple-rows-matched error). The source relation is persisted once
+and feeds the prune, the validation, the counts, and the rewrite.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sqltask_spark.operators import index_fs
+
+_DATA = "data"
+
+
+def _data_dir(path: str) -> str:
+    return f"{path.rstrip('/')}/{_DATA}"
+
+
+def _list_gen_files(spark: SparkSession, path: str, gen: str) -> list[str]:
+    """Committed-relative file names (``gen/part-*.parquet``) under a
+    generation directory."""
+    return [
+        f"{gen}/{n}"
+        for n in index_fs.list_names(spark, f"{_data_dir(path)}/{gen}")
+        if n.endswith(".parquet")
+    ]
+
+
+def _abs_files(path: str, rels: list[str]) -> list[str]:
+    return [f"{_data_dir(path)}/{rel}" for rel in rels]
+
+
+def _schema_of(manifest: dict):
+    from pyspark.sql.types import StructType
+
+    return StructType.fromJson(json.loads(manifest["schema"]))
+
+
+def _sweep_uncommitted_gens(spark: SparkSession, path: str) -> None:
+    """Delete generation dirs no PARSEABLE manifest references — the
+    debris of a crashed merge. Time travel keeps OLD manifests'
+    generations live, so the live set is the union over all of them,
+    not just the newest."""
+    live: set[str] = set()
+    for m in index_fs.read_all_manifests(spark, path):
+        live |= {rel.split("/", 1)[0] for rel in m.get("files", [])}
+    index_fs.sweep_orphans(spark, _data_dir(path), live, "g")
+
+
+def create_parquet_table(
+    df: DataFrame, path: str, batch_id: str | None = None
+) -> None:
+    """Materialize ``df`` as version 0 of a merge-able table."""
+    spark = df.sparkSession
+    if index_fs.read_manifest(spark, path) is not None:
+        raise ValueError(f"table already exists at {path}")
+    gen = index_fs.fresh_gen(spark, [_data_dir(path)], None)
+    df.write.mode("overwrite").parquet(f"{_data_dir(path)}/{gen}")
+    index_fs.commit_manifest(
+        spark,
+        path,
+        {
+            "files": _list_gen_files(spark, path, gen),
+            "batches": [batch_id] if batch_id else [],
+            "schema": df.schema.json(),
+        },
+        -1,
+    )
+
+
+def read_parquet_table(
+    spark: SparkSession, path: str, as_of: int | None = None
+) -> DataFrame:
+    """The committed table state — newest, or the exact manifest
+    ``as_of`` (time travel; raises when that version was vacuumed or
+    never existed)."""
+    if as_of is None:
+        m = index_fs.read_manifest(spark, path)
+        if m is None:
+            raise ValueError(f"no committed table at {path}")
+    else:
+        m = index_fs.read_manifest_at(spark, path, as_of)
+        if m is None:
+            raise ValueError(
+                f"version {as_of} of {path} does not exist (vacuumed,"
+                f" torn, or never committed); available:"
+                f" {index_fs.list_manifest_seqs(spark, path)}"
+            )
+    files = m.get("files", [])
+    if not files:
+        return spark.createDataFrame([], _schema_of(m))
+    return spark.read.schema(_schema_of(m)).parquet(
+        *_abs_files(path, files)
+    )
+
+
+def table_history(spark: SparkSession, path: str) -> list[dict]:
+    """(seq, n_files, batches) per committed version, ascending."""
+    return [
+        {
+            "seq": m["_seq"],
+            "n_files": len(m.get("files", [])),
+            "batches": list(m.get("batches", [])),
+        }
+        for m in index_fs.read_all_manifests(spark, path)
+    ]
+
+
+def merge_into_parquet(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    key_cols: list[str],
+    batch_id: str | None = None,
+    delete_col: str | None = None,
+) -> dict:
+    """MERGE ``source`` into the table at ``path``.
+
+    Semantics (one source row per key, validated):
+
+    - key matches a target row → the source row REPLACES it
+      (``when matched then update``), unless ``delete_col`` names a
+      boolean source column and it is true → the target row is
+      removed (``when matched and <cond> then delete``);
+    - key matches nothing → the source row is inserted, unless it is
+      a delete marker (those are no-ops, counted separately).
+
+    Returns ``{"inserted", "updated", "deleted", "noop_deletes",
+    "rewritten_files", "total_files", "skipped"}``. ``skipped=True``
+    means the batch ledger already holds ``batch_id`` (idempotent
+    retry — nothing was written).
+    """
+    m = index_fs.read_manifest(spark, path)
+    if m is None:
+        raise ValueError(f"no committed table at {path}")
+    if batch_id is not None and batch_id in m.get("batches", []):
+        return {
+            "inserted": 0,
+            "updated": 0,
+            "deleted": 0,
+            "noop_deletes": 0,
+            "rewritten_files": 0,
+            "total_files": len(m.get("files", [])),
+            "skipped": True,
+        }
+    _sweep_uncommitted_gens(spark, path)
+
+    is_del = (
+        F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False))
+        if delete_col is not None
+        else F.lit(False)
+    )
+    src = source.withColumn("__is_del", is_del)
+    if delete_col is not None:
+        src = src.drop(delete_col)
+    src = src.persist()
+    try:
+        # MERGE contract: at most one source row per key (the standard
+        # "multiple source rows matched" error) — one aggregate action
+        dup = (
+            src.groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"MERGE source has multiple rows for key "
+                f"{[dup[0][k] for k in key_cols]}"
+            )
+
+        files = m.get("files", [])
+        src_keys = src.select(*key_cols).distinct()
+        touched_rels: list[str] = []
+        if files:
+            tgt = spark.read.schema(_schema_of(m)).parquet(
+                *_abs_files(path, files)
+            )
+            # copy-on-write file pruning: only files holding a matched
+            # key are rewritten; the collect is file-count-bounded
+            touched_uris = {
+                r["__file"]
+                for r in tgt.withColumn(
+                    "__file", F.col("_metadata.file_path")
+                )
+                .join(src_keys, key_cols, "left_semi")
+                .select("__file")
+                .distinct()
+                .collect()
+            }
+            touched_rels = [
+                rel
+                for rel in files
+                if any(u.endswith("/" + rel) for u in touched_uris)
+            ]
+        untouched = [rel for rel in files if rel not in set(touched_rels)]
+
+        # matched flags drive both the counts and the rewrite
+        if touched_rels:
+            touched_df = spark.read.schema(_schema_of(m)).parquet(
+                *_abs_files(path, touched_rels)
+            )
+            tgt_keys = touched_df.select(*key_cols).distinct()
+            survivors = touched_df.join(src_keys, key_cols, "left_anti")
+        else:
+            touched_df = None
+            tgt_keys = None
+            survivors = None
+
+        if tgt_keys is None:
+            flagged = src.withColumn("__matched", F.lit(False))
+        else:
+            flagged = (
+                src.join(
+                    tgt_keys.withColumn("__m", F.lit(1)),
+                    key_cols,
+                    "left",
+                )
+                .withColumn("__matched", F.col("__m").isNotNull())
+                .drop("__m")
+            )
+        counts_row = flagged.agg(
+            F.sum(
+                (F.col("__matched") & ~F.col("__is_del")).cast("long")
+            ).alias("updated"),
+            F.sum(
+                (F.col("__matched") & F.col("__is_del")).cast("long")
+            ).alias("deleted"),
+            F.sum(
+                (~F.col("__matched") & ~F.col("__is_del")).cast("long")
+            ).alias("inserted"),
+            F.sum(
+                (~F.col("__matched") & F.col("__is_del")).cast("long")
+            ).alias("noop_deletes"),
+        ).collect()[0]
+
+        upserts = src.filter(~F.col("__is_del")).drop("__is_del")
+        new_data = (
+            upserts
+            if survivors is None
+            else survivors.unionByName(upserts)
+        )
+        n_new = new_data.limit(1).count()
+        new_files: list[str] = []
+        gen = None
+        if n_new:
+            gen = index_fs.fresh_gen(spark, [_data_dir(path)], None)
+            new_data.write.mode("overwrite").parquet(
+                f"{_data_dir(path)}/{gen}"
+            )
+            new_files = _list_gen_files(spark, path, gen)
+
+        # THE commit — everything above is invisible until this line
+        index_fs.commit_manifest(
+            spark,
+            path,
+            {
+                "files": untouched + new_files,
+                "batches": m.get("batches", [])
+                + ([batch_id] if batch_id else []),
+                "schema": m["schema"],
+            },
+            m["_seq"],
+        )
+        return {
+            "inserted": int(counts_row["inserted"] or 0),
+            "updated": int(counts_row["updated"] or 0),
+            "deleted": int(counts_row["deleted"] or 0),
+            "noop_deletes": int(counts_row["noop_deletes"] or 0),
+            "rewritten_files": len(touched_rels),
+            "total_files": len(untouched + new_files),
+            "skipped": False,
+        }
+    finally:
+        src.unpersist()
+
+
+def compact_parquet_table(spark: SparkSession, path: str) -> int:
+    """Rewrite the current state as ONE fresh generation (the
+    small-files compaction merges accumulate); row-identical,
+    committed atomically. Returns the new file count."""
+    m = index_fs.read_manifest(spark, path)
+    if m is None:
+        raise ValueError(f"no committed table at {path}")
+    _sweep_uncommitted_gens(spark, path)
+    files = m.get("files", [])
+    gen = index_fs.fresh_gen(spark, [_data_dir(path)], None)
+    if files:
+        spark.read.schema(_schema_of(m)).parquet(
+            *_abs_files(path, files)
+        ).write.mode("overwrite").parquet(f"{_data_dir(path)}/{gen}")
+        new_files = _list_gen_files(spark, path, gen)
+    else:
+        new_files = []
+    index_fs.commit_manifest(
+        spark,
+        path,
+        {
+            "files": new_files,
+            "batches": m.get("batches", []),
+            "schema": m["schema"],
+        },
+        m["_seq"],
+    )
+    return len(new_files)
+
+
+def vacuum_parquet_table(
+    spark: SparkSession, path: str, keep_versions: int = 1
+) -> dict:
+    """Reclaim storage: drop all but the newest ``keep_versions``
+    manifests, then delete data files no surviving manifest
+    references. Time travel to a vacuumed version errors loudly
+    afterwards (the standard retention trade, exactly as table
+    formats define it)."""
+    assert keep_versions >= 1
+    seqs = index_fs.list_manifest_seqs(spark, path)
+    drop = seqs[:-keep_versions] if len(seqs) > keep_versions else []
+    for seq in drop:
+        index_fs.delete_path(
+            spark,
+            f"{path}/{index_fs.MANIFEST_DIR}/"
+            f"{index_fs._MANIFEST_FMT % seq}",
+        )
+    live: set[str] = set()
+    for m in index_fs.read_all_manifests(spark, path):
+        live |= set(m.get("files", []))
+    removed = 0
+    for gen in index_fs.list_names(spark, _data_dir(path)):
+        gen_dir = f"{_data_dir(path)}/{gen}"
+        kept_any = False
+        for n in index_fs.list_names(spark, gen_dir):
+            rel = f"{gen}/{n}"
+            if n.endswith(".parquet") and rel not in live:
+                index_fs.delete_path(spark, f"{gen_dir}/{n}")
+                removed += 1
+            elif n.endswith(".parquet"):
+                kept_any = True
+        if not kept_any:
+            index_fs.delete_path(spark, gen_dir)
+    return {"dropped_versions": drop, "removed_files": removed}

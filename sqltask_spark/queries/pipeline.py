@@ -2778,6 +2778,99 @@ ORDER BY source
 """
 
 
+# --------------------------------------------------------------------------
+# corpus_merge_upsert — MERGE INTO as a driver-checked certificate:
+# materialize yesterday's corpus slice as a versioned parquet table
+# (operators/merge.py), MERGE today's recrawl into it (updates +
+# deletes + inserts, copy-on-write file pruning), RETRY the same
+# batch (the ledger must no-op it — the hash would catch a double
+# apply), and return the final committed state, which the oracle
+# reproduces as pure relational algebra (left-anti carry ∪ matched
+# update ∪ unmatched insert). The certificate runs on a FIXED
+# doc_id slice so the entry's driver collect stays bounded at every
+# scale; the operator's own scale story (rewrite ∝ touched files,
+# manifest-atomic commit, time travel, vacuum) is pytest-pinned in
+# tests/test_merge_table.py.
+# --------------------------------------------------------------------------
+
+_MERGE_SLICE = 2000
+
+
+def corpus_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from sqltask_spark.operators.merge import (
+        create_parquet_table,
+        merge_into_parquet,
+        read_parquet_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _MERGE_SLICE
+    )
+    target = docs.filter(F.pmod("doc_id", F.lit(3)) != 2).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    source = docs.filter(F.pmod("doc_id", F.lit(2)) == 0).select(
+        "doc_id",
+        "lang",
+        "source",
+        (F.col("n_chars") + F.lit(1000)).alias("n_chars"),
+        (F.pmod("doc_id", F.lit(10)) == 4).alias("is_del"),
+    )
+    tmp = tempfile.mkdtemp(prefix="merge_upsert_")
+    try:
+        create_parquet_table(
+            target.repartitionByRange(4, "doc_id"), tmp
+        )
+        first = merge_into_parquet(
+            spark, tmp, source, ["doc_id"],
+            batch_id="crawl-0", delete_col="is_del",
+        )
+        retry = merge_into_parquet(
+            spark, tmp, source, ["doc_id"],
+            batch_id="crawl-0", delete_col="is_del",
+        )
+        if first["skipped"] or not retry["skipped"]:
+            raise AssertionError(
+                f"batch ledger broken: first={first} retry={retry}"
+            )
+        final = read_parquet_table(spark, tmp)
+        rows = final.orderBy("doc_id").collect()
+        return spark.createDataFrame(rows, final.schema).orderBy(
+            "doc_id"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_MERGE_UPSERT_SQL = f"""
+WITH sliced AS (
+  SELECT doc_id, lang, source, n_chars FROM documents
+  WHERE doc_id < {_MERGE_SLICE}
+), tgt AS (
+  SELECT * FROM sliced WHERE doc_id % 3 <> 2
+), src AS (
+  SELECT doc_id, lang, source, n_chars + 1000 AS n_chars,
+         (doc_id % 10 = 4) AS is_del
+  FROM sliced WHERE doc_id % 2 = 0
+)
+SELECT t.doc_id, t.lang, t.source, t.n_chars
+FROM tgt t LEFT JOIN src s ON t.doc_id = s.doc_id
+WHERE s.doc_id IS NULL
+UNION ALL
+SELECT s.doc_id, s.lang, s.source, s.n_chars
+FROM src s JOIN tgt t ON t.doc_id = s.doc_id
+WHERE NOT s.is_del
+UNION ALL
+SELECT s.doc_id, s.lang, s.source, s.n_chars
+FROM src s LEFT JOIN tgt t ON t.doc_id = s.doc_id
+WHERE t.doc_id IS NULL AND NOT s.is_del
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "zorder_layout_stats": zorder_layout_stats,
     "dsir_weights": dsir_weights,
@@ -2817,6 +2910,7 @@ QUERIES = {
     "source_overlap_matrix": source_overlap_matrix,
     "contamination_bloom": contamination_bloom,
     "source_distinct_hll": source_distinct_hll,
+    "corpus_merge_upsert": corpus_merge_upsert,
 }
 
 ORACLES = {
@@ -2856,4 +2950,5 @@ ORACLES = {
     "corpus_to_training_data_v2": _e2e_v2_sql(),
     "contamination_bloom": _bloom_sql(),
     "source_distinct_hll": _HLL_SQL,
+    "corpus_merge_upsert": _MERGE_UPSERT_SQL,
 }

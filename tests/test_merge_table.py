@@ -1,0 +1,206 @@
+"""MERGE INTO parquet tables: copy-on-write upserts, batch-ledger
+idempotency, crash atomicity, time travel, compaction, vacuum."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sqltask_spark.operators import index_fs
+from sqltask_spark.operators.merge import (
+    compact_parquet_table,
+    create_parquet_table,
+    merge_into_parquet,
+    read_parquet_table,
+    table_history,
+    vacuum_parquet_table,
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _mk_table(spark, path, n=10, parts=1):
+    df = spark.range(1, n + 1).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    if parts > 1:
+        df = df.repartitionByRange(parts, "k")
+    create_parquet_table(df, path)
+    return df
+
+
+def test_merge_counts_and_final_state(spark, tmp_path):
+    path = str(tmp_path / "t1")
+    _mk_table(spark, path, n=10)
+    # update k=1,2; delete k=3; insert k=11; no-op delete of k=99
+    src = spark.createDataFrame(
+        [
+            (1, 111, False),
+            (2, 222, False),
+            (3, 0, True),
+            (11, 1100, False),
+            (99, 0, True),
+        ],
+        "k long, v long, is_del boolean",
+    )
+    got = merge_into_parquet(
+        spark, path, src, ["k"], batch_id="b1", delete_col="is_del"
+    )
+    assert got["updated"] == 2
+    assert got["deleted"] == 1
+    assert got["inserted"] == 1
+    assert got["noop_deletes"] == 1
+    assert got["skipped"] is False
+    want = {(1, 111), (2, 222), (11, 1100)} | {
+        (k, k * 10) for k in range(4, 11)
+    }
+    assert set(_rows(read_parquet_table(spark, path))) == want
+
+
+def test_merge_retried_batch_is_noop(spark, tmp_path):
+    path = str(tmp_path / "t2")
+    _mk_table(spark, path, n=5)
+    src = spark.createDataFrame([(1, 111)], "k long, v long")
+    merge_into_parquet(spark, path, src, ["k"], batch_id="batch-7")
+    before = _rows(read_parquet_table(spark, path))
+    seq_before = index_fs.read_manifest(spark, path)["_seq"]
+    again = merge_into_parquet(
+        spark, path, src, ["k"], batch_id="batch-7"
+    )
+    assert again["skipped"] is True
+    assert _rows(read_parquet_table(spark, path)) == before
+    assert index_fs.read_manifest(spark, path)["_seq"] == seq_before
+
+
+def test_merge_rewrites_only_touched_files(spark, tmp_path):
+    path = str(tmp_path / "t3")
+    _mk_table(spark, path, n=100, parts=8)
+    m0 = index_fs.read_manifest(spark, path)
+    # keys 1..3 live in the low range partition(s) only
+    src = spark.createDataFrame(
+        [(1, -1), (2, -2), (3, -3)], "k long, v long"
+    )
+    got = merge_into_parquet(spark, path, src, ["k"])
+    assert 0 < got["rewritten_files"] < len(m0["files"])
+    m1 = index_fs.read_manifest(spark, path)
+    carried = set(m0["files"]) & set(m1["files"])
+    assert len(carried) == len(m0["files"]) - got["rewritten_files"]
+    want = {(k, -k) for k in (1, 2, 3)} | {
+        (k, k * 10) for k in range(4, 101)
+    }
+    assert set(_rows(read_parquet_table(spark, path))) == want
+
+
+def test_merge_crash_before_commit_leaves_old_state(
+    spark, tmp_path, monkeypatch
+):
+    path = str(tmp_path / "t4")
+    _mk_table(spark, path, n=6)
+    before = _rows(read_parquet_table(spark, path))
+    src = spark.createDataFrame([(1, 999), (77, 770)], "k long, v long")
+
+    real = index_fs.commit_manifest
+
+    def crash(*a, **kw):
+        raise RuntimeError("injected crash at the commit point")
+
+    monkeypatch.setattr(index_fs, "commit_manifest", crash)
+    with pytest.raises(RuntimeError):
+        merge_into_parquet(spark, path, src, ["k"], batch_id="bX")
+    monkeypatch.setattr(index_fs, "commit_manifest", real)
+    # readers still serve the pre-merge state bit-for-bit
+    assert _rows(read_parquet_table(spark, path)) == before
+    # re-running the merge heals and sweeps the crashed generation
+    got = merge_into_parquet(spark, path, src, ["k"], batch_id="bX")
+    assert got["skipped"] is False and got["inserted"] == 1
+    live = {
+        rel.split("/", 1)[0]
+        for m in index_fs.read_all_manifests(spark, path)
+        for rel in m["files"]
+    }
+    on_disk = set(index_fs.list_names(spark, f"{path}/data"))
+    assert on_disk == live
+
+
+def test_time_travel_and_vacuum(spark, tmp_path):
+    path = str(tmp_path / "t5")
+    _mk_table(spark, path, n=4)
+    v0 = _rows(read_parquet_table(spark, path))
+    merge_into_parquet(
+        spark,
+        path,
+        spark.createDataFrame([(1, 111)], "k long, v long"),
+        ["k"],
+    )
+    merge_into_parquet(
+        spark,
+        path,
+        spark.createDataFrame([(9, 90)], "k long, v long"),
+        ["k"],
+    )
+    assert _rows(read_parquet_table(spark, path, as_of=0)) == v0
+    assert (1, 111) in _rows(read_parquet_table(spark, path, as_of=1))
+    assert [h["seq"] for h in table_history(spark, path)] == [0, 1, 2]
+    got = vacuum_parquet_table(spark, path, keep_versions=1)
+    assert got["dropped_versions"] == [0, 1]
+    with pytest.raises(ValueError, match="vacuumed"):
+        read_parquet_table(spark, path, as_of=0)
+    # newest state intact after the reclaim
+    cur = _rows(read_parquet_table(spark, path))
+    assert (9, 90) in cur and (1, 111) in cur
+
+
+def test_compaction_is_row_identical(spark, tmp_path):
+    path = str(tmp_path / "t6")
+    _mk_table(spark, path, n=50, parts=8)
+    for i in range(3):
+        merge_into_parquet(
+            spark,
+            path,
+            spark.createDataFrame([(200 + i, i)], "k long, v long"),
+            ["k"],
+        )
+    before = _rows(read_parquet_table(spark, path))
+    n_before = len(index_fs.read_manifest(spark, path)["files"])
+    compact_parquet_table(spark, path)
+    assert _rows(read_parquet_table(spark, path)) == before
+    assert len(index_fs.read_manifest(spark, path)["files"]) <= n_before
+    vacuum_parquet_table(spark, path, keep_versions=1)
+    assert _rows(read_parquet_table(spark, path)) == before
+
+
+def test_merge_rejects_duplicate_source_keys(spark, tmp_path):
+    path = str(tmp_path / "t7")
+    _mk_table(spark, path, n=3)
+    src = spark.createDataFrame(
+        [(1, 10), (1, 20)], "k long, v long"
+    )
+    with pytest.raises(ValueError, match="multiple rows"):
+        merge_into_parquet(spark, path, src, ["k"])
+
+
+def test_merge_to_empty_and_back(spark, tmp_path):
+    """Deleting every row commits an empty-file-list version that
+    still reads (schema from the manifest), and a later merge
+    repopulates it."""
+    path = str(tmp_path / "t8")
+    _mk_table(spark, path, n=2)
+    wipe = spark.createDataFrame(
+        [(1, 0, True), (2, 0, True)], "k long, v long, is_del boolean"
+    )
+    got = merge_into_parquet(
+        spark, path, wipe, ["k"], delete_col="is_del"
+    )
+    assert got["deleted"] == 2
+    empty = read_parquet_table(spark, path)
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["k", "v"]
+    merge_into_parquet(
+        spark,
+        path,
+        spark.createDataFrame([(5, 50)], "k long, v long"),
+        ["k"],
+    )
+    assert _rows(read_parquet_table(spark, path)) == [(5, 50)]
