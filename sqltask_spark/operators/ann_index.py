@@ -79,10 +79,41 @@ from sqltask_spark.operators.similarity import (
 )
 
 
-def _committed(spark: SparkSession, path: str) -> dict:
-    m = index_fs.read_manifest(spark, path)
+def _committed(
+    spark: SparkSession, path: str, as_of: int | None = None
+) -> dict:
+    """The newest committed manifest, or — time travel — the exact
+    version ``as_of``. Every version since the last compaction stays
+    readable (mutations write only new files; sweeps respect the
+    union of ALL manifests' references); travel past the compaction
+    boundary errors loudly instead of serving a partial index."""
+    if as_of is None:
+        m = index_fs.read_manifest(spark, path)
+        if m is None:
+            raise ValueError(f"no committed manifest under {path}")
+        return m
+    m = index_fs.read_manifest_at(spark, path, as_of)
     if m is None:
-        raise ValueError(f"no committed manifest under {path}")
+        raise ValueError(
+            f"version {as_of} of {path} does not exist (never"
+            f" committed, or torn); available:"
+            f" {index_fs.list_manifest_seqs(spark, path)}"
+        )
+    missing = [
+        f"vectors/gen={g}"
+        for g in m["generations"]
+        if not index_fs.path_exists(spark, f"{path}/vectors/gen={g}")
+    ]
+    if not index_fs.path_exists(
+        spark, f"{path}/quantizer/{m['quantizer']}"
+    ):
+        missing.append(f"quantizer/{m['quantizer']}")
+    if missing:
+        raise ValueError(
+            f"version {as_of} of {path} is no longer readable —"
+            f" compaction/rebuild reclaimed {missing}; time travel"
+            f" reaches back only to the last compaction"
+        )
     return m
 
 
@@ -296,16 +327,24 @@ def append_to_ivf_index(
     """
     spark = batch.sparkSession
     m_fest = _committed(spark, path)
+    # committed = the UNION over all manifests, not just the newest:
+    # older versions stay time-travel readable until compaction
     index_fs.sweep_orphans(
-        spark, f"{path}/vectors", {f"gen={g}" for g in m_fest["generations"]},
+        spark,
+        f"{path}/vectors",
+        {
+            f"gen={g}"
+            for g in index_fs.live_union(spark, path, "generations")
+        },
         "gen=",
     )
     index_fs.sweep_orphans(
-        spark, f"{path}/quantizer", {m_fest["quantizer"]}, "g"
+        spark, f"{path}/quantizer",
+        index_fs.live_union(spark, path, "quantizer"), "g",
     )
     index_fs.sweep_orphans(
         spark, f"{path}/tombstones",
-        set(m_fest.get("tombstones", [])), "g",
+        index_fs.live_union(spark, path, "tombstones"), "g",
     )
     meta = m_fest["params"]
     # include_tombstoned: a deleted id stays unavailable until
@@ -384,7 +423,8 @@ def delete_from_ivf_index(
     spark = ids.sparkSession
     m = _committed(spark, path)
     index_fs.sweep_orphans(
-        spark, f"{path}/tombstones", set(m.get("tombstones", [])), "g"
+        spark, f"{path}/tombstones",
+        index_fs.live_union(spark, path, "tombstones"), "g",
     )
     stored = _read_vectors(
         spark, path, m, include_tombstoned=True
@@ -433,14 +473,21 @@ def compact_ivf_index(spark: SparkSession, path: str) -> None:
     """
     m = _committed(spark, path)
     index_fs.sweep_orphans(
-        spark, f"{path}/vectors",
-        {f"gen={g}" for g in m["generations"]}, "gen=",
+        spark,
+        f"{path}/vectors",
+        {
+            f"gen={g}"
+            for g in index_fs.live_union(spark, path, "generations")
+        },
+        "gen=",
     )
     index_fs.sweep_orphans(
-        spark, f"{path}/quantizer", {m["quantizer"]}, "g"
+        spark, f"{path}/quantizer",
+        index_fs.live_union(spark, path, "quantizer"), "g",
     )
     index_fs.sweep_orphans(
-        spark, f"{path}/tombstones", set(m.get("tombstones", [])), "g"
+        spark, f"{path}/tombstones",
+        index_fs.live_union(spark, path, "tombstones"), "g",
     )
     gen = index_fs.fresh_gen(spark, [f"{path}/vectors"], m)
     live = _read_vectors(spark, path, m)
@@ -472,7 +519,9 @@ def compact_ivf_index(spark: SparkSession, path: str) -> None:
     index_fs.sweep_orphans(spark, f"{path}/tombstones", set(), "g")
 
 
-def ivf_occupancy_stats(spark: SparkSession, path: str) -> DataFrame:
+def ivf_occupancy_stats(
+    spark: SparkSession, path: str, as_of: int | None = None
+) -> DataFrame:
     """The drift signal the frozen-quantizer contract prescribes: a
     one-row summary of per-cell occupancy over the committed index.
 
@@ -485,9 +534,10 @@ def ivf_occupancy_stats(spark: SparkSession, path: str) -> DataFrame:
     find). Rebuild when the ratio trends away from its build-time
     value. One map-side-combined census groupBy(cell) — shuffle is
     cell-count-sized, never vector-sized; the scan reads the
-    partition column only.
+    partition column only. ``as_of`` profiles a PAST committed
+    version (how did occupancy look before this week's ingest?).
     """
-    m = _committed(spark, path)
+    m = _committed(spark, path, as_of)
     census = (
         _read_vectors(spark, path, m)
         .groupBy("cell")
@@ -522,6 +572,7 @@ def probe_ivf_index_distributed(
     n_probe: int = 8,
     round_digits: int = 6,
     exclude_self: bool = True,
+    as_of: int | None = None,
 ) -> DataFrame:
     """Large-batch probe of a prebuilt IVF index: no driver collect
     of the query set (cf. the per-call operators' dual path —
@@ -543,7 +594,7 @@ def probe_ivf_index_distributed(
     from sqltask_spark.data import ensure_min_partitions
     from sqltask_spark.operators.similarity import _salted_cell_join
 
-    m_fest = _committed(spark, path)
+    m_fest = _committed(spark, path, as_of)
     cents = _read_centroids(spark, path, m_fest)
     assigned = queries.select(
         F.col(query_id).alias("query_id"),
@@ -607,6 +658,7 @@ def probe_ivf_index(
     round_digits: int = 6,
     use_pq: bool = False,
     refine_factor: int = 8,
+    as_of: int | None = None,
 ) -> DataFrame:
     """Top-k cosine over a prebuilt index: centroid scan (tiny),
     driver-side probe assignment for the broadcast-small query batch,
@@ -620,9 +672,11 @@ def probe_ivf_index(
     ranking (same two-phase shape as
     :func:`~sqltask_spark.operators.similarity.cosine_topk_ivf_pq`).
     For query batches too large to collect, use
-    :func:`probe_ivf_index_distributed`.
+    :func:`probe_ivf_index_distributed`. ``as_of`` probes a PAST
+    committed version (reproducible audit of an earlier serving
+    state); versions reclaimed by compaction/rebuild error loudly.
     """
-    m_fest = _committed(spark, path)
+    m_fest = _committed(spark, path, as_of)
     cents = _read_centroids(spark, path, m_fest)
     q_rows = queries.select(
         F.col(query_id).alias("query_id"), F.col(query_vec).alias("qv")

@@ -78,10 +78,40 @@ from sqltask_spark.operators.dedup import (
 from sqltask_spark.operators import index_fs
 
 
-def _committed(spark: SparkSession, path: str) -> dict:
-    m = index_fs.read_manifest(spark, path)
+def _committed(
+    spark: SparkSession, path: str, as_of: int | None = None
+) -> dict:
+    """The newest committed manifest, or — time travel — the exact
+    version ``as_of``. Every version committed since the last
+    compaction stays readable (mutations write only new files and
+    sweeps respect the union of ALL manifests' references);
+    compaction is the retention boundary, and travelling past it
+    errors loudly instead of serving a partial index."""
+    if as_of is None:
+        m = index_fs.read_manifest(spark, path)
+        if m is None:
+            raise ValueError(f"no committed manifest under {path}")
+        return m
+    m = index_fs.read_manifest_at(spark, path, as_of)
     if m is None:
-        raise ValueError(f"no committed manifest under {path}")
+        raise ValueError(
+            f"version {as_of} of {path} does not exist (never"
+            f" committed, or torn); available:"
+            f" {index_fs.list_manifest_seqs(spark, path)}"
+        )
+    missing = [
+        f"data/{g}"
+        for g in m["generations"]
+        if not index_fs.path_exists(spark, f"{path}/data/{g}")
+    ]
+    if not index_fs.path_exists(spark, f"{path}/sizes/{m['sizes']}"):
+        missing.append(f"sizes/{m['sizes']}")
+    if missing:
+        raise ValueError(
+            f"version {as_of} of {path} is no longer readable —"
+            f" compaction reclaimed {missing}; time travel reaches"
+            f" back only to the last compaction"
+        )
     return m
 
 
@@ -197,13 +227,22 @@ def append_to_minhash_index(
     """
     spark = batch.sparkSession
     m = _committed(spark, path)
-    # sweep debris of a previously crashed append (uncommitted dirs)
+    # sweep debris of a previously crashed append (uncommitted dirs).
+    # Committed = the UNION over all manifests, not just the newest:
+    # older versions stay time-travel readable until compaction
     index_fs.sweep_orphans(
-        spark, f"{path}/data", set(m["generations"]), "g"
+        spark,
+        f"{path}/data",
+        index_fs.live_union(spark, path, "generations"),
+        "g",
     )
-    index_fs.sweep_orphans(spark, f"{path}/sizes", {m["sizes"]}, "g")
     index_fs.sweep_orphans(
-        spark, f"{path}/tombstones", set(m.get("tombstones", [])), "g"
+        spark, f"{path}/sizes",
+        index_fs.live_union(spark, path, "sizes"), "g",
+    )
+    index_fs.sweep_orphans(
+        spark, f"{path}/tombstones",
+        index_fs.live_union(spark, path, "tombstones"), "g",
     )
     meta = m["params"]
     stored_ids = (
@@ -288,7 +327,8 @@ def delete_from_minhash_index(
     spark = ids.sparkSession
     m = _committed(spark, path)
     index_fs.sweep_orphans(
-        spark, f"{path}/tombstones", set(m.get("tombstones", [])), "g"
+        spark, f"{path}/tombstones",
+        index_fs.live_union(spark, path, "tombstones"), "g",
     )
     stored = _read_shingles(spark, path, m).select("id")
     target = (
@@ -340,11 +380,18 @@ def compact_minhash_index(spark: SparkSession, path: str) -> None:
     """
     m = _committed(spark, path)
     index_fs.sweep_orphans(
-        spark, f"{path}/data", set(m["generations"]), "g"
+        spark,
+        f"{path}/data",
+        index_fs.live_union(spark, path, "generations"),
+        "g",
     )
-    index_fs.sweep_orphans(spark, f"{path}/sizes", {m["sizes"]}, "g")
     index_fs.sweep_orphans(
-        spark, f"{path}/tombstones", set(m.get("tombstones", [])), "g"
+        spark, f"{path}/sizes",
+        index_fs.live_union(spark, path, "sizes"), "g",
+    )
+    index_fs.sweep_orphans(
+        spark, f"{path}/tombstones",
+        index_fs.live_union(spark, path, "tombstones"), "g",
     )
     gen = index_fs.fresh_gen(
         spark, [f"{path}/data", f"{path}/sizes"], m
@@ -396,6 +443,7 @@ def probe_minhash_index(
     text_col: str = "text",
     threshold: float = 0.5,
     max_bucket_size: int = 1000,
+    as_of: int | None = None,
 ) -> DataFrame:
     """Near-dup matches of ``batch`` against the indexed corpus.
 
@@ -404,11 +452,15 @@ def probe_minhash_index(
     document reaches ``threshold``. Self-matches (same id) are
     dropped so a corpus can be probed against its own index. Reads
     only the generation set named by the newest committed manifest —
-    an in-flight or crashed append is invisible.
+    an in-flight or crashed append is invisible. ``as_of`` probes a
+    PAST committed version instead (time travel: "what would this
+    batch have matched before yesterday's ingest?" — reproducible
+    audit of an earlier screening decision); versions reclaimed by
+    compaction error loudly.
     """
     from sqltask_spark.data import materialize_and_release
 
-    m = _committed(spark, path)
+    m = _committed(spark, path, as_of)
     meta = m["params"]
     sizes = spark.read.parquet(f"{path}/sizes/{m['sizes']}").filter(
         F.col("bucket_size") <= F.lit(max_bucket_size)

@@ -121,6 +121,20 @@ def read_all_manifests(spark: SparkSession, path: str) -> list[dict]:
     return out
 
 
+def live_union(spark: SparkSession, path: str, key: str) -> set[str]:
+    """Union of manifest field ``key`` (a name or list of names)
+    over ALL parseable manifests — the set a writer's orphan sweep
+    must treat as committed when older versions stay time-travel
+    readable. Names referenced only by pre-compaction manifests may
+    already be gone from disk; a sweep against this set simply never
+    resurrects or deletes them."""
+    out: set[str] = set()
+    for m in read_all_manifests(spark, path):
+        v = m.get(key, [])
+        out |= {v} if isinstance(v, str) else set(v)
+    return out
+
+
 def read_manifest(spark: SparkSession, path: str) -> dict | None:
     """Newest parseable manifest under ``path``, or ``None``.
 

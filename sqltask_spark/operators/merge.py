@@ -140,6 +140,14 @@ def table_history(spark: SparkSession, path: str) -> list[dict]:
     ]
 
 
+def table_schema(spark: SparkSession, path: str):
+    """The committed schema of the table at ``path``."""
+    m = index_fs.read_manifest(spark, path)
+    if m is None:
+        raise ValueError(f"no committed table at {path}")
+    return _schema_of(m)
+
+
 def merge_into_parquet(
     spark: SparkSession,
     path: str,
@@ -187,6 +195,14 @@ def merge_into_parquet(
     src = source.withColumn("__is_del", is_del)
     if delete_col is not None:
         src = src.drop(delete_col)
+    want = [f.name for f in _schema_of(m).fields]
+    have = [c for c in src.columns if c != "__is_del"]
+    if sorted(have) != sorted(want):
+        raise ValueError(
+            f"MERGE source columns {sorted(have)} do not match the"
+            f" table schema {sorted(want)} — project the source onto"
+            f" the table's columns first (updates replace whole rows)"
+        )
     src = src.persist()
     try:
         # MERGE contract: at most one source row per key (the standard

@@ -420,3 +420,68 @@ def test_manifest_commit_is_create_exclusive(spark, tmp_path):
         )
     m = index_fs.read_manifest(spark, path)
     assert m["generations"] == ["g000000"]
+
+
+def test_minhash_time_travel_probe(spark, tables, tmp_path):
+    """as_of probes a PAST committed version: after an append AND a
+    tombstone delete, probing version 0 reproduces the original
+    screening decision bit-for-bit; compaction is the retention
+    boundary (travel past it errors loudly)."""
+    docs = tables["documents"]
+    idx = str(tmp_path / "mh_tt")
+    build_minhash_index(docs, idx)
+    v0 = index_fs.read_manifest(spark, idx)["_seq"]
+    probe = spark.createDataFrame(
+        [(900003, NOVEL + " extra")], "doc_id long, text string"
+    )
+    before = _mh_canon(spark, idx, probe)
+    # mutate: admit a doc the probe matches, then tombstone one
+    append_to_minhash_index(
+        idx,
+        spark.createDataFrame([(900002, NOVEL)], "doc_id long, text string"),
+    )
+    delete_from_minhash_index(idx, docs.limit(1).select("doc_id"))
+    now = _mh_canon(spark, idx, probe)
+    assert (900003, 900002) in now and (900003, 900002) not in before
+    # time travel: version 0 still serves the pre-mutation state
+    tt = {
+        (r.batch_id, r.corpus_id): (r.n_shared_bands, round(r.jaccard, 9))
+        for r in probe_minhash_index(
+            spark, idx, probe, threshold=0.5, as_of=v0
+        ).collect()
+    }
+    assert tt == before
+    # nonexistent version errors with the available list
+    with pytest.raises(ValueError, match="does not exist"):
+        probe_minhash_index(spark, idx, probe, as_of=99).collect()
+    # compaction reclaims: version 0 becomes unreadable, loudly
+    compact_minhash_index(spark, idx)
+    with pytest.raises(ValueError, match="no longer readable"):
+        probe_minhash_index(spark, idx, probe, as_of=v0).collect()
+
+
+def test_ivf_time_travel_probe_and_occupancy(spark, sf_dir, tmp_path):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 1)
+    idx = str(tmp_path / "ivf_tt")
+    build_ivf_index(emb, idx, "vec_id", "embedding", n_cells=16)
+    v0 = index_fs.read_manifest(spark, idx)["_seq"]
+    before = _ivf_canon(spark, idx, q)
+    occ0 = ivf_occupancy_stats(spark, idx).collect()[0]
+    clone = q.select(
+        F.lit(990001).cast("long").alias("vec_id"), F.col("embedding")
+    )
+    append_to_ivf_index(idx, clone, "vec_id", "embedding")
+    assert _ivf_canon(spark, idx, q) != before  # clone now rank 1
+    assert _ivf_canon(spark, idx, q, as_of=v0) == before
+    occ_tt = ivf_occupancy_stats(spark, idx, as_of=v0).collect()[0]
+    assert tuple(occ_tt) == tuple(occ0)
+    assert (
+        ivf_occupancy_stats(spark, idx).collect()[0]["n_vectors"]
+        == occ0["n_vectors"] + 1
+    )
+    compact_ivf_index(spark, idx)
+    with pytest.raises(ValueError, match="no longer readable"):
+        probe_ivf_index(
+            spark, idx, q, "vec_id", "embedding", as_of=v0
+        ).collect()

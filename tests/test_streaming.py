@@ -808,3 +808,76 @@ def test_minhash_index_stream_ingest_learns_and_replays_idempotently(
     # no-ops — same ids, no new generations
     run_stream()
     assert indexed_ids() == (ids, gens)
+
+
+def test_merge_upsert_sink_cdc_stream_exactly_once(spark, tmp_path):
+    """CDC stream into a merge-able parquet table: per-epoch MERGE
+    applies inserts/updates/deletes with latest-change-wins inside an
+    epoch, and a full replay from a fresh checkpoint (at-least-once
+    re-delivery) leaves the table bit-identical — the epoch ledger
+    skips re-delivered batches before any work."""
+    from pyspark.sql import types as T
+
+    from sqltask_spark.operators import index_fs
+    from sqltask_spark.operators.merge import (
+        create_parquet_table,
+        read_parquet_table,
+    )
+    from sqltask_spark.streaming.tables import merge_upsert_sink
+
+    tbl = str(tmp_path / "cdc_table")
+    create_parquet_table(
+        spark.createDataFrame(
+            [(1, 10, 0), (2, 20, 0)], "k long, v long, seq long"
+        ).drop("seq").selectExpr("k", "v"),
+        tbl,
+    )
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.LongType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("is_del", T.BooleanType()),
+    ])
+    src = tmp_path / "cdc_in"
+    # epoch 1: update k=1 twice (seq 2 must win) + insert k=3
+    spark.createDataFrame(
+        [(1, 111, 1, False), (1, 112, 2, False), (3, 30, 1, False)],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    # epoch 2: delete k=2, update k=3
+    spark.createDataFrame(
+        [(2, 0, 3, True), (3, 33, 4, False)], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    def run_stream():
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .writeStream.foreachBatch(
+                merge_upsert_sink(
+                    tbl, ["k"], delete_col="is_del", order_col="seq"
+                )
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_stream()
+
+    def state():
+        rows = sorted(
+            (r["k"], r["v"])
+            for r in read_parquet_table(spark, tbl)
+            .select("k", "v")
+            .collect()
+        )
+        return rows, index_fs.read_manifest(spark, tbl)["_seq"]
+
+    rows, seq = state()
+    assert rows == [(1, 112), (3, 33)]
+    # full replay from a fresh checkpoint: ledger-skipped, no new
+    # versions committed
+    run_stream()
+    assert state() == (rows, seq)
