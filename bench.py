@@ -79,6 +79,13 @@ HEADLINE = [
     # protocol, end to end)
     "corpus_ingest_loop",
     "corpus_takedown_screen",
+    # r9 late additions: broadcast-Bloom decontamination (+certificate),
+    # mergeable-HLL distinct counting, SCD2 history build, and the
+    # parquet MERGE INTO loop (create+merge+ledger-retry+read)
+    "contamination_bloom",
+    "source_distinct_hll",
+    "scd2_user_state",
+    "corpus_merge_upsert",
 ]
 
 # Probe-class tags (r8 judge "what's wrong #2"): the three calibration
@@ -99,6 +106,7 @@ CLASS_OF = {
         "corpus_clean_pipeline", "collocation_pmi",
         "source_unigram_entropy", "quality_filter_adaptive",
         "source_token_quantiles", "dsir_weights", "weighted_sample_wor",
+        "source_distinct_hll",
     )},
     **{n: "shuffle" for n in (
         "dedup_minhash_pairs", "dedup_minhash_pairs_md5",
@@ -107,7 +115,8 @@ CLASS_OF = {
         "doc_centrality_pagerank", "search_bm25", "search_hybrid_rrf",
         "dedup_tfidf_cosine", "contamination_overlap",
         "contamination_fuzzy", "dup_rate_by_source",
-        "dedup_incremental",
+        "dedup_incremental", "contamination_bloom",
+        "scd2_user_state",
     )},
 }
 
