@@ -26,12 +26,19 @@ primitive the way Delta/Iceberg/Hudi do:
   as_of=seq)`` — time travel) until :func:`vacuum_parquet_table`
   reclaims it.
 
-Scale notes: the only driver-side materialization is the touched-file
-list (bounded by the table's file count, the same thing the driver
-already holds to plan a scan) and the 5-long counts row. Source-key
-uniqueness is validated with one aggregate (MERGE's standard
-multiple-rows-matched error). The source relation is persisted once
-and feeds the prune, the validation, the counts, and the rewrite.
+Scale notes: the only driver-side materializations are the
+touched-file list (bounded by the table's file count, the same thing
+the driver already holds to plan a scan), the per-file [min, max]
+statistics (file-count-bounded), and the 5-long counts row.
+Source-key uniqueness is validated with one aggregate (MERGE's
+standard multiple-rows-matched error). The source relation is
+persisted once and feeds the prune, the validation, the counts, and
+the rewrite. The matched-file search itself is bounded by DATA
+SKIPPING: when the table declares ``stats_col``, every commit
+records per-file [min, max] of that column in the manifest, and a
+merge first drops files whose range cannot intersect the batch —
+on a range-clustered table the key-column scan reads only the files
+the batch can actually touch, not the whole table.
 """
 
 from __future__ import annotations
@@ -81,25 +88,67 @@ def _sweep_uncommitted_gens(spark: SparkSession, path: str) -> None:
     index_fs.sweep_orphans(spark, _data_dir(path), live, "g")
 
 
+def _file_stats(
+    spark: SparkSession, path: str, rels: list[str], stats_col: str
+) -> dict:
+    """Per-file [min, max] of ``stats_col`` over the given committed
+    files — the data-skipping statistics Delta/Iceberg keep per data
+    file. One skinny scan of the stats column, file-count-bounded
+    collect."""
+    if not rels:
+        return {}
+    rows = (
+        spark.read.parquet(*_abs_files(path, rels))
+        .select(
+            F.col("_metadata.file_path").alias("__file"),
+            F.col(stats_col).alias("__k"),
+        )
+        .groupBy("__file")
+        .agg(F.min("__k").alias("lo"), F.max("__k").alias("hi"))
+        .collect()
+    )
+    out = {}
+    for r in rows:
+        rel = next(
+            (x for x in rels if r["__file"].endswith("/" + x)), None
+        )
+        if rel is not None:
+            out[rel] = [r["lo"], r["hi"]]
+    return out
+
+
 def create_parquet_table(
-    df: DataFrame, path: str, batch_id: str | None = None
+    df: DataFrame,
+    path: str,
+    batch_id: str | None = None,
+    stats_col: str | None = None,
 ) -> None:
-    """Materialize ``df`` as version 0 of a merge-able table."""
+    """Materialize ``df`` as version 0 of a merge-able table.
+
+    ``stats_col`` declares the column (typically the merge key) for
+    which every commit records per-file [min, max] in the manifest —
+    the data-skipping statistics that let MERGE find its matched
+    files WITHOUT scanning the whole table's key column. Cluster the
+    data on that column (``repartitionByRange``) for the stats to
+    prune; an unclustered table keeps correct but overlapping ranges.
+    Only orderable JSON-stable types (integers, strings) are
+    supported.
+    """
     spark = df.sparkSession
     if index_fs.read_manifest(spark, path) is not None:
         raise ValueError(f"table already exists at {path}")
     gen = index_fs.fresh_gen(spark, [_data_dir(path)], None)
     df.write.mode("overwrite").parquet(f"{_data_dir(path)}/{gen}")
-    index_fs.commit_manifest(
-        spark,
-        path,
-        {
-            "files": _list_gen_files(spark, path, gen),
-            "batches": [batch_id] if batch_id else [],
-            "schema": df.schema.json(),
-        },
-        -1,
-    )
+    files = _list_gen_files(spark, path, gen)
+    manifest = {
+        "files": files,
+        "batches": [batch_id] if batch_id else [],
+        "schema": df.schema.json(),
+    }
+    if stats_col is not None:
+        manifest["stats_col"] = stats_col
+        manifest["stats"] = _file_stats(spark, path, files, stats_col)
+    index_fs.commit_manifest(spark, path, manifest, -1)
 
 
 def read_parquet_table(
@@ -168,9 +217,12 @@ def merge_into_parquet(
       a delete marker (those are no-ops, counted separately).
 
     Returns ``{"inserted", "updated", "deleted", "noop_deletes",
-    "rewritten_files", "total_files", "skipped"}``. ``skipped=True``
-    means the batch ledger already holds ``batch_id`` (idempotent
-    retry — nothing was written).
+    "rewritten_files", "stats_pruned_files", "total_files",
+    "skipped"}``. ``skipped=True`` means the batch ledger already
+    holds ``batch_id`` (idempotent retry — nothing was written);
+    ``stats_pruned_files`` counts files excluded from the matched-file
+    search by the manifest's per-file [min, max] statistics without
+    being read at all (see :func:`create_parquet_table`).
     """
     m = index_fs.read_manifest(spark, path)
     if m is None:
@@ -182,6 +234,7 @@ def merge_into_parquet(
             "deleted": 0,
             "noop_deletes": 0,
             "rewritten_files": 0,
+            "stats_pruned_files": 0,
             "total_files": len(m.get("files", [])),
             "skipped": True,
         }
@@ -222,10 +275,41 @@ def merge_into_parquet(
 
         files = m.get("files", [])
         src_keys = src.select(*key_cols).distinct()
+
+        # DATA SKIPPING: when the manifest carries per-file [min, max]
+        # of a key column, prune candidate files by range BEFORE any
+        # scan — at 100 TB the matched-file search must not read the
+        # whole table's key column, and on a range-clustered table
+        # this bounds it to the files the batch can actually touch.
+        # A file without stats (or with an all-null key) stays a
+        # candidate; correctness never depends on the stats.
+        stats_col = m.get("stats_col")
+        stats = m.get("stats", {})
+        candidates = files
+        stats_pruned = 0
+        if files and stats_col in key_cols:
+            bounds = src.agg(
+                F.min(stats_col).alias("lo"), F.max(stats_col).alias("hi")
+            ).collect()[0]
+            if bounds["lo"] is None:
+                candidates = []
+            else:
+                candidates = [
+                    rel
+                    for rel in files
+                    if rel not in stats
+                    or stats[rel][0] is None
+                    or not (
+                        stats[rel][1] < bounds["lo"]
+                        or stats[rel][0] > bounds["hi"]
+                    )
+                ]
+            stats_pruned = len(files) - len(candidates)
+
         touched_rels: list[str] = []
-        if files:
+        if candidates:
             tgt = spark.read.schema(_schema_of(m)).parquet(
-                *_abs_files(path, files)
+                *_abs_files(path, candidates)
             )
             # copy-on-write file pruning: only files holding a matched
             # key are rewritten; the collect is file-count-bounded
@@ -241,7 +325,7 @@ def merge_into_parquet(
             }
             touched_rels = [
                 rel
-                for rel in files
+                for rel in candidates
                 if any(u.endswith("/" + rel) for u in touched_uris)
             ]
         untouched = [rel for rel in files if rel not in set(touched_rels)]
@@ -301,24 +385,27 @@ def merge_into_parquet(
             )
             new_files = _list_gen_files(spark, path, gen)
 
+        manifest = {
+            "files": untouched + new_files,
+            "batches": m.get("batches", [])
+            + ([batch_id] if batch_id else []),
+            "schema": m["schema"],
+        }
+        if stats_col is not None:
+            manifest["stats_col"] = stats_col
+            manifest["stats"] = {
+                **{r: stats[r] for r in untouched if r in stats},
+                **_file_stats(spark, path, new_files, stats_col),
+            }
         # THE commit — everything above is invisible until this line
-        index_fs.commit_manifest(
-            spark,
-            path,
-            {
-                "files": untouched + new_files,
-                "batches": m.get("batches", [])
-                + ([batch_id] if batch_id else []),
-                "schema": m["schema"],
-            },
-            m["_seq"],
-        )
+        index_fs.commit_manifest(spark, path, manifest, m["_seq"])
         return {
             "inserted": int(counts_row["inserted"] or 0),
             "updated": int(counts_row["updated"] or 0),
             "deleted": int(counts_row["deleted"] or 0),
             "noop_deletes": int(counts_row["noop_deletes"] or 0),
             "rewritten_files": len(touched_rels),
+            "stats_pruned_files": stats_pruned,
             "total_files": len(untouched + new_files),
             "skipped": False,
         }
@@ -343,16 +430,17 @@ def compact_parquet_table(spark: SparkSession, path: str) -> int:
         new_files = _list_gen_files(spark, path, gen)
     else:
         new_files = []
-    index_fs.commit_manifest(
-        spark,
-        path,
-        {
-            "files": new_files,
-            "batches": m.get("batches", []),
-            "schema": m["schema"],
-        },
-        m["_seq"],
-    )
+    manifest = {
+        "files": new_files,
+        "batches": m.get("batches", []),
+        "schema": m["schema"],
+    }
+    if m.get("stats_col") is not None:
+        manifest["stats_col"] = m["stats_col"]
+        manifest["stats"] = _file_stats(
+            spark, path, new_files, m["stats_col"]
+        )
+    index_fs.commit_manifest(spark, path, manifest, m["_seq"])
     return len(new_files)
 
 

@@ -2822,7 +2822,8 @@ def corpus_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="merge_upsert_")
     try:
         create_parquet_table(
-            target.repartitionByRange(4, "doc_id"), tmp
+            target.repartitionByRange(4, "doc_id"), tmp,
+            stats_col="doc_id",
         )
         first = merge_into_parquet(
             spark, tmp, source, ["doc_id"],

@@ -204,3 +204,67 @@ def test_merge_to_empty_and_back(spark, tmp_path):
         ["k"],
     )
     assert _rows(read_parquet_table(spark, path)) == [(5, 50)]
+
+
+def test_merge_stats_skipping_prunes_unread_files(spark, tmp_path):
+    """Manifest-level data skipping: with per-file [min, max] key
+    stats on a range-clustered table, a merge touching only low keys
+    excludes the high-key files from the matched-file search WITHOUT
+    reading them, results stay identical to the stat-less path, and
+    stats follow the data through merges and compaction."""
+    path = str(tmp_path / "t9")
+    df = spark.range(1, 1001).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    ).repartitionByRange(8, "k")
+    create_parquet_table(df, path, stats_col="k")
+    m0 = index_fs.read_manifest(spark, path)
+    assert m0["stats_col"] == "k"
+    assert set(m0["stats"]) == set(m0["files"])
+
+    src = spark.createDataFrame(
+        [(1, -1), (2, -2), (3, -3)], "k long, v long"
+    )
+    got = merge_into_parquet(spark, path, src, ["k"])
+    # 8 range files; keys 1-3 live in one -> most were never scanned
+    assert got["stats_pruned_files"] >= 6
+    assert got["rewritten_files"] == 1
+    assert got["updated"] == 3
+    want = {(k, -k) for k in (1, 2, 3)} | {
+        (k, k * 10) for k in range(4, 1001)
+    }
+    assert set(_rows(read_parquet_table(spark, path))) == want
+
+    # a later merge at the HIGH end prunes the other side, and the
+    # new generation written above carries its own stats
+    m1 = index_fs.read_manifest(spark, path)
+    assert set(m1["stats"]) == set(m1["files"])
+    got2 = merge_into_parquet(
+        spark,
+        path,
+        spark.createDataFrame([(999, 0)], "k long, v long"),
+        ["k"],
+    )
+    assert got2["stats_pruned_files"] >= 6
+    assert got2["updated"] == 1
+
+    # compaction recomputes stats over the fresh generation
+    compact_parquet_table(spark, path)
+    m2 = index_fs.read_manifest(spark, path)
+    assert set(m2["stats"]) == set(m2["files"]) and m2["files"]
+    final = {(k, -k) for k in (1, 2, 3)} | {(999, 0)} | {
+        (k, k * 10) for k in range(4, 1001) if k != 999
+    }
+    assert set(_rows(read_parquet_table(spark, path))) == final
+
+
+def test_merge_without_stats_never_prunes(spark, tmp_path):
+    path = str(tmp_path / "t10")
+    _mk_table(spark, path, n=20, parts=4)
+    got = merge_into_parquet(
+        spark,
+        path,
+        spark.createDataFrame([(1, -1)], "k long, v long"),
+        ["k"],
+    )
+    assert got["stats_pruned_files"] == 0
+    assert got["updated"] == 1

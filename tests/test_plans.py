@@ -542,3 +542,29 @@ def test_catalog_no_global_sort_window(spark, sf_dir):
                 )
         spark.catalog.clearCache()
     assert not bad, bad
+
+
+def test_contamination_bloom_broadcast_probe_no_cartesian(spark, sf_dir):
+    r = plan_report(QUERIES["contamination_bloom"](spark, sf_dir))
+    # the bitmap probe must be a broadcast join (the whole point at
+    # 100 TB: the filter ships to the data, not the reverse)
+    assert "BroadcastHashJoin" in r.join_strategies
+    assert "CartesianProduct" not in r.join_strategies
+    assert "BroadcastNestedLoopJoin" not in r.join_strategies
+    assert r.has_codegen
+
+
+def test_scd2_single_user_exchange(spark, sf_dir):
+    r = plan_report(QUERIES["scd2_user_state"](spark, sf_dir))
+    # both windows stack over ONE user_id hash exchange; the only
+    # other exchange is the presentation orderBy's range partition
+    assert r.n_exchanges <= 2
+    assert r.join_strategies == []
+
+
+def test_source_distinct_hll_no_joins_on_corpus(spark, sf_dir):
+    r = plan_report(QUERIES["source_distinct_hll"](spark, sf_dir))
+    # joins touch only register/exact summaries (sources x m rows);
+    # nothing fingerprint-sized may cartesian or nested-loop
+    assert "CartesianProduct" not in r.join_strategies
+    assert "BroadcastNestedLoopJoin" not in r.join_strategies
