@@ -1006,6 +1006,123 @@ WHERE q5c < sq
 """
 
 
+# --------------------------------------------------------------------------
+# customer_rfm_segments — RFM (recency / frequency / monetary)
+# segmentation, the classic warehouse customer-analytics op. Scores
+# are 1-5 by QUINTILE THRESHOLDS, not ntile: ntile needs a total
+# order (one global window — the exact anti-pattern the catalog-wide
+# invariant bans), while thresholds are ONE 1-row percentile
+# aggregate broadcast back over the per-customer rollup — shuffle is
+# customer-count-sized, scoring is a projection. Interpolated
+# percentiles of exact integer metrics are cross-engine bit-identical
+# (the source_token_quantiles / winsorized_event_stats precedent);
+# monetary is exact DECIMAL cents so ties are exact on both engines.
+# Recency inverts (recent = high score). Segment labels are a
+# priority CASE mirrored verbatim in the oracle.
+# --------------------------------------------------------------------------
+
+_RFM_QS = "array(0.2D, 0.4D, 0.6D, 0.8D)"
+
+
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    rfm = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("f_orders"),
+        (F.sum(_dec("o_totalprice")) * 100)
+        .cast("long")
+        .alias("m_cents"),
+    )
+    anchor = orders.agg(F.max("o_orderdate").alias("anchor"))
+    rfm = rfm.crossJoin(F.broadcast(anchor)).withColumn(
+        "r_days",
+        F.datediff(F.col("anchor"), F.col("last_order")).cast("long"),
+    )
+    thr = rfm.agg(
+        F.expr(f"percentile(r_days, {_RFM_QS})").alias("rt"),
+        F.expr(f"percentile(f_orders, {_RFM_QS})").alias("ft"),
+        F.expr(f"percentile(m_cents, {_RFM_QS})").alias("mt"),
+    )
+
+    def score(metric: str, t: str) -> F.Column:
+        up = sum(
+            (F.col(metric) > F.col(t)[i]).cast("int") for i in range(4)
+        )
+        return (F.lit(1) + up).cast("int")
+
+    scored = rfm.crossJoin(F.broadcast(thr)).select(
+        "custkey",
+        "r_days",
+        "f_orders",
+        "m_cents",
+        (F.lit(6) - score("r_days", "rt")).cast("int").alias("r_score"),
+        score("f_orders", "ft").alias("f_score"),
+        score("m_cents", "mt").alias("m_score"),
+    )
+    segment = (
+        F.when(
+            (F.col("r_score") >= 4)
+            & (F.col("f_score") >= 4)
+            & (F.col("m_score") >= 4),
+            "champion",
+        )
+        .when(F.col("f_score") >= 4, "loyal")
+        .when(F.col("m_score") >= 4, "big_spender")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 3), "at_risk")
+        .when(F.col("r_score") <= 2, "hibernating")
+        .otherwise("regular")
+    )
+    return scored.withColumn("segment", segment).orderBy("custkey")
+
+
+_RFM_SQL = """
+WITH rfm0 AS (
+  SELECT o_custkey AS custkey,
+         MAX(o_orderdate) AS last_order,
+         COUNT(*) AS f_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS m_cents
+  FROM orders GROUP BY 1
+), anc AS (
+  SELECT MAX(o_orderdate) AS anchor FROM orders
+), rfm AS (
+  SELECT custkey, f_orders, m_cents,
+         CAST(date_diff('day', CAST(last_order AS DATE),
+                        CAST(anchor AS DATE)) AS BIGINT) AS r_days
+  FROM rfm0, anc
+), thr AS (
+  SELECT quantile_cont(r_days, [0.2, 0.4, 0.6, 0.8]) AS rt,
+         quantile_cont(f_orders, [0.2, 0.4, 0.6, 0.8]) AS ft,
+         quantile_cont(m_cents, [0.2, 0.4, 0.6, 0.8]) AS mt
+  FROM rfm
+), scored AS (
+  SELECT custkey, r_days, f_orders, m_cents,
+         CAST(6 - (1 + (r_days > rt[1])::INT + (r_days > rt[2])::INT
+                     + (r_days > rt[3])::INT + (r_days > rt[4])::INT)
+              AS INT) AS r_score,
+         CAST(1 + (f_orders > ft[1])::INT + (f_orders > ft[2])::INT
+                + (f_orders > ft[3])::INT + (f_orders > ft[4])::INT
+              AS INT) AS f_score,
+         CAST(1 + (m_cents > mt[1])::INT + (m_cents > mt[2])::INT
+                + (m_cents > mt[3])::INT + (m_cents > mt[4])::INT
+              AS INT) AS m_score
+  FROM rfm, thr
+)
+SELECT custkey, r_days, f_orders, m_cents, r_score, f_score, m_score,
+       CASE
+         WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+           THEN 'champion'
+         WHEN f_score >= 4 THEN 'loyal'
+         WHEN m_score >= 4 THEN 'big_spender'
+         WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+         WHEN r_score <= 2 THEN 'hibernating'
+         ELSE 'regular'
+       END AS segment
+FROM scored
+ORDER BY custkey
+"""
+
+
 QUERIES = {
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q17_small_quantity": q17_small_quantity,
@@ -1022,6 +1139,7 @@ QUERIES = {
     "q21_returns_blame": q21_returns_blame,
     "window_functions_showcase": window_functions_showcase,
     "grouping_sets_priority_status": grouping_sets_priority_status,
+    "customer_rfm_segments": customer_rfm_segments,
 }
 
 ORACLES = {
@@ -1040,4 +1158,5 @@ ORACLES = {
     "q21_returns_blame": _Q21_SQL,
     "window_functions_showcase": _WINDOW_SQL,
     "grouping_sets_priority_status": _GROUPING_SETS_SQL,
+    "customer_rfm_segments": _RFM_SQL,
 }
