@@ -18,7 +18,7 @@ carries a total tie-break.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sqltask_spark.data import load_table
@@ -1123,6 +1123,203 @@ ORDER BY custkey
 """
 
 
+# --------------------------------------------------------------------------
+# part_basket_affinity — market-basket co-occurrence with lift: which
+# parts ship together in one order more often than chance. The
+# within-order pair explode is bounded by basket size squared (TPC-H
+# baskets are ≤ 7 lines), the part-pair census is map-side combined,
+# and lift is exact integer micro units (N·c_ab·1e6 div c_a·c_b — no
+# float ratios in the hash). Top 100 by co-count with a full
+# deterministic tie-break.
+# --------------------------------------------------------------------------
+
+_BASKET_MIN_CO = 2
+_BASKET_TOP = 100
+
+
+def part_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey")
+        .distinct()
+        .count()
+    )
+    part_df = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("c_part")
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
+    )
+    co = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= _BASKET_MIN_CO)
+    )
+    out = (
+        co.join(
+            part_df.select(
+                F.col("l_partkey").alias("pa"),
+                F.col("c_part").alias("c_a"),
+            ),
+            "pa",
+        )
+        .join(
+            part_df.select(
+                F.col("l_partkey").alias("pb"),
+                F.col("c_part").alias("c_b"),
+            ),
+            "pb",
+        )
+        .select(
+            "pa",
+            "pb",
+            F.col("c_ab").cast("long").alias("n_co_orders"),
+            F.col("c_a").cast("long").alias("n_orders_a"),
+            F.col("c_b").cast("long").alias("n_orders_b"),
+            F.expr(
+                f"CAST(c_ab * {n_orders} AS BIGINT) * 1000000"
+                f" DIV (c_a * c_b)"
+            ).alias("lift_micro"),
+        )
+        .orderBy(
+            F.col("n_co_orders").desc(), F.col("pa").asc(),
+            F.col("pb").asc(),
+        )
+        .limit(_BASKET_TOP)
+    )
+    return out
+
+
+_BASKET_SQL = f"""
+WITH li AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), n AS (
+  SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM lineitem
+), parts AS (
+  SELECT l_partkey, COUNT(*) AS c_part FROM li GROUP BY 1
+), co AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS c_ab
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_BASKET_MIN_CO}
+)
+SELECT co.pa, co.pb,
+       co.c_ab::BIGINT AS n_co_orders,
+       x.c_part::BIGINT AS n_orders_a,
+       y.c_part::BIGINT AS n_orders_b,
+       (CAST(co.c_ab * (SELECT n_orders FROM n) AS BIGINT) * 1000000
+        // (x.c_part * y.c_part))::BIGINT AS lift_micro
+FROM co
+JOIN parts x ON x.l_partkey = co.pa
+JOIN parts y ON y.l_partkey = co.pb
+ORDER BY n_co_orders DESC, pa, pb
+LIMIT {_BASKET_TOP}
+"""
+
+
+# --------------------------------------------------------------------------
+# customer_cohort_ltv — the cohort lifetime-value triangle: customers
+# grouped by first-order month, revenue accumulated by months since
+# that first order. The subscription/commerce-analytics staple. One
+# custkey shuffle for the first-order anchor, a broadcast-joinable
+# cohort-size relation, a cohort-month×offset census (≤ months² rows
+# at any scale), and the cumulative sum runs per cohort — partitioned
+# window, never global. Revenue in exact DECIMAL cents.
+# --------------------------------------------------------------------------
+
+def customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    first = orders.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort_ts")
+    )
+    sizes = first.groupBy("cohort_ts").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    cells = (
+        orders.join(first, "o_custkey")
+        .select(
+            "cohort_ts",
+            F.months_between(
+                F.date_trunc("month", F.col("o_orderdate")),
+                F.col("cohort_ts"),
+            )
+            .cast("int")
+            .alias("month_offset"),
+            _dec("o_totalprice").alias("rev"),
+        )
+        .groupBy("cohort_ts", "month_offset")
+        .agg(
+            (F.sum("rev") * 100).cast("long").alias("revenue_cents"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_ts")
+        .orderBy("month_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cells.withColumn(
+            "cum_revenue_cents", F.sum("revenue_cents").over(w)
+        )
+        .join(sizes, "cohort_ts")
+        .select(
+            F.date_format("cohort_ts", "yyyy-MM").alias("cohort_month"),
+            "month_offset",
+            F.col("n_customers").cast("long").alias("n_customers"),
+            "revenue_cents",
+            "cum_revenue_cents",
+            F.expr("cum_revenue_cents DIV n_customers").alias(
+                "ltv_cents_per_customer"
+            ),
+        )
+        .orderBy("cohort_month", "month_offset")
+    )
+
+
+_COHORT_LTV_SQL = """
+WITH first AS (
+  SELECT o_custkey,
+         date_trunc('month', MIN(o_orderdate)) AS cohort_ts
+  FROM orders GROUP BY 1
+), sizes AS (
+  SELECT cohort_ts, COUNT(*) AS n_customers FROM first GROUP BY 1
+), cells AS (
+  SELECT f.cohort_ts,
+         date_diff('month', CAST(f.cohort_ts AS DATE),
+                   CAST(date_trunc('month', o.o_orderdate) AS DATE))
+           ::INT AS month_offset,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100
+              AS BIGINT) AS revenue_cents
+  FROM orders o JOIN first f ON o.o_custkey = f.o_custkey
+  GROUP BY 1, 2
+)
+SELECT strftime(c.cohort_ts, '%Y-%m') AS cohort_month,
+       c.month_offset,
+       s.n_customers::BIGINT AS n_customers,
+       c.revenue_cents,
+       SUM(c.revenue_cents) OVER (
+         PARTITION BY c.cohort_ts ORDER BY c.month_offset
+         ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_revenue_cents,
+       (SUM(c.revenue_cents) OVER (
+          PARTITION BY c.cohort_ts ORDER BY c.month_offset
+          ROWS UNBOUNDED PRECEDING) // s.n_customers)::BIGINT
+         AS ltv_cents_per_customer
+FROM cells c JOIN sizes s USING (cohort_ts)
+ORDER BY cohort_month, month_offset
+"""
+
+
 QUERIES = {
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q17_small_quantity": q17_small_quantity,
@@ -1140,6 +1337,8 @@ QUERIES = {
     "window_functions_showcase": window_functions_showcase,
     "grouping_sets_priority_status": grouping_sets_priority_status,
     "customer_rfm_segments": customer_rfm_segments,
+    "part_basket_affinity": part_basket_affinity,
+    "customer_cohort_ltv": customer_cohort_ltv,
 }
 
 ORACLES = {
@@ -1159,4 +1358,6 @@ ORACLES = {
     "window_functions_showcase": _WINDOW_SQL,
     "grouping_sets_priority_status": _GROUPING_SETS_SQL,
     "customer_rfm_segments": _RFM_SQL,
+    "part_basket_affinity": _BASKET_SQL,
+    "customer_cohort_ltv": _COHORT_LTV_SQL,
 }
