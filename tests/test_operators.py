@@ -3171,3 +3171,108 @@ def test_scd2_user_state_planted(spark, tmp_path):
     u2 = [r for r in got if r["user_id"] == 2]
     assert [(r["state"], r["version"]) for r in u2] == [("C", 1), ("D", 2)]
     assert u2[0]["valid_to"] == t(0)  # zero-length first interval: tie
+
+
+def test_customer_rfm_segments_planted(spark, tmp_path):
+    """Exact quintile arithmetic on a planted distribution: five
+    customers with f = m-rank = 1..5 and identical recency. Type-7
+    thresholds of [1..5] at (.2,.4,.6,.8) are (1.8,2.6,3.4,4.2), so
+    f_score/m_score == the rank exactly; identical r_days make every
+    r_score 5, so ranks 4-5 are champions and the rest graded by the
+    priority CASE."""
+    import datetime as dt
+
+    rows = []
+    oid = 0
+    for cust in range(1, 6):
+        for k in range(cust):  # f_orders == cust
+            oid += 1
+            rows.append(
+                (oid, cust, "O", 100.0 * cust,
+                 dt.datetime(2024, 1, 1), "1-URGENT")
+            )
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, "
+        "o_orderpriority string",
+    )
+    out = tmp_path / "rfm_sf"
+    df.write.parquet(str(out / "orders.parquet"))
+
+    from sqltask_spark.queries.relational2 import customer_rfm_segments
+
+    got = {r["custkey"]: r for r in customer_rfm_segments(
+        spark, str(out)
+    ).collect()}
+    for cust in range(1, 6):
+        r = got[cust]
+        assert r["f_score"] == cust
+        assert r["m_score"] == cust  # m = 100*cust*f grows with cust
+        assert r["r_score"] == 5
+        assert r["m_cents"] == 100 * cust * cust * 100
+    assert got[5]["segment"] == "champion"
+    assert got[4]["segment"] == "champion"
+    assert got[3]["segment"] == "regular"
+
+
+def test_part_basket_affinity_planted(spark, tmp_path):
+    """Lift arithmetic: parts A,B co-occur in 2 of 3 orders with
+    c_A=3, c_B=2 -> lift = 2*3/(3*2) = exactly 1.0; the
+    single-co-occurrence pair is cut by the support floor."""
+    rows = [
+        (1, 10), (1, 20), (1, 30),
+        (2, 10), (2, 20),
+        (3, 10),
+    ]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    out = tmp_path / "basket_sf"
+    df.write.parquet(str(out / "lineitem.parquet"))
+
+    from sqltask_spark.queries.relational2 import part_basket_affinity
+
+    got = part_basket_affinity(spark, str(out)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["pa"], r["pb"], r["n_co_orders"]) == (10, 20, 2)
+    assert (r["n_orders_a"], r["n_orders_b"]) == (3, 2)
+    assert r["lift_micro"] == 1_000_000
+
+
+def test_customer_cohort_ltv_planted(spark, tmp_path):
+    """Triangle arithmetic: one January-cohort customer ordering
+    twice in January and once in March accumulates 200.00 at offset
+    0 and 250.00 by offset 2; a March-cohort customer starts its own
+    row at offset 0."""
+    import datetime as dt
+
+    rows = [
+        (1, 1, "O", 100.0, dt.datetime(2024, 1, 5), "1-URGENT"),
+        (2, 1, "O", 100.0, dt.datetime(2024, 1, 20), "1-URGENT"),
+        (3, 1, "O", 50.0, dt.datetime(2024, 3, 2), "1-URGENT"),
+        (4, 2, "O", 30.0, dt.datetime(2024, 3, 9), "1-URGENT"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, "
+        "o_orderpriority string",
+    )
+    out = tmp_path / "ltv_sf"
+    df.write.parquet(str(out / "orders.parquet"))
+
+    from sqltask_spark.queries.relational2 import customer_cohort_ltv
+
+    got = {(r["cohort_month"], r["month_offset"]): r
+           for r in customer_cohort_ltv(spark, str(out)).collect()}
+    jan0 = got[("2024-01", 0)]
+    assert (jan0["revenue_cents"], jan0["cum_revenue_cents"]) == (
+        20000, 20000,
+    )
+    jan2 = got[("2024-01", 2)]
+    assert (jan2["revenue_cents"], jan2["cum_revenue_cents"]) == (
+        5000, 25000,
+    )
+    assert jan2["ltv_cents_per_customer"] == 25000  # cohort size 1
+    mar0 = got[("2024-03", 0)]
+    assert (mar0["n_customers"], mar0["revenue_cents"]) == (1, 3000)
