@@ -200,6 +200,70 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+SCD2_STATE_SCHEMA = "state STRING, valid_from TIMESTAMP, version INT"
+SCD2_OUT_SCHEMA = (
+    "user_id BIGINT, state STRING, valid_from TIMESTAMP, "
+    "valid_to TIMESTAMP, version INT"
+)
+
+
+def scd2_state_stream(events: DataFrame) -> DataFrame:
+    """Streaming SCD2 history build: the grouped state holds each
+    user's OPEN version (state, valid_from, version); a state-changing
+    event emits the closed interval exactly once and opens the next —
+    the streaming complement of the batch
+    :func:`~sqltask_spark.queries.events.scd2_user_state` (whose
+    non-current rows are the same closed intervals; parity
+    pytest-pinned). Consecutive re-asserts of the current state emit
+    nothing and keep the open version, so state stays ONE tiny tuple
+    per user forever.
+
+    Ordering contract: events are folded in (ts, event_id) order
+    within each micro-batch, and batch parity additionally requires
+    each user's events to arrive in non-decreasing ts order ACROSS
+    batches (true for replayed logs and ordered ingest; an
+    out-of-order source would need a watermark-delayed buffering
+    variant, at which point the built-in session/window operators are
+    usually the better tool).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    def update(key, pdfs, state: GroupState):
+        cur, vfrom, ver = (
+            state.get if state.exists else (None, None, 0)
+        )
+        closed = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts, et in zip(pdf["ts"], pdf["event_type"]):
+                if cur is None:
+                    cur, vfrom, ver = et, ts, 1
+                elif et != cur:
+                    closed.append((key[0], cur, vfrom, ts, ver))
+                    cur, vfrom, ver = et, ts, ver + 1
+        state.update((cur, vfrom, ver))
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=[
+                    "user_id", "state", "valid_from", "valid_to",
+                    "version",
+                ],
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=SCD2_OUT_SCHEMA,
+        stateStructType=SCD2_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 TTL_STATE_SCHEMA = "n_events BIGINT, total_value DOUBLE"
 TTL_OUT_SCHEMA = (
     "bucket TIMESTAMP, n_events BIGINT, total_value DOUBLE, "

@@ -881,3 +881,72 @@ def test_merge_upsert_sink_cdc_stream_exactly_once(spark, tmp_path):
     # versions committed
     run_stream()
     assert state() == (rows, seq)
+
+
+def test_scd2_stream_matches_batch_closed_intervals(spark, tmp_path):
+    """Streaming SCD2 parity: the stream's emitted CLOSED intervals
+    equal the batch scd2_user_state's non-current rows when events
+    arrive in ts order across micro-batches — including a
+    change-collapse (re-asserted state emits nothing) that spans a
+    batch boundary."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from sqltask_spark.queries.events import scd2_user_state
+    from sqltask_spark.streaming.events import (
+        run_stream_to_memory,
+        scd2_state_stream,
+    )
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ])
+    batches = [
+        # epoch 1: user 1 opens A then B; user 2 opens C
+        [(1, t(0), 1, "A", 1.0, None), (2, t(5), 1, "B", 1.0, None),
+         (3, t(2), 2, "C", 1.0, None)],
+        # epoch 2: user 1 re-asserts B (no emission) then flips to A;
+        # user 2 flips to D
+        [(4, t(10), 1, "B", 1.0, None), (5, t(15), 1, "A", 1.0, None),
+         (6, t(12), 2, "D", 1.0, None)],
+    ]
+    src = tmp_path / "scd2_in"
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+    # batch reference over the SAME events
+    ev_dir = tmp_path / "scd2_tbl"
+    spark.createDataFrame(
+        [r for rows in batches for r in rows], schema
+    ).write.parquet(str(ev_dir / "events.parquet"))
+    want = sorted(
+        (r["user_id"], r["state"], r["valid_from"], r["valid_to"],
+         r["version"])
+        for r in scd2_user_state(spark, str(ev_dir)).collect()
+        if r["is_current"] == 0
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    run_stream_to_memory(
+        scd2_state_stream(stream), "scd2_out", output_mode="append"
+    )
+    got = sorted(
+        tuple(r)
+        for r in spark.sql(
+            "SELECT user_id, state, valid_from, valid_to, version "
+            "FROM scd2_out"
+        ).collect()
+    )
+    assert got == want and len(got) == 3
