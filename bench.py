@@ -437,7 +437,12 @@ def main() -> None:
             json.dump(detail, fh, indent=1)
     except OSError as exc:  # a read-only checkout must not kill bench
         print(f"# sidecar write failed: {exc}", file=sys.stderr)
-    line = json.dumps(record)
+    # compact separators: the 49-entry queries dict pushed the
+    # default-spaced form past the tail window (the first shed fired
+    # and the second dropped per-entry times from the r9 record's
+    # successor run) — ", "/": " spacing is ~140 bytes of nothing
+    compact = {"separators": (",", ":")}
+    line = json.dumps(record, **compact)
     # belt-and-braces: if the compact line ever outgrows the driver's
     # tail window again, shed fields rather than archive another
     # parsed:null round (the sidecar keeps the full record) — first
@@ -445,10 +450,10 @@ def main() -> None:
     # class_factors), the per-entry queries only as a last resort
     if len(line) > 1800:
         record.pop("class_wall_normalized")
-        line = json.dumps(record)
+        line = json.dumps(record, **compact)
     if len(line) > 1800:
         record.pop("queries")
-        line = json.dumps(record)
+        line = json.dumps(record, **compact)
     print(line)
 
 
