@@ -311,6 +311,110 @@ class JdbcSink:
             except Exception:  # cleanup must not mask the real error
                 pass
 
+    def merge_batch(
+        self,
+        df: "DataFrame",
+        table_name: str,
+        key_cols: list[str],
+        delete_col: str | None = None,
+    ) -> None:
+        """Upsert ``df`` into ``table_name``: stage + ONE driver-side
+        ANSI ``MERGE`` transaction (Derby 10.11+/Postgres 15+/MSSQL/
+        Oracle/DB2 — the engine families the reference's specs
+        cover). The JDBC face of the engine's upsert story
+        (:mod:`sqltask_spark.operators.merge` is the lake face).
+
+        Phases mirror :meth:`write_batch_staged`: (1) drop stale
+        staging; (2) distributed append into the staging table — a
+        failure cannot touch the target; (3) one transaction running
+        a single ``MERGE INTO target USING staging ON keys`` with
+        matched[+delete-flag] → DELETE, matched → UPDATE every
+        non-key column, not-matched[, not flagged] → INSERT — readers
+        see the whole upsert or none of it (STRONGER than the
+        reference's delete-then-insert, which exposes the gap
+        between the phases); (4) best-effort staging drop.
+
+        The source must be key-unique — ANSI MERGE itself raises the
+        multiple-rows-matched error, surfaced as-is.
+        """
+        spark = df.sparkSession
+        data_cols = [c for c in df.columns if c != delete_col]
+        set_cols = [c for c in data_cols if c not in key_cols]
+        stg = self.staging_table_name(
+            table_name, {"__merge__": ",".join(key_cols)}
+        )
+        self._drop_if_exists(spark, stg)
+        try:
+            self.append(df, stg)
+            _, probe = self._connect(spark)
+            try:
+                target_exists = self._table_exists(probe, table_name)
+            finally:
+                probe.close()
+            if not target_exists:
+                self.append(df.select(*data_cols).limit(0), table_name)
+            _, conn = self._connect(spark)
+            try:
+                conn.setAutoCommit(False)
+                try:
+                    qc = (
+                        conn.getMetaData()
+                        .getIdentifierQuoteString()
+                        .strip()
+                        or '"'
+                    )
+
+                    def q(c: str) -> str:
+                        return _quote_ident(c, qc)
+
+                    on = " AND ".join(
+                        f"t.{q(k)} = s.{q(k)}" for k in key_cols
+                    )
+                    clauses = []
+                    if delete_col is not None:
+                        clauses.append(
+                            f"WHEN MATCHED AND s.{q(delete_col)}"
+                            f" THEN DELETE"
+                        )
+                    if set_cols:
+                        sets = ", ".join(
+                            f"{q(c)} = s.{q(c)}" for c in set_cols
+                        )
+                        clauses.append(
+                            f"WHEN MATCHED THEN UPDATE SET {sets}"
+                        )
+                    ins_guard = (
+                        f" AND NOT s.{q(delete_col)}"
+                        if delete_col is not None
+                        else ""
+                    )
+                    cols = ", ".join(q(c) for c in data_cols)
+                    vals = ", ".join(f"s.{q(c)}" for c in data_cols)
+                    clauses.append(
+                        f"WHEN NOT MATCHED{ins_guard}"
+                        f" THEN INSERT ({cols}) VALUES ({vals})"
+                    )
+                    merge_sql = (
+                        f"MERGE INTO {table_name} t USING {stg} s"
+                        f" ON {on} " + " ".join(clauses)
+                    )
+                    stmt = conn.createStatement()
+                    try:
+                        stmt.executeUpdate(merge_sql)
+                    finally:
+                        stmt.close()
+                    conn.commit()
+                except Exception:
+                    conn.rollback()
+                    raise
+            finally:
+                conn.close()
+        finally:
+            try:
+                self._drop_if_exists(spark, stg)
+            except Exception:  # cleanup must not mask the real error
+                pass
+
     # -- Writer protocol ----------------------------------------------------
 
     def write_batch(self, df: "DataFrame", table: "TableContext") -> None:

@@ -536,3 +536,83 @@ def test_jdbc_staged_write_creates_missing_target(spark):
     sink.write_batch(_batch_df(spark, d, ["x", "y"]), t)
     got = sink.read(spark, "w2_staged_new")
     assert {r["customer_name"] for r in got.collect()} == {"x", "y"}
+
+
+def test_jdbc_merge_batch_upsert_and_delete(spark):
+    """ANSI MERGE upsert against live Derby: one statement applies
+    update + flagged delete + insert atomically; a re-run of the
+    same (idempotent by content) upsert converges to the same rows;
+    and an unmatched delete marker is a no-op."""
+    sink = _sink()
+    seed = spark.createDataFrame(
+        [(1, "alice", 10.0), (2, "bob", 20.0), (3, "carol", 30.0)],
+        "k long, name string, v double",
+    )
+    sink.append(seed, "merge_tgt")
+    src = spark.createDataFrame(
+        [
+            (1, "alice2", 11.0, False),   # update
+            (3, "carol", 0.0, True),      # delete
+            (4, "dave", 40.0, False),     # insert
+            (99, "ghost", 0.0, True),     # unmatched delete: no-op
+        ],
+        "k long, name string, v double, is_del boolean",
+    )
+    sink.merge_batch(src, "merge_tgt", ["k"], delete_col="is_del")
+
+    def rows():
+        return sorted(
+            tuple(r)
+            for r in sink.read(spark, "merge_tgt")
+            .select("k", "name", "v")
+            .collect()
+        )
+
+    want = [(1, "alice2", 11.0), (2, "bob", 20.0), (4, "dave", 40.0)]
+    assert rows() == want
+    # content-idempotent re-run: same source converges, no dup keys
+    sink.merge_batch(src, "merge_tgt", ["k"], delete_col="is_del")
+    assert rows() == want
+
+
+def test_jdbc_merge_batch_creates_missing_target(spark):
+    sink = _sink()
+    src = spark.createDataFrame(
+        [(7, "eve", 70.0, False)],
+        "k long, name string, v double, is_del boolean",
+    )
+    sink.merge_batch(src, "merge_new_tgt", ["k"], delete_col="is_del")
+    got = [
+        tuple(r)
+        for r in sink.read(spark, "merge_new_tgt")
+        .select("k", "name", "v")
+        .collect()
+    ]
+    assert got == [(7, "eve", 70.0)]
+    # the delete flag never lands in the target schema
+    assert sorted(
+        sink.read(spark, "merge_new_tgt").columns
+    ) == ["k", "name", "v"]
+
+
+def test_jdbc_merge_batch_duplicate_source_keys_fail_atomically(spark):
+    """ANSI MERGE's multiple-rows-matched error rolls the whole
+    transaction back: the target is bit-for-bit untouched."""
+    sink = _sink()
+    seed = spark.createDataFrame(
+        [(1, "alice", 10.0)], "k long, name string, v double"
+    )
+    sink.append(seed, "merge_dup_tgt")
+    dup = spark.createDataFrame(
+        [(1, "x", 1.0, False), (1, "y", 2.0, False)],
+        "k long, name string, v double, is_del boolean",
+    )
+    with pytest.raises(Exception):
+        sink.merge_batch(dup, "merge_dup_tgt", ["k"], delete_col="is_del")
+    got = [
+        tuple(r)
+        for r in sink.read(spark, "merge_dup_tgt")
+        .select("k", "name", "v")
+        .collect()
+    ]
+    assert got == [(1, "alice", 10.0)]
