@@ -632,6 +632,128 @@ ORDER BY id, j
 """
 
 
+# --------------------------------------------------------------------------
+# embedding_drift_by_label — the embedding-space DRIFT MONITOR: per
+# label, cosine between the centroid of snapshot A (even vec_id) and
+# snapshot B (odd vec_id). The ML-ops companion to
+# ivf_occupancy_stats: occupancy says the INDEX cells are skewing,
+# this says the DISTRIBUTION itself moved (an upstream encoder or
+# corpus change shows up as cos < 1 before recall degrades).
+#
+# Determinism: per-dimension centroid SUMS in milli fixed point
+# (exact BIGINT — cosine of sums ≡ cosine of means, the scale
+# cancels); the three quadratic forms (dot, |a|², |b|²) stay exact
+# BIGINT (overflow horizon ~8M vectors per label-half at dim 64);
+# the final cosine is double ROUND(dot/sqrt(na2·nb2), 6) — every
+# input is an exact integer and /, sqrt are IEEE-exactly-rounded in
+# both engines, so the doubles are bit-identical. The exact integers
+# ride in the output so a consumer can recompute at any precision.
+# --------------------------------------------------------------------------
+
+_DRIFT_SCALE = 1000
+
+
+def embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "label",
+        F.pmod("vec_id", F.lit(2)).alias("half"),
+        F.posexplode(as_double_array(F.col("embedding"))).alias(
+            "pos", "x"
+        ),
+    ).withColumn(
+        "el",
+        F.floor(F.col("x") * F.lit(float(_DRIFT_SCALE))).cast("bigint"),
+    )
+    sums = pos.groupBy("label", "half", "pos").agg(
+        F.sum("el").alias("s")
+    )
+    a = sums.filter(F.col("half") == 0).select(
+        "label", "pos", F.col("s").alias("sa")
+    )
+    b = sums.filter(F.col("half") == 1).select(
+        "label", "pos", F.col("s").alias("sb")
+    )
+    quad = (
+        a.join(b, ["label", "pos"])
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("sa") * F.col("sb")).alias("dot_m"),
+            F.sum(F.col("sa") * F.col("sa")).alias("na2_m"),
+            F.sum(F.col("sb") * F.col("sb")).alias("nb2_m"),
+        )
+    )
+    counts = (
+        emb.groupBy("label")
+        .agg(
+            F.sum((F.pmod("vec_id", F.lit(2)) == 0).cast("long")).alias(
+                "n_a"
+            ),
+            F.sum((F.pmod("vec_id", F.lit(2)) == 1).cast("long")).alias(
+                "n_b"
+            ),
+        )
+    )
+    return (
+        quad.join(counts, "label")
+        .select(
+            "label",
+            "n_a",
+            "n_b",
+            "dot_m",
+            "na2_m",
+            "nb2_m",
+            F.when(
+                (F.col("na2_m") > 0) & (F.col("nb2_m") > 0),
+                F.round(
+                    F.col("dot_m")
+                    / F.sqrt(
+                        F.col("na2_m").cast("double")
+                        * F.col("nb2_m").cast("double")
+                    ),
+                    6,
+                ),
+            ).alias("centroid_cos"),
+        )
+        .orderBy("label")
+    )
+
+
+_DRIFT_SQL = f"""
+WITH pos AS (
+  SELECT label, vec_id % 2 AS half, i - 1 AS pos,
+         CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {_DRIFT_SCALE}.0)
+              AS BIGINT) AS el
+  FROM embeddings,
+       UNNEST(generate_series(1, LEN(embedding))) AS t(i)
+), sums AS (
+  SELECT label, half, pos, SUM(el)::BIGINT AS s
+  FROM pos GROUP BY 1, 2, 3
+), quad AS (
+  SELECT a.label,
+         SUM(a.s * b.s)::BIGINT AS dot_m,
+         SUM(a.s * a.s)::BIGINT AS na2_m,
+         SUM(b.s * b.s)::BIGINT AS nb2_m
+  FROM (SELECT label, pos, s FROM sums WHERE half = 0) a
+  JOIN (SELECT label, pos, s FROM sums WHERE half = 1) b
+    USING (label, pos)
+  GROUP BY 1
+), counts AS (
+  SELECT label,
+         SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+         SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b
+  FROM embeddings GROUP BY 1
+)
+SELECT q.label, c.n_a, c.n_b, q.dot_m, q.na2_m, q.nb2_m,
+       CASE WHEN q.na2_m > 0 AND q.nb2_m > 0
+            THEN ROUND(q.dot_m / sqrt(CAST(q.na2_m AS DOUBLE)
+                                      * CAST(q.nb2_m AS DOUBLE)), 6)
+       END AS centroid_cos
+FROM quad q JOIN counts c USING (label)
+ORDER BY label
+"""
+
+
 QUERIES = {
     "ann_topk_brute": ann_topk_brute,
     "embedding_random_projection": embedding_random_projection,
@@ -648,6 +770,7 @@ QUERIES = {
     "label_centroids": label_centroids,
     "knn_graph": knn_graph,
     "embedding_outliers": embedding_outliers,
+    "embedding_drift_by_label": embedding_drift_by_label,
 }
 
 ORACLES = {
@@ -660,5 +783,6 @@ ORACLES = {
     "embedding_outliers": _OUTLIERS_SQL,
     "label_centroids": _CENTROIDS_SQL,
     "knn_graph": _KNN_SQL,
+    "embedding_drift_by_label": _DRIFT_SQL,
     # ann_topk_lsh: no oracle (seeded hyperplanes, approximate).
 }

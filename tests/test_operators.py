@@ -3276,3 +3276,37 @@ def test_customer_cohort_ltv_planted(spark, tmp_path):
     assert jan2["ltv_cents_per_customer"] == 25000  # cohort size 1
     mar0 = got[("2024-03", 0)]
     assert (mar0["n_customers"], mar0["revenue_cents"]) == (1, 3000)
+
+
+def test_embedding_drift_by_label_planted(spark, tmp_path):
+    """Drift arithmetic: a label whose two snapshot halves are
+    identical scores cosine 1.0; a label whose odd half is the exact
+    negation scores -1.0; an orthogonal pair scores 0.0."""
+    rows = [
+        # label 0: identical halves
+        (0, [1.0, 2.0, 0.0, 0.0], 0),
+        (1, [1.0, 2.0, 0.0, 0.0], 0),
+        # label 1: negated half
+        (2, [3.0, -1.0, 0.5, 0.0], 1),
+        (3, [-3.0, 1.0, -0.5, 0.0], 1),
+        # label 2: orthogonal halves
+        (4, [1.0, 0.0, 0.0, 0.0], 2),
+        (5, [0.0, 1.0, 0.0, 0.0], 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = tmp_path / "drift_sf"
+    df.write.parquet(str(out / "embeddings.parquet"))
+
+    from sqltask_spark.queries.vector import embedding_drift_by_label
+
+    got = {r["label"]: r for r in embedding_drift_by_label(
+        spark, str(out)
+    ).collect()}
+    assert got[0]["centroid_cos"] == 1.0
+    assert got[1]["centroid_cos"] == -1.0
+    assert got[2]["centroid_cos"] == 0.0
+    assert (got[0]["n_a"], got[0]["n_b"]) == (1, 1)
+    # exact quadratic forms ride along (milli fixed point)
+    assert got[0]["dot_m"] == 1000**2 + 2000**2
