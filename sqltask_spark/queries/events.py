@@ -1073,6 +1073,76 @@ ORDER BY user_id, version
 """
 
 
+# --------------------------------------------------------------------------
+# events_k_anonymity — the release-governance audit: before an events
+# extract leaves the warehouse, verify every quasi-identifier
+# combination (event_type × hour-of-day × coarse value bucket) is
+# shared by at least K rows; rows in smaller groups re-identify and
+# must be suppressed or generalized. Output is the per-event-type
+# audit: group count, min k, rows/groups below K, and the suppressed
+# share in integer micro units. Scale shape: ONE census groupBy
+# bounded by the QI domain (types × 24 × buckets), then a tiny
+# rollup — never a row-sized exchange.
+# --------------------------------------------------------------------------
+
+_K_ANON = 5
+
+
+def events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    qi = ev.select(
+        "event_type",
+        F.hour("ts").alias("hour"),
+        F.floor(F.col("value") / 10).cast("long").alias("vbucket"),
+    )
+    groups = qi.groupBy("event_type", "hour", "vbucket").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    return (
+        groups.groupBy("event_type")
+        .agg(
+            F.sum("k").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_qi_groups"),
+            F.min("k").cast("long").alias("min_k"),
+            F.sum(F.when(F.col("k") < _K_ANON, F.col("k")).otherwise(0))
+            .cast("long")
+            .alias("n_rows_below_k"),
+            F.sum((F.col("k") < _K_ANON).cast("int"))
+            .cast("long")
+            .alias("n_groups_below_k"),
+        )
+        .withColumn(
+            "suppressed_share_micro",
+            F.expr("n_rows_below_k * 1000000 DIV n_rows"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_K_ANON_SQL = f"""
+WITH qi AS (
+  SELECT event_type,
+         EXTRACT(hour FROM ts)::INT AS hour,
+         CAST(FLOOR(value / 10) AS BIGINT) AS vbucket
+  FROM events
+), groups AS (
+  SELECT event_type, hour, vbucket, COUNT(*) AS k
+  FROM qi GROUP BY 1, 2, 3
+)
+SELECT event_type,
+       SUM(k)::BIGINT AS n_rows,
+       COUNT(*)::BIGINT AS n_qi_groups,
+       MIN(k)::BIGINT AS min_k,
+       SUM(CASE WHEN k < {_K_ANON} THEN k ELSE 0 END)::BIGINT
+         AS n_rows_below_k,
+       SUM(CASE WHEN k < {_K_ANON} THEN 1 ELSE 0 END)::BIGINT
+         AS n_groups_below_k,
+       (SUM(CASE WHEN k < {_K_ANON} THEN k ELSE 0 END) * 1000000
+        // SUM(k))::BIGINT AS suppressed_share_micro
+FROM groups GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "sessionize_events": sessionize_events,
     "funnel_conversion": funnel_conversion,
@@ -1091,6 +1161,7 @@ QUERIES = {
     "event_value_stats": event_value_stats,
     "user_event_history": user_event_history,
     "scd2_user_state": scd2_user_state,
+    "events_k_anonymity": events_k_anonymity,
 }
 
 ORACLES = {
@@ -1111,4 +1182,5 @@ ORACLES = {
     "event_value_stats": _STATS_EV_SQL,
     "user_event_history": _HISTORY_SQL,
     "scd2_user_state": _SCD2_SQL,
+    "events_k_anonymity": _K_ANON_SQL,
 }

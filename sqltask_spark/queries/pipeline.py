@@ -2604,7 +2604,135 @@ FROM per_doc GROUP BY source ORDER BY source
 
 
 # --------------------------------------------------------------------------
-# source_distinct_hll — HyperLogLog distinct-document counting as a
+# count_min_tokens — Count-Min sketch as a hash-checked certificate,
+# completing the mergeable-sketch trio (Bloom membership, HLL
+# distinct, CM frequency). The 100 TB shape: per-shard token counts
+# fold into a fixed d×w counter grid (d=2 md5-long rows, w=4096
+# counters — 64 KB however large the corpus), grids MERGE by
+# element-wise +, and any token's frequency reads as min_j grid[j][
+# h_j(token)] — an OVERESTIMATE by construction (collisions only
+# add). The certificate: for the exact top-k tokens, emit exact
+# count, CM estimate, and overcount — the one-sided guarantee
+# (overcount ≥ 0) is hash-checked every round, and the overcount
+# magnitude IS the measured accuracy of (d=2, w=4096) at each scale.
+# All BIGINT; positions from the md5-long family, so DuckDB replays
+# the grid bit-for-bit.
+# --------------------------------------------------------------------------
+
+_CM_D = 2
+_CM_W = 4096
+_CM_TOP = 20
+
+
+def count_min_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sqltask_spark.data import materialize_and_release
+    from sqltask_spark.operators.retrieval import md5_long
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    census = (
+        docs.select(F.explode(tx.tokenize(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    try:
+        def pos(j: int):
+            return F.pmod(
+                md5_long(F.concat(F.lit(f"cm:{j}:"), F.col("tok"))),
+                F.lit(_CM_W),
+            )
+
+        grid = (
+            census.select(
+                "c",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(j).alias("j"), pos(j).alias("p")
+                            )
+                            for j in range(_CM_D)
+                        ]
+                    )
+                ).alias("cell"),
+            )
+            .groupBy(F.col("cell.j").alias("j"), F.col("cell.p").alias("p"))
+            .agg(F.sum("c").alias("cnt"))
+        )
+        top = (
+            census.orderBy(F.col("c").desc(), F.col("tok").asc())
+            .limit(_CM_TOP)
+        )
+        probes = top.select(
+            "tok",
+            "c",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(j).alias("j"), pos(j).alias("p"))
+                        for j in range(_CM_D)
+                    ]
+                )
+            ).alias("cell"),
+        ).select("tok", "c", F.col("cell.j").alias("j"),
+                 F.col("cell.p").alias("p"))
+        out = (
+            probes.join(F.broadcast(grid), ["j", "p"])
+            .groupBy("tok", "c")
+            .agg(F.min("cnt").alias("cm_estimate"))
+            .select(
+                "tok",
+                F.col("c").cast("long").alias("n_exact"),
+                F.col("cm_estimate").cast("long").alias("cm_estimate"),
+                (F.col("cm_estimate") - F.col("c"))
+                .cast("long")
+                .alias("overcount"),
+            )
+            .orderBy(F.col("n_exact").desc(), F.col("tok").asc())
+        )
+        return materialize_and_release(out, census)
+    except BaseException:
+        census.unpersist()
+        raise
+
+
+def _cm_sql() -> str:
+    """DuckDB mirror of :func:`count_min_tokens` — same md5-long
+    cell positions, same grid fold, same min-over-rows estimate."""
+    from sqltask_spark.queries.textops import _md5long_sql
+
+    cells = "\n  UNION ALL\n".join(
+        f"  SELECT {j} AS j,"
+        f" {_md5long_sql(chr(39) + f'cm:{j}:' + chr(39) + ' || tok')}"
+        f" % {_CM_W} AS p, c, tok FROM census"
+        for j in range(_CM_D)
+    )
+    return f"""
+WITH census AS MATERIALIZED (
+  SELECT tok, COUNT(*) AS c FROM (
+    SELECT UNNEST({_TOKS}) AS tok FROM documents WHERE text IS NOT NULL
+  ) WHERE tok <> '' GROUP BY tok
+), cells AS MATERIALIZED (
+{cells}
+), grid AS (
+  SELECT j, p, SUM(c)::BIGINT AS cnt FROM cells GROUP BY 1, 2
+), top AS (
+  SELECT tok, c FROM census
+  ORDER BY c DESC, tok ASC LIMIT {_CM_TOP}
+)
+SELECT t.tok,
+       t.c::BIGINT AS n_exact,
+       MIN(g.cnt)::BIGINT AS cm_estimate,
+       (MIN(g.cnt) - t.c)::BIGINT AS overcount
+FROM top t
+JOIN cells x ON x.tok = t.tok
+JOIN grid g ON g.j = x.j AND g.p = x.p
+GROUP BY t.tok, t.c
+ORDER BY n_exact DESC, t.tok ASC
+"""
 # hash-checked certificate. The 100 TB problem: COUNT(DISTINCT fp)
 # per shard requires shuffling every fingerprint; the production
 # answer is a MERGEABLE register sketch (m=256 registers, 8-bit index
@@ -2912,6 +3040,7 @@ QUERIES = {
     "contamination_bloom": contamination_bloom,
     "source_distinct_hll": source_distinct_hll,
     "corpus_merge_upsert": corpus_merge_upsert,
+    "count_min_tokens": count_min_tokens,
 }
 
 ORACLES = {
@@ -2952,4 +3081,5 @@ ORACLES = {
     "contamination_bloom": _bloom_sql(),
     "source_distinct_hll": _HLL_SQL,
     "corpus_merge_upsert": _MERGE_UPSERT_SQL,
+    "count_min_tokens": _cm_sql(),
 }

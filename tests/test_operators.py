@@ -3310,3 +3310,64 @@ def test_embedding_drift_by_label_planted(spark, tmp_path):
     assert (got[0]["n_a"], got[0]["n_b"]) == (1, 1)
     # exact quadratic forms ride along (milli fixed point)
     assert got[0]["dot_m"] == 1000**2 + 2000**2
+
+
+def test_count_min_tokens_planted(spark, tmp_path):
+    """CM guarantee on a planted census: estimates are one-sided
+    (never below the exact count), and with w=4096 and a handful of
+    distinct tokens there are no collisions, so every estimate is
+    exact."""
+    text = " ".join(["alpha"] * 10 + ["beta"] * 5 + ["gamma"] * 2)
+    df = spark.createDataFrame(
+        [(1, text, "A")], "doc_id long, text string, source string"
+    )
+    out = tmp_path / "cm_sf"
+    df.write.parquet(str(out / "documents.parquet"))
+
+    from sqltask_spark.queries.pipeline import count_min_tokens
+
+    got = {r["tok"]: r for r in count_min_tokens(
+        spark, str(out)
+    ).collect()}
+    assert got["alpha"]["n_exact"] == 10
+    for r in got.values():
+        assert r["overcount"] >= 0
+        assert r["cm_estimate"] == r["n_exact"]  # no collisions here
+
+
+def test_count_min_one_sided_on_real_corpus(spark, sf_dir):
+    from sqltask_spark.queries.pipeline import count_min_tokens
+
+    rows = count_min_tokens(spark, sf_dir).collect()
+    assert rows
+    assert all(r["overcount"] >= 0 for r in rows)
+
+
+def test_events_k_anonymity_planted(spark, tmp_path):
+    """A 6-row QI group passes; a 2-row group (different hour) is
+    below K=5 and lands in the suppressed share."""
+    import datetime as dt
+
+    rows = []
+    for i in range(6):
+        rows.append((i, dt.datetime(2024, 1, 1, 9, i), 1, "click",
+                     15.0, None))
+    for i in range(2):
+        rows.append((10 + i, dt.datetime(2024, 1, 1, 23, i), 1,
+                     "click", 15.0, None))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = tmp_path / "kanon_sf"
+    df.write.parquet(str(out / "events.parquet"))
+
+    from sqltask_spark.queries.events import events_k_anonymity
+
+    got = events_k_anonymity(spark, str(out)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["n_rows"], r["n_qi_groups"], r["min_k"]) == (8, 2, 2)
+    assert (r["n_rows_below_k"], r["n_groups_below_k"]) == (2, 1)
+    assert r["suppressed_share_micro"] == 250_000
