@@ -2426,9 +2426,26 @@ def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(word_shingles(F.col("text"), 3))
         ).alias("s"),
     )
+    # the eval-shingle set feeds three consumers (the sizing scalar,
+    # the bitmap build, the exact-certificate marker join) — persist
+    # it; it is eval-set-sized, small BY DEFINITION at any corpus
+    # scale, and released once the result materializes
     eval_sh = (
-        sh.filter(F.pmod("doc_id", F.lit(10)) == 0).select("s").distinct()
+        sh.filter(F.pmod("doc_id", F.lit(10)) == 0)
+        .select("s")
+        .distinct()
+        .persist()
     )
+    try:
+        return _contamination_bloom_body(eval_sh, sh)
+    except BaseException:  # release the cache on ANY failure path
+        eval_sh.unpersist()
+        raise
+
+
+def _contamination_bloom_body(eval_sh: DataFrame, sh: DataFrame) -> DataFrame:
+    from sqltask_spark.operators.retrieval import md5_long
+
     # the ONE bounded driver scalar: eval-shingle cardinality sizes the
     # filter (fixed bits-per-element keeps the fp rate scale-free)
     n_eval = eval_sh.count()
@@ -2507,7 +2524,9 @@ def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when((F.col("e") == 1) & (F.col("b") == 0), 1).otherwise(0)
         ).alias("n_fn"),
     )
-    return (
+    from sqltask_spark.data import materialize_and_release
+
+    out = (
         per_doc.groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_train_docs"),
@@ -2527,6 +2546,7 @@ def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+    return materialize_and_release(out, eval_sh)
 
 
 def _bloom_sql() -> str:
