@@ -568,3 +568,33 @@ def test_source_distinct_hll_no_joins_on_corpus(spark, sf_dir):
     # nothing fingerprint-sized may cartesian or nested-loop
     assert "CartesianProduct" not in r.join_strategies
     assert "BroadcastNestedLoopJoin" not in r.join_strategies
+
+
+def test_count_min_grid_probe_broadcast(spark, sf_dir):
+    r = plan_report(QUERIES["count_min_tokens"](spark, sf_dir))
+    assert "BroadcastHashJoin" in r.join_strategies
+    assert "CartesianProduct" not in r.join_strategies
+
+
+def test_events_k_anonymity_census_only(spark, sf_dir):
+    r = plan_report(QUERIES["events_k_anonymity"](spark, sf_dir))
+    # two stacked aggregations, no joins anywhere
+    assert r.join_strategies == []
+
+
+def test_part_basket_affinity_topk_no_cartesian(spark, sf_dir):
+    r = plan_report(QUERIES["part_basket_affinity"](spark, sf_dir))
+    assert r.top_k  # TakeOrderedAndProject, not a global sort
+    assert "CartesianProduct" not in r.join_strategies
+
+
+def test_customer_cohort_ltv_partitioned_window(spark, sf_dir):
+    plan = (
+        QUERIES["customer_cohort_ltv"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the cumulative sum must stay partitioned by cohort — a global
+    # (empty-partition-spec) window would serialize on one task
+    assert "windowspecdefinition(cohort_ts" in plan
