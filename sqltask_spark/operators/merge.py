@@ -413,6 +413,109 @@ def merge_into_parquet(
         src.unpersist()
 
 
+def table_changes(
+    spark: SparkSession,
+    path: str,
+    key_cols: list[str],
+    from_seq: int,
+    to_seq: int | None = None,
+) -> DataFrame:
+    """Row-level change feed between two committed versions — the
+    read-side complement of time travel (Delta's CDF shape): an
+    incremental consumer asks "what changed since version N" instead
+    of diffing snapshots.
+
+    Scale shape: rows living in files CARRIED between the two
+    manifests cannot have changed (merges rewrite whole files), so
+    only the file-level manifest diff is read — removed files hold
+    the pre-images, added files the post-images — and the join is
+    bounded by the data the merges actually touched, never the table.
+    Survivor rows that merely moved files during a rewrite fall out
+    as all-columns-equal and are filtered.
+
+    Returns the table columns plus ``_change_type`` ∈ {'insert',
+    'delete', 'update_preimage', 'update_postimage'}, one row per
+    change (two for updates).
+    """
+    m_from = index_fs.read_manifest_at(spark, path, from_seq)
+    if m_from is None:
+        raise ValueError(
+            f"version {from_seq} of {path} does not exist (vacuumed,"
+            f" torn, or never committed); available:"
+            f" {index_fs.list_manifest_seqs(spark, path)}"
+        )
+    if to_seq is None:
+        m_to = index_fs.read_manifest(spark, path)
+        if m_to is None:
+            raise ValueError(f"no committed table at {path}")
+    else:
+        m_to = index_fs.read_manifest_at(spark, path, to_seq)
+        if m_to is None:
+            raise ValueError(
+                f"version {to_seq} of {path} does not exist; available:"
+                f" {index_fs.list_manifest_seqs(spark, path)}"
+            )
+    schema = _schema_of(m_to)
+    cols = [f.name for f in schema.fields]
+    val_cols = [c for c in cols if c not in key_cols]
+    removed = sorted(set(m_from.get("files", [])) - set(m_to.get("files", [])))
+    added = sorted(set(m_to.get("files", [])) - set(m_from.get("files", [])))
+
+    def _read(rels):
+        if not rels:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(*_abs_files(path, rels))
+
+    pre = _read(removed).select(
+        *key_cols,
+        *[F.col(c).alias(f"__pre_{c}") for c in val_cols],
+        F.lit(1).alias("__in_pre"),
+    )
+    post = _read(added).select(
+        *key_cols,
+        *[F.col(c).alias(f"__post_{c}") for c in val_cols],
+        F.lit(1).alias("__in_post"),
+    )
+    j = pre.join(post, key_cols, "full_outer")
+    differs = (
+        F.lit(False)
+        if not val_cols
+        else ~F.expr(
+            " AND ".join(
+                f"__pre_{c} <=> __post_{c}" for c in val_cols
+            )
+        )
+    )
+    ins = j.filter(F.col("__in_pre").isNull()).select(
+        *key_cols,
+        *[F.col(f"__post_{c}").alias(c) for c in val_cols],
+        F.lit("insert").alias("_change_type"),
+    )
+    dele = j.filter(F.col("__in_post").isNull()).select(
+        *key_cols,
+        *[F.col(f"__pre_{c}").alias(c) for c in val_cols],
+        F.lit("delete").alias("_change_type"),
+    )
+    upd = j.filter(
+        F.col("__in_pre").isNotNull()
+        & F.col("__in_post").isNotNull()
+        & differs
+    )
+    upd_pre = upd.select(
+        *key_cols,
+        *[F.col(f"__pre_{c}").alias(c) for c in val_cols],
+        F.lit("update_preimage").alias("_change_type"),
+    )
+    upd_post = upd.select(
+        *key_cols,
+        *[F.col(f"__post_{c}").alias(c) for c in val_cols],
+        F.lit("update_postimage").alias("_change_type"),
+    )
+    return ins.unionByName(dele).unionByName(upd_pre).unionByName(
+        upd_post
+    )
+
+
 def compact_parquet_table(spark: SparkSession, path: str) -> int:
     """Rewrite the current state as ONE fresh generation (the
     small-files compaction merges accumulate); row-identical,

@@ -268,3 +268,58 @@ def test_merge_without_stats_never_prunes(spark, tmp_path):
     )
     assert got["stats_pruned_files"] == 0
     assert got["updated"] == 1
+
+
+def test_table_changes_row_level_feed(spark, tmp_path):
+    """Change feed between versions reads only the file-level
+    manifest diff and classifies exactly the touched rows: an
+    update emits pre+post images, a delete the pre-image, an insert
+    the post-image — and survivor rows that merely moved files
+    during the rewrite do NOT appear."""
+    from sqltask_spark.operators.merge import table_changes
+
+    path = str(tmp_path / "cdf")
+    _mk_table(spark, path, n=10, parts=2)  # keys 1-10, two files
+    src = spark.createDataFrame(
+        [(1, 111, False), (3, 0, True), (11, 1100, False)],
+        "k long, v long, is_del boolean",
+    )
+    merge_into_parquet(
+        spark, path, src, ["k"], delete_col="is_del"
+    )
+    got = {
+        (r["_change_type"], r["k"]): r["v"]
+        for r in table_changes(spark, path, ["k"], 0, 1).collect()
+    }
+    assert got == {
+        ("update_preimage", 1): 10,
+        ("update_postimage", 1): 111,
+        ("delete", 3): 30,
+        ("insert", 11): 1100,
+    }
+    # compaction rewrites every file but changes no rows: the feed
+    # across it is empty
+    compact_parquet_table(spark, path)
+    assert table_changes(spark, path, ["k"], 1, 2).count() == 0
+    # spanning multiple versions composes the net effect vs v0
+    net = {
+        (r["_change_type"], r["k"])
+        for r in table_changes(spark, path, ["k"], 0).collect()
+    }
+    assert ("insert", 11) in net and ("delete", 3) in net
+
+
+def test_table_changes_vacuumed_version_errors(spark, tmp_path):
+    from sqltask_spark.operators.merge import table_changes
+
+    path = str(tmp_path / "cdf2")
+    _mk_table(spark, path, n=3)
+    merge_into_parquet(
+        spark,
+        path,
+        spark.createDataFrame([(1, -1)], "k long, v long"),
+        ["k"],
+    )
+    vacuum_parquet_table(spark, path, keep_versions=1)
+    with pytest.raises(ValueError, match="does not exist"):
+        table_changes(spark, path, ["k"], 0, 1)
