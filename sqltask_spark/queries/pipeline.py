@@ -2624,6 +2624,96 @@ FROM per_doc GROUP BY source ORDER BY source
 
 
 # --------------------------------------------------------------------------
+# corpus_change_feed — the CHANGE FEED certificate: create the
+# versioned table, MERGE the recrawl (same planted semantics as
+# corpus_merge_upsert), then return table_changes(v0 → v1) — the
+# row-level CDF an incremental downstream consumer would read. The
+# oracle reproduces the classification relationally (matched+flag →
+# delete pre-image, matched → update pre+post images — the recrawl
+# always changes n_chars, so every match IS an update — unmatched →
+# insert post-image). Hash-checking this locks the feed's
+# classification logic AND the manifest file-diff underneath it.
+# --------------------------------------------------------------------------
+
+#: bounded doc_id slice shared by the MERGE-table certificates so
+#: their driver collects stay constant-size at every corpus scale
+_MERGE_SLICE = 2000
+
+
+def corpus_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from sqltask_spark.operators.merge import (
+        create_parquet_table,
+        merge_into_parquet,
+        table_changes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _MERGE_SLICE
+    )
+    target = docs.filter(F.pmod("doc_id", F.lit(3)) != 2).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    source = docs.filter(F.pmod("doc_id", F.lit(2)) == 0).select(
+        "doc_id",
+        "lang",
+        "source",
+        (F.col("n_chars") + F.lit(1000)).alias("n_chars"),
+        (F.pmod("doc_id", F.lit(10)) == 4).alias("is_del"),
+    )
+    tmp = tempfile.mkdtemp(prefix="change_feed_")
+    try:
+        create_parquet_table(
+            target.repartitionByRange(4, "doc_id"), tmp,
+            stats_col="doc_id",
+        )
+        merge_into_parquet(
+            spark, tmp, source, ["doc_id"],
+            batch_id="crawl-0", delete_col="is_del",
+        )
+        feed = table_changes(spark, tmp, ["doc_id"], 0, 1)
+        rows = feed.orderBy("doc_id", "_change_type").collect()
+        return spark.createDataFrame(rows, feed.schema).orderBy(
+            "doc_id", "_change_type"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_CHANGE_FEED_SQL = f"""
+WITH sliced AS (
+  SELECT doc_id, lang, source, n_chars FROM documents
+  WHERE doc_id < {_MERGE_SLICE}
+), tgt AS (
+  SELECT * FROM sliced WHERE doc_id % 3 <> 2
+), src AS (
+  SELECT doc_id, lang, source, n_chars + 1000 AS n_chars,
+         (doc_id % 10 = 4) AS is_del
+  FROM sliced WHERE doc_id % 2 = 0
+)
+SELECT s.doc_id, s.lang, s.source, s.n_chars,
+       'insert' AS _change_type
+FROM src s LEFT JOIN tgt t ON t.doc_id = s.doc_id
+WHERE t.doc_id IS NULL AND NOT s.is_del
+UNION ALL
+SELECT t.doc_id, t.lang, t.source, t.n_chars, 'delete'
+FROM tgt t JOIN src s ON t.doc_id = s.doc_id
+WHERE s.is_del
+UNION ALL
+SELECT t.doc_id, t.lang, t.source, t.n_chars, 'update_preimage'
+FROM tgt t JOIN src s ON t.doc_id = s.doc_id
+WHERE NOT s.is_del
+UNION ALL
+SELECT s.doc_id, s.lang, s.source, s.n_chars, 'update_postimage'
+FROM src s JOIN tgt t ON t.doc_id = s.doc_id
+WHERE NOT s.is_del
+ORDER BY doc_id, _change_type
+"""
+
+
+# --------------------------------------------------------------------------
 # count_min_tokens — Count-Min sketch as a hash-checked certificate,
 # completing the mergeable-sketch trio (Bloom membership, HLL
 # distinct, CM frequency). The 100 TB shape: per-shard token counts
@@ -2938,11 +3028,9 @@ ORDER BY source
 # doc_id slice so the entry's driver collect stays bounded at every
 # scale; the operator's own scale story (rewrite ∝ touched files,
 # manifest-atomic commit, time travel, vacuum) is pytest-pinned in
-# tests/test_merge_table.py.
+# tests/test_merge_table.py. The shared _MERGE_SLICE bound is defined
+# at the corpus_change_feed block above.
 # --------------------------------------------------------------------------
-
-_MERGE_SLICE = 2000
-
 
 def corpus_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
@@ -3061,6 +3149,7 @@ QUERIES = {
     "source_distinct_hll": source_distinct_hll,
     "corpus_merge_upsert": corpus_merge_upsert,
     "count_min_tokens": count_min_tokens,
+    "corpus_change_feed": corpus_change_feed,
 }
 
 ORACLES = {
@@ -3102,4 +3191,5 @@ ORACLES = {
     "source_distinct_hll": _HLL_SQL,
     "corpus_merge_upsert": _MERGE_UPSERT_SQL,
     "count_min_tokens": _cm_sql(),
+    "corpus_change_feed": _CHANGE_FEED_SQL,
 }
