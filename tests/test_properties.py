@@ -561,3 +561,70 @@ def test_sparse_kmeans_matches_python_model(spark, data, k, iters):
     want_a, want_c = _kmeans_model(data, k, iters)
     assert got_a == want_a
     assert got_c == {c: v for c, v in want_c.items() if v}
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(  # a sequence of merge batches
+        st.lists(  # each batch: (key, value, is_delete) changes
+            st.tuples(
+                st.integers(min_value=1, max_value=12),
+                st.integers(min_value=-1000, max_value=1000),
+                st.booleans(),
+            ),
+            min_size=1,
+            max_size=6,
+            unique_by=lambda t: t[0],  # MERGE requires key-unique
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_merge_table_matches_dict_model(spark, tmp_path_factory, batches):
+    """Model-based check: any sequence of key-unique merge batches
+    leaves the versioned parquet table equal to a plain Python dict
+    applying the same upsert/delete semantics — and the version
+    count equals the merge count, each version time-travel readable."""
+    from sqltask_spark.operators import index_fs
+    from sqltask_spark.operators.merge import (
+        create_parquet_table,
+        merge_into_parquet,
+        read_parquet_table,
+    )
+
+    path = str(tmp_path_factory.mktemp("merge_prop") / "t")
+    base = {1: 100, 2: 200}
+    create_parquet_table(
+        spark.createDataFrame(
+            [(k, v) for k, v in base.items()], "k long, v long"
+        ),
+        path,
+        stats_col="k",
+    )
+    model = dict(base)
+    for i, batch in enumerate(batches):
+        src = spark.createDataFrame(
+            batch, "k long, v long, is_del boolean"
+        )
+        merge_into_parquet(
+            spark, path, src, ["k"],
+            batch_id=f"b{i}", delete_col="is_del",
+        )
+        for k, v, is_del in batch:
+            if is_del:
+                model.pop(k, None)
+            else:
+                model[k] = v
+    got = {
+        r["k"]: r["v"]
+        for r in read_parquet_table(spark, path).collect()
+    }
+    assert got == model
+    seqs = index_fs.list_manifest_seqs(spark, path)
+    assert len(seqs) == 1 + len(batches)
+    # version 0 still serves the original rows
+    v0 = {
+        r["k"]: r["v"]
+        for r in read_parquet_table(spark, path, as_of=0).collect()
+    }
+    assert v0 == base
