@@ -547,6 +547,48 @@ def compact_parquet_table(spark: SparkSession, path: str) -> int:
     return len(new_files)
 
 
+def add_table_column(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    data_type: str,
+) -> None:
+    """Schema evolution (the add-column half — M2's lake analog for
+    versioned tables): commit a manifest whose schema carries the new
+    NULLABLE column. No data file is touched — existing files simply
+    lack the column and every reader projects it as NULL (the
+    explicit read schema makes that uniform across files), while
+    subsequent merges carry real values for the rows they rewrite.
+    Atomic like every mutation; time travel to older versions keeps
+    serving the old schema.
+
+    Drop/rename stay out by design: they change the meaning of bytes
+    already on disk, which is a rewrite (:func:`compact_parquet_table`
+    after projecting) — the same posture as
+    :mod:`sqltask_spark.migration`'s opt-in drop rewrite.
+    """
+    from pyspark.sql import types as T
+
+    m = index_fs.read_manifest(spark, path)
+    if m is None:
+        raise ValueError(f"no committed table at {path}")
+    schema = _schema_of(m)
+    if name in [f.name for f in schema.fields]:
+        raise ValueError(f"column {name!r} already exists at {path}")
+    added = T.StructType.fromDDL(f"`{name}` {data_type}").fields[0]
+    new_schema = T.StructType(
+        list(schema.fields)
+        + [T.StructField(added.name, added.dataType, True)]
+    )
+    index_fs.commit_manifest(
+        spark,
+        path,
+        {**{k: v for k, v in m.items() if k != "_seq"},
+         "schema": new_schema.json()},
+        m["_seq"],
+    )
+
+
 def vacuum_parquet_table(
     spark: SparkSession, path: str, keep_versions: int = 1
 ) -> dict:

@@ -323,3 +323,36 @@ def test_table_changes_vacuumed_version_errors(spark, tmp_path):
     vacuum_parquet_table(spark, path, keep_versions=1)
     with pytest.raises(ValueError, match="does not exist"):
         table_changes(spark, path, ["k"], 0, 1)
+
+
+def test_add_table_column_schema_evolution(spark, tmp_path):
+    """Add-column evolution: no data file is touched, existing rows
+    read NULL for the new column, a later merge writes real values
+    for the rows it rewrites, and time travel to the pre-evolution
+    version still serves the old schema."""
+    from sqltask_spark.operators.merge import add_table_column
+
+    path = str(tmp_path / "evo")
+    _mk_table(spark, path, n=4)
+    files_before = index_fs.read_manifest(spark, path)["files"]
+    add_table_column(spark, path, "tag", "string")
+    m = index_fs.read_manifest(spark, path)
+    assert m["files"] == files_before  # metadata-only commit
+    cur = read_parquet_table(spark, path)
+    assert [f.name for f in cur.schema.fields] == ["k", "v", "tag"]
+    assert all(r["tag"] is None for r in cur.collect())
+    # a merge now carries the new column
+    src = spark.createDataFrame(
+        [(1, 111, "fresh"), (9, 90, "new")], "k long, v long, tag string"
+    )
+    merge_into_parquet(spark, path, src, ["k"])
+    got = {r["k"]: r["tag"] for r in read_parquet_table(
+        spark, path
+    ).collect()}
+    assert got[1] == "fresh" and got[9] == "new" and got[2] is None
+    # pre-evolution version: old two-column schema
+    v0 = read_parquet_table(spark, path, as_of=0)
+    assert [f.name for f in v0.schema.fields] == ["k", "v"]
+    # duplicate add errors
+    with pytest.raises(ValueError, match="already exists"):
+        add_table_column(spark, path, "tag", "string")
