@@ -349,3 +349,57 @@ def minhash_index_ingest_sink(
         hits.unpersist()
 
     return ingest
+
+
+def minhash_index_cdc_sink(
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delete_col: str = "is_takedown",
+    threshold: float = 0.5,
+    max_bucket_size: int = 1000,
+):
+    """``foreachBatch`` sink extending :func:`minhash_index_ingest_sink`
+    with IN-BAND TAKEDOWNS: a micro-batch row flagged by
+    ``delete_col`` names a document to tombstone OUT of the index
+    (legal takedown, quality purge), every other row goes through the
+    probe → flag-near-dups → admit-novel → append loop. Deletes apply
+    FIRST, so a batch that both retracts a document and carries its
+    near-duplicate admits the replacement (the tombstoned original no
+    longer matches it).
+
+    Exactly-once effect under at-least-once redelivery, like the
+    plain ingest sink: the tombstone write is idempotent
+    (already-tombstoned and never-indexed ids filter to a no-op) and
+    the append anti-joins committed ids — a replayed epoch changes
+    nothing.
+    """
+    from pyspark.sql import functions as F
+
+    from sqltask_spark.operators.dedup_index import (
+        append_to_minhash_index,
+        delete_from_minhash_index,
+        probe_minhash_index,
+    )
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        flag = F.coalesce(
+            F.col(delete_col).cast("boolean"), F.lit(False)
+        )
+        takedowns = batch_df.filter(flag).select(id_col)
+        delete_from_minhash_index(index_path, takedowns, id_col)
+        arriving = batch_df.filter(~flag).drop(delete_col)
+        hits = probe_minhash_index(
+            spark, index_path, arriving, id_col, text_col,
+            threshold, max_bucket_size,
+        )
+        flagged = hits.select("batch_id").distinct()
+        admitted = arriving.join(
+            flagged, arriving[id_col] == flagged["batch_id"],
+            "left_anti",
+        )
+        append_to_minhash_index(index_path, admitted, id_col, text_col)
+        hits.unpersist()
+
+    return ingest

@@ -950,3 +950,92 @@ def test_scd2_stream_matches_batch_closed_intervals(spark, tmp_path):
         ).collect()
     )
     assert got == want and len(got) == 3
+
+
+def test_minhash_index_cdc_sink_inband_takedowns(spark, tmp_path):
+    """CDC ingest with in-band takedowns: epoch 1 admits a novel doc;
+    epoch 2 TOMBSTONES it and carries its near-duplicate in the same
+    stream — the delete applies first, so the replacement is admitted
+    (the retracted original no longer matches it). Full replay from a
+    fresh checkpoint changes nothing (idempotent delete + append)."""
+    from pyspark.sql import types as T
+
+    from sqltask_spark.operators import index_fs
+    from sqltask_spark.operators.dedup_index import (
+        build_minhash_index,
+        probe_minhash_index,
+    )
+    from sqltask_spark.streaming.corpus import minhash_index_cdc_sink
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("is_takedown", T.BooleanType()),
+    ])
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    novel = "xq zz yy ww vv uu tt ss rr qq pp oo nn mm"
+    idx = str(tmp_path / "mh_cdc_idx")
+    build_minhash_index(
+        spark.createDataFrame([(1, base)], "doc_id long, text string"),
+        idx,
+    )
+    src = tmp_path / "cdc_stream_in"
+    # epoch 1: admit a novel doc
+    spark.createDataFrame(
+        [(100, novel, False)], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    # epoch 2: take down doc 100 AND submit its near-dup — without
+    # the in-band delete the near-dup would be flagged and dropped
+    spark.createDataFrame(
+        [(100, None, True), (300, novel + " extra", False)], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    def run_stream():
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .writeStream.foreachBatch(minhash_index_cdc_sink(idx))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_stream()
+
+    def state():
+        m = index_fs.read_manifest(spark, idx)
+        ids = {
+            r["id"]
+            for g in m["generations"]
+            for r in spark.read.parquet(
+                f"{idx}/data/{g}/shingles"
+            ).select("id").collect()
+        }
+        tombs = set()
+        for g in m.get("tombstones", []):
+            tombs |= {
+                r["id"]
+                for r in spark.read.parquet(
+                    f"{idx}/tombstones/{g}"
+                ).collect()
+            }
+        return ids, tombs, m["_seq"]
+
+    ids, tombs, seq = state()
+    assert 300 in ids  # the replacement was admitted
+    assert tombs == {100}  # the original is tombstoned
+    # a probe of the novel text now matches the replacement, not 100
+    matched = {
+        r["corpus_id"]
+        for r in probe_minhash_index(
+            spark, idx,
+            spark.createDataFrame(
+                [(999, novel)], "doc_id long, text string"
+            ),
+        ).collect()
+    }
+    assert 300 in matched and 100 not in matched
+    # full replay: no state change (delete and append both idempotent)
+    run_stream()
+    assert state() == (ids, tombs, seq)
