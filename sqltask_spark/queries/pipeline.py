@@ -2624,6 +2624,123 @@ FROM per_doc GROUP BY source ORDER BY source
 
 
 # --------------------------------------------------------------------------
+# source_length_drift — the TEXT-side distribution drift monitor,
+# completing the drift family (ivf_occupancy_stats: index cells;
+# embedding_drift_by_label: vector space; this: the raw corpus).
+# Per source, the token-length histograms of snapshot A (even
+# doc_id) and snapshot B (odd doc_id) are compared by L1 distance in
+# integer micro units — a crawler change, a boilerplate injection,
+# or a truncation bug shifts the length distribution before any
+# quality score moves. All integer (per-bucket shares via exact DIV),
+# and the census shuffle is bounded by sources × 2 × buckets, never
+# corpus-sized.
+# --------------------------------------------------------------------------
+
+_LDRIFT_BUCKET_TOKENS = 50
+_LDRIFT_MAX_BUCKET = 20
+
+
+def source_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    ntok = F.size(
+        F.filter(tx.tokenize(F.col("text")), lambda t: t != F.lit(""))
+    )
+    bucketed = docs.select(
+        "source",
+        F.pmod("doc_id", F.lit(2)).alias("half"),
+        F.least(
+            (ntok.cast("long") - F.pmod(ntok, F.lit(_LDRIFT_BUCKET_TOKENS)))
+            / F.lit(_LDRIFT_BUCKET_TOKENS),
+            F.lit(float(_LDRIFT_MAX_BUCKET)),
+        ).cast("long").alias("bucket"),
+    )
+    cen = bucketed.groupBy("source", "half", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = cen.groupBy("source", "half").agg(F.sum("c").alias("n"))
+    a = (
+        cen.filter(F.col("half") == 0)
+        .join(tot.filter(F.col("half") == 0).drop("half"), "source")
+        .select(
+            "source",
+            "bucket",
+            F.expr("c * 1000000 DIV n").alias("share_a"),
+            F.col("n").alias("n_a"),
+        )
+    )
+    b = (
+        cen.filter(F.col("half") == 1)
+        .join(tot.filter(F.col("half") == 1).drop("half"), "source")
+        .select(
+            "source",
+            "bucket",
+            F.expr("c * 1000000 DIV n").alias("share_b"),
+            F.col("n").alias("n_b"),
+        )
+    )
+    joined = a.join(b, ["source", "bucket"], "full_outer").select(
+        "source",
+        F.coalesce("share_a", F.lit(0)).alias("sa"),
+        F.coalesce("share_b", F.lit(0)).alias("sb"),
+        "n_a",
+        "n_b",
+    )
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.max("n_a").cast("long").alias("n_a"),
+            F.max("n_b").cast("long").alias("n_b"),
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.sum(F.abs(F.col("sa") - F.col("sb")))
+            .cast("long")
+            .alias("l1_drift_micro"),
+        )
+        .filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+        .orderBy("source")
+    )
+
+
+_LDRIFT_SQL = f"""
+WITH bucketed AS (
+  SELECT source, doc_id % 2 AS half,
+         LEAST(LEN(list_filter({_TOKS}, t -> t <> ''))
+                 // {_LDRIFT_BUCKET_TOKENS},
+               {_LDRIFT_MAX_BUCKET}) AS bucket
+  FROM documents WHERE text IS NOT NULL
+), cen AS (
+  SELECT source, half, bucket, COUNT(*) AS c
+  FROM bucketed GROUP BY 1, 2, 3
+), tot AS (
+  SELECT source, half, SUM(c) AS n FROM cen GROUP BY 1, 2
+), a AS (
+  SELECT cen.source, bucket, c * 1000000 // n AS share_a, n AS n_a
+  FROM cen JOIN tot ON cen.source = tot.source AND cen.half = tot.half
+  WHERE cen.half = 0
+), b AS (
+  SELECT cen.source, bucket, c * 1000000 // n AS share_b, n AS n_b
+  FROM cen JOIN tot ON cen.source = tot.source AND cen.half = tot.half
+  WHERE cen.half = 1
+), joined AS (
+  SELECT COALESCE(a.source, b.source) AS source,
+         COALESCE(share_a, 0) AS sa, COALESCE(share_b, 0) AS sb,
+         n_a, n_b
+  FROM a FULL OUTER JOIN b
+    ON a.source = b.source AND a.bucket = b.bucket
+)
+SELECT source,
+       MAX(n_a)::BIGINT AS n_a,
+       MAX(n_b)::BIGINT AS n_b,
+       COUNT(*)::BIGINT AS n_buckets,
+       SUM(ABS(sa - sb))::BIGINT AS l1_drift_micro
+FROM joined GROUP BY source
+HAVING MAX(n_a) > 0 AND MAX(n_b) > 0
+ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
 # corpus_change_feed — the CHANGE FEED certificate: create the
 # versioned table, MERGE the recrawl (same planted semantics as
 # corpus_merge_upsert), then return table_changes(v0 → v1) — the
@@ -3150,6 +3267,7 @@ QUERIES = {
     "corpus_merge_upsert": corpus_merge_upsert,
     "count_min_tokens": count_min_tokens,
     "corpus_change_feed": corpus_change_feed,
+    "source_length_drift": source_length_drift,
 }
 
 ORACLES = {
@@ -3192,4 +3310,5 @@ ORACLES = {
     "corpus_merge_upsert": _MERGE_UPSERT_SQL,
     "count_min_tokens": _cm_sql(),
     "corpus_change_feed": _CHANGE_FEED_SQL,
+    "source_length_drift": _LDRIFT_SQL,
 }

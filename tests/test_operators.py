@@ -3371,3 +3371,32 @@ def test_events_k_anonymity_planted(spark, tmp_path):
     assert (r["n_rows"], r["n_qi_groups"], r["min_k"]) == (8, 2, 2)
     assert (r["n_rows_below_k"], r["n_groups_below_k"]) == (2, 1)
     assert r["suppressed_share_micro"] == 250_000
+
+
+def test_source_length_drift_planted(spark, tmp_path):
+    """Drift arithmetic: source A's halves have identical length
+    distributions (L1 = 0); source B's even half is all short docs
+    and its odd half all long docs (disjoint buckets -> L1 = 2e6,
+    the maximum); a half-only source is excluded."""
+    short = "a b c"                       # bucket 0
+    long = " ".join(["w"] * 120)          # bucket 2
+    rows = [
+        (0, short, "A"), (1, short, "A"),
+        (2, long, "A"), (3, long, "A"),
+        (10, short, "B"), (12, short, "B"),
+        (11, long, "B"), (13, long, "B"),
+        (20, short, "C"),                 # even-only source
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = tmp_path / "ldrift_sf"
+    df.write.parquet(str(out / "documents.parquet"))
+
+    from sqltask_spark.queries.pipeline import source_length_drift
+
+    got = {r["source"]: r for r in source_length_drift(
+        spark, str(out)
+    ).collect()}
+    assert set(got) == {"A", "B"}
+    assert got["A"]["l1_drift_micro"] == 0
+    assert got["B"]["l1_drift_micro"] == 2_000_000
+    assert got["B"]["n_buckets"] == 2
