@@ -190,13 +190,23 @@ def _pairs_from_banded(
 
     Shared by the xxhash64 production path and the md5 oracled twin —
     bucket capping and pair explosion are hash-family independent.
+
+    Hot buckets are dropped BEFORE the ``collect_list`` aggregation
+    (:func:`sqltask_spark.operators.bucketing.drop_hot_buckets`, the
+    same skinny count-window pre-cap the SimHash path uses): a
+    boilerplate band-collision bucket with millions of members must
+    never be materialized as one giant array row (spill pressure,
+    2 GB array-row limit) only to be discarded by a post-agg size
+    filter. The output is provably identical to post-agg capping —
+    the same buckets are dropped, just earlier.
     """
+    from sqltask_spark.operators.bucketing import drop_hot_buckets
+
+    capped = drop_hot_buckets(banded, ["band", "band_hash"], max_bucket_size)
     buckets = (
-        banded.groupBy("band", "band_hash")
+        capped.groupBy("band", "band_hash")
         .agg(F.collect_list("id").alias("ids"))
-        .filter(
-            (F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size)
-        )
+        .filter(F.size("ids") >= 2)
     )
     pairs = buckets.select(
         F.explode(
@@ -516,13 +526,15 @@ def minhash_contamination_pairs_md5(
         "side",
         F.posexplode(F.array(*band_hashes)).alias("band", "band_hash"),
     )
+    from sqltask_spark.operators.bucketing import drop_hot_buckets
+
+    banded = drop_hot_buckets(
+        banded, ["band", "band_hash"], max_bucket_size
+    )
     buckets = (
         banded.groupBy("band", "band_hash")
         .agg(F.collect_list(F.struct("id", "side")).alias("members"))
-        .filter(
-            (F.size("members") >= 2)
-            & (F.size("members") <= max_bucket_size)
-        )
+        .filter(F.size("members") >= 2)
     )
     pairs = buckets.select(
         F.explode(

@@ -665,6 +665,64 @@ def test_drop_hot_buckets_keeps_cool_buckets(spark):
     assert [(r["t"], r["bucket"], r["bucket_n"]) for r in report] == [(0, 7, 20)]
 
 
+def test_minhash_mega_bucket_precapped(spark):
+    """Planted mega-bucket: 60 byte-identical docs collapse into ONE
+    LSH bucket per band. The cap must drop that bucket BEFORE the
+    collect_list aggregation materializes a 60-member array row (on a
+    real corpus: millions of members, spill + 2 GB array-row limit) —
+    the same pre-cap discipline the SimHash path already has. Output
+    is identical to post-agg capping (same buckets dropped, earlier);
+    the plan assertion pins WHERE the cap runs."""
+    rows = [(i, "the same boilerplate text repeated everywhere") for i in range(60)]
+    rows += [
+        (100, "a genuinely unique document about spark catalyst plans"),
+        (101, "a genuinely unique document about spark catalyst planz"),
+    ]
+    docs = list_source(spark, ["doc_id", "text"], rows)
+    capped = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_perm=16, bands=8, max_bucket_size=10
+    )
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    # the 60-doc boilerplate bucket is gone; the cool near-dup survives
+    assert not any(a < 60 and b < 60 for a, b in got)
+    assert (100, 101) in got
+    # plan: the cap is a count-window filter BELOW the collect_list
+    # aggregate (child prints after parent in top-down plan text), so
+    # the aggregation input is pre-filtered
+    plan = capped._jdf.queryExecution().optimizedPlan().toString()
+    agg_pos = plan.index("collect_list")
+    assert "windowspecdefinition" in plan
+    assert plan.index("windowspecdefinition") > agg_pos
+
+
+def test_minhash_contamination_mega_bucket_precapped(spark):
+    """Same planted mega-bucket for the cross-corpus contamination
+    screen: boilerplate shared across train/eval sides is dropped by
+    the pre-agg cap, a genuine cross-side near-dup still pairs."""
+    from sqltask_spark.operators.dedup import minhash_contamination_pairs_md5
+
+    rows = [
+        (i, "the same boilerplate text repeated everywhere", i % 2)
+        for i in range(60)
+    ]
+    rows += [
+        (100, "a genuinely unique document about spark catalyst plans", 0),
+        (101, "a genuinely unique document about spark catalyst planz", 1),
+    ]
+    docs = list_source(spark, ["doc_id", "text", "side"], rows)
+    out = minhash_contamination_pairs_md5(
+        docs, "doc_id", "text", "side", num_perm=16, bands=8,
+        max_bucket_size=10,
+    )
+    got = {(r["index_id"], r["probe_id"]) for r in out.collect()}
+    assert not any(a < 60 and b < 60 for a, b in got)
+    assert (100, 101) in got
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    agg_pos = plan.index("collect_list")
+    assert "windowspecdefinition" in plan
+    assert plan.index("windowspecdefinition") > agg_pos
+
+
 def test_minhash_dedup_pairs_releases_cache(spark):
     from sqltask_spark.operators.dedup import minhash_dedup_pairs
 
