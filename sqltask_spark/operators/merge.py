@@ -77,6 +77,26 @@ def _schema_of(manifest: dict):
     return StructType.fromJson(json.loads(manifest["schema"]))
 
 
+def _nullable_norm(dt):
+    """Type equality modulo nullability, recursively: nullability is
+    a property of the data (unionByName reconciles it), not a parquet
+    physical-type conflict."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.StructType):
+        return T.StructType([
+            T.StructField(f.name, _nullable_norm(f.dataType), True)
+            for f in dt.fields
+        ])
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_nullable_norm(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _nullable_norm(dt.keyType), _nullable_norm(dt.valueType), True
+        )
+    return dt
+
+
 def _sweep_uncommitted_gens(spark: SparkSession, path: str) -> None:
     """Delete generation dirs no PARSEABLE manifest references — the
     debris of a crashed merge. Time travel keeps OLD manifests'
@@ -133,10 +153,32 @@ def create_parquet_table(
     prune; an unclustered table keeps correct but overlapping ranges.
     Only orderable JSON-stable types (integers, strings) are
     supported.
+
+    When ``stats_col`` is declared it is the merge key, and the seed
+    must be key-unique — MERGE validates every SOURCE but never
+    re-validates the table, and both the change feed's pre/post join
+    and the file-pruning assumption (a key lives in exactly one file)
+    require it. Enforced here with one aggregate action, the same
+    loud error MERGE raises for a duplicate-key source.
     """
     spark = df.sparkSession
     if index_fs.read_manifest(spark, path) is not None:
         raise ValueError(f"table already exists at {path}")
+    if stats_col is not None:
+        dup = (
+            df.groupBy(stats_col)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"create_parquet_table: seed data has duplicate"
+                f" {stats_col}={dup[0][stats_col]!r} — the declared"
+                f" stats/merge key must be unique (MERGE, the change"
+                f" feed, and file pruning all assume one row per key)"
+            )
     gen = index_fs.fresh_gen(spark, [_data_dir(path)], None)
     df.write.mode("overwrite").parquet(f"{_data_dir(path)}/{gen}")
     files = _list_gen_files(spark, path, gen)
@@ -255,6 +297,31 @@ def merge_into_parquet(
             f"MERGE source columns {sorted(have)} do not match the"
             f" table schema {sorted(want)} — project the source onto"
             f" the table's columns first (updates replace whole rows)"
+        )
+    # Name match is not enough: a mistyped source column (int where
+    # the table holds long/string) would survive unionByName widening
+    # and publish a generation whose parquet physical types conflict
+    # with the manifest schema — committed, then unreadable for every
+    # reader. Fail loudly BEFORE any work instead (nullability is a
+    # property of the data, not the type — ignore it).
+    want_types = {
+        f.name: _nullable_norm(f.dataType)
+        for f in _schema_of(m).fields
+    }
+    bad = [
+        (f.name, f.dataType.simpleString(),
+         want_types[f.name].simpleString())
+        for f in src.schema.fields
+        if f.name != "__is_del"
+        and _nullable_norm(f.dataType) != want_types[f.name]
+    ]
+    if bad:
+        raise ValueError(
+            "MERGE source column types do not match the table schema:"
+            + "; ".join(
+                f" {n} is {got}, table has {exp}" for n, got, exp in bad
+            )
+            + " — cast the source before merging"
         )
     src = src.persist()
     try:
@@ -436,6 +503,13 @@ def table_changes(
     Returns the table columns plus ``_change_type`` ∈ {'insert',
     'delete', 'update_preimage', 'update_postimage'}, one row per
     change (two for updates).
+
+    Precondition: ``key_cols`` uniquely identify rows in every
+    compared version. MERGE enforces this for every merged source,
+    and ``create_parquet_table`` enforces it on the seed when
+    ``stats_col`` (the merge key) is declared — a table seeded with
+    duplicate keys outside that path would make the pre/post
+    full-outer join explode rows and misclassify changes.
     """
     m_from = index_fs.read_manifest_at(spark, path, from_seq)
     if m_from is None:

@@ -73,6 +73,64 @@ def _quote_ident(name: str, quote: str = '"') -> str:
     return quote + name.replace(quote, quote * 2) + quote
 
 
+def _build_merge_sql(
+    table_name: str,
+    stg: str,
+    key_cols: list,
+    set_cols: list,
+    data_cols: list,
+    delete_col: "str | None",
+    qc: str,
+    url: str,
+) -> str:
+    """One ANSI ``MERGE`` statement, dialect-adjusted: MSSQL/Oracle/
+    DB2 reject bare-boolean predicates (no boolean predicate type;
+    BIT / NUMBER(1) need an explicit comparison) so the delete-flag
+    predicates become ``s.flag = 1`` / ``= 0`` for those URLs, and
+    MSSQL additionally requires a terminating semicolon on MERGE.
+    Derby/Postgres take the bare ANSI form."""
+
+    def q(c: str) -> str:
+        return _quote_ident(c, qc)
+
+    low = url.lower()
+    numeric_bool = any(
+        d in low for d in (":sqlserver", ":oracle", ":db2")
+    )
+    on = " AND ".join(f"t.{q(k)} = s.{q(k)}" for k in key_cols)
+    clauses = []
+    if delete_col is not None:
+        del_pred = (
+            f"s.{q(delete_col)} = 1"
+            if numeric_bool
+            else f"s.{q(delete_col)}"
+        )
+        clauses.append(f"WHEN MATCHED AND {del_pred} THEN DELETE")
+    if set_cols:
+        sets = ", ".join(f"{q(c)} = s.{q(c)}" for c in set_cols)
+        clauses.append(f"WHEN MATCHED THEN UPDATE SET {sets}")
+    if delete_col is not None:
+        ins_guard = (
+            f" AND s.{q(delete_col)} = 0"
+            if numeric_bool
+            else f" AND NOT s.{q(delete_col)}"
+        )
+    else:
+        ins_guard = ""
+    cols = ", ".join(q(c) for c in data_cols)
+    vals = ", ".join(f"s.{q(c)}" for c in data_cols)
+    clauses.append(
+        f"WHEN NOT MATCHED{ins_guard}"
+        f" THEN INSERT ({cols}) VALUES ({vals})"
+    )
+    terminator = ";" if ":sqlserver" in low else ""
+    return (
+        f"MERGE INTO {table_name} t USING {stg} s ON {on} "
+        + " ".join(clauses)
+        + terminator
+    )
+
+
 class JdbcSink:
     """Writer strategy for JDBC targets.
 
@@ -319,10 +377,15 @@ class JdbcSink:
         delete_col: str | None = None,
     ) -> None:
         """Upsert ``df`` into ``table_name``: stage + ONE driver-side
-        ANSI ``MERGE`` transaction (Derby 10.11+/Postgres 15+/MSSQL/
-        Oracle/DB2 — the engine families the reference's specs
-        cover). The JDBC face of the engine's upsert story
-        (:mod:`sqltask_spark.operators.merge` is the lake face).
+        ANSI ``MERGE`` transaction. Tested live on embedded Derby;
+        Postgres 15+ takes the identical ANSI form. MSSQL/Oracle/DB2
+        have no boolean predicate type, so for those URLs the
+        delete-flag predicates are emitted as ``s.flag = 1`` /
+        ``s.flag = 0`` (BIT / NUMBER(1) convention) and MSSQL gets
+        its required terminating semicolon — generated, but no live
+        engine exists in CI to exercise them. The JDBC face of the
+        engine's upsert story (:mod:`sqltask_spark.operators.merge`
+        is the lake face).
 
         Phases mirror :meth:`write_batch_staged`: (1) drop stale
         staging; (2) distributed append into the staging table — a
@@ -364,39 +427,15 @@ class JdbcSink:
                         or '"'
                     )
 
-                    def q(c: str) -> str:
-                        return _quote_ident(c, qc)
-
-                    on = " AND ".join(
-                        f"t.{q(k)} = s.{q(k)}" for k in key_cols
-                    )
-                    clauses = []
-                    if delete_col is not None:
-                        clauses.append(
-                            f"WHEN MATCHED AND s.{q(delete_col)}"
-                            f" THEN DELETE"
-                        )
-                    if set_cols:
-                        sets = ", ".join(
-                            f"{q(c)} = s.{q(c)}" for c in set_cols
-                        )
-                        clauses.append(
-                            f"WHEN MATCHED THEN UPDATE SET {sets}"
-                        )
-                    ins_guard = (
-                        f" AND NOT s.{q(delete_col)}"
-                        if delete_col is not None
-                        else ""
-                    )
-                    cols = ", ".join(q(c) for c in data_cols)
-                    vals = ", ".join(f"s.{q(c)}" for c in data_cols)
-                    clauses.append(
-                        f"WHEN NOT MATCHED{ins_guard}"
-                        f" THEN INSERT ({cols}) VALUES ({vals})"
-                    )
-                    merge_sql = (
-                        f"MERGE INTO {table_name} t USING {stg} s"
-                        f" ON {on} " + " ".join(clauses)
+                    merge_sql = _build_merge_sql(
+                        table_name,
+                        stg,
+                        key_cols,
+                        set_cols,
+                        data_cols,
+                        delete_col,
+                        qc,
+                        self.url or "",
                     )
                     stmt = conn.createStatement()
                     try:

@@ -237,9 +237,17 @@ def scd2_state_stream(events: DataFrame) -> DataFrame:
             state.get if state.exists else (None, None, 0)
         )
         closed = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for ts, et in zip(pdf["ts"], pdf["event_type"]):
+        # Concatenate ALL Arrow chunks before sorting: the runtime
+        # delivers a group's micro-batch rows as multiple chunks in
+        # arbitrary shuffle order (chunking at arrow.maxRecordsPerBatch),
+        # so per-chunk sorting would fold events out of (ts, event_id)
+        # order whenever a group spans chunks. Memory is already
+        # bounded by the group's batch rows — the same bound every
+        # pandas-grouped op accepts.
+        chunks = [pdf for pdf in pdfs]
+        if chunks:
+            batch = pd.concat(chunks).sort_values(["ts", "event_id"])
+            for ts, et in zip(batch["ts"], batch["event_type"]):
                 if cur is None:
                     cur, vfrom, ver = et, ts, 1
                 elif et != cur:

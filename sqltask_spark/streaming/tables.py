@@ -24,6 +24,7 @@ def merge_upsert_sink(
     key_cols: list[str],
     delete_col: str | None = None,
     order_col: str | None = None,
+    app_id: str = "default",
 ):
     """``foreachBatch`` sink: MERGE each micro-batch into the table
     at ``table_path`` (which must exist — create it with
@@ -37,17 +38,30 @@ def merge_upsert_sink(
     (the MERGE duplicate-key error) rather than applying changes in
     undefined order.
 
-    Single-writer, like the table itself: epoch ids from two
-    different streaming queries would collide in the ledger, and the
-    manifest protocol already makes concurrent writers a loud error.
+    Ledger keying — the Delta ``txnAppId``/``txnVersion`` pattern:
+    the idempotency entry is ``{app_id}:epoch-{epoch_id}#{content
+    fingerprint}``. Epoch ids restart at 0 whenever a query runs from
+    a fresh/changed checkpoint, so the bare epoch id is NOT a safe
+    key: a colliding epoch carrying NEW data would be silently
+    no-opped (data loss). Instead, a ledger hit on the same
+    (app_id, epoch) whose batch content is identical is skipped
+    before any merge work (exactly-once under at-least-once
+    redelivery, and full same-data replays stay bit-identical), while
+    a hit whose content DIFFERS raises ``ValueError`` — the loud
+    signal that a fresh checkpoint or a second query is reusing epoch
+    ids; give each logical stream its own ``app_id``.
+
+    Single-writer, like the table itself: the manifest protocol
+    already makes concurrent writer collisions a loud error.
 
     Usage::
 
         stream.writeStream.foreachBatch(
             merge_upsert_sink(path, ["k"], delete_col="is_del",
-                              order_col="ts")
+                              order_col="ts", app_id="orders-cdc")
         ).trigger(availableNow=True).start()
     """
+    from sqltask_spark.operators import index_fs
     from sqltask_spark.operators.merge import (
         merge_into_parquet,
         table_schema,
@@ -72,12 +86,42 @@ def merge_upsert_sink(
         if delete_col is not None:
             keep.append(delete_col)
         src = src.select(*keep)
+        # Order-independent content fingerprint (one cheap pass over
+        # a batch that is about to be merged anyway): row count +
+        # XOR of per-row xxhash64 over the projected columns.
+        agg = src.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "bit_xor(xxhash64("
+                + ", ".join(f"`{c}`" for c in keep)
+                + "))"
+            ).alias("x"),
+        ).collect()[0]
+        fingerprint = f"{agg['n']}:{(agg['x'] or 0) & 0xFFFFFFFFFFFFFFFF:x}"
+        prefix = f"{app_id}:epoch-{epoch_id}"
+        ledger_id = f"{prefix}#{fingerprint}"
+        committed = index_fs.read_manifest(
+            batch_df.sparkSession, table_path
+        ).get("batches", [])
+        stale = [
+            b for b in committed
+            if b.split("#", 1)[0] == prefix and b != ledger_id
+        ]
+        if stale:
+            raise ValueError(
+                f"merge_upsert_sink: ledger already holds {prefix} "
+                f"with DIFFERENT batch content ({stale[0]!r} vs "
+                f"{ledger_id!r}). Epoch ids restart from 0 on a "
+                "fresh/changed checkpoint and collide across queries "
+                "— pass a distinct app_id per logical stream instead "
+                "of silently dropping this batch."
+            )
         merge_into_parquet(
             batch_df.sparkSession,
             table_path,
             src,
             key_cols,
-            batch_id=f"epoch-{epoch_id}",
+            batch_id=ledger_id,
             delete_col=delete_col,
         )
 

@@ -595,6 +595,34 @@ def test_jdbc_merge_batch_creates_missing_target(spark):
     ) == ["k", "name", "v"]
 
 
+def test_merge_sql_dialect_predicates():
+    """Statement generation is dialect-aware: Derby/Postgres take the
+    bare ANSI boolean predicate; MSSQL/Oracle/DB2 (no boolean
+    predicate type) get `= 1` / `= 0` comparisons, and MSSQL its
+    required terminating semicolon."""
+    from sqltask_spark.sinks.jdbc import _build_merge_sql
+
+    args = ("tgt", "stg", ["k"], ["v"], ["k", "v"], "is_del", '"')
+    ansi = _build_merge_sql(*args, "jdbc:derby:memory:db")
+    assert 'WHEN MATCHED AND s."is_del" THEN DELETE' in ansi
+    assert 'AND NOT s."is_del"' in ansi
+    assert not ansi.endswith(";")
+    pg = _build_merge_sql(*args, "jdbc:postgresql://h/db")
+    assert pg == ansi.replace("jdbc:derby:memory:db", "jdbc:postgresql://h/db") or pg == ansi
+    ms = _build_merge_sql(*args, "jdbc:sqlserver://h;db=x")
+    assert 'WHEN MATCHED AND s."is_del" = 1 THEN DELETE' in ms
+    assert 'AND s."is_del" = 0' in ms
+    assert ms.endswith(";")
+    ora = _build_merge_sql(*args, "jdbc:oracle:thin:@h:1521:x")
+    assert 's."is_del" = 1' in ora and not ora.endswith(";")
+    # no delete flag → no flag predicates anywhere, any dialect
+    plain = _build_merge_sql(
+        "tgt", "stg", ["k"], ["v"], ["k", "v"], None, '"',
+        "jdbc:sqlserver://h",
+    )
+    assert "is_del" not in plain and "WHEN NOT MATCHED THEN INSERT" in plain
+
+
 def test_jdbc_merge_batch_duplicate_source_keys_fail_atomically(spark):
     """ANSI MERGE's multiple-rows-matched error rolls the whole
     transaction back: the target is bit-for-bit untouched."""

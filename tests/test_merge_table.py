@@ -181,6 +181,36 @@ def test_merge_rejects_duplicate_source_keys(spark, tmp_path):
         merge_into_parquet(spark, path, src, ["k"])
 
 
+def test_merge_rejects_mistyped_source_column(spark, tmp_path):
+    """Name-matching columns with the WRONG type must fail before any
+    write: unionByName would widen int→long and publish a generation
+    whose parquet physical types conflict with the manifest schema —
+    committed but unreadable. Nullability alone must NOT trip it."""
+    path = str(tmp_path / "t_typed")
+    _mk_table(spark, path, n=3)
+    src = spark.createDataFrame([(1, 111)], "k long, v int")
+    with pytest.raises(ValueError, match="types do not match"):
+        merge_into_parquet(spark, path, src, ["k"])
+    # same types, different nullability: fine
+    ok = spark.createDataFrame([(1, 111)], "k long, v long")
+    merge_into_parquet(spark, path, ok, ["k"])
+    assert (1, 111) in _rows(read_parquet_table(spark, path))
+
+
+def test_create_table_rejects_duplicate_stats_key(spark, tmp_path):
+    """A declared stats/merge key must be unique in the seed — MERGE
+    validates sources but never re-validates the table, and the
+    change feed + file pruning assume one row per key."""
+    path = str(tmp_path / "t_dupseed")
+    df = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 30)], "k long, v long"
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        create_parquet_table(df, path, stats_col="k")
+    # without a declared key the seed is accepted as-is
+    create_parquet_table(df, str(tmp_path / "t_dupseed2"))
+
+
 def test_merge_to_empty_and_back(spark, tmp_path):
     """Deleting every row commits an empty-file-list version that
     still reads (schema from the manifest), and a later merge

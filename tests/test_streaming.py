@@ -883,6 +883,44 @@ def test_merge_upsert_sink_cdc_stream_exactly_once(spark, tmp_path):
     assert state() == (rows, seq)
 
 
+def test_merge_upsert_sink_epoch_collision_is_loud(spark, tmp_path):
+    """Epoch ids restart at 0 on a fresh/changed checkpoint: a
+    colliding (app_id, epoch) carrying DIFFERENT data must fail
+    loudly, never silently no-op (data loss). Same data replays stay
+    ledger-skipped; a distinct app_id keeps streams independent."""
+    import pytest
+
+    from sqltask_spark.operators.merge import (
+        create_parquet_table,
+        read_parquet_table,
+    )
+    from sqltask_spark.streaming.tables import merge_upsert_sink
+
+    tbl = str(tmp_path / "collide_table")
+    create_parquet_table(
+        spark.createDataFrame([(1, 10)], "k long, v long"), tbl
+    )
+    sink = merge_upsert_sink(tbl, ["k"], app_id="q1")
+    b1 = spark.createDataFrame([(2, 20)], "k long, v long")
+    sink(b1, 0)
+    # identical redelivery of epoch 0 → skipped, no error
+    sink(b1, 0)
+    assert sorted(
+        (r["k"], r["v"])
+        for r in read_parquet_table(spark, tbl).collect()
+    ) == [(1, 10), (2, 20)]
+    # same app_id + epoch, NEW content → loud error, not silent drop
+    b2 = spark.createDataFrame([(3, 30)], "k long, v long")
+    with pytest.raises(ValueError, match="DIFFERENT batch content"):
+        sink(b2, 0)
+    # a different app_id (second logical stream) applies cleanly
+    merge_upsert_sink(tbl, ["k"], app_id="q2")(b2, 0)
+    assert sorted(
+        (r["k"], r["v"])
+        for r in read_parquet_table(spark, tbl).collect()
+    ) == [(1, 10), (2, 20), (3, 30)]
+
+
 def test_scd2_stream_matches_batch_closed_intervals(spark, tmp_path):
     """Streaming SCD2 parity: the stream's emitted CLOSED intervals
     equal the batch scd2_user_state's non-current rows when events
@@ -950,6 +988,66 @@ def test_scd2_stream_matches_batch_closed_intervals(spark, tmp_path):
         ).collect()
     )
     assert got == want and len(got) == 3
+
+
+def test_scd2_stream_group_spanning_arrow_chunks(spark, tmp_path):
+    """A group whose micro-batch rows span MULTIPLE Arrow chunks must
+    still fold in (ts, event_id) order: applyInPandasWithState
+    delivers chunks in arbitrary shuffle order, so the fold has to
+    concatenate them before sorting (per-chunk sorting silently emits
+    wrong SCD2 intervals). Forced via arrow.maxRecordsPerBatch=3 with
+    reversed input row order."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from sqltask_spark.streaming.events import (
+        run_stream_to_memory,
+        scd2_state_stream,
+    )
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ])
+    states = ["A", "B"] * 5  # 10 alternating states → 9 closed rows
+    rows = [
+        (i, t(i), 1, states[i], 1.0, None) for i in range(10)
+    ]
+    src = tmp_path / "scd2_chunks_in"
+    # one file, REVERSED row order: chunk boundaries then split the
+    # group into descending-ts chunks
+    spark.createDataFrame(rows[::-1], schema).coalesce(1).write.parquet(
+        str(src)
+    )
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        run_stream_to_memory(
+            scd2_state_stream(stream), "scd2_chunks_out",
+            output_mode="append",
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old
+        )
+    got = sorted(
+        tuple(r)
+        for r in spark.sql(
+            "SELECT user_id, state, valid_from, valid_to, version "
+            "FROM scd2_chunks_out"
+        ).collect()
+    )
+    want = sorted(
+        (1, states[i], t(i), t(i + 1), i + 1) for i in range(9)
+    )
+    assert got == want
 
 
 def test_minhash_index_cdc_sink_inband_takedowns(spark, tmp_path):
