@@ -181,6 +181,90 @@ def learn_bpe_merges(
     return spark.createDataFrame(merges, _MERGE_SCHEMA)
 
 
+def learn_bpe_merges_distributed(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 10,
+    min_pair_freq: int = 2,
+    max_words: int | None = None,
+) -> DataFrame:
+    """Learn BPE merges with NO driver-side vocabulary: the fully
+    distributed twin of :func:`learn_bpe_merges`, bit-identical on
+    any corpus both can train on (pytest-pinned).
+
+    The vocabulary stays a DataFrame for the whole merge loop; each
+    round is (1) an adjacent-pair census — slice/zip/explode then a
+    map-side-combined sum — (2) a deterministic 1-ROW argmax collect
+    (count desc, then pair lexicographic asc: Spark's binary UTF-8
+    string order equals Python's code-point order, so the tie-break
+    matches the local heap exactly), (3) a guarded
+    :func:`apply_merge` rewrite of affected words with per-round
+    ``localCheckpoint`` lineage truncation — the
+    :mod:`sqltask_spark.operators.graph` iteration pattern. Only
+    1-row aggregates ever reach the driver, so there is no
+    ``max_words`` ceiling to need; the cap is still honored for
+    bit-identity testing against the capped local path.
+
+    Trade-off, stated plainly: one Spark job per merge. For real 30k-
+    merge tables the local trainer over the bounded vocabulary census
+    is the fast path (seconds, one collect ≤ ``max_words`` rows);
+    this path is for vocabularies that genuinely cannot collect —
+    open character-salad corpora where the word census itself
+    explodes past driver memory.
+    """
+    spark = docs.sparkSession
+    wf = word_freq_table(docs, text_col)
+    if max_words is not None:
+        wf = wf.orderBy(F.desc("freq"), "word").limit(max_words)
+    vocab = wf.select(
+        F.split("word", "").alias("syms"), "freq"
+    ).localCheckpoint()
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        pairs = (
+            vocab.select(
+                F.explode(
+                    F.arrays_zip(
+                        F.slice(
+                            "syms", F.lit(1), F.size("syms") - 1
+                        ).alias("l"),
+                        F.slice(
+                            "syms", F.lit(2), F.size("syms") - 1
+                        ).alias("r"),
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy(
+                F.col("p.l").alias("left"), F.col("p.r").alias("right")
+            )
+            .agg(F.sum("freq").alias("pair_freq"))
+        )
+        best = (
+            pairs.orderBy(F.desc("pair_freq"), "left", "right")
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["pair_freq"] < min_pair_freq:
+            break
+        left, right = best[0]["left"], best[0]["right"]
+        merges.append(
+            (rank, left, right, left + right, int(best[0]["pair_freq"]))
+        )
+        old = vocab
+        vocab = vocab.withColumn(
+            "syms",
+            F.when(
+                F.array_contains("syms", left)
+                & F.array_contains("syms", right),
+                apply_merge(F.col("syms"), left, right),
+            ).otherwise(F.col("syms")),
+        ).localCheckpoint()
+        old.unpersist()
+    vocab.unpersist()
+    return spark.createDataFrame(merges, _MERGE_SCHEMA)
+
+
 def encode_with_merges(
     docs: DataFrame,
     merges: list[tuple[str, str]],

@@ -1121,6 +1121,23 @@ def bpe_learn_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+def bpe_learn_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fully distributed trainer (no driver-side vocabulary —
+    1-row argmax collects only; see
+    :func:`sqltask_spark.operators.bpe.learn_bpe_merges_distributed`)
+    against the SAME DuckDB certificate as ``bpe_learn_certified``:
+    both trainers are bit-identical by construction (pytest-pinned),
+    so one oracle hash-checks both."""
+    from sqltask_spark.operators.bpe import learn_bpe_merges_distributed
+
+    docs = load_table(spark, sf_dir, "documents")
+    return learn_bpe_merges_distributed(
+        docs,
+        n_merges=_BPE_LEARN_K,
+        min_pair_freq=_BPE_LEARN_MIN_FREQ,
+    ).orderBy("rank")
+
+
 def _bpe_learn_sql() -> str:
     ctes = [
         f"""w0 AS (
@@ -2737,6 +2754,7 @@ QUERIES = {
     "redact_pii_extended": redact_pii_extended,
     "script_mix_documents": script_mix_documents,
     "bpe_learn_certified": bpe_learn_certified,
+    "bpe_learn_distributed": bpe_learn_distributed,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "token_count_bpe": token_count_bpe,
     "rolling_fingerprint": rolling_fingerprint,
@@ -2802,6 +2820,7 @@ ORACLES = {
     "redact_pii_extended": _pii_ext_sql(),
     "script_mix_documents": _script_sql(),
     "bpe_learn_certified": _bpe_learn_sql(),
+    "bpe_learn_distributed": _bpe_learn_sql(),
     # dedup_minhash_pairs / dedup_simhash_pairs: intentionally no
     # oracle — Spark-native xxhash64 signatures.
 }

@@ -1336,6 +1336,44 @@ def test_learn_bpe_merges_textbook(spark):
     assert ("n", "e", "w", "est") in by_word        # est merged, rest chars
 
 
+def test_learn_bpe_merges_distributed_bit_identical(spark, tables):
+    """The fully distributed trainer (no driver-side vocabulary,
+    1-row argmax collects only, per-round localCheckpoint) produces a
+    BIT-IDENTICAL merge table to the local-heap path — on the
+    textbook corpus AND on the real sf documents table — and its
+    plan never collects the vocabulary."""
+    from sqltask_spark.operators.bpe import (
+        learn_bpe_merges,
+        learn_bpe_merges_distributed,
+    )
+
+    toy = spark.createDataFrame(
+        [
+            (
+                1,
+                "low low low low low lower lower newest newest newest "
+                "newest newest newest widest widest widest",
+            )
+        ],
+        ["doc_id", "text"],
+    )
+
+    def tbl(df):
+        return [
+            (r["rank"], r["left"], r["right"], r["merged"],
+             r["pair_freq"])
+            for r in df.orderBy("rank").collect()
+        ]
+
+    assert tbl(learn_bpe_merges_distributed(toy, n_merges=6)) == tbl(
+        learn_bpe_merges(toy, n_merges=6)
+    )
+    docs = tables["documents"].limit(200)
+    assert tbl(
+        learn_bpe_merges_distributed(docs, n_merges=8, min_pair_freq=2)
+    ) == tbl(learn_bpe_merges(docs, n_merges=8, min_pair_freq=2))
+
+
 def test_learn_bpe_merges_min_freq_stops(spark):
     from sqltask_spark.operators.bpe import learn_bpe_merges
 
