@@ -64,6 +64,25 @@ def ensure_runtime_confs(spark: SparkSession) -> None:
             pass
 
 
+def content_fingerprint(df: DataFrame, cols: list[str]) -> str:
+    """Order-independent content fingerprint of ``df[cols]`` —
+    ``{row count}:{hex XOR of per-row xxhash64}``. One map-side-
+    combined pass; used by the streaming sinks to key idempotency
+    ledgers by WHAT an epoch carries, not just its restart-fragile
+    epoch number."""
+    from pyspark.sql import functions as F
+
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "bit_xor(xxhash64("
+            + ", ".join(f"`{c}`" for c in cols)
+            + "))"
+        ).alias("x"),
+    ).collect()[0]
+    return f"{agg['n']}:{(agg['x'] or 0) & 0xFFFFFFFFFFFFFFFF:x}"
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_runtime_confs(spark)
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"

@@ -301,6 +301,7 @@ def append_to_ivf_index(
     batch: DataFrame,
     corpus_id: str,
     vec_col: str = "embedding",
+    batch_id: str | None = None,
 ) -> int:
     """Add vectors to a prebuilt index under the FROZEN coarse
     quantizer — the standard IVF ingest contract: new vectors assign
@@ -324,9 +325,17 @@ def append_to_ivf_index(
     sample, cell occupancy skews and recall degrades — monitor with
     :func:`ivf_occupancy_stats` and rebuild on drift, exactly as
     FAISS-style serving systems do.
+
+    ``batch_id`` rides a manifest ledger (the merge-table pattern):
+    a committed id makes the whole retried append ONE manifest read —
+    the streaming sink's exactly-once fast path — instead of the
+    anti-join recheck, which remains the correctness backstop for
+    un-ledgered callers.
     """
     spark = batch.sparkSession
     m_fest = _committed(spark, path)
+    if batch_id is not None and batch_id in m_fest.get("batches", []):
+        return 0
     # committed = the UNION over all manifests, not just the newest:
     # older versions stay time-travel readable until compaction
     index_fs.sweep_orphans(
@@ -395,6 +404,8 @@ def append_to_ivf_index(
                 "quantizer": m_fest["quantizer"],
                 "params": meta,
                 "tombstones": m_fest.get("tombstones", []),
+                "batches": m_fest.get("batches", [])
+                + ([batch_id] if batch_id else []),
             },
             m_fest["_seq"],
         )
@@ -454,6 +465,7 @@ def delete_from_ivf_index(
                 "quantizer": m["quantizer"],
                 "params": m["params"],
                 "tombstones": m.get("tombstones", []) + [gen],
+                "batches": m.get("batches", []),
             },
             m["_seq"],
         )
@@ -505,6 +517,7 @@ def compact_ivf_index(spark: SparkSession, path: str) -> None:
             "quantizer": m["quantizer"],
             "params": m["params"],
             "tombstones": [],
+            "batches": m.get("batches", []),
         },
         m["_seq"],
     )

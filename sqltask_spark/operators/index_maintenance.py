@@ -1,0 +1,187 @@
+"""Index maintenance policies — the closed loop between mutation and
+compaction/rebuild.
+
+The persistent MinHash and IVF indexes mutate by writing NEW
+generations (appends) and NEW tombstone sets (deletes); compaction
+and quantizer rebuild exist as manual operators
+(:func:`~sqltask_spark.operators.dedup_index.compact_minhash_index`,
+:func:`~sqltask_spark.operators.ann_index.compact_ivf_index`,
+:func:`~sqltask_spark.operators.ann_index.build_ivf_index`). Without
+a policy, an ingest loop accumulates generations until a human
+intervenes: every probe unions #generations file lists (measured
+~10% listing/read overhead at 10 generations), tombstoned rows are
+re-read and anti-joined forever, and a drifting embedding
+distribution quietly erodes IVF recall. These drivers make the
+trigger decision mechanical — the same thresholds LSM engines
+(leveled compaction) and FAISS-style serving systems (rebuild on
+occupancy drift) apply.
+
+Design: the no-op path is CHEAP. Generation and tombstone-set counts
+come from the committed manifest alone (one small JSON read); the
+tombstone-ratio census reads only the skinny id relations, and only
+when tombstone sets exist; the IVF drift probe reads only the
+``cell`` partition column. So calling ``maintain_*`` after every
+append/epoch costs one manifest read until a threshold actually
+trips.
+
+Concurrency: maintenance inherits the single-writer contract of the
+index mutation protocol — run it from the (one) writer, exactly
+where the sinks call it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def minhash_index_health(spark: SparkSession, path: str) -> dict:
+    """Health snapshot of a committed MinHash index: generation
+    count (manifest-only), tombstone count and ratio over physical
+    ids (skinny id-column reads, skipped entirely when no tombstone
+    set is committed)."""
+    from sqltask_spark.operators import dedup_index as di
+
+    m = di._committed(spark, path)
+    n_generations = len(m["generations"])
+    tombs = di._read_tombstones(spark, path, m)
+    if tombs is None:
+        n_tombstoned = 0
+        ratio = 0.0
+    else:
+        n_tombstoned = tombs.count()
+        n_ids = di._read_shingles(spark, path, m).count()
+        ratio = n_tombstoned / n_ids if n_ids else 0.0
+    return {
+        "n_generations": n_generations,
+        "n_tombstone_sets": len(m.get("tombstones", [])),
+        "n_tombstoned": n_tombstoned,
+        "tombstone_ratio": ratio,
+    }
+
+
+def maintain_minhash_index(
+    spark: SparkSession,
+    path: str,
+    max_generations: int = 10,
+    max_tombstone_ratio: float = 0.2,
+) -> dict:
+    """Compact the MinHash index when generation count or tombstone
+    ratio crosses its threshold; no-op otherwise. Returns the health
+    snapshot plus ``compacted``. Probes are bit-identical across the
+    compaction (pytest-pinned probe invariance) — only read
+    amplification changes."""
+    from sqltask_spark.operators.dedup_index import compact_minhash_index
+
+    h = minhash_index_health(spark, path)
+    compact = (
+        h["n_generations"] > max_generations
+        or h["tombstone_ratio"] > max_tombstone_ratio
+    )
+    if compact:
+        compact_minhash_index(spark, path)
+    return {**h, "compacted": compact}
+
+
+def ivf_index_health(spark: SparkSession, path: str) -> dict:
+    """Health snapshot of a committed IVF index: generation count
+    (manifest-only), tombstone ratio (skinny id reads, only when
+    tombstone sets exist)."""
+    from sqltask_spark.operators import ann_index as ai
+
+    m = ai._committed(spark, path)
+    n_generations = len(m["generations"])
+    tombs = ai._read_tombstones(spark, path, m)
+    if tombs is None:
+        n_tombstoned = 0
+        ratio = 0.0
+    else:
+        n_tombstoned = tombs.count()
+        n_ids = (
+            ai._read_vectors(spark, path, m, include_tombstoned=True)
+            .select("neighbor_id")
+            .count()
+        )
+        ratio = n_tombstoned / n_ids if n_ids else 0.0
+    return {
+        "n_generations": n_generations,
+        "n_tombstone_sets": len(m.get("tombstones", [])),
+        "n_tombstoned": n_tombstoned,
+        "tombstone_ratio": ratio,
+    }
+
+
+def maintain_ivf_index(
+    spark: SparkSession,
+    path: str,
+    max_generations: int = 10,
+    max_tombstone_ratio: float = 0.2,
+) -> dict:
+    """Compact the IVF index when generation count or tombstone ratio
+    crosses its threshold; no-op otherwise. Compaction keeps the
+    FROZEN quantizer (storage reorganization, never retraining), so
+    probe results are unchanged."""
+    from sqltask_spark.operators.ann_index import compact_ivf_index
+
+    h = ivf_index_health(spark, path)
+    compact = (
+        h["n_generations"] > max_generations
+        or h["tombstone_ratio"] > max_tombstone_ratio
+    )
+    if compact:
+        compact_ivf_index(spark, path)
+    return {**h, "compacted": compact}
+
+
+def rebuild_ivf_on_drift(
+    spark: SparkSession,
+    path: str,
+    max_concentration_micro: int = 8_000_000,
+    sample_cap: int = 4096,
+) -> dict:
+    """Retrain the IVF coarse quantizer when occupancy drift crosses
+    the threshold — the rebuild decision
+    :func:`~sqltask_spark.operators.ann_index.ivf_occupancy_stats`
+    exists to feed.
+
+    ``concentration_micro`` is max-cell occupancy over mean occupancy
+    ×1e6; a freshly trained quantizer on its own distribution sits
+    near 1–4e6, and ingest drift shows up as the hottest cell running
+    away from the mean (default threshold 8e6 = hottest cell 8× the
+    mean). The rebuild trains on the CURRENT live vectors (tombstoned
+    rows excluded, so a purge never poisons the sample) with the same
+    layout params, and commits through ``build_ivf_index``'s atomic
+    rebuild path: probes serve the old quantizer until the manifest
+    lands. This is the one maintenance action that CHANGES probe
+    results (cell assignments move) — by design, that is the point.
+    """
+    from pyspark.sql import functions as F
+
+    from sqltask_spark.operators import ann_index as ai
+
+    stats = ai.ivf_occupancy_stats(spark, path).collect()[0]
+    drifted = (
+        int(stats["concentration_micro"]) > max_concentration_micro
+    )
+    if drifted:
+        m = ai._committed(spark, path)
+        params = m["params"]
+        live = ai._read_vectors(spark, path, m).select(
+            "neighbor_id", F.col("cv")
+        )
+        ai.build_ivf_index(
+            live,
+            path,
+            "neighbor_id",
+            vec_col="cv",
+            n_cells=int(params["n_cells"]),
+            sample_cap=sample_cap,
+            m=params.get("m"),
+            pq_k=int(params["pq_k"]) if params.get("pq_k") else 16,
+        )
+    return {
+        "n_cells_used": int(stats["n_cells_used"]),
+        "n_vectors": int(stats["n_vectors"]),
+        "max_occupancy": int(stats["max_occupancy"]),
+        "concentration_micro": int(stats["concentration_micro"]),
+        "rebuilt": drifted,
+    }

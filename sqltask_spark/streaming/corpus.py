@@ -306,6 +306,7 @@ def minhash_index_ingest_sink(
     text_col: str = "text",
     threshold: float = 0.5,
     max_bucket_size: int = 1000,
+    maintenance: dict | None = None,
 ):
     """``foreachBatch`` sink closing the STREAMING ingest loop over
     the persistent MinHash index: per micro-batch, probe → flag →
@@ -323,6 +324,15 @@ def minhash_index_ingest_sink(
     by the index's own commit protocol. A crash mid-epoch leaves the
     index on its last committed manifest; the restarted epoch heals.
 
+    ``maintenance`` closes the compaction loop: a dict of
+    :func:`~sqltask_spark.operators.index_maintenance.
+    maintain_minhash_index` thresholds (e.g. ``{"max_generations":
+    10}``) checked AFTER each epoch's append — one manifest read per
+    epoch until a threshold trips, then an in-line compaction, so a
+    long-running ingest query never accumulates unbounded read
+    amplification waiting for a human. ``None`` (default) keeps
+    maintenance fully manual.
+
     Usage::
 
         stream.writeStream.foreachBatch(
@@ -332,6 +342,9 @@ def minhash_index_ingest_sink(
     from sqltask_spark.operators.dedup_index import (
         append_to_minhash_index,
         probe_minhash_index,
+    )
+    from sqltask_spark.operators.index_maintenance import (
+        maintain_minhash_index,
     )
 
     def ingest(batch_df: DataFrame, epoch_id: int) -> None:
@@ -347,6 +360,94 @@ def minhash_index_ingest_sink(
         )
         append_to_minhash_index(index_path, admitted, id_col, text_col)
         hits.unpersist()
+        if maintenance is not None:
+            maintain_minhash_index(spark, index_path, **maintenance)
+
+    return ingest
+
+
+def ivf_index_ingest_sink(
+    index_path: str,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    app_id: str = "default",
+    maintenance: dict | None = None,
+    drift: dict | None = None,
+):
+    """``foreachBatch`` sink for STREAMING embedding ingest into the
+    persistent IVF/IVF-PQ index — the vector symmetry of
+    :func:`minhash_index_cdc_sink`: each micro-batch assigns to the
+    FROZEN coarse quantizer and commits one generation.
+
+    Exactly-once effect under at-least-once redelivery, two layers:
+    the manifest epoch LEDGER (``{app_id}:epoch-{id}#{content
+    fingerprint}``, the Delta txnAppId/txnVersion pattern) makes a
+    redelivered epoch one manifest read — and a colliding epoch id
+    whose content DIFFERS (fresh checkpoint, second query on the same
+    index) a loud ``ValueError`` instead of silent data loss — while
+    :func:`~sqltask_spark.operators.ann_index.append_to_ivf_index`'s
+    id anti-join remains the correctness backstop beneath it.
+
+    The frozen-quantizer invariant is ASSERTED per epoch: an append
+    must never change the committed quantizer generation (only
+    :func:`~sqltask_spark.operators.index_maintenance.
+    rebuild_ivf_on_drift` may, BETWEEN epochs). ``maintenance``
+    (thresholds for ``maintain_ivf_index``) bounds generation
+    accumulation after each epoch; ``drift`` (thresholds for
+    ``rebuild_ivf_on_drift``) retrains when occupancy concentration
+    crosses its limit — both no-op on one manifest read / one
+    partition-column census until a threshold trips.
+
+    Usage::
+
+        stream.writeStream.foreachBatch(
+            ivf_index_ingest_sink(path, app_id="embeddings-cdc",
+                                  maintenance={"max_generations": 10})
+        ).trigger(availableNow=True).start()
+    """
+    from sqltask_spark.data import content_fingerprint
+    from sqltask_spark.operators import ann_index as ai
+    from sqltask_spark.operators.index_maintenance import (
+        maintain_ivf_index,
+        rebuild_ivf_on_drift,
+    )
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fingerprint = content_fingerprint(
+            batch_df, [id_col, vec_col]
+        )
+        prefix = f"{app_id}:epoch-{epoch_id}"
+        ledger_id = f"{prefix}#{fingerprint}"
+        m_before = ai._committed(spark, index_path)
+        stale = [
+            b
+            for b in m_before.get("batches", [])
+            if b.split("#", 1)[0] == prefix and b != ledger_id
+        ]
+        if stale:
+            raise ValueError(
+                f"ivf_index_ingest_sink: ledger already holds"
+                f" {prefix} with DIFFERENT batch content"
+                f" ({stale[0]!r} vs {ledger_id!r}). Epoch ids restart"
+                " from 0 on a fresh/changed checkpoint and collide"
+                " across queries — pass a distinct app_id per logical"
+                " stream instead of silently dropping this batch."
+            )
+        ai.append_to_ivf_index(
+            index_path, batch_df, id_col, vec_col, batch_id=ledger_id
+        )
+        m_after = ai._committed(spark, index_path)
+        assert m_after["quantizer"] == m_before["quantizer"], (
+            "frozen-quantizer invariant violated during append:"
+            f" {m_before['quantizer']} → {m_after['quantizer']}"
+            " (a rebuild ran concurrently with ingest — rebuilds are"
+            " maintenance actions that must run between epochs)"
+        )
+        if maintenance is not None:
+            maintain_ivf_index(spark, index_path, **maintenance)
+        if drift is not None:
+            rebuild_ivf_on_drift(spark, index_path, **drift)
 
     return ingest
 
@@ -358,6 +459,7 @@ def minhash_index_cdc_sink(
     delete_col: str = "is_takedown",
     threshold: float = 0.5,
     max_bucket_size: int = 1000,
+    maintenance: dict | None = None,
 ):
     """``foreachBatch`` sink extending :func:`minhash_index_ingest_sink`
     with IN-BAND TAKEDOWNS: a micro-batch row flagged by
@@ -373,6 +475,12 @@ def minhash_index_cdc_sink(
     (already-tombstoned and never-indexed ids filter to a no-op) and
     the append anti-joins committed ids — a replayed epoch changes
     nothing.
+
+    ``maintenance`` (thresholds for
+    :func:`~sqltask_spark.operators.index_maintenance.
+    maintain_minhash_index`) runs after each epoch — the takedown
+    path is exactly where tombstones accumulate, so the
+    ``max_tombstone_ratio`` trigger belongs here.
     """
     from pyspark.sql import functions as F
 
@@ -380,6 +488,9 @@ def minhash_index_cdc_sink(
         append_to_minhash_index,
         delete_from_minhash_index,
         probe_minhash_index,
+    )
+    from sqltask_spark.operators.index_maintenance import (
+        maintain_minhash_index,
     )
 
     def ingest(batch_df: DataFrame, epoch_id: int) -> None:
@@ -401,5 +512,7 @@ def minhash_index_cdc_sink(
         )
         append_to_minhash_index(index_path, admitted, id_col, text_col)
         hits.unpersist()
+        if maintenance is not None:
+            maintain_minhash_index(spark, index_path, **maintenance)
 
     return ingest

@@ -87,17 +87,10 @@ def merge_upsert_sink(
             keep.append(delete_col)
         src = src.select(*keep)
         # Order-independent content fingerprint (one cheap pass over
-        # a batch that is about to be merged anyway): row count +
-        # XOR of per-row xxhash64 over the projected columns.
-        agg = src.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.expr(
-                "bit_xor(xxhash64("
-                + ", ".join(f"`{c}`" for c in keep)
-                + "))"
-            ).alias("x"),
-        ).collect()[0]
-        fingerprint = f"{agg['n']}:{(agg['x'] or 0) & 0xFFFFFFFFFFFFFFFF:x}"
+        # a batch that is about to be merged anyway).
+        from sqltask_spark.data import content_fingerprint
+
+        fingerprint = content_fingerprint(src, keep)
         prefix = f"{app_id}:epoch-{epoch_id}"
         ledger_id = f"{prefix}#{fingerprint}"
         committed = index_fs.read_manifest(

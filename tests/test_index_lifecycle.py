@@ -485,3 +485,134 @@ def test_ivf_time_travel_probe_and_occupancy(spark, sf_dir, tmp_path):
         probe_ivf_index(
             spark, idx, q, "vec_id", "embedding", as_of=v0
         ).collect()
+
+
+def test_maintain_minhash_index_policy(spark, tables, tmp_path):
+    """The closed maintenance loop: below thresholds maintain is a
+    manifest-read no-op; once appends push the generation count over
+    max_generations it compacts — generation count drops to 1, probe
+    bit-identical, ledgered health numbers returned."""
+    from sqltask_spark.operators.index_maintenance import (
+        maintain_minhash_index,
+        minhash_index_health,
+    )
+
+    docs = tables["documents"]
+    idx = str(tmp_path / "mh_maint")
+    build_minhash_index(docs, idx)
+    for i in range(3):
+        batch = spark.createDataFrame(
+            [(910000 + i, NOVEL + f" batch{i}")],
+            "doc_id long, text string",
+        )
+        assert append_to_minhash_index(idx, batch) == 1
+    assert minhash_index_health(spark, idx)["n_generations"] == 4
+    probe = docs.select("doc_id", "text").limit(50)
+    before = _mh_canon(spark, idx, probe)
+    # under threshold: no-op
+    r = maintain_minhash_index(spark, idx, max_generations=10)
+    assert r["compacted"] is False
+    assert len(index_fs.list_names(spark, f"{idx}/data")) == 4
+    # over threshold: compacts to one generation, probe-invariant
+    r = maintain_minhash_index(spark, idx, max_generations=3)
+    assert r["compacted"] is True and r["n_generations"] == 4
+    assert len(index_fs.list_names(spark, f"{idx}/data")) == 1
+    assert _mh_canon(spark, idx, probe) == before
+
+
+def test_maintain_minhash_index_tombstone_ratio(spark, tables, tmp_path):
+    """The tombstone-ratio trigger: deleting a big slice of the index
+    trips max_tombstone_ratio and the compaction physically drops the
+    tombstoned rows."""
+    from sqltask_spark.operators.index_maintenance import (
+        maintain_minhash_index,
+    )
+
+    docs = tables["documents"].limit(40)
+    idx = str(tmp_path / "mh_maint_tomb")
+    build_minhash_index(docs, idx)
+    ids = docs.select("doc_id").limit(15)
+    n_del = delete_from_minhash_index(idx, ids)
+    assert n_del == 15
+    r = maintain_minhash_index(
+        spark, idx, max_generations=100, max_tombstone_ratio=0.9
+    )
+    assert r["compacted"] is False and r["n_tombstoned"] == 15
+    r = maintain_minhash_index(
+        spark, idx, max_generations=100, max_tombstone_ratio=0.2
+    )
+    assert r["compacted"] is True
+    assert index_fs.read_manifest(spark, idx)["tombstones"] == []
+
+
+def test_maintain_ivf_index_policy(spark, sf_dir, tmp_path):
+    """IVF auto-compaction: generation accumulation over the
+    threshold compacts with the FROZEN quantizer — probe results
+    bit-identical before/after."""
+    from sqltask_spark.operators.index_maintenance import (
+        maintain_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") <= 3)
+    idx = str(tmp_path / "ivf_maint")
+    build_ivf_index(emb, idx, "vec_id", "embedding", n_cells=16)
+    for i in range(3):
+        clone = emb.filter(F.col("vec_id") == 1).select(
+            F.lit(990001 + i).cast("long").alias("vec_id"),
+            F.col("embedding"),
+        )
+        assert append_to_ivf_index(idx, clone, "vec_id", "embedding") == 1
+    before = _ivf_canon(spark, idx, q)
+    quant_before = index_fs.read_manifest(spark, idx)["quantizer"]
+    r = maintain_ivf_index(spark, idx, max_generations=10)
+    assert r["compacted"] is False and r["n_generations"] == 4
+    r = maintain_ivf_index(spark, idx, max_generations=3)
+    assert r["compacted"] is True
+    m = index_fs.read_manifest(spark, idx)
+    assert len(m["generations"]) == 1
+    assert m["quantizer"] == quant_before  # compaction never retrains
+    assert _ivf_canon(spark, idx, q) == before
+
+
+def test_rebuild_ivf_on_drift_policy(spark, sf_dir, tmp_path):
+    """Planted drift (64 clones collapsing into one cell) trips the
+    concentration threshold → the quantizer RETRAINS on the current
+    live vectors and occupancy re-balances; below the threshold the
+    frozen quantizer is untouched."""
+    from sqltask_spark.operators.ann_index import ivf_occupancy_stats
+    from sqltask_spark.operators.index_maintenance import (
+        rebuild_ivf_on_drift,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = str(tmp_path / "ivf_drift")
+    build_ivf_index(emb, idx, "vec_id", "embedding", n_cells=16)
+    skewed = emb.filter(F.col("vec_id") == 1).crossJoin(
+        spark.range(64).select((F.col("id") + 990001).alias("new_id"))
+    ).select(F.col("new_id").alias("vec_id"), F.col("embedding"))
+    assert append_to_ivf_index(idx, skewed, "vec_id", "embedding") == 64
+    conc = int(ivf_occupancy_stats(spark, idx).first()["concentration_micro"])
+    quant_before = index_fs.read_manifest(spark, idx)["quantizer"]
+    # threshold above the observed concentration: frozen, untouched
+    r = rebuild_ivf_on_drift(
+        spark, idx, max_concentration_micro=conc + 1
+    )
+    assert r["rebuilt"] is False
+    assert index_fs.read_manifest(spark, idx)["quantizer"] == quant_before
+    # threshold below: retrain fires, quantizer generation moves, and
+    # the retrained occupancy is tighter than the drifted one
+    r = rebuild_ivf_on_drift(
+        spark, idx, max_concentration_micro=conc - 1
+    )
+    assert r["rebuilt"] is True
+    m = index_fs.read_manifest(spark, idx)
+    assert m["quantizer"] != quant_before
+    after = int(
+        ivf_occupancy_stats(spark, idx).first()["concentration_micro"]
+    )
+    assert after <= conc
+    # every live vector survived the rebuild
+    assert int(
+        ivf_occupancy_stats(spark, idx).first()["n_vectors"]
+    ) == emb.count() + 64

@@ -1050,6 +1050,119 @@ def test_scd2_stream_group_spanning_arrow_chunks(spark, tmp_path):
     assert got == want
 
 
+def test_ivf_ingest_sink_stream_exactly_once(spark, sf_dir, tmp_path):
+    """Streaming embedding ingest into the persistent IVF index:
+    per-epoch append under the frozen quantizer; full replay from a
+    fresh checkpoint leaves the index bit-identical (epoch ledger +
+    anti-join backstop); a colliding epoch carrying DIFFERENT
+    vectors fails loudly; a distinct app_id proceeds."""
+    import pytest
+
+    from sqltask_spark.operators import index_fs
+    from sqltask_spark.operators.ann_index import build_ivf_index
+    from sqltask_spark.streaming.corpus import ivf_index_ingest_sink
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = str(tmp_path / "ivf_stream")
+    build_ivf_index(emb, idx, "vec_id", "embedding", n_cells=16)
+    src = tmp_path / "ivf_stream_in"
+    for i in range(2):
+        (
+            emb.filter(F.col("vec_id") == i + 1)
+            .select(
+                (F.col("vec_id") + 990000 + i * 10).alias("vec_id"),
+                "embedding",
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(str(src))
+        )
+
+    def run_stream():
+        q = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .writeStream.foreachBatch(
+                ivf_index_ingest_sink(
+                    idx, "vec_id", "embedding", app_id="q1"
+                )
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_stream()
+
+    def state():
+        m = index_fs.read_manifest(spark, idx)
+        return (
+            m["_seq"],
+            m["generations"],
+            sorted(m.get("batches", [])),
+            m["quantizer"],
+        )
+
+    s1 = state()
+    assert len(s1[2]) == 2  # two ledgered epochs
+    # full replay from a fresh checkpoint: ledger-skipped, no new
+    # generations or versions
+    run_stream()
+    assert state() == s1
+    # colliding (app_id, epoch) with DIFFERENT content: loud error
+    sink = ivf_index_ingest_sink(idx, "vec_id", "embedding", app_id="q1")
+    other = emb.filter(F.col("vec_id") == 5).select(
+        (F.col("vec_id") + 995000).alias("vec_id"), "embedding"
+    )
+    with pytest.raises(ValueError, match="DIFFERENT batch content"):
+        sink(other, 0)
+    # a second logical stream under its own app_id proceeds
+    ivf_index_ingest_sink(idx, "vec_id", "embedding", app_id="q2")(
+        other, 0
+    )
+    m = index_fs.read_manifest(spark, idx)
+    assert any(b.startswith("q2:epoch-0#") for b in m["batches"])
+
+
+def test_ivf_ingest_sink_auto_maintenance(spark, sf_dir, tmp_path):
+    """The sink's maintenance hook bounds generation accumulation:
+    with max_generations=2 the third epoch triggers an in-line
+    compaction (generations collapse to 1, quantizer frozen)."""
+    from sqltask_spark.operators import index_fs
+    from sqltask_spark.operators.ann_index import build_ivf_index
+    from sqltask_spark.streaming.corpus import ivf_index_ingest_sink
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = str(tmp_path / "ivf_maint_sink")
+    build_ivf_index(emb, idx, "vec_id", "embedding", n_cells=16)
+    quant = index_fs.read_manifest(spark, idx)["quantizer"]
+    sink = ivf_index_ingest_sink(
+        idx, "vec_id", "embedding", app_id="m",
+        maintenance={"max_generations": 2},
+    )
+    for i in range(3):
+        batch = emb.filter(F.col("vec_id") == i + 1).select(
+            (F.col("vec_id") + 990000 + i * 10).alias("vec_id"),
+            "embedding",
+        )
+        sink(batch, i)
+    m = index_fs.read_manifest(spark, idx)
+    # un-maintained this would be 4 generations (build + 3 appends);
+    # the in-line compaction keeps the count bounded by the policy
+    assert len(m["generations"]) <= 2
+    assert m["quantizer"] == quant
+    # the ledger survives compaction: replayed epochs still skip
+    seq = m["_seq"]
+    for i in range(3):
+        batch = emb.filter(F.col("vec_id") == i + 1).select(
+            (F.col("vec_id") + 990000 + i * 10).alias("vec_id"),
+            "embedding",
+        )
+        sink(batch, i)
+    assert index_fs.read_manifest(spark, idx)["_seq"] == seq
+
+
 def test_minhash_index_cdc_sink_inband_takedowns(spark, tmp_path):
     """CDC ingest with in-band takedowns: epoch 1 admits a novel doc;
     epoch 2 TOMBSTONES it and carries its near-duplicate in the same
