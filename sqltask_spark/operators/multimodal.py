@@ -48,22 +48,104 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+def _have_pil() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+#: Computed once per Python worker at import; the decode stages below
+#: consult it so the SAME pipeline runs the real codec where pillow
+#: is installed and the deterministic fake elsewhere.
+HAVE_PIL = _have_pil()
+
+#: Real image decodes normalize to this thumbnail so downstream
+#: feature extraction sees a fixed-length byte stream regardless of
+#: source resolution (8×8 RGB = 192 bytes ≥ the 64 bytes the
+#: feature slicer reads).
+_DECODE_THUMB = (8, 8)
+
+
 def decode_payload(payload: bytes, mime: str, fake: bool = False) -> bytes:
-    """Codec boundary. Real decoders (PIL/ffmpeg) are not installed in
-    this environment; ``fake=True`` returns a deterministic
-    pseudo-decode (sha256 stream expansion) so the distributed
-    pipeline around the codec can be exercised end-to-end."""
+    """Codec boundary — the ONE function a real deployment's media
+    stack plugs into.
+
+    ``fake=True``: deterministic pseudo-decode (sha256 stream
+    expansion) so the distributed pipeline around the codec is
+    exercised end-to-end in environments without codec libraries.
+
+    ``fake=False``: image mimes decode through pillow when it is
+    importable (optional dependency — decode, convert to RGB,
+    normalize to an 8×8 thumbnail so the byte stream has a fixed
+    length for the downstream feature slicer). Audio/video decoding
+    (ffmpeg/soundfile) and image decode without pillow raise
+    ``NotImplementedError`` — honestly absent, never silently faked.
+    """
+    if fake:
+        out = bytearray()
+        seed = hashlib.sha256(payload).digest()
+        while len(out) < 64:
+            seed = hashlib.sha256(seed).digest()
+            out.extend(seed)
+        return bytes(out[:64])
+    if mime.startswith("image/") and HAVE_PIL:
+        from io import BytesIO
+
+        from PIL import Image
+
+        with Image.open(BytesIO(payload)) as im:
+            return (
+                im.convert("RGB")
+                .resize(_DECODE_THUMB, Image.BILINEAR)
+                .tobytes()
+            )
+    raise NotImplementedError(
+        f"no codec available for {mime!r}: install pillow (images) or "
+        "wire ffmpeg/soundfile here (audio/video)"
+    )
+
+
+def resize_payload(
+    payload: bytes,
+    mime: str,
+    target_w: int,
+    target_h: int,
+    fake: bool = False,
+) -> bytes:
+    """Resize boundary: raw RGB bytes of the resized image
+    (``target_w·target_h·3`` bytes in BOTH modes, so schemas and
+    byte counts agree across environments). Real path = pillow
+    decode + BILINEAR resize; fake path = deterministic sha256
+    expansion of (payload, w, h)."""
     if not fake:
+        if mime.startswith("image/") and HAVE_PIL:
+            from io import BytesIO
+
+            from PIL import Image
+
+            with Image.open(BytesIO(payload)) as im:
+                return (
+                    im.convert("RGB")
+                    .resize((target_w, target_h), Image.BILINEAR)
+                    .tobytes()
+                )
         raise NotImplementedError(
-            f"no codec available for {mime!r}: install pillow/ffmpeg and "
-            "wire it here"
+            f"no codec available for {mime!r}: install pillow"
         )
+    n = target_w * target_h * 3
     out = bytearray()
-    seed = hashlib.sha256(payload).digest()
-    while len(out) < 64:
+    seed = hashlib.sha256(
+        payload
+        + target_w.to_bytes(4, "big")
+        + target_h.to_bytes(4, "big")
+    ).digest()
+    while len(out) < n:
         seed = hashlib.sha256(seed).digest()
         out.extend(seed)
-    return bytes(out[:64])
+    return bytes(out[:n])
 
 
 def extract_features(
@@ -142,11 +224,13 @@ def resize_images(
     The mime filter is a JVM-side metadata predicate applied BEFORE
     the Python stage, so non-image rows never cross the Arrow
     boundary — the pattern every expensive multimodal stage here
-    follows. The fake resize emits the digest + byte count a real
-    ``PIL.Image.resize`` would produce (payload bytes themselves stay
+    follows. Both codec modes produce the same schema and byte
+    counts: the real path (pillow installed, ``fake_codec=False``)
+    digests the actual resized RGB buffer, the fake path a
+    deterministic stand-in of identical length — payload bytes stay
     out of the result to keep the demo output small; a real pipeline
     returns the resized buffer as a binary column with the same
-    schema discipline).
+    schema discipline.
     """
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -154,18 +238,19 @@ def resize_images(
             rows = []
             for _, row in pdf.iterrows():
                 payload = bytes(row[payload_col])
-                decoded = decode_payload(payload, row["mime"], fake=fake_codec)
-                digest = hashlib.sha256(
-                    decoded + target_w.to_bytes(4, "big")
-                    + target_h.to_bytes(4, "big")
-                ).hexdigest()
+                resized = resize_payload(
+                    payload, row["mime"], target_w, target_h,
+                    fake=fake_codec,
+                )
                 rows.append(
                     {
                         "media_id": row[id_col],
                         "width": target_w,
                         "height": target_h,
-                        "n_bytes": target_w * target_h * 3,
-                        "resized_sha256": digest,
+                        "n_bytes": len(resized),
+                        "resized_sha256": hashlib.sha256(
+                            resized
+                        ).hexdigest(),
                     }
                 )
             yield pd.DataFrame(

@@ -99,3 +99,59 @@ def test_sample_frames_counts_and_decode(spark):
                 decoded + int(fr["ts_ms"]).to_bytes(8, "big")
             ).hexdigest()
             assert fr["frame_sha256"] == want
+
+
+def test_codec_boundary_real_or_fake(spark):
+    """The codec boundary runs the REAL pillow path where the
+    optional dependency is installed and the honest
+    NotImplementedError + deterministic fake elsewhere — with the
+    identical output schema either way. This test exercises
+    whichever branch this environment has."""
+    import pytest
+
+    from sqltask_spark.operators.multimodal import (
+        HAVE_PIL,
+        decode_payload,
+        extract_features,
+        make_media_table,
+        resize_payload,
+    )
+
+    media = make_media_table(spark, n=8)
+    images = media.filter(F.col("meta.mime").startswith("image/"))
+    if HAVE_PIL:
+        # build a real PNG and push it through the real decode
+        from io import BytesIO
+
+        from PIL import Image
+
+        buf = BytesIO()
+        Image.new("RGB", (5, 7), (200, 10, 30)).save(buf, format="PNG")
+        png = buf.getvalue()
+        decoded = decode_payload(png, "image/png", fake=False)
+        assert len(decoded) == 8 * 8 * 3  # normalized thumbnail
+        resized = resize_payload(png, "image/png", 4, 4, fake=False)
+        assert len(resized) == 4 * 4 * 3
+        real_media = spark.createDataFrame(
+            [(1, png, ("image/png", 5, 7, None, None))],
+            "media_id long, payload binary, "
+            "meta struct<mime:string,width:int,height:int,"
+            "duration_ms:bigint,uri:string>",
+        )
+        feats = extract_features(real_media, fake_codec=False)
+        row = feats.collect()[0]
+        assert len(row["feature"]) == 16
+    else:
+        # fixture payloads are not real images; the REAL path must
+        # refuse loudly, never silently fake
+        with pytest.raises(NotImplementedError):
+            decode_payload(b"\x00" * 16, "image/png", fake=False)
+        with pytest.raises(NotImplementedError):
+            resize_payload(b"\x00" * 16, "image/png", 4, 4, fake=False)
+        feats = extract_features(images, fake_codec=True)
+        row = feats.collect()[0]
+        assert len(row["feature"]) == 16
+    # identical schema either way
+    assert [f.name for f in feats.schema.fields] == [
+        "media_id", "mime", "n_bytes", "sha256", "feature"
+    ]
