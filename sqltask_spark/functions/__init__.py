@@ -8,14 +8,78 @@ points, each demonstrated in this package or the query catalog:
 - scalar vectorized: ``pandas_udf`` (LSH signatures,
   :mod:`sqltask_spark.operators.similarity`);
 - grouped aggregate: ``applyInPandas``
-  (exact median, :func:`sqltask_spark.queries.events.user_value_median`);
+  (exact median, :func:`sqltask_spark.queries.events.user_value_median`)
+  and a true custom AGGREGATE — :func:`weighted_percentile_udaf` below
+  (``pandas_udf`` GROUPED_AGG: many rows in, ONE scalar out, usable
+  inside a plain ``groupBy().agg()`` beside built-ins — the
+  aggregation escape hatch the reference could only delegate to SQL);
 - table function: :class:`ParseKeyValues` below (``@udtf`` — one input
   row → many output rows, lateral-joinable).
 """
 
 from __future__ import annotations
 
-from pyspark.sql.functions import udtf
+import pandas as pd
+from pyspark.sql.functions import pandas_udf, udtf
+from pyspark.sql.types import LongType
+
+
+def weighted_percentile_udaf(q: float):
+    """Custom UDAF: EXACT weighted q-percentile as a grouped
+    aggregate (``pandas_udf`` GROUPED_AGG — Arrow-batched, one
+    scalar per group, composable inside ``groupBy().agg()`` with
+    built-in aggregates; no window, no applyInPandas reshape).
+
+    Definition (deterministic, tie-stable): the smallest value ``v``
+    whose cumulative weight over all rows with value ≤ v reaches
+    ``q`` of the total weight — integer-exact via
+    ``cum·1 ≥ q·total`` cross-multiplication, so no float threshold
+    can disagree between engines (the DuckDB oracle states the same
+    inequality). Equal values pool their weights (RANGE-frame
+    semantics), so input order never matters.
+
+    This is the aggregation shape Spark's built-ins lack: percentiles
+    exist (``percentile``/``approx_percentile``) but WEIGHTED exact
+    percentiles do not; the reference (villebro/sqltask) would push
+    this to the warehouse as SQL.
+    """
+    if not 0 < q <= 1:
+        raise ValueError(f"q must be in (0, 1], got {q}")
+    # q as an exact integer ratio so the threshold comparison is pure
+    # integer math on both engines (q=0.5 → cum*2 >= tot*1)
+    from fractions import Fraction
+
+    frac = Fraction(q).limit_denominator(1_000_000)
+
+    @pandas_udf(LongType())
+    def wp(values: pd.Series, weights: pd.Series) -> int:  # noqa: ANN
+        # (pd must be module-global for pyspark to resolve these
+        # hints under postponed annotation evaluation)
+        by_v = (
+            pd.DataFrame({"v": values, "w": weights})
+            .groupby("v")["w"]
+            .sum()
+            .sort_index()
+        )
+        cum = by_v.cumsum()
+        tot = int(cum.iloc[-1])
+        hit = cum[cum * frac.denominator >= tot * frac.numerator]
+        return int(hit.index[0])
+
+    return wp
+
+
+def grouped_sum_udaf():
+    """Pandas-aggregate SUM — the companion for mixing with other
+    GROUPED_AGG pandas UDFs (Spark disallows combining them with JVM
+    aggregates in one ``agg()``, so an all-pandas aggregation keeps
+    the plan at ONE aggregation node)."""
+
+    @pandas_udf(LongType())
+    def wsum(weights: pd.Series) -> int:
+        return int(weights.sum())
+
+    return wsum
 
 
 @udtf(returnType="key: string, value: string")

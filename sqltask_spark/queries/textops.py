@@ -1121,6 +1121,67 @@ def bpe_learn_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+def source_weighted_median_chars(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Custom-UDAF exemplar: per-source EXACT weighted median of
+    document length via
+    :func:`sqltask_spark.functions.weighted_percentile_udaf` — a
+    ``pandas_udf`` GROUPED_AGG used inside a plain
+    ``groupBy().agg()`` beside a built-in SUM (ONE aggregation in
+    the plan, no window — plan-tested). Weight = 1 + doc_id % 10,
+    deterministic on both engines, so the weighting is genuinely
+    exercised. The reference has no aggregate extension point at all
+    (SURVEY §2.8) — it would delegate this to warehouse SQL."""
+    from sqltask_spark.functions import (
+        grouped_sum_udaf,
+        weighted_percentile_udaf,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    wp50 = weighted_percentile_udaf(0.5)
+    # Spark disallows mixing GROUPED_AGG pandas UDFs with JVM
+    # aggregates in one agg() — the companion total is a second
+    # pandas aggregate, keeping everything in ONE aggregation node.
+    wsum = grouped_sum_udaf()
+    return (
+        docs.select(
+            "source",
+            F.col("n_chars").alias("v"),
+            (F.lit(1) + F.col("doc_id") % 10).alias("w"),
+        )
+        .groupBy("source")
+        .agg(
+            wp50(F.col("v"), F.col("w")).alias("wp50_chars"),
+            wsum(F.col("w")).alias("total_weight"),
+        )
+        .orderBy("source")
+    )
+
+
+_WEIGHTED_MEDIAN_SQL = """
+WITH t AS (
+  SELECT source, n_chars AS v, 1 + (doc_id % 10) AS w FROM documents
+),
+tot AS (
+  SELECT source, CAST(SUM(w) AS BIGINT) AS total_weight
+  FROM t GROUP BY source
+),
+c AS (
+  SELECT source, v,
+         SUM(w) OVER (PARTITION BY source ORDER BY v) AS cum
+  FROM t
+)
+SELECT c.source,
+       CAST(MIN(c.v) AS BIGINT) AS wp50_chars,
+       tot.total_weight
+FROM c JOIN tot USING (source)
+WHERE 2 * c.cum >= tot.total_weight
+GROUP BY c.source, tot.total_weight
+ORDER BY source
+"""
+
+
 def bpe_learn_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The fully distributed trainer (no driver-side vocabulary —
     1-row argmax collects only; see
@@ -2755,6 +2816,7 @@ QUERIES = {
     "script_mix_documents": script_mix_documents,
     "bpe_learn_certified": bpe_learn_certified,
     "bpe_learn_distributed": bpe_learn_distributed,
+    "source_weighted_median_chars": source_weighted_median_chars,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "token_count_bpe": token_count_bpe,
     "rolling_fingerprint": rolling_fingerprint,
@@ -2821,6 +2883,7 @@ ORACLES = {
     "script_mix_documents": _script_sql(),
     "bpe_learn_certified": _bpe_learn_sql(),
     "bpe_learn_distributed": _bpe_learn_sql(),
+    "source_weighted_median_chars": _WEIGHTED_MEDIAN_SQL,
     # dedup_minhash_pairs / dedup_simhash_pairs: intentionally no
     # oracle — Spark-native xxhash64 signatures.
 }

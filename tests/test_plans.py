@@ -598,3 +598,23 @@ def test_customer_cohort_ltv_partitioned_window(spark, sf_dir):
     # the cumulative sum must stay partitioned by cohort — a global
     # (empty-partition-spec) window would serialize on one task
     assert "windowspecdefinition(cohort_ts" in plan
+
+
+def test_weighted_median_udaf_single_aggregation_no_window(spark, sf_dir):
+    """The custom-UDAF exemplar keeps the aggregation shape: ONE
+    AggregateInPandas node (both the percentile and its companion
+    total are pandas aggregates in the same agg()), no window, no
+    join, no cartesian — the escape-hatch aggregate plans like a
+    built-in one."""
+    df = QUERIES["source_weighted_median_chars"](spark, sf_dir)
+    r = plan_report(df)
+    assert r.join_strategies == []
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    # Spark 4 names the grouped-pandas aggregate ArrowAggregatePython
+    # (AggregateInPandas in 3.x) — exactly one, whatever the name
+    n_agg = final.count("ArrowAggregatePython") + final.count(
+        "AggregateInPandas"
+    )
+    assert n_agg == 1, final
+    assert "Window" not in final
