@@ -86,6 +86,11 @@ HEADLINE = [
     "source_distinct_hll",
     "scd2_user_state",
     "corpus_merge_upsert",
+    # r10 additions: the fully distributed BPE trainer (iterative
+    # census — scheduler+shuffle bound) and the custom-UDAF exact
+    # weighted percentile (Arrow grouped-agg path)
+    "bpe_learn_distributed",
+    "source_weighted_median_chars",
 ]
 
 # Probe-class tags (r8 judge "what's wrong #2"): the three calibration
@@ -116,7 +121,7 @@ CLASS_OF = {
         "dedup_tfidf_cosine", "contamination_overlap",
         "contamination_fuzzy", "dup_rate_by_source",
         "dedup_incremental", "contamination_bloom",
-        "scd2_user_state",
+        "scd2_user_state", "bpe_learn_distributed",
     )},
 }
 

@@ -132,6 +132,69 @@ def maintain_ivf_index(
     return {**h, "compacted": compact}
 
 
+def parquet_table_health(spark: SparkSession, path: str) -> dict:
+    """Health snapshot of a merge-able parquet table: live file
+    count and mean live-file size (small-files pressure — MERGE
+    copy-on-write accumulates generation fragments) plus version
+    count since the retention boundary. Manifest + file-status reads
+    only; no data is scanned."""
+    from sqltask_spark.operators import index_fs
+    from sqltask_spark.operators.merge import _abs_files
+
+    m = index_fs.read_manifest(spark, path)
+    if m is None:
+        raise ValueError(f"no committed table at {path}")
+    files = m.get("files", [])
+    total = 0
+    if files:
+        fs, _ = index_fs._fs(spark, path)
+        jvm = spark._jvm
+        for f in _abs_files(path, files):
+            total += fs.getFileStatus(
+                jvm.org.apache.hadoop.fs.Path(f)
+            ).getLen()
+    return {
+        "n_files": len(files),
+        "total_bytes": total,
+        "mean_file_bytes": total // len(files) if files else 0,
+        "n_versions": len(index_fs.list_manifest_seqs(spark, path)),
+    }
+
+
+def maintain_parquet_table(
+    spark: SparkSession,
+    path: str,
+    max_files: int = 64,
+    min_mean_file_bytes: int = 8 * 1024 * 1024,
+    vacuum_keep_versions: int | None = None,
+) -> dict:
+    """Small-files maintenance for the merge table — the lake
+    symmetry of the index policies: compact when the live file count
+    exceeds ``max_files`` AND the mean live-file size sits under
+    ``min_mean_file_bytes`` (many-small-fragments pressure; a table
+    of few large files is healthy at any count), optionally vacuum
+    old versions afterwards. Row-identical (compaction pytest) and
+    atomic like every table mutation."""
+    from sqltask_spark.operators.merge import (
+        compact_parquet_table,
+        vacuum_parquet_table,
+    )
+
+    h = parquet_table_health(spark, path)
+    compact = (
+        h["n_files"] > max_files
+        and h["mean_file_bytes"] < min_mean_file_bytes
+    )
+    if compact:
+        compact_parquet_table(spark, path)
+    vac: dict = {}
+    if vacuum_keep_versions is not None:
+        vac = vacuum_parquet_table(
+            spark, path, keep_versions=vacuum_keep_versions
+        )
+    return {**h, "compacted": compact, "vacuum": vac}
+
+
 def rebuild_ivf_on_drift(
     spark: SparkSession,
     path: str,

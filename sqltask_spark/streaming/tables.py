@@ -25,6 +25,7 @@ def merge_upsert_sink(
     delete_col: str | None = None,
     order_col: str | None = None,
     app_id: str = "default",
+    maintenance: dict | None = None,
 ):
     """``foreachBatch`` sink: MERGE each micro-batch into the table
     at ``table_path`` (which must exist — create it with
@@ -53,6 +54,13 @@ def merge_upsert_sink(
 
     Single-writer, like the table itself: the manifest protocol
     already makes concurrent writer collisions a loud error.
+
+    ``maintenance`` (thresholds for
+    :func:`~sqltask_spark.operators.index_maintenance.
+    maintain_parquet_table`) runs after each epoch's merge — long-
+    running CDC queries are exactly where copy-on-write fragments
+    accumulate; the check is manifest/file-status reads until a
+    threshold trips.
 
     Usage::
 
@@ -117,5 +125,13 @@ def merge_upsert_sink(
             batch_id=ledger_id,
             delete_col=delete_col,
         )
+        if maintenance is not None:
+            from sqltask_spark.operators.index_maintenance import (
+                maintain_parquet_table,
+            )
+
+            maintain_parquet_table(
+                batch_df.sparkSession, table_path, **maintenance
+            )
 
     return upsert

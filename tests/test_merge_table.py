@@ -211,6 +211,48 @@ def test_create_table_rejects_duplicate_stats_key(spark, tmp_path):
     create_parquet_table(df, str(tmp_path / "t_dupseed2"))
 
 
+def test_maintain_parquet_table_policy(spark, tmp_path):
+    """Small-files maintenance: merges fragment the table one file
+    per touched generation; over the file-count threshold (and under
+    the mean-size floor) maintain compacts row-identically and can
+    vacuum history. Few-large-files tables are left alone."""
+    from sqltask_spark.operators.index_maintenance import (
+        maintain_parquet_table,
+        parquet_table_health,
+    )
+
+    path = str(tmp_path / "t_maint")
+    _mk_table(spark, path, n=8)
+    for i in range(4):
+        merge_into_parquet(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(100 + i, i)], "k long, v long"
+            ),
+            ["k"],
+        )
+    h = parquet_table_health(spark, path)
+    assert h["n_files"] >= 5 and h["n_versions"] == 5
+    want = _rows(read_parquet_table(spark, path))
+    # healthy-by-count: untouched
+    r = maintain_parquet_table(spark, path, max_files=64)
+    assert r["compacted"] is False
+    # over the count threshold with tiny files: compact + vacuum
+    r = maintain_parquet_table(
+        spark, path, max_files=2, vacuum_keep_versions=1
+    )
+    assert r["compacted"] is True
+    assert _rows(read_parquet_table(spark, path)) == want
+    h2 = parquet_table_health(spark, path)
+    assert h2["n_files"] < h["n_files"] and h2["n_versions"] == 1
+    # large-mean-size guard: many files but big ones → no rewrite
+    r = maintain_parquet_table(
+        spark, path, max_files=0, min_mean_file_bytes=1
+    )
+    assert r["compacted"] is False
+
+
 def test_merge_to_empty_and_back(spark, tmp_path):
     """Deleting every row commits an empty-file-list version that
     still reads (schema from the manifest), and a later merge
