@@ -57,10 +57,13 @@ def weighted_percentile_udaf(q: float):
         # hints under postponed annotation evaluation)
         by_v = (
             pd.DataFrame({"v": values, "w": weights})
+            .dropna()  # SQL aggregates ignore NULLs
             .groupby("v")["w"]
             .sum()
             .sort_index()
         )
+        if not len(by_v):
+            return None  # all-NULL group, like built-in percentile
         cum = by_v.cumsum()
         tot = int(cum.iloc[-1])
         hit = cum[cum * frac.denominator >= tot * frac.numerator]

@@ -290,6 +290,11 @@ def build_ivf_index(
                 "m": m,
                 "pq_k": pq_k if m is not None else None,
             },
+            # the epoch ledger survives a rebuild: the rebuilt index
+            # still CONTAINS every ledgered batch's vectors, so a
+            # redelivered epoch must keep ledger-skipping (and the
+            # streaming sink's collision detection keeps working)
+            "batches": prev.get("batches", []) if prev else [],
         },
         prev["_seq"] if prev else -1,
     )

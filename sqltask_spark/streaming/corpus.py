@@ -438,12 +438,14 @@ def ivf_index_ingest_sink(
             index_path, batch_df, id_col, vec_col, batch_id=ledger_id
         )
         m_after = ai._committed(spark, index_path)
-        assert m_after["quantizer"] == m_before["quantizer"], (
-            "frozen-quantizer invariant violated during append:"
-            f" {m_before['quantizer']} → {m_after['quantizer']}"
-            " (a rebuild ran concurrently with ingest — rebuilds are"
-            " maintenance actions that must run between epochs)"
-        )
+        if m_after["quantizer"] != m_before["quantizer"]:
+            raise RuntimeError(
+                "frozen-quantizer invariant violated during append:"
+                f" {m_before['quantizer']} → {m_after['quantizer']}"
+                " (a rebuild ran concurrently with ingest — rebuilds"
+                " are maintenance actions that must run between"
+                " epochs)"
+            )
         if maintenance is not None:
             maintain_ivf_index(spark, index_path, **maintenance)
         if drift is not None:
