@@ -87,10 +87,12 @@ HEADLINE = [
     "scd2_user_state",
     "corpus_merge_upsert",
     # r10 additions: the fully distributed BPE trainer (iterative
-    # census — scheduler+shuffle bound) and the custom-UDAF exact
-    # weighted percentile (Arrow grouped-agg path)
+    # census — scheduler+shuffle bound), the custom-UDAF exact
+    # weighted percentile (Arrow grouped-agg path), and the
+    # persistent sketch-state loop (create + fold + replay + read)
     "bpe_learn_distributed",
     "source_weighted_median_chars",
+    "incremental_distinct_hll",
 ]
 
 # Probe-class tags (r8 judge "what's wrong #2"): the three calibration

@@ -1,0 +1,161 @@
+"""Persistent mergeable-sketch state tables — incremental corpus
+statistics with NO history re-scan.
+
+The 100 TB story: "how many distinct documents per source" must not
+require touching yesterday's 99 TB again. Mergeable register
+sketches form a join-semilattice — states combine by element-wise
+register MAX — so each ingest batch can fold its own batch-sized
+sketch into a persisted state table whose size is bounded by
+groups × m registers FOREVER, regardless of corpus size. Two
+properties fall out of the lattice algebra and are load-bearing at
+scale:
+
+- **updates are idempotent AND commutative** (max is), so
+  at-least-once redelivery, replays, and out-of-order batches all
+  converge to the same state with NO epoch ledger — the CRDT
+  argument; contrast the row-upsert sinks, which need the
+  ``{app_id}:epoch#fingerprint`` ledger precisely because row
+  replacement is neither;
+- **reads are O(state)**, never O(corpus): estimates come from the
+  register rows alone.
+
+Storage reuses the versioned merge-table format
+(:mod:`sqltask_spark.operators.merge`) keyed on (g, idx): atomic
+commits, time travel over past sketch states, and the batch ledger
+as a free FAST-PATH (a ledgered batch id skips the read-merge-write;
+correctness never depends on it). The full-state rewrite per update
+is deliberate and bounded: the state is at most groups × 256 rows.
+
+Same register/estimator discipline as the oracled
+``source_distinct_hll`` catalog entry (integer-only: rank from
+binary-string length, harmonic sum as Σ 2^(cap−rho) in BIGINT,
+alpha in micro units) so the incremental path hash-matches the
+direct DuckDB computation bit for bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+HLL_M = 256
+HLL_RHO_CAP = 24
+_ALPHA_MICRO = 718273  # round(1e6 * 0.7213 / (1 + 1.079/256))
+_HLL_NUM = _ALPHA_MICRO * HLL_M * HLL_M * (1 << HLL_RHO_CAP)
+
+
+def hll_register_rows(
+    df: DataFrame, group_col: str, fp_col: str
+) -> DataFrame:
+    """Sparse HLL register state (g, idx, r) from md5-HEX
+    fingerprints: register index = first 2 hex digits (8 bits), rank
+    rho = leading zeros of the next 40 bits + 1 (derived from
+    binary-string LENGTH — no logs, engine-portable), capped at
+    :data:`HLL_RHO_CAP`. One map-side-combined groupBy; output is at
+    most groups × m rows."""
+    idx = F.conv(F.substring(F.col(fp_col), 1, 2), 16, 10).cast("int")
+    w = F.conv(F.substring(F.col(fp_col), 3, 10), 16, 10).cast("long")
+    rho = F.when(w == 0, F.lit(HLL_RHO_CAP)).otherwise(
+        F.least(F.lit(41) - F.length(F.bin(w)), F.lit(HLL_RHO_CAP))
+    )
+    return (
+        df.select(
+            F.col(group_col).cast("string").alias("g"),
+            idx.alias("idx"),
+            rho.alias("rho"),
+        )
+        .groupBy("g", "idx")
+        .agg(F.max("rho").cast("int").alias("r"))
+    )
+
+
+def create_hll_store(regs: DataFrame, path: str) -> None:
+    """Materialize (g, idx, r) register rows as version 0 of a sketch
+    state table."""
+    from sqltask_spark.operators.merge import create_parquet_table
+
+    create_parquet_table(regs.select("g", "idx", "r"), path)
+
+
+def update_hll_store(
+    spark: SparkSession,
+    path: str,
+    regs: DataFrame,
+    batch_id: str | None = None,
+) -> dict:
+    """Fold a batch's register rows into the persisted state:
+    element-wise MAX via one full-outer join on (g, idx), committed
+    through MERGE. Idempotent and commutative by the lattice algebra
+    — replaying any batch (or applying batches out of order) cannot
+    change the converged state; ``batch_id`` only short-circuits the
+    work for exact redeliveries."""
+    from sqltask_spark.operators.merge import (
+        merge_into_parquet,
+        read_parquet_table,
+    )
+
+    stored = read_parquet_table(spark, path).select(
+        "g", "idx", F.col("r").alias("r_old")
+    )
+    batch = regs.select("g", "idx", F.col("r").alias("r_new"))
+    merged = (
+        stored.join(batch, ["g", "idx"], "full_outer")
+        .select(
+            "g",
+            "idx",
+            F.greatest(
+                F.coalesce("r_old", F.lit(0)),
+                F.coalesce("r_new", F.lit(0)),
+            )
+            .cast("int")
+            .alias("r"),
+        )
+    )
+    return merge_into_parquet(
+        spark, path, merged, ["g", "idx"], batch_id=batch_id
+    )
+
+
+def read_hll_estimates(
+    spark: SparkSession, path: str, as_of: int | None = None
+) -> DataFrame:
+    """Distinct-count estimates from the persisted register state —
+    per group plus the merged ``__ALL__`` row (element-wise max
+    across groups, the same combine that built the state). Integer
+    milli-unit estimator identical to the ``source_distinct_hll``
+    certificate; ``as_of`` reads a PAST committed sketch state (what
+    did the corpus look like before this week's ingest?)."""
+    from sqltask_spark.operators.merge import read_parquet_table
+
+    regs_src = read_parquet_table(spark, path, as_of=as_of)
+    regs = regs_src.unionByName(
+        regs_src.groupBy("idx")
+        .agg(F.max("r").alias("r"))
+        .withColumn("g", F.lit("__ALL__"))
+        .select("g", "idx", "r")
+    )
+    return (
+        regs.groupBy("g")
+        .agg(
+            F.sum(
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT),"
+                    f" CAST({HLL_RHO_CAP} - r AS INT))"
+                )
+            ).alias("s_present"),
+            F.count(F.lit(1)).alias("n_present"),
+            F.sum("r").cast("long").alias("sum_rho"),
+        )
+        .select(
+            "g",
+            (F.lit(HLL_M) - F.col("n_present"))
+            .cast("long")
+            .alias("n_zero_registers"),
+            "sum_rho",
+            F.expr(
+                f"CAST({_HLL_NUM} AS BIGINT) DIV (1000 * (s_present"
+                f" + ({HLL_M} - n_present)"
+                f" * {1 << HLL_RHO_CAP}))"
+            ).alias("est_milli"),
+        )
+    )

@@ -3199,6 +3199,94 @@ def corpus_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+# --------------------------------------------------------------------------
+# incremental_distinct_hll — the PERSISTENT sketch-state loop as a
+# driver-checked certificate (operators/sketch_store.py): build the
+# per-source HLL register table from the even-doc_id half, FOLD the
+# odd half in as an incremental update (element-wise register MAX
+# through the versioned merge table), REPLAY the same update (the
+# lattice algebra makes it a no-op even without the ledger — the
+# hash would catch any drift), and read the estimates back. Because
+# max is associative, the incremental state over half∪half is
+# bit-identical to a direct whole-corpus computation — which is
+# exactly what the DuckDB oracle computes. The scale point: the
+# state table is ≤ sources × 256 rows forever; history is never
+# re-scanned.
+# --------------------------------------------------------------------------
+
+def incremental_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from sqltask_spark.operators.sketch_store import (
+        create_hll_store,
+        hll_register_rows,
+        read_hll_estimates,
+        update_hll_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    base = docs.select(
+        "doc_id", "source", tx.fingerprint_md5(F.col("text")).alias("fp")
+    )
+    half_a = base.filter(F.pmod("doc_id", F.lit(2)) == 0)
+    half_b = base.filter(F.pmod("doc_id", F.lit(2)) == 1)
+    tmp = tempfile.mkdtemp(prefix="hll_store_")
+    store = f"{tmp}/store"
+    try:
+        create_hll_store(hll_register_rows(half_a, "source", "fp"), store)
+        update_hll_store(
+            spark, store, hll_register_rows(half_b, "source", "fp"),
+            batch_id="half-b",
+        )
+        # replay: ledger fast-path skips; even un-ledgered, the max
+        # fold is a no-op — the hash pins the converged state
+        update_hll_store(
+            spark, store, hll_register_rows(half_b, "source", "fp"),
+            batch_id="half-b",
+        )
+        out = read_hll_estimates(spark, store).orderBy("g")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema).orderBy("g")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_HLL_INC_SQL = f"""
+WITH base AS MATERIALIZED (
+  SELECT DISTINCT source, md5({_NORM}) AS fp
+  FROM documents WHERE text IS NOT NULL
+), tagged AS (
+  SELECT source,
+         ('0x' || substring(fp, 1, 2))::BIGINT AS idx,
+         ('0x' || substring(fp, 3, 10))::BIGINT AS w
+  FROM base
+), rho_t AS (
+  SELECT source, idx,
+         CASE WHEN w = 0 THEN {_HLL_RHO_CAP}
+              ELSE LEAST(41 - length(bin(w)), {_HLL_RHO_CAP}) END AS rho
+  FROM tagged
+), regs_src AS (
+  SELECT source, idx, MAX(rho) AS r FROM rho_t GROUP BY 1, 2
+), regs AS (
+  SELECT source, idx, r FROM regs_src
+  UNION ALL
+  SELECT '__ALL__' AS source, idx, MAX(r) AS r FROM regs_src GROUP BY 2
+)
+SELECT source AS g,
+       ({_HLL_M} - COUNT(*))::BIGINT AS n_zero_registers,
+       SUM(r)::BIGINT AS sum_rho,
+       ({_HLL_NUM}::BIGINT // (1000 *
+          (SUM(1::BIGINT << ({_HLL_RHO_CAP} - r)::INT)
+           + ({_HLL_M} - COUNT(*)) * {1 << _HLL_RHO_CAP})))::BIGINT
+         AS est_milli
+FROM regs GROUP BY 1
+ORDER BY g
+"""
+
+
 _MERGE_UPSERT_SQL = f"""
 WITH sliced AS (
   SELECT doc_id, lang, source, n_chars FROM documents
@@ -3265,6 +3353,7 @@ QUERIES = {
     "contamination_bloom": contamination_bloom,
     "source_distinct_hll": source_distinct_hll,
     "corpus_merge_upsert": corpus_merge_upsert,
+    "incremental_distinct_hll": incremental_distinct_hll,
     "count_min_tokens": count_min_tokens,
     "corpus_change_feed": corpus_change_feed,
     "source_length_drift": source_length_drift,
@@ -3308,6 +3397,7 @@ ORACLES = {
     "contamination_bloom": _bloom_sql(),
     "source_distinct_hll": _HLL_SQL,
     "corpus_merge_upsert": _MERGE_UPSERT_SQL,
+    "incremental_distinct_hll": _HLL_INC_SQL,
     "count_min_tokens": _cm_sql(),
     "corpus_change_feed": _CHANGE_FEED_SQL,
     "source_length_drift": _LDRIFT_SQL,

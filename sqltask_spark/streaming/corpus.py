@@ -454,6 +454,57 @@ def ivf_index_ingest_sink(
     return ingest
 
 
+def hll_store_sink(
+    store_path: str,
+    group_col: str = "source",
+    text_col: str = "text",
+):
+    """``foreachBatch`` sink folding each micro-batch's HLL register
+    state into the persistent sketch table
+    (:mod:`sqltask_spark.operators.sketch_store`) — incremental
+    distinct-document counts per source over an unbounded stream,
+    with state bounded by groups × 256 registers forever.
+
+    Exactly-once WITHOUT any ledger: the register fold is an
+    element-wise MAX, which is idempotent and commutative — a
+    redelivered, replayed, or reordered epoch converges to the same
+    state by the lattice algebra (the CRDT argument). No ledger id is
+    passed at all: epoch ids restart on fresh checkpoints, and a
+    ledger hit would silently SKIP a colliding epoch's genuinely new
+    registers — the exact hazard the row-upsert sinks needed content
+    fingerprints for. Here the always-run fold is both correct and
+    cheap (state-sized work), so the ledger would add risk and save
+    nothing. Contrast the row-upsert sinks, where row replacement is
+    neither idempotent nor commutative.
+    """
+    from pyspark.sql import functions as F
+
+    from sqltask_spark.operators import index_fs
+    from sqltask_spark.operators.sketch_store import (
+        create_hll_store,
+        hll_register_rows,
+        update_hll_store,
+    )
+    from sqltask_spark.operators.text import fingerprint_md5
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        regs = hll_register_rows(
+            batch_df.filter(F.col(text_col).isNotNull()).select(
+                F.col(group_col),
+                fingerprint_md5(F.col(text_col)).alias("fp"),
+            ),
+            group_col,
+            "fp",
+        )
+        if index_fs.read_manifest(spark, store_path) is None:
+            create_hll_store(regs, store_path)
+        else:
+            update_hll_store(spark, store_path, regs)
+
+    return ingest
+
+
 def minhash_index_cdc_sink(
     index_path: str,
     id_col: str = "doc_id",

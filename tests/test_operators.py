@@ -3496,3 +3496,69 @@ def test_source_length_drift_planted(spark, tmp_path):
     assert got["A"]["l1_drift_micro"] == 0
     assert got["B"]["l1_drift_micro"] == 2_000_000
     assert got["B"]["n_buckets"] == 2
+
+
+def test_hll_store_incremental_equals_direct(spark, tables, tmp_path):
+    """The persistent sketch-state loop: registers folded in TWO
+    incremental updates (element-wise max through the merge table)
+    equal a direct single-pass computation — max is associative — and
+    replaying an update changes nothing (idempotent). Time travel
+    reads the pre-update sketch state."""
+    from pyspark.sql import functions as F
+
+    from sqltask_spark.operators.sketch_store import (
+        create_hll_store,
+        hll_register_rows,
+        read_hll_estimates,
+        update_hll_store,
+    )
+    from sqltask_spark.operators.text import fingerprint_md5
+
+    docs = tables["documents"].filter(F.col("text").isNotNull())
+    base = docs.select(
+        "doc_id", "source", fingerprint_md5(F.col("text")).alias("fp")
+    )
+    store = str(tmp_path / "hll")
+
+    def est(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    create_hll_store(
+        hll_register_rows(
+            base.filter(F.col("doc_id") % 2 == 0), "source", "fp"
+        ),
+        store,
+    )
+    b = hll_register_rows(
+        base.filter(F.col("doc_id") % 2 == 1), "source", "fp"
+    )
+    update_hll_store(spark, store, b)
+    got = est(read_hll_estimates(spark, store))
+    # replay (no ledger): max-fold no-op, state identical
+    update_hll_store(spark, store, b)
+    assert est(read_hll_estimates(spark, store)) == got
+    # direct single-pass state over the whole corpus
+    direct = str(tmp_path / "hll_direct")
+    create_hll_store(hll_register_rows(base, "source", "fp"), direct)
+    assert est(read_hll_estimates(spark, direct)) == got
+    # out-of-order fold converges to the same state (commutative)
+    rev = str(tmp_path / "hll_rev")
+    create_hll_store(b, rev)
+    update_hll_store(
+        spark, rev,
+        hll_register_rows(
+            base.filter(F.col("doc_id") % 2 == 0), "source", "fp"
+        ),
+    )
+    assert est(read_hll_estimates(spark, rev)) == got
+    # time travel: version 0 is the half-A-only state
+    half_a_only = str(tmp_path / "hll_a")
+    create_hll_store(
+        hll_register_rows(
+            base.filter(F.col("doc_id") % 2 == 0), "source", "fp"
+        ),
+        half_a_only,
+    )
+    assert est(read_hll_estimates(spark, store, as_of=0)) == est(
+        read_hll_estimates(spark, half_a_only)
+    )

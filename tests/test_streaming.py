@@ -1163,6 +1163,77 @@ def test_ivf_ingest_sink_auto_maintenance(spark, sf_dir, tmp_path):
     assert index_fs.read_manifest(spark, idx)["_seq"] == seq
 
 
+def test_hll_store_sink_stream_replay_converges(spark, sf_dir, tmp_path):
+    """Streaming sketch-state ingest: two epochs fold their register
+    states into the persistent table; a full replay from a fresh
+    checkpoint converges to the IDENTICAL state with no ledger at all
+    (element-wise max is idempotent + commutative), and the final
+    estimates equal a direct batch computation over all streamed
+    docs."""
+    from sqltask_spark.operators.sketch_store import (
+        create_hll_store,
+        hll_register_rows,
+        read_hll_estimates,
+    )
+    from sqltask_spark.operators.text import fingerprint_md5
+    from sqltask_spark.streaming.corpus import hll_store_sink
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "source", "text")
+        .limit(200)
+        .cache()
+    )
+    src = tmp_path / "hll_stream_in"
+    for i in range(2):
+        docs.filter(F.col("doc_id") % 2 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+    store = str(tmp_path / "hll_stream_store")
+
+    def run_stream():
+        q = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .writeStream.foreachBatch(
+                hll_store_sink(store, "source", "text")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_stream()
+
+    def est():
+        return sorted(
+            tuple(r)
+            for r in read_hll_estimates(spark, store).collect()
+        )
+
+    got = est()
+    run_stream()  # fresh checkpoint, full replay
+    assert est() == got
+    direct = str(tmp_path / "hll_stream_direct")
+    create_hll_store(
+        hll_register_rows(
+            docs.select(
+                "source", fingerprint_md5(F.col("text")).alias("fp")
+            ),
+            "source",
+            "fp",
+        ),
+        direct,
+    )
+    assert est() == sorted(
+        tuple(r)
+        for r in read_hll_estimates(spark, direct).collect()
+    )
+    docs.unpersist()
+
+
 def test_minhash_index_cdc_sink_inband_takedowns(spark, tmp_path):
     """CDC ingest with in-band takedowns: epoch 1 admits a novel doc;
     epoch 2 TOMBSTONES it and carries its near-duplicate in the same
