@@ -200,6 +200,83 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def have_tws_runtime() -> bool:
+    """``transformWithStateInPandas`` needs the protobuf package for
+    its state-server protocol; absent it, the driver worker crashes
+    at init. Gate callers on this instead of failing mid-stream."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def stateful_user_totals_tws(events: DataFrame) -> DataFrame:
+    """Per-user running totals on Spark 4's
+    ``transformWithStateInPandas`` — the successor API to
+    ``applyInPandasWithState`` (typed named state variables with
+    per-state TTL, timers, initial-state hydration). Semantics are
+    pinned IDENTICAL to :func:`stateful_user_totals` by a parity
+    pytest (runs where the protobuf runtime dependency exists —
+    :func:`have_tws_runtime`; raises ``NotImplementedError``
+    otherwise instead of crashing the query mid-stream). The fold is
+    order-independent (sum/count/max), so Arrow chunking never
+    matters here; operators that fold order-sensitively must
+    concatenate chunks first (see :func:`scd2_state_stream`).
+
+    Kept alongside the applyInPandasWithState form deliberately: the
+    engine demonstrates BOTH stateful APIs, and the older one remains
+    the right call where a single untyped tuple is the whole state —
+    and it has no extra runtime dependency.
+    """
+    if not have_tws_runtime():
+        raise NotImplementedError(
+            "transformWithStateInPandas requires the protobuf package"
+            " (pip install protobuf); use stateful_user_totals (the"
+            " applyInPandasWithState form) in this environment"
+        )
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            got = self._state.get()
+            n, total, last = got if got is not None else (0, 0.0, None)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                batch_max = pdf["ts"].max()
+                last = (
+                    batch_max if last is None else max(last, batch_max)
+                )
+            self._state.update((n, total, last))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "last_seen": [last],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_Totals(),
+        outputStructType=USER_STATS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 SCD2_STATE_SCHEMA = "state STRING, valid_from TIMESTAMP, version INT"
 SCD2_OUT_SCHEMA = (
     "user_id BIGINT, state STRING, valid_from TIMESTAMP, "

@@ -84,6 +84,51 @@ def test_stateful_user_totals(spark, tables, events_dir):
     assert got == want
 
 
+def test_stateful_user_totals_tws_parity(spark, tables, events_dir):
+    """Spark 4 transformWithStateInPandas exemplar: typed ValueState
+    running totals emit the SAME final per-user numbers as the
+    applyInPandasWithState form on the same micro-batch sequence.
+    Runs the real parity check where the protobuf runtime dep exists;
+    elsewhere pins the honest NotImplementedError gate."""
+    import pytest
+
+    from sqltask_spark.streaming.events import (
+        have_tws_runtime,
+        stateful_user_totals_tws,
+    )
+
+    stream = streaming_source(spark, events_dir)
+    if not have_tws_runtime():
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            stateful_user_totals_tws(stream)
+        return
+    result = stateful_user_totals_tws(stream)
+    run_stream_to_memory(
+        result, "user_totals_tws_out", output_mode="update"
+    )
+    final = spark.sql(
+        """
+        SELECT user_id, n_events, total_value FROM (
+          SELECT user_id, n_events, total_value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY n_events DESC) AS rn
+          FROM user_totals_tws_out) WHERE rn = 1
+        """
+    )
+    got = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+        for r in final.collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], round(r["tv"], 6))
+        for r in tables["events"].groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("tv"),
+        ).collect()
+    }
+    assert got == want
+
+
 def test_dedup_events_stream(spark, tables, events_dir):
     from sqltask_spark.streaming.events import dedup_events_stream
 
