@@ -93,6 +93,7 @@ HEADLINE = [
     "bpe_learn_distributed",
     "source_weighted_median_chars",
     "incremental_distinct_hll",
+    "incremental_count_min",
 ]
 
 # Probe-class tags (r8 judge "what's wrong #2"): the three calibration

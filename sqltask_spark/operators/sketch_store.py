@@ -116,6 +116,145 @@ def update_hll_store(
     )
 
 
+CM_D = 2
+CM_W = 4096
+
+
+def cm_cell_rows(
+    census: DataFrame, group_col: str, token_col: str, count_col: str
+) -> DataFrame:
+    """Count-Min grid cells (g, j, p, cnt) from a token census —
+    d=2 md5-long hash rows × w=4096 counters (the
+    ``count_min_tokens`` family), at most groups × d × w rows."""
+    from sqltask_spark.operators.retrieval import md5_long
+
+    def pos(j: int):
+        return F.pmod(
+            md5_long(F.concat(F.lit(f"cm:{j}:"), F.col(token_col))),
+            F.lit(CM_W),
+        )
+
+    return (
+        census.select(
+            F.col(group_col).cast("string").alias("g"),
+            F.col(count_col).alias("c"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(j).alias("j"), pos(j).alias("p"))
+                        for j in range(CM_D)
+                    ]
+                )
+            ).alias("cell"),
+        )
+        .groupBy(
+            "g", F.col("cell.j").alias("j"), F.col("cell.p").alias("p")
+        )
+        .agg(F.sum("c").cast("long").alias("cnt"))
+    )
+
+
+def create_cm_store(cells: DataFrame, path: str) -> None:
+    """Materialize (g, j, p, cnt) grid cells as version 0 of a
+    Count-Min state table."""
+    from sqltask_spark.operators.merge import create_parquet_table
+
+    create_parquet_table(cells.select("g", "j", "p", "cnt"), path)
+
+
+def update_cm_store(
+    spark: SparkSession,
+    path: str,
+    cells: DataFrame,
+    batch_id: str,
+) -> dict:
+    """Fold a batch's grid cells into the persisted state by
+    element-wise SUM — and here the ledger is MANDATORY, the exact
+    inverse of the HLL store's algebra: summation is associative and
+    commutative but NOT idempotent, so a redelivered batch would
+    silently double-count every colliding cell. ``batch_id`` must
+    uniquely identify the batch CONTENT (use
+    :func:`sqltask_spark.data.content_fingerprint` for streaming
+    epochs); a ledgered id makes the retry a manifest-read no-op.
+    """
+    if not batch_id:
+        raise ValueError(
+            "update_cm_store requires a batch_id: the sum fold is not"
+            " idempotent — an unledgered redelivery double-counts"
+        )
+    from sqltask_spark.operators.merge import (
+        merge_into_parquet,
+        read_parquet_table,
+    )
+
+    stored = read_parquet_table(spark, path).select(
+        "g", "j", "p", F.col("cnt").alias("c_old")
+    )
+    batch = cells.select("g", "j", "p", F.col("cnt").alias("c_new"))
+    merged = stored.join(batch, ["g", "j", "p"], "full_outer").select(
+        "g",
+        "j",
+        "p",
+        (
+            F.coalesce("c_old", F.lit(0))
+            + F.coalesce("c_new", F.lit(0))
+        )
+        .cast("long")
+        .alias("cnt"),
+    )
+    return merge_into_parquet(
+        spark, path, merged, ["g", "j", "p"], batch_id=batch_id
+    )
+
+
+def read_cm_estimates(
+    spark: SparkSession,
+    path: str,
+    probes: DataFrame,
+    group_col: str,
+    token_col: str,
+    as_of: int | None = None,
+) -> DataFrame:
+    """Frequency estimates for probe tokens from the persisted grid:
+    min over the d row counters — the one-sided CM guarantee
+    (estimate ≥ true count). The grid is broadcast-small by
+    construction (≤ groups × d × w rows)."""
+    from sqltask_spark.operators.merge import read_parquet_table
+    from sqltask_spark.operators.retrieval import md5_long
+
+    grid = read_parquet_table(spark, path, as_of=as_of)
+
+    def pos(j: int):
+        return F.pmod(
+            md5_long(F.concat(F.lit(f"cm:{j}:"), F.col(token_col))),
+            F.lit(CM_W),
+        )
+
+    probe_cells = probes.select(
+        F.col(group_col).cast("string").alias("g"),
+        F.col(token_col).alias("tok"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), pos(j).alias("p"))
+                    for j in range(CM_D)
+                ]
+            )
+        ).alias("cell"),
+    ).select(
+        "g", "tok", F.col("cell.j").alias("j"), F.col("cell.p").alias("p")
+    )
+    return (
+        probe_cells.join(F.broadcast(grid), ["g", "j", "p"], "left")
+        .groupBy("g", "tok")
+        .agg(
+            F.min(F.coalesce("cnt", F.lit(0)))
+            .cast("long")
+            .alias("cm_estimate")
+        )
+    )
+
+
 def read_hll_estimates(
     spark: SparkSession, path: str, as_of: int | None = None
 ) -> DataFrame:

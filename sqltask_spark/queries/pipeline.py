@@ -3254,6 +3254,89 @@ def incremental_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+# --------------------------------------------------------------------------
+# incremental_count_min — the NON-idempotent half of the sketch-state
+# story: CM grids merge by element-wise SUM, so unlike the HLL store
+# (max = idempotent lattice, ledger-free) a replayed batch would
+# double-count — the update path REQUIRES the batch ledger, and this
+# certificate replays the half-B fold to prove the ledger no-ops it
+# (a double-count would shift every estimate and break the hash).
+# Sum associativity makes the incremental grid over half∪half
+# bit-identical to the direct whole-corpus grid, so the DIRECT
+# oracle (_cm_sql, shared with count_min_tokens) hash-checks the
+# incremental path.
+# --------------------------------------------------------------------------
+
+def incremental_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from sqltask_spark.operators.sketch_store import (
+        cm_cell_rows,
+        create_cm_store,
+        read_cm_estimates,
+        update_cm_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+
+    def census(half: int) -> DataFrame:
+        return (
+            docs.filter(F.pmod("doc_id", F.lit(2)) == half)
+            .select(F.explode(tx.tokenize(F.col("text"))).alias("tok"))
+            .filter(F.col("tok") != "")
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("g", F.lit("__ALL__"))
+        )
+
+    tmp = tempfile.mkdtemp(prefix="cm_store_")
+    store = f"{tmp}/store"
+    try:
+        create_cm_store(
+            cm_cell_rows(census(0), "g", "tok", "c"), store
+        )
+        b = cm_cell_rows(census(1), "g", "tok", "c")
+        update_cm_store(spark, store, b, batch_id="half-b")
+        # replay: the ledger MUST no-op this (sum is not idempotent —
+        # a double-count would break the driver hash)
+        update_cm_store(spark, store, b, batch_id="half-b")
+        whole = (
+            docs.select(
+                F.explode(tx.tokenize(F.col("text"))).alias("tok")
+            )
+            .filter(F.col("tok") != "")
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        top = (
+            whole.orderBy(F.col("c").desc(), F.col("tok").asc())
+            .limit(_CM_TOP)
+            .withColumn("g", F.lit("__ALL__"))
+        )
+        est = read_cm_estimates(spark, store, top, "g", "tok")
+        out = (
+            top.join(est.drop("g"), "tok")
+            .select(
+                "tok",
+                F.col("c").cast("long").alias("n_exact"),
+                "cm_estimate",
+                (F.col("cm_estimate") - F.col("c"))
+                .cast("long")
+                .alias("overcount"),
+            )
+            .orderBy(F.col("n_exact").desc(), F.col("tok").asc())
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema).orderBy(
+            F.col("n_exact").desc(), F.col("tok").asc()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 _HLL_INC_SQL = f"""
 WITH base AS MATERIALIZED (
   SELECT DISTINCT source, md5({_NORM}) AS fp
@@ -3354,6 +3437,7 @@ QUERIES = {
     "source_distinct_hll": source_distinct_hll,
     "corpus_merge_upsert": corpus_merge_upsert,
     "incremental_distinct_hll": incremental_distinct_hll,
+    "incremental_count_min": incremental_count_min,
     "count_min_tokens": count_min_tokens,
     "corpus_change_feed": corpus_change_feed,
     "source_length_drift": source_length_drift,
@@ -3398,6 +3482,7 @@ ORACLES = {
     "source_distinct_hll": _HLL_SQL,
     "corpus_merge_upsert": _MERGE_UPSERT_SQL,
     "incremental_distinct_hll": _HLL_INC_SQL,
+    "incremental_count_min": _cm_sql(),
     "count_min_tokens": _cm_sql(),
     "corpus_change_feed": _CHANGE_FEED_SQL,
     "source_length_drift": _LDRIFT_SQL,

@@ -3562,3 +3562,77 @@ def test_hll_store_incremental_equals_direct(spark, tables, tmp_path):
     assert est(read_hll_estimates(spark, store, as_of=0)) == est(
         read_hll_estimates(spark, half_a_only)
     )
+
+
+def test_cm_store_requires_ledger_and_folds_exactly(spark, tables, tmp_path):
+    """The Count-Min store is the NON-idempotent contrast to the HLL
+    store: sum-fold needs the batch ledger. Incremental fold of two
+    halves equals the direct whole-corpus grid; a ledgered replay is
+    a no-op; an UNLEDGERED call without a batch_id is rejected
+    loudly; and a replay under a DIFFERENT id really would
+    double-count — demonstrating exactly why the ledger is
+    mandatory."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sqltask_spark.operators.sketch_store import (
+        cm_cell_rows,
+        create_cm_store,
+        read_cm_estimates,
+        update_cm_store,
+    )
+    from sqltask_spark.operators.text import tokenize
+
+    docs = tables["documents"].filter(F.col("text").isNotNull()).limit(200)
+
+    def census(pred):
+        return (
+            docs.filter(pred)
+            .select(F.explode(tokenize(F.col("text"))).alias("tok"))
+            .filter(F.col("tok") != "")
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("g", F.lit("__ALL__"))
+        )
+
+    store = str(tmp_path / "cm")
+    create_cm_store(
+        cm_cell_rows(census(F.col("doc_id") % 2 == 0), "g", "tok", "c"),
+        store,
+    )
+    b = cm_cell_rows(
+        census(F.col("doc_id") % 2 == 1), "g", "tok", "c"
+    ).persist()
+    update_cm_store(spark, store, b, batch_id="half-b")
+    probes = census(F.lit(True)).orderBy(
+        F.col("c").desc(), F.col("tok").asc()
+    ).limit(10)
+
+    def est(path):
+        return sorted(
+            (r["tok"], r["cm_estimate"])
+            for r in read_cm_estimates(
+                spark, path, probes, "g", "tok"
+            ).collect()
+        )
+
+    got = est(store)
+    # direct whole-corpus grid
+    direct = str(tmp_path / "cm_direct")
+    create_cm_store(
+        cm_cell_rows(census(F.lit(True)), "g", "tok", "c"), direct
+    )
+    assert got == est(direct)
+    # ledgered replay: no-op
+    update_cm_store(spark, store, b, batch_id="half-b")
+    assert est(store) == got
+    # no batch_id: rejected loudly
+    with pytest.raises(ValueError, match="not.*idempotent"):
+        update_cm_store(spark, store, b, batch_id="")
+    # a replay smuggled under a NEW id double-counts — the hazard the
+    # ledger exists to stop (estimates only ever grow: one-sided)
+    update_cm_store(spark, store, b, batch_id="half-b-again")
+    doubled = est(store)
+    assert doubled != got
+    assert all(d >= g for (_, d), (_, g) in zip(doubled, got))
+    b.unpersist()
