@@ -66,21 +66,36 @@ def ensure_runtime_confs(spark: SparkSession) -> None:
 
 def content_fingerprint(df: DataFrame, cols: list[str]) -> str:
     """Order-independent content fingerprint of ``df[cols]`` —
-    ``{row count}:{hex XOR of per-row xxhash64}``. One map-side-
-    combined pass; used by the streaming sinks to key idempotency
-    ledgers by WHAT an epoch carries, not just its restart-fragile
-    epoch number."""
+    ``{row count}:{hex XOR of per-row xxhash64}:{hex SUM mod 2^64}``.
+    One map-side-combined pass; used by the streaming sinks to key
+    idempotency ledgers by WHAT an epoch carries, not just its
+    restart-fragile epoch number.
+
+    XOR alone is NOT multiset-sensitive — any row appearing an even
+    number of times cancels out, so two different batches could
+    collide (e.g. {a,b,b} vs {a,c,c}); the modular SUM component
+    breaks exactly that class (summed in DECIMAL(38,0) because ANSI
+    mode makes BIGINT SUM overflow an error, then reduced mod 2^64).
+    """
     from pyspark.sql import functions as F
 
-    agg = df.agg(
-        F.count(F.lit(1)).alias("n"),
+    hashed = df.select(
         F.expr(
-            "bit_xor(xxhash64("
-            + ", ".join(f"`{c}`" for c in cols)
-            + "))"
-        ).alias("x"),
+            "xxhash64(" + ", ".join(f"`{c}`" for c in cols) + ")"
+        ).alias("__h")
+    )
+    agg = hashed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_xor(__h)").alias("x"),
+        F.expr(
+            "CAST(pmod(sum(CAST(__h AS DECIMAL(38,0))),"
+            " CAST(18446744073709551616 AS DECIMAL(38,0)))"
+            " AS DECIMAL(38,0))"
+        ).alias("s"),
     ).collect()[0]
-    return f"{agg['n']}:{(agg['x'] or 0) & 0xFFFFFFFFFFFFFFFF:x}"
+    x = (agg["x"] or 0) & 0xFFFFFFFFFFFFFFFF
+    s = int(agg["s"] or 0) & 0xFFFFFFFFFFFFFFFF
+    return f"{agg['n']}:{x:x}:{s:x}"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -80,7 +80,10 @@ def grouped_sum_udaf():
 
     @pandas_udf(LongType())
     def wsum(weights: pd.Series) -> int:
-        return int(weights.sum())
+        w = weights.dropna()
+        if not len(w):
+            return None  # all-NULL group, like built-in SUM
+        return int(w.sum())
 
     return wsum
 

@@ -139,7 +139,7 @@ def parquet_table_health(spark: SparkSession, path: str) -> dict:
     count since the retention boundary. Manifest + file-status reads
     only; no data is scanned."""
     from sqltask_spark.operators import index_fs
-    from sqltask_spark.operators.merge import _abs_files
+    from sqltask_spark.operators.merge import _data_dir
 
     m = index_fs.read_manifest(spark, path)
     if m is None:
@@ -147,12 +147,24 @@ def parquet_table_health(spark: SparkSession, path: str) -> dict:
     files = m.get("files", [])
     total = 0
     if files:
+        # ONE listStatus per generation directory, not one
+        # getFileStatus RPC per file — on object stores the per-file
+        # form costs tens of ms × n_files per maintenance check,
+        # which would contradict the cheap-no-op contract
+        by_gen: dict[str, set[str]] = {}
+        for rel in files:
+            gen, _, name = rel.partition("/")
+            by_gen.setdefault(gen, set()).add(name)
         fs, _ = index_fs._fs(spark, path)
         jvm = spark._jvm
-        for f in _abs_files(path, files):
-            total += fs.getFileStatus(
-                jvm.org.apache.hadoop.fs.Path(f)
-            ).getLen()
+        for gen, names in by_gen.items():
+            for st in fs.listStatus(
+                jvm.org.apache.hadoop.fs.Path(
+                    f"{_data_dir(path)}/{gen}"
+                )
+            ):
+                if st.getPath().getName() in names:
+                    total += st.getLen()
     return {
         "n_files": len(files),
         "total_bytes": total,
@@ -222,6 +234,17 @@ def rebuild_ivf_on_drift(
     from sqltask_spark.operators import ann_index as ai
 
     stats = ai.ivf_occupancy_stats(spark, path).collect()[0]
+    if not stats["n_vectors"]:
+        # fully tombstoned/empty index: nothing to retrain on (the
+        # census is empty and concentration is NULL) — a no-op, not
+        # a crash, so a streaming drift hook survives a total purge
+        return {
+            "n_cells_used": 0,
+            "n_vectors": 0,
+            "max_occupancy": 0,
+            "concentration_micro": 0,
+            "rebuilt": False,
+        }
     drifted = (
         int(stats["concentration_micro"]) > max_concentration_micro
     )

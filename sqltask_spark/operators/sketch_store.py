@@ -120,19 +120,31 @@ CM_D = 2
 CM_W = 4096
 
 
+def cm_pos(j: int, token_col: str):
+    """THE Count-Min cell function — md5-long of ``cm:{j}:{token}``
+    mod w. Single definition shared by the grid WRITE path
+    (:func:`cm_cell_rows`), the probe READ path
+    (:func:`read_cm_estimates`), and the ``count_min_tokens``
+    catalog entry: the two sides must agree bit-for-bit or estimates
+    go wrong-but-plausible (min-over-rows still returns numbers), so
+    divergence is made impossible rather than merely tested."""
+    from sqltask_spark.operators.retrieval import md5_long
+
+    return F.pmod(
+        md5_long(F.concat(F.lit(f"cm:{j}:"), F.col(token_col))),
+        F.lit(CM_W),
+    )
+
+
 def cm_cell_rows(
     census: DataFrame, group_col: str, token_col: str, count_col: str
 ) -> DataFrame:
     """Count-Min grid cells (g, j, p, cnt) from a token census —
     d=2 md5-long hash rows × w=4096 counters (the
     ``count_min_tokens`` family), at most groups × d × w rows."""
-    from sqltask_spark.operators.retrieval import md5_long
 
     def pos(j: int):
-        return F.pmod(
-            md5_long(F.concat(F.lit(f"cm:{j}:"), F.col(token_col))),
-            F.lit(CM_W),
-        )
+        return cm_pos(j, token_col)
 
     return (
         census.select(
@@ -220,15 +232,11 @@ def read_cm_estimates(
     (estimate ≥ true count). The grid is broadcast-small by
     construction (≤ groups × d × w rows)."""
     from sqltask_spark.operators.merge import read_parquet_table
-    from sqltask_spark.operators.retrieval import md5_long
 
     grid = read_parquet_table(spark, path, as_of=as_of)
 
     def pos(j: int):
-        return F.pmod(
-            md5_long(F.concat(F.lit(f"cm:{j}:"), F.col(token_col))),
-            F.lit(CM_W),
-        )
+        return cm_pos(j, token_col)
 
     probe_cells = probes.select(
         F.col(group_col).cast("string").alias("g"),

@@ -2853,7 +2853,7 @@ _CM_TOP = 20
 
 def count_min_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sqltask_spark.data import materialize_and_release
-    from sqltask_spark.operators.retrieval import md5_long
+    from sqltask_spark.operators.sketch_store import cm_pos
 
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
@@ -2866,11 +2866,11 @@ def count_min_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     try:
+        # the ONE cell function, shared with the persistent CM store
+        # (operators/sketch_store.py) so write/read/entry can never
+        # diverge
         def pos(j: int):
-            return F.pmod(
-                md5_long(F.concat(F.lit(f"cm:{j}:"), F.col("tok"))),
-                F.lit(_CM_W),
-            )
+            return cm_pos(j, "tok")
 
         grid = (
             census.select(
@@ -3294,22 +3294,22 @@ def incremental_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tmp = tempfile.mkdtemp(prefix="cm_store_")
     store = f"{tmp}/store"
+    c0 = census(0).persist()
+    c1 = census(1).persist()
     try:
-        create_cm_store(
-            cm_cell_rows(census(0), "g", "tok", "c"), store
-        )
-        b = cm_cell_rows(census(1), "g", "tok", "c")
+        create_cm_store(cm_cell_rows(c0, "g", "tok", "c"), store)
+        b = cm_cell_rows(c1, "g", "tok", "c")
         update_cm_store(spark, store, b, batch_id="half-b")
         # replay: the ledger MUST no-op this (sum is not idempotent —
         # a double-count would break the driver hash)
         update_cm_store(spark, store, b, batch_id="half-b")
+        # the whole-corpus census is definitionally the SUM of the
+        # two half censuses — no third tokenize pass over the corpus
         whole = (
-            docs.select(
-                F.explode(tx.tokenize(F.col("text"))).alias("tok")
-            )
-            .filter(F.col("tok") != "")
+            c0.select("tok", "c")
+            .unionByName(c1.select("tok", "c"))
             .groupBy("tok")
-            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.sum("c").alias("c"))
         )
         top = (
             whole.orderBy(F.col("c").desc(), F.col("tok").asc())
@@ -3334,6 +3334,8 @@ def incremental_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_exact").desc(), F.col("tok").asc()
         )
     finally:
+        c0.unpersist()
+        c1.unpersist()
         shutil.rmtree(tmp, ignore_errors=True)
 
 

@@ -1145,7 +1145,13 @@ def source_weighted_median_chars(
     # pandas aggregate, keeping everything in ONE aggregation node.
     wsum = grouped_sum_udaf()
     return (
-        docs.select(
+        docs
+        # NULL-value rows carry no position in the distribution, so
+        # they are excluded from the percentile AND the total — the
+        # oracle applies the identical filter, keeping both engines'
+        # NULL semantics aligned by construction
+        .filter(F.col("n_chars").isNotNull())
+        .select(
             "source",
             F.col("n_chars").alias("v"),
             (F.lit(1) + F.col("doc_id") % 10).alias("w"),
@@ -1162,6 +1168,7 @@ def source_weighted_median_chars(
 _WEIGHTED_MEDIAN_SQL = """
 WITH t AS (
   SELECT source, n_chars AS v, 1 + (doc_id % 10) AS w FROM documents
+  WHERE n_chars IS NOT NULL
 ),
 tot AS (
   SELECT source, CAST(SUM(w) AS BIGINT) AS total_weight

@@ -83,20 +83,37 @@ def _build_merge_sql(
     qc: str,
     url: str,
 ) -> str:
-    """One ANSI ``MERGE`` statement, dialect-adjusted: MSSQL/Oracle/
-    DB2 reject bare-boolean predicates (no boolean predicate type;
-    BIT / NUMBER(1) need an explicit comparison) so the delete-flag
-    predicates become ``s.flag = 1`` / ``= 0`` for those URLs, and
-    MSSQL additionally requires a terminating semicolon on MERGE.
-    Derby/Postgres take the bare ANSI form."""
+    """One ``MERGE`` statement, dialect-adjusted where that is
+    actually sufficient — and a LOUD refusal where it is not:
+
+    - Derby/Postgres: the bare ANSI form (Derby live-tested).
+    - MSSQL: no boolean predicate type, so the delete-flag
+      predicates become ``s.flag = 1`` / ``= 0`` (BIT convention)
+      plus the required terminating semicolon. Generated
+      best-effort; no live engine in CI.
+    - Oracle/DB2: ``NotImplementedError``. Oracle's MERGE permits
+      exactly ONE ``WHEN MATCHED`` clause (DELETE only as ``DELETE
+      WHERE`` inside the UPDATE), requires a parenthesized ON, and
+      has no ``WHEN NOT MATCHED AND``; DB2 maps Spark BooleanType to
+      CHAR(1) so a ``= 1`` comparison is a type error — a syntactic
+      tweak cannot make this statement shape work there, and
+      emitting SQL those engines reject at parse time would be a
+      false claim of support."""
 
     def q(c: str) -> str:
         return _quote_ident(c, qc)
 
     low = url.lower()
-    numeric_bool = any(
-        d in low for d in (":sqlserver", ":oracle", ":db2")
-    )
+    if ":oracle" in low or ":db2" in low:
+        raise NotImplementedError(
+            "merge_batch supports Derby/Postgres (ANSI MERGE) and"
+            " MSSQL (generated, untested live); Oracle and DB2 need"
+            " a structurally different MERGE (single WHEN MATCHED"
+            " with DELETE WHERE, parenthesized ON, dialect boolean"
+            " mapping) that is not implemented — use write_batch or"
+            " write_batch_staged for those engines"
+        )
+    numeric_bool = ":sqlserver" in low
     on = " AND ".join(f"t.{q(k)} = s.{q(k)}" for k in key_cols)
     clauses = []
     if delete_col is not None:
@@ -378,14 +395,13 @@ class JdbcSink:
     ) -> None:
         """Upsert ``df`` into ``table_name``: stage + ONE driver-side
         ANSI ``MERGE`` transaction. Tested live on embedded Derby;
-        Postgres 15+ takes the identical ANSI form. MSSQL/Oracle/DB2
-        have no boolean predicate type, so for those URLs the
-        delete-flag predicates are emitted as ``s.flag = 1`` /
-        ``s.flag = 0`` (BIT / NUMBER(1) convention) and MSSQL gets
-        its required terminating semicolon — generated, but no live
-        engine exists in CI to exercise them. The JDBC face of the
-        engine's upsert story (:mod:`sqltask_spark.operators.merge`
-        is the lake face).
+        Postgres 15+ takes the identical ANSI form; MSSQL gets
+        ``s.flag = 1``/``= 0`` BIT predicates and its required
+        terminating semicolon (generated — no live engine in CI);
+        Oracle/DB2 raise ``NotImplementedError`` (their MERGE is
+        structurally different — see :func:`_build_merge_sql`). The
+        JDBC face of the engine's upsert story
+        (:mod:`sqltask_spark.operators.merge` is the lake face).
 
         Phases mirror :meth:`write_batch_staged`: (1) drop stale
         staging; (2) distributed append into the staging table — a

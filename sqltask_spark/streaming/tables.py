@@ -101,9 +101,13 @@ def merge_upsert_sink(
         fingerprint = content_fingerprint(src, keep)
         prefix = f"{app_id}:epoch-{epoch_id}"
         ledger_id = f"{prefix}#{fingerprint}"
-        committed = index_fs.read_manifest(
-            batch_df.sparkSession, table_path
-        ).get("batches", [])
+        m = index_fs.read_manifest(batch_df.sparkSession, table_path)
+        if m is None:
+            raise ValueError(
+                f"no committed table at {table_path} — create it"
+                " with create_parquet_table before streaming into it"
+            )
+        committed = m.get("batches", [])
         stale = [
             b for b in committed
             if b.split("#", 1)[0] == prefix and b != ledger_id

@@ -613,8 +613,14 @@ def test_merge_sql_dialect_predicates():
     assert 'WHEN MATCHED AND s."is_del" = 1 THEN DELETE' in ms
     assert 'AND s."is_del" = 0' in ms
     assert ms.endswith(";")
-    ora = _build_merge_sql(*args, "jdbc:oracle:thin:@h:1521:x")
-    assert 's."is_del" = 1' in ora and not ora.endswith(";")
+    # Oracle/DB2 need a structurally different MERGE — refusing is
+    # honest; emitting SQL they reject at parse time would not be
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="Oracle"):
+        _build_merge_sql(*args, "jdbc:oracle:thin:@h:1521:x")
+    with pytest.raises(NotImplementedError, match="DB2"):
+        _build_merge_sql(*args, "jdbc:db2://h/db")
     # no delete flag → no flag predicates anywhere, any dialect
     plain = _build_merge_sql(
         "tgt", "stg", ["k"], ["v"], ["k", "v"], None, '"',
