@@ -616,3 +616,66 @@ def test_rebuild_ivf_on_drift_policy(spark, sf_dir, tmp_path):
     assert int(
         ivf_occupancy_stats(spark, idx).first()["n_vectors"]
     ) == emb.count() + 64
+
+
+def test_sync_minhash_index_with_table_cdc(spark, tables, tmp_path):
+    """The index is a materialized view of the corpus table: after
+    merging inserts + updates + deletes into the table and syncing
+    the change feed, probing the synced index equals probing a FRESH
+    index built from the table's current state — and a re-run of the
+    same sync window is a no-op (idempotent mutations)."""
+    from sqltask_spark.operators import index_fs
+    from sqltask_spark.operators.index_sync import (
+        sync_minhash_index_with_table,
+    )
+    from sqltask_spark.operators.merge import (
+        create_parquet_table,
+        merge_into_parquet,
+        read_parquet_table,
+    )
+
+    docs = tables["documents"].select("doc_id", "text").limit(60)
+    tbl = str(tmp_path / "corpus_tbl")
+    idx = str(tmp_path / "corpus_idx")
+    create_parquet_table(docs, tbl)
+    build_minhash_index(docs, idx)
+    v0 = index_fs.read_manifest(spark, tbl)["_seq"]
+
+    # mutate the table: delete one doc, rewrite another, insert a novel
+    some = [r["doc_id"] for r in docs.orderBy("doc_id").limit(2).collect()]
+    changes = spark.createDataFrame(
+        [
+            (some[0], None, True),                       # delete
+            (some[1], NOVEL + " rewritten", False),      # update
+            (990001, NOVEL, False),                      # insert
+        ],
+        "doc_id long, text string, is_del boolean",
+    )
+    merge_into_parquet(
+        spark, tbl, changes, ["doc_id"], delete_col="is_del"
+    )
+
+    r = sync_minhash_index_with_table(
+        spark, tbl, idx, "doc_id", "text", from_seq=v0
+    )
+    assert r == {
+        "tombstoned": 2, "inserted": 1, "updated": 1, "compacted": True,
+    }
+    current = read_parquet_table(spark, tbl)
+    fresh = str(tmp_path / "fresh_idx")
+    build_minhash_index(current, fresh)
+    probe = current.unionByName(
+        spark.createDataFrame(
+            [(990002, NOVEL + " probe")], "doc_id long, text string"
+        )
+    )
+    assert _mh_canon(spark, idx, probe) == _mh_canon(spark, fresh, probe)
+    # same window again: deletes and inserts no-op outright; the
+    # update is RE-APPLIED (tombstone + re-append of the identical
+    # post-image) but the state CONVERGES — probe unchanged
+    r2 = sync_minhash_index_with_table(
+        spark, tbl, idx, "doc_id", "text", from_seq=v0
+    )
+    assert r2["inserted"] == 0
+    assert r2["tombstoned"] == 1 and r2["updated"] == 1  # the update id
+    assert _mh_canon(spark, idx, probe) == _mh_canon(spark, fresh, probe)
