@@ -92,3 +92,61 @@ def sync_minhash_index_with_table(
         }
     finally:
         changes.unpersist()
+
+
+def sync_ivf_index_with_table(
+    spark: SparkSession,
+    table_path: str,
+    index_path: str,
+    id_col: str,
+    vec_col: str,
+    from_seq: int,
+    to_seq: int | None = None,
+) -> dict:
+    """The vector symmetry: apply an embeddings table's change feed
+    to the persistent IVF index — deletes tombstone, inserts append
+    under the FROZEN quantizer, updates tombstone + compact +
+    re-append (the same LSM id-reuse rule as the MinHash sync).
+    Distribution drift introduced by the synced batches is the
+    monitored quantity, not this operator's job — run
+    :func:`~sqltask_spark.operators.index_maintenance.
+    rebuild_ivf_on_drift` on its own cadence. Re-running a window
+    converges (updates re-applied, same state)."""
+    from sqltask_spark.operators.ann_index import (
+        append_to_ivf_index,
+        compact_ivf_index,
+        delete_from_ivf_index,
+    )
+    from sqltask_spark.operators.merge import table_changes
+
+    changes = table_changes(
+        spark, table_path, [id_col], from_seq, to_seq
+    ).persist()
+    try:
+        gone = changes.filter(
+            F.col("_change_type").isin("delete", "update_preimage")
+        ).select(id_col)
+        n_tombstoned = delete_from_ivf_index(index_path, gone, id_col)
+        inserts = changes.filter(
+            F.col("_change_type") == "insert"
+        ).select(id_col, vec_col)
+        n_inserted = append_to_ivf_index(
+            index_path, inserts, id_col, vec_col
+        )
+        updates = changes.filter(
+            F.col("_change_type") == "update_postimage"
+        ).select(id_col, vec_col)
+        n_updated = 0
+        if updates.limit(1).count():
+            compact_ivf_index(spark, index_path)
+            n_updated = append_to_ivf_index(
+                index_path, updates, id_col, vec_col
+            )
+        return {
+            "tombstoned": n_tombstoned,
+            "inserted": n_inserted,
+            "updated": n_updated,
+            "compacted": bool(n_updated),
+        }
+    finally:
+        changes.unpersist()

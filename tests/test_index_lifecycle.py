@@ -679,3 +679,79 @@ def test_sync_minhash_index_with_table_cdc(spark, tables, tmp_path):
     assert r2["inserted"] == 0
     assert r2["tombstoned"] == 1 and r2["updated"] == 1  # the update id
     assert _mh_canon(spark, idx, probe) == _mh_canon(spark, fresh, probe)
+
+
+def test_sync_ivf_index_with_table_cdc(spark, sf_dir, tmp_path):
+    """IVF symmetry of the CDC sync: after merging vector inserts +
+    updates + deletes into the embeddings table and syncing, probing
+    the synced index equals probing a fresh build over the table's
+    current state (same frozen-quantizer params)."""
+    from sqltask_spark.operators import index_fs
+    from sqltask_spark.operators.index_sync import (
+        sync_ivf_index_with_table,
+    )
+    from sqltask_spark.operators.merge import (
+        create_parquet_table,
+        merge_into_parquet,
+        read_parquet_table,
+    )
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .limit(100)
+    )
+    tbl = str(tmp_path / "emb_tbl")
+    idx = str(tmp_path / "emb_idx")
+    create_parquet_table(emb, tbl)
+    build_ivf_index(emb, idx, "vec_id", "embedding", n_cells=16)
+    v0 = index_fs.read_manifest(spark, tbl)["_seq"]
+
+    two = emb.orderBy("vec_id").limit(2).collect()
+    dim = len(two[0]["embedding"])
+    # unique directions: the flipped update anti-aligns with every
+    # vector parallel to its original; the ramp insert is parallel to
+    # nothing in the synthetic data — so both own their score-1 hit
+    upd_vec = [float(x) * -1.0 for x in two[1]["embedding"]]
+    new_vec = [0.5 + 0.01 * i for i in range(dim)]
+    changes = spark.createDataFrame(
+        [
+            (two[0]["vec_id"], None, True),       # delete
+            (two[1]["vec_id"], upd_vec, False),   # update (flipped)
+            (990001, new_vec, False),             # insert (clone)
+        ],
+        "vec_id long, embedding array<float>, is_del boolean",
+    )
+    merge_into_parquet(
+        spark, tbl, changes, ["vec_id"], delete_col="is_del"
+    )
+    r = sync_ivf_index_with_table(
+        spark, tbl, idx, "vec_id", "embedding", from_seq=v0
+    )
+    assert r == {
+        "tombstoned": 2, "inserted": 1, "updated": 1, "compacted": True,
+    }
+    current = read_parquet_table(spark, tbl)
+    # the probe excludes self-matches by design, so probe with TWIN
+    # ids carrying the exact synced vectors: each must find its
+    # synced original at cosine 1.0 (unique directions — see above)
+    q = spark.createDataFrame(
+        [(555001, new_vec), (555002, upd_vec)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r2["query_id"], r2["neighbor_id"]): r2["score"]
+        for r2 in probe_ivf_index(
+            spark, idx, q, "vec_id", "embedding", k=5, n_probe=16
+        ).collect()
+    }
+    assert got[(555001, 990001)] == 1.0           # insert landed
+    assert got[(555002, two[1]["vec_id"])] == 1.0  # update landed
+    # the deleted vector is gone: no probe may return it
+    hits = probe_ivf_index(
+        spark, idx, current, "vec_id", "embedding", k=5, n_probe=16
+    )
+    assert (
+        hits.filter(F.col("neighbor_id") == two[0]["vec_id"]).count()
+        == 0
+    )
