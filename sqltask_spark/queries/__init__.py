@@ -135,6 +135,10 @@ TWINS: dict[str, str] = {
     # test_index_lifecycle; the batch-vs-corpus screen shape is the
     # oracled twin
     "corpus_takedown_screen": "dedup_incremental",
+    # composes the table change feed with the same probe/append/
+    # tombstone primitives; synced-probe ≡ fresh-build-probe is
+    # pytest-pinned in test_index_lifecycle
+    "corpus_index_sync_loop": "dedup_incremental",
     "bpe_learn_merges": "bpe_learn_certified",
     "bpe_encode_documents": "bpe_encode_fixed",
     # learned-table fertility: same metric as the oracled fixed-table

@@ -2701,6 +2701,98 @@ def dedup_index_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def corpus_index_sync_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MATERIALIZED-VIEW loop end to end: the corpus lives in a
+    versioned MERGE parquet table, the MinHash index serves it, and
+    `sync_minhash_index_with_table` applies the table's CHANGE FEED
+    (insert + update + delete in one merge) to the index — work
+    bounded by what the merge touched. The returned rows carry the
+    sync action counts AND the post-sync probe summary: the deleted
+    doc must no longer match, the update's post-image and the insert
+    must (probes against their own near-dup twins). Rows-only
+    (xxhash64 signatures); certificate twin: dedup_incremental;
+    synced-probe ≡ fresh-build-probe is pytest-pinned
+    (test_sync_minhash_index_with_table_cdc)."""
+    import shutil
+    import tempfile
+
+    from sqltask_spark.operators import index_fs
+    from sqltask_spark.operators.dedup_index import (
+        build_minhash_index,
+        probe_minhash_index,
+    )
+    from sqltask_spark.operators.index_sync import (
+        sync_minhash_index_with_table,
+    )
+    from sqltask_spark.operators.merge import (
+        create_parquet_table,
+        merge_into_parquet,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).filter(F.col("doc_id") < 500)
+    tmp = tempfile.mkdtemp(prefix="mh_sync_")
+    tbl, idx = f"{tmp}/tbl", f"{tmp}/idx"
+    try:
+        create_parquet_table(docs, tbl)
+        build_minhash_index(docs, idx)
+        v0 = index_fs.read_manifest(spark, tbl)["_seq"]
+        novel = "qx wz yv wu vt us tr sq rp qo pn om nl mk"
+        changes = spark.createDataFrame(
+            [
+                (0, None, True),                    # delete doc 0
+                (1, novel + " rewritten", False),   # rewrite doc 1
+                (10_000_001, novel, False),         # insert novel
+            ],
+            "doc_id long, text string, is_del boolean",
+        )
+        merge_into_parquet(
+            spark, tbl, changes, ["doc_id"], delete_col="is_del"
+        )
+        r = sync_minhash_index_with_table(
+            spark, tbl, idx, "doc_id", "text", from_seq=v0
+        )
+        # probe with near-dup twins of: the deleted doc's ORIGINAL
+        # text (must not match), the rewrite, and the insert
+        orig0 = docs.filter(F.col("doc_id") == 0).collect()[0]["text"]
+        probes = spark.createDataFrame(
+            [
+                (900_000, (orig0 or "") + " twin"),
+                (900_001, novel + " rewritten twin"),
+                (900_002, novel + " twin"),
+            ],
+            "doc_id long, text string",
+        )
+        hits = probe_minhash_index(spark, idx, probes, threshold=0.5)
+        pairs = {
+            (r2["batch_id"], r2["corpus_id"]) for r2 in hits.collect()
+        }
+        hits.unpersist()
+        # the synthetic corpus has near-dup FAMILIES, so a probe twin
+        # may also match siblings — the certified facts are about the
+        # SPECIFIC synced ids: the deleted id never matches anything,
+        # the rewrite and the insert are each found by their twin
+        rows = [
+            (
+                int(r["tombstoned"]),
+                int(r["inserted"]),
+                int(r["updated"]),
+                int(sum(1 for _, c in pairs if c == 0)),
+                int((900_001, 1) in pairs),
+                int((900_002, 10_000_001) in pairs),
+            )
+        ]
+        return spark.createDataFrame(
+            rows,
+            "n_tombstoned long, n_inserted long, n_updated long,"
+            " hits_on_deleted_id long, update_found long,"
+            " insert_found long",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def corpus_ingest_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
@@ -2850,6 +2942,7 @@ QUERIES = {
     "dedup_index_screen": dedup_index_screen,
     "corpus_ingest_loop": corpus_ingest_loop,
     "corpus_takedown_screen": corpus_takedown_screen,
+    "corpus_index_sync_loop": corpus_index_sync_loop,
 }
 
 ORACLES = {
