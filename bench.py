@@ -94,6 +94,9 @@ HEADLINE = [
     "source_weighted_median_chars",
     "incremental_distinct_hll",
     "incremental_count_min",
+    # the CDC-driven index sync loop (table merge → change feed →
+    # tombstone/append/compact), manifest-protocol heavy
+    "corpus_index_sync_loop",
 ]
 
 # Probe-class tags (r8 judge "what's wrong #2"): the three calibration

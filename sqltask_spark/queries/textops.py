@@ -2776,8 +2776,8 @@ def corpus_index_sync_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = [
             (
                 int(r["tombstoned"]),
-                int(r["inserted"]),
-                int(r["updated"]),
+                int(r["appended"]),
+                int(r["compacted"]),
                 int(sum(1 for _, c in pairs if c == 0)),
                 int((900_001, 1) in pairs),
                 int((900_002, 10_000_001) in pairs),
@@ -2785,7 +2785,7 @@ def corpus_index_sync_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         return spark.createDataFrame(
             rows,
-            "n_tombstoned long, n_inserted long, n_updated long,"
+            "n_tombstoned long, n_appended long, n_compacted long,"
             " hits_on_deleted_id long, update_found long,"
             " insert_found long",
         )

@@ -659,7 +659,8 @@ def test_sync_minhash_index_with_table_cdc(spark, tables, tmp_path):
         spark, tbl, idx, "doc_id", "text", from_seq=v0
     )
     assert r == {
-        "tombstoned": 2, "inserted": 1, "updated": 1, "compacted": True,
+        "tombstoned": 2, "appended": 2, "had_updates": True,
+        "compacted": True,
     }
     current = read_parquet_table(spark, tbl)
     fresh = str(tmp_path / "fresh_idx")
@@ -676,9 +677,63 @@ def test_sync_minhash_index_with_table_cdc(spark, tables, tmp_path):
     r2 = sync_minhash_index_with_table(
         spark, tbl, idx, "doc_id", "text", from_seq=v0
     )
-    assert r2["inserted"] == 0
-    assert r2["tombstoned"] == 1 and r2["updated"] == 1  # the update id
+    assert r2["tombstoned"] == 1 and r2["appended"] == 1  # update id
     assert _mh_canon(spark, idx, probe) == _mh_canon(spark, fresh, probe)
+
+
+def test_sync_reinsert_after_delete_only_window(spark, tables, tmp_path):
+    """The cross-window id-reuse hazard: a delete-only sync leaves a
+    live tombstone (no compaction needed), and a LATER window
+    re-inserting that key must detect the blocked id, compact, and
+    re-admit it — a naive append would anti-join it out silently and
+    permanently diverge the view."""
+    from sqltask_spark.operators import index_fs
+    from sqltask_spark.operators.index_sync import (
+        sync_minhash_index_with_table,
+    )
+    from sqltask_spark.operators.merge import (
+        create_parquet_table,
+        merge_into_parquet,
+    )
+
+    docs = tables["documents"].select("doc_id", "text").limit(40)
+    tbl = str(tmp_path / "reins_tbl")
+    idx = str(tmp_path / "reins_idx")
+    create_parquet_table(docs, tbl)
+    build_minhash_index(docs, idx)
+    x = docs.orderBy("doc_id").limit(1).collect()[0]["doc_id"]
+    v0 = index_fs.read_manifest(spark, tbl)["_seq"]
+    # window 1: delete-only — tombstone lives on, nothing compacts
+    merge_into_parquet(
+        spark, tbl,
+        spark.createDataFrame([(x, None, True)],
+                              "doc_id long, text string, is_del boolean"),
+        ["doc_id"], delete_col="is_del",
+    )
+    r1 = sync_minhash_index_with_table(
+        spark, tbl, idx, "doc_id", "text", from_seq=v0
+    )
+    assert r1 == {
+        "tombstoned": 1, "appended": 0, "had_updates": False,
+        "compacted": False,
+    }
+    v1 = index_fs.read_manifest(spark, tbl)["_seq"]
+    # window 2: the SAME key returns with new content
+    merge_into_parquet(
+        spark, tbl,
+        spark.createDataFrame([(x, NOVEL, False)],
+                              "doc_id long, text string, is_del boolean"),
+        ["doc_id"], delete_col="is_del",
+    )
+    r2 = sync_minhash_index_with_table(
+        spark, tbl, idx, "doc_id", "text", from_seq=v1
+    )
+    assert r2["compacted"] is True and r2["appended"] == 1
+    # the re-admitted doc is findable again
+    twin = spark.createDataFrame(
+        [(900_000, NOVEL + " twin")], "doc_id long, text string"
+    )
+    assert any(c == x for _, c in _mh_canon(spark, idx, twin))
 
 
 def test_sync_ivf_index_with_table_cdc(spark, sf_dir, tmp_path):
@@ -729,7 +784,8 @@ def test_sync_ivf_index_with_table_cdc(spark, sf_dir, tmp_path):
         spark, tbl, idx, "vec_id", "embedding", from_seq=v0
     )
     assert r == {
-        "tombstoned": 2, "inserted": 1, "updated": 1, "compacted": True,
+        "tombstoned": 2, "appended": 2, "had_updates": True,
+        "compacted": True,
     }
     current = read_parquet_table(spark, tbl)
     # the probe excludes self-matches by design, so probe with TWIN
