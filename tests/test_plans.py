@@ -618,3 +618,65 @@ def test_weighted_median_udaf_single_aggregation_no_window(spark, sf_dir):
     )
     assert n_agg == 1, final
     assert "Window" not in final
+
+
+def test_bpe_distributed_argmax_is_topk_not_global_sort(spark, sf_dir):
+    """The distributed BPE round's argmax must plan as a partial
+    top-1 (TakeOrderedAndProject) over a map-side-combined census —
+    never a global sort of the pair relation."""
+    from sqltask_spark.data import load_table
+    from sqltask_spark.operators.bpe import word_freq_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(500)
+    wf = word_freq_table(docs)
+    vocab = wf.select(F.split("word", "").alias("syms"), "freq")
+    pairs = (
+        vocab.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("syms", F.lit(1), F.size("syms") - 1).alias("l"),
+                    F.slice("syms", F.lit(2), F.size("syms") - 1).alias("r"),
+                )
+            ).alias("p"),
+            "freq",
+        )
+        .groupBy(F.col("p.l").alias("left"), F.col("p.r").alias("right"))
+        .agg(F.sum("freq").alias("pair_freq"))
+    )
+    best = pairs.orderBy(F.desc("pair_freq"), "left", "right").limit(1)
+    best.collect()
+    plan = best._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "TakeOrderedAndProject" in final
+    assert "Sort [" not in final  # no global sort operator
+    # census is map-side combined: partial + final aggregate pair
+    assert final.count("HashAggregate") >= 2
+
+
+def test_cm_probe_grid_is_broadcast(spark, tables, tmp_path):
+    """The CM store probe must broadcast the (bounded ≤ g×d×w) grid
+    — a shuffle join against probe tokens would shuffle the corpus
+    side for a 64 KB state."""
+    from sqltask_spark.operators.sketch_store import (
+        cm_cell_rows,
+        create_cm_store,
+        read_cm_estimates,
+    )
+    from sqltask_spark.operators.text import tokenize
+
+    docs = tables["documents"].filter(F.col("text").isNotNull()).limit(100)
+    census = (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("g", F.lit("__ALL__"))
+    )
+    store = str(tmp_path / "cm_plan")
+    create_cm_store(cm_cell_rows(census, "g", "tok", "c"), store)
+    probes = census.limit(10)
+    est = read_cm_estimates(spark, store, probes, "g", "tok")
+    r = plan_report(est)
+    assert "BroadcastHashJoin" in r.join_strategies
+    assert "SortMergeJoin" not in r.join_strategies
+    assert "CartesianProduct" not in r.join_strategies
