@@ -117,7 +117,8 @@ CLASS_OF = {
         "corpus_clean_pipeline", "collocation_pmi",
         "source_unigram_entropy", "quality_filter_adaptive",
         "source_token_quantiles", "dsir_weights", "weighted_sample_wor",
-        "source_distinct_hll",
+        "source_distinct_hll", "incremental_distinct_hll",
+        "incremental_count_min",
     )},
     **{n: "shuffle" for n in (
         "dedup_minhash_pairs", "dedup_minhash_pairs_md5",
@@ -128,6 +129,7 @@ CLASS_OF = {
         "contamination_fuzzy", "dup_rate_by_source",
         "dedup_incremental", "contamination_bloom",
         "scd2_user_state", "bpe_learn_distributed",
+        "corpus_index_sync_loop",
     )},
 }
 
