@@ -97,6 +97,7 @@ HEADLINE = [
     # the CDC-driven index sync loop (table merge → change feed →
     # tombstone/append/compact), manifest-protocol heavy
     "corpus_index_sync_loop",
+    "incremental_contamination_bloom",
 ]
 
 # Probe-class tags (r8 judge "what's wrong #2"): the three calibration
@@ -118,7 +119,7 @@ CLASS_OF = {
         "source_unigram_entropy", "quality_filter_adaptive",
         "source_token_quantiles", "dsir_weights", "weighted_sample_wor",
         "source_distinct_hll", "incremental_distinct_hll",
-        "incremental_count_min",
+        "incremental_count_min", "incremental_contamination_bloom",
     )},
     **{n: "shuffle" for n in (
         "dedup_minhash_pairs", "dedup_minhash_pairs_md5",

@@ -263,6 +263,202 @@ def read_cm_estimates(
     )
 
 
+BLOOM_K = 2
+BLOOM_WORD_BITS = 63
+#: Reserved key row carrying the frozen capacity (m_bits) inside the
+#: word table itself, so the store is self-describing under the same
+#: merge-table commit protocol (word = -1 can never be a real word:
+#: positions are non-negative).
+_BLOOM_META_WORD = -1
+
+
+def bloom_positions(value_col: str, m_bits: int) -> list:
+    """THE Bloom position family — md5-long of ``bl:{j}:{value}``
+    mod the FROZEN ``m_bits``. One definition shared by build, fold,
+    and probe (the cm_pos discipline): write/read divergence would
+    produce wrong-but-plausible membership answers."""
+    from sqltask_spark.operators.retrieval import md5_long
+
+    return [
+        F.pmod(
+            md5_long(F.concat(F.lit(f"bl:{j}:"), F.col(value_col))),
+            F.lit(m_bits),
+        )
+        for j in range(BLOOM_K)
+    ]
+
+
+def bloom_word_rows(
+    values: DataFrame, value_col: str, m_bits: int
+) -> DataFrame:
+    """(word, bits) bitmap rows for a value batch under the frozen
+    ``m_bits`` — ≤ m_bits/63 rows regardless of batch size."""
+    return (
+        values.select(
+            F.explode(
+                F.array(*bloom_positions(value_col, m_bits))
+            ).alias("pos")
+        )
+        .select(
+            F.expr(f"pos DIV {BLOOM_WORD_BITS}").alias("word"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT),"
+                f" CAST(pos % {BLOOM_WORD_BITS} AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def create_bloom_store(
+    values: DataFrame, path: str, m_bits: int, value_col: str
+) -> None:
+    """Materialize a Bloom membership store with FROZEN capacity
+    ``m_bits`` (size it for the EXPECTED total population — standard
+    Bloom capacity planning; the frozen-parameter rule is the same
+    one the IVF quantizer follows). The capacity rides as a reserved
+    meta row so the store is self-describing."""
+    from sqltask_spark.operators.merge import create_parquet_table
+
+    spark = values.sparkSession
+    meta = spark.createDataFrame(
+        [(_BLOOM_META_WORD, int(m_bits))], "word long, bits long"
+    )
+    create_parquet_table(
+        bloom_word_rows(values, value_col, m_bits)
+        .select(F.col("word").cast("long"), F.col("bits"))
+        .unionByName(meta),
+        path,
+    )
+
+
+def read_bloom_capacity(spark: SparkSession, path: str) -> int:
+    from sqltask_spark.operators.merge import read_parquet_table
+
+    row = (
+        read_parquet_table(spark, path)
+        .filter(F.col("word") == _BLOOM_META_WORD)
+        .collect()
+    )
+    if not row:
+        raise ValueError(f"no Bloom meta row in store at {path}")
+    return int(row[0]["bits"])
+
+
+def update_bloom_store(
+    spark: SparkSession, path: str, values: DataFrame, value_col: str
+) -> dict:
+    """Fold a value batch into the store by element-wise bit OR —
+    like the HLL max, OR is an idempotent commutative lattice join,
+    so replays and out-of-order batches converge with NO ledger
+    (contrast :func:`update_cm_store`). Positions use the store's
+    FROZEN capacity; saturation (fp-rate drift) is the monitored
+    quantity — see :func:`bloom_saturation`."""
+    from sqltask_spark.operators.merge import (
+        merge_into_parquet,
+        read_parquet_table,
+    )
+
+    m_bits = read_bloom_capacity(spark, path)
+    stored = read_parquet_table(spark, path).select(
+        "word", F.col("bits").alias("b_old")
+    )
+    batch = bloom_word_rows(values, value_col, m_bits).select(
+        F.col("word").cast("long"), F.col("bits").alias("b_new")
+    )
+    merged = (
+        stored.join(batch, "word", "full_outer")
+        .select(
+            "word",
+            F.when(
+                F.col("word") == _BLOOM_META_WORD, F.col("b_old")
+            )
+            .otherwise(
+                F.coalesce("b_old", F.lit(0)).bitwiseOR(
+                    F.coalesce("b_new", F.lit(0))
+                )
+            )
+            .alias("bits"),
+        )
+    )
+    return merge_into_parquet(spark, path, merged, ["word"])
+
+
+def bloom_probe(
+    spark: SparkSession,
+    path: str,
+    candidates: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """``candidates`` + ``bloom_hit`` (1 = all K positions set — the
+    one-sided maybe-member answer; 0 = definitely absent). The word
+    table is broadcast: it is ≤ m_bits/63 rows by construction."""
+    from sqltask_spark.operators.merge import read_parquet_table
+
+    m_bits = read_bloom_capacity(spark, path)
+    words = F.broadcast(
+        read_parquet_table(spark, path).filter(
+            F.col("word") != _BLOOM_META_WORD
+        )
+    )
+    probes = candidates.withColumn(
+        "__pos",
+        F.explode(F.array(*bloom_positions(value_col, m_bits))),
+    ).withColumn("__word", F.expr(f"__pos DIV {BLOOM_WORD_BITS}"))
+    checked = probes.join(
+        words, probes["__word"] == words["word"], "left"
+    ).withColumn(
+        "__hit",
+        F.when(
+            F.col("bits").isNotNull()
+            & (
+                F.expr(
+                    f"(bits >> CAST(__pos % {BLOOM_WORD_BITS} AS INT))"
+                    " & 1"
+                )
+                == 1
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return (
+        checked.groupBy(*[F.col(c) for c in candidates.columns])
+        .agg(
+            F.when(F.sum("__hit") == BLOOM_K, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("bloom_hit")
+        )
+    )
+
+
+def bloom_saturation(spark: SparkSession, path: str) -> DataFrame:
+    """One-row saturation monitor: set-bit count over frozen
+    capacity — the fp-rate drift signal that says when the frozen
+    ``m_bits`` has outgrown its population (rebuild with a larger
+    capacity, exactly like the IVF drift rebuild)."""
+    from sqltask_spark.operators.merge import read_parquet_table
+
+    m_bits = read_bloom_capacity(spark, path)
+    return (
+        read_parquet_table(spark, path)
+        .filter(F.col("word") != _BLOOM_META_WORD)
+        .agg(
+            F.lit(m_bits).cast("long").alias("m_bits"),
+            F.sum(F.bit_count("bits")).cast("long").alias("n_set_bits"),
+            F.count(F.lit(1)).cast("long").alias("n_words_used"),
+        )
+        .select(
+            "m_bits",
+            "n_set_bits",
+            "n_words_used",
+            F.expr("(n_set_bits * 1000000) DIV m_bits")
+            .cast("long")
+            .alias("fill_micro"),
+        )
+    )
+
+
 def read_hll_estimates(
     spark: SparkSession, path: str, as_of: int | None = None
 ) -> DataFrame:

@@ -3255,6 +3255,159 @@ def incremental_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# incremental_contamination_bloom — the THIRD sketch-state algebra:
+# Bloom words fold by bit OR (idempotent + commutative like the HLL
+# max — ledger-free convergence; the replayed fold inside this
+# certificate proves it) under a FROZEN capacity (m_bits sized once
+# from the expected population — the IVF frozen-quantizer rule; the
+# saturation row is the drift signal that says when to rebuild
+# bigger). The eval shingle set folds in TWO halves through the
+# persisted store; by or-associativity the bitmap is bit-identical
+# to a direct whole-eval-set build, which is what the oracle
+# computes. Probing the train side against the stored words then
+# hash-checks membership end to end.
+# --------------------------------------------------------------------------
+
+def incremental_contamination_bloom(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from sqltask_spark.operators.retrieval import md5_long
+    from sqltask_spark.operators.sketch_store import (
+        bloom_probe,
+        bloom_saturation,
+        create_bloom_store,
+        update_bloom_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    sh = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(word_shingles(F.col("text"), 3))
+        ).alias("s"),
+    )
+    ev = (
+        sh.filter(F.pmod("doc_id", F.lit(10)) == 0)
+        .select("s")
+        .distinct()
+        .persist()
+    )
+    tmp = tempfile.mkdtemp(prefix="bloom_store_")
+    store = f"{tmp}/store"
+    try:
+        n_eval = ev.count()
+        n_words = max(
+            64,
+            -(-n_eval * _BLOOM_BITS_PER_ELEM // _BLOOM_WORD_BITS),
+        )
+        m_bits = n_words * _BLOOM_WORD_BITS
+        half = F.pmod(md5_long(F.concat(F.lit("bh:"), F.col("s"))), F.lit(2))
+        create_bloom_store(
+            ev.filter(half == 0), store, m_bits, "s"
+        )
+        b = ev.filter(half == 1)
+        update_bloom_store(spark, store, b, "s")
+        # ledger-free replay: OR is idempotent — the hash pins the
+        # converged bitmap
+        update_bloom_store(spark, store, b, "s")
+        tr = sh.filter(F.pmod("doc_id", F.lit(10)) != 0)
+        hits = bloom_probe(
+            spark, store, tr.select("doc_id", "source", "s"), "s"
+        )
+        per_source = hits.groupBy("source").agg(
+            F.countDistinct("doc_id").cast("long").alias("n_train_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_probe_shingles"),
+            F.sum("bloom_hit").cast("long").alias("n_bloom_hits"),
+        )
+        out = (
+            per_source.crossJoin(F.broadcast(bloom_saturation(spark, store)))
+            .select(
+                "source",
+                "n_train_docs",
+                "n_probe_shingles",
+                "n_bloom_hits",
+                "m_bits",
+                "n_set_bits",
+                "fill_micro",
+            )
+            .orderBy("source")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema).orderBy("source")
+    finally:
+        ev.unpersist()
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _bloom_inc_sql() -> str:
+    from sqltask_spark.queries.textops import _md5long_sql
+
+    w = _BLOOM_WORD_BITS
+
+    def pos_expr(j: int) -> str:
+        return (
+            _md5long_sql(f"'bl:{j}:' || s") + " % (SELECT m_bits FROM dims)"
+        )
+
+    ev_pos = "\n  UNION ALL\n".join(
+        f"  SELECT {pos_expr(j)} AS pos FROM ev" for j in range(_BLOOM_K)
+    )
+    pr_pos = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, source, s, {pos_expr(j)} AS pos FROM tr"
+        for j in range(_BLOOM_K)
+    )
+    return f"""
+WITH sh AS MATERIALIZED (
+  SELECT doc_id, source, UNNEST({_SHINGLES}) AS s
+  FROM documents WHERE text IS NOT NULL
+), ev AS MATERIALIZED (
+  SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0
+), dims AS MATERIALIZED (
+  SELECT GREATEST(64, ({_BLOOM_BITS_PER_ELEM} * COUNT(*) + {w - 1}) // {w})
+           * {w} AS m_bits
+  FROM ev
+), tr AS MATERIALIZED (
+  SELECT doc_id, source, s FROM sh WHERE doc_id % 10 <> 0
+), evpos AS (
+{ev_pos}
+), bloom AS MATERIALIZED (
+  SELECT pos // {w} AS word,
+         bit_or(1::BIGINT << (pos % {w})::INT) AS bits
+  FROM evpos GROUP BY 1
+), sat AS (
+  SELECT (SELECT m_bits FROM dims)::BIGINT AS m_bits,
+         SUM(bit_count(bits))::BIGINT AS n_set_bits,
+         ((SUM(bit_count(bits)) * 1000000)
+            // (SELECT m_bits FROM dims))::BIGINT AS fill_micro
+  FROM bloom
+), pr AS (
+{pr_pos}
+), per_sh AS (
+  SELECT p.doc_id, p.source, p.s,
+         CASE WHEN SUM(CASE WHEN b.bits IS NOT NULL
+                   AND ((b.bits >> (p.pos % {w})::INT) & 1) = 1
+              THEN 1 ELSE 0 END) = {_BLOOM_K} THEN 1 ELSE 0 END AS hit
+  FROM pr p LEFT JOIN bloom b ON p.pos // {w} = b.word
+  GROUP BY p.doc_id, p.source, p.s
+)
+SELECT source,
+       COUNT(DISTINCT doc_id)::BIGINT AS n_train_docs,
+       COUNT(*)::BIGINT AS n_probe_shingles,
+       SUM(hit)::BIGINT AS n_bloom_hits,
+       (SELECT m_bits FROM sat)::BIGINT AS m_bits,
+       (SELECT n_set_bits FROM sat)::BIGINT AS n_set_bits,
+       (SELECT fill_micro FROM sat)::BIGINT AS fill_micro
+FROM per_sh GROUP BY source ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
 # incremental_count_min — the NON-idempotent half of the sketch-state
 # story: CM grids merge by element-wise SUM, so unlike the HLL store
 # (max = idempotent lattice, ledger-free) a replayed batch would
@@ -3440,6 +3593,7 @@ QUERIES = {
     "corpus_merge_upsert": corpus_merge_upsert,
     "incremental_distinct_hll": incremental_distinct_hll,
     "incremental_count_min": incremental_count_min,
+    "incremental_contamination_bloom": incremental_contamination_bloom,
     "count_min_tokens": count_min_tokens,
     "corpus_change_feed": corpus_change_feed,
     "source_length_drift": source_length_drift,
@@ -3485,6 +3639,7 @@ ORACLES = {
     "corpus_merge_upsert": _MERGE_UPSERT_SQL,
     "incremental_distinct_hll": _HLL_INC_SQL,
     "incremental_count_min": _cm_sql(),
+    "incremental_contamination_bloom": _bloom_inc_sql(),
     "count_min_tokens": _cm_sql(),
     "corpus_change_feed": _CHANGE_FEED_SQL,
     "source_length_drift": _LDRIFT_SQL,

@@ -3636,3 +3636,67 @@ def test_cm_store_requires_ledger_and_folds_exactly(spark, tables, tmp_path):
     assert doubled != got
     assert all(d >= g for (_, d), (_, g) in zip(doubled, got))
     b.unpersist()
+
+
+def test_bloom_store_lattice_and_saturation(spark, tmp_path):
+    """The Bloom store completes the sketch-state algebra trio: OR is
+    an idempotent commutative lattice join — incremental folds ≡
+    direct build, replays and out-of-order folds converge with no
+    ledger — capacity is FROZEN at creation, probes are one-sided
+    (no false negatives), and saturation only grows."""
+    from pyspark.sql import functions as F
+
+    from sqltask_spark.operators.sketch_store import (
+        bloom_probe,
+        bloom_saturation,
+        create_bloom_store,
+        read_bloom_capacity,
+        update_bloom_store,
+    )
+
+    vals = spark.createDataFrame(
+        [(f"member-{i}",) for i in range(200)], "s string"
+    )
+    a = vals.filter(F.length("s") % 2 == 0)
+    b = vals.filter(F.length("s") % 2 == 1)
+    m_bits = 64 * 63
+    store = str(tmp_path / "bloom")
+    create_bloom_store(a, store, m_bits, "s")
+    assert read_bloom_capacity(spark, store) == m_bits
+    update_bloom_store(spark, store, b, "s")
+    sat1 = bloom_saturation(spark, store).collect()[0]
+    # replay (no ledger): bitmap unchanged
+    update_bloom_store(spark, store, b, "s")
+    assert bloom_saturation(spark, store).collect()[0] == sat1
+    # direct build over the union: identical saturation numbers
+    direct = str(tmp_path / "bloom_direct")
+    create_bloom_store(vals, direct, m_bits, "s")
+    assert bloom_saturation(spark, direct).collect()[0] == sat1
+    # out-of-order fold converges too
+    rev = str(tmp_path / "bloom_rev")
+    create_bloom_store(b, rev, m_bits, "s")
+    update_bloom_store(spark, rev, a, "s")
+    assert bloom_saturation(spark, rev).collect()[0] == sat1
+    # one-sided probe: every member hits (NO false negatives ever);
+    # saturation bounds the fp rate, not correctness
+    probes = vals.unionByName(
+        spark.createDataFrame(
+            [(f"absent-{i}",) for i in range(200)], "s string"
+        )
+    )
+    got = {
+        r["s"]: r["bloom_hit"]
+        for r in bloom_probe(spark, store, probes, "s").collect()
+    }
+    assert all(got[f"member-{i}"] == 1 for i in range(200))
+    n_fp = sum(got[f"absent-{i}"] for i in range(200))
+    assert n_fp < 60  # ~(fill)^2 at this load, far below 30%
+    # monotone growth: folding more members only raises saturation
+    update_bloom_store(
+        spark, store,
+        spark.createDataFrame([(f"late-{i}",) for i in range(100)],
+                              "s string"),
+        "s",
+    )
+    sat2 = bloom_saturation(spark, store).collect()[0]
+    assert sat2["n_set_bits"] >= sat1["n_set_bits"]
