@@ -505,6 +505,38 @@ def hll_store_sink(
     return ingest
 
 
+def bloom_store_sink(
+    store_path: str,
+    value_col: str,
+    m_bits: int,
+):
+    """``foreachBatch`` sink folding each micro-batch's values into a
+    persistent Bloom membership store (e.g. a growing eval/blocklist
+    set that training batches are screened against). Ledger-free
+    like :func:`hll_store_sink` — bit OR is an idempotent commutative
+    lattice join, so redelivery and reordering converge by algebra.
+    The FIRST epoch creates the store with the FROZEN ``m_bits``
+    (size for the expected population); monitor
+    :func:`~sqltask_spark.operators.sketch_store.bloom_saturation`
+    for the rebuild-bigger signal.
+    """
+    from sqltask_spark.operators import index_fs
+    from sqltask_spark.operators.sketch_store import (
+        create_bloom_store,
+        update_bloom_store,
+    )
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        vals = batch_df.select(value_col)
+        if index_fs.read_manifest(spark, store_path) is None:
+            create_bloom_store(vals, store_path, m_bits, value_col)
+        else:
+            update_bloom_store(spark, store_path, vals, value_col)
+
+    return ingest
+
+
 def minhash_index_cdc_sink(
     index_path: str,
     id_col: str = "doc_id",

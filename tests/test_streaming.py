@@ -1279,6 +1279,50 @@ def test_hll_store_sink_stream_replay_converges(spark, sf_dir, tmp_path):
     docs.unpersist()
 
 
+def test_bloom_store_sink_stream_replay_converges(spark, tmp_path):
+    """Streaming Bloom ingest: epochs fold into the frozen-capacity
+    store; a full replay from a fresh checkpoint converges to the
+    identical bitmap (OR lattice, no ledger), equal to a direct
+    one-shot build over all streamed values."""
+    from sqltask_spark.operators.sketch_store import (
+        bloom_saturation,
+        create_bloom_store,
+    )
+    from sqltask_spark.streaming.corpus import bloom_store_sink
+
+    vals = spark.createDataFrame(
+        [(i, f"member-{i}") for i in range(100)], "i long, s string"
+    )
+    src = tmp_path / "bloom_stream_in"
+    for half in range(2):
+        vals.filter(F.col("i") % 2 == half).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+    store = str(tmp_path / "bloom_stream_store")
+    m_bits = 64 * 63
+
+    def run_stream():
+        q = (
+            spark.readStream.schema(vals.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .writeStream.foreachBatch(
+                bloom_store_sink(store, "s", m_bits)
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_stream()
+    sat = bloom_saturation(spark, store).collect()[0]
+    run_stream()  # fresh checkpoint full replay
+    assert bloom_saturation(spark, store).collect()[0] == sat
+    direct = str(tmp_path / "bloom_stream_direct")
+    create_bloom_store(vals.select("s"), direct, m_bits, "s")
+    assert bloom_saturation(spark, direct).collect()[0] == sat
+
+
 def test_minhash_index_cdc_sink_inband_takedowns(spark, tmp_path):
     """CDC ingest with in-band takedowns: epoch 1 admits a novel doc;
     epoch 2 TOMBSTONES it and carries its near-duplicate in the same
