@@ -156,6 +156,42 @@ def _read_tombstones(
     )
 
 
+def committed_manifest(
+    spark: SparkSession, path: str, as_of: int | None = None
+) -> dict:
+    """Public read API: the committed manifest (newest, or the exact
+    version ``as_of``) — the supported way for OTHER modules (sync,
+    maintenance, sinks) to observe index state. Carries
+    ``generations`` / ``quantizer`` / ``params`` / ``tombstones`` /
+    ``batches`` / optional ``gen_stats`` + ``synced`` and the
+    ``_seq`` expected by the next commit."""
+    return _committed(spark, path, as_of)
+
+
+def read_tombstones(
+    spark: SparkSession, path: str, manifest: dict | None = None
+) -> DataFrame | None:
+    """Public read API: the committed tombstone set
+    ``(neighbor_id)``, or ``None`` when empty. ``manifest`` (from
+    :func:`committed_manifest`) avoids a re-read."""
+    m = manifest if manifest is not None else _committed(spark, path)
+    return _read_tombstones(spark, path, m)
+
+
+def read_vectors(
+    spark: SparkSession,
+    path: str,
+    manifest: dict | None = None,
+    include_tombstoned: bool = False,
+) -> DataFrame:
+    """Public read API: the stored vectors across the committed
+    generations (``neighbor_id, cv, cell, cn`` [+ ``codes`` in PQ
+    layout]), tombstones anti-joined out unless the caller needs the
+    physical view."""
+    m = manifest if manifest is not None else _committed(spark, path)
+    return _read_vectors(spark, path, m, include_tombstoned)
+
+
 def _read_centroids(spark: SparkSession, path: str, m: dict):
     """Frozen coarse quantizer of the committed manifest, as an
     ndarray ordered by cell."""
@@ -276,6 +312,9 @@ def build_ivf_index(
         .write.mode("overwrite")
         .parquet(f"{path}/quantizer/{gen}/centroids")
     )
+    st = index_fs.id_bounds(
+        spark.read.parquet(f"{path}/vectors/gen={gen}"), "neighbor_id"
+    )
     # layout is RECORDED in the manifest, never inferred from
     # filesystem probes (a driver-local exists() check lies on
     # HDFS/S3 and would silently append PQ rows without codes)
@@ -285,6 +324,9 @@ def build_ivf_index(
         {
             "generations": [gen],
             "quantizer": gen,
+            # per-generation id range for targeted rewrites
+            # (unblock_ivf_ids) — prune untouched generations unread
+            "gen_stats": {gen: st} if st else {},
             "params": {
                 "n_cells": n_cells,
                 "m": m,
@@ -372,7 +414,9 @@ def append_to_ivf_index(
         "left_anti",
     ).persist()
     try:
-        n_novel = novel.count()
+        # one action: the count the append needs anyway + the
+        # generation's id bounds for the manifest stats
+        n_novel, st = index_fs.count_and_bounds(novel, corpus_id)
         if n_novel == 0:
             return 0
         cents = _read_centroids(spark, path, m_fest)
@@ -401,14 +445,18 @@ def append_to_ivf_index(
             .partitionBy("cell")
             .parquet(f"{path}/vectors/gen={gen}")
         )
-        # the COMMIT: the generation was invisible until this line
+        stats = dict(m_fest.get("gen_stats", {}))
+        if st:
+            stats[gen] = st
+        # the COMMIT: the generation was invisible until this line.
+        # Unknown manifest keys (sync markers, future metadata) carry
+        # forward verbatim
         index_fs.commit_manifest(
             spark, path,
             {
+                **{k: v for k, v in m_fest.items() if k != "_seq"},
                 "generations": m_fest["generations"] + [gen],
-                "quantizer": m_fest["quantizer"],
-                "params": meta,
-                "tombstones": m_fest.get("tombstones", []),
+                "gen_stats": stats,
                 "batches": m_fest.get("batches", [])
                 + ([batch_id] if batch_id else []),
             },
@@ -466,11 +514,8 @@ def delete_from_ivf_index(
             spark,
             path,
             {
-                "generations": m["generations"],
-                "quantizer": m["quantizer"],
-                "params": m["params"],
+                **{k: v for k, v in m.items() if k != "_seq"},
                 "tombstones": m.get("tombstones", []) + [gen],
-                "batches": m.get("batches", []),
             },
             m["_seq"],
         )
@@ -514,15 +559,20 @@ def compact_ivf_index(spark: SparkSession, path: str) -> None:
         .partitionBy("cell")
         .parquet(f"{path}/vectors/gen={gen}")
     )
+    st = index_fs.id_bounds(
+        spark.read.option("basePath", f"{path}/vectors").parquet(
+            f"{path}/vectors/gen={gen}"
+        ),
+        "neighbor_id",
+    )
     index_fs.commit_manifest(
         spark,
         path,
         {
+            **{k: v for k, v in m.items() if k != "_seq"},
             "generations": [gen],
-            "quantizer": m["quantizer"],
-            "params": m["params"],
             "tombstones": [],
-            "batches": m.get("batches", []),
+            "gen_stats": {gen: st} if st else {},
         },
         m["_seq"],
     )
@@ -535,6 +585,140 @@ def compact_ivf_index(spark: SparkSession, path: str) -> None:
         spark, f"{path}/vectors", {f"gen={gen}"}, "gen="
     )
     index_fs.sweep_orphans(spark, f"{path}/tombstones", set(), "g")
+
+
+def unblock_ivf_ids(
+    spark: SparkSession,
+    path: str,
+    ids: DataFrame,
+    corpus_id: str,
+) -> dict:
+    """Free SPECIFIC tombstoned ids for re-admission by rewriting
+    ONLY the generations holding their rows — the vector symmetry of
+    :func:`~sqltask_spark.operators.dedup_index.unblock_minhash_ids`
+    and the targeted alternative to :func:`compact_ivf_index`.
+
+    Candidate generations are pruned against the manifest's
+    per-generation [min,max] id stats (``gen_stats``), confirmed with
+    one skinny semi-join each; confirmed generations are rewritten
+    minus the blocked rows (same cell-partitioned layout, FROZEN
+    quantizer untouched), and the tombstone set is rewritten without
+    the freed ids. Untouched generations keep their directories and
+    manifest names. Returns ``{"unblocked",
+    "rewritten_generations"}``; idempotent and crash-atomic like
+    every index mutation.
+    """
+    m = _committed(spark, path)
+    tombs = _read_tombstones(spark, path, m)
+    if tombs is None:
+        return {"unblocked": 0, "rewritten_generations": []}
+    blocked = (
+        ids.select(F.col(corpus_id).alias("neighbor_id"))
+        .distinct()
+        .join(tombs, "neighbor_id", "left_semi")
+        .persist()
+    )
+    try:
+        n = blocked.count()
+        if n == 0:
+            return {"unblocked": 0, "rewritten_generations": []}
+        bounds = index_fs.id_bounds(blocked, "neighbor_id")
+        gen_stats = m.get("gen_stats", {})
+        affected = []
+        for g in m["generations"]:
+            if index_fs.bounds_disjoint(gen_stats.get(g), bounds):
+                continue
+            hit = (
+                spark.read.option("basePath", f"{path}/vectors")
+                .parquet(f"{path}/vectors/gen={g}")
+                .select("neighbor_id")
+                .join(blocked, "neighbor_id", "left_semi")
+                .limit(1)
+                .count()
+            )
+            if hit:
+                affected.append(g)
+        import re as _re
+
+        nums = [-1] + [int(g[1:]) for g in m["generations"]]
+        for parent in (f"{path}/vectors", f"{path}/quantizer",
+                       f"{path}/tombstones"):
+            for name in index_fs.list_names(spark, parent):
+                mm = _re.search(r"g(\d{6})$", name)
+                if mm:
+                    nums.append(int(mm.group(1)))
+        counter = 1 + max(nums)
+
+        def alloc() -> str:
+            nonlocal counter
+            g = "g%06d" % counter
+            counter += 1
+            return g
+
+        mapping: dict[str, str | None] = {}
+        for g in affected:
+            src = (
+                spark.read.option("basePath", f"{path}/vectors")
+                .parquet(f"{path}/vectors/gen={g}")
+                .drop("gen")
+                .join(blocked, "neighbor_id", "left_anti")
+            )
+            # fully-blocked generation → drop it from the manifest
+            # instead of writing an unreadable empty directory
+            if not src.select("neighbor_id").limit(1).count():
+                mapping[g] = None
+                continue
+            gnew = alloc()
+            (
+                src.repartition("cell")
+                .write.mode("overwrite")
+                .partitionBy("cell")
+                .parquet(f"{path}/vectors/gen={gnew}")
+            )
+            mapping[g] = gnew
+        remaining = tombs.join(
+            blocked, "neighbor_id", "left_anti"
+        ).persist()
+        try:
+            new_tombs: list[str] = []
+            if remaining.limit(1).count():
+                tg = alloc()
+                remaining.coalesce(1).write.mode("overwrite").parquet(
+                    f"{path}/tombstones/{tg}"
+                )
+                new_tombs = [tg]
+            new_gens = [
+                mapping.get(g, g)
+                for g in m["generations"]
+                if mapping.get(g, g) is not None
+            ]
+            if not new_gens:
+                raise ValueError(
+                    f"unblock would leave {path} with zero"
+                    " generations (every stored row is blocked) —"
+                    " rebuild the index instead"
+                )
+            stats = {
+                mapping.get(g, g): gen_stats[g]
+                for g in m["generations"]
+                if g in gen_stats and mapping.get(g, g) is not None
+            }
+            index_fs.commit_manifest(
+                spark,
+                path,
+                {
+                    **{k: v for k, v in m.items() if k != "_seq"},
+                    "generations": new_gens,
+                    "tombstones": new_tombs,
+                    "gen_stats": stats,
+                },
+                m["_seq"],
+            )
+        finally:
+            remaining.unpersist()
+        return {"unblocked": n, "rewritten_generations": affected}
+    finally:
+        blocked.unpersist()
 
 
 def ivf_occupancy_stats(

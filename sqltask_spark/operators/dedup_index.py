@@ -139,6 +139,42 @@ def _read_tombstones(
     )
 
 
+def committed_manifest(
+    spark: SparkSession, path: str, as_of: int | None = None
+) -> dict:
+    """Public read API: the committed manifest (newest, or the exact
+    version ``as_of``) — the supported way for OTHER modules (sync,
+    maintenance, sinks) to observe index state without touching
+    manifest internals. The dict carries ``generations`` / ``sizes`` /
+    ``params`` / ``tombstones`` / optional ``gen_stats`` + ``synced``
+    and the ``_seq`` expected by the next commit."""
+    return _committed(spark, path, as_of)
+
+
+def read_tombstones(
+    spark: SparkSession, path: str, manifest: dict | None = None
+) -> DataFrame | None:
+    """Public read API: the committed tombstone id set ``(id)`` as a
+    DataFrame, or ``None`` when no tombstone set is committed.
+    ``manifest`` (from :func:`committed_manifest`) avoids a second
+    manifest read when the caller already holds one."""
+    m = manifest if manifest is not None else _committed(spark, path)
+    return _read_tombstones(spark, path, m)
+
+
+def read_index_ids(
+    spark: SparkSession, path: str, manifest: dict | None = None
+) -> DataFrame:
+    """Public read API: the PHYSICAL document ids stored across the
+    committed generations, one row per id (``(id)``), tombstoned rows
+    included — the denominator for tombstone-ratio health checks and
+    the membership relation for sync planning. One row per stored
+    document (appends anti-join committed ids, so generations never
+    overlap — no distinct needed)."""
+    m = manifest if manifest is not None else _committed(spark, path)
+    return _read_shingles(spark, path, m).select("id")
+
+
 def build_minhash_index(
     corpus: DataFrame,
     path: str,
@@ -177,12 +213,17 @@ def build_minhash_index(
         shingled.write.mode("overwrite").parquet(
             f"{path}/data/{gen}/shingles"
         )
+        st = index_fs.id_bounds(shingled, "id")
         index_fs.commit_manifest(
             spark,
             path,
             {
                 "generations": [gen],
                 "sizes": gen,
+                # per-generation id range: lets targeted rewrites
+                # (unblock_minhash_ids) prune untouched generations
+                # without reading them
+                "gen_stats": {gen: st} if st else {},
                 # signature params ride IN the manifest: a probe must
                 # band exactly as the generation set it reads was
                 # signed, and the manifest is the only artifact that
@@ -254,7 +295,9 @@ def append_to_minhash_index(
     bsh = shingled_docs(novel, id_col, text_col, meta["shingle_n"]).persist()
     banded = None
     try:
-        n_novel = bsh.count()
+        # one action: the count the append needs anyway + the
+        # generation's id bounds for the manifest stats
+        n_novel, st = index_fs.count_and_bounds(bsh, "id")
         if n_novel == 0:
             return 0
         gen = index_fs.next_gen(m)
@@ -282,15 +325,21 @@ def append_to_minhash_index(
             .write.mode("overwrite")
             .parquet(f"{path}/sizes/{gen}")
         )
-        # the COMMIT: everything above was invisible until this line
+        stats = dict(m.get("gen_stats", {}))
+        if st:
+            stats[gen] = st
+        # the COMMIT: everything above was invisible until this line.
+        # Unknown manifest keys (sync markers, future metadata) are
+        # carried forward verbatim — a mutation must never strip
+        # another subsystem's state
         index_fs.commit_manifest(
             spark,
             path,
             {
+                **{k: v for k, v in m.items() if k != "_seq"},
                 "generations": m["generations"] + [gen],
                 "sizes": gen,
-                "params": meta,
-                "tombstones": m.get("tombstones", []),
+                "gen_stats": stats,
             },
             m["_seq"],
         )
@@ -352,9 +401,7 @@ def delete_from_minhash_index(
             spark,
             path,
             {
-                "generations": m["generations"],
-                "sizes": m["sizes"],
-                "params": m["params"],
+                **{k: v for k, v in m.items() if k != "_seq"},
                 "tombstones": m.get("tombstones", []) + [gen],
             },
             m["_seq"],
@@ -415,14 +462,18 @@ def compact_minhash_index(spark: SparkSession, path: str) -> None:
         .write.mode("overwrite")
         .parquet(f"{path}/sizes/{gen}")
     )
+    st = index_fs.id_bounds(
+        spark.read.parquet(f"{path}/data/{gen}/shingles"), "id"
+    )
     index_fs.commit_manifest(
         spark,
         path,
         {
+            **{k: v for k, v in m.items() if k != "_seq"},
             "generations": [gen],
             "sizes": gen,
-            "params": m["params"],
             "tombstones": [],
+            "gen_stats": {gen: st} if st else {},
         },
         m["_seq"],
     )
@@ -433,6 +484,183 @@ def compact_minhash_index(spark: SparkSession, path: str) -> None:
     index_fs.sweep_orphans(spark, f"{path}/data", {gen}, "g")
     index_fs.sweep_orphans(spark, f"{path}/sizes", {gen}, "g")
     index_fs.sweep_orphans(spark, f"{path}/tombstones", set(), "g")
+
+
+def unblock_minhash_ids(
+    spark: SparkSession,
+    path: str,
+    ids: DataFrame,
+    id_col: str = "doc_id",
+) -> dict:
+    """Free SPECIFIC tombstoned ids for re-admission by rewriting
+    ONLY the generations that physically hold their rows — the
+    targeted alternative to :func:`compact_minhash_index` when a sync
+    window re-inserts a previously deleted key and a full-index
+    rewrite would be paid to drop a handful of rows.
+
+    Work is bounded by the AFFECTED generations: candidates are
+    pruned first against the manifest's per-generation [min,max] id
+    stats (``gen_stats`` — no read at all when the ranges are
+    provably disjoint), then confirmed with one skinny semi-join per
+    surviving generation; only confirmed generations are rewritten
+    (their rows minus the blocked ids), the sizes relation is
+    adjusted by subtracting exactly the dropped postings' bucket
+    counts, and the tombstone set is rewritten without the freed ids.
+    Untouched generations keep their directories AND their manifest
+    names, so the commit is one manifest write naming mostly-old
+    files — the Iceberg-style partial-rewrite shape.
+
+    Returns ``{"unblocked", "rewritten_generations"}``. Idempotent
+    (ids not currently tombstoned are ignored; re-run returns 0) and
+    crash-atomic like every mutation: the new directories are
+    invisible until the manifest lands, and superseded directories
+    stay readable for time travel until the next compaction sweeps
+    them.
+    """
+    m = _committed(spark, path)
+    tombs = _read_tombstones(spark, path, m)
+    if tombs is None:
+        return {"unblocked": 0, "rewritten_generations": []}
+    blocked = (
+        ids.select(F.col(id_col).alias("id"))
+        .distinct()
+        .join(tombs, "id", "left_semi")
+        .persist()
+    )
+    try:
+        n = blocked.count()
+        if n == 0:
+            return {"unblocked": 0, "rewritten_generations": []}
+        bounds = index_fs.id_bounds(blocked, "id")
+        gen_stats = m.get("gen_stats", {})
+        affected = []
+        for g in m["generations"]:
+            if index_fs.bounds_disjoint(gen_stats.get(g), bounds):
+                continue
+            hit = (
+                spark.read.parquet(f"{path}/data/{g}/shingles")
+                .select("id")
+                .join(blocked, "id", "left_semi")
+                .limit(1)
+                .count()
+            )
+            if hit:
+                affected.append(g)
+        # fresh sequential names past everything committed OR on disk
+        # (the fresh_gen rule, extended to a batch of allocations)
+        import re as _re
+
+        nums = [-1] + [int(g[1:]) for g in m["generations"]]
+        for parent in (f"{path}/data", f"{path}/sizes",
+                       f"{path}/tombstones"):
+            for name in index_fs.list_names(spark, parent):
+                mm = _re.search(r"g(\d{6})$", name)
+                if mm:
+                    nums.append(int(mm.group(1)))
+        counter = 1 + max(nums)
+
+        def alloc() -> str:
+            nonlocal counter
+            g = "g%06d" % counter
+            counter += 1
+            return g
+
+        mapping: dict[str, str | None] = {}
+        for g in affected:
+            # a generation whose every row is blocked REWRITES TO
+            # NOTHING — drop it from the manifest instead of writing
+            # an empty (hence unreadable) parquet directory
+            survivors = (
+                spark.read.parquet(f"{path}/data/{g}/shingles")
+                .select("id")
+                .join(blocked, "id", "left_anti")
+                .limit(1)
+                .count()
+            )
+            if not survivors:
+                mapping[g] = None
+                continue
+            gnew = alloc()
+            for rel in ("postings", "shingles"):
+                (
+                    spark.read.parquet(f"{path}/data/{g}/{rel}")
+                    .join(blocked, "id", "left_anti")
+                    .write.mode("overwrite")
+                    .parquet(f"{path}/data/{gnew}/{rel}")
+                )
+            mapping[g] = gnew
+        # sizes: subtract exactly the dropped postings' bucket counts
+        # (never a full recount — the sizes relation stays the same
+        # conservative as-built census compaction would refresh)
+        dropped = (
+            spark.read.parquet(
+                *[f"{path}/data/{g}/postings" for g in affected]
+            )
+            .join(blocked, "id", "left_semi")
+            .groupBy("band", "band_hash")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        sizes_gen = alloc()
+        (
+            spark.read.parquet(f"{path}/sizes/{m['sizes']}")
+            .join(dropped, ["band", "band_hash"], "left")
+            .select(
+                "band",
+                "band_hash",
+                (
+                    F.col("bucket_size")
+                    - F.coalesce(F.col("c"), F.lit(0))
+                ).cast("long").alias("bucket_size"),
+            )
+            .filter(F.col("bucket_size") > 0)
+            .write.mode("overwrite")
+            .parquet(f"{path}/sizes/{sizes_gen}")
+        )
+        # tombstones minus the freed ids, as ONE fresh set
+        remaining = tombs.join(blocked, "id", "left_anti").persist()
+        try:
+            new_tombs: list[str] = []
+            if remaining.limit(1).count():
+                tg = alloc()
+                remaining.coalesce(1).write.mode("overwrite").parquet(
+                    f"{path}/tombstones/{tg}"
+                )
+                new_tombs = [tg]
+            new_gens = [
+                mapping.get(g, g)
+                for g in m["generations"]
+                if mapping.get(g, g) is not None
+            ]
+            if not new_gens:
+                raise ValueError(
+                    f"unblock would leave {path} with zero"
+                    " generations (every stored row is blocked) —"
+                    " rebuild the index instead"
+                )
+            # rewritten generations keep their OLD bounds — a
+            # conservative superset range stays valid for pruning
+            stats = {
+                mapping.get(g, g): gen_stats[g]
+                for g in m["generations"]
+                if g in gen_stats and mapping.get(g, g) is not None
+            }
+            index_fs.commit_manifest(
+                spark,
+                path,
+                {
+                    **{k: v for k, v in m.items() if k != "_seq"},
+                    "generations": new_gens,
+                    "sizes": sizes_gen,
+                    "tombstones": new_tombs,
+                    "gen_stats": stats,
+                },
+                m["_seq"],
+            )
+        finally:
+            remaining.unpersist()
+        return {"unblocked": n, "rewritten_generations": affected}
+    finally:
+        blocked.unpersist()
 
 
 def probe_minhash_index(

@@ -203,6 +203,61 @@ def fresh_gen(
     return "g%06d" % (1 + max(nums))
 
 
+def id_bounds(df, id_col: str) -> dict | None:
+    """``{"min_id", "max_id"}`` of ``df[id_col]`` for the manifest's
+    per-generation statistics, or ``None`` when the id type is not
+    JSON-stable-orderable (only int and str are: their Python
+    comparison matches Spark's — numeric order for ints, and UTF-8
+    binary order for strings, which equals code-point order). One
+    column-pruned aggregate over data the caller is writing anyway.
+
+    The stats serve GENERATION PRUNING for targeted rewrites
+    (:func:`~sqltask_spark.operators.dedup_index.unblock_minhash_ids`)
+    — a conservative superset range is always valid, so rewrites keep
+    a generation's old bounds rather than re-measuring."""
+    from pyspark.sql import functions as F
+
+    r = df.agg(
+        F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
+    ).collect()[0]
+    lo, hi = r["lo"], r["hi"]
+    if isinstance(lo, bool) or not isinstance(lo, (int, str)):
+        return None
+    return {"min_id": lo, "max_id": hi}
+
+
+def count_and_bounds(df, id_col: str) -> "tuple[int, dict | None]":
+    """``(row_count, id_bounds)`` in ONE aggregate action — the
+    append paths already pay a count job on the batch, so the
+    generation stats ride along for free instead of adding a second
+    job per mutation."""
+    from pyspark.sql import functions as F
+
+    r = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(id_col).alias("lo"),
+        F.max(id_col).alias("hi"),
+    ).collect()[0]
+    lo, hi = r["lo"], r["hi"]
+    if isinstance(lo, bool) or not isinstance(lo, (int, str)):
+        return int(r["n"]), None
+    return int(r["n"]), {"min_id": lo, "max_id": hi}
+
+
+def bounds_disjoint(stats: dict | None, bounds: dict | None) -> bool:
+    """True iff the two [min,max] id ranges PROVABLY do not overlap —
+    the only case generation pruning may skip a physical check.
+    Missing stats or mismatched types (an index whose id column
+    changed representation) are never provable → False."""
+    if not stats or not bounds:
+        return False
+    a_lo, a_hi = stats["min_id"], stats["max_id"]
+    b_lo, b_hi = bounds["min_id"], bounds["max_id"]
+    if {type(a_lo), type(b_lo)} not in ({int}, {str}):
+        return False
+    return a_hi < b_lo or a_lo > b_hi
+
+
 def sweep_orphans(
     spark: SparkSession, parent: str, committed: set[str], prefix: str
 ) -> list[str]:

@@ -41,15 +41,15 @@ def minhash_index_health(spark: SparkSession, path: str) -> dict:
     set is committed)."""
     from sqltask_spark.operators import dedup_index as di
 
-    m = di._committed(spark, path)
+    m = di.committed_manifest(spark, path)
     n_generations = len(m["generations"])
-    tombs = di._read_tombstones(spark, path, m)
+    tombs = di.read_tombstones(spark, path, m)
     if tombs is None:
         n_tombstoned = 0
         ratio = 0.0
     else:
         n_tombstoned = tombs.count()
-        n_ids = di._read_shingles(spark, path, m).count()
+        n_ids = di.read_index_ids(spark, path, m).count()
         ratio = n_tombstoned / n_ids if n_ids else 0.0
     return {
         "n_generations": n_generations,
@@ -88,16 +88,16 @@ def ivf_index_health(spark: SparkSession, path: str) -> dict:
     tombstone sets exist)."""
     from sqltask_spark.operators import ann_index as ai
 
-    m = ai._committed(spark, path)
+    m = ai.committed_manifest(spark, path)
     n_generations = len(m["generations"])
-    tombs = ai._read_tombstones(spark, path, m)
+    tombs = ai.read_tombstones(spark, path, m)
     if tombs is None:
         n_tombstoned = 0
         ratio = 0.0
     else:
         n_tombstoned = tombs.count()
         n_ids = (
-            ai._read_vectors(spark, path, m, include_tombstoned=True)
+            ai.read_vectors(spark, path, m, include_tombstoned=True)
             .select("neighbor_id")
             .count()
         )
@@ -207,6 +207,51 @@ def maintain_parquet_table(
     return {**h, "compacted": compact, "vacuum": vac}
 
 
+def maintain_bloom_store(
+    spark: SparkSession,
+    path: str,
+    members,
+    value_col: str,
+    max_fill_micro: int = 500_000,
+    growth_factor: int = 2,
+) -> dict:
+    """Rebuild the Bloom store at ``growth_factor``× capacity when
+    saturation (set bits over frozen capacity, micro units) crosses
+    ``max_fill_micro`` — the policy arm of
+    :func:`~sqltask_spark.operators.sketch_store.bloom_saturation`,
+    mirroring :func:`rebuild_ivf_on_drift` (frozen parameter, drift
+    signal, rebuild-as-the-only-move). Default threshold 500000 =
+    half the bits set, where a k=2 filter's false-positive rate
+    reaches ~25% and keeps climbing.
+
+    ``members`` is the DRIVING member set (the exact values the
+    filter must keep answering "maybe" for — a Bloom store cannot
+    enumerate its own members, so growth needs the source relation;
+    the streaming sink materializes one when asked). The no-op path
+    is one state-sized aggregate over the ≤ m_bits/63-row word
+    table. Rebuild preserves the no-false-negative contract by
+    construction: every member is re-inserted under the new capacity
+    in the SAME atomic commit that retires the old bitmap."""
+    from sqltask_spark.operators.sketch_store import (
+        bloom_saturation,
+        rebuild_bloom_store,
+    )
+
+    s = bloom_saturation(spark, path).collect()[0]
+    rebuilt = int(s["fill_micro"]) > max_fill_micro
+    if rebuilt:
+        rebuild_bloom_store(
+            spark, path, members, value_col,
+            int(s["m_bits"]) * growth_factor,
+        )
+    return {
+        "m_bits": int(s["m_bits"]),
+        "n_set_bits": int(s["n_set_bits"]),
+        "fill_micro": int(s["fill_micro"]),
+        "rebuilt": rebuilt,
+    }
+
+
 def rebuild_ivf_on_drift(
     spark: SparkSession,
     path: str,
@@ -249,9 +294,9 @@ def rebuild_ivf_on_drift(
         int(stats["concentration_micro"]) > max_concentration_micro
     )
     if drifted:
-        m = ai._committed(spark, path)
+        m = ai.committed_manifest(spark, path)
         params = m["params"]
-        live = ai._read_vectors(spark, path, m).select(
+        live = ai.read_vectors(spark, path, m).select(
             "neighbor_id", F.col("cv")
         )
         ai.build_ivf_index(

@@ -385,6 +385,48 @@ def update_bloom_store(
     return merge_into_parquet(spark, path, merged, ["word"])
 
 
+def rebuild_bloom_store(
+    spark: SparkSession,
+    path: str,
+    members: DataFrame,
+    value_col: str,
+    m_bits_new: int,
+) -> None:
+    """Rebuild the store at a NEW frozen capacity from the driving
+    member set — the only move when saturation outgrows ``m_bits``
+    (positions are taken mod the frozen capacity, so old bitmaps
+    cannot be re-hashed; same frozen-parameter rule as the IVF
+    quantizer, same rebuild answer). One ATOMIC merge commit: the
+    new capacity's word rows and meta row upsert in, stale words
+    delete out — readers see the old store until the manifest lands,
+    the new one after, never a mix (a mixed read would produce false
+    NEGATIVES, the one error class a Bloom filter must never make).
+    """
+    from sqltask_spark.operators.merge import (
+        merge_into_parquet,
+        read_parquet_table,
+    )
+
+    meta = spark.createDataFrame(
+        [(_BLOOM_META_WORD, int(m_bits_new))], "word long, bits long"
+    )
+    desired = (
+        bloom_word_rows(members, value_col, m_bits_new)
+        .select(F.col("word").cast("long"), F.col("bits"))
+        .unionByName(meta)
+    )
+    stale = (
+        read_parquet_table(spark, path)
+        .select("word")
+        .join(desired.select("word"), "word", "left_anti")
+        .select("word", F.lit(0).cast("long").alias("bits"))
+    )
+    src = desired.withColumn("__del", F.lit(False)).unionByName(
+        stale.withColumn("__del", F.lit(True))
+    )
+    merge_into_parquet(spark, path, src, ["word"], delete_col="__del")
+
+
 def bloom_probe(
     spark: SparkSession,
     path: str,

@@ -139,6 +139,10 @@ TWINS: dict[str, str] = {
     # tombstone primitives; synced-probe ≡ fresh-build-probe is
     # pytest-pinned in test_index_lifecycle
     "corpus_index_sync_loop": "dedup_incremental",
+    # the sink-wired form of the sync loop (sync_indexes option);
+    # per-epoch probe equivalence + replay convergence pytest-pinned
+    # in test_merge_upsert_sink_sync_indexes_e2e
+    "corpus_stream_index_sync": "dedup_incremental",
     "bpe_learn_merges": "bpe_learn_certified",
     "bpe_encode_documents": "bpe_encode_fixed",
     # learned-table fertility: same metric as the oracled fixed-table

@@ -91,27 +91,41 @@ def _build_merge_sql(
       predicates become ``s.flag = 1`` / ``= 0`` (BIT convention)
       plus the required terminating semicolon. Generated
       best-effort; no live engine in CI.
-    - Oracle/DB2: ``NotImplementedError``. Oracle's MERGE permits
-      exactly ONE ``WHEN MATCHED`` clause (DELETE only as ``DELETE
-      WHERE`` inside the UPDATE), requires a parenthesized ON, and
-      has no ``WHEN NOT MATCHED AND``; DB2 maps Spark BooleanType to
+    - Oracle: structurally different but GENERATABLE — parenthesized
+      ON, exactly ONE ``WHEN MATCHED`` (``UPDATE SET`` with the
+      delete expressed as its trailing ``DELETE WHERE`` sub-clause,
+      which Oracle evaluates against the just-updated row and may
+      reference source columns), and the not-matched guard as the
+      INSERT's own ``WHERE`` clause instead of ANSI's ``WHEN NOT
+      MATCHED AND``. Spark's OracleDialect writes BooleanType as
+      NUMBER(1), so the flag predicates are ``s.flag = 1`` / ``= 0``.
+      One honest hole stays loud: a delete-flag merge on a table
+      with NO non-key columns has nothing to ``UPDATE SET`` and
+      Oracle's grammar cannot carry a bare ``DELETE WHERE`` —
+      ``NotImplementedError`` rather than unparseable SQL. Generated
+      best-effort; no live Oracle in CI (same caveat as MSSQL).
+    - DB2: ``NotImplementedError``. DB2 maps Spark BooleanType to
       CHAR(1) so a ``= 1`` comparison is a type error — a syntactic
       tweak cannot make this statement shape work there, and
-      emitting SQL those engines reject at parse time would be a
+      emitting SQL the engine rejects at parse time would be a
       false claim of support."""
 
     def q(c: str) -> str:
         return _quote_ident(c, qc)
 
     low = url.lower()
-    if ":oracle" in low or ":db2" in low:
+    if ":db2" in low:
         raise NotImplementedError(
-            "merge_batch supports Derby/Postgres (ANSI MERGE) and"
-            " MSSQL (generated, untested live); Oracle and DB2 need"
-            " a structurally different MERGE (single WHEN MATCHED"
-            " with DELETE WHERE, parenthesized ON, dialect boolean"
-            " mapping) that is not implemented — use write_batch or"
-            " write_batch_staged for those engines"
+            "merge_batch supports Derby/Postgres (ANSI MERGE), MSSQL"
+            " and Oracle (generated, untested live); DB2 maps"
+            " BooleanType to CHAR(1), which breaks the delete-flag"
+            " predicates — use write_batch or write_batch_staged for"
+            " DB2"
+        )
+    if ":oracle" in low:
+        return _build_merge_sql_oracle(
+            table_name, stg, key_cols, set_cols, data_cols,
+            delete_col, q,
         )
     numeric_bool = ":sqlserver" in low
     on = " AND ".join(f"t.{q(k)} = s.{q(k)}" for k in key_cols)
@@ -145,6 +159,54 @@ def _build_merge_sql(
         f"MERGE INTO {table_name} t USING {stg} s ON {on} "
         + " ".join(clauses)
         + terminator
+    )
+
+
+def _build_merge_sql_oracle(
+    table_name: str,
+    stg: str,
+    key_cols: list,
+    set_cols: list,
+    data_cols: list,
+    delete_col: "str | None",
+    q,
+) -> str:
+    """Oracle's MERGE shape (no live engine in CI — generated like
+    the MSSQL arm, grammar per Oracle's documented single-WHEN
+    form): ``ON`` parenthesized; one ``WHEN MATCHED THEN UPDATE SET
+    … [DELETE WHERE …]`` — Oracle forbids a second matched clause
+    and a bare matched-DELETE, and forbids key columns in the SET
+    list (they are the join, never updated, which the ANSI arm
+    already respects via ``set_cols``); ``WHEN NOT MATCHED THEN
+    INSERT … [WHERE …]`` carries the delete-marker guard that ANSI
+    spells ``WHEN NOT MATCHED AND``. Boolean flags compare ``= 1`` /
+    ``= 0`` (Spark's OracleDialect stores BooleanType as
+    NUMBER(1))."""
+    on = " AND ".join(f"t.{q(k)} = s.{q(k)}" for k in key_cols)
+    if delete_col is not None and not set_cols:
+        raise NotImplementedError(
+            "merge_batch on Oracle cannot express a delete-flag"
+            " MERGE against a key-only table: Oracle's single WHEN"
+            " MATCHED clause requires an UPDATE SET to hang DELETE"
+            " WHERE off, and there is no non-key column to set —"
+            " use write_batch (delete+append) for this table shape"
+        )
+    clauses = []
+    if set_cols:
+        sets = ", ".join(f"{q(c)} = s.{q(c)}" for c in set_cols)
+        upd = f"WHEN MATCHED THEN UPDATE SET {sets}"
+        if delete_col is not None:
+            upd += f" DELETE WHERE s.{q(delete_col)} = 1"
+        clauses.append(upd)
+    cols = ", ".join(q(c) for c in data_cols)
+    vals = ", ".join(f"s.{q(c)}" for c in data_cols)
+    ins = f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
+    if delete_col is not None:
+        ins += f" WHERE s.{q(delete_col)} = 0"
+    clauses.append(ins)
+    return (
+        f"MERGE INTO {table_name} t USING {stg} s ON ({on}) "
+        + " ".join(clauses)
     )
 
 

@@ -26,6 +26,7 @@ def merge_upsert_sink(
     order_col: str | None = None,
     app_id: str = "default",
     maintenance: dict | None = None,
+    sync_indexes: "list[dict] | None" = None,
 ):
     """``foreachBatch`` sink: MERGE each micro-batch into the table
     at ``table_path`` (which must exist — create it with
@@ -61,6 +62,24 @@ def merge_upsert_sink(
     running CDC queries are exactly where copy-on-write fragments
     accumulate; the check is manifest/file-status reads until a
     threshold trips.
+
+    ``sync_indexes`` closes the stream → table → index loop: a list
+    of specs, each ``{"kind": "minhash"|"ivf", "index_path": str,
+    "id_col": str, "payload_col": str[, "seed_from_seq": int]}``.
+    After each epoch's merge commits, the change window since that
+    index's last synced table version is applied via
+    :func:`~sqltask_spark.operators.index_sync.
+    sync_minhash_index_with_table` /
+    :func:`~sqltask_spark.operators.index_sync.
+    sync_ivf_index_with_table`, and the window's upper bound persists
+    in the index manifest (``synced[table_path]``) — no caller-side
+    bookkeeping. ``seed_from_seq`` (the table version the index was
+    built from, typically 0 for an index built from the seed data) is
+    consulted ONLY when the index has no marker yet; an unseeded,
+    marker-less index fails loudly rather than guessing a window. A
+    ledger-skipped (redelivered) epoch leaves the table version
+    unchanged, so its sync window is empty — the index is touched
+    exactly once per effective epoch.
 
     Usage::
 
@@ -137,5 +156,50 @@ def merge_upsert_sink(
             maintain_parquet_table(
                 batch_df.sparkSession, table_path, **maintenance
             )
+        if sync_indexes:
+            from sqltask_spark.operators.index_sync import (
+                last_synced_seq,
+                sync_ivf_index_with_table,
+                sync_minhash_index_with_table,
+            )
+
+            spark = batch_df.sparkSession
+            to_seq = int(
+                index_fs.read_manifest(spark, table_path)["_seq"]
+            )
+            for spec in sync_indexes:
+                kind = spec["kind"]
+                if kind not in ("minhash", "ivf"):
+                    raise ValueError(
+                        f"sync_indexes: unknown kind {kind!r}"
+                        " (expected 'minhash' or 'ivf')"
+                    )
+                from_seq = last_synced_seq(
+                    spark, spec["index_path"], table_path, kind
+                )
+                if from_seq is None:
+                    from_seq = spec.get("seed_from_seq")
+                if from_seq is None:
+                    raise ValueError(
+                        f"sync_indexes: index {spec['index_path']}"
+                        f" has no synced marker for {table_path} and"
+                        " no seed_from_seq — pass the table version"
+                        " the index was built from (0 for an index"
+                        " built from the table's seed data)"
+                    )
+                sync_fn = (
+                    sync_minhash_index_with_table
+                    if kind == "minhash"
+                    else sync_ivf_index_with_table
+                )
+                sync_fn(
+                    spark,
+                    table_path,
+                    spec["index_path"],
+                    spec["id_col"],
+                    spec["payload_col"],
+                    from_seq=int(from_seq),
+                    to_seq=to_seq,
+                )
 
     return upsert

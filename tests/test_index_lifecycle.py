@@ -658,10 +658,13 @@ def test_sync_minhash_index_with_table_cdc(spark, tables, tmp_path):
     r = sync_minhash_index_with_table(
         spark, tbl, idx, "doc_id", "text", from_seq=v0
     )
-    assert r == {
-        "tombstoned": 2, "appended": 2, "had_updates": True,
-        "compacted": True,
-    }
+    # the updated id is blocked by its own fresh tombstone and freed
+    # by the TARGETED unblock (one rewritten generation, not a
+    # full-index compaction)
+    assert (r["tombstoned"], r["appended"], r["had_updates"]) == (
+        2, 2, True
+    )
+    assert r["unblocked"] == 1 and len(r["rewritten_generations"]) == 1
     current = read_parquet_table(spark, tbl)
     fresh = str(tmp_path / "fresh_idx")
     build_minhash_index(current, fresh)
@@ -678,6 +681,11 @@ def test_sync_minhash_index_with_table_cdc(spark, tables, tmp_path):
         spark, tbl, idx, "doc_id", "text", from_seq=v0
     )
     assert r2["tombstoned"] == 1 and r2["appended"] == 1  # update id
+    # marker-resumed call (from_seq omitted): the synced marker says
+    # the window is already applied — a strict no-op
+    r3 = sync_minhash_index_with_table(spark, tbl, idx, "doc_id", "text")
+    assert (r3["tombstoned"], r3["appended"], r3["unblocked"]) == (0, 0, 0)
+    assert r3["from_seq"] == r3["to_seq"]
     assert _mh_canon(spark, idx, probe) == _mh_canon(spark, fresh, probe)
 
 
@@ -713,10 +721,10 @@ def test_sync_reinsert_after_delete_only_window(spark, tables, tmp_path):
     r1 = sync_minhash_index_with_table(
         spark, tbl, idx, "doc_id", "text", from_seq=v0
     )
-    assert r1 == {
-        "tombstoned": 1, "appended": 0, "had_updates": False,
-        "compacted": False,
-    }
+    assert (r1["tombstoned"], r1["appended"], r1["had_updates"]) == (
+        1, 0, False
+    )
+    assert r1["unblocked"] == 0 and r1["rewritten_generations"] == []
     v1 = index_fs.read_manifest(spark, tbl)["_seq"]
     # window 2: the SAME key returns with new content
     merge_into_parquet(
@@ -728,7 +736,7 @@ def test_sync_reinsert_after_delete_only_window(spark, tables, tmp_path):
     r2 = sync_minhash_index_with_table(
         spark, tbl, idx, "doc_id", "text", from_seq=v1
     )
-    assert r2["compacted"] is True and r2["appended"] == 1
+    assert r2["unblocked"] == 1 and r2["appended"] == 1
     # the re-admitted doc is findable again
     twin = spark.createDataFrame(
         [(900_000, NOVEL + " twin")], "doc_id long, text string"
@@ -783,10 +791,10 @@ def test_sync_ivf_index_with_table_cdc(spark, sf_dir, tmp_path):
     r = sync_ivf_index_with_table(
         spark, tbl, idx, "vec_id", "embedding", from_seq=v0
     )
-    assert r == {
-        "tombstoned": 2, "appended": 2, "had_updates": True,
-        "compacted": True,
-    }
+    assert (r["tombstoned"], r["appended"], r["had_updates"]) == (
+        2, 2, True
+    )
+    assert r["unblocked"] == 1
     current = read_parquet_table(spark, tbl)
     # the probe excludes self-matches by design, so probe with TWIN
     # ids carrying the exact synced vectors: each must find its
@@ -811,3 +819,139 @@ def test_sync_ivf_index_with_table_cdc(spark, sf_dir, tmp_path):
         hits.filter(F.col("neighbor_id") == two[0]["vec_id"]).count()
         == 0
     )
+
+
+def test_unblock_minhash_rewrites_only_affected_generation(
+    spark, tables, tmp_path
+):
+    """VERDICT r10 #4: freeing a blocked id must rewrite ONLY the
+    generation(s) physically holding its rows. Build a 3-generation
+    index, tombstone one doc from the MIDDLE generation, unblock it:
+    the manifest must keep the other two generation names unchanged,
+    replace exactly the affected one, clear the freed id's tombstone,
+    and a post-unblock re-append + probe must equal a fresh build
+    over the same corpus."""
+    from sqltask_spark.operators.dedup_index import (
+        committed_manifest,
+        unblock_minhash_ids,
+    )
+
+    docs = tables["documents"].select("doc_id", "text").limit(60)
+    b0 = docs.filter(F.col("doc_id") % 3 == 0)
+    b1 = docs.filter(F.col("doc_id") % 3 == 1)
+    b2 = docs.filter(F.col("doc_id") % 3 == 2)
+    idx = str(tmp_path / "unb_idx")
+    build_minhash_index(b0, idx)
+    append_to_minhash_index(idx, b1, "doc_id", "text")
+    append_to_minhash_index(idx, b2, "doc_id", "text")
+    m0 = committed_manifest(spark, idx)
+    assert len(m0["generations"]) == 3
+    # every generation carries id-range stats for pruning
+    assert set(m0["gen_stats"]) == set(m0["generations"])
+    victim = b1.orderBy("doc_id").limit(1)
+    delete_from_minhash_index(idx, victim, "doc_id")
+    r = unblock_minhash_ids(spark, idx, victim, "doc_id")
+    assert r["unblocked"] == 1
+    assert r["rewritten_generations"] == [m0["generations"][1]]
+    m1 = committed_manifest(spark, idx)
+    # untouched generations keep their NAMES (hence their files)
+    assert m1["generations"][0] == m0["generations"][0]
+    assert m1["generations"][2] == m0["generations"][2]
+    assert m1["generations"][1] != m0["generations"][1]
+    assert m1["tombstones"] == []
+    # the freed id is re-admittable and the view re-converges: after
+    # re-appending it, probing equals a fresh build over the corpus
+    vrow = victim.collect()[0]
+    assert (
+        append_to_minhash_index(
+            idx,
+            spark.createDataFrame(
+                [(vrow["doc_id"], NOVEL)], "doc_id long, text string"
+            ),
+            "doc_id",
+            "text",
+        )
+        == 1
+    )
+    fresh = str(tmp_path / "unb_fresh")
+    current = (
+        docs.filter(F.col("doc_id") != vrow["doc_id"]).unionByName(
+            spark.createDataFrame(
+                [(vrow["doc_id"], NOVEL)], "doc_id long, text string"
+            )
+        )
+    )
+    build_minhash_index(current, fresh)
+    probe = spark.createDataFrame(
+        [(900_000, NOVEL + " twin")], "doc_id long, text string"
+    )
+    assert _mh_canon(spark, idx, probe) == _mh_canon(spark, fresh, probe)
+    # idempotent: nothing left to unblock
+    r2 = unblock_minhash_ids(spark, idx, victim, "doc_id")
+    assert r2 == {"unblocked": 0, "rewritten_generations": []}
+
+
+def test_unblock_ivf_rewrites_only_affected_generation(
+    spark, sf_dir, tmp_path
+):
+    """IVF symmetry of the targeted unblock: only the generation
+    holding the blocked vector is rewritten, the quantizer and the
+    other generations' names survive, and the freed id re-appends."""
+    from sqltask_spark.operators.ann_index import (
+        committed_manifest,
+        unblock_ivf_ids,
+    )
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .limit(90)
+    )
+    b0 = emb.filter(F.col("vec_id") % 3 == 0)
+    b1 = emb.filter(F.col("vec_id") % 3 == 1)
+    b2 = emb.filter(F.col("vec_id") % 3 == 2)
+    idx = str(tmp_path / "unb_ivf")
+    build_ivf_index(b0, idx, "vec_id", "embedding", n_cells=8)
+    append_to_ivf_index(idx, b1, "vec_id", "embedding")
+    append_to_ivf_index(idx, b2, "vec_id", "embedding")
+    m0 = committed_manifest(spark, idx)
+    assert len(m0["generations"]) == 3
+    assert set(m0["gen_stats"]) == set(m0["generations"])
+    victim = b2.orderBy("vec_id").limit(1)
+    delete_from_ivf_index(idx, victim, "vec_id")
+    r = unblock_ivf_ids(spark, idx, victim, "vec_id")
+    assert r["unblocked"] == 1
+    assert r["rewritten_generations"] == [m0["generations"][2]]
+    m1 = committed_manifest(spark, idx)
+    assert m1["generations"][:2] == m0["generations"][:2]
+    assert m1["generations"][2] != m0["generations"][2]
+    assert m1["quantizer"] == m0["quantizer"]  # frozen, untouched
+    assert m1["tombstones"] == []
+    vrow = victim.collect()[0]
+    assert (
+        append_to_ivf_index(
+            idx,
+            spark.createDataFrame(
+                [(vrow["vec_id"], list(vrow["embedding"]))],
+                "vec_id long, embedding array<float>",
+            ),
+            "vec_id",
+            "embedding",
+        )
+        == 1
+    )
+    # the re-admitted vector is findable again: a twin query carrying
+    # its exact vector must rank it at cosine 1.0
+    q = spark.createDataFrame(
+        [(555001, list(vrow["embedding"]))],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (g[0], g[2]): g[3] for g in _ivf_canon(spark, idx, q)
+    }
+    assert got[(555001, vrow["vec_id"])] == 1.0
+    # re-run: nothing blocked anymore
+    assert unblock_ivf_ids(spark, idx, victim, "vec_id") == {
+        "unblocked": 0,
+        "rewritten_generations": [],
+    }

@@ -597,9 +597,10 @@ def test_jdbc_merge_batch_creates_missing_target(spark):
 
 def test_merge_sql_dialect_predicates():
     """Statement generation is dialect-aware: Derby/Postgres take the
-    bare ANSI boolean predicate; MSSQL/Oracle/DB2 (no boolean
-    predicate type) get `= 1` / `= 0` comparisons, and MSSQL its
-    required terminating semicolon."""
+    bare ANSI boolean predicate; MSSQL/Oracle (no boolean predicate
+    type) get `= 1` / `= 0` comparisons, MSSQL its required
+    terminating semicolon, Oracle its single-WHEN-MATCHED shape; DB2
+    stays a loud refusal."""
     from sqltask_spark.sinks.jdbc import _build_merge_sql
 
     args = ("tgt", "stg", ["k"], ["v"], ["k", "v"], "is_del", '"')
@@ -613,12 +614,40 @@ def test_merge_sql_dialect_predicates():
     assert 'WHEN MATCHED AND s."is_del" = 1 THEN DELETE' in ms
     assert 'AND s."is_del" = 0' in ms
     assert ms.endswith(";")
-    # Oracle/DB2 need a structurally different MERGE — refusing is
-    # honest; emitting SQL they reject at parse time would not be
+    # Oracle: structurally different but generatable — parenthesized
+    # ON, ONE WHEN MATCHED with the delete as DELETE WHERE, the
+    # not-matched guard as the INSERT's own WHERE clause, NUMBER(1)
+    # boolean comparisons
+    ora = _build_merge_sql(*args, "jdbc:oracle:thin:@h:1521:x")
+    assert 'ON (t."k" = s."k")' in ora
+    assert ora.count("WHEN MATCHED") == 1
+    assert (
+        'WHEN MATCHED THEN UPDATE SET "v" = s."v"'
+        ' DELETE WHERE s."is_del" = 1' in ora
+    )
+    assert "WHEN NOT MATCHED AND" not in ora
+    assert (
+        'WHEN NOT MATCHED THEN INSERT ("k", "v")'
+        ' VALUES (s."k", s."v") WHERE s."is_del" = 0' in ora
+    )
+    assert not ora.endswith(";")
+    # Oracle without a delete flag: plain update+insert, no WHERE
+    ora_plain = _build_merge_sql(
+        "tgt", "stg", ["k"], ["v"], ["k", "v"], None, '"',
+        "jdbc:oracle:thin:@h:1521:x",
+    )
+    assert "DELETE WHERE" not in ora_plain
+    assert ora_plain.rstrip().endswith('VALUES (s."k", s."v")')
     import pytest
 
-    with pytest.raises(NotImplementedError, match="Oracle"):
-        _build_merge_sql(*args, "jdbc:oracle:thin:@h:1521:x")
+    # Oracle's one honest hole: a delete-flag merge on a key-only
+    # table has no SET list to hang DELETE WHERE off
+    with pytest.raises(NotImplementedError, match="key-only"):
+        _build_merge_sql(
+            "tgt", "stg", ["k"], [], ["k"], "is_del", '"',
+            "jdbc:oracle:thin:@h:1521:x",
+        )
+    # DB2 stays a loud refusal (CHAR(1) booleans)
     with pytest.raises(NotImplementedError, match="DB2"):
         _build_merge_sql(*args, "jdbc:db2://h/db")
     # no delete flag → no flag predicates anywhere, any dialect

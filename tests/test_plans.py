@@ -680,3 +680,47 @@ def test_cm_probe_grid_is_broadcast(spark, tables, tmp_path):
     assert "BroadcastHashJoin" in r.join_strategies
     assert "SortMergeJoin" not in r.join_strategies
     assert "CartesianProduct" not in r.join_strategies
+
+
+def test_weighted_p75_double_udaf_plan_and_values(spark, sf_dir):
+    """The generalized (double-valued) weighted-percentile UDAF keeps
+    the exemplar's plan shape — ONE grouped-pandas aggregation node,
+    no window — and returns exact doubles: each group's hit is one of
+    its input values verbatim, with at least 75% of the group's
+    weight at or below it."""
+    df = QUERIES["source_weighted_p75_density"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    n_agg = final.count("ArrowAggregatePython") + final.count(
+        "AggregateInPandas"
+    )
+    assert n_agg == 1, final
+    assert "Window" not in final
+    rows = df.collect()
+    assert rows and all(
+        isinstance(r["wp75_density"], float) for r in rows
+    )
+    # semantic spot-check against a driver-side recompute of one group
+    from sqltask_spark.data import load_table
+
+    g = rows[0]["source"]
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars").isNotNull())
+        .filter(F.col("source") == g)
+        .select(
+            (F.col("n_chars").cast("double") / F.lit(16.0)).alias("v"),
+            (F.lit(1) + F.col("doc_id") % 10).alias("w"),
+        )
+        .collect()
+    )
+    pairs = sorted((r["v"], r["w"]) for r in docs)
+    tot = sum(w for _, w in pairs)
+    cum = 0
+    expect = None
+    for v, w in pairs:
+        cum += w
+        if 4 * cum >= 3 * tot:
+            expect = v
+            break
+    assert rows[0]["wp75_density"] == expect

@@ -1410,3 +1410,191 @@ def test_minhash_index_cdc_sink_inband_takedowns(spark, tmp_path):
     # full replay: no state change (delete and append both idempotent)
     run_stream()
     assert state() == (ids, tombs, seq)
+
+
+def test_merge_upsert_sink_sync_indexes_e2e(spark, tables, tmp_path):
+    """VERDICT r10 #1: the stream → table → index loop closed inside
+    the sink. ``sync_indexes`` applies each epoch's change window to
+    the MinHash index with NO caller bookkeeping (the last-synced
+    table version persists in the index manifest). After EVERY epoch
+    the synced index probes identically to a fresh build over the
+    table's current state — including the cross-window hazard where
+    an id deleted in one epoch returns in a later one — and a full
+    same-content replay is ledger-skipped end to end: neither the
+    table nor the index moves."""
+    from sqltask_spark.operators import index_fs
+    from sqltask_spark.operators.dedup_index import (
+        build_minhash_index,
+        committed_manifest,
+        probe_minhash_index,
+    )
+    from sqltask_spark.operators.merge import (
+        create_parquet_table,
+        read_parquet_table,
+    )
+    from sqltask_spark.streaming.tables import merge_upsert_sink
+
+    NOVEL_A = "aq bz cy dx ew fv gu ht is jr kq lp mo nn"
+    NOVEL_B = "zz xw vu ts rq po nm lk ji hg fe dc ba aa"
+    NOVEL_C = "qm rn so tp uq vr ws xt yu zv aw bx cy dz"
+
+    docs = tables["documents"].select("doc_id", "text").limit(30)
+    ids = [r["doc_id"] for r in docs.orderBy("doc_id").limit(2).collect()]
+    x, z = ids[0], ids[1]
+    tbl = str(tmp_path / "loop_tbl")
+    idx = str(tmp_path / "loop_idx")
+    create_parquet_table(docs, tbl)
+    build_minhash_index(docs, idx)
+
+    sink = merge_upsert_sink(
+        tbl,
+        ["doc_id"],
+        delete_col="is_del",
+        order_col="seq",
+        app_id="docs-cdc",
+        sync_indexes=[{
+            "kind": "minhash",
+            "index_path": idx,
+            "id_col": "doc_id",
+            "payload_col": "text",
+            "seed_from_seq": 0,
+        }],
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, seq long, is_del boolean"
+        )
+
+    def probe_equal():
+        current = read_parquet_table(spark, tbl)
+        fresh = str(
+            tmp_path / f"fresh_{index_fs.read_manifest(spark, tbl)['_seq']}"
+        )
+        build_minhash_index(current, fresh)
+        probes = spark.createDataFrame(
+            [
+                (900_000, NOVEL_A + " twin"),
+                (900_001, NOVEL_B + " twin"),
+                (900_002, NOVEL_C + " twin"),
+            ],
+            "doc_id long, text string",
+        )
+
+        def canon(path):
+            hits = probe_minhash_index(
+                spark, path, probes, threshold=0.5
+            )
+            out = {
+                (r["batch_id"], r["corpus_id"]) for r in hits.collect()
+            }
+            hits.unpersist()
+            return out
+
+        assert canon(idx) == canon(fresh)
+        return canon(idx)
+
+    epochs = [
+        mk([(990_001, NOVEL_A, 1, False)]),          # insert
+        mk([(x, NOVEL_B, 2, False), (z, None, 3, True)]),  # upd + del
+        mk([(z, NOVEL_C, 4, False)]),                # re-insert z
+    ]
+    for i, batch in enumerate(epochs):
+        sink(batch, i)
+        probe_equal()
+    final = probe_equal()
+    assert (900_002, z) in final  # the re-inserted key is served
+    t_seq = index_fs.read_manifest(spark, tbl)["_seq"]
+    m_idx = committed_manifest(spark, idx)
+    assert m_idx["synced"][tbl] == t_seq  # marker tracks the table
+    i_seq = m_idx["_seq"]
+    # full same-content replay: ledger-skips before any work — table
+    # AND index manifests do not move, probe results identical
+    for i, batch in enumerate(epochs):
+        sink(batch, i)
+    assert index_fs.read_manifest(spark, tbl)["_seq"] == t_seq
+    assert committed_manifest(spark, idx)["_seq"] == i_seq
+    assert probe_equal() == final
+
+
+def test_bloom_store_sink_saturation_rebuild(spark, tmp_path):
+    """VERDICT r10 #8: the saturation signal now ACTS. A small frozen
+    capacity saturates under streaming ingest; with ``maintenance``
+    + ``members_path`` the sink rebuilds at 2× capacity from the
+    member table in one atomic commit. The rebuilt store must (a)
+    report a larger frozen capacity, (b) have NO false negative for
+    any pre-rebuild member, and (c) keep converging under replay."""
+    from sqltask_spark.operators.sketch_store import (
+        bloom_probe,
+        bloom_saturation,
+        read_bloom_capacity,
+    )
+    from sqltask_spark.streaming.corpus import bloom_store_sink
+
+    vals = spark.createDataFrame(
+        [(i, f"member-{i}") for i in range(300)], "i long, s string"
+    )
+    src = tmp_path / "bloom_sat_in"
+    for third in range(3):
+        vals.filter(F.col("i") % 3 == third).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+    store = str(tmp_path / "bloom_sat_store")
+    members = str(tmp_path / "bloom_sat_members")
+    m_bits = 4 * 63  # tiny on purpose: 300 members saturate it fast
+
+    def run_stream():
+        q = (
+            spark.readStream.schema(vals.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .writeStream.foreachBatch(
+                bloom_store_sink(
+                    store, "s", m_bits,
+                    members_path=members,
+                    maintenance={"max_fill_micro": 500_000},
+                )
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_stream()
+    cap = read_bloom_capacity(spark, store)
+    assert cap > m_bits  # the rebuild-bigger policy fired
+    # no false negative for ANY streamed member (the one error class
+    # a Bloom filter must never make — pinned across the rebuild)
+    hits = bloom_probe(spark, store, vals.select("s"), "s")
+    assert hits.filter(F.col("bloom_hit") == 0).count() == 0
+    # fill ratio actually relaxed below the trigger at the new size
+    sat = bloom_saturation(spark, store).collect()[0]
+    assert int(sat["m_bits"]) == cap
+    assert int(sat["fill_micro"]) <= 500_000
+    # replay from a fresh checkpoint: member upserts and bitmap OR
+    # both converge; capacity does not grow again
+    run_stream()
+    assert read_bloom_capacity(spark, store) == cap
+    assert bloom_probe(
+        spark, store, vals.select("s"), "s"
+    ).filter(F.col("bloom_hit") == 0).count() == 0
+
+
+def test_maintain_bloom_store_noop_below_threshold(spark, tmp_path):
+    """Below the fill threshold the policy is a pure observer: same
+    manifest, same bitmap, rebuilt=False."""
+    from sqltask_spark.operators import index_fs
+    from sqltask_spark.operators.index_maintenance import (
+        maintain_bloom_store,
+    )
+    from sqltask_spark.operators.sketch_store import create_bloom_store
+
+    vals = spark.createDataFrame(
+        [(f"m-{i}",) for i in range(20)], "s string"
+    )
+    store = str(tmp_path / "bloom_noop")
+    create_bloom_store(vals, store, 64 * 63, "s")
+    seq0 = index_fs.read_manifest(spark, store)["_seq"]
+    r = maintain_bloom_store(spark, store, vals, "s")
+    assert r["rebuilt"] is False
+    assert index_fs.read_manifest(spark, store)["_seq"] == seq0
