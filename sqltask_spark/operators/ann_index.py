@@ -587,6 +587,39 @@ def compact_ivf_index(spark: SparkSession, path: str) -> None:
     index_fs.sweep_orphans(spark, f"{path}/tombstones", set(), "g")
 
 
+def vacuum_ivf_index(
+    spark: SparkSession, path: str, keep_versions: int = 1
+) -> dict:
+    """Retention for the IVF index's version ledger — the vector
+    symmetry of :func:`~sqltask_spark.operators.dedup_index.
+    vacuum_minhash_index`: drop all but the newest ``keep_versions``
+    manifests, sweep vector generations, superseded quantizers
+    (every drift rebuild leaves one), and tombstone sets no
+    surviving manifest references. Newest committed state untouched;
+    time travel to a dropped version errors loudly afterwards.
+    Writer-context only."""
+    dropped = index_fs.drop_manifests(spark, path, keep_versions)
+    swept = []
+    swept += index_fs.sweep_orphans(
+        spark,
+        f"{path}/vectors",
+        {
+            f"gen={g}"
+            for g in index_fs.live_union(spark, path, "generations")
+        },
+        "gen=",
+    )
+    swept += index_fs.sweep_orphans(
+        spark, f"{path}/quantizer",
+        index_fs.live_union(spark, path, "quantizer"), "g",
+    )
+    swept += index_fs.sweep_orphans(
+        spark, f"{path}/tombstones",
+        index_fs.live_union(spark, path, "tombstones"), "g",
+    )
+    return {"dropped_versions": dropped, "swept_dirs": swept}
+
+
 def unblock_ivf_ids(
     spark: SparkSession,
     path: str,
@@ -619,25 +652,47 @@ def unblock_ivf_ids(
         .persist()
     )
     try:
-        n = blocked.count()
+        # one action: blocked count + its id bounds for stats pruning
+        n, bounds = index_fs.count_and_bounds(blocked, "neighbor_id")
         if n == 0:
             return {"unblocked": 0, "rewritten_generations": []}
-        bounds = index_fs.id_bounds(blocked, "neighbor_id")
         gen_stats = m.get("gen_stats", {})
-        affected = []
-        for g in m["generations"]:
-            if index_fs.bounds_disjoint(gen_stats.get(g), bounds):
-                continue
-            hit = (
-                spark.read.option("basePath", f"{path}/vectors")
-                .parquet(f"{path}/vectors/gen={g}")
-                .select("neighbor_id")
-                .join(blocked, "neighbor_id", "left_semi")
-                .limit(1)
-                .count()
+        candidates = [
+            g
+            for g in m["generations"]
+            if not index_fs.bounds_disjoint(gen_stats.get(g), bounds)
+        ]
+        # ONE job: affected + fully-blocked census over all candidate
+        # generations (see unblock_minhash_ids)
+        from functools import reduce
+
+        affected: list[str] = []
+        fully_blocked: set[str] = set()
+        if candidates:
+            tagged = reduce(
+                DataFrame.unionByName,
+                [
+                    spark.read.option("basePath", f"{path}/vectors")
+                    .parquet(f"{path}/vectors/gen={g}")
+                    .select("neighbor_id")
+                    .withColumn("_g", F.lit(g))
+                    for g in candidates
+                ],
             )
-            if hit:
-                affected.append(g)
+            census = tagged.join(
+                blocked.withColumn("_b", F.lit(1)),
+                "neighbor_id",
+                "left",
+            ).groupBy("_g").agg(
+                F.count(F.lit(1)).alias("_total"),
+                F.sum(F.coalesce("_b", F.lit(0))).alias("_hit"),
+            ).collect()
+            affected = sorted(r["_g"] for r in census if r["_hit"])
+            fully_blocked = {
+                r["_g"]
+                for r in census
+                if r["_hit"] and r["_hit"] == r["_total"]
+            }
         import re as _re
 
         nums = [-1] + [int(g[1:]) for g in m["generations"]]
@@ -657,20 +712,19 @@ def unblock_ivf_ids(
 
         mapping: dict[str, str | None] = {}
         for g in affected:
-            src = (
-                spark.read.option("basePath", f"{path}/vectors")
-                .parquet(f"{path}/vectors/gen={g}")
-                .drop("gen")
-                .join(blocked, "neighbor_id", "left_anti")
-            )
             # fully-blocked generation → drop it from the manifest
-            # instead of writing an unreadable empty directory
-            if not src.select("neighbor_id").limit(1).count():
+            # instead of writing an unreadable empty directory;
+            # decided by the census above, no extra job
+            if g in fully_blocked:
                 mapping[g] = None
                 continue
             gnew = alloc()
             (
-                src.repartition("cell")
+                spark.read.option("basePath", f"{path}/vectors")
+                .parquet(f"{path}/vectors/gen={g}")
+                .drop("gen")
+                .join(blocked, "neighbor_id", "left_anti")
+                .repartition("cell")
                 .write.mode("overwrite")
                 .partitionBy("cell")
                 .parquet(f"{path}/vectors/gen={gnew}")

@@ -486,6 +486,42 @@ def compact_minhash_index(spark: SparkSession, path: str) -> None:
     index_fs.sweep_orphans(spark, f"{path}/tombstones", set(), "g")
 
 
+def vacuum_minhash_index(
+    spark: SparkSession, path: str, keep_versions: int = 1
+) -> dict:
+    """Retention for the index's VERSION ledger: drop all but the
+    newest ``keep_versions`` manifests, then sweep data/sizes/
+    tombstone directories no surviving manifest references.
+
+    Why this matters at scale: every mutation — append, delete,
+    unblock, compaction, sync marker — commits one small manifest
+    JSON, so a long-running ingest loop accumulates thousands of
+    them; each ``committed_manifest`` read lists that directory, and
+    superseded sizes versions (one FULL merged sizes relation per
+    append) plus unblock-superseded generation directories stay on
+    disk for time travel until something reclaims them. Vacuum is
+    that something, on the same retention contract as
+    :func:`~sqltask_spark.operators.merge.vacuum_parquet_table`:
+    time travel to a dropped version errors loudly afterwards, the
+    newest committed state is untouched (probe-invariance
+    pytest-pinned). Writer-context only, like every mutation."""
+    dropped = index_fs.drop_manifests(spark, path, keep_versions)
+    swept = []
+    swept += index_fs.sweep_orphans(
+        spark, f"{path}/data",
+        index_fs.live_union(spark, path, "generations"), "g",
+    )
+    swept += index_fs.sweep_orphans(
+        spark, f"{path}/sizes",
+        index_fs.live_union(spark, path, "sizes"), "g",
+    )
+    swept += index_fs.sweep_orphans(
+        spark, f"{path}/tombstones",
+        index_fs.live_union(spark, path, "tombstones"), "g",
+    )
+    return {"dropped_versions": dropped, "swept_dirs": swept}
+
+
 def unblock_minhash_ids(
     spark: SparkSession,
     path: str,
@@ -501,8 +537,8 @@ def unblock_minhash_ids(
     Work is bounded by the AFFECTED generations: candidates are
     pruned first against the manifest's per-generation [min,max] id
     stats (``gen_stats`` — no read at all when the ranges are
-    provably disjoint), then confirmed with one skinny semi-join per
-    surviving generation; only confirmed generations are rewritten
+    provably disjoint), then confirmed by ONE census job over all
+    candidates at once; only confirmed generations are rewritten
     (their rows minus the blocked ids), the sizes relation is
     adjusted by subtracting exactly the dropped postings' bucket
     counts, and the tombstone set is rewritten without the freed ids.
@@ -528,24 +564,49 @@ def unblock_minhash_ids(
         .persist()
     )
     try:
-        n = blocked.count()
+        # one action: blocked count + its id bounds for stats pruning
+        n, bounds = index_fs.count_and_bounds(blocked, "id")
         if n == 0:
             return {"unblocked": 0, "rewritten_generations": []}
-        bounds = index_fs.id_bounds(blocked, "id")
         gen_stats = m.get("gen_stats", {})
-        affected = []
-        for g in m["generations"]:
-            if index_fs.bounds_disjoint(gen_stats.get(g), bounds):
-                continue
-            hit = (
-                spark.read.parquet(f"{path}/data/{g}/shingles")
-                .select("id")
-                .join(blocked, "id", "left_semi")
-                .limit(1)
-                .count()
+        candidates = [
+            g
+            for g in m["generations"]
+            if not index_fs.bounds_disjoint(gen_stats.get(g), bounds)
+        ]
+        # ONE job decides, for every candidate generation at once,
+        # whether it holds blocked rows AND whether anything would
+        # survive its rewrite (a per-generation semi-join loop costs
+        # one Spark job per generation — at small window sizes that
+        # fixed job count, not data volume, was the measured cost)
+        from functools import reduce
+
+        affected: list[str] = []
+        fully_blocked: set[str] = set()
+        if candidates:
+            tagged = reduce(
+                DataFrame.unionByName,
+                [
+                    spark.read.parquet(f"{path}/data/{g}/shingles")
+                    .select("id")
+                    .withColumn("_g", F.lit(g))
+                    for g in candidates
+                ],
             )
-            if hit:
-                affected.append(g)
+            census = tagged.join(
+                blocked.withColumn("_b", F.lit(1)), "id", "left"
+            ).groupBy("_g").agg(
+                F.count(F.lit(1)).alias("_total"),
+                F.sum(F.coalesce("_b", F.lit(0))).alias("_hit"),
+            ).collect()
+            affected = sorted(
+                r["_g"] for r in census if r["_hit"]
+            )
+            fully_blocked = {
+                r["_g"]
+                for r in census
+                if r["_hit"] and r["_hit"] == r["_total"]
+            }
         # fresh sequential names past everything committed OR on disk
         # (the fresh_gen rule, extended to a batch of allocations)
         import re as _re
@@ -569,15 +630,9 @@ def unblock_minhash_ids(
         for g in affected:
             # a generation whose every row is blocked REWRITES TO
             # NOTHING — drop it from the manifest instead of writing
-            # an empty (hence unreadable) parquet directory
-            survivors = (
-                spark.read.parquet(f"{path}/data/{g}/shingles")
-                .select("id")
-                .join(blocked, "id", "left_anti")
-                .limit(1)
-                .count()
-            )
-            if not survivors:
+            # an empty (hence unreadable) parquet directory; decided
+            # by the census above, no extra job
+            if g in fully_blocked:
                 mapping[g] = None
                 continue
             gnew = alloc()
@@ -591,31 +646,36 @@ def unblock_minhash_ids(
             mapping[g] = gnew
         # sizes: subtract exactly the dropped postings' bucket counts
         # (never a full recount — the sizes relation stays the same
-        # conservative as-built census compaction would refresh)
-        dropped = (
-            spark.read.parquet(
-                *[f"{path}/data/{g}/postings" for g in affected]
+        # conservative as-built census compaction would refresh).
+        # No affected generation (a phantom tombstone whose rows are
+        # already gone) drops no postings — the committed sizes
+        # version carries over unchanged.
+        sizes_gen = m["sizes"]
+        if affected:
+            dropped = (
+                spark.read.parquet(
+                    *[f"{path}/data/{g}/postings" for g in affected]
+                )
+                .join(blocked, "id", "left_semi")
+                .groupBy("band", "band_hash")
+                .agg(F.count(F.lit(1)).cast("long").alias("c"))
             )
-            .join(blocked, "id", "left_semi")
-            .groupBy("band", "band_hash")
-            .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        )
-        sizes_gen = alloc()
-        (
-            spark.read.parquet(f"{path}/sizes/{m['sizes']}")
-            .join(dropped, ["band", "band_hash"], "left")
-            .select(
-                "band",
-                "band_hash",
-                (
-                    F.col("bucket_size")
-                    - F.coalesce(F.col("c"), F.lit(0))
-                ).cast("long").alias("bucket_size"),
+            sizes_gen = alloc()
+            (
+                spark.read.parquet(f"{path}/sizes/{m['sizes']}")
+                .join(dropped, ["band", "band_hash"], "left")
+                .select(
+                    "band",
+                    "band_hash",
+                    (
+                        F.col("bucket_size")
+                        - F.coalesce(F.col("c"), F.lit(0))
+                    ).cast("long").alias("bucket_size"),
+                )
+                .filter(F.col("bucket_size") > 0)
+                .write.mode("overwrite")
+                .parquet(f"{path}/sizes/{sizes_gen}")
             )
-            .filter(F.col("bucket_size") > 0)
-            .write.mode("overwrite")
-            .parquet(f"{path}/sizes/{sizes_gen}")
-        )
         # tombstones minus the freed ids, as ONE fresh set
         remaining = tombs.join(blocked, "id", "left_anti").persist()
         try:

@@ -203,6 +203,27 @@ def fresh_gen(
     return "g%06d" % (1 + max(nums))
 
 
+def drop_manifests(
+    spark: SparkSession, path: str, keep_versions: int
+) -> list[int]:
+    """Delete all but the newest ``keep_versions`` manifest files —
+    the retention step every vacuum starts with. Returns the dropped
+    sequence numbers. Time travel to a dropped version errors loudly
+    afterwards (the standard retention trade, exactly as the table
+    formats define it). Writer-context only, like every mutation."""
+    if keep_versions < 1:
+        raise ValueError(
+            f"keep_versions must be >= 1, got {keep_versions}"
+        )
+    seqs = list_manifest_seqs(spark, path)
+    drop = seqs[:-keep_versions] if len(seqs) > keep_versions else []
+    for seq in drop:
+        delete_path(
+            spark, f"{path}/{MANIFEST_DIR}/{_MANIFEST_FMT % seq}"
+        )
+    return drop
+
+
 def id_bounds(df, id_col: str) -> dict | None:
     """``{"min_id", "max_id"}`` of ``df[id_col]`` for the manifest's
     per-generation statistics, or ``None`` when the id type is not

@@ -41,6 +41,8 @@ def minhash_index_health(spark: SparkSession, path: str) -> dict:
     set is committed)."""
     from sqltask_spark.operators import dedup_index as di
 
+    from sqltask_spark.operators import index_fs
+
     m = di.committed_manifest(spark, path)
     n_generations = len(m["generations"])
     tombs = di.read_tombstones(spark, path, m)
@@ -56,6 +58,7 @@ def minhash_index_health(spark: SparkSession, path: str) -> dict:
         "n_tombstone_sets": len(m.get("tombstones", [])),
         "n_tombstoned": n_tombstoned,
         "tombstone_ratio": ratio,
+        "n_versions": len(index_fs.list_manifest_seqs(spark, path)),
     }
 
 
@@ -64,13 +67,25 @@ def maintain_minhash_index(
     path: str,
     max_generations: int = 10,
     max_tombstone_ratio: float = 0.2,
+    vacuum_keep_versions: int | None = None,
 ) -> dict:
     """Compact the MinHash index when generation count or tombstone
     ratio crosses its threshold; no-op otherwise. Returns the health
     snapshot plus ``compacted``. Probes are bit-identical across the
     compaction (pytest-pinned probe invariance) — only read
-    amplification changes."""
-    from sqltask_spark.operators.dedup_index import compact_minhash_index
+    amplification changes.
+
+    ``vacuum_keep_versions`` additionally bounds the VERSION ledger
+    (:func:`~sqltask_spark.operators.dedup_index.
+    vacuum_minhash_index`): a long-running ingest loop commits one
+    manifest per mutation plus a sync marker per epoch, so without
+    retention the manifest directory listing — paid by every
+    committed-state read — grows forever. ``None`` keeps full time
+    travel."""
+    from sqltask_spark.operators.dedup_index import (
+        compact_minhash_index,
+        vacuum_minhash_index,
+    )
 
     h = minhash_index_health(spark, path)
     compact = (
@@ -79,7 +94,15 @@ def maintain_minhash_index(
     )
     if compact:
         compact_minhash_index(spark, path)
-    return {**h, "compacted": compact}
+    vac: dict = {}
+    if (
+        vacuum_keep_versions is not None
+        and h["n_versions"] > vacuum_keep_versions
+    ):
+        vac = vacuum_minhash_index(
+            spark, path, keep_versions=vacuum_keep_versions
+        )
+    return {**h, "compacted": compact, "vacuum": vac}
 
 
 def ivf_index_health(spark: SparkSession, path: str) -> dict:
@@ -87,6 +110,8 @@ def ivf_index_health(spark: SparkSession, path: str) -> dict:
     (manifest-only), tombstone ratio (skinny id reads, only when
     tombstone sets exist)."""
     from sqltask_spark.operators import ann_index as ai
+
+    from sqltask_spark.operators import index_fs
 
     m = ai.committed_manifest(spark, path)
     n_generations = len(m["generations"])
@@ -107,6 +132,7 @@ def ivf_index_health(spark: SparkSession, path: str) -> dict:
         "n_tombstone_sets": len(m.get("tombstones", [])),
         "n_tombstoned": n_tombstoned,
         "tombstone_ratio": ratio,
+        "n_versions": len(index_fs.list_manifest_seqs(spark, path)),
     }
 
 
@@ -115,12 +141,19 @@ def maintain_ivf_index(
     path: str,
     max_generations: int = 10,
     max_tombstone_ratio: float = 0.2,
+    vacuum_keep_versions: int | None = None,
 ) -> dict:
     """Compact the IVF index when generation count or tombstone ratio
     crosses its threshold; no-op otherwise. Compaction keeps the
     FROZEN quantizer (storage reorganization, never retraining), so
-    probe results are unchanged."""
-    from sqltask_spark.operators.ann_index import compact_ivf_index
+    probe results are unchanged. ``vacuum_keep_versions`` bounds the
+    version ledger like the MinHash policy (every epoch commits a
+    manifest; drift rebuilds also leave superseded quantizer
+    directories that only the vacuum reclaims)."""
+    from sqltask_spark.operators.ann_index import (
+        compact_ivf_index,
+        vacuum_ivf_index,
+    )
 
     h = ivf_index_health(spark, path)
     compact = (
@@ -129,7 +162,15 @@ def maintain_ivf_index(
     )
     if compact:
         compact_ivf_index(spark, path)
-    return {**h, "compacted": compact}
+    vac: dict = {}
+    if (
+        vacuum_keep_versions is not None
+        and h["n_versions"] > vacuum_keep_versions
+    ):
+        vac = vacuum_ivf_index(
+            spark, path, keep_versions=vacuum_keep_versions
+        )
+    return {**h, "compacted": compact, "vacuum": vac}
 
 
 def parquet_table_health(spark: SparkSession, path: str) -> dict:

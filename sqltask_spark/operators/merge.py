@@ -671,15 +671,7 @@ def vacuum_parquet_table(
     references. Time travel to a vacuumed version errors loudly
     afterwards (the standard retention trade, exactly as table
     formats define it)."""
-    assert keep_versions >= 1
-    seqs = index_fs.list_manifest_seqs(spark, path)
-    drop = seqs[:-keep_versions] if len(seqs) > keep_versions else []
-    for seq in drop:
-        index_fs.delete_path(
-            spark,
-            f"{path}/{index_fs.MANIFEST_DIR}/"
-            f"{index_fs._MANIFEST_FMT % seq}",
-        )
+    drop = index_fs.drop_manifests(spark, path, keep_versions)
     live: set[str] = set()
     for m in index_fs.read_all_manifests(spark, path):
         live |= set(m.get("files", []))

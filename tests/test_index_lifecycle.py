@@ -955,3 +955,136 @@ def test_unblock_ivf_rewrites_only_affected_generation(
         "unblocked": 0,
         "rewritten_generations": [],
     }
+
+
+def test_vacuum_minhash_index_retention(spark, tables, tmp_path):
+    """Version-ledger retention: a build + two appends + a sync
+    marker leave four manifests; vacuum(keep_versions=1) drops all
+    but the newest, sweeps the superseded sizes versions, keeps the
+    probe bit-identical, makes time travel to a dropped version a
+    loud error, and the index stays fully mutable afterwards."""
+    from sqltask_spark.operators.dedup_index import (
+        committed_manifest,
+        probe_minhash_index,
+        vacuum_minhash_index,
+    )
+
+    docs = tables["documents"].select("doc_id", "text").limit(45)
+    b0 = docs.filter(F.col("doc_id") % 3 == 0)
+    b1 = docs.filter(F.col("doc_id") % 3 == 1)
+    b2 = docs.filter(F.col("doc_id") % 3 == 2)
+    idx = str(tmp_path / "vac_idx")
+    build_minhash_index(b0, idx)
+    append_to_minhash_index(idx, b1, "doc_id", "text")
+    append_to_minhash_index(idx, b2, "doc_id", "text")
+    seqs = index_fs.list_manifest_seqs(spark, idx)
+    assert len(seqs) == 3
+    sizes_before = set(index_fs.list_names(spark, f"{idx}/sizes"))
+    assert len(sizes_before) == 3  # one merged sizes version each
+    probe = spark.createDataFrame(
+        [(900_000, NOVEL)], "doc_id long, text string"
+    )
+    before = _mh_canon(spark, idx, docs.unionByName(probe))
+    r = vacuum_minhash_index(spark, idx, keep_versions=1)
+    assert r["dropped_versions"] == seqs[:-1]
+    assert index_fs.list_manifest_seqs(spark, idx) == [seqs[-1]]
+    # superseded sizes versions reclaimed; the committed one survives
+    m = committed_manifest(spark, idx)
+    assert set(index_fs.list_names(spark, f"{idx}/sizes")) == {
+        m["sizes"]
+    }
+    assert _mh_canon(spark, idx, docs.unionByName(probe)) == before
+    # time travel past the retention boundary errors loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="does not exist"):
+        probe_minhash_index(
+            spark, idx, probe, as_of=seqs[0]
+        )
+    # still mutable: append a novel doc and find it
+    novel_doc = spark.createDataFrame(
+        [(990_009, NOVEL)], "doc_id long, text string"
+    )
+    assert append_to_minhash_index(idx, novel_doc, "doc_id", "text") == 1
+    assert any(
+        c == 990_009 for _, c in _mh_canon(spark, idx, probe)
+    )
+
+
+def test_vacuum_ivf_index_retention(spark, sf_dir, tmp_path):
+    """IVF symmetry: after an append and a quantizer REBUILD (which
+    leaves the superseded quantizer directory readable for time
+    travel), vacuum(keep_versions=1) drops the old manifests, sweeps
+    the orphaned vector generations AND the superseded quantizer,
+    and probing the newest state is unchanged."""
+    from sqltask_spark.operators.ann_index import (
+        committed_manifest,
+        vacuum_ivf_index,
+    )
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .limit(80)
+    )
+    idx = str(tmp_path / "vac_ivf")
+    build_ivf_index(
+        emb.filter(F.col("vec_id") % 2 == 0), idx, "vec_id",
+        "embedding", n_cells=8,
+    )
+    append_to_ivf_index(
+        idx, emb.filter(F.col("vec_id") % 2 == 1), "vec_id",
+        "embedding",
+    )
+    # atomic REBUILD over the full corpus: new quantizer generation,
+    # old one stays on disk for time travel until vacuumed
+    build_ivf_index(emb, idx, "vec_id", "embedding", n_cells=8)
+    assert len(index_fs.list_manifest_seqs(spark, idx)) == 3
+    assert len(index_fs.list_names(spark, f"{idx}/quantizer")) > 1
+    q = emb.limit(4)
+    before = _ivf_canon(spark, idx, q)
+    m = committed_manifest(spark, idx)
+    r = vacuum_ivf_index(spark, idx, keep_versions=1)
+    assert len(r["dropped_versions"]) == 2
+    assert index_fs.list_names(spark, f"{idx}/quantizer") == [
+        m["quantizer"]
+    ]
+    assert {
+        n[len("gen="):]
+        for n in index_fs.list_names(spark, f"{idx}/vectors")
+    } == set(m["generations"])
+    assert _ivf_canon(spark, idx, q) == before
+
+
+def test_maintain_policies_vacuum_keep_versions(spark, tables, tmp_path):
+    """The maintenance policies act on the version ledger too: with
+    ``vacuum_keep_versions`` set, a maintain call on an index whose
+    manifest count exceeds the bound vacuums it down; below the
+    bound it is a pure observer."""
+    from sqltask_spark.operators.index_maintenance import (
+        maintain_minhash_index,
+    )
+
+    docs = tables["documents"].select("doc_id", "text").limit(30)
+    idx = str(tmp_path / "vacpol_idx")
+    build_minhash_index(docs.filter(F.col("doc_id") % 2 == 0), idx)
+    append_to_minhash_index(
+        idx, docs.filter(F.col("doc_id") % 2 == 1), "doc_id", "text"
+    )
+    r = maintain_minhash_index(
+        spark, idx, max_generations=10, vacuum_keep_versions=2
+    )
+    assert r["n_versions"] == 2 and r["vacuum"] == {}
+    append_to_minhash_index(idx, docs.limit(0), "doc_id", "text")
+    # a no-op append commits nothing; force a third version with a
+    # real append of one novel doc
+    novel_doc = spark.createDataFrame(
+        [(990_011, NOVEL)], "doc_id long, text string"
+    )
+    append_to_minhash_index(idx, novel_doc, "doc_id", "text")
+    r2 = maintain_minhash_index(
+        spark, idx, max_generations=10, vacuum_keep_versions=2
+    )
+    assert r2["n_versions"] == 3
+    assert r2["vacuum"]["dropped_versions"] != []
+    assert len(index_fs.list_manifest_seqs(spark, idx)) == 2

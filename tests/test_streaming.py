@@ -1598,3 +1598,71 @@ def test_maintain_bloom_store_noop_below_threshold(spark, tmp_path):
     r = maintain_bloom_store(spark, store, vals, "s")
     assert r["rebuilt"] is False
     assert index_fs.read_manifest(spark, store)["_seq"] == seq0
+
+
+def test_merge_upsert_sink_sync_indexes_ivf(spark, tmp_path):
+    """Vector symmetry of the sink-wired sync loop: CDC epochs over
+    an embeddings table keep the persistent IVF index fresh through
+    ``sync_indexes`` (frozen quantizer, marker-resumed windows). The
+    updated vector must be served at its new direction, the deleted
+    one never returned, and the re-inserted one found again."""
+    from sqltask_spark.operators.ann_index import (
+        build_ivf_index,
+        committed_manifest,
+        probe_ivf_index,
+    )
+    from sqltask_spark.operators import index_fs
+    from sqltask_spark.operators.merge import create_parquet_table
+    from sqltask_spark.streaming.tables import merge_upsert_sink
+
+    emb = (
+        spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        )
+        .select("vec_id", "embedding")
+        .limit(80)
+    )
+    two = emb.orderBy("vec_id").limit(2).collect()
+    x, z = two[0]["vec_id"], two[1]["vec_id"]
+    dim = len(two[0]["embedding"])
+    upd_vec = [float(v) * -1.0 for v in two[0]["embedding"]]
+    new_vec = [0.25 + 0.01 * i for i in range(dim)]
+    tbl = str(tmp_path / "ivf_loop_tbl")
+    idx = str(tmp_path / "ivf_loop_idx")
+    create_parquet_table(emb, tbl)
+    build_ivf_index(emb, idx, "vec_id", "embedding", n_cells=8)
+    sink = merge_upsert_sink(
+        tbl, ["vec_id"], delete_col="is_del", order_col="seq",
+        app_id="emb-cdc",
+        sync_indexes=[{
+            "kind": "ivf", "index_path": idx, "id_col": "vec_id",
+            "payload_col": "embedding", "seed_from_seq": 0,
+        }],
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows,
+            "vec_id long, embedding array<float>, seq long,"
+            " is_del boolean",
+        )
+
+    q_before = committed_manifest(spark, idx)["quantizer"]
+    sink(mk([(x, upd_vec, 1, False)]), 0)          # update x (flip)
+    sink(mk([(z, None, 2, True)]), 1)              # delete z
+    sink(mk([(z, new_vec, 3, False)]), 2)          # re-insert z
+    m = committed_manifest(spark, idx)
+    assert m["quantizer"] == q_before              # frozen throughout
+    assert m["synced"][tbl] == index_fs.read_manifest(spark, tbl)["_seq"]
+    q = spark.createDataFrame(
+        [(555001, upd_vec), (555002, new_vec)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r["query_id"], r["neighbor_id"]): r["score"]
+        for r in probe_ivf_index(
+            spark, idx, q, "vec_id", "embedding", k=5, n_probe=8
+        ).collect()
+    }
+    assert got[(555001, x)] == 1.0                 # update served
+    assert got[(555002, z)] == 1.0                 # re-insert served
