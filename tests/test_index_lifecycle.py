@@ -1088,3 +1088,166 @@ def test_maintain_policies_vacuum_keep_versions(spark, tables, tmp_path):
     assert r2["n_versions"] == 3
     assert r2["vacuum"]["dropped_versions"] != []
     assert len(index_fs.list_manifest_seqs(spark, idx)) == 2
+
+
+def test_unblock_crash_leaves_prestate_and_heals(
+    spark, tables, tmp_path, monkeypatch
+):
+    """Crash-atomicity of the targeted unblock: a crash at the
+    manifest commit (latest possible point — every rewritten file is
+    already on disk) leaves probes serving the PRE-unblock state
+    bit-for-bit, and re-running the unblock converges to the same
+    freed state."""
+    from sqltask_spark.operators.dedup_index import (
+        committed_manifest,
+        unblock_minhash_ids,
+    )
+
+    docs = tables["documents"].select("doc_id", "text").limit(40)
+    idx = str(tmp_path / "unb_crash")
+    build_minhash_index(docs.filter(F.col("doc_id") % 2 == 0), idx)
+    append_to_minhash_index(
+        idx, docs.filter(F.col("doc_id") % 2 == 1), "doc_id", "text"
+    )
+    victim = docs.orderBy("doc_id").limit(1)
+    delete_from_minhash_index(idx, victim, "doc_id")
+    m_pre = committed_manifest(spark, idx)
+    probe = spark.createDataFrame(
+        [(900_000, NOVEL)], "doc_id long, text string"
+    )
+    pre = _mh_canon(spark, idx, docs.unionByName(probe))
+
+    real = index_fs.commit_manifest
+
+    def crash(*a, **kw):
+        raise RuntimeError("injected crash before manifest commit")
+
+    monkeypatch.setattr(index_fs, "commit_manifest", crash)
+    with pytest.raises(RuntimeError, match="injected"):
+        unblock_minhash_ids(spark, idx, victim, "doc_id")
+    monkeypatch.setattr(index_fs, "commit_manifest", real)
+
+    # rewritten directories exist as orphans, yet the committed state
+    # is exactly the pre-unblock one
+    assert committed_manifest(spark, idx)["_seq"] == m_pre["_seq"]
+    assert _mh_canon(spark, idx, docs.unionByName(probe)) == pre
+    # re-run heals: the id frees, tombstones clear, probe serves the
+    # unblocked state
+    r = unblock_minhash_ids(spark, idx, victim, "doc_id")
+    assert r["unblocked"] == 1
+    assert committed_manifest(spark, idx)["tombstones"] == []
+    vid = victim.collect()[0]["doc_id"]
+    assert append_to_minhash_index(
+        idx,
+        spark.createDataFrame(
+            [(vid, NOVEL)], "doc_id long, text string"
+        ),
+        "doc_id",
+        "text",
+    ) == 1
+
+
+def test_sync_marker_crash_rerun_converges(spark, tables, tmp_path,
+                                           monkeypatch):
+    """The synced marker is an at-most-once-cost optimization, never
+    a correctness dependency: a crash AFTER the window's mutations
+    but BEFORE the marker commit leaves the next marker-resumed call
+    unable to skip — it re-applies the window — and the state
+    CONVERGES (probe unchanged), after which the marker lands."""
+    from sqltask_spark.operators import index_sync
+    from sqltask_spark.operators.index_sync import (
+        sync_minhash_index_with_table,
+    )
+    from sqltask_spark.operators.dedup_index import committed_manifest
+    from sqltask_spark.operators.merge import (
+        create_parquet_table,
+        merge_into_parquet,
+        read_parquet_table,
+    )
+
+    docs = tables["documents"].select("doc_id", "text").limit(40)
+    tbl = str(tmp_path / "mkc_tbl")
+    idx = str(tmp_path / "mkc_idx")
+    create_parquet_table(docs, tbl)
+    build_minhash_index(docs, idx)
+    v0 = index_fs.read_manifest(spark, tbl)["_seq"]
+    merge_into_parquet(
+        spark, tbl,
+        spark.createDataFrame(
+            [(990_001, NOVEL, False)],
+            "doc_id long, text string, is_del boolean",
+        ),
+        ["doc_id"], delete_col="is_del",
+    )
+
+    real = index_sync._commit_synced_marker
+
+    def crash(*a, **kw):
+        raise RuntimeError("injected crash before marker commit")
+
+    monkeypatch.setattr(index_sync, "_commit_synced_marker", crash)
+    with pytest.raises(RuntimeError, match="injected"):
+        sync_minhash_index_with_table(
+            spark, tbl, idx, "doc_id", "text", from_seq=v0
+        )
+    monkeypatch.setattr(index_sync, "_commit_synced_marker", real)
+    # the window's mutations DID land (append committed before the
+    # marker), but no marker exists yet
+    assert "synced" not in committed_manifest(spark, idx) or (
+        tbl not in committed_manifest(spark, idx).get("synced", {})
+    )
+    # marker-less resume must fail loudly, seeded re-run converges
+    with pytest.raises(ValueError, match="no synced marker"):
+        sync_minhash_index_with_table(spark, tbl, idx, "doc_id", "text")
+    r = sync_minhash_index_with_table(
+        spark, tbl, idx, "doc_id", "text", from_seq=v0
+    )
+    assert r["appended"] == 0  # the insert idempotently no-ops
+    assert committed_manifest(spark, idx)["synced"][tbl] == r["to_seq"]
+    # converged: synced probe == fresh build over the current table
+    current = read_parquet_table(spark, tbl)
+    fresh = str(tmp_path / "mkc_fresh")
+    build_minhash_index(current, fresh)
+    probe = spark.createDataFrame(
+        [(900_000, NOVEL + " twin")], "doc_id long, text string"
+    )
+    assert _mh_canon(spark, idx, probe) == _mh_canon(spark, fresh, probe)
+
+
+def test_unblock_stats_pruning_never_reads_pruned_generation(
+    spark, tables, tmp_path
+):
+    """The gen_stats claim, pinned behaviorally: a generation whose
+    [min,max] id range is provably disjoint from the blocked ids is
+    not read AT ALL during unblock. Proven by making it unreadable —
+    the pruned generation's shingle files are physically deleted
+    (simulating e.g. an HDFS cold-tier outage) and the unblock still
+    succeeds, because pruning decided from the manifest alone."""
+    import shutil
+
+    from sqltask_spark.operators.dedup_index import (
+        committed_manifest,
+        unblock_minhash_ids,
+    )
+
+    docs = tables["documents"].select("doc_id", "text").limit(40)
+    low = docs.filter(F.col("doc_id") < 100)     # ids 0..~
+    high = docs.filter(F.col("doc_id") >= 100).unionByName(
+        spark.createDataFrame(
+            [(10_000 + i, NOVEL + f" v{i}") for i in range(5)],
+            "doc_id long, text string",
+        )
+    )
+    idx = str(tmp_path / "prune_idx")
+    build_minhash_index(low, idx)
+    append_to_minhash_index(idx, high, "doc_id", "text")
+    m = committed_manifest(spark, idx)
+    g_low, g_high = m["generations"]
+    assert m["gen_stats"][g_high]["min_id"] >= 100
+    victim = low.orderBy("doc_id").limit(1)
+    delete_from_minhash_index(idx, victim, "doc_id")
+    # make the HIGH generation's shingles unreadable: stats pruning
+    # must mean it is never opened (the blocked id is < 100)
+    shutil.rmtree(f"{idx}/data/{g_high}/shingles")
+    r = unblock_minhash_ids(spark, idx, victim, "doc_id")
+    assert r["rewritten_generations"] == [g_low]
