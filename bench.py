@@ -104,6 +104,9 @@ HEADLINE = [
     # weighted-percentile UDAF (Arrow grouped-agg path)
     "corpus_stream_index_sync",
     "source_weighted_p75_density",
+    # the incremental-quantile sketch store (frozen-layout histogram,
+    # ledgered SUM folds, hash-matched quantile intervals)
+    "incremental_length_quantiles",
 ]
 
 # Probe-class tags (r8 judge "what's wrong #2"): the three calibration
@@ -137,6 +140,7 @@ CLASS_OF = {
         "dedup_incremental", "contamination_bloom",
         "scd2_user_state", "bpe_learn_distributed",
         "corpus_index_sync_loop", "corpus_stream_index_sync",
+        "incremental_length_quantiles",
     )},
 }
 

@@ -357,3 +357,51 @@ def rebuild_ivf_on_drift(
         "concentration_micro": int(stats["concentration_micro"]),
         "rebuilt": drifted,
     }
+
+
+def maintain_hist_store(
+    spark: SparkSession,
+    path: str,
+    members,
+    group_col: str,
+    value_col: str,
+    max_top_bucket_milli: int = 50,
+    growth_factor: int = 2,
+) -> dict:
+    """Rebuild the histogram store at ``growth_factor``× bucket width
+    when any group's top-bucket mass crosses ``max_top_bucket_milli``
+    (milli fraction) — the policy arm of
+    :func:`~sqltask_spark.operators.sketch_store.hist_saturation`,
+    completing the drift-policy family (IVF occupancy → retrain,
+    Bloom fill → bigger bitmap, histogram top-mass → wider buckets).
+    ``members`` is the driving value relation (buckets cannot be
+    split after the fact, so growth re-bins from source — the same
+    reason the Bloom rebuild needs the member set). The no-op path is
+    one state-sized aggregate."""
+    from pyspark.sql import functions as F
+
+    from sqltask_spark.operators.sketch_store import (
+        hist_saturation,
+        read_hist_meta,
+        rebuild_hist_store,
+    )
+
+    width, n_buckets = read_hist_meta(spark, path)
+    worst = (
+        hist_saturation(spark, path)
+        .agg(F.max("top_bucket_milli").alias("m"))
+        .collect()[0]["m"]
+    )
+    worst = int(worst) if worst is not None else 0
+    rebuilt = worst > max_top_bucket_milli
+    if rebuilt:
+        rebuild_hist_store(
+            spark, path, members, group_col, value_col,
+            width * growth_factor,
+        )
+    return {
+        "bucket_width": width,
+        "n_buckets": n_buckets,
+        "worst_top_bucket_milli": worst,
+        "rebuilt": rebuilt,
+    }

@@ -544,3 +544,295 @@ def read_hll_estimates(
             ).alias("est_milli"),
         )
     )
+
+
+#: Reserved group carrying the frozen histogram parameters inside the
+#: cell table itself (the Bloom meta-row discipline): bucket 0 holds
+#: the bucket WIDTH, bucket 1 the bucket COUNT. A real group can never
+#: collide (user group values are namespaced by the cast below only
+#: within their own rows; the meta group name is reserved).
+_HIST_META_GROUP = "__HIST_META__"
+
+
+def hist_bucket(value_col: str, bucket_width: int, n_buckets: int):
+    """THE histogram bucket function — ``least(v DIV W, n-1)`` with
+    negatives clamped to bucket 0. Pure INTEGER arithmetic (no log,
+    no float), so Spark and DuckDB bin identically by construction —
+    the quantile read is hash-matchable, not merely approximate-ly
+    close. One definition shared by build, fold, and read (the
+    cm_pos discipline)."""
+    return F.expr(
+        f"least(greatest(CAST({value_col} AS BIGINT), 0)"
+        f" DIV {int(bucket_width)}, {int(n_buckets) - 1})"
+    )
+
+
+def hist_cell_rows(
+    values: DataFrame,
+    group_col: str,
+    value_col: str,
+    bucket_width: int,
+    n_buckets: int,
+) -> DataFrame:
+    """(g, b, cnt) histogram cells for a value batch under the frozen
+    layout — at most groups × n_buckets rows regardless of batch
+    size. NULL values carry no position (SQL-aggregate NULL
+    semantics)."""
+    return (
+        values.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(group_col).cast("string").alias("g"),
+            hist_bucket(value_col, bucket_width, n_buckets).alias("b"),
+        )
+        .groupBy("g", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def create_hist_store(
+    values: DataFrame,
+    path: str,
+    group_col: str,
+    value_col: str,
+    bucket_width: int,
+    n_buckets: int = 256,
+) -> None:
+    """Materialize a per-group histogram store with FROZEN
+    ``(bucket_width, n_buckets)`` — the incremental-quantile member
+    of the sketch-store family. Size the width for the expected
+    value range (top bucket absorbs the tail; monitor
+    :func:`hist_saturation` for the rebuild-wider signal, exactly
+    like the Bloom capacity and the IVF quantizer). State is bounded
+    at groups × n_buckets rows FOREVER; quantile reads carry a
+    ±bucket_width rank-certified interval."""
+    from sqltask_spark.operators.merge import create_parquet_table
+
+    spark = values.sparkSession
+    if int(bucket_width) < 1 or int(n_buckets) < 2:
+        raise ValueError(
+            f"need bucket_width >= 1 and n_buckets >= 2, got"
+            f" ({bucket_width}, {n_buckets})"
+        )
+    meta = spark.createDataFrame(
+        [
+            (_HIST_META_GROUP, 0, int(bucket_width)),
+            (_HIST_META_GROUP, 1, int(n_buckets)),
+        ],
+        "g string, b long, cnt long",
+    )
+    create_parquet_table(
+        hist_cell_rows(
+            values, group_col, value_col, bucket_width, n_buckets
+        ).unionByName(meta),
+        path,
+    )
+
+
+def read_hist_meta(spark: SparkSession, path: str) -> "tuple[int, int]":
+    """(bucket_width, n_buckets) from the store's meta rows."""
+    from sqltask_spark.operators.merge import read_parquet_table
+
+    rows = {
+        int(r["b"]): int(r["cnt"])
+        for r in read_parquet_table(spark, path)
+        .filter(F.col("g") == _HIST_META_GROUP)
+        .collect()
+    }
+    if 0 not in rows or 1 not in rows:
+        raise ValueError(f"no histogram meta rows in store at {path}")
+    return rows[0], rows[1]
+
+
+def update_hist_store(
+    spark: SparkSession,
+    path: str,
+    values: DataFrame,
+    group_col: str,
+    value_col: str,
+    batch_id: str,
+) -> dict:
+    """Fold a value batch into the store by per-bucket SUM — the
+    same non-idempotent algebra as the Count-Min grid, so the batch
+    LEDGER is mandatory (an unledgered redelivery would double-count
+    every bucket and silently shift every quantile). Binning uses
+    the store's FROZEN layout."""
+    if not batch_id:
+        raise ValueError(
+            "update_hist_store requires a batch_id: the sum fold is"
+            " not idempotent — an unledgered redelivery double-counts"
+        )
+    from sqltask_spark.operators.merge import (
+        merge_into_parquet,
+        read_parquet_table,
+    )
+
+    width, n_buckets = read_hist_meta(spark, path)
+    stored = read_parquet_table(spark, path).select(
+        "g", "b", F.col("cnt").alias("c_old")
+    )
+    batch = hist_cell_rows(
+        values, group_col, value_col, width, n_buckets
+    ).select("g", "b", F.col("cnt").alias("c_new"))
+    merged = stored.join(batch, ["g", "b"], "full_outer").select(
+        "g",
+        "b",
+        (
+            F.coalesce("c_old", F.lit(0)) + F.coalesce("c_new", F.lit(0))
+        ).cast("long").alias("cnt"),
+    )
+    return merge_into_parquet(
+        spark, path, merged, ["g", "b"], batch_id=batch_id
+    )
+
+
+def read_hist_quantiles(
+    spark: SparkSession,
+    path: str,
+    qs_milli: "list[int]",
+    as_of: int | None = None,
+) -> DataFrame:
+    """Rank-certified quantile INTERVALS per group from the persisted
+    histogram: for each q (in milli units, e.g. 500 = median), the
+    first bucket whose cumulative count reaches q of the group total
+    — integer cross-multiplied threshold ``cum·1000 ≥ q·total``, the
+    exact inequality the weighted-percentile UDAF and its oracle
+    state, so no float can disagree between engines. Returns
+    ``(g, q_milli, bucket, lo, hi, cum_count, total_count)`` where
+    the true q-quantile lies in ``[lo, hi)`` (``hi`` NULL for the
+    unbounded top bucket — the saturation signal's territory).
+    Partitioned window (per group) over a state-bounded relation —
+    never a global window."""
+    from pyspark.sql import Window
+
+    from sqltask_spark.operators.merge import read_parquet_table
+
+    width, n_buckets = read_hist_meta(spark, path)
+    cells = read_parquet_table(spark, path, as_of=as_of).filter(
+        F.col("g") != _HIST_META_GROUP
+    )
+    w_cum = (
+        Window.partitionBy("g")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cells.select(
+        "g",
+        "b",
+        F.sum("cnt").over(w_cum).cast("long").alias("cum_count"),
+        F.sum("cnt").over(
+            Window.partitionBy("g").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("long").alias("total_count"),
+    )
+    qdf = F.explode(
+        F.array(*[F.lit(int(q)).alias("q") for q in qs_milli])
+    )
+    hits = (
+        cum.select("*", qdf.alias("q_milli"))
+        .filter(
+            F.col("cum_count") * 1000
+            >= F.col("q_milli") * F.col("total_count")
+        )
+        .groupBy("g", "q_milli")
+        .agg(
+            F.min("b").cast("long").alias("bucket"),
+            F.max("total_count").cast("long").alias("total_count"),
+        )
+    )
+    cum_at = cum.select(
+        "g", F.col("b").alias("bucket"),
+        F.col("cum_count").alias("cum_count"),
+    )
+    return (
+        hits.join(cum_at, ["g", "bucket"])
+        .select(
+            "g",
+            "q_milli",
+            "bucket",
+            (F.col("bucket") * F.lit(int(width)))
+            .cast("long").alias("lo"),
+            F.when(
+                F.col("bucket") < F.lit(int(n_buckets) - 1),
+                (F.col("bucket") + 1) * F.lit(int(width)),
+            ).cast("long").alias("hi"),
+            "cum_count",
+            "total_count",
+        )
+    )
+
+
+def hist_saturation(spark: SparkSession, path: str) -> DataFrame:
+    """One row per group: mass fraction (milli) sitting in the
+    UNBOUNDED top bucket — the signal that the frozen width has
+    outgrown its value distribution (a top-heavy histogram certifies
+    nothing above ``(n_buckets-1)·width``). Rebuild wider on drift,
+    exactly like the Bloom capacity."""
+    from sqltask_spark.operators.merge import read_parquet_table
+
+    width, n_buckets = read_hist_meta(spark, path)
+    cells = read_parquet_table(spark, path).filter(
+        F.col("g") != _HIST_META_GROUP
+    )
+    return (
+        cells.groupBy("g")
+        .agg(
+            F.sum("cnt").cast("long").alias("total_count"),
+            F.sum(
+                F.when(
+                    F.col("b") == n_buckets - 1, F.col("cnt")
+                ).otherwise(F.lit(0))
+            ).cast("long").alias("top_bucket_count"),
+        )
+        .select(
+            "g",
+            "total_count",
+            "top_bucket_count",
+            F.expr("(top_bucket_count * 1000) DIV total_count")
+            .cast("long")
+            .alias("top_bucket_milli"),
+        )
+    )
+
+
+def rebuild_hist_store(
+    spark: SparkSession,
+    path: str,
+    members: DataFrame,
+    group_col: str,
+    value_col: str,
+    bucket_width_new: int,
+) -> None:
+    """Rebuild the store at a NEW frozen width from the driving value
+    relation — the only move when the top bucket saturates (buckets
+    cannot be split after the fact; same frozen-parameter rule as
+    Bloom capacity / the IVF quantizer). One ATOMIC merge commit:
+    new-layout cells + meta upsert in, stale (g, b) cells delete out
+    — readers see the old histogram until the manifest lands, never
+    a mixed-width state."""
+    from sqltask_spark.operators.merge import (
+        merge_into_parquet,
+        read_parquet_table,
+    )
+
+    _, n_buckets = read_hist_meta(spark, path)
+    meta = spark.createDataFrame(
+        [
+            (_HIST_META_GROUP, 0, int(bucket_width_new)),
+            (_HIST_META_GROUP, 1, int(n_buckets)),
+        ],
+        "g string, b long, cnt long",
+    )
+    desired = hist_cell_rows(
+        members, group_col, value_col, bucket_width_new, n_buckets
+    ).unionByName(meta)
+    stale = (
+        read_parquet_table(spark, path)
+        .select("g", "b")
+        .join(desired.select("g", "b"), ["g", "b"], "left_anti")
+        .select("g", "b", F.lit(0).cast("long").alias("cnt"))
+    )
+    src = desired.withColumn("__del", F.lit(False)).unionByName(
+        stale.withColumn("__del", F.lit(True))
+    )
+    merge_into_parquet(spark, path, src, ["g", "b"], delete_col="__del")

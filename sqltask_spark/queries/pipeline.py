@@ -3551,6 +3551,112 @@ ORDER BY doc_id
 """
 
 
+
+# --------------------------------------------------------------------------
+# incremental_length_quantiles — the INCREMENTAL-QUANTILE member of
+# the sketch-state family: a persistent per-source histogram with a
+# FROZEN bucket layout (state bounded at groups × n_buckets rows
+# forever) folded by per-bucket SUM — the Count-Min algebra, so the
+# batch ledger is mandatory and this certificate replays the half-B
+# fold to prove the ledger no-ops it (a double-count would shift
+# every cumulative count and break the hash). Binning is pure
+# INTEGER arithmetic (least(v DIV W, n-1)) and the quantile read is
+# the same cross-multiplied inequality the weighted-percentile UDAF
+# states (cum·1000 ≥ q·total), so the DuckDB oracle reproduces the
+# full output bit-for-bit — a hash-matched APPROXIMATE structure,
+# with the approximation bound carried as data ([lo, hi) interval).
+# --------------------------------------------------------------------------
+
+_HISTQ_WIDTH = 64
+_HISTQ_BUCKETS = 64
+
+
+def incremental_length_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from sqltask_spark.operators.sketch_store import (
+        create_hist_store,
+        read_hist_quantiles,
+        update_hist_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull()
+    ).select("doc_id", "source", "n_chars")
+    tmp = tempfile.mkdtemp(prefix="hist_store_")
+    store = f"{tmp}/store"
+    try:
+        create_hist_store(
+            docs.filter(F.pmod("doc_id", F.lit(2)) == 0),
+            store,
+            "source",
+            "n_chars",
+            bucket_width=_HISTQ_WIDTH,
+            n_buckets=_HISTQ_BUCKETS,
+        )
+        half_b = docs.filter(F.pmod("doc_id", F.lit(2)) == 1)
+        update_hist_store(
+            spark, store, half_b, "source", "n_chars", batch_id="half-b"
+        )
+        # replay: the ledger MUST no-op this (sum is not idempotent)
+        update_hist_store(
+            spark, store, half_b, "source", "n_chars", batch_id="half-b"
+        )
+        out = read_hist_quantiles(
+            spark, store, [250, 500, 750]
+        ).select(
+            "g",
+            F.col("q_milli").cast("long").alias("q_milli"),
+            "bucket",
+            "lo",
+            "hi",
+            "cum_count",
+            "total_count",
+        ).orderBy("g", "q_milli")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema).orderBy(
+            "g", "q_milli"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_HISTQ_SQL = f"""
+WITH t AS (
+  SELECT source AS g,
+         LEAST(GREATEST(CAST(n_chars AS BIGINT), 0)
+               // {_HISTQ_WIDTH}, {_HISTQ_BUCKETS - 1}) AS b
+  FROM documents WHERE n_chars IS NOT NULL
+), cells AS (
+  SELECT g, b, COUNT(*)::BIGINT AS cnt FROM t GROUP BY 1, 2
+), cum AS (
+  SELECT g, b,
+         SUM(cnt) OVER (PARTITION BY g ORDER BY b)::BIGINT AS cum_count,
+         SUM(cnt) OVER (PARTITION BY g)::BIGINT AS total_count
+  FROM cells
+), qs AS (
+  SELECT UNNEST([250, 500, 750]) AS q_milli
+), hits AS (
+  SELECT g, q_milli, MIN(b) AS bucket, MAX(total_count) AS total_count
+  FROM cum, qs
+  WHERE cum_count * 1000 >= q_milli * total_count
+  GROUP BY 1, 2
+)
+SELECT h.g,
+       h.q_milli::BIGINT AS q_milli,
+       h.bucket::BIGINT AS bucket,
+       (h.bucket * {_HISTQ_WIDTH})::BIGINT AS lo,
+       (CASE WHEN h.bucket < {_HISTQ_BUCKETS - 1}
+             THEN (h.bucket + 1) * {_HISTQ_WIDTH} END)::BIGINT AS hi,
+       c.cum_count,
+       h.total_count
+FROM hits h JOIN cum c ON c.g = h.g AND c.b = h.bucket
+ORDER BY h.g, h.q_milli
+"""
+
 QUERIES = {
     "zorder_layout_stats": zorder_layout_stats,
     "dsir_weights": dsir_weights,
@@ -3593,6 +3699,7 @@ QUERIES = {
     "corpus_merge_upsert": corpus_merge_upsert,
     "incremental_distinct_hll": incremental_distinct_hll,
     "incremental_count_min": incremental_count_min,
+    "incremental_length_quantiles": incremental_length_quantiles,
     "incremental_contamination_bloom": incremental_contamination_bloom,
     "count_min_tokens": count_min_tokens,
     "corpus_change_feed": corpus_change_feed,
@@ -3639,6 +3746,7 @@ ORACLES = {
     "corpus_merge_upsert": _MERGE_UPSERT_SQL,
     "incremental_distinct_hll": _HLL_INC_SQL,
     "incremental_count_min": _cm_sql(),
+    "incremental_length_quantiles": _HISTQ_SQL,
     "incremental_contamination_bloom": _bloom_inc_sql(),
     "count_min_tokens": _cm_sql(),
     "corpus_change_feed": _CHANGE_FEED_SQL,

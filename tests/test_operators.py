@@ -3700,3 +3700,139 @@ def test_bloom_store_lattice_and_saturation(spark, tmp_path):
     )
     sat2 = bloom_saturation(spark, store).collect()[0]
     assert sat2["n_set_bits"] >= sat1["n_set_bits"]
+
+
+def test_hist_store_fold_ledger_and_quantile_bounds(
+    spark, tables, tmp_path
+):
+    """The histogram store's three contracts: (1) SUM folds need the
+    ledger — an unledgered call is a loud error and a replayed
+    ledgered batch is a no-op; (2) out-of-order folds converge (sum
+    commutes) — incremental over shuffled thirds equals a direct
+    one-shot build; (3) every quantile interval [lo, hi) actually
+    contains the exact quantile computed from the raw values."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sqltask_spark.operators import index_fs
+    from sqltask_spark.operators.merge import read_parquet_table
+    from sqltask_spark.operators.sketch_store import (
+        create_hist_store,
+        hist_cell_rows,
+        read_hist_quantiles,
+        update_hist_store,
+    )
+
+    docs = (
+        tables["documents"]
+        .filter(F.col("n_chars").isNotNull())
+        .select("doc_id", "source", "n_chars")
+    )
+    store = str(tmp_path / "hist_store")
+    create_hist_store(
+        docs.filter(F.pmod("doc_id", F.lit(3)) == 0),
+        store, "source", "n_chars", bucket_width=64, n_buckets=64,
+    )
+    b1 = docs.filter(F.pmod("doc_id", F.lit(3)) == 1)
+    b2 = docs.filter(F.pmod("doc_id", F.lit(3)) == 2)
+    with pytest.raises(ValueError, match="batch_id"):
+        update_hist_store(spark, store, b1, "source", "n_chars", "")
+    # out-of-order: fold thirds 2 then 1; replay both (ledger no-ops)
+    update_hist_store(spark, store, b2, "source", "n_chars", "b2")
+    update_hist_store(spark, store, b1, "source", "n_chars", "b1")
+    seq = index_fs.read_manifest(spark, store)["_seq"]
+    update_hist_store(spark, store, b2, "source", "n_chars", "b2")
+    update_hist_store(spark, store, b1, "source", "n_chars", "b1")
+    assert index_fs.read_manifest(spark, store)["_seq"] == seq
+    # incremental state == direct one-shot cells over the whole corpus
+    direct = str(tmp_path / "hist_direct")
+    create_hist_store(
+        docs, direct, "source", "n_chars", bucket_width=64, n_buckets=64
+    )
+
+    def cells(path):
+        return sorted(
+            (r["g"], int(r["b"]), int(r["cnt"]))
+            for r in read_parquet_table(spark, path).collect()
+        )
+
+    assert cells(store) == cells(direct)
+    # bound check: the exact q-quantile of each group lies in [lo, hi)
+    q = read_hist_quantiles(spark, store, [500]).collect()
+    exact = {
+        r["source"]: int(r["m"])
+        for r in docs.groupBy("source")
+        .agg(F.expr("percentile(n_chars, 0.5)").alias("m"))
+        .collect()
+    }
+    assert q
+    for r in q:
+        med = exact[r["g"]]
+        assert r["lo"] <= med
+        if r["hi"] is not None:
+            assert med <= r["hi"]
+    # hist_cell_rows is bounded: at most groups × n_buckets rows
+    n_groups = docs.select("source").distinct().count()
+    assert (
+        hist_cell_rows(docs, "source", "n_chars", 64, 64).count()
+        <= n_groups * 64
+    )
+
+
+def test_hist_store_saturation_rebuild_wider(spark, tmp_path):
+    """Top-bucket saturation → maintain_hist_store rebuilds at 2×
+    width in ONE atomic commit: new width visible, top-bucket mass
+    relaxed, quantile intervals still contain the exact quantiles,
+    and below the threshold the policy is a pure observer."""
+    from pyspark.sql import functions as F
+
+    from sqltask_spark.operators import index_fs
+    from sqltask_spark.operators.index_maintenance import (
+        maintain_hist_store,
+    )
+    from sqltask_spark.operators.sketch_store import (
+        create_hist_store,
+        hist_saturation,
+        read_hist_meta,
+        read_hist_quantiles,
+    )
+
+    # values deliberately larger than the initial range: width 4 ×
+    # 8 buckets covers [0, 28); values up to 400 pile into bucket 7
+    vals = spark.createDataFrame(
+        [(i, "g1", (i * 7) % 400) for i in range(400)],
+        "doc_id long, source string, v long",
+    )
+    store = str(tmp_path / "hist_sat")
+    create_hist_store(
+        vals, store, "source", "v", bucket_width=4, n_buckets=8
+    )
+    sat = hist_saturation(spark, store).collect()[0]
+    assert int(sat["top_bucket_milli"]) > 500  # badly saturated
+    r = maintain_hist_store(
+        spark, store, vals, "source", "v", max_top_bucket_milli=50
+    )
+    assert r["rebuilt"] is True
+    width, n_buckets = read_hist_meta(spark, store)
+    assert width == 8 and n_buckets == 8
+    # still saturated at 2x — the policy converges over repeated
+    # maintenance calls exactly like repeated Bloom growth
+    for _ in range(8):
+        r = maintain_hist_store(
+            spark, store, vals, "source", "v", max_top_bucket_milli=50
+        )
+        if not r["rebuilt"]:
+            break
+    assert r["rebuilt"] is False  # reached a healthy width
+    width, _ = read_hist_meta(spark, store)
+    assert width >= 64  # 400-range values need width >= ~57
+    # exact median within the certified interval after rebuilds
+    med = sorted(((i * 7) % 400) for i in range(400))[200]
+    q = read_hist_quantiles(spark, store, [500]).collect()[0]
+    assert q["lo"] <= med and (q["hi"] is None or med <= q["hi"])
+    # observer below the threshold: manifest does not move
+    seq = index_fs.read_manifest(spark, store)["_seq"]
+    maintain_hist_store(
+        spark, store, vals, "source", "v", max_top_bucket_milli=999
+    )
+    assert index_fs.read_manifest(spark, store)["_seq"] == seq
