@@ -367,6 +367,7 @@ def maintain_hist_store(
     value_col: str,
     max_top_bucket_milli: int = 50,
     growth_factor: int = 2,
+    weight_col: "str | None" = None,
 ) -> dict:
     """Rebuild the histogram store at ``growth_factor``× bucket width
     when any group's top-bucket mass crosses ``max_top_bucket_milli``
@@ -397,7 +398,7 @@ def maintain_hist_store(
     if rebuilt:
         rebuild_hist_store(
             spark, path, members, group_col, value_col,
-            width * growth_factor,
+            width * growth_factor, weight_col=weight_col,
         )
     return {
         "bucket_width": width,

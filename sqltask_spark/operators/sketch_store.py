@@ -573,19 +573,28 @@ def hist_cell_rows(
     value_col: str,
     bucket_width: int,
     n_buckets: int,
+    weight_col: "str | None" = None,
 ) -> DataFrame:
     """(g, b, cnt) histogram cells for a value batch under the frozen
     layout — at most groups × n_buckets rows regardless of batch
     size. NULL values carry no position (SQL-aggregate NULL
-    semantics)."""
+    semantics). ``weight_col`` bins a pre-aggregated (group, value,
+    count) census instead of raw rows — each value contributes its
+    count, so a census-driven rebuild never re-expands rows."""
+    w = (
+        F.sum(F.col(weight_col))
+        if weight_col is not None
+        else F.count(F.lit(1))
+    )
     return (
         values.filter(F.col(value_col).isNotNull())
         .select(
             F.col(group_col).cast("string").alias("g"),
             hist_bucket(value_col, bucket_width, n_buckets).alias("b"),
+            *( [F.col(weight_col)] if weight_col is not None else [] ),
         )
         .groupBy("g", "b")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .agg(w.cast("long").alias("cnt"))
     )
 
 
@@ -596,6 +605,7 @@ def create_hist_store(
     value_col: str,
     bucket_width: int,
     n_buckets: int = 256,
+    batch_id: "str | None" = None,
 ) -> None:
     """Materialize a per-group histogram store with FROZEN
     ``(bucket_width, n_buckets)`` — the incremental-quantile member
@@ -620,11 +630,16 @@ def create_hist_store(
         ],
         "g string, b long, cnt long",
     )
+    # ``batch_id`` seeds the ledger with the CREATING batch: a
+    # replayed first epoch must be a no-op exactly like any other
+    # replayed fold (the streaming sink's exactly-once proof found
+    # the create path silently outside the ledger)
     create_parquet_table(
         hist_cell_rows(
             values, group_col, value_col, bucket_width, n_buckets
         ).unionByName(meta),
         path,
+        batch_id=batch_id,
     )
 
 
@@ -802,6 +817,7 @@ def rebuild_hist_store(
     group_col: str,
     value_col: str,
     bucket_width_new: int,
+    weight_col: "str | None" = None,
 ) -> None:
     """Rebuild the store at a NEW frozen width from the driving value
     relation — the only move when the top bucket saturates (buckets
@@ -824,7 +840,8 @@ def rebuild_hist_store(
         "g string, b long, cnt long",
     )
     desired = hist_cell_rows(
-        members, group_col, value_col, bucket_width_new, n_buckets
+        members, group_col, value_col, bucket_width_new, n_buckets,
+        weight_col=weight_col,
     ).unionByName(meta)
     stale = (
         read_parquet_table(spark, path)

@@ -583,6 +583,122 @@ def bloom_store_sink(
     return ingest
 
 
+def hist_store_sink(
+    store_path: str,
+    group_col: str,
+    value_col: str,
+    bucket_width: int,
+    n_buckets: int = 256,
+    app_id: str = "default",
+    maintenance: dict | None = None,
+    members_path: str | None = None,
+):
+    """``foreachBatch`` sink folding each micro-batch into the
+    persistent histogram quantile store — incremental per-group value
+    distributions over an unbounded stream, state bounded at groups ×
+    n_buckets rows forever.
+
+    SUM folds are NOT idempotent, so unlike the HLL/Bloom sinks this
+    one is LEDGERED: the batch id is ``{app_id}:epoch-{id}#{content
+    fingerprint}`` (the merge-sink pattern) and
+    :func:`~sqltask_spark.operators.sketch_store.update_hist_store`'s
+    manifest ledger makes a redelivered epoch one manifest read — a
+    colliding epoch id with DIFFERENT content gets a fresh ledger id
+    (the fingerprint differs) and folds normally, which is correct
+    for a count fold: distinct content is distinct data. The FIRST
+    epoch creates the store with the FROZEN layout.
+
+    ``maintenance`` (thresholds for
+    :func:`~sqltask_spark.operators.index_maintenance.
+    maintain_hist_store`) closes the saturation loop and requires
+    ``members_path`` — a MERGE table of (group, value, count) the
+    sink also folds each epoch, because rebuilding wider re-bins from
+    source values (the Bloom members-table pattern; here the member
+    relation is the per-(group, value) census, which is itself
+    bounded by the distinct-value count, not the stream length)."""
+    if maintenance is not None and members_path is None:
+        raise ValueError(
+            "hist_store_sink: maintenance requires members_path —"
+            " a rebuild re-bins from source values, which the"
+            " bucket counts alone cannot recover"
+        )
+    from pyspark.sql import functions as F
+
+    from sqltask_spark.data import content_fingerprint
+    from sqltask_spark.operators import index_fs
+    from sqltask_spark.operators.index_maintenance import (
+        maintain_hist_store,
+    )
+    from sqltask_spark.operators.merge import (
+        create_parquet_table,
+        merge_into_parquet,
+        read_parquet_table,
+    )
+    from sqltask_spark.operators.sketch_store import (
+        create_hist_store,
+        update_hist_store,
+    )
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        vals = batch_df.select(
+            F.col(group_col).cast("string").alias("g"),
+            F.col(value_col).cast("long").alias("v"),
+        ).filter(F.col("v").isNotNull())
+        fingerprint = content_fingerprint(vals, ["g", "v"])
+        ledger_id = f"{app_id}:epoch-{epoch_id}#{fingerprint}"
+        if members_path is not None:
+            census = vals.groupBy("g", "v").agg(
+                F.count(F.lit(1)).cast("long").alias("cnt")
+            )
+            if index_fs.read_manifest(spark, members_path) is None:
+                create_parquet_table(
+                    census, members_path, batch_id=ledger_id
+                )
+            else:
+                stored = read_parquet_table(
+                    spark, members_path
+                ).select("g", "v", F.col("cnt").alias("c_old"))
+                merged = stored.join(
+                    census.select(
+                        "g", "v", F.col("cnt").alias("c_new")
+                    ),
+                    ["g", "v"],
+                    "full_outer",
+                ).select(
+                    "g", "v",
+                    (
+                        F.coalesce("c_old", F.lit(0))
+                        + F.coalesce("c_new", F.lit(0))
+                    ).cast("long").alias("cnt"),
+                )
+                merge_into_parquet(
+                    spark, members_path, merged, ["g", "v"],
+                    batch_id=ledger_id,
+                )
+        if index_fs.read_manifest(spark, store_path) is None:
+            create_hist_store(
+                vals, store_path, "g", "v",
+                bucket_width=bucket_width, n_buckets=n_buckets,
+                batch_id=ledger_id,
+            )
+        else:
+            update_hist_store(
+                spark, store_path, vals, "g", "v",
+                batch_id=ledger_id,
+            )
+        if maintenance is not None:
+            # the member relation is a (g, v, cnt) census — the
+            # rebuild bins it WEIGHTED, never re-expanding rows
+            maintain_hist_store(
+                spark, store_path,
+                read_parquet_table(spark, members_path),
+                "g", "v", weight_col="cnt", **maintenance,
+            )
+
+    return ingest
+
+
 def minhash_index_cdc_sink(
     index_path: str,
     id_col: str = "doc_id",

@@ -1666,3 +1666,83 @@ def test_merge_upsert_sink_sync_indexes_ivf(spark, tmp_path):
     }
     assert got[(555001, x)] == 1.0                 # update served
     assert got[(555002, z)] == 1.0                 # re-insert served
+
+
+def test_hist_store_sink_stream_ledger_and_rebuild(spark, tmp_path):
+    """Streaming histogram ingest: epochs fold under the content-
+    fingerprint ledger (a full same-content replay changes nothing —
+    SUM is not idempotent, so this IS the exactly-once proof), the
+    final state equals a direct one-shot build over all streamed
+    values, and with maintenance + a (g, v, cnt) member census the
+    saturated store rebuilds wider with every quantile interval still
+    containing the exact quantile."""
+    from sqltask_spark.operators.merge import read_parquet_table
+    from sqltask_spark.operators.sketch_store import (
+        create_hist_store,
+        read_hist_meta,
+        read_hist_quantiles,
+    )
+    from sqltask_spark.streaming.corpus import hist_store_sink
+
+    vals = spark.createDataFrame(
+        [(i, "g1", (i * 13) % 900) for i in range(600)],
+        "i long, g string, v long",
+    )
+    src = tmp_path / "hist_stream_in"
+    for third in range(3):
+        vals.filter(F.col("i") % 3 == third).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+    store = str(tmp_path / "hist_stream_store")
+    members = str(tmp_path / "hist_stream_members")
+
+    def run_stream():
+        q = (
+            spark.readStream.schema(vals.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .writeStream.foreachBatch(
+                hist_store_sink(
+                    store, "g", "v", bucket_width=16, n_buckets=8,
+                    app_id="hist-cdc",
+                    members_path=members,
+                    maintenance={"max_top_bucket_milli": 100},
+                )
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_stream()
+    width1, n_buckets = read_hist_meta(spark, store)
+    assert n_buckets == 8
+    assert width1 > 16  # values up to 899 saturated width 16 -> grew
+    # member census is exact: total mass equals the streamed rows
+    census = read_parquet_table(spark, members)
+    assert census.agg(F.sum("cnt")).collect()[0][0] == 600
+    med = sorted(((i * 13) % 900) for i in range(600))[300]
+    q1 = read_hist_quantiles(spark, store, [500]).collect()[0]
+    assert q1["lo"] <= med and (q1["hi"] is None or med <= q1["hi"])
+    state1 = sorted(
+        (r["g"], int(r["b"]), int(r["cnt"]))
+        for r in read_parquet_table(spark, store).collect()
+    )
+    # full same-content replay from a fresh checkpoint: the ledger
+    # no-ops every epoch — bitmap AND member census unchanged
+    run_stream()
+    assert sorted(
+        (r["g"], int(r["b"]), int(r["cnt"]))
+        for r in read_parquet_table(spark, store).collect()
+    ) == state1
+    assert census.agg(F.sum("cnt")).collect()[0][0] == 600
+    # the streamed state matches a direct one-shot build at the SAME
+    # final width (fold-order independence of the SUM algebra)
+    direct = str(tmp_path / "hist_stream_direct")
+    create_hist_store(
+        vals, direct, "g", "v", bucket_width=width1, n_buckets=8
+    )
+    assert sorted(
+        (r["g"], int(r["b"]), int(r["cnt"]))
+        for r in read_parquet_table(spark, direct).collect()
+    ) == state1
