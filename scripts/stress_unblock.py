@@ -13,6 +13,20 @@ times (on two identical index copies):
 Prints one JSON line with both wall times and the work each did.
 The gap grows with index size over window size — at 100 TB a sync
 window re-admitting one takedown must not rewrite the corpus.
+
+$STRESS_ID_MODE picks the generation id layout (VERDICT r11 #1):
+
+- ``interleaved`` (default): generation g holds ``doc_id % N_GENS
+  == g`` — every generation's [min,max] spans the id space, so
+  range pruning proves nothing and pruning depends entirely on the
+  per-generation id FILTERS. ``census_candidate_generations`` in
+  the output is the count the census job actually read: with the
+  filters it stays at ~1 regardless of generation count.
+- ``monotonic``: contiguous id ranges per generation — the layout
+  range pruning was already perfect for; the control arm.
+
+$STRESS_N_GENS overrides the generation count (default 5) so the
+no-growth-with-generations claim is measurable directly.
 """
 
 from __future__ import annotations
@@ -41,7 +55,6 @@ from sqltask_spark.operators.dedup_index import (  # noqa: E402
 )
 from sqltask_spark.session import get_spark  # noqa: E402
 
-N_GENS = 5
 
 
 def main() -> None:
@@ -58,6 +71,8 @@ def main() -> None:
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
+    n_gens = int(os.environ.get("STRESS_N_GENS", "5"))
+    id_mode = os.environ.get("STRESS_ID_MODE", "interleaved")
     docs = spark.read.parquet(
         os.path.join(sf_dir, "documents.parquet")
     ).select("doc_id", "text")
@@ -79,24 +94,34 @@ def main() -> None:
             ).alias("text"),
         )
     n_docs = docs.count()
+    if id_mode == "interleaved":
+        gen_col = F.pmod(F.col("doc_id"), F.lit(n_gens))
+    elif id_mode == "monotonic":
+        # contiguous ranges: ids are dense post-replication, so a
+        # simple integer division splits them into ordered blocks
+        step = -(-n_docs // n_gens)
+        gen_col = (F.col("doc_id") / F.lit(step)).cast("long")
+    else:
+        raise SystemExit(f"unknown STRESS_ID_MODE {id_mode!r}")
+    docs = docs.withColumn("_gen", gen_col)
     tmp = tempfile.mkdtemp(prefix="stress_unblock_")
     a, b = f"{tmp}/idx_unblock", f"{tmp}/idx_compact"
     try:
         for idx in (a, b):
             build_minhash_index(
-                docs.filter(F.col("doc_id") % N_GENS == 0), idx
+                docs.filter(F.col("_gen") == 0).drop("_gen"), idx
             )
-            for g in range(1, N_GENS):
+            for g in range(1, n_gens):
                 append_to_minhash_index(
                     idx,
-                    docs.filter(F.col("doc_id") % N_GENS == g),
+                    docs.filter(F.col("_gen") == g).drop("_gen"),
                     "doc_id",
                     "text",
                 )
         # one takedown from the MIDDLE generation, later re-admitted
         victim = docs.filter(
-            F.col("doc_id") % N_GENS == N_GENS // 2
-        ).orderBy("doc_id").limit(1)
+            F.col("_gen") == n_gens // 2
+        ).orderBy("doc_id").limit(1).drop("_gen")
         for idx in (a, b):
             delete_from_minhash_index(idx, victim, "doc_id")
 
@@ -134,7 +159,9 @@ def main() -> None:
         parity = canon(a) == canon(b)
         print(json.dumps({
             "n_docs": n_docs,
-            "n_generations": N_GENS,
+            "n_generations": n_gens,
+            "id_mode": id_mode,
+            "census_candidate_generations": r["candidate_generations"],
             "unblock_sec": round(t_unblock, 3),
             "compact_sec": round(t_compact, 3),
             "speedup": round(t_compact / t_unblock, 2),

@@ -322,6 +322,11 @@ def build_ivf_index(
         spark,
         path,
         {
+            # unknown manifest keys (sync markers, future metadata)
+            # carry forward verbatim — the rule every other mutation
+            # follows; a drift rebuild that stripped 'synced' would
+            # force the next sync epoch back to seed_from_seq
+            **{k: v for k, v in (prev or {}).items() if k != "_seq"},
             "generations": [gen],
             "quantizer": gen,
             # per-generation id range for targeted rewrites
@@ -332,6 +337,10 @@ def build_ivf_index(
                 "m": m,
                 "pq_k": pq_k if m is not None else None,
             },
+            # a rebuild writes exactly its input corpus: previously
+            # tombstoned rows are physically absent, so the tombstone
+            # set resets (the retention boundary, like compaction)
+            "tombstones": [],
             # the epoch ledger survives a rebuild: the rebuilt index
             # still CONTAINS every ledgered batch's vectors, so a
             # redelivered epoch must keep ledger-skipping (and the
@@ -507,9 +516,9 @@ def delete_from_ivf_index(
         if n == 0:
             return 0
         gen = index_fs.fresh_gen(spark, [f"{path}/tombstones"], None)
-        target.coalesce(1).write.mode("overwrite").parquet(
-            f"{path}/tombstones/{gen}"
-        )
+        index_fs.shard_for_write(target, n).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/tombstones/{gen}")
         index_fs.commit_manifest(
             spark,
             path,
@@ -638,13 +647,14 @@ def unblock_ivf_ids(
     quantizer untouched), and the tombstone set is rewritten without
     the freed ids. Untouched generations keep their directories and
     manifest names. Returns ``{"unblocked",
-    "rewritten_generations"}``; idempotent and crash-atomic like
+    "rewritten_generations", "candidate_generations"}``; idempotent and crash-atomic like
     every index mutation.
     """
     m = _committed(spark, path)
     tombs = _read_tombstones(spark, path, m)
     if tombs is None:
-        return {"unblocked": 0, "rewritten_generations": []}
+        return {"unblocked": 0, "rewritten_generations": [],
+                "candidate_generations": 0}
     blocked = (
         ids.select(F.col(corpus_id).alias("neighbor_id"))
         .distinct()
@@ -652,15 +662,24 @@ def unblock_ivf_ids(
         .persist()
     )
     try:
-        # one action: blocked count + its id bounds for stats pruning
+        # one action: blocked count + its id bounds + its bitmap for
+        # stats pruning
         n, bounds = index_fs.count_and_bounds(blocked, "neighbor_id")
         if n == 0:
-            return {"unblocked": 0, "rewritten_generations": []}
+            return {"unblocked": 0, "rewritten_generations": [],
+                "candidate_generations": 0}
         gen_stats = m.get("gen_stats", {})
+        # per-id filter probe (bounded collect; see
+        # unblock_minhash_ids) — content pruning for interleaved ids
+        probe_pos = index_fs.filter_probe_positions(
+            blocked, "neighbor_id"
+        )
         candidates = [
             g
             for g in m["generations"]
-            if not index_fs.bounds_disjoint(gen_stats.get(g), bounds)
+            if not index_fs.generation_prunable(
+                gen_stats.get(g), bounds, probe_pos
+            )
         ]
         # ONE job: affected + fully-blocked census over all candidate
         # generations (see unblock_minhash_ids)
@@ -735,11 +754,12 @@ def unblock_ivf_ids(
         ).persist()
         try:
             new_tombs: list[str] = []
-            if remaining.limit(1).count():
+            n_rem = remaining.count()
+            if n_rem:
                 tg = alloc()
-                remaining.coalesce(1).write.mode("overwrite").parquet(
-                    f"{path}/tombstones/{tg}"
-                )
+                index_fs.shard_for_write(remaining, n_rem).write.mode(
+                    "overwrite"
+                ).parquet(f"{path}/tombstones/{tg}")
                 new_tombs = [tg]
             new_gens = [
                 mapping.get(g, g)
@@ -770,7 +790,14 @@ def unblock_ivf_ids(
             )
         finally:
             remaining.unpersist()
-        return {"unblocked": n, "rewritten_generations": affected}
+        return {
+            "unblocked": n,
+            "rewritten_generations": affected,
+            # observability for the pruning claim: how many
+            # generations survived stats+filter pruning and were
+            # actually read by the census job
+            "candidate_generations": len(candidates),
+        }
     finally:
         blocked.unpersist()
 

@@ -218,8 +218,16 @@ def build_minhash_index(
             spark,
             path,
             {
+                # unknown manifest keys (sync markers, batch ledger,
+                # future metadata) carry forward verbatim — a rebuild
+                # must never strip another subsystem's state
+                **{k: v for k, v in (prev or {}).items()
+                   if k != "_seq"},
                 "generations": [gen],
                 "sizes": gen,
+                # a rebuild writes exactly its input corpus; the
+                # tombstone set resets (retention boundary)
+                "tombstones": [],
                 # per-generation id range: lets targeted rewrites
                 # (unblock_minhash_ids) prune untouched generations
                 # without reading them
@@ -394,9 +402,9 @@ def delete_from_minhash_index(
         if n == 0:
             return 0
         gen = index_fs.fresh_gen(spark, [f"{path}/tombstones"], None)
-        target.coalesce(1).write.mode("overwrite").parquet(
-            f"{path}/tombstones/{gen}"
-        )
+        index_fs.shard_for_write(target, n).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/tombstones/{gen}")
         index_fs.commit_manifest(
             spark,
             path,
@@ -546,7 +554,8 @@ def unblock_minhash_ids(
     names, so the commit is one manifest write naming mostly-old
     files — the Iceberg-style partial-rewrite shape.
 
-    Returns ``{"unblocked", "rewritten_generations"}``. Idempotent
+    Returns ``{"unblocked", "rewritten_generations",
+    "candidate_generations"}``. Idempotent
     (ids not currently tombstoned are ignored; re-run returns 0) and
     crash-atomic like every mutation: the new directories are
     invisible until the manifest lands, and superseded directories
@@ -556,7 +565,8 @@ def unblock_minhash_ids(
     m = _committed(spark, path)
     tombs = _read_tombstones(spark, path, m)
     if tombs is None:
-        return {"unblocked": 0, "rewritten_generations": []}
+        return {"unblocked": 0, "rewritten_generations": [],
+                "candidate_generations": 0}
     blocked = (
         ids.select(F.col(id_col).alias("id"))
         .distinct()
@@ -564,15 +574,25 @@ def unblock_minhash_ids(
         .persist()
     )
     try:
-        # one action: blocked count + its id bounds for stats pruning
+        # one action: blocked count + its id bounds + its bitmap for
+        # stats pruning
         n, bounds = index_fs.count_and_bounds(blocked, "id")
         if n == 0:
-            return {"unblocked": 0, "rewritten_generations": []}
+            return {"unblocked": 0, "rewritten_generations": [],
+                "candidate_generations": 0}
         gen_stats = m.get("gen_stats", {})
+        # per-id filter probe: bounded collect of hash positions (a
+        # set past the cap falls back to the bitmap-intersection
+        # test inside generation_prunable). Under hashed/interleaved
+        # ids the [min,max] ranges all overlap; the CONTENT filter is
+        # what keeps the census off untouched generations then.
+        probe_pos = index_fs.filter_probe_positions(blocked, "id")
         candidates = [
             g
             for g in m["generations"]
-            if not index_fs.bounds_disjoint(gen_stats.get(g), bounds)
+            if not index_fs.generation_prunable(
+                gen_stats.get(g), bounds, probe_pos
+            )
         ]
         # ONE job decides, for every candidate generation at once,
         # whether it holds blocked rows AND whether anything would
@@ -680,11 +700,12 @@ def unblock_minhash_ids(
         remaining = tombs.join(blocked, "id", "left_anti").persist()
         try:
             new_tombs: list[str] = []
-            if remaining.limit(1).count():
+            n_rem = remaining.count()
+            if n_rem:
                 tg = alloc()
-                remaining.coalesce(1).write.mode("overwrite").parquet(
-                    f"{path}/tombstones/{tg}"
-                )
+                index_fs.shard_for_write(remaining, n_rem).write.mode(
+                    "overwrite"
+                ).parquet(f"{path}/tombstones/{tg}")
                 new_tombs = [tg]
             new_gens = [
                 mapping.get(g, g)
@@ -718,7 +739,14 @@ def unblock_minhash_ids(
             )
         finally:
             remaining.unpersist()
-        return {"unblocked": n, "rewritten_generations": affected}
+        return {
+            "unblocked": n,
+            "rewritten_generations": affected,
+            # observability for the pruning claim: how many
+            # generations survived stats+filter pruning and were
+            # actually read by the census job
+            "candidate_generations": len(candidates),
+        }
     finally:
         blocked.unpersist()
 

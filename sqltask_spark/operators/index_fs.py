@@ -204,19 +204,29 @@ def fresh_gen(
 
 
 def drop_manifests(
-    spark: SparkSession, path: str, keep_versions: int
+    spark: SparkSession, path: str, keep_versions: int,
+    min_keep_seq: int | None = None,
 ) -> list[int]:
     """Delete all but the newest ``keep_versions`` manifest files —
     the retention step every vacuum starts with. Returns the dropped
     sequence numbers. Time travel to a dropped version errors loudly
     afterwards (the standard retention trade, exactly as the table
-    formats define it). Writer-context only, like every mutation."""
+    formats define it). Writer-context only, like every mutation.
+
+    ``min_keep_seq`` is a retention FLOOR: versions >= it survive
+    regardless of ``keep_versions``. Incremental consumers (the CDC
+    index sync's ``synced`` marker) read ``table_changes(from_seq=
+    marker)``, which needs manifest ``marker`` alive — an unclamped
+    vacuum racing such a consumer would wedge it permanently on
+    'version does not exist'."""
     if keep_versions < 1:
         raise ValueError(
             f"keep_versions must be >= 1, got {keep_versions}"
         )
     seqs = list_manifest_seqs(spark, path)
     drop = seqs[:-keep_versions] if len(seqs) > keep_versions else []
+    if min_keep_seq is not None:
+        drop = [s for s in drop if s < min_keep_seq]
     for seq in drop:
         delete_path(
             spark, f"{path}/{MANIFEST_DIR}/{_MANIFEST_FMT % seq}"
@@ -238,31 +248,164 @@ def id_bounds(df, id_col: str) -> dict | None:
     a generation's old bounds rather than re-measuring."""
     from pyspark.sql import functions as F
 
-    r = df.agg(
-        F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
-    ).collect()[0]
-    lo, hi = r["lo"], r["hi"]
+    return _stats_agg(df, id_col)[1]
+
+
+# Per-generation approximate-membership filter: a tiny Bloom filter
+# (k=2, 8192 bits = 128 manifest longs, ~1 KB) recorded alongside the
+# [min,max] id range. Range pruning is perfect under monotonic ingest
+# ids but degenerates under hashed/interleaved ids (every generation
+# spans the id space); the filter prunes by CONTENT, so targeted
+# rewrites stay bounded by the generations that actually hold the
+# blocked ids regardless of id layout. Saturates (stops pruning,
+# stays conservative) past a few thousand ids per generation — the
+# change-window generations it exists for sit well under that.
+ID_FILTER_WORDS = 128
+ID_FILTER_K = 2
+
+
+def _filter_pos_cols(id_col: str):
+    """The k hash-bit positions of ``id_col`` — MUST be identical at
+    build and probe (xxhash64 is Spark-version-stable and typed: a
+    long id and its string form hash differently, consistently)."""
+    from pyspark.sql import functions as F
+
+    bits = ID_FILTER_WORDS * 64
+    return [
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(bits)),
+        F.pmod(F.xxhash64(F.col(id_col), F.lit(1)), F.lit(bits)),
+    ]
+
+
+def _stats_agg(df, id_col: str) -> "tuple[int, dict | None]":
+    """(row_count, stats) in ONE aggregate action: count, [min,max]
+    id bounds, and the generation id filter's words — 3 + 128
+    aggregate expressions over one pass of the id column."""
+    from pyspark.sql import functions as F
+
+    p0, p1 = _filter_pos_cols(id_col)
+    pre = df.select(
+        F.col(id_col).alias("_id"),
+        p0.alias("_p0"), p1.alias("_p1"),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("_n"),
+        F.min("_id").alias("_lo"),
+        F.max("_id").alias("_hi"),
+    ]
+    for w in range(ID_FILTER_WORDS):
+        aggs.append(
+            F.expr(
+                f"bit_or("
+                f"if(_p0 div 64 = {w},"
+                f" shiftleft(1L, cast(_p0 % 64 as int)), 0L)"
+                f" | if(_p1 div 64 = {w},"
+                f" shiftleft(1L, cast(_p1 % 64 as int)), 0L))"
+            ).alias(f"_w{w}")
+        )
+    r = pre.agg(*aggs).collect()[0]
+    lo, hi = r["_lo"], r["_hi"]
     if isinstance(lo, bool) or not isinstance(lo, (int, str)):
-        return None
-    return {"min_id": lo, "max_id": hi}
+        return int(r["_n"]), None
+    return int(r["_n"]), {
+        "min_id": lo,
+        "max_id": hi,
+        "filter": {
+            "k": ID_FILTER_K,
+            "bits": ID_FILTER_WORDS * 64,
+            "words": [int(r[f"_w{w}"] or 0)
+                      for w in range(ID_FILTER_WORDS)],
+        },
+    }
 
 
 def count_and_bounds(df, id_col: str) -> "tuple[int, dict | None]":
-    """``(row_count, id_bounds)`` in ONE aggregate action — the
-    append paths already pay a count job on the batch, so the
-    generation stats ride along for free instead of adding a second
-    job per mutation."""
+    """``(row_count, generation stats)`` in ONE aggregate action —
+    the append paths already pay a count job on the batch, so the
+    [min,max] bounds AND the id filter ride along for free instead
+    of adding a second job per mutation."""
+    return _stats_agg(df, id_col)
+
+
+def filter_probe_positions(
+    df, id_col: str, cap: int = 65536
+) -> "list[tuple[int, int]] | None":
+    """The blocked ids' hash-bit position pairs for per-id filter
+    probing, or ``None`` when the set exceeds ``cap`` (a takedown
+    wave of millions of ids touches every generation anyway — the
+    caller falls back to the bitmap-intersection test, which needs
+    no collect). Bounded: at most ``cap`` (int, int) rows reach the
+    driver."""
     from pyspark.sql import functions as F
 
-    r = df.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min(id_col).alias("lo"),
-        F.max(id_col).alias("hi"),
-    ).collect()[0]
-    lo, hi = r["lo"], r["hi"]
-    if isinstance(lo, bool) or not isinstance(lo, (int, str)):
-        return int(r["n"]), None
-    return int(r["n"]), {"min_id": lo, "max_id": hi}
+    p0, p1 = _filter_pos_cols(id_col)
+    rows = (
+        df.select(p0.alias("p0"), p1.alias("p1"))
+        .limit(cap + 1)
+        .collect()
+    )
+    if len(rows) > cap:
+        return None
+    return [(int(r["p0"]), int(r["p1"])) for r in rows]
+
+
+# Tombstone-set writes stay ONE skinny file (cheap probe-side read)
+# up to this many ids; past it — a takedown wave of tens of millions
+# — the write shards so it never funnels through a single task.
+TOMBSTONE_SHARD_ROWS = 4_000_000
+
+
+def shard_for_write(df, n_rows: int):
+    """``df`` coalesced to one output file for ordinary tombstone
+    counts, repartitioned into ``ceil(n/TOMBSTONE_SHARD_ROWS)``
+    shards above the threshold. Readers are indifferent (a tombstone
+    directory is read whole); only the write-path parallelism
+    changes."""
+    k = max(1, -(-n_rows // TOMBSTONE_SHARD_ROWS))
+    return df.coalesce(1) if k == 1 else df.repartition(k)
+
+
+def _bit(words: list, pos: int) -> int:
+    # (w >> b) & 1 is two's-complement-correct for Python ints
+    return (words[pos >> 6] >> (pos & 63)) & 1
+
+
+def generation_prunable(
+    stats: dict | None,
+    blocked_stats: dict | None,
+    probe_positions: "list[tuple[int, int]] | None",
+) -> bool:
+    """True iff the generation PROVABLY holds none of the blocked
+    ids — the only case a targeted rewrite may skip the physical
+    census for it. Two independent proofs, either suffices:
+
+    - [min,max] range disjointness (perfect for monotonic ids);
+    - the id filter: with positions collected, a generation is a
+      candidate only if SOME blocked id has ALL its k bits set;
+      above the collect cap, the weaker-but-collect-free bitmap
+      intersection (no shared bit → no shared id).
+
+    Missing stats/filter (pre-filter manifests, non-int/str ids)
+    are never provable → False, the conservative arm."""
+    if bounds_disjoint(stats, blocked_stats):
+        return True
+    f = (stats or {}).get("filter")
+    if (
+        not f
+        or f.get("k") != ID_FILTER_K
+        or f.get("bits") != ID_FILTER_WORDS * 64
+    ):
+        return False
+    words = f["words"]
+    if probe_positions is not None:
+        return not any(
+            _bit(words, p0) and _bit(words, p1)
+            for p0, p1 in probe_positions
+        )
+    bf = (blocked_stats or {}).get("filter")
+    if not bf or bf.get("bits") != f.get("bits"):
+        return False
+    return not any(a & b for a, b in zip(words, bf["words"]))
 
 
 def bounds_disjoint(stats: dict | None, bounds: dict | None) -> bool:

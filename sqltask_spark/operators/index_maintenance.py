@@ -220,6 +220,7 @@ def maintain_parquet_table(
     max_files: int = 64,
     min_mean_file_bytes: int = 8 * 1024 * 1024,
     vacuum_keep_versions: int | None = None,
+    vacuum_min_keep_seq: int | None = None,
 ) -> dict:
     """Small-files maintenance for the merge table — the lake
     symmetry of the index policies: compact when the live file count
@@ -227,7 +228,9 @@ def maintain_parquet_table(
     ``min_mean_file_bytes`` (many-small-fragments pressure; a table
     of few large files is healthy at any count), optionally vacuum
     old versions afterwards. Row-identical (compaction pytest) and
-    atomic like every table mutation."""
+    atomic like every table mutation. ``vacuum_min_keep_seq`` floors
+    the vacuum so CDC consumers' resume versions stay readable
+    (:func:`~sqltask_spark.operators.index_fs.drop_manifests`)."""
     from sqltask_spark.operators.merge import (
         compact_parquet_table,
         vacuum_parquet_table,
@@ -243,7 +246,8 @@ def maintain_parquet_table(
     vac: dict = {}
     if vacuum_keep_versions is not None:
         vac = vacuum_parquet_table(
-            spark, path, keep_versions=vacuum_keep_versions
+            spark, path, keep_versions=vacuum_keep_versions,
+            min_keep_seq=vacuum_min_keep_seq,
         )
     return {**h, "compacted": compact, "vacuum": vac}
 

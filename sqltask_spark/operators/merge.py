@@ -664,14 +664,19 @@ def add_table_column(
 
 
 def vacuum_parquet_table(
-    spark: SparkSession, path: str, keep_versions: int = 1
+    spark: SparkSession, path: str, keep_versions: int = 1,
+    min_keep_seq: int | None = None,
 ) -> dict:
     """Reclaim storage: drop all but the newest ``keep_versions``
     manifests, then delete data files no surviving manifest
     references. Time travel to a vacuumed version errors loudly
     afterwards (the standard retention trade, exactly as table
-    formats define it)."""
-    drop = index_fs.drop_manifests(spark, path, keep_versions)
+    formats define it). ``min_keep_seq`` floors retention so
+    incremental consumers (CDC sync markers) keep their resume
+    version readable — see :func:`index_fs.drop_manifests`."""
+    drop = index_fs.drop_manifests(
+        spark, path, keep_versions, min_keep_seq=min_keep_seq
+    )
     live: set[str] = set()
     for m in index_fs.read_all_manifests(spark, path):
         live |= set(m.get("files", []))

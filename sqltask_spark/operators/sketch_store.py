@@ -643,13 +643,20 @@ def create_hist_store(
     )
 
 
-def read_hist_meta(spark: SparkSession, path: str) -> "tuple[int, int]":
-    """(bucket_width, n_buckets) from the store's meta rows."""
+def read_hist_meta(
+    spark: SparkSession, path: str, as_of: int | None = None
+) -> "tuple[int, int]":
+    """(bucket_width, n_buckets) from the store's meta rows. The meta
+    rows live in the same versioned table as the cells, so a
+    time-traveled read MUST pass the same ``as_of`` — a rebuild may
+    have widened the bucket width since, and deriving [lo, hi) from
+    the new width against old-width buckets returns wrong
+    intervals."""
     from sqltask_spark.operators.merge import read_parquet_table
 
     rows = {
         int(r["b"]): int(r["cnt"])
-        for r in read_parquet_table(spark, path)
+        for r in read_parquet_table(spark, path, as_of=as_of)
         .filter(F.col("g") == _HIST_META_GROUP)
         .collect()
     }
@@ -721,7 +728,7 @@ def read_hist_quantiles(
 
     from sqltask_spark.operators.merge import read_parquet_table
 
-    width, n_buckets = read_hist_meta(spark, path)
+    width, n_buckets = read_hist_meta(spark, path, as_of=as_of)
     cells = read_parquet_table(spark, path, as_of=as_of).filter(
         F.col("g") != _HIST_META_GROUP
     )
@@ -777,16 +784,19 @@ def read_hist_quantiles(
     )
 
 
-def hist_saturation(spark: SparkSession, path: str) -> DataFrame:
+def hist_saturation(
+    spark: SparkSession, path: str, as_of: int | None = None
+) -> DataFrame:
     """One row per group: mass fraction (milli) sitting in the
     UNBOUNDED top bucket — the signal that the frozen width has
     outgrown its value distribution (a top-heavy histogram certifies
     nothing above ``(n_buckets-1)·width``). Rebuild wider on drift,
-    exactly like the Bloom capacity."""
+    exactly like the Bloom capacity. ``as_of`` time-travels meta and
+    cells TOGETHER (same hazard as :func:`read_hist_quantiles`)."""
     from sqltask_spark.operators.merge import read_parquet_table
 
-    width, n_buckets = read_hist_meta(spark, path)
-    cells = read_parquet_table(spark, path).filter(
+    width, n_buckets = read_hist_meta(spark, path, as_of=as_of)
+    cells = read_parquet_table(spark, path, as_of=as_of).filter(
         F.col("g") != _HIST_META_GROUP
     )
     return (

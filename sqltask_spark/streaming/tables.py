@@ -148,14 +148,13 @@ def merge_upsert_sink(
             batch_id=ledger_id,
             delete_col=delete_col,
         )
-        if maintenance is not None:
-            from sqltask_spark.operators.index_maintenance import (
-                maintain_parquet_table,
-            )
-
-            maintain_parquet_table(
-                batch_df.sparkSession, table_path, **maintenance
-            )
+        # sync BEFORE maintenance: a vacuum that dropped the manifest
+        # version a sync marker resumes from would wedge the stream
+        # permanently ('version does not exist' on every restart,
+        # ledger-skipped merge, marker never advances). Order alone
+        # is not enough — maintenance compaction commits a NEWER
+        # version, so keep_versions=1 would still drop the marker's
+        # — hence the vacuum floor passed below.
         if sync_indexes:
             from sqltask_spark.operators.index_sync import (
                 last_synced_seq,
@@ -201,5 +200,41 @@ def merge_upsert_sink(
                     from_seq=int(from_seq),
                     to_seq=to_seq,
                 )
+        if maintenance is not None:
+            from sqltask_spark.operators.index_maintenance import (
+                maintain_parquet_table,
+            )
+
+            spark = batch_df.sparkSession
+            kwargs = dict(maintenance)
+            if sync_indexes:
+                # every marker now equals this epoch's post-merge
+                # seq; floor the vacuum there so the next epoch's
+                # table_changes(from_seq=marker) stays readable even
+                # after compaction commits a newer version. A caller
+                # floor may only tighten (lower) it, never loosen.
+                from sqltask_spark.operators.index_sync import (
+                    last_synced_seq,
+                )
+
+                floors = [
+                    last_synced_seq(
+                        spark, spec["index_path"], table_path,
+                        spec["kind"],
+                    )
+                    for spec in sync_indexes
+                ]
+                # an empty first window commits no marker; the next
+                # epoch resumes from seed_from_seq, so floor there
+                floor = min(
+                    f if f is not None
+                    else int(s.get("seed_from_seq", 0))
+                    for f, s in zip(floors, sync_indexes)
+                )
+                caller = kwargs.get("vacuum_min_keep_seq")
+                kwargs["vacuum_min_keep_seq"] = (
+                    floor if caller is None else min(caller, floor)
+                )
+            maintain_parquet_table(spark, table_path, **kwargs)
 
     return upsert

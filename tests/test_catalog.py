@@ -155,3 +155,43 @@ def test_driver_window_is_oracled_and_staleness_ordered():
         (i for i, k in enumerate(names) if k not in ORACLES), len(names)
     )
     assert first_rows_only >= len(oracled)
+
+
+def test_bench_history_current():
+    """VERDICT r11 #2: the committed BENCH_HISTORY.jsonl must never
+    silently drift from the BENCH_r*.json driver artifacts. Exact
+    rule: every round recorded in the history must match a
+    regeneration from today's artifacts byte-for-byte, and the only
+    permissible gap is artifacts NEWER than the newest recorded
+    round (the driver writes BENCH_r{N}.json after the round's final
+    commit, so the history is refreshed at the START of round N+1 —
+    a strict equality check would be red at every judge run by
+    construction)."""
+    import importlib.util
+    import json
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1]
+    spec = importlib.util.spec_from_file_location(
+        "bench_history", root / "scripts" / "bench_history.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    fresh = mod.build_lines()
+    committed = [
+        ln for ln in (root / "BENCH_HISTORY.jsonl").read_text()
+        .splitlines() if ln.strip()
+    ]
+    assert committed, "BENCH_HISTORY.jsonl is empty"
+    newest_recorded = max(
+        json.loads(ln)["round"] for ln in committed
+    )
+    expected = [
+        ln for ln in fresh
+        if json.loads(ln)["round"] <= newest_recorded
+    ]
+    assert committed == expected, (
+        "BENCH_HISTORY.jsonl drifted from the committed BENCH_r*.json"
+        " artifacts — run: python scripts/bench_history.py"
+    )

@@ -888,7 +888,8 @@ def test_unblock_minhash_rewrites_only_affected_generation(
     assert _mh_canon(spark, idx, probe) == _mh_canon(spark, fresh, probe)
     # idempotent: nothing left to unblock
     r2 = unblock_minhash_ids(spark, idx, victim, "doc_id")
-    assert r2 == {"unblocked": 0, "rewritten_generations": []}
+    assert r2 == {"unblocked": 0, "rewritten_generations": [],
+                  "candidate_generations": 0}
 
 
 def test_unblock_ivf_rewrites_only_affected_generation(
@@ -954,6 +955,7 @@ def test_unblock_ivf_rewrites_only_affected_generation(
     assert unblock_ivf_ids(spark, idx, victim, "vec_id") == {
         "unblocked": 0,
         "rewritten_generations": [],
+        "candidate_generations": 0,
     }
 
 
@@ -1251,3 +1253,163 @@ def test_unblock_stats_pruning_never_reads_pruned_generation(
     shutil.rmtree(f"{idx}/data/{g_high}/shingles")
     r = unblock_minhash_ids(spark, idx, victim, "doc_id")
     assert r["rewritten_generations"] == [g_low]
+
+
+def test_rebuild_carries_manifest_keys(spark, tables, tmp_path):
+    """ADVICE r11: the rebuild path (build_*_index over an existing
+    index — the arm rebuild_ivf_on_drift commits through) used to
+    carry only 'batches' forward, silently stripping sync markers.
+    Now the rebuild spreads the previous manifest like every other
+    mutation: 'synced' (and any future key) survives, the batch
+    ledger survives for BOTH kinds, and the tombstone set resets
+    explicitly (the rebuild writes exactly its input corpus — the
+    retention boundary, like compaction)."""
+    from pyspark.sql import functions as F
+
+    from sqltask_spark.operators import index_fs
+    from sqltask_spark.operators import ann_index as ai
+    from sqltask_spark.operators import dedup_index as di
+    from sqltask_spark.operators.index_sync import _commit_synced_marker
+
+    docs = tables["documents"].select("doc_id", "text").limit(30)
+    emb = tables["embeddings"].select("vec_id", "embedding").limit(64)
+
+    def stamp(path, committed, extra):
+        m = committed(spark, path)
+        index_fs.commit_manifest(
+            spark, path,
+            {**{k: v for k, v in m.items() if k != "_seq"}, **extra},
+            m["_seq"],
+        )
+
+    midx = str(tmp_path / "carry_mh")
+    di.build_minhash_index(docs, midx)
+    stamp(midx, di.committed_manifest,
+          {"batches": ["seed#mh"], "future_key": 42})
+    _commit_synced_marker(spark, midx, "/t/docs", 7, di.committed_manifest)
+    di.build_minhash_index(docs, midx)  # rebuild in place
+    m = di.committed_manifest(spark, midx)
+    assert m["synced"] == {"/t/docs": 7}
+    assert m["batches"] == ["seed#mh"]
+    assert m["future_key"] == 42
+    assert m["tombstones"] == []
+
+    vidx = str(tmp_path / "carry_ivf")
+    ai.build_ivf_index(emb, vidx, "vec_id", n_cells=4)
+    stamp(vidx, ai.committed_manifest,
+          {"batches": ["seed#ivf"], "future_key": 43})
+    _commit_synced_marker(spark, vidx, "/t/emb", 9, ai.committed_manifest)
+    ai.build_ivf_index(emb, vidx, "vec_id", n_cells=4)  # rebuild
+    m = ai.committed_manifest(spark, vidx)
+    assert m["synced"] == {"/t/emb": 9}
+    assert m["batches"] == ["seed#ivf"]
+    assert m["future_key"] == 43
+    assert m["tombstones"] == []
+
+
+def test_unblock_filter_pruning_interleaved_ids(
+    spark, tables, sf_dir, tmp_path
+):
+    """VERDICT r11 #1: [min,max] pruning degenerates under
+    interleaved ids (every generation spans the id space), which
+    used to force the census to read the id column of the WHOLE
+    index per unblock. The manifests now carry a per-generation id
+    Bloom filter (built in the SAME aggregate action as
+    count+bounds), and pruning probes it by CONTENT. Pinned the
+    strong way for BOTH index kinds: generations that do not hold
+    the blocked id have their data files physically DELETED, and the
+    unblock still succeeds — pruning decided from the manifest
+    alone."""
+    import shutil
+
+    from sqltask_spark.operators import ann_index as ai
+    from sqltask_spark.operators import dedup_index as di
+
+    # --- MinHash: three generations with fully interleaved doc_ids
+    docs = tables["documents"].select("doc_id", "text").limit(60)
+    parts = [docs.filter(F.pmod("doc_id", F.lit(3)) == i)
+             for i in range(3)]
+    midx = str(tmp_path / "ileave_mh")
+    build_minhash_index(parts[0], midx)
+    append_to_minhash_index(midx, parts[1], "doc_id", "text")
+    append_to_minhash_index(midx, parts[2], "doc_id", "text")
+    m = di.committed_manifest(spark, midx)
+    g0, g1, g2 = m["generations"]
+    # ranges overlap — range pruning alone proves nothing
+    assert not index_fs.bounds_disjoint(
+        m["gen_stats"][g0], m["gen_stats"][g1]
+    )
+    # every generation carries the content filter
+    assert all(
+        "filter" in m["gen_stats"][g] for g in m["generations"]
+    )
+    victim = parts[1].orderBy("doc_id").limit(1)
+    di.delete_from_minhash_index(midx, victim, "doc_id")
+    # untouched generations become unreadable: content pruning must
+    # mean they are never opened
+    shutil.rmtree(f"{midx}/data/{g0}/shingles")
+    shutil.rmtree(f"{midx}/data/{g2}/shingles")
+    r = di.unblock_minhash_ids(spark, midx, victim, "doc_id")
+    assert r["unblocked"] == 1
+    assert r["rewritten_generations"] == [g1]
+
+    # --- IVF: same shape over interleaved vec_ids
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .limit(90)
+    )
+    vparts = [emb.filter(F.pmod("vec_id", F.lit(3)) == i)
+              for i in range(3)]
+    vidx = str(tmp_path / "ileave_ivf")
+    build_ivf_index(vparts[0], vidx, "vec_id", "embedding", n_cells=8)
+    append_to_ivf_index(vidx, vparts[1], "vec_id", "embedding")
+    append_to_ivf_index(vidx, vparts[2], "vec_id", "embedding")
+    vm = ai.committed_manifest(spark, vidx)
+    v0, v1, v2 = vm["generations"]
+    assert not index_fs.bounds_disjoint(
+        vm["gen_stats"][v0], vm["gen_stats"][v1]
+    )
+    vvictim = vparts[1].orderBy("vec_id").limit(1)
+    ai.delete_from_ivf_index(vidx, vvictim, "vec_id")
+    shutil.rmtree(f"{vidx}/vectors/gen={v0}")
+    shutil.rmtree(f"{vidx}/vectors/gen={v2}")
+    vr = ai.unblock_ivf_ids(spark, vidx, vvictim, "vec_id")
+    assert vr["unblocked"] == 1
+    assert vr["rewritten_generations"] == [v1]
+
+
+def test_tombstone_set_sharded_write_multi_file(
+    spark, tables, tmp_path, monkeypatch
+):
+    """VERDICT r11 #6: tombstone sets used to funnel through ONE
+    writer task (coalesce(1)) regardless of size. Above the shard
+    threshold the write now partitions; the manifest still names ONE
+    tombstone set whose directory spans several files, and every
+    read path (probe anti-join, unblock, delete idempotency) is
+    indifferent. Threshold dropped to 2 rows here so the multi-file
+    path runs at test scale."""
+    import glob
+
+    from sqltask_spark.operators import dedup_index as di
+
+    monkeypatch.setattr(index_fs, "TOMBSTONE_SHARD_ROWS", 2)
+    docs = tables["documents"].select("doc_id", "text").limit(30)
+    idx = str(tmp_path / "shard_mh")
+    build_minhash_index(docs, idx)
+    victims = docs.orderBy("doc_id").limit(5)
+    assert di.delete_from_minhash_index(idx, victims, "doc_id") == 5
+    m = di.committed_manifest(spark, idx)
+    assert len(m["tombstones"]) == 1  # one logical set...
+    files = glob.glob(f"{idx}/tombstones/{m['tombstones'][0]}/*.parquet")
+    assert len(files) > 1  # ...spanning multiple physical files
+    # all 5 ids served from the multi-file set
+    tombs = di.read_tombstones(spark, idx)
+    assert tombs.count() == 5
+    # delete is idempotent across the multi-file read
+    assert di.delete_from_minhash_index(idx, victims, "doc_id") == 0
+    # unblock rewrites the remaining set (also >threshold) correctly
+    one = victims.orderBy("doc_id").limit(1)
+    r = di.unblock_minhash_ids(spark, idx, one, "doc_id")
+    assert r["unblocked"] == 1
+    assert di.read_tombstones(spark, idx).count() == 4

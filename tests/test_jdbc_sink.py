@@ -679,3 +679,81 @@ def test_jdbc_merge_batch_duplicate_source_keys_fail_atomically(spark):
         .collect()
     ]
     assert got == [(1, "alice", 10.0)]
+
+
+def test_merge_sql_full_matrix_well_formed_or_refused():
+    """VERDICT r11 #8: every (dialect × delete_col × set_cols-empty)
+    combination either generates structurally well-formed SQL or
+    raises the documented refusal — so a future dialect tweak cannot
+    silently drop a clause. Structural invariants checked per
+    generated statement: MERGE INTO prefix, exactly one INSERT arm
+    with matching column/value counts, key columns never in any SET
+    list, a DELETE arm iff a delete flag was passed, an UPDATE SET
+    arm iff there are non-key columns, and balanced parentheses."""
+    import re
+
+    import pytest
+
+    from sqltask_spark.sinks.jdbc import _build_merge_sql
+
+    URLS = {
+        "derby": "jdbc:derby:memory:db",
+        "postgres": "jdbc:postgresql://h/db",
+        "mssql": "jdbc:sqlserver://h;db=x",
+        "oracle": "jdbc:oracle:thin:@h:1521:x",
+        "db2": "jdbc:db2://h/db",
+    }
+    for dialect, url in URLS.items():
+        for delete_col in (None, "is_del"):
+            for set_cols in ([], ["v", "w"]):
+                data_cols = ["k"] + set_cols
+                call = lambda: _build_merge_sql(
+                    "tgt", "stg", ["k"], set_cols, data_cols,
+                    delete_col, '"', url,
+                )
+                if dialect == "db2":
+                    with pytest.raises(NotImplementedError,
+                                       match="DB2"):
+                        call()
+                    continue
+                if (dialect == "oracle" and delete_col
+                        and not set_cols):
+                    with pytest.raises(NotImplementedError,
+                                       match="key-only"):
+                        call()
+                    continue
+                sql = call()
+                ctx = f"{dialect} del={delete_col} set={set_cols}"
+                assert sql.startswith("MERGE INTO tgt t USING stg s ON"), ctx
+                assert sql.count("(") == sql.count(")"), ctx
+                # exactly one INSERT arm, col count == value count
+                ins = re.findall(
+                    r"INSERT \(([^)]*)\) VALUES \(([^)]*)\)", sql
+                )
+                assert len(ins) == 1, ctx
+                cols, vals = ins[0]
+                assert len(cols.split(",")) == len(vals.split(",")), ctx
+                assert ('"k"' in cols) and ('s."k"' in vals), ctx
+                # UPDATE SET arm iff non-key columns exist; the key
+                # column never appears on a SET left-hand side
+                if set_cols:
+                    m = re.search(r"UPDATE SET (.*?)(?: DELETE| WHEN|;|$)", sql)
+                    assert m, ctx
+                    lhs = [a.split("=")[0].strip()
+                           for a in m.group(1).split(",")]
+                    assert '"k"' not in lhs, ctx
+                    assert lhs == ['"v"', '"w"'], ctx
+                else:
+                    assert "UPDATE SET" not in sql, ctx
+                # DELETE arm iff a delete flag was passed
+                if delete_col:
+                    assert ("THEN DELETE" in sql
+                            or "DELETE WHERE" in sql), ctx
+                    if dialect in ("mssql", "oracle"):
+                        assert 's."is_del" = 1' in sql, ctx
+                        assert 's."is_del" = 0' in sql, ctx
+                else:
+                    assert "DELETE" not in sql, ctx
+                    assert "is_del" not in sql, ctx
+                # dialect punctuation
+                assert sql.endswith(";") == (dialect == "mssql"), ctx

@@ -3836,3 +3836,59 @@ def test_hist_store_saturation_rebuild_wider(spark, tmp_path):
         spark, store, vals, "source", "v", max_top_bucket_milli=999
     )
     assert index_fs.read_manifest(spark, store)["_seq"] == seq
+
+
+def test_hist_time_travel_reads_meta_as_of(spark, tmp_path):
+    """ADVICE r11: a time-traveled quantile read used to take cells
+    at version N but layout meta from the LATEST manifest — after a
+    rebuild widened the bucket width, [lo, hi) was derived from the
+    new width against old-width buckets. Now meta and cells travel
+    together: the as_of read is bit-identical to what a live read
+    returned before the rebuild, for quantiles AND saturation."""
+    from sqltask_spark.operators import index_fs
+    from sqltask_spark.operators.index_maintenance import (
+        maintain_hist_store,
+    )
+    from sqltask_spark.operators.sketch_store import (
+        create_hist_store,
+        hist_saturation,
+        read_hist_meta,
+        read_hist_quantiles,
+    )
+
+    vals = spark.createDataFrame(
+        [(i, "g1", (i * 7) % 400) for i in range(400)],
+        "doc_id long, source string, v long",
+    )
+    store = str(tmp_path / "hist_tt")
+    create_hist_store(
+        vals, store, "source", "v", bucket_width=4, n_buckets=8
+    )
+    pre_seq = index_fs.read_manifest(spark, store)["_seq"]
+    snap_q = sorted(
+        tuple(r) for r in read_hist_quantiles(
+            spark, store, [250, 500, 750]
+        ).collect()
+    )
+    snap_sat = sorted(
+        tuple(r) for r in hist_saturation(spark, store).collect()
+    )
+    # rebuild wider until healthy — the width definitely changes
+    for _ in range(10):
+        if not maintain_hist_store(
+            spark, store, vals, "source", "v", max_top_bucket_milli=50
+        )["rebuilt"]:
+            break
+    w_new, _ = read_hist_meta(spark, store)
+    w_old, _ = read_hist_meta(spark, store, as_of=pre_seq)
+    assert w_old == 4 and w_new > 4
+    assert sorted(
+        tuple(r) for r in read_hist_quantiles(
+            spark, store, [250, 500, 750], as_of=pre_seq
+        ).collect()
+    ) == snap_q
+    assert sorted(
+        tuple(r) for r in hist_saturation(
+            spark, store, as_of=pre_seq
+        ).collect()
+    ) == snap_sat

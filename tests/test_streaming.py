@@ -1746,3 +1746,67 @@ def test_hist_store_sink_stream_ledger_and_rebuild(spark, tmp_path):
         (r["g"], int(r["b"]), int(r["cnt"]))
         for r in read_parquet_table(spark, direct).collect()
     ) == state1
+
+
+def test_sync_indexes_survives_aggressive_vacuum(spark, tables, tmp_path):
+    """ADVICE r11 (medium): maintenance with vacuum_keep_versions=1
+    used to run BEFORE the index sync and could drop the manifest
+    version the sync marker resumes from — table_changes(from_seq=
+    marker) then raises 'version does not exist' on every epoch, the
+    merge is ledger-skipped on restart, and the stream is permanently
+    wedged. Now the sink syncs first AND floors the vacuum at the
+    min synced marker, so the loop runs indefinitely under the most
+    aggressive retention while still reclaiming versions below the
+    floor."""
+    from pyspark.sql import functions as F
+
+    from sqltask_spark.operators import index_fs
+    from sqltask_spark.operators.dedup_index import (
+        build_minhash_index,
+        committed_manifest,
+    )
+    from sqltask_spark.operators.merge import create_parquet_table
+    from sqltask_spark.streaming.tables import merge_upsert_sink
+
+    docs = tables["documents"].select("doc_id", "text").limit(20)
+    tbl = str(tmp_path / "vac_tbl")
+    idx = str(tmp_path / "vac_idx")
+    create_parquet_table(docs, tbl)
+    build_minhash_index(docs, idx)
+
+    sink = merge_upsert_sink(
+        tbl,
+        ["doc_id"],
+        delete_col="is_del",
+        order_col="seq",
+        app_id="vac-cdc",
+        maintenance={"vacuum_keep_versions": 1},
+        sync_indexes=[{
+            "kind": "minhash",
+            "index_path": idx,
+            "id_col": "doc_id",
+            "payload_col": "text",
+            "seed_from_seq": 0,
+        }],
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, seq long, is_del boolean"
+        )
+
+    words = "aq bz cy dx ew fv gu ht is jr kq lp mo nn"
+    # several epochs: each merge commits a version; with keep=1 and
+    # no floor, epoch i+1's sync window would start at a vacuumed
+    # version and raise. Must run clean all the way through.
+    for i in range(4):
+        sink(mk([(995_000 + i, f"{words} v{i}", i + 1, False)]), i)
+        t_seq = index_fs.read_manifest(spark, tbl)["_seq"]
+        assert committed_manifest(spark, idx)["synced"][tbl] == t_seq
+    # retention still reclaims below the floor: only versions >= the
+    # final marker survive (here exactly one merge commit beyond it
+    # would exist if maintenance had committed; assert boundedness)
+    seqs = index_fs.list_manifest_seqs(spark, tbl)
+    marker = committed_manifest(spark, idx)["synced"][tbl]
+    assert min(seqs) >= 0 and len(seqs) <= 2
+    assert marker in seqs  # the resume version is always readable
