@@ -264,7 +264,7 @@ ID_FILTER_WORDS = 128
 ID_FILTER_K = 2
 
 
-def _filter_pos_cols(id_col: str):
+def filter_pos_cols(id_col: str):
     """The k hash-bit positions of ``id_col`` — MUST be identical at
     build and probe (xxhash64 is Spark-version-stable and typed: a
     long id and its string form hash differently, consistently)."""
@@ -277,13 +277,39 @@ def _filter_pos_cols(id_col: str):
     ]
 
 
+def filter_word_aggs(p0: str = "_p0", p1: str = "_p1") -> list:
+    """The 128 ``bit_or`` aggregate expressions that fold each row's
+    two hash-bit positions (columns ``p0``/``p1``) into the filter's
+    words — shared by the generation stats (one global aggregate) and
+    the MERGE table's per-file stats (the same expressions under a
+    per-file groupBy)."""
+    from pyspark.sql import functions as F
+
+    return [
+        F.expr(
+            f"bit_or("
+            f"if({p0} div 64 = {w},"
+            f" shiftleft(1L, cast({p0} % 64 as int)), 0L)"
+            f" | if({p1} div 64 = {w},"
+            f" shiftleft(1L, cast({p1} % 64 as int)), 0L))"
+        ).alias(f"_w{w}")
+        for w in range(ID_FILTER_WORDS)
+    ]
+
+
+def words_from_row(r) -> list:
+    """Decode one aggregate result row's ``_w*`` columns into the
+    filter's word list (an empty group yields NULL words → 0)."""
+    return [int(r[f"_w{w}"] or 0) for w in range(ID_FILTER_WORDS)]
+
+
 def _stats_agg(df, id_col: str) -> "tuple[int, dict | None]":
     """(row_count, stats) in ONE aggregate action: count, [min,max]
     id bounds, and the generation id filter's words — 3 + 128
     aggregate expressions over one pass of the id column."""
     from pyspark.sql import functions as F
 
-    p0, p1 = _filter_pos_cols(id_col)
+    p0, p1 = filter_pos_cols(id_col)
     pre = df.select(
         F.col(id_col).alias("_id"),
         p0.alias("_p0"), p1.alias("_p1"),
@@ -292,17 +318,7 @@ def _stats_agg(df, id_col: str) -> "tuple[int, dict | None]":
         F.count(F.lit(1)).alias("_n"),
         F.min("_id").alias("_lo"),
         F.max("_id").alias("_hi"),
-    ]
-    for w in range(ID_FILTER_WORDS):
-        aggs.append(
-            F.expr(
-                f"bit_or("
-                f"if(_p0 div 64 = {w},"
-                f" shiftleft(1L, cast(_p0 % 64 as int)), 0L)"
-                f" | if(_p1 div 64 = {w},"
-                f" shiftleft(1L, cast(_p1 % 64 as int)), 0L))"
-            ).alias(f"_w{w}")
-        )
+    ] + filter_word_aggs()
     r = pre.agg(*aggs).collect()[0]
     lo, hi = r["_lo"], r["_hi"]
     if isinstance(lo, bool) or not isinstance(lo, (int, str)):
@@ -313,8 +329,7 @@ def _stats_agg(df, id_col: str) -> "tuple[int, dict | None]":
         "filter": {
             "k": ID_FILTER_K,
             "bits": ID_FILTER_WORDS * 64,
-            "words": [int(r[f"_w{w}"] or 0)
-                      for w in range(ID_FILTER_WORDS)],
+            "words": words_from_row(r),
         },
     }
 
@@ -338,7 +353,7 @@ def filter_probe_positions(
     driver."""
     from pyspark.sql import functions as F
 
-    p0, p1 = _filter_pos_cols(id_col)
+    p0, p1 = filter_pos_cols(id_col)
     rows = (
         df.select(p0.alias("p0"), p1.alias("p1"))
         .limit(cap + 1)

@@ -111,20 +111,35 @@ def _sweep_uncommitted_gens(spark: SparkSession, path: str) -> None:
 def _file_stats(
     spark: SparkSession, path: str, rels: list[str], stats_col: str
 ) -> dict:
-    """Per-file [min, max] of ``stats_col`` over the given committed
-    files — the data-skipping statistics Delta/Iceberg keep per data
-    file. One skinny scan of the stats column, file-count-bounded
-    collect."""
+    """Per-file data-skipping statistics of ``stats_col`` over the
+    given committed files — ``[min, max, filter_words]``, the stats
+    Delta/Iceberg keep per data file plus the same tiny key Bloom
+    filter the index generations carry (k=2, 8192 bits, ~1 KB of
+    manifest per file; a 100 TB deployment would move the per-file
+    blocks to Avro/puffin sidecars exactly as Iceberg does — the
+    JSON manifest is this repo's honest stand-in). [min,max] prunes
+    range-clustered tables; the filter prunes by CONTENT, so a merge
+    of hashed/interleaved keys still touches only the files that
+    hold them. One skinny scan of the stats column grouped by file,
+    file-count-bounded collect — same job count as before."""
     if not rels:
         return {}
+    p0, p1 = index_fs.filter_pos_cols("__k")
     rows = (
         spark.read.parquet(*_abs_files(path, rels))
         .select(
             F.col("_metadata.file_path").alias("__file"),
             F.col(stats_col).alias("__k"),
         )
+        .select(
+            "__file", "__k", p0.alias("_p0"), p1.alias("_p1")
+        )
         .groupBy("__file")
-        .agg(F.min("__k").alias("lo"), F.max("__k").alias("hi"))
+        .agg(
+            F.min("__k").alias("lo"),
+            F.max("__k").alias("hi"),
+            *index_fs.filter_word_aggs(),
+        )
         .collect()
     )
     out = {}
@@ -133,7 +148,8 @@ def _file_stats(
             (x for x in rels if r["__file"].endswith("/" + x)), None
         )
         if rel is not None:
-            out[rel] = [r["lo"], r["hi"]]
+            out[rel] = [r["lo"], r["hi"],
+                        index_fs.words_from_row(r)]
     return out
 
 
@@ -216,6 +232,90 @@ def read_parquet_table(
         return spark.createDataFrame([], _schema_of(m))
     return spark.read.schema(_schema_of(m)).parquet(
         *_abs_files(path, files)
+    )
+
+
+def read_parquet_table_keys(
+    spark: SparkSession,
+    path: str,
+    keys: list,
+    as_of: int | None = None,
+) -> DataFrame:
+    """Point-lookup read: the committed rows whose ``stats_col``
+    value is in ``keys``, scanning ONLY the files the manifest's
+    per-file statistics cannot rule out — [min, max] range plus the
+    per-file key Bloom filter (r12), so the lookup stays
+    file-bounded on BOTH range-clustered and hashed layouts. The
+    serving-state primitive: fetching K users' current rows from a
+    100 TB SCD2/state table must open a handful of files, not list
+    the table through a full scan.
+
+    ``keys`` is a driver-side list (a point lookup is by definition
+    driver-small; for relation-sized key sets use a join against
+    :func:`read_parquet_table` — that is a different query shape).
+    Requires the table to declare ``stats_col``
+    (:func:`create_parquet_table`); correctness never depends on the
+    stats — files without statistics stay candidates."""
+    if as_of is None:
+        m = index_fs.read_manifest(spark, path)
+        if m is None:
+            raise ValueError(f"no committed table at {path}")
+    else:
+        m = index_fs.read_manifest_at(spark, path, as_of)
+        if m is None:
+            raise ValueError(
+                f"version {as_of} of {path} does not exist (vacuumed,"
+                f" torn, or never committed); available:"
+                f" {index_fs.list_manifest_seqs(spark, path)}"
+            )
+    stats_col = m.get("stats_col")
+    if stats_col is None:
+        raise ValueError(
+            f"table at {path} declares no stats_col — point lookups"
+            " need the per-file key statistics recorded at write"
+            " time (create_parquet_table(..., stats_col=...))"
+        )
+    schema = _schema_of(m)
+    files = m.get("files", [])
+    if not files or not keys:
+        return spark.createDataFrame([], schema)
+    stats = m.get("stats", {})
+    lo_k, hi_k = min(keys), max(keys)
+    key_type = schema[stats_col].dataType.simpleString()
+    key_df = spark.createDataFrame(
+        [(k,) for k in keys], f"{stats_col} {key_type}"
+    )
+    probe_pos = index_fs.filter_probe_positions(key_df, stats_col)
+
+    def _skippable(rel: str) -> bool:
+        ent = stats.get(rel)
+        if not ent or ent[0] is None:
+            return False
+        if ent[1] < lo_k or ent[0] > hi_k:
+            return True
+        if len(ent) < 3 or probe_pos is None:
+            return False
+        return index_fs.generation_prunable(
+            {
+                "min_id": ent[0],
+                "max_id": ent[1],
+                "filter": {
+                    "k": index_fs.ID_FILTER_K,
+                    "bits": index_fs.ID_FILTER_WORDS * 64,
+                    "words": ent[2],
+                },
+            },
+            None,
+            probe_pos,
+        )
+
+    candidates = [rel for rel in files if not _skippable(rel)]
+    if not candidates:
+        return spark.createDataFrame([], schema)
+    return (
+        spark.read.schema(schema)
+        .parquet(*_abs_files(path, candidates))
+        .filter(F.col(stats_col).isin(keys))
     )
 
 
@@ -361,15 +461,44 @@ def merge_into_parquet(
             if bounds["lo"] is None:
                 candidates = []
             else:
-                candidates = [
-                    rel
-                    for rel in files
-                    if rel not in stats
-                    or stats[rel][0] is None
-                    or not (
-                        stats[rel][1] < bounds["lo"]
-                        or stats[rel][0] > bounds["hi"]
+                # content pruning: per-file key Bloom filters (third
+                # stats element, r12) catch what [min,max] cannot —
+                # hashed/interleaved keys make every file's range
+                # span the key space. One bounded collect of the
+                # batch keys' hash positions; a batch past the cap
+                # falls back to range-only (it touches most files
+                # anyway). Old-format 2-element stats entries prune
+                # by range alone — correctness never depends on
+                # either statistic.
+                probe_pos = index_fs.filter_probe_positions(
+                    src.select(stats_col), stats_col
+                )
+
+                def _skippable(rel: str) -> bool:
+                    ent = stats.get(rel)
+                    if not ent or ent[0] is None:
+                        return False
+                    if (ent[1] < bounds["lo"]
+                            or ent[0] > bounds["hi"]):
+                        return True
+                    if len(ent) < 3 or probe_pos is None:
+                        return False
+                    return index_fs.generation_prunable(
+                        {
+                            "min_id": ent[0],
+                            "max_id": ent[1],
+                            "filter": {
+                                "k": index_fs.ID_FILTER_K,
+                                "bits": index_fs.ID_FILTER_WORDS * 64,
+                                "words": ent[2],
+                            },
+                        },
+                        None,
+                        probe_pos,
                     )
+
+                candidates = [
+                    rel for rel in files if not _skippable(rel)
                 ]
             stats_pruned = len(files) - len(candidates)
 

@@ -3200,6 +3200,83 @@ def corpus_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# table_point_lookup — the serving-state read path as a driver-checked
+# certificate (operators/merge.py:read_parquet_table_keys): seed a
+# HASH-partitioned versioned table (interleaved keys — per-file
+# [min,max] spans the key space, so range skipping proves nothing),
+# point-look-up a fixed key set, and certify IN-ENTRY that the
+# per-file key Bloom filters (r12) proved at least one file key-free
+# — the property that keeps a K-row fetch from a 100 TB state table
+# file-bounded instead of scan-bounded. The oracle is the plain
+# relational filter; file-level never-read pinning (pruned files
+# physically deleted, lookup unchanged) is pytest-pinned in
+# tests/test_merge_table.py.
+# --------------------------------------------------------------------------
+
+_LOOKUP_KEYS = [17, 111, 222, 333, 444]
+
+
+def table_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from sqltask_spark.operators import index_fs
+    from sqltask_spark.operators.merge import (
+        create_parquet_table,
+        read_parquet_table_keys,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    tmp = tempfile.mkdtemp(prefix="point_lookup_")
+    try:
+        create_parquet_table(
+            docs.repartition(8, "doc_id"), tmp, stats_col="doc_id"
+        )
+        m = index_fs.read_manifest(spark, tmp)
+        probe_pos = index_fs.filter_probe_positions(
+            spark.createDataFrame(
+                [(k,) for k in _LOOKUP_KEYS], "doc_id long"
+            ),
+            "doc_id",
+        )
+        pruned = sum(
+            1
+            for rel in m["files"]
+            if index_fs.generation_prunable(
+                {
+                    "min_id": m["stats"][rel][0],
+                    "max_id": m["stats"][rel][1],
+                    "filter": {
+                        "k": index_fs.ID_FILTER_K,
+                        "bits": index_fs.ID_FILTER_WORDS * 64,
+                        "words": m["stats"][rel][2],
+                    },
+                },
+                None,
+                probe_pos,
+            )
+        )
+        if pruned == 0:
+            raise AssertionError(
+                "per-file key filters pruned nothing on a hashed"
+                f" layout ({len(m['files'])} files,"
+                f" {len(_LOOKUP_KEYS)} keys) — content skipping is"
+                " broken"
+            )
+        out = read_parquet_table_keys(
+            spark, tmp, _LOOKUP_KEYS
+        ).orderBy("doc_id")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema).orderBy(
+            "doc_id"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
 # incremental_distinct_hll — the PERSISTENT sketch-state loop as a
 # driver-checked certificate (operators/sketch_store.py): build the
 # per-source HLL register table from the even-doc_id half, FOLD the
@@ -3525,6 +3602,12 @@ ORDER BY g
 """
 
 
+_POINT_LOOKUP_SQL = """
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE doc_id IN (17, 111, 222, 333, 444)
+ORDER BY doc_id
+"""
+
 _MERGE_UPSERT_SQL = f"""
 WITH sliced AS (
   SELECT doc_id, lang, source, n_chars FROM documents
@@ -3697,6 +3780,7 @@ QUERIES = {
     "contamination_bloom": contamination_bloom,
     "source_distinct_hll": source_distinct_hll,
     "corpus_merge_upsert": corpus_merge_upsert,
+    "table_point_lookup": table_point_lookup,
     "incremental_distinct_hll": incremental_distinct_hll,
     "incremental_count_min": incremental_count_min,
     "incremental_length_quantiles": incremental_length_quantiles,
@@ -3744,6 +3828,7 @@ ORACLES = {
     "contamination_bloom": _bloom_sql(),
     "source_distinct_hll": _HLL_SQL,
     "corpus_merge_upsert": _MERGE_UPSERT_SQL,
+    "table_point_lookup": _POINT_LOOKUP_SQL,
     "incremental_distinct_hll": _HLL_INC_SQL,
     "incremental_count_min": _cm_sql(),
     "incremental_length_quantiles": _HISTQ_SQL,

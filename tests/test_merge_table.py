@@ -428,3 +428,159 @@ def test_add_table_column_schema_evolution(spark, tmp_path):
     # duplicate add errors
     with pytest.raises(ValueError, match="already exists"):
         add_table_column(spark, path, "tag", "string")
+
+
+def test_merge_filter_skipping_hashed_keys(spark, tmp_path):
+    """r12: per-file key Bloom filters (third stats element) prune
+    the matched-file search by CONTENT. On a hash-partitioned table
+    every file's [min, max] spans the key space, so range skipping
+    proves nothing — yet a 3-key merge must not read the other
+    files. Pinned the strong way: the files the filter prunes are
+    physically DELETED before the merge, and the merge still
+    succeeds with exact counts."""
+    import os
+
+    path = str(tmp_path / "t_bloom")
+    df = spark.range(1, 1001).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    ).repartition(8, "k")  # hash layout: interleaved keys per file
+    create_parquet_table(df, path, stats_col="k")
+    m0 = index_fs.read_manifest(spark, path)
+    assert len(m0["files"]) == 8
+    ents = m0["stats"]
+    assert all(len(ents[rel]) == 3 for rel in m0["files"])
+    # ranges all overlap — range pruning alone is useless here
+    los = [ents[rel][0] for rel in m0["files"]]
+    his = [ents[rel][1] for rel in m0["files"]]
+    assert max(los) < min(his)
+
+    # three keys that live in ONE file (hash co-location via lookup)
+    by_file = {
+        r["f"]: r["ks"]
+        for r in spark.read.parquet(f"{path}/data/{m0['files'][0].split('/')[0]}")
+        .select(
+            F.col("_metadata.file_path").alias("f"),
+            F.col("k").alias("ks"),
+        )
+        .groupBy("f")
+        .agg(F.collect_list("ks").alias("ks"))
+        .withColumnRenamed("ks", "ks")
+        .collect()
+    }
+    home_file, keys = next(iter(by_file.items()))
+    keys = sorted(keys)[:3]
+    src = spark.createDataFrame(
+        [(int(k), -int(k)) for k in keys], "k long, v long"
+    )
+
+    # compute EXACTLY the files the filter proves key-free, and
+    # delete them — the merge must never open one
+    probe_pos = index_fs.filter_probe_positions(
+        src.select("k"), "k"
+    )
+    prunable = [
+        rel
+        for rel in m0["files"]
+        if index_fs.generation_prunable(
+            {
+                "min_id": ents[rel][0],
+                "max_id": ents[rel][1],
+                "filter": {
+                    "k": index_fs.ID_FILTER_K,
+                    "bits": index_fs.ID_FILTER_WORDS * 64,
+                    "words": ents[rel][2],
+                },
+            },
+            None,
+            probe_pos,
+        )
+    ]
+    # content pruning does real work on the hashed layout (>= 5 of
+    # 8 files provably key-free; range pruning would keep all 8)
+    assert len(prunable) >= 5
+    assert not any(home_file.endswith("/" + rel) for rel in prunable)
+    for rel in prunable:
+        os.remove(f"{path}/data/{rel}")
+
+    got = merge_into_parquet(spark, path, src, ["k"])
+    assert got["stats_pruned_files"] == len(prunable)
+    assert got["updated"] == 3 and got["inserted"] == 0
+
+    # old-format (2-element) stats entries stay readable: on a FRESH
+    # hashed table, strip the filters from the committed manifest and
+    # merge — range pruning proves nothing on this layout, so zero
+    # files prune, but correctness is intact
+    path2 = str(tmp_path / "t_bloom_old")
+    create_parquet_table(
+        spark.range(1, 101).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        ).repartition(4, "k"),
+        path2, stats_col="k",
+    )
+    m1 = index_fs.read_manifest(spark, path2)
+    stripped = {rel: e[:2] for rel, e in m1["stats"].items()}
+    index_fs.commit_manifest(
+        spark, path2,
+        {**{kk: vv for kk, vv in m1.items() if kk != "_seq"},
+         "stats": stripped},
+        m1["_seq"],
+    )
+    got2 = merge_into_parquet(
+        spark, path2,
+        spark.createDataFrame([(50, 77)], "k long, v long"),
+        ["k"],
+    )
+    assert got2["updated"] == 1
+    assert (50, 77) in set(_rows(read_parquet_table(spark, path2)))
+
+
+def test_point_lookup_reads_only_candidate_files(spark, tmp_path):
+    """read_parquet_table_keys: the serving-state primitive — a
+    K-key lookup on a hashed-layout table opens only the files the
+    per-file stats (range + Bloom) cannot rule out. Pinned by
+    physically deleting every provably key-free file: the lookup
+    still returns exactly the full-scan answer."""
+    import os
+
+    from sqltask_spark.operators.merge import read_parquet_table_keys
+
+    path = str(tmp_path / "t_lookup")
+    create_parquet_table(
+        spark.range(1, 1001).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        ).repartition(8, "k"),
+        path, stats_col="k",
+    )
+    m = index_fs.read_manifest(spark, path)
+    keys = [17, 444, 901]
+    want = {(k, k * 10) for k in keys}
+    got = read_parquet_table_keys(spark, path, keys)
+    assert set(_rows(got)) == want
+
+    # delete every file the stats prove key-free; lookup unchanged
+    probe_pos = index_fs.filter_probe_positions(
+        spark.createDataFrame([(k,) for k in keys], "k long"), "k"
+    )
+    ents = m["stats"]
+    prunable = [
+        rel for rel in m["files"]
+        if index_fs.generation_prunable(
+            {"min_id": ents[rel][0], "max_id": ents[rel][1],
+             "filter": {"k": index_fs.ID_FILTER_K,
+                        "bits": index_fs.ID_FILTER_WORDS * 64,
+                        "words": ents[rel][2]}},
+            None, probe_pos,
+        )
+    ]
+    assert prunable  # hashed layout, 3 keys → some files provably free
+    for rel in prunable:
+        os.remove(f"{path}/data/{rel}")
+    assert set(_rows(read_parquet_table_keys(spark, path, keys))) == want
+    # empty key list and absent keys behave
+    assert read_parquet_table_keys(spark, path, []).count() == 0
+    assert read_parquet_table_keys(spark, path, [10_000]).count() == 0
+    # a stats-less table refuses loudly instead of full-scanning
+    path2 = str(tmp_path / "t_lookup_nostats")
+    _mk_table(spark, path2, n=5)
+    with pytest.raises(ValueError, match="stats_col"):
+        read_parquet_table_keys(spark, path2, [1])
