@@ -3226,7 +3226,14 @@ def table_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_parquet_table_keys,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select(
+    # FIXED doc_id slice (the corpus_merge_upsert convention): the
+    # certificate's table stays ~250 keys/file at every SF, inside
+    # the per-file filter's useful range — an sf1 run that hashed the
+    # WHOLE corpus into 8 files would saturate the 8192-bit filters
+    # (expected, conservative) and certify nothing
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _MERGE_SLICE
+    ).select(
         "doc_id", "lang", "source", "n_chars"
     )
     tmp = tempfile.mkdtemp(prefix="point_lookup_")
@@ -3602,9 +3609,10 @@ ORDER BY g
 """
 
 
-_POINT_LOOKUP_SQL = """
+_POINT_LOOKUP_SQL = f"""
 SELECT doc_id, lang, source, n_chars FROM documents
-WHERE doc_id IN (17, 111, 222, 333, 444)
+WHERE doc_id < {_MERGE_SLICE}
+  AND doc_id IN (17, 111, 222, 333, 444)
 ORDER BY doc_id
 """
 

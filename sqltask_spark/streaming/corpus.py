@@ -458,6 +458,7 @@ def hll_store_sink(
     store_path: str,
     group_col: str = "source",
     text_col: str = "text",
+    table_maintenance: dict | None = None,
 ):
     """``foreachBatch`` sink folding each micro-batch's HLL register
     state into the persistent sketch table
@@ -476,6 +477,14 @@ def hll_store_sink(
     cheap (state-sized work), so the ledger would add risk and save
     nothing. Contrast the row-upsert sinks, where row replacement is
     neither idempotent nor commutative.
+
+    ``table_maintenance`` (r12): thresholds for
+    :func:`~sqltask_spark.operators.index_maintenance.
+    maintain_parquet_table` run against the STORE's version ledger
+    after each fold — every epoch commits a manifest, so a
+    long-running stream without retention grows the manifest listing
+    (paid by every read) without bound, exactly the gap the index
+    vacuums closed in r11. E.g. ``{"vacuum_keep_versions": 4}``.
     """
     from pyspark.sql import functions as F
 
@@ -501,6 +510,14 @@ def hll_store_sink(
             create_hll_store(regs, store_path)
         else:
             update_hll_store(spark, store_path, regs)
+        if table_maintenance is not None:
+            from sqltask_spark.operators.index_maintenance import (
+                maintain_parquet_table,
+            )
+
+            maintain_parquet_table(
+                spark, store_path, **table_maintenance
+            )
 
     return ingest
 
@@ -511,6 +528,7 @@ def bloom_store_sink(
     m_bits: int,
     members_path: str | None = None,
     maintenance: dict | None = None,
+    table_maintenance: dict | None = None,
 ):
     """``foreachBatch`` sink folding each micro-batch's values into a
     persistent Bloom membership store (e.g. a growing eval/blocklist
@@ -535,6 +553,12 @@ def bloom_store_sink(
     word bitmap. Without ``maintenance``, monitor
     :func:`~sqltask_spark.operators.sketch_store.bloom_saturation`
     and rebuild manually.
+
+    ``table_maintenance`` (r12): version-ledger retention for the
+    store AND the member table (each epoch commits one manifest per
+    relation — see :func:`hll_store_sink`). The batch ledger and the
+    frozen capacity ride IN the newest manifest, so vacuuming old
+    versions never affects convergence (pytest-pinned).
     """
     if maintenance is not None and members_path is None:
         raise ValueError(
@@ -579,6 +603,18 @@ def bloom_store_sink(
                 value_col,
                 **maintenance,
             )
+        if table_maintenance is not None:
+            from sqltask_spark.operators.index_maintenance import (
+                maintain_parquet_table,
+            )
+
+            maintain_parquet_table(
+                spark, store_path, **table_maintenance
+            )
+            if members_path is not None:
+                maintain_parquet_table(
+                    spark, members_path, **table_maintenance
+                )
 
     return ingest
 
@@ -592,6 +628,7 @@ def hist_store_sink(
     app_id: str = "default",
     maintenance: dict | None = None,
     members_path: str | None = None,
+    table_maintenance: dict | None = None,
 ):
     """``foreachBatch`` sink folding each micro-batch into the
     persistent histogram quantile store — incremental per-group value
@@ -615,7 +652,14 @@ def hist_store_sink(
     sink also folds each epoch, because rebuilding wider re-bins from
     source values (the Bloom members-table pattern; here the member
     relation is the per-(group, value) census, which is itself
-    bounded by the distinct-value count, not the stream length)."""
+    bounded by the distinct-value count, not the stream length).
+
+    ``table_maintenance`` (r12): version-ledger retention for the
+    store and census tables (see :func:`hll_store_sink`). The SUM
+    fold's batch ledger is CARRIED in every newer manifest, so a
+    redelivered epoch still ledger-skips after any vacuum
+    (pytest-pinned — the property that makes retention safe for the
+    one non-idempotent sketch fold)."""
     if maintenance is not None and members_path is None:
         raise ValueError(
             "hist_store_sink: maintenance requires members_path —"
@@ -695,6 +739,18 @@ def hist_store_sink(
                 read_parquet_table(spark, members_path),
                 "g", "v", weight_col="cnt", **maintenance,
             )
+        if table_maintenance is not None:
+            from sqltask_spark.operators.index_maintenance import (
+                maintain_parquet_table,
+            )
+
+            maintain_parquet_table(
+                spark, store_path, **table_maintenance
+            )
+            if members_path is not None:
+                maintain_parquet_table(
+                    spark, members_path, **table_maintenance
+                )
 
     return ingest
 

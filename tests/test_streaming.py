@@ -1810,3 +1810,102 @@ def test_sync_indexes_survives_aggressive_vacuum(spark, tables, tmp_path):
     marker = committed_manifest(spark, idx)["synced"][tbl]
     assert min(seqs) >= 0 and len(seqs) <= 2
     assert marker in seqs  # the resume version is always readable
+
+
+def test_sketch_sinks_version_ledger_retention(spark, tmp_path):
+    """r12: the sketch sinks gain ``table_maintenance`` — every fold
+    epoch commits a manifest, so a long-running stream without
+    retention grows the manifest listing (paid on EVERY read)
+    without bound, the same gap the r11 index vacuums closed. Three
+    pins: (1) the HLL store's version count stays bounded across
+    epochs while estimates equal a direct build; (2) the HIST
+    store's SUM-fold batch LEDGER survives vacuum — a replayed epoch
+    still ledger-skips after retention dropped the manifest it was
+    recorded in (the ledger rides every NEWER manifest); (3) the
+    bloom member table is vacuumed too."""
+    from sqltask_spark.operators import index_fs
+    from sqltask_spark.operators.merge import read_parquet_table
+    from sqltask_spark.operators.sketch_store import (
+        _HIST_META_GROUP,
+        bloom_probe,
+        create_hll_store,
+        hll_register_rows,
+        read_hll_estimates,
+    )
+    from sqltask_spark.operators.text import fingerprint_md5
+    from sqltask_spark.streaming.corpus import (
+        bloom_store_sink,
+        hist_store_sink,
+        hll_store_sink,
+    )
+
+    rows = spark.createDataFrame(
+        [(i, f"s{i % 3}", f"doc text {i} " + "w " * (i % 7))
+         for i in range(120)],
+        "i long, source string, text string",
+    )
+
+    # --- (1) HLL: bounded versions, unchanged estimates
+    store = str(tmp_path / "hll_vac")
+    sink = hll_store_sink(
+        store, table_maintenance={"vacuum_keep_versions": 2}
+    )
+    for e in range(5):
+        sink(rows.filter(F.col("i") % 5 == e), e)
+    assert len(index_fs.list_manifest_seqs(spark, store)) <= 2
+    direct = str(tmp_path / "hll_direct")
+    create_hll_store(
+        hll_register_rows(
+            rows.select(
+                "source", fingerprint_md5(F.col("text")).alias("fp")
+            ),
+            "source", "fp",
+        ),
+        direct,
+    )
+
+    def est(path):
+        return sorted(
+            tuple(r) for r in read_hll_estimates(spark, path).collect()
+        )
+
+    assert est(store) == est(direct)
+
+    # --- (2) HIST: ledger survives vacuum (the non-idempotent fold)
+    hstore = str(tmp_path / "hist_vac")
+    hsink = hist_store_sink(
+        hstore, "source", "i", bucket_width=16, n_buckets=8,
+        app_id="vac-hist",
+        table_maintenance={"vacuum_keep_versions": 1},
+    )
+    epochs = [rows.filter(F.col("i") % 3 == e) for e in range(3)]
+    for e, b in enumerate(epochs):
+        hsink(b, e)
+    assert len(index_fs.list_manifest_seqs(spark, hstore)) == 1
+    seq = index_fs.read_manifest(spark, hstore)["_seq"]
+    # replay the FIRST epoch — its own manifest is long vacuumed;
+    # the ledger must still skip it (no double count)
+    hsink(epochs[0], 0)
+    assert index_fs.read_manifest(spark, hstore)["_seq"] == seq
+    cells = sorted(
+        (r["g"], int(r["b"]), int(r["cnt"]))
+        for r in read_parquet_table(spark, hstore)
+        .filter(F.col("g") != _HIST_META_GROUP).collect()
+    )
+    assert sum(c for _, _, c in cells) == 120  # every row once
+
+    # --- (3) Bloom: store + members both bounded, probe intact
+    bstore = str(tmp_path / "bloom_vac")
+    bmembers = str(tmp_path / "bloom_vac_members")
+    bsink = bloom_store_sink(
+        bstore, "text", m_bits=4096, members_path=bmembers,
+        table_maintenance={"vacuum_keep_versions": 2},
+    )
+    for e in range(4):
+        bsink(rows.filter(F.col("i") % 4 == e), e)
+    assert len(index_fs.list_manifest_seqs(spark, bstore)) <= 2
+    assert len(index_fs.list_manifest_seqs(spark, bmembers)) <= 2
+    hits = bloom_probe(
+        spark, bstore, rows.select("i", "text"), "text"
+    )
+    assert hits.filter(F.col("bloom_hit") == 1).count() == 120
