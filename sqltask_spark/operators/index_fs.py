@@ -364,6 +364,34 @@ def filter_probe_positions(
     return [(int(r["p0"]), int(r["p1"])) for r in rows]
 
 
+def trim_batches(spark: SparkSession, path: str, keep: int) -> int:
+    """Truncate the newest manifest's ``batches`` ledger to its
+    newest ``keep`` ids with one manifest-only commit (everything
+    else carried forward); no-op without a commit when already
+    within bound. Shared by the merge tables and the IVF index —
+    see :func:`sqltask_spark.operators.merge.trim_batch_ledger` for
+    the correctness contract (``keep`` must exceed the source's
+    redelivery horizon)."""
+    if keep < 1:
+        raise ValueError(f"keep must be >= 1, got {keep}")
+    m = read_manifest(spark, path)
+    if m is None:
+        raise ValueError(f"no committed state at {path}")
+    batches = m.get("batches", [])
+    if len(batches) <= keep:
+        return 0
+    commit_manifest(
+        spark,
+        path,
+        {
+            **{k: v for k, v in m.items() if k != "_seq"},
+            "batches": batches[-keep:],
+        },
+        m["_seq"],
+    )
+    return len(batches) - keep
+
+
 # Tombstone-set writes stay ONE skinny file (cheap probe-side read)
 # up to this many ids; past it — a takedown wave of tens of millions
 # — the write shards so it never funnels through a single task.

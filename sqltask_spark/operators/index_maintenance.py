@@ -142,6 +142,7 @@ def maintain_ivf_index(
     max_generations: int = 10,
     max_tombstone_ratio: float = 0.2,
     vacuum_keep_versions: int | None = None,
+    ledger_keep_batches: int | None = None,
 ) -> dict:
     """Compact the IVF index when generation count or tombstone ratio
     crosses its threshold; no-op otherwise. Compaction keeps the
@@ -149,7 +150,13 @@ def maintain_ivf_index(
     probe results are unchanged. ``vacuum_keep_versions`` bounds the
     version ledger like the MinHash policy (every epoch commits a
     manifest; drift rebuilds also leave superseded quantizer
-    directories that only the vacuum reclaims)."""
+    directories that only the vacuum reclaims).
+    ``ledger_keep_batches`` (r12) bounds the append batch ledger —
+    SAFE here at any horizon: a replayed append older than the kept
+    tail falls back to the anti-join idempotency backstop, which
+    no-ops it (pytest-pinned), unlike the merge tables' content
+    convergence or the histogram store's fold."""
+    from sqltask_spark.operators import index_fs
     from sqltask_spark.operators.ann_index import (
         compact_ivf_index,
         vacuum_ivf_index,
@@ -162,6 +169,11 @@ def maintain_ivf_index(
     )
     if compact:
         compact_ivf_index(spark, path)
+    trimmed = 0
+    if ledger_keep_batches is not None:
+        trimmed = index_fs.trim_batches(
+            spark, path, ledger_keep_batches
+        )
     vac: dict = {}
     if (
         vacuum_keep_versions is not None
@@ -170,7 +182,10 @@ def maintain_ivf_index(
         vac = vacuum_ivf_index(
             spark, path, keep_versions=vacuum_keep_versions
         )
-    return {**h, "compacted": compact, "vacuum": vac}
+    return {
+        **h, "compacted": compact, "vacuum": vac,
+        "ledger_trimmed": trimmed,
+    }
 
 
 def parquet_table_health(spark: SparkSession, path: str) -> dict:
@@ -221,6 +236,7 @@ def maintain_parquet_table(
     min_mean_file_bytes: int = 8 * 1024 * 1024,
     vacuum_keep_versions: int | None = None,
     vacuum_min_keep_seq: int | None = None,
+    ledger_keep_batches: int | None = None,
 ) -> dict:
     """Small-files maintenance for the merge table — the lake
     symmetry of the index policies: compact when the live file count
@@ -230,9 +246,13 @@ def maintain_parquet_table(
     old versions afterwards. Row-identical (compaction pytest) and
     atomic like every table mutation. ``vacuum_min_keep_seq`` floors
     the vacuum so CDC consumers' resume versions stay readable
-    (:func:`~sqltask_spark.operators.index_fs.drop_manifests`)."""
+    (:func:`~sqltask_spark.operators.index_fs.drop_manifests`).
+    ``ledger_keep_batches`` (r12) bounds the batch LEDGER — size it
+    past the source's redelivery horizon
+    (:func:`~sqltask_spark.operators.merge.trim_batch_ledger`)."""
     from sqltask_spark.operators.merge import (
         compact_parquet_table,
+        trim_batch_ledger,
         vacuum_parquet_table,
     )
 
@@ -243,13 +263,21 @@ def maintain_parquet_table(
     )
     if compact:
         compact_parquet_table(spark, path)
+    trimmed = 0
+    if ledger_keep_batches is not None:
+        # trim BEFORE the vacuum so the pre-trim manifest it
+        # supersedes is immediately reclaimable
+        trimmed = trim_batch_ledger(spark, path, ledger_keep_batches)
     vac: dict = {}
     if vacuum_keep_versions is not None:
         vac = vacuum_parquet_table(
             spark, path, keep_versions=vacuum_keep_versions,
             min_keep_seq=vacuum_min_keep_seq,
         )
-    return {**h, "compacted": compact, "vacuum": vac}
+    return {
+        **h, "compacted": compact, "vacuum": vac,
+        "ledger_trimmed": trimmed,
+    }
 
 
 def maintain_bloom_store(

@@ -319,6 +319,29 @@ def read_parquet_table_keys(
     )
 
 
+def trim_batch_ledger(
+    spark: SparkSession, path: str, keep: int
+) -> int:
+    """Truncate the manifest's batch LEDGER to the newest ``keep``
+    ids — the missing retention axis (r12): version vacuums bound
+    the MANIFEST COUNT, but the ``batches`` list itself accumulates
+    one string per ingest epoch in every newer manifest, so a
+    year-long minute-cadence stream carries ~0.5M ledger entries
+    (megabytes parsed on EVERY read). Returns the number trimmed;
+    no-op (and no commit) when already within bound.
+
+    Correctness contract — ``keep`` must exceed the redelivery
+    horizon of the source (the standard ledger-truncation trade,
+    exactly as stream processors bound their dedup state): a replay
+    YOUNGER than the kept tail still ledger-skips; one OLDER than it
+    re-applies, which converges for idempotent mutations (MERGE with
+    the same content lands on the same state; the index appends have
+    the anti-join backstop) but DOUBLE-COUNTS a non-idempotent SUM
+    fold (the histogram store) — size ``keep`` accordingly there.
+    One manifest-only commit, everything else carried forward."""
+    return index_fs.trim_batches(spark, path, keep)
+
+
 def table_history(spark: SparkSession, path: str) -> list[dict]:
     """(seq, n_files, batches) per committed version, ascending."""
     return [

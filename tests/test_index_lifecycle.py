@@ -1413,3 +1413,43 @@ def test_tombstone_set_sharded_write_multi_file(
     r = di.unblock_minhash_ids(spark, idx, one, "doc_id")
     assert r["unblocked"] == 1
     assert di.read_tombstones(spark, idx).count() == 4
+
+
+def test_ivf_append_ledger_trim_antijoin_backstop(
+    spark, sf_dir, tmp_path
+):
+    """r12: maintain_ivf_index(ledger_keep_batches=...) bounds the
+    append ledger; a replayed append whose id was trimmed out falls
+    through to the anti-join idempotency backstop and appends ZERO
+    rows — trimming is safe at any horizon for the index, unlike the
+    merge tables' content-convergence contract."""
+    from sqltask_spark.operators import ann_index as ai
+    from sqltask_spark.operators.index_maintenance import (
+        maintain_ivf_index,
+    )
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .limit(60)
+    )
+    parts = [emb.filter(F.pmod("vec_id", F.lit(3)) == i)
+             for i in range(3)]
+    idx = str(tmp_path / "ledger_ivf")
+    build_ivf_index(parts[0], idx, "vec_id", "embedding", n_cells=4)
+    for i, p in enumerate(parts[1:], 1):
+        assert append_to_ivf_index(
+            idx, p, "vec_id", "embedding", batch_id=f"a{i}"
+        ) > 0
+    r = maintain_ivf_index(spark, idx, ledger_keep_batches=1)
+    assert r["ledger_trimmed"] == 1
+    m = ai.committed_manifest(spark, idx)
+    assert m["batches"] == ["a2"]
+    # kept id: one-manifest-read fast path (0 appended)
+    assert append_to_ivf_index(
+        idx, parts[2], "vec_id", "embedding", batch_id="a2"
+    ) == 0
+    # trimmed id: the anti-join backstop still no-ops the replay
+    assert append_to_ivf_index(
+        idx, parts[1], "vec_id", "embedding", batch_id="a1"
+    ) == 0

@@ -584,3 +584,43 @@ def test_point_lookup_reads_only_candidate_files(spark, tmp_path):
     _mk_table(spark, path2, n=5)
     with pytest.raises(ValueError, match="stats_col"):
         read_parquet_table_keys(spark, path2, [1])
+
+
+def test_batch_ledger_trim_bounded_and_convergent(spark, tmp_path):
+    """r12: trim_batch_ledger bounds the ledger's growth (one string
+    per ingest epoch, carried in every newer manifest, parsed on
+    every read). A replay younger than the kept tail still
+    ledger-skips; one older than it re-applies and CONVERGES for
+    MERGE (same content -> same state) — the documented
+    bounded-redelivery-horizon trade."""
+    from sqltask_spark.operators.index_maintenance import (
+        maintain_parquet_table,
+    )
+    from sqltask_spark.operators.merge import trim_batch_ledger
+
+    path = str(tmp_path / "t_ledger")
+    _mk_table(spark, path, n=10)
+    batches = []
+    for i in range(4):
+        src = spark.createDataFrame([(i + 1, 1000 + i)], "k long, v long")
+        merge_into_parquet(spark, path, src, ["k"], batch_id=f"b{i}")
+        batches.append((f"b{i}", src))
+    r = maintain_parquet_table(spark, path, ledger_keep_batches=2)
+    assert r["ledger_trimmed"] == 2
+    m = index_fs.read_manifest(spark, path)
+    assert m["batches"] == ["b2", "b3"]
+    # below bound: no-op, no commit
+    assert trim_batch_ledger(spark, path, 2) == 0
+    assert index_fs.read_manifest(spark, path)["_seq"] == m["_seq"]
+    state = set(_rows(read_parquet_table(spark, path)))
+    # kept tail: ledger-skips
+    got = merge_into_parquet(
+        spark, path, batches[3][1], ["k"], batch_id="b3"
+    )
+    assert got["skipped"] is True
+    # trimmed out: re-applies, same content -> identical state
+    got = merge_into_parquet(
+        spark, path, batches[0][1], ["k"], batch_id="b0"
+    )
+    assert got["skipped"] is False
+    assert set(_rows(read_parquet_table(spark, path))) == state
