@@ -255,6 +255,7 @@ def append_to_minhash_index(
     batch: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    batch_id: str | None = None,
 ) -> int:
     """Add ``batch`` to an existing index — the admit step of the
     ingest loop (screen with :func:`probe_minhash_index`, keep the
@@ -273,9 +274,18 @@ def append_to_minhash_index(
     state exactly (the orphan directories are swept on the next
     append, and re-running the append heals). Single writer at a
     time; readers never block.
+
+    ``batch_id`` (r12, IVF-append parity) rides the manifest ledger:
+    a committed id makes the whole retried append ONE manifest read
+    — the streaming sink's exactly-once fast path — while the
+    anti-join recheck stays the correctness backstop for un-ledgered
+    callers and for ids trimmed past the retention horizon
+    (:func:`~sqltask_spark.operators.index_fs.trim_batches`).
     """
     spark = batch.sparkSession
     m = _committed(spark, path)
+    if batch_id is not None and batch_id in m.get("batches", []):
+        return 0
     # sweep debris of a previously crashed append (uncommitted dirs).
     # Committed = the UNION over all manifests, not just the newest:
     # older versions stay time-travel readable until compaction
@@ -348,6 +358,8 @@ def append_to_minhash_index(
                 "generations": m["generations"] + [gen],
                 "sizes": gen,
                 "gen_stats": stats,
+                "batches": m.get("batches", [])
+                + ([batch_id] if batch_id else []),
             },
             m["_seq"],
         )

@@ -323,15 +323,23 @@ def _stats_agg(df, id_col: str) -> "tuple[int, dict | None]":
     lo, hi = r["_lo"], r["_hi"]
     if isinstance(lo, bool) or not isinstance(lo, (int, str)):
         return int(r["_n"]), None
-    return int(r["_n"]), {
-        "min_id": lo,
-        "max_id": hi,
-        "filter": {
+    words = words_from_row(r)
+    stats = {"min_id": lo, "max_id": hi}
+    set_bits = sum(
+        bin(w & 0xFFFFFFFFFFFFFFFF).count("1") for w in words
+    )
+    # a saturated filter can never prune (every probe bit is set) —
+    # omit it rather than spend ~1 KB of manifest per generation on
+    # all-ones. Only small (change-window-sized) generations carry
+    # filters, which is exactly where content pruning matters; big
+    # compacted generations fall back to [min,max] + census.
+    if set_bits < int(0.9 * ID_FILTER_WORDS * 64):
+        stats["filter"] = {
             "k": ID_FILTER_K,
             "bits": ID_FILTER_WORDS * 64,
-            "words": words_from_row(r),
-        },
-    }
+            "words": words,
+        }
+    return int(r["_n"]), stats
 
 
 def count_and_bounds(df, id_col: str) -> "tuple[int, dict | None]":

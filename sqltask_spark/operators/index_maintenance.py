@@ -68,6 +68,7 @@ def maintain_minhash_index(
     max_generations: int = 10,
     max_tombstone_ratio: float = 0.2,
     vacuum_keep_versions: int | None = None,
+    ledger_keep_batches: int | None = None,
 ) -> dict:
     """Compact the MinHash index when generation count or tombstone
     ratio crosses its threshold; no-op otherwise. Returns the health
@@ -81,7 +82,10 @@ def maintain_minhash_index(
     manifest per mutation plus a sync marker per epoch, so without
     retention the manifest directory listing — paid by every
     committed-state read — grows forever. ``None`` keeps full time
-    travel."""
+    travel. ``ledger_keep_batches`` (r12) bounds the append batch
+    ledger — safe at any horizon here exactly as for the IVF index:
+    the anti-join backstop no-ops replays trimmed past the tail."""
+    from sqltask_spark.operators import index_fs
     from sqltask_spark.operators.dedup_index import (
         compact_minhash_index,
         vacuum_minhash_index,
@@ -94,6 +98,11 @@ def maintain_minhash_index(
     )
     if compact:
         compact_minhash_index(spark, path)
+    trimmed = 0
+    if ledger_keep_batches is not None:
+        trimmed = index_fs.trim_batches(
+            spark, path, ledger_keep_batches
+        )
     vac: dict = {}
     if (
         vacuum_keep_versions is not None
@@ -102,7 +111,10 @@ def maintain_minhash_index(
         vac = vacuum_minhash_index(
             spark, path, keep_versions=vacuum_keep_versions
         )
-    return {**h, "compacted": compact, "vacuum": vac}
+    return {
+        **h, "compacted": compact, "vacuum": vac,
+        "ledger_trimmed": trimmed,
+    }
 
 
 def ivf_index_health(spark: SparkSession, path: str) -> dict:

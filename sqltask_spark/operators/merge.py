@@ -147,9 +147,19 @@ def _file_stats(
         rel = next(
             (x for x in rels if r["__file"].endswith("/" + x)), None
         )
-        if rel is not None:
-            out[rel] = [r["lo"], r["hi"],
-                        index_fs.words_from_row(r)]
+        if rel is None:
+            continue
+        words = index_fs.words_from_row(r)
+        set_bits = sum(
+            bin(w & 0xFFFFFFFFFFFFFFFF).count("1") for w in words
+        )
+        # saturated filters never prune — store the 2-element
+        # range-only form instead of ~1 KB of all-ones per file
+        # (same cut as index_fs._stats_agg)
+        if set_bits < int(0.9 * index_fs.ID_FILTER_WORDS * 64):
+            out[rel] = [r["lo"], r["hi"], words]
+        else:
+            out[rel] = [r["lo"], r["hi"]]
     return out
 
 

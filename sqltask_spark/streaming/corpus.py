@@ -307,6 +307,7 @@ def minhash_index_ingest_sink(
     threshold: float = 0.5,
     max_bucket_size: int = 1000,
     maintenance: dict | None = None,
+    app_id: str = "default",
 ):
     """``foreachBatch`` sink closing the STREAMING ingest loop over
     the persistent MinHash index: per micro-batch, probe → flag →
@@ -324,6 +325,16 @@ def minhash_index_ingest_sink(
     by the index's own commit protocol. A crash mid-epoch leaves the
     index on its last committed manifest; the restarted epoch heals.
 
+    r12 (IVF-sink parity): the epoch additionally rides the manifest
+    LEDGER (``{app_id}:epoch-{id}#{content fingerprint}``, the Delta
+    txnAppId/txnVersion pattern) — a redelivered epoch now skips
+    BEFORE the probe with one manifest read instead of paying the
+    probe + anti-join, and a colliding epoch id with DIFFERENT
+    content (fresh checkpoint, shared app_id) errors loudly instead
+    of silently skipping new data. The anti-join stays the
+    correctness backstop for ledger ids trimmed past the retention
+    horizon (``maintenance={"ledger_keep_batches": ...}``).
+
     ``maintenance`` closes the compaction loop: a dict of
     :func:`~sqltask_spark.operators.index_maintenance.
     maintain_minhash_index` thresholds (e.g. ``{"max_generations":
@@ -339,8 +350,10 @@ def minhash_index_ingest_sink(
             minhash_index_ingest_sink(path)
         ).trigger(availableNow=True).start()
     """
+    from sqltask_spark.data import content_fingerprint
     from sqltask_spark.operators.dedup_index import (
         append_to_minhash_index,
+        committed_manifest,
         probe_minhash_index,
     )
     from sqltask_spark.operators.index_maintenance import (
@@ -349,6 +362,30 @@ def minhash_index_ingest_sink(
 
     def ingest(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
+        fingerprint = content_fingerprint(
+            batch_df, [id_col, text_col]
+        )
+        prefix = f"{app_id}:epoch-{epoch_id}"
+        ledger_id = f"{prefix}#{fingerprint}"
+        committed = committed_manifest(spark, index_path).get(
+            "batches", []
+        )
+        if ledger_id in committed:
+            return  # redelivered epoch: one manifest read, no probe
+        stale = [
+            b
+            for b in committed
+            if b.split("#", 1)[0] == prefix and b != ledger_id
+        ]
+        if stale:
+            raise ValueError(
+                f"minhash_index_ingest_sink: ledger already holds"
+                f" {prefix} with DIFFERENT batch content"
+                f" ({stale[0]!r} vs {ledger_id!r}). Epoch ids restart"
+                " from 0 on a fresh/changed checkpoint and collide"
+                " across queries — pass a distinct app_id per logical"
+                " stream instead of silently dropping this batch."
+            )
         hits = probe_minhash_index(
             spark, index_path, batch_df, id_col, text_col,
             threshold, max_bucket_size,
@@ -358,7 +395,10 @@ def minhash_index_ingest_sink(
             flagged, batch_df[id_col] == flagged["batch_id"],
             "left_anti",
         )
-        append_to_minhash_index(index_path, admitted, id_col, text_col)
+        append_to_minhash_index(
+            index_path, admitted, id_col, text_col,
+            batch_id=ledger_id,
+        )
         hits.unpersist()
         if maintenance is not None:
             maintain_minhash_index(spark, index_path, **maintenance)

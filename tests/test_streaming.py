@@ -1909,3 +1909,63 @@ def test_sketch_sinks_version_ledger_retention(spark, tmp_path):
         spark, bstore, rows.select("i", "text"), "text"
     )
     assert hits.filter(F.col("bloom_hit") == 1).count() == 120
+
+
+def test_minhash_ingest_sink_epoch_ledger(spark, tables, tmp_path):
+    """r12 (IVF-sink parity): the MinHash ingest sink rides the
+    manifest epoch ledger. A redelivered epoch skips with ONE
+    manifest read (manifest does not move); a colliding epoch id
+    with different content errors loudly; after the ledger is
+    trimmed past an epoch, the replay falls through to the anti-join
+    backstop and still appends nothing."""
+    import pytest
+
+    from sqltask_spark.operators import index_fs
+    from sqltask_spark.operators.dedup_index import (
+        build_minhash_index,
+        committed_manifest,
+    )
+    from sqltask_spark.operators.index_maintenance import (
+        maintain_minhash_index,
+    )
+    from sqltask_spark.streaming.corpus import (
+        minhash_index_ingest_sink,
+    )
+
+    docs = tables["documents"].select("doc_id", "text").limit(30)
+    idx = str(tmp_path / "ledger_mh_sink")
+    build_minhash_index(docs.limit(10), idx)
+    sink = minhash_index_ingest_sink(idx, app_id="mh-cdc")
+
+    NOVELS = [
+        "qa wb ec rd vt by gu hn ij mk ol pz",
+        "zz yx wv ut sr qp on ml kj ih gf ed",
+    ]
+    epochs = [
+        spark.createDataFrame(
+            [(990_100 + e, NOVELS[e])], "doc_id long, text string"
+        )
+        for e in range(2)
+    ]
+    for e, b in enumerate(epochs):
+        sink(b, e)
+    m = committed_manifest(spark, idx)
+    assert len(m["batches"]) == 2
+    seq = m["_seq"]
+    sink(epochs[0], 0)  # redelivery: ledger-skips, nothing moves
+    assert committed_manifest(spark, idx)["_seq"] == seq
+    # collision: same epoch id, different content → loud error
+    other = spark.createDataFrame(
+        [(990_999, "totally different words here now yes")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="DIFFERENT batch content"):
+        sink(other, 0)
+    # trim past epoch 0; replay hits the anti-join backstop: the
+    # doc is already indexed, so nothing is appended or committed
+    r = maintain_minhash_index(spark, idx, ledger_keep_batches=1)
+    assert r["ledger_trimmed"] == 1
+    seq2 = committed_manifest(spark, idx)["_seq"]
+    sink(epochs[0], 0)
+    m2 = committed_manifest(spark, idx)
+    assert m2["_seq"] == seq2 and len(m2["batches"]) == 1
