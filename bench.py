@@ -107,9 +107,11 @@ HEADLINE = [
     # the incremental-quantile sketch store (frozen-layout histogram,
     # ledgered SUM folds, hash-matched quantile intervals)
     "incremental_length_quantiles",
-    # r12 addition: the serving-state point lookup (per-file key
-    # Bloom skipping on a hashed layout — engine-speed probe)
+    # r12 additions: the serving-state point lookup (per-file key
+    # Bloom skipping on a hashed layout — engine-speed probe) and
+    # the persistent MG heavy-hitters certificate
     "table_point_lookup",
+    "incremental_heavy_hitters",
 ]
 
 # Probe-class tags (r8 judge "what's wrong #2"): the three calibration
@@ -142,6 +144,7 @@ CERTIFICATE = frozenset({
     "incremental_count_min",
     "incremental_contamination_bloom",
     "incremental_length_quantiles",
+    "incremental_heavy_hitters",
 })
 
 CLASS_OF = {
@@ -152,6 +155,7 @@ CLASS_OF = {
         "source_token_quantiles", "dsir_weights", "weighted_sample_wor",
         "source_distinct_hll", "incremental_distinct_hll",
         "incremental_count_min", "incremental_contamination_bloom",
+        "incremental_heavy_hitters",
     )},
     **{n: "shuffle" for n in (
         "dedup_minhash_pairs", "dedup_minhash_pairs_md5",

@@ -863,3 +863,230 @@ def rebuild_hist_store(
         stale.withColumn("__del", F.lit(True))
     )
     merge_into_parquet(spark, path, src, ["g", "b"], delete_col="__del")
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy-hitters store — the TOP-K member of the sketch
+# family (HLL = distinct, Count-Min = point frequency, Bloom =
+# membership, histogram = quantiles, MG = frequent items). State is
+# bounded at groups × (k + 2) rows FOREVER; every read carries a
+# rank-certified count interval, and the summary PROVABLY contains
+# every item whose true count exceeds the group's accumulated
+# decrement (which the store tracks EXACTLY as a meta row, so the
+# certificate is data-dependent and tight, not the worst-case n/k).
+#
+# Fold = the mergeable-summaries merge (Agarwal et al., PODS'12):
+# combine stored counters with the batch's counts, subtract the
+# (k+1)-th largest per group from all, keep the positive — at most k
+# survive, and the subtracted value adds to the group's decrement
+# total. Per-group partitioned window over ≤ k + batch-distinct rows
+# (never a global window). Counter VALUES are fold-order-dependent
+# (the algorithm's nature); the [cnt, cnt + decr] containment and
+# the heavy-hitter completeness guarantee hold under ANY order
+# (pytest-pinned both ways). SUM-style fold ⇒ the batch LEDGER is
+# mandatory, exactly like the histogram store.
+# ---------------------------------------------------------------------------
+
+_MG_META_GROUP = "__MG_META__"
+_MG_DECR_ITEM = "__MG_DECR__"
+
+
+def _mg_counts(
+    values: DataFrame, group_col: str, item_col: str,
+    weight_col: "str | None",
+) -> DataFrame:
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    return (
+        values.select(
+            F.col(group_col).cast("string").alias("g"),
+            F.col(item_col).cast("string").alias("item"),
+            w.alias("w"),
+        )
+        .filter(F.col("item").isNotNull())
+        .groupBy("g", "item")
+        .agg(F.sum("w").cast("long").alias("cnt"))
+    )
+
+
+def _mg_fold(
+    counters: DataFrame, decr: DataFrame, batch: DataFrame, k: int
+):
+    """(surviving counters ∪ updated decr rows, dropped keys) after
+    one mergeable-summaries step. ``counters``/``batch`` are
+    (g, item, cnt); ``decr`` is (g, cnt) of prior decrement totals
+    (absent groups = 0)."""
+    from pyspark.sql import Window
+
+    combined = (
+        counters.unionByName(batch)
+        .groupBy("g", "item")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    win = Window.partitionBy("g").orderBy(
+        F.col("cnt").desc(), F.col("item").asc()
+    )
+    ranked = combined.withColumn("_rn", F.row_number().over(win))
+    kth1 = (
+        ranked.filter(F.col("_rn") == k + 1)
+        .select("g", F.col("cnt").alias("_d"))
+    )
+    adjusted = (
+        ranked.join(kth1, "g", "left")
+        .withColumn("_d", F.coalesce("_d", F.lit(0)))
+        .select(
+            "g", "item",
+            (F.col("cnt") - F.col("_d")).cast("long").alias("cnt"),
+            "_d",
+        )
+    )
+    survivors = adjusted.filter(F.col("cnt") > 0).select(
+        "g", "item", "cnt"
+    )
+    dropped = adjusted.filter(F.col("cnt") <= 0).select("g", "item")
+    new_decr = (
+        decr.select("g", F.col("cnt").alias("_old"))
+        .join(kth1, "g", "full_outer")
+        .select(
+            "g",
+            F.lit(_MG_DECR_ITEM).alias("item"),
+            (
+                F.coalesce("_old", F.lit(0))
+                + F.coalesce("_d", F.lit(0))
+            ).cast("long").alias("cnt"),
+        )
+    )
+    return survivors.unionByName(new_decr), dropped
+
+
+def create_mg_store(
+    values: DataFrame,
+    path: str,
+    group_col: str,
+    item_col: str,
+    k: int = 64,
+    weight_col: "str | None" = None,
+    batch_id: "str | None" = None,
+) -> None:
+    """Materialize the heavy-hitters store with FROZEN ``k`` (more
+    counters cannot be conjured after the fact — the same frozen-
+    parameter rule as the Bloom capacity and histogram width).
+    ``batch_id`` seeds the ledger with the creating batch, exactly
+    like :func:`create_hist_store` (a replayed first epoch must
+    no-op)."""
+    from sqltask_spark.operators.merge import create_parquet_table
+
+    spark = values.sparkSession
+    if int(k) < 1:
+        raise ValueError(f"need k >= 1, got {k}")
+    batch = _mg_counts(values, group_col, item_col, weight_col)
+    empty = spark.createDataFrame([], "g string, item string, cnt long")
+    empty_decr = spark.createDataFrame([], "g string, cnt long")
+    state, _ = _mg_fold(empty, empty_decr, batch, int(k))
+    meta = spark.createDataFrame(
+        [(_MG_META_GROUP, "k", int(k))],
+        "g string, item string, cnt long",
+    )
+    create_parquet_table(
+        state.unionByName(meta), path, batch_id=batch_id
+    )
+
+
+def read_mg_k(
+    spark: SparkSession, path: str, as_of: int | None = None
+) -> int:
+    """The store's frozen ``k`` (meta row; travels with ``as_of``
+    like the histogram layout — same torn-read hazard)."""
+    from sqltask_spark.operators.merge import read_parquet_table
+
+    rows = (
+        read_parquet_table(spark, path, as_of=as_of)
+        .filter(
+            (F.col("g") == _MG_META_GROUP) & (F.col("item") == "k")
+        )
+        .collect()
+    )
+    if not rows:
+        raise ValueError(f"no MG meta row in store at {path}")
+    return int(rows[0]["cnt"])
+
+
+def update_mg_store(
+    spark: SparkSession,
+    path: str,
+    values: DataFrame,
+    group_col: str,
+    item_col: str,
+    batch_id: str,
+    weight_col: "str | None" = None,
+) -> dict:
+    """Fold a batch into the store — counter sums are NOT idempotent,
+    so the batch LEDGER is mandatory (the histogram rule). One MERGE
+    commit: surviving counters and the decrement row upsert in,
+    counters the decrement zeroed out delete out."""
+    if not batch_id:
+        raise ValueError(
+            "update_mg_store requires a batch_id: the counter fold is"
+            " not idempotent — an unledgered redelivery double-counts"
+        )
+    from sqltask_spark.operators.merge import (
+        merge_into_parquet,
+        read_parquet_table,
+    )
+
+    k = read_mg_k(spark, path)
+    stored = read_parquet_table(spark, path)
+    counters = stored.filter(
+        (F.col("g") != _MG_META_GROUP)
+        & (F.col("item") != _MG_DECR_ITEM)
+    )
+    decr = stored.filter(F.col("item") == _MG_DECR_ITEM).select(
+        "g", "cnt"
+    )
+    batch = _mg_counts(values, group_col, item_col, weight_col)
+    state, dropped = _mg_fold(counters, decr, batch, k)
+    src = state.withColumn("_del", F.lit(False)).unionByName(
+        dropped.select(
+            "g", "item", F.lit(0).cast("long").alias("cnt"),
+            F.lit(True).alias("_del"),
+        )
+    )
+    return merge_into_parquet(
+        spark, path, src, ["g", "item"],
+        batch_id=batch_id, delete_col="_del",
+    )
+
+
+def read_mg_topk(
+    spark: SparkSession, path: str, as_of: int | None = None
+) -> DataFrame:
+    """The certified heavy-hitter summary: ``(g, item, cnt_lo,
+    cnt_hi)`` with the TRUE count provably in ``[cnt_lo, cnt_hi]``
+    (``cnt_hi − cnt_lo`` = the group's exact accumulated decrement).
+    COMPLETENESS guarantee: every item whose true count exceeds the
+    group's ``decr`` IS in the summary — an absent item's true count
+    is ≤ decr. Both properties hold under any fold order."""
+    from sqltask_spark.operators.merge import read_parquet_table
+
+    stored = read_parquet_table(spark, path, as_of=as_of)
+    counters = stored.filter(
+        (F.col("g") != _MG_META_GROUP)
+        & (F.col("item") != _MG_DECR_ITEM)
+    )
+    decr = stored.filter(F.col("item") == _MG_DECR_ITEM).select(
+        "g", F.col("cnt").alias("_decr")
+    )
+    return (
+        counters.join(decr, "g", "left")
+        .select(
+            "g",
+            "item",
+            F.col("cnt").cast("long").alias("cnt_lo"),
+            (F.col("cnt") + F.coalesce("_decr", F.lit(0)))
+            .cast("long")
+            .alias("cnt_hi"),
+        )
+    )

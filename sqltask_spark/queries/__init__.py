@@ -143,6 +143,12 @@ TWINS: dict[str, str] = {
     # per-epoch probe equivalence + replay convergence pytest-pinned
     # in test_merge_upsert_sink_sync_indexes_e2e
     "corpus_stream_index_sync": "dedup_incremental",
+    # persistent MG top-k: counter values are fold-order-dependent
+    # (mergeable-summaries algebra — no single relational restatement
+    # exists), but the certificate asserts containment+completeness
+    # in-entry against exact counts, and the oracled twin checks the
+    # same MG prune's exact φ-heavy output in SQL
+    "incremental_heavy_hitters": "heavy_hitter_tokens",
     "bpe_learn_merges": "bpe_learn_certified",
     "bpe_encode_documents": "bpe_encode_fixed",
     # learned-table fertility: same metric as the oracled fixed-table

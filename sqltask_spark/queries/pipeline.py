@@ -3748,6 +3748,96 @@ FROM hits h JOIN cum c ON c.g = h.g AND c.b = h.bucket
 ORDER BY h.g, h.q_milli
 """
 
+# --------------------------------------------------------------------------
+# incremental_heavy_hitters — the TOP-K member of the persistent
+# sketch family (operators/sketch_store.py MG store; the incremental
+# sibling of the one-shot MG prune behind the oracled
+# heavy_hitter_tokens twin): per-source frequent tokens folded in
+# thirds under the MANDATORY batch ledger (counter sums are not
+# idempotent; this certificate replays a fold to prove the ledger
+# no-ops it), with the group's EXACT accumulated decrement carried
+# as state so every read is a certified [cnt_lo, cnt_hi] interval.
+# The in-entry certificate asserts BOTH MG guarantees against exact
+# counts computed on the same tokens: containment for every counter
+# and completeness above the decrement. Rows-only (counter values
+# are fold-order-dependent by the algorithm's nature — DuckDB cannot
+# restate the fold as one relational expression); TWINS →
+# heavy_hitter_tokens, whose exact φ-heavy output the same MG prune
+# oracles in SQL.
+# --------------------------------------------------------------------------
+
+_MG_ENTRY_K = 12
+
+
+def incremental_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from sqltask_spark.operators import index_fs
+    from sqltask_spark.operators.sketch_store import (
+        create_mg_store,
+        read_mg_topk,
+        update_mg_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(tx.tokenize(F.col("text"))).alias("t"),
+    ).filter(F.col("t") != "")
+    parts = [
+        toks.filter(F.pmod("doc_id", F.lit(3)) == j) for j in range(3)
+    ]
+    tmp = tempfile.mkdtemp(prefix="mg_store_")
+    store = f"{tmp}/store"
+    try:
+        create_mg_store(
+            parts[0], store, "source", "t", k=_MG_ENTRY_K,
+            batch_id="third-0",
+        )
+        update_mg_store(spark, store, parts[1], "source", "t", "third-1")
+        update_mg_store(spark, store, parts[2], "source", "t", "third-2")
+        seq = index_fs.read_manifest(spark, store)["_seq"]
+        # replay: the ledger must no-op the non-idempotent fold
+        update_mg_store(spark, store, parts[1], "source", "t", "third-1")
+        if index_fs.read_manifest(spark, store)["_seq"] != seq:
+            raise AssertionError(
+                "MG ledger broken: replayed fold moved the manifest"
+            )
+        out = read_mg_topk(spark, store)
+        rows = out.orderBy("g", "item").collect()
+        # certificate: containment + completeness vs exact counts
+        exact = {
+            (r["source"], r["t"]): int(r["c"])
+            for r in toks.groupBy("source", "t")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        decr_of = {}
+        for r in rows:
+            decr_of[r["g"]] = int(r["cnt_hi"]) - int(r["cnt_lo"])
+            t = exact.get((r["g"], r["item"]), 0)
+            if not (r["cnt_lo"] <= t <= r["cnt_hi"]):
+                raise AssertionError(
+                    f"MG containment broken: {r} vs exact {t}"
+                )
+        present = {(r["g"], r["item"]) for r in rows}
+        for (g, it), c in exact.items():
+            if g in decr_of and c > decr_of[g] and (g, it) not in present:
+                raise AssertionError(
+                    f"MG completeness broken: {(g, it, c)} absent"
+                    f" above decrement {decr_of[g]}"
+                )
+        return spark.createDataFrame(rows, out.schema).orderBy(
+            "g", "item"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 QUERIES = {
     "zorder_layout_stats": zorder_layout_stats,
     "dsir_weights": dsir_weights,
@@ -3792,6 +3882,7 @@ QUERIES = {
     "incremental_distinct_hll": incremental_distinct_hll,
     "incremental_count_min": incremental_count_min,
     "incremental_length_quantiles": incremental_length_quantiles,
+    "incremental_heavy_hitters": incremental_heavy_hitters,
     "incremental_contamination_bloom": incremental_contamination_bloom,
     "count_min_tokens": count_min_tokens,
     "corpus_change_feed": corpus_change_feed,

@@ -3892,3 +3892,85 @@ def test_hist_time_travel_reads_meta_as_of(spark, tmp_path):
             spark, store, as_of=pre_seq
         ).collect()
     ) == snap_sat
+
+
+def test_mg_store_certified_heavy_hitters(spark, tables, tmp_path):
+    """The Misra-Gries heavy-hitters store (the TOP-K member of the
+    sketch family): (1) the ledger is mandatory and a replayed fold
+    no-ops; (2) for EVERY surviving counter the true count lies in
+    [cnt_lo, cnt_hi]; (3) completeness — every item whose true count
+    exceeds the group's exact decrement IS present; (4) both
+    guarantees hold under a DIFFERENT fold order even though counter
+    values may differ (the mergeable-summaries contract); (5) state
+    is bounded at groups × (k + 2) rows."""
+    import pytest
+
+    from sqltask_spark.operators import index_fs
+    from sqltask_spark.operators.merge import read_parquet_table
+    from sqltask_spark.operators.sketch_store import (
+        create_mg_store,
+        read_mg_k,
+        read_mg_topk,
+        update_mg_store,
+    )
+
+    docs = tables["documents"].filter(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("t"),
+    ).filter(F.col("t") != "")
+    exact = {
+        (r["source"], r["t"]): int(r["c"])
+        for r in toks.groupBy("source", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    K = 6
+    parts = [toks.filter(F.pmod("doc_id", F.lit(3)) == j)
+             for j in range(3)]
+
+    def build(path, order):
+        create_mg_store(
+            parts[order[0]], path, "source", "t", k=K,
+            batch_id=f"b{order[0]}",
+        )
+        for j in order[1:]:
+            update_mg_store(
+                spark, path, parts[j], "source", "t", f"b{j}"
+            )
+
+    def check(path):
+        rows = read_mg_topk(spark, path).collect()
+        decr_of = {}
+        for r in rows:
+            decr_of[r["g"]] = int(r["cnt_hi"]) - int(r["cnt_lo"])
+            t = exact.get((r["g"], r["item"]), 0)
+            assert r["cnt_lo"] <= t <= r["cnt_hi"], (
+                r["g"], r["item"], r["cnt_lo"], t, r["cnt_hi"]
+            )
+        present = {(r["g"], r["item"]) for r in rows}
+        for (g, it), c in exact.items():
+            if g in decr_of and c > decr_of[g]:
+                assert (g, it) in present, (g, it, c, decr_of[g])
+        return rows
+
+    a = str(tmp_path / "mg_a")
+    build(a, [0, 1, 2])
+    with pytest.raises(ValueError, match="batch_id"):
+        update_mg_store(spark, a, parts[1], "source", "t", "")
+    seq = index_fs.read_manifest(spark, a)["_seq"]
+    update_mg_store(spark, a, parts[1], "source", "t", "b1")  # replay
+    assert index_fs.read_manifest(spark, a)["_seq"] == seq
+    check(a)
+    # different fold order: guarantees hold (values may differ)
+    b = str(tmp_path / "mg_b")
+    build(b, [2, 0, 1])
+    check(b)
+    # state bound: groups × (k + 2) incl. decr row, + 1 meta row
+    n_groups = toks.select("source").distinct().count()
+    assert (
+        read_parquet_table(spark, a).count()
+        <= n_groups * (K + 2) + 1
+    )
+    assert read_mg_k(spark, a) == K
