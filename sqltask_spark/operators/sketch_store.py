@@ -889,6 +889,7 @@ def rebuild_hist_store(
 
 _MG_META_GROUP = "__MG_META__"
 _MG_DECR_ITEM = "__MG_DECR__"
+_MG_TOTAL_ITEM = "__MG_TOTAL__"
 
 
 def _mg_counts(
@@ -913,12 +914,16 @@ def _mg_counts(
 
 
 def _mg_fold(
-    counters: DataFrame, decr: DataFrame, batch: DataFrame, k: int
+    counters: DataFrame, decr: DataFrame, total: DataFrame,
+    batch: DataFrame, k: int,
 ):
-    """(surviving counters ∪ updated decr rows, dropped keys) after
-    one mergeable-summaries step. ``counters``/``batch`` are
-    (g, item, cnt); ``decr`` is (g, cnt) of prior decrement totals
-    (absent groups = 0)."""
+    """(surviving counters ∪ updated decr ∪ updated total rows,
+    dropped keys) after one mergeable-summaries step.
+    ``counters``/``batch`` are (g, item, cnt); ``decr``/``total``
+    are (g, cnt) of prior decrement totals / total folded mass
+    (absent groups = 0). Tracking total mass exactly is what makes
+    the error ratio OBSERVABLE (:func:`mg_saturation`) — decr/total
+    is the store's data-dependent bound, ≤ 1/(k+1) by construction."""
     from pyspark.sql import Window
 
     combined = (
@@ -959,7 +964,25 @@ def _mg_fold(
             ).cast("long").alias("cnt"),
         )
     )
-    return survivors.unionByName(new_decr), dropped
+    batch_mass = batch.groupBy("g").agg(
+        F.sum("cnt").cast("long").alias("_new")
+    )
+    new_total = (
+        total.select("g", F.col("cnt").alias("_old"))
+        .join(batch_mass, "g", "full_outer")
+        .select(
+            "g",
+            F.lit(_MG_TOTAL_ITEM).alias("item"),
+            (
+                F.coalesce("_old", F.lit(0))
+                + F.coalesce("_new", F.lit(0))
+            ).cast("long").alias("cnt"),
+        )
+    )
+    return (
+        survivors.unionByName(new_decr).unionByName(new_total),
+        dropped,
+    )
 
 
 def create_mg_store(
@@ -984,8 +1007,8 @@ def create_mg_store(
         raise ValueError(f"need k >= 1, got {k}")
     batch = _mg_counts(values, group_col, item_col, weight_col)
     empty = spark.createDataFrame([], "g string, item string, cnt long")
-    empty_decr = spark.createDataFrame([], "g string, cnt long")
-    state, _ = _mg_fold(empty, empty_decr, batch, int(k))
+    empty_gc = spark.createDataFrame([], "g string, cnt long")
+    state, _ = _mg_fold(empty, empty_gc, empty_gc, batch, int(k))
     meta = spark.createDataFrame(
         [(_MG_META_GROUP, "k", int(k))],
         "g string, item string, cnt long",
@@ -1041,13 +1064,16 @@ def update_mg_store(
     stored = read_parquet_table(spark, path)
     counters = stored.filter(
         (F.col("g") != _MG_META_GROUP)
-        & (F.col("item") != _MG_DECR_ITEM)
+        & ~F.col("item").isin(_MG_DECR_ITEM, _MG_TOTAL_ITEM)
     )
     decr = stored.filter(F.col("item") == _MG_DECR_ITEM).select(
         "g", "cnt"
     )
+    total = stored.filter(F.col("item") == _MG_TOTAL_ITEM).select(
+        "g", "cnt"
+    )
     batch = _mg_counts(values, group_col, item_col, weight_col)
-    state, dropped = _mg_fold(counters, decr, batch, k)
+    state, dropped = _mg_fold(counters, decr, total, batch, k)
     src = state.withColumn("_del", F.lit(False)).unionByName(
         dropped.select(
             "g", "item", F.lit(0).cast("long").alias("cnt"),
@@ -1074,7 +1100,7 @@ def read_mg_topk(
     stored = read_parquet_table(spark, path, as_of=as_of)
     counters = stored.filter(
         (F.col("g") != _MG_META_GROUP)
-        & (F.col("item") != _MG_DECR_ITEM)
+        & ~F.col("item").isin(_MG_DECR_ITEM, _MG_TOTAL_ITEM)
     )
     decr = stored.filter(F.col("item") == _MG_DECR_ITEM).select(
         "g", F.col("cnt").alias("_decr")
@@ -1089,4 +1115,37 @@ def read_mg_topk(
             .cast("long")
             .alias("cnt_hi"),
         )
+    )
+
+
+def mg_saturation(
+    spark: SparkSession, path: str, as_of: int | None = None
+) -> DataFrame:
+    """One row per group: ``(g, total_mass, decr, error_milli)`` —
+    the store's DATA-DEPENDENT error ratio (accumulated decrement
+    over exactly-tracked total fold mass, milli units; ≤ 1000/(k+1)
+    by the MG bound). The drift signal of this family: a ratio
+    approaching its bound means ``k`` is undersized for the
+    distribution — rebuild with a larger frozen ``k`` from a member
+    census, exactly as the histogram rebuilds wider and the Bloom
+    rebuilds bigger (a counter set cannot be widened after the
+    fact)."""
+    from sqltask_spark.operators.merge import read_parquet_table
+
+    stored = read_parquet_table(spark, path, as_of=as_of)
+    decr = stored.filter(F.col("item") == _MG_DECR_ITEM).select(
+        "g", F.col("cnt").alias("decr")
+    )
+    total = stored.filter(F.col("item") == _MG_TOTAL_ITEM).select(
+        "g", F.col("cnt").alias("total_mass")
+    )
+    return total.join(decr, "g", "left").select(
+        "g",
+        "total_mass",
+        F.coalesce("decr", F.lit(0)).cast("long").alias("decr"),
+        F.expr(
+            "CASE WHEN total_mass > 0 THEN"
+            " (coalesce(decr, 0) * 1000) DIV total_mass"
+            " ELSE 0 END"
+        ).cast("long").alias("error_milli"),
     )

@@ -795,6 +795,134 @@ def hist_store_sink(
     return ingest
 
 
+def cm_store_sink(
+    store_path: str,
+    group_col: str,
+    token_col: str,
+    app_id: str = "default",
+    table_maintenance: dict | None = None,
+):
+    """``foreachBatch`` sink folding each micro-batch's token census
+    into the persistent Count-Min grid
+    (:mod:`sqltask_spark.operators.sketch_store`) — incremental
+    point-frequency estimates over an unbounded stream, state
+    bounded at groups × d × w cells forever.
+
+    SUM folds are NOT idempotent, so this sink is LEDGERED exactly
+    like :func:`hist_store_sink` (``{app_id}:epoch-{id}#{content
+    fingerprint}``): a redelivered epoch is one manifest read, a
+    colliding epoch id with different content folds normally
+    (distinct content is distinct data for a count fold). The FIRST
+    epoch creates the store. ``table_maintenance``: version-ledger
+    retention (see :func:`hll_store_sink`)."""
+    from pyspark.sql import functions as F
+
+    from sqltask_spark.data import content_fingerprint
+    from sqltask_spark.operators import index_fs
+    from sqltask_spark.operators.sketch_store import (
+        cm_cell_rows,
+        create_cm_store,
+        update_cm_store,
+    )
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        census = (
+            batch_df.select(
+                F.col(group_col).cast("string").alias("g"),
+                F.col(token_col).cast("string").alias("t"),
+            )
+            .filter(F.col("t").isNotNull())
+            .groupBy("g", "t")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        fingerprint = content_fingerprint(census, ["g", "t", "c"])
+        ledger_id = f"{app_id}:epoch-{epoch_id}#{fingerprint}"
+        cells = cm_cell_rows(census, "g", "t", "c")
+        if index_fs.read_manifest(spark, store_path) is None:
+            # the creating batch seeds the ledger (the create-path
+            # hazard the hist sink's replay test caught): a replayed
+            # first epoch must no-op like any other
+            from sqltask_spark.operators.merge import (
+                create_parquet_table,
+            )
+
+            create_parquet_table(
+                cells.select("g", "j", "p", "cnt"), store_path,
+                batch_id=ledger_id,
+            )
+        else:
+            update_cm_store(spark, store_path, cells, ledger_id)
+        if table_maintenance is not None:
+            from sqltask_spark.operators.index_maintenance import (
+                maintain_parquet_table,
+            )
+
+            maintain_parquet_table(
+                spark, store_path, **table_maintenance
+            )
+
+    return ingest
+
+
+def mg_store_sink(
+    store_path: str,
+    group_col: str,
+    item_col: str,
+    k: int = 64,
+    app_id: str = "default",
+    weight_col: "str | None" = None,
+    table_maintenance: dict | None = None,
+):
+    """``foreachBatch`` sink folding each micro-batch into the
+    persistent Misra-Gries heavy-hitters store — incremental
+    per-group top-k over an unbounded stream, state bounded at
+    groups × (k + 2) rows forever, every read a certified
+    ``[cnt_lo, cnt_hi]`` interval
+    (:func:`~sqltask_spark.operators.sketch_store.read_mg_topk`).
+
+    Counter folds are NOT idempotent → LEDGERED like the histogram
+    and Count-Min sinks; the FIRST epoch creates the store with the
+    FROZEN ``k``. Monitor
+    :func:`~sqltask_spark.operators.sketch_store.mg_saturation` for
+    the undersized-k signal. ``table_maintenance``: version-ledger
+    retention (see :func:`hll_store_sink`)."""
+    from sqltask_spark.data import content_fingerprint
+    from sqltask_spark.operators import index_fs
+    from sqltask_spark.operators.sketch_store import (
+        create_mg_store,
+        update_mg_store,
+    )
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cols = [group_col, item_col] + (
+            [weight_col] if weight_col else []
+        )
+        fingerprint = content_fingerprint(batch_df.select(*cols), cols)
+        ledger_id = f"{app_id}:epoch-{epoch_id}#{fingerprint}"
+        if index_fs.read_manifest(spark, store_path) is None:
+            create_mg_store(
+                batch_df, store_path, group_col, item_col, k=k,
+                weight_col=weight_col, batch_id=ledger_id,
+            )
+        else:
+            update_mg_store(
+                spark, store_path, batch_df, group_col, item_col,
+                ledger_id, weight_col=weight_col,
+            )
+        if table_maintenance is not None:
+            from sqltask_spark.operators.index_maintenance import (
+                maintain_parquet_table,
+            )
+
+            maintain_parquet_table(
+                spark, store_path, **table_maintenance
+            )
+
+    return ingest
+
+
 def minhash_index_cdc_sink(
     index_path: str,
     id_col: str = "doc_id",

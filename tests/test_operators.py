@@ -3967,10 +3967,18 @@ def test_mg_store_certified_heavy_hitters(spark, tables, tmp_path):
     b = str(tmp_path / "mg_b")
     build(b, [2, 0, 1])
     check(b)
-    # state bound: groups × (k + 2) incl. decr row, + 1 meta row
+    # state bound: groups × (k + 2) incl. decr+total rows, + 1 meta
     n_groups = toks.select("source").distinct().count()
     assert (
         read_parquet_table(spark, a).count()
         <= n_groups * (K + 2) + 1
     )
     assert read_mg_k(spark, a) == K
+    # the error signal is observable, exact, and within the MG bound
+    from sqltask_spark.operators.sketch_store import mg_saturation
+
+    total_mass = sum(exact.values())
+    sats = mg_saturation(spark, a).collect()
+    assert sum(int(r["total_mass"]) for r in sats) == total_mass
+    for r in sats:
+        assert 0 <= int(r["error_milli"]) <= 1000 // (K + 1)

@@ -1969,3 +1969,76 @@ def test_minhash_ingest_sink_epoch_ledger(spark, tables, tmp_path):
     sink(epochs[0], 0)
     m2 = committed_manifest(spark, idx)
     assert m2["_seq"] == seq2 and len(m2["batches"]) == 1
+
+
+def test_cm_and_mg_store_sinks_exactly_once(spark, tmp_path):
+    """r12: the Count-Min and Misra-Gries sinks complete the sketch
+    family's streaming surface. Both fold SUM-style (non-idempotent)
+    under the content-fingerprint epoch ledger: three epochs fold,
+    a FULL same-content replay moves neither manifest (bit-identity
+    of the state), the CM estimates upper-bound exact counts, the MG
+    intervals contain them, and version retention keeps both stores
+    bounded."""
+    from sqltask_spark.operators import index_fs
+    from sqltask_spark.operators.merge import read_parquet_table
+    from sqltask_spark.operators.sketch_store import (
+        read_cm_estimates,
+        read_mg_topk,
+    )
+    from sqltask_spark.streaming.corpus import (
+        cm_store_sink,
+        mg_store_sink,
+    )
+
+    rows = spark.createDataFrame(
+        [(i, f"s{i % 2}", f"tok{(i * i) % 9}") for i in range(240)],
+        "i long, g string, t string",
+    )
+    exact = {
+        (r["g"], r["t"]): int(r["c"])
+        for r in rows.groupBy("g", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    epochs = [rows.filter(F.col("i") % 3 == e) for e in range(3)]
+
+    # --- Count-Min
+    cstore = str(tmp_path / "cm_sink")
+    csink = cm_store_sink(
+        cstore, "g", "t", app_id="cm-cdc",
+        table_maintenance={"vacuum_keep_versions": 2},
+    )
+    for e, b in enumerate(epochs):
+        csink(b, e)
+    seq = index_fs.read_manifest(spark, cstore)["_seq"]
+    for e, b in enumerate(epochs):
+        csink(b, e)  # full replay: ledger-skips everything
+    assert index_fs.read_manifest(spark, cstore)["_seq"] == seq
+    assert len(index_fs.list_manifest_seqs(spark, cstore)) <= 2
+    probes = spark.createDataFrame(
+        [(g, t) for (g, t) in exact], "g string, token string"
+    )
+    est = {
+        (r["g"], r["tok"]): int(r["cm_estimate"])
+        for r in read_cm_estimates(
+            spark, cstore, probes, "g", "token"
+        ).collect()
+    }
+    for key, c in exact.items():
+        assert est[key] >= c  # CM never undercounts
+
+    # --- Misra-Gries
+    mstore = str(tmp_path / "mg_sink")
+    msink = mg_store_sink(
+        mstore, "g", "t", k=4, app_id="mg-cdc",
+        table_maintenance={"vacuum_keep_versions": 2},
+    )
+    for e, b in enumerate(epochs):
+        msink(b, e)
+    seq = index_fs.read_manifest(spark, mstore)["_seq"]
+    msink(epochs[0], 0)  # replayed FIRST epoch incl. create path
+    assert index_fs.read_manifest(spark, mstore)["_seq"] == seq
+    assert len(index_fs.list_manifest_seqs(spark, mstore)) <= 2
+    for r in read_mg_topk(spark, mstore).collect():
+        t = exact.get((r["g"], r["item"]), 0)
+        assert r["cnt_lo"] <= t <= r["cnt_hi"]
