@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from sqltask_spark.queries import cluster as _cluster
 from sqltask_spark.queries import events as _events
+from sqltask_spark.queries import linkage as _linkage
 from sqltask_spark.queries import multimodal as _multimodal
 from sqltask_spark.queries import pipeline as _pipeline
 from sqltask_spark.queries import relational as _relational
@@ -41,7 +42,7 @@ ORACLES: dict[str, str] = {}
 # the driver-facing order is the staleness rotation below, which
 # fills the 50-entry driver window mechanically.
 for mod in (_textops, _retrieval, _vector, _cluster, _multimodal,
-            _pipeline, _relational, _relational2, _events):
+            _pipeline, _relational, _relational2, _events, _linkage):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
 
