@@ -1149,3 +1149,295 @@ def mg_saturation(
             " ELSE 0 END"
         ).cast("long").alias("error_milli"),
     )
+
+
+# --------------------------------------------------------------------------
+# KMV (bottom-k / k-minimum-values) distinct sketch store
+# --------------------------------------------------------------------------
+#
+# The member of the family the HLL store cannot replace: bottom-k
+# keeps the k smallest 48-bit md5 hashes of the DISTINCT keys per
+# group, which supports (a) distinct-count estimation, (b) SET
+# OPERATIONS — union/intersection/Jaccard across groups, because the
+# kept hashes are a coordinated uniform sample of the key space that
+# different groups (and different stores built with the same hash)
+# can be compared element-wise — and (c) a deterministic uniform
+# distinct-value sample (the kept keys themselves). HLL registers
+# support none of these beyond union.
+#
+# Bottom-k of a union is associative, commutative, and idempotent
+# (it is the join-semilattice meet on hash sets truncated at k), so
+# the store gets the same CRDT treatment as the HLL registers: folds
+# converge under replay, redelivery, and reordering with NO epoch
+# ledger; ``batch_id`` is only the exact-redelivery fast path.
+# Everything is exact integers over the md5 hex prefix — the same
+# engine-portability discipline as every sketch here, which is what
+# lets the incremental store hash-match a direct DuckDB computation.
+
+_KMV_META_GROUP = "__KMV_META__"
+_KMV_HEX = 12  # 48-bit hash: ('0x' || prefix)::BIGINT in DuckDB,
+# conv(prefix, 16, 10) in Spark — both exact in BIGINT
+_KMV_SPACE = 1 << (_KMV_HEX * 4)
+
+
+def kmv_hash(key_col) -> "F.Column":
+    """48-bit uniform hash of a (string-castable) key — the
+    coordinated hash every KMV store shares."""
+    return F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, _KMV_HEX),
+        16, 10,
+    ).cast("long")
+
+
+def _kmv_bottom_k(rows: DataFrame, k: int) -> DataFrame:
+    """Per-group k smallest (h, item) rows; ties on h broken by item
+    so hash collisions cannot make the result order-dependent."""
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("g").orderBy(
+        F.col("h").asc(), F.col("item").asc()
+    )
+    return (
+        rows.withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") <= int(k))
+        .drop("_rn")
+    )
+
+
+def kmv_rows(
+    df: DataFrame, group_col: str, key_col: str, k: int
+) -> DataFrame:
+    """Batch-side sketch: per-group bottom-k of the distinct keys as
+    ``(g, item, h)``. One distinct + one windowed top-k — map-side
+    combine does the heavy lifting, output is at most groups × k."""
+    base = (
+        df.select(
+            F.col(group_col).cast("string").alias("g"),
+            F.col(key_col).cast("string").alias("item"),
+        )
+        .filter(F.col("item").isNotNull())
+        .distinct()
+        .withColumn("h", kmv_hash("item"))
+    )
+    return _kmv_bottom_k(base, k)
+
+
+def create_kmv_store(
+    values: DataFrame,
+    path: str,
+    group_col: str,
+    key_col: str,
+    k: int = 64,
+    batch_id: "str | None" = None,
+) -> None:
+    """Materialize the store with FROZEN ``k`` (the family rule: a
+    sketch parameter cannot grow after the fact — rebuild instead)."""
+    from sqltask_spark.operators.merge import create_parquet_table
+
+    spark = values.sparkSession
+    if int(k) < 1:
+        raise ValueError(f"need k >= 1, got {k}")
+    state = kmv_rows(values, group_col, key_col, int(k))
+    meta = spark.createDataFrame(
+        [(_KMV_META_GROUP, "k", int(k))],
+        "g string, item string, h long",
+    )
+    create_parquet_table(
+        state.unionByName(meta), path, batch_id=batch_id
+    )
+
+
+def read_kmv_k(
+    spark: SparkSession, path: str, as_of: int | None = None
+) -> int:
+    """The store's frozen ``k`` (meta row; travels with ``as_of``)."""
+    from sqltask_spark.operators.merge import read_parquet_table
+
+    rows = (
+        read_parquet_table(spark, path, as_of=as_of)
+        .filter(
+            (F.col("g") == _KMV_META_GROUP) & (F.col("item") == "k")
+        )
+        .collect()
+    )
+    if not rows:
+        raise ValueError(f"no KMV meta row in store at {path}")
+    return int(rows[0]["h"])
+
+
+def update_kmv_store(
+    spark: SparkSession,
+    path: str,
+    values: DataFrame,
+    group_col: str,
+    key_col: str,
+    batch_id: "str | None" = None,
+) -> dict:
+    """Fold a batch: union the stored hashes with the batch's
+    bottom-k, keep the k smallest per group, delete evictions — one
+    MERGE commit. Idempotent AND commutative (bottom-k of unions),
+    so the ledger is optional exactly as for the HLL registers."""
+    from sqltask_spark.operators.merge import (
+        merge_into_parquet,
+        read_parquet_table,
+    )
+
+    k = read_kmv_k(spark, path)
+    stored = read_parquet_table(spark, path).filter(
+        F.col("g") != _KMV_META_GROUP
+    )
+    batch = kmv_rows(values, group_col, key_col, k)
+    combined = (
+        stored.select("g", "item", "h")
+        .unionByName(batch)
+        .groupBy("g", "item")
+        .agg(F.min("h").alias("h"))  # h is a function of item — min
+        # is just the cheapest dedup that keeps the column
+    )
+    state = _kmv_bottom_k(combined, k)
+    dropped = stored.select("g", "item").join(
+        state.select("g", "item"), ["g", "item"], "left_anti"
+    )
+    src = state.withColumn("_del", F.lit(False)).unionByName(
+        dropped.select(
+            "g", "item", F.lit(0).cast("long").alias("h"),
+            F.lit(True).alias("_del"),
+        )
+    )
+    return merge_into_parquet(
+        spark, path, src, ["g", "item"],
+        batch_id=batch_id, delete_col="_del",
+    )
+
+
+def read_kmv_state(
+    spark: SparkSession, path: str, as_of: int | None = None
+) -> DataFrame:
+    """The kept ``(g, item, h)`` rows — ALSO a deterministic uniform
+    sample of each group's distinct keys (the keys whose coordinated
+    hash is smallest), usable directly for distinct-value inspection
+    at O(k) per group."""
+    from sqltask_spark.operators.merge import read_parquet_table
+
+    return read_parquet_table(spark, path, as_of=as_of).filter(
+        F.col("g") != _KMV_META_GROUP
+    ).select("g", "item", "h")
+
+
+def kmv_estimates(state: DataFrame, k: int) -> DataFrame:
+    """``(g, n_kept, est)`` from kept rows: exact below saturation,
+    the (k-1)·2^48 / h_k KMV estimator at it — integer division, so
+    any engine computes the identical value."""
+    return (
+        state.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.max("h").alias("_hk"),
+        )
+        .select(
+            "g",
+            "n_kept",
+            # BIGINT DIV, never double: (k-1)·2^48 exceeds 2^53, so a
+            # float path could round differently than the oracle's //
+            F.when(F.col("n_kept") < int(k), F.col("n_kept"))
+            .otherwise(
+                F.expr(f"CAST({(int(k) - 1) * _KMV_SPACE} AS BIGINT)"
+                       " DIV _hk")
+            )
+            .cast("long")
+            .alias("est"),
+        )
+    )
+
+
+def read_kmv_estimates(
+    spark: SparkSession, path: str, as_of: int | None = None
+) -> DataFrame:
+    """Distinct-count estimates per group from the persisted state —
+    O(state) forever, never O(corpus)."""
+    k = read_kmv_k(spark, path, as_of=as_of)
+    return kmv_estimates(read_kmv_state(spark, path, as_of=as_of), k)
+
+
+def kmv_set_estimates(state: DataFrame, k: int) -> DataFrame:
+    """Pairwise set-operation estimates across groups from bottom-k
+    states: ``(g1, g2, n_common, union_est, inter_est)`` for every
+    g1 < g2.
+
+    For each pair, the k smallest hashes of the UNION of the two kept
+    sets form a valid KMV sketch of the set union (bottom-k algebra);
+    within that window, membership in both groups is observable
+    row-by-row, so ``inter_est = n_common · union_est / k_used`` —
+    with ``k_used = min(k, |window|)`` the same formula is EXACT when
+    neither group saturated (the window is then the whole union).
+    All-integer arithmetic; the direct DuckDB replay hash-matches."""
+    from pyspark.sql import Window
+
+    a = state.select(
+        F.col("g").alias("g1"), "item", "h",
+    )
+    b = state.select(
+        F.col("g").alias("g2"), "item", "h",
+    )
+    # full outer pair-space via item-equijoin would miss items present
+    # in only one group — build the pair union explicitly: for every
+    # unordered group pair, each kept item of either group, flagged
+    # with membership. Pairs come from the (small) group list itself.
+    groups = state.select("g").distinct()
+    # broadcast-of-aggregate cross join (the engine-wide crossJoin
+    # rule): the group list is a distinct aggregate, tiny by contract
+    pairs = (
+        groups.select(F.col("g").alias("g1"))
+        .crossJoin(F.broadcast(groups.select(F.col("g").alias("g2"))))
+        .filter(F.col("g1") < F.col("g2"))
+    )
+    ua = pairs.join(a, "g1").select(
+        "g1", "g2", "item", "h", F.lit(1).alias("_in1"),
+        F.lit(0).alias("_in2"),
+    )
+    ub = pairs.join(b, "g2").select(
+        "g1", "g2", "item", "h", F.lit(0).alias("_in1"),
+        F.lit(1).alias("_in2"),
+    )
+    merged = (
+        ua.unionByName(ub)
+        .groupBy("g1", "g2", "item", "h")
+        .agg(
+            F.max("_in1").alias("in1"), F.max("_in2").alias("in2")
+        )
+    )
+    win = Window.partitionBy("g1", "g2").orderBy(
+        F.col("h").asc(), F.col("item").asc()
+    )
+    window_rows = merged.withColumn(
+        "_rn", F.row_number().over(win)
+    ).filter(F.col("_rn") <= int(k))
+    return (
+        window_rows.groupBy("g1", "g2")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_nu"),
+            F.max("h").alias("_hk"),
+            F.sum(
+                (F.col("in1") * F.col("in2")).cast("long")
+            ).alias("n_common"),
+        )
+        .withColumn(
+            "union_est",
+            # same all-BIGINT DIV discipline as kmv_estimates
+            F.when(F.col("_nu") < int(k), F.col("_nu"))
+            .otherwise(
+                F.expr(f"CAST({(int(k) - 1) * _KMV_SPACE} AS BIGINT)"
+                       " DIV _hk")
+            )
+            .cast("long"),
+        )
+        .select(
+            "g1",
+            "g2",
+            F.col("n_common").cast("long").alias("n_common"),
+            "union_est",
+            F.expr(
+                f"(n_common * union_est) DIV least({int(k)}, _nu)"
+            ).cast("long").alias("inter_est"),
+        )
+    )

@@ -3838,6 +3838,156 @@ def incremental_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+# --------------------------------------------------------------------------
+# KMV bottom-k distinct sketches — the SET-OPERATION member of the
+# sketch family. HLL unions; KMV also INTERSECTS: the kept hashes are
+# a coordinated uniform sample of the key space, so overlap between
+# groups is observable row-by-row. Fully deterministic integers
+# (48-bit md5 prefix, BIGINT DIV estimator) → both entries are
+# oracled, and the incremental certificate replays an UN-ledgered
+# fold to pin the CRDT no-op (bottom-k of unions is idempotent).
+# --------------------------------------------------------------------------
+
+_KMV_K = 16  # saturated at sf0.01 (≈25 distinct texts/source > 16,
+# exercising the estimator) and unsaturated at sf0.001 (exact path)
+
+
+def incremental_source_distinct_kmv(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from sqltask_spark.operators.sketch_store import (
+        create_kmv_store,
+        read_kmv_estimates,
+        update_kmv_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    ).select("doc_id", "source", F.md5("text").alias("fp"))
+    thirds = [
+        docs.filter(F.pmod("doc_id", F.lit(3)) == i) for i in range(3)
+    ]
+    tmp = tempfile.mkdtemp(prefix="kmv_store_")
+    store = f"{tmp}/store"
+    try:
+        create_kmv_store(thirds[0], store, "source", "fp", k=_KMV_K)
+        update_kmv_store(spark, store, thirds[1], "source", "fp")
+        # replay WITHOUT a ledger id: bottom-k of unions is
+        # idempotent, so the un-ledgered refold must be a no-op —
+        # the driver hash pins the converged state
+        update_kmv_store(spark, store, thirds[1], "source", "fp")
+        update_kmv_store(spark, store, thirds[2], "source", "fp")
+        out = read_kmv_estimates(spark, store).orderBy("g")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema).orderBy("g")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise opening-bigram vocabulary overlap across sources,
+    estimated from per-source bottom-k sketches ALONE (O(groups · k)
+    state — the 100 TB shape: the quadratic pair work runs on
+    sketches, never on the corpus). Keyed on each document's first
+    two tokens, where sources genuinely overlap (exact full-text
+    overlap across sources is empty — the dedup entries own that)."""
+    from sqltask_spark.operators.sketch_store import (
+        kmv_rows,
+        kmv_set_estimates,
+    )
+
+    sp = F.split(F.col("text"), " ")
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    ).select(
+        "source",
+        F.concat_ws(
+            " ",
+            F.element_at(sp, 1),
+            F.coalesce(F.element_at(sp, 2), F.lit("")),
+        ).alias("head2"),
+    )
+    state = kmv_rows(docs, "source", "head2", _KMV_K)
+    return kmv_set_estimates(state, _KMV_K).filter(
+        # emit only pairs with observed overlap — keeps the relation
+        # sparse when most sources are disjoint (and the oracle drops
+        # the same rows)
+        F.col("n_common") > 0
+    )
+
+
+_KMV_NUM = (_KMV_K - 1) * (1 << 48)
+
+_KMV_INC_SQL = f"""
+WITH d AS (
+    SELECT DISTINCT source AS g, md5(text) AS item
+    FROM documents WHERE text IS NOT NULL
+), hs AS (
+    SELECT g, item,
+           ('0x' || substring(md5(item), 1, 12))::BIGINT AS h
+    FROM d
+), r AS (
+    SELECT g, item, h,
+           row_number() OVER (PARTITION BY g ORDER BY h, item) AS rn
+    FROM hs
+)
+SELECT g, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(CASE WHEN count(*) < {_KMV_K} THEN count(*)
+            ELSE {_KMV_NUM} // max(h) END AS BIGINT) AS est
+FROM r WHERE rn <= {_KMV_K}
+GROUP BY g
+"""
+
+_KMV_OVERLAP_SQL = f"""
+WITH d AS (
+    SELECT DISTINCT source AS g,
+           split_part(text, ' ', 1) || ' ' || split_part(text, ' ', 2)
+               AS item
+    FROM documents WHERE text IS NOT NULL
+), hs AS (
+    SELECT g, item,
+           ('0x' || substring(md5(item), 1, 12))::BIGINT AS h
+    FROM d
+), r AS (
+    SELECT g, item, h,
+           row_number() OVER (PARTITION BY g ORDER BY h, item) AS rn
+    FROM hs
+), s AS (
+    SELECT g, item, h FROM r WHERE rn <= {_KMV_K}
+), gl AS (
+    SELECT DISTINCT g FROM s
+), p AS (
+    SELECT a.g AS g1, b.g AS g2 FROM gl a JOIN gl b ON a.g < b.g
+), u AS (
+    SELECT p.g1, p.g2, s.item, s.h,
+           max(CASE WHEN s.g = p.g1 THEN 1 ELSE 0 END) AS in1,
+           max(CASE WHEN s.g = p.g2 THEN 1 ELSE 0 END) AS in2
+    FROM p JOIN s ON s.g = p.g1 OR s.g = p.g2
+    GROUP BY p.g1, p.g2, s.item, s.h
+), w AS (
+    SELECT g1, g2, item, h, in1, in2,
+           row_number() OVER (
+               PARTITION BY g1, g2 ORDER BY h, item
+           ) AS rn
+    FROM u
+), agg AS (
+    SELECT g1, g2,
+           CAST(sum(in1 * in2) AS BIGINT) AS n_common,
+           CAST(CASE WHEN count(*) < {_KMV_K} THEN count(*)
+                ELSE {_KMV_NUM} // max(h) END AS BIGINT) AS union_est,
+           CAST(least({_KMV_K}, count(*)) AS BIGINT) AS k_used
+    FROM w WHERE rn <= {_KMV_K}
+    GROUP BY g1, g2
+)
+SELECT g1, g2, n_common, union_est,
+       CAST((n_common * union_est) // k_used AS BIGINT) AS inter_est
+FROM agg WHERE n_common > 0
+"""
+
+
 QUERIES = {
     "zorder_layout_stats": zorder_layout_stats,
     "dsir_weights": dsir_weights,
@@ -3880,6 +4030,8 @@ QUERIES = {
     "corpus_merge_upsert": corpus_merge_upsert,
     "table_point_lookup": table_point_lookup,
     "incremental_distinct_hll": incremental_distinct_hll,
+    "incremental_source_distinct_kmv": incremental_source_distinct_kmv,
+    "source_overlap_kmv": source_overlap_kmv,
     "incremental_count_min": incremental_count_min,
     "incremental_length_quantiles": incremental_length_quantiles,
     "incremental_heavy_hitters": incremental_heavy_hitters,
@@ -3929,6 +4081,8 @@ ORACLES = {
     "corpus_merge_upsert": _MERGE_UPSERT_SQL,
     "table_point_lookup": _POINT_LOOKUP_SQL,
     "incremental_distinct_hll": _HLL_INC_SQL,
+    "incremental_source_distinct_kmv": _KMV_INC_SQL,
+    "source_overlap_kmv": _KMV_OVERLAP_SQL,
     "incremental_count_min": _cm_sql(),
     "incremental_length_quantiles": _HISTQ_SQL,
     "incremental_contamination_bloom": _bloom_inc_sql(),

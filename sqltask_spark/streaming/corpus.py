@@ -987,3 +987,56 @@ def minhash_index_cdc_sink(
             maintain_minhash_index(spark, index_path, **maintenance)
 
     return ingest
+
+
+def kmv_store_sink(
+    store_path: str,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = 64,
+    table_maintenance: dict | None = None,
+):
+    """``foreachBatch`` sink folding each micro-batch's distinct-key
+    fingerprints into a persistent KMV bottom-k store
+    (:mod:`sqltask_spark.operators.sketch_store`) — incremental
+    distinct counts AND cross-group set operations (union/
+    intersection/Jaccard) over an unbounded stream, state bounded at
+    groups × k rows forever.
+
+    Ledger-free exactly-once, same CRDT argument as
+    :func:`hll_store_sink`: bottom-k of unions is idempotent and
+    commutative, so redelivered/reordered epochs converge; a ledger
+    would only add the colliding-epoch skip hazard. ``k`` is FROZEN
+    at create (the family rule); a later call with a different ``k``
+    folds under the STORE's k — the stored meta row is authoritative.
+    ``table_maintenance``: version-ledger retention thresholds, as in
+    :func:`hll_store_sink`."""
+    from pyspark.sql import functions as F
+
+    from sqltask_spark.operators import index_fs
+    from sqltask_spark.operators.sketch_store import (
+        create_kmv_store,
+        update_kmv_store,
+    )
+    from sqltask_spark.operators.text import fingerprint_md5
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        keyed = batch_df.filter(F.col(text_col).isNotNull()).select(
+            F.col(group_col),
+            fingerprint_md5(F.col(text_col)).alias("fp"),
+        )
+        if index_fs.read_manifest(spark, store_path) is None:
+            create_kmv_store(keyed, store_path, group_col, "fp", k=k)
+        else:
+            update_kmv_store(spark, store_path, keyed, group_col, "fp")
+        if table_maintenance is not None:
+            from sqltask_spark.operators.index_maintenance import (
+                maintain_parquet_table,
+            )
+
+            maintain_parquet_table(
+                spark, store_path, **table_maintenance
+            )
+
+    return ingest

@@ -3982,3 +3982,155 @@ def test_mg_store_certified_heavy_hitters(spark, tables, tmp_path):
     assert sum(int(r["total_mass"]) for r in sats) == total_mass
     for r in sats:
         assert 0 <= int(r["error_milli"]) <= 1000 // (K + 1)
+
+
+# --------------------------------------------------------------------------
+# KMV bottom-k distinct sketch store
+# --------------------------------------------------------------------------
+
+def test_kmv_store_incremental_equals_direct(spark, tmp_path):
+    """Folding in any order/with replays converges to the direct
+    whole-corpus sketch — the CRDT argument, pinned bit-for-bit."""
+    from sqltask_spark.operators.sketch_store import (
+        create_kmv_store,
+        kmv_estimates,
+        kmv_rows,
+        read_kmv_estimates,
+        read_kmv_state,
+        update_kmv_store,
+    )
+
+    rows = [(i, f"g{i % 3}", f"key-{i % 40}") for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "g", "key"])
+    k = 8
+    path = str(tmp_path / "kmv")
+    parts = [df.filter(df.id % 4 == i) for i in range(4)]
+    create_kmv_store(parts[0], path, "g", "key", k=k)
+    # out-of-order + un-ledgered replay
+    update_kmv_store(spark, path, parts[2], "g", "key")
+    update_kmv_store(spark, path, parts[1], "g", "key")
+    update_kmv_store(spark, path, parts[2], "g", "key")  # replay
+    update_kmv_store(spark, path, parts[3], "g", "key")
+    got = {
+        (r["g"], r["n_kept"], r["est"])
+        for r in read_kmv_estimates(spark, path).collect()
+    }
+    direct = {
+        (r["g"], r["n_kept"], r["est"])
+        for r in kmv_estimates(kmv_rows(df, "g", "key", k), k).collect()
+    }
+    assert got == direct
+    # state bounded at k per group, and the kept rows are exactly the
+    # k smallest hashes (deterministic distinct sample)
+    state = read_kmv_state(spark, path)
+    per_g = {
+        r["g"]: r["n"] for r in state.groupBy("g").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert all(n == k for n in per_g.values())
+
+
+def test_kmv_exact_below_saturation(spark, tmp_path):
+    from sqltask_spark.operators.sketch_store import (
+        create_kmv_store,
+        read_kmv_estimates,
+        update_kmv_store,
+    )
+
+    df1 = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", "x")], ["g", "key"]
+    )
+    df2 = spark.createDataFrame(
+        [("a", "y"), ("a", "z"), ("b", "x")], ["g", "key"]
+    )
+    path = str(tmp_path / "kmv")
+    create_kmv_store(df1, path, "g", "key", k=64)
+    update_kmv_store(spark, path, df2, "g", "key")
+    got = {
+        (r["g"], r["n_kept"], r["est"])
+        for r in read_kmv_estimates(spark, path).collect()
+    }
+    # below k the estimate IS the exact distinct count
+    assert got == {("a", 3, 3), ("b", 1, 1)}
+
+
+def test_kmv_estimator_accuracy(spark):
+    """KMV error is ~1/sqrt(k); at k=256 over 10k distinct keys the
+    estimate must land within 20%."""
+    from sqltask_spark.operators.sketch_store import (
+        kmv_estimates,
+        kmv_rows,
+    )
+
+    n = 10_000
+    df = spark.createDataFrame(
+        [("g", f"key-{i}") for i in range(n)], ["g", "key"]
+    )
+    est = kmv_estimates(kmv_rows(df, "g", "key", 256), 256).first()["est"]
+    assert abs(est - n) / n < 0.20
+
+
+def test_kmv_set_estimates_exact_when_unsaturated(spark):
+    """With both groups under k, the union window is the whole union:
+    n_common and the estimates are EXACT set sizes."""
+    from sqltask_spark.operators.sketch_store import (
+        kmv_rows,
+        kmv_set_estimates,
+    )
+
+    rows = [("a", f"k{i}") for i in range(10)] + [
+        ("b", f"k{i}") for i in range(5, 20)
+    ]
+    df = spark.createDataFrame(rows, ["g", "key"])
+    got = kmv_set_estimates(kmv_rows(df, "g", "key", 64), 64).collect()
+    assert len(got) == 1
+    r = got[0]
+    # |a|=10, |b|=15, overlap {k5..k9}=5, union=20
+    assert (r["g1"], r["g2"]) == ("a", "b")
+    assert r["n_common"] == 5
+    assert r["union_est"] == 20
+    assert r["inter_est"] == 5
+
+
+def test_kmv_set_estimates_saturated_accuracy(spark):
+    """Saturated regime: jaccard/intersection estimates within 25%
+    on a 50% planted overlap."""
+    from sqltask_spark.operators.sketch_store import (
+        kmv_rows,
+        kmv_set_estimates,
+    )
+
+    n = 4000
+    rows = [("a", f"k{i}") for i in range(n)] + [
+        ("b", f"k{i}") for i in range(n // 2, n + n // 2)
+    ]
+    df = spark.createDataFrame(rows, ["g", "key"])
+    r = kmv_set_estimates(kmv_rows(df, "g", "key", 256), 256).first()
+    true_union, true_inter = n + n // 2, n // 2
+    assert abs(r["union_est"] - true_union) / true_union < 0.25
+    assert abs(r["inter_est"] - true_inter) / true_inter < 0.25
+
+
+def test_kmv_frozen_k_and_time_travel(spark, tmp_path):
+    from sqltask_spark.operators.sketch_store import (
+        create_kmv_store,
+        read_kmv_estimates,
+        read_kmv_k,
+        update_kmv_store,
+    )
+
+    df1 = spark.createDataFrame(
+        [("a", f"k{i}") for i in range(30)], ["g", "key"]
+    )
+    df2 = spark.createDataFrame(
+        [("a", f"m{i}") for i in range(30)], ["g", "key"]
+    )
+    path = str(tmp_path / "kmv")
+    create_kmv_store(df1, path, "g", "key", k=8)
+    before = read_kmv_estimates(spark, path).first()["est"]
+    update_kmv_store(spark, path, df2, "g", "key")
+    after = read_kmv_estimates(spark, path).first()["est"]
+    assert read_kmv_k(spark, path) == 8
+    # version 0 still serves the pre-fold estimate
+    assert read_kmv_estimates(spark, path, as_of=0).first()["est"] == before
+    assert after != before

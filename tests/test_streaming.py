@@ -2042,3 +2042,71 @@ def test_cm_and_mg_store_sinks_exactly_once(spark, tmp_path):
     for r in read_mg_topk(spark, mstore).collect():
         t = exact.get((r["g"], r["item"]), 0)
         assert r["cnt_lo"] <= t <= r["cnt_hi"]
+
+
+def test_kmv_store_sink_stream_replay_converges(spark, sf_dir, tmp_path):
+    """KMV streaming ingest: two epochs fold bottom-k states into the
+    persistent store; a full replay from a fresh checkpoint converges
+    to the IDENTICAL state with no ledger (bottom-k of unions is
+    idempotent + commutative), and the final estimates equal a direct
+    batch sketch over all streamed docs."""
+    from sqltask_spark.operators.sketch_store import (
+        kmv_estimates,
+        kmv_rows,
+        read_kmv_estimates,
+        read_kmv_state,
+    )
+    from sqltask_spark.operators.text import fingerprint_md5
+    from sqltask_spark.streaming.corpus import kmv_store_sink
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "source", "text")
+        .limit(200)
+        .cache()
+    )
+    src = tmp_path / "kmv_stream_in"
+    for i in range(2):
+        docs.filter(F.col("doc_id") % 2 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+    store = str(tmp_path / "kmv_stream_store")
+
+    def run_stream():
+        q = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .writeStream.foreachBatch(
+                kmv_store_sink(store, "source", "text", k=8)
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_stream()
+
+    def snap():
+        ests = sorted(
+            tuple(r) for r in read_kmv_estimates(spark, store).collect()
+        )
+        state = sorted(
+            tuple(r) for r in read_kmv_state(spark, store).collect()
+        )
+        return ests, state
+
+    got = snap()
+    run_stream()  # fresh checkpoint, full replay — must be a no-op
+    assert snap() == got
+    direct = kmv_estimates(
+        kmv_rows(
+            docs.select(
+                "source", fingerprint_md5(F.col("text")).alias("fp")
+            ),
+            "source", "fp", 8,
+        ),
+        8,
+    )
+    assert got[0] == sorted(tuple(r) for r in direct.collect())
