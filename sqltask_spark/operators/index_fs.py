@@ -162,6 +162,14 @@ def commit_manifest(
     """
     payload = dict(data)
     payload.pop("_seq", None)
+    # wall-clock commit stamp for TIMESTAMP-AS-OF reads
+    # (:func:`seq_at_timestamp`). Set HERE, at publish, so the
+    # carry-forward rule (mutations spread every prior key) can never
+    # propagate a stale stamp; seq order stays the authoritative
+    # history, the stamp is the advisory wall-clock axis.
+    import time
+
+    payload["_committed_at"] = int(time.time() * 1000)
     fs, _ = _fs(spark, path)
     jvm = spark._jvm
     jp = jvm.org.apache.hadoop.fs.Path(
@@ -486,3 +494,31 @@ def sweep_orphans(
             delete_path(spark, f"{parent}/{name}")
             swept.append(name)
     return swept
+
+
+def seq_at_timestamp(
+    spark: SparkSession, path: str, ts_millis: int
+) -> int:
+    """TIMESTAMP-AS-OF resolution: the newest committed sequence whose
+    ``_committed_at`` stamp is <= ``ts_millis`` (epoch millis).
+
+    Sequence order is the authoritative history; the wall-clock stamp
+    is advisory (single-writer contract, but clocks can step), so the
+    scan walks seqs NEWEST-FIRST and returns the first one stamped at
+    or before the cutoff — under a backwards clock step this picks the
+    latest version a reader at that wall time could have seen, never
+    an older one resurrected by the skew. Manifests from before the
+    stamp existed (no ``_committed_at``) cannot prove their time and
+    are skipped; if NO manifest qualifies the error is loud, exactly
+    like a vacuumed ``as_of`` version."""
+    manifests = read_all_manifests(spark, path)
+    if not manifests:
+        raise ValueError(f"no committed table at {path}")
+    for m in sorted(manifests, key=lambda m: -int(m["_seq"])):
+        at = m.get("_committed_at")
+        if at is not None and int(at) <= int(ts_millis):
+            return int(m["_seq"])
+    raise ValueError(
+        f"no version of {path} committed at or before {ts_millis}"
+        " (older manifests may be vacuumed or predate commit stamps)"
+    )

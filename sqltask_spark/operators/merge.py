@@ -220,11 +220,20 @@ def create_parquet_table(
 
 
 def read_parquet_table(
-    spark: SparkSession, path: str, as_of: int | None = None
+    spark: SparkSession,
+    path: str,
+    as_of: int | None = None,
+    as_of_ts: int | None = None,
 ) -> DataFrame:
-    """The committed table state — newest, or the exact manifest
+    """The committed table state — newest, the exact manifest
     ``as_of`` (time travel; raises when that version was vacuumed or
-    never existed)."""
+    never existed), or TIMESTAMP AS OF ``as_of_ts`` (epoch millis —
+    resolved to the newest version committed at or before that wall
+    time via the manifests' ``_committed_at`` stamps)."""
+    if as_of is not None and as_of_ts is not None:
+        raise ValueError("pass as_of or as_of_ts, not both")
+    if as_of_ts is not None:
+        as_of = index_fs.seq_at_timestamp(spark, path, as_of_ts)
     if as_of is None:
         m = index_fs.read_manifest(spark, path)
         if m is None:

@@ -624,3 +624,49 @@ def test_batch_ledger_trim_bounded_and_convergent(spark, tmp_path):
     )
     assert got["skipped"] is False
     assert set(_rows(read_parquet_table(spark, path))) == state
+
+
+def test_timestamp_as_of_read(spark, tmp_path):
+    """TIMESTAMP AS OF: every manifest publish stamps _committed_at;
+    a wall-clock read resolves to the newest version committed at or
+    before the cutoff, errors loudly before history began, and
+    refuses ambiguous double-travel arguments."""
+    import time
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sqltask_spark.operators import index_fs
+    from sqltask_spark.operators.merge import (
+        create_parquet_table,
+        merge_into_parquet,
+        read_parquet_table,
+    )
+
+    path = str(tmp_path / "t")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    create_parquet_table(df1, path)
+    t0 = index_fs.read_manifest(spark, path)["_committed_at"]
+    time.sleep(0.05)
+    df2 = spark.createDataFrame([(2, "B"), (3, "c")], ["id", "v"])
+    merge_into_parquet(spark, path, df2, ["id"], batch_id="b2")
+    t1 = index_fs.read_manifest(spark, path)["_committed_at"]
+    assert t1 >= t0
+
+    def rows(**kw):
+        return sorted(
+            tuple(r)
+            for r in read_parquet_table(spark, path, **kw)
+            .select("id", "v").collect()
+        )
+
+    # between the two commits → version 0 state
+    assert rows(as_of_ts=t0) == [(1, "a"), (2, "b")]
+    # at/after the merge → merged state
+    assert rows(as_of_ts=t1) == [(1, "a"), (2, "B"), (3, "c")]
+    assert rows(as_of_ts=t1 + 10_000) == rows()
+    # before history began → loud
+    with pytest.raises(ValueError, match="committed at or before"):
+        read_parquet_table(spark, path, as_of_ts=t0 - 60_000)
+    with pytest.raises(ValueError, match="not both"):
+        read_parquet_table(spark, path, as_of=0, as_of_ts=t0)
