@@ -112,6 +112,14 @@ HEADLINE = [
     # the persistent MG heavy-hitters certificate
     "table_point_lookup",
     "incremental_heavy_hitters",
+    # r12 additions: the fuzzy join (deletion-neighborhood blocking +
+    # JVM levenshtein verify — shuffle/codegen mixed; customer ED1 is
+    # the pair-heavy probe, part ED2 the value-space rollup), the KMV
+    # sketch set-operation probe, and the KMV incremental certificate
+    "fuzzy_pairs_customer_ed1",
+    "fuzzy_degree_part_ed2",
+    "source_overlap_kmv",
+    "incremental_source_distinct_kmv",
 ]
 
 # Probe-class tags (r8 judge "what's wrong #2"): the three calibration
@@ -145,6 +153,7 @@ CERTIFICATE = frozenset({
     "incremental_contamination_bloom",
     "incremental_length_quantiles",
     "incremental_heavy_hitters",
+    "incremental_source_distinct_kmv",
 })
 
 CLASS_OF = {
@@ -168,6 +177,8 @@ CLASS_OF = {
         "scd2_user_state", "bpe_learn_distributed",
         "corpus_index_sync_loop", "corpus_stream_index_sync",
         "incremental_length_quantiles",
+        "fuzzy_pairs_customer_ed1", "fuzzy_degree_part_ed2",
+        "source_overlap_kmv", "incremental_source_distinct_kmv",
     )},
 }
 
@@ -544,8 +555,32 @@ def main() -> None:
             k: round(v, 1) for k, v in record["queries"].items()
         }
         line = json.dumps(record, **compact)
+    # r12, 66 entries: the names ALONE are ~1.7k, so no precision can
+    # fit every entry. Shed the remaining derivable scalars
+    # (value_normalized = value / factor; subtotals to whole seconds),
+    # then fold the FASTEST entries — ascending, sub-second noise
+    # floor first — into one "_fast_tail" aggregate {n, wall} until
+    # the line fits. The slow entries, the only ones whose deltas are
+    # distinguishable from host variance, keep per-entry times
+    # forever; the folded names and their 3dp times stay on the
+    # queries_normalized sidecar line and in the round NOTES table.
     if len(line) > 1800:
-        record.pop("queries", None)
+        record.pop("value_normalized", None)
+        for k in ("engine_wall", "certificate_wall"):
+            if k in record:
+                record[k] = round(record[k])
+        line = json.dumps(record, **compact)
+    while len(line) > 1800 and len(record["queries"]) > 1:
+        q = record["queries"]
+        tail = q.pop("_fast_tail", {"n": 0, "wall": 0.0})
+        fastest = min(
+            (k for k in q if k != "_fast_tail"), key=lambda k: q[k]
+        )
+        tail = {
+            "n": tail["n"] + 1,
+            "wall": round(tail["wall"] + q.pop(fastest), 1),
+        }
+        q["_fast_tail"] = tail
         line = json.dumps(record, **compact)
     print(line)
 
