@@ -1143,6 +1143,89 @@ FROM groups GROUP BY event_type ORDER BY event_type
 """
 
 
+def event_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier census: median / median-absolute-
+    deviation fences (the MAD is the robust sigma — a 3·MAD fence
+    survives the heavy tails that wreck mean±3σ). Both medians are
+    DISCRETE (the value at rank ceil(n/2) of the sorted multiset —
+    a data value, never an interpolation), so every double in the
+    output is either stored data or a single IEEE op on stored data
+    and the oracle matches bit-for-bit."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    grp = Window.partitionBy("event_type")
+
+    def disc_median(df: DataFrame, col: str, out: str) -> DataFrame:
+        ranked = df.select("event_type", col).withColumn(
+            "_rn", F.row_number().over(grp.orderBy(col))
+        ).withColumn("_n", F.count(F.lit(1)).over(grp))
+        return ranked.filter(
+            F.col("_rn") == F.ceil(F.col("_n") / 2)
+        ).select("event_type", F.col(col).alias(out))
+
+    med = disc_median(ev, "value", "med")
+    dev = ev.join(med, "event_type").withColumn(
+        "dev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = disc_median(dev, "dev", "mad")
+    return (
+        dev.join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                (
+                    (F.col("value") < F.col("med") - 3 * F.col("mad"))
+                    | (F.col("value") > F.col("med") + 3 * F.col("mad"))
+                ).cast("long")
+            ).cast("long").alias("n_outliers"),
+        )
+    )
+
+
+_MAD_SQL = """
+WITH v AS (
+    SELECT event_type, value FROM events WHERE value IS NOT NULL
+), r AS (
+    SELECT event_type, value,
+           row_number() OVER (PARTITION BY event_type ORDER BY value)
+               AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM v
+), med AS (
+    SELECT event_type, value AS med FROM r
+    WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
+), d AS (
+    SELECT v.event_type, v.value, med.med,
+           abs(v.value - med.med) AS dev
+    FROM v JOIN med USING (event_type)
+), r2 AS (
+    SELECT event_type, dev,
+           row_number() OVER (PARTITION BY event_type ORDER BY dev)
+               AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM d
+), mad AS (
+    SELECT event_type, dev AS mad FROM r2
+    WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
+)
+SELECT d.event_type,
+       min(d.med) AS med,
+       min(mad.mad) AS mad,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN d.value < d.med - 3 * mad.mad
+                       OR d.value > d.med + 3 * mad.mad
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM d JOIN mad USING (event_type)
+GROUP BY d.event_type
+"""
+
+
 QUERIES = {
     "sessionize_events": sessionize_events,
     "funnel_conversion": funnel_conversion,
@@ -1151,6 +1234,7 @@ QUERIES = {
     "retention_cohorts": retention_cohorts,
     "resample_fill_events": resample_fill_events,
     "winsorized_event_stats": winsorized_event_stats,
+    "event_value_mad_outliers": event_value_mad_outliers,
     "tumbling_events": tumbling_events,
     "pivot_user_event_counts": pivot_user_event_counts,
     "asof_click_purchase": asof_click_purchase,
@@ -1172,6 +1256,7 @@ ORACLES = {
     "retention_cohorts": _RETENTION_SQL,
     "resample_fill_events": _RESAMPLE_SQL,
     "winsorized_event_stats": _WINSOR_SQL,
+    "event_value_mad_outliers": _MAD_SQL,
     "tumbling_events": _TUMBLING_SQL,
     "pivot_user_event_counts": _PIVOT_SQL,
     "asof_click_purchase": _ASOF_SQL,

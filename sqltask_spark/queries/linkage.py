@@ -132,3 +132,43 @@ ORACLES = {
         WHERE levenshtein(a.head, b.head) <= 2
     """,
 }
+
+
+def fuzzy_trgm_pairs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram-Jaccard linkage on part names (value space, milli
+    units): catches shared-content pairs edit distance ranks far
+    apart (word swaps / shared words), the set-similarity complement
+    of the ED entries. Exact — shared-trigram blocking is complete
+    for any positive threshold."""
+    from sqltask_spark.operators.linkage import trigram_value_pairs
+
+    part = load_table(spark, sf_dir, "part")
+    return trigram_value_pairs(part, "p_name", min_jaccard_milli=400)
+
+
+QUERIES["fuzzy_trgm_pairs_part"] = fuzzy_trgm_pairs_part
+
+ORACLES["fuzzy_trgm_pairs_part"] = """
+WITH vals AS (
+    SELECT p_name AS s, CAST(count(*) AS BIGINT) AS n
+    FROM part GROUP BY p_name
+), tg AS (
+    SELECT DISTINCT s, substr(s, CAST(i AS INT), 3) AS t
+    FROM vals, unnest(generate_series(1, length(s) - 2)) AS u(i)
+), cnt AS (
+    SELECT s, count(*) AS ntg FROM tg GROUP BY s
+), common AS (
+    SELECT a.s AS a_s, b.s AS b_s, count(*) AS c
+    FROM tg a JOIN tg b ON a.t = b.t AND a.s < b.s
+    GROUP BY 1, 2
+)
+SELECT a_s, va.n AS a_n, b_s, vb.n AS b_n,
+       CAST((1000 * c) // (ca.ntg + cb.ntg - c) AS BIGINT)
+           AS jacc_milli
+FROM common
+JOIN cnt ca ON ca.s = a_s
+JOIN cnt cb ON cb.s = b_s
+JOIN vals va ON va.s = a_s
+JOIN vals vb ON vb.s = b_s
+WHERE (1000 * c) // (ca.ntg + cb.ntg - c) >= 400
+"""

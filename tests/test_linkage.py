@@ -144,3 +144,61 @@ def test_linkage_plan_stays_jvm(spark):
     ).executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_trigram_value_pairs_exact(spark):
+    from sqltask_spark.operators.linkage import trigram_value_pairs
+
+    rows = (
+        [(i, "red widget") for i in range(3)]
+        + [(10, "red wing"), (11, "widget red"), (12, "zzz"), (13, "ab")]
+    )
+    df = spark.createDataFrame(rows, ["id", "s"])
+
+    def tgs(s):
+        return {s[i:i + 3] for i in range(len(s) - 2)}
+
+    def jm(a, b):
+        c = len(tgs(a) & tgs(b))
+        return (1000 * c) // len(tgs(a) | tgs(b)) if c else 0
+
+    got = {
+        (r["a_s"], r["a_n"], r["b_s"], r["b_n"], r["jacc_milli"])
+        for r in trigram_value_pairs(df, "s", min_jaccard_milli=1).collect()
+    }
+    names = {"red widget": 3, "red wing": 1, "widget red": 1, "zzz": 1}
+    want = set()
+    for a in names:
+        for b in names:
+            if a < b and jm(a, b) >= 1:
+                want.add((a, names[a], b, names[b], jm(a, b)))
+    assert got == want
+    # word-swap pair ranks HIGH by trigram jaccard (shared content)
+    # while its edit distance is large — the complementary signal
+    swap = next(
+        r for r in got if {r[0], r[2]} == {"red widget", "widget red"}
+    )
+    assert swap[4] >= 400  # 5 shared of 11 union trigrams = 454
+    # <3-char values have no trigrams and never pair
+    assert not any("ab" in (r[0], r[2]) for r in got)
+
+
+def test_trigram_max_block_stop_grams(spark):
+    from sqltask_spark.operators.linkage import trigram_value_pairs
+
+    # the four filler values share ONLY the grams from their 'xxxx '
+    # prefix (each in 4 values > cap 3 → dropped), so capping kills
+    # every filler pair, while the near-identical pair sharing rare
+    # grams (count 2 <= cap) survives
+    rows = [
+        (1, "xxxx abc"), (2, "xxxx def"), (3, "xxxx ghi"),
+        (4, "xxxx jkl"), (5, "qrstu aax"), (6, "qrstu aay"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "s"])
+    got = {
+        (r["a_s"], r["b_s"])
+        for r in trigram_value_pairs(
+            df, "s", min_jaccard_milli=1, max_block=3
+        ).collect()
+    }
+    assert got == {("qrstu aax", "qrstu aay")}
