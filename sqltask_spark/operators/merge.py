@@ -259,6 +259,7 @@ def read_parquet_table_keys(
     path: str,
     keys: list,
     as_of: int | None = None,
+    as_of_ts: int | None = None,
 ) -> DataFrame:
     """Point-lookup read: the committed rows whose ``stats_col``
     value is in ``keys``, scanning ONLY the files the manifest's
@@ -274,7 +275,15 @@ def read_parquet_table_keys(
     :func:`read_parquet_table` — that is a different query shape).
     Requires the table to declare ``stats_col``
     (:func:`create_parquet_table`); correctness never depends on the
-    stats — files without statistics stay candidates."""
+    stats — files without statistics stay candidates.
+
+    ``as_of`` / ``as_of_ts`` time-travel exactly as in
+    :func:`read_parquet_table` ("what was this user's row yesterday"
+    — the wall-clock axis matters most on serving state)."""
+    if as_of is not None and as_of_ts is not None:
+        raise ValueError("pass as_of or as_of_ts, not both")
+    if as_of_ts is not None:
+        as_of = index_fs.seq_at_timestamp(spark, path, as_of_ts)
     if as_of is None:
         m = index_fs.read_manifest(spark, path)
         if m is None:

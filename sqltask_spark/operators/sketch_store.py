@@ -1173,6 +1173,13 @@ def mg_saturation(
 # Everything is exact integers over the md5 hex prefix — the same
 # engine-portability discipline as every sketch here, which is what
 # lets the incremental store hash-match a direct DuckDB computation.
+#
+# Unlike the Bloom store (fill factor) and the histogram store
+# (top-bucket saturation), KMV has NO saturation failure mode: the
+# relative error stays ~1/sqrt(k) at ANY cardinality, so this family
+# member needs no drift monitor and no rebuild-bigger arm — freeze k
+# once from the accuracy target and the store is maintenance-free
+# forever (vacuum/retention aside).
 
 _KMV_META_GROUP = "__KMV_META__"
 _KMV_HEX = 12  # 48-bit hash: ('0x' || prefix)::BIGINT in DuckDB,

@@ -1040,3 +1040,75 @@ def kmv_store_sink(
             )
 
     return ingest
+
+
+def fuzzy_screen_sink(
+    blocklist: DataFrame,
+    table_path: str,
+    id_col: str = "doc_id",
+    key_col: str = "head",
+    list_id_col: str = "term_id",
+    list_col: str = "term",
+    k: int = 1,
+    max_block: "int | None" = None,
+    app_id: str = "fuzzy-screen",
+):
+    """``foreachBatch`` sink screening a stream's key field against a
+    fuzzy blocklist (PII names, takedown titles, banned phrases that
+    arrive misspelled) and upserting the hits into a merge table —
+    the record-linkage operator (:func:`sqltask_spark.operators.
+    linkage.fuzzy_join`) wired into ingest.
+
+    Why a sink and not a stream-static join: the fuzzy join
+    deduplicates candidate pairs (an aggregation), which Structured
+    Streaming's append mode rejects without a watermark; foreachBatch
+    runs it as a plain batch join per epoch, which is also what keeps
+    the deletion-neighborhood blocking exact.
+
+    Exactly-once: the epoch rides the merge table's batch ledger
+    (``{app_id}:epoch-{id}#{content fingerprint}`` — the Delta
+    txnAppId pattern shared by every row-upsert sink here); hits are
+    keyed on (stream id, blocklist id), so a redelivered epoch skips
+    and a re-screen of the same document against the same term
+    upserts in place. ``blocklist`` is captured static per query
+    start — restart the query to pick up a new list version."""
+    from sqltask_spark.data import content_fingerprint
+    from sqltask_spark.operators import index_fs
+    from sqltask_spark.operators.linkage import fuzzy_join
+    from sqltask_spark.operators.merge import (
+        create_parquet_table,
+        merge_into_parquet,
+    )
+
+    def screen(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        hits = fuzzy_join(
+            batch_df,
+            blocklist,
+            (id_col, key_col),
+            (list_id_col, list_col),
+            k=k,
+            max_block=max_block,
+        ).select(
+            F.col("a_id").alias("stream_id"),
+            F.col("b_id").alias("term_id"),
+            F.col("a_s").alias("matched_key"),
+            F.col("b_s").alias("term"),
+            F.col("dist").cast("long").alias("dist"),
+        )
+        fingerprint = content_fingerprint(
+            batch_df.select(id_col, key_col), [id_col, key_col]
+        )
+        ledger_id = f"{app_id}:epoch-{epoch_id}#{fingerprint}"
+        if index_fs.read_manifest(spark, table_path) is None:
+            create_parquet_table(
+                hits, table_path, batch_id=ledger_id,
+                stats_col="stream_id",
+            )
+        else:
+            merge_into_parquet(
+                spark, table_path, hits,
+                ["stream_id", "term_id"], batch_id=ledger_id,
+            )
+
+    return screen

@@ -670,3 +670,40 @@ def test_timestamp_as_of_read(spark, tmp_path):
         read_parquet_table(spark, path, as_of_ts=t0 - 60_000)
     with pytest.raises(ValueError, match="not both"):
         read_parquet_table(spark, path, as_of=0, as_of_ts=t0)
+
+
+def test_point_lookup_timestamp_as_of(spark, tmp_path):
+    """Serving-state wall-clock travel: 'what was this key's row
+    yesterday' through read_parquet_table_keys(as_of_ts=...)."""
+    import time
+
+    import pytest
+
+    from sqltask_spark.operators.merge import read_parquet_table_keys
+
+    path = str(tmp_path / "t_keys_ts")
+    create_parquet_table(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "k long, v string"
+        ),
+        path, stats_col="k",
+    )
+    t0 = index_fs.read_manifest(spark, path)["_committed_at"]
+    time.sleep(0.05)
+    merge_into_parquet(
+        spark, path,
+        spark.createDataFrame([(2, "B2")], "k long, v string"),
+        ["k"], batch_id="b2",
+    )
+    assert [
+        tuple(r)
+        for r in read_parquet_table_keys(
+            spark, path, [2], as_of_ts=t0
+        ).collect()
+    ] == [(2, "b")]
+    assert [
+        tuple(r)
+        for r in read_parquet_table_keys(spark, path, [2]).collect()
+    ] == [(2, "B2")]
+    with pytest.raises(ValueError, match="not both"):
+        read_parquet_table_keys(spark, path, [2], as_of=0, as_of_ts=t0)

@@ -2110,3 +2110,70 @@ def test_kmv_store_sink_stream_replay_converges(spark, sf_dir, tmp_path):
         8,
     )
     assert got[0] == sorted(tuple(r) for r in direct.collect())
+
+
+def test_fuzzy_screen_sink_exactly_once(spark, tmp_path):
+    """Streaming fuzzy blocklist screen: hits across two epochs equal
+    the batch fuzzy_join over all streamed rows; a full replay from a
+    fresh checkpoint is ledger-skipped (manifest seq unchanged)."""
+    from sqltask_spark.operators import index_fs
+    from sqltask_spark.operators.linkage import fuzzy_join
+    from sqltask_spark.operators.merge import read_parquet_table
+    from sqltask_spark.streaming.corpus import fuzzy_screen_sink
+
+    rows = [
+        (1, "john smith"), (2, "jon smith"), (3, "alice jones"),
+        (4, "bob brown"), (5, "jane doe"), (6, "john smyth"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "head"])
+    blocklist = spark.createDataFrame(
+        [(100, "john smith"), (200, "jane doe")],
+        ["term_id", "term"],
+    )
+    src = tmp_path / "fuzzy_in"
+    for i in range(2):
+        docs.filter(F.col("doc_id") % 2 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+    out = str(tmp_path / "fuzzy_hits")
+
+    def run_stream():
+        q = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .writeStream.foreachBatch(
+                fuzzy_screen_sink(
+                    blocklist, out, id_col="doc_id", key_col="head",
+                    k=1,
+                )
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_stream()
+    got = {
+        (r["stream_id"], r["term_id"], r["dist"])
+        for r in read_parquet_table(spark, out).collect()
+    }
+    want = {
+        (r["a_id"], r["b_id"], r["dist"])
+        for r in fuzzy_join(
+            docs, blocklist, ("doc_id", "head"), ("term_id", "term"),
+            k=1,
+        ).collect()
+    }
+    assert got == want
+    # exact match + the two ED1 misspellings of 'john smith'
+    assert (1, 100, 0) in got and (2, 100, 1) in got
+    assert (6, 100, 1) in got and (5, 200, 0) in got
+    seq_before = index_fs.read_manifest(spark, out)["_seq"]
+    run_stream()  # fresh checkpoint — every epoch must ledger-skip
+    assert index_fs.read_manifest(spark, out)["_seq"] == seq_before
+    got2 = {
+        (r["stream_id"], r["term_id"], r["dist"])
+        for r in read_parquet_table(spark, out).collect()
+    }
+    assert got2 == got
