@@ -172,3 +172,52 @@ JOIN vals va ON va.s = a_s
 JOIN vals vb ON vb.s = b_s
 WHERE (1000 * c) // (ca.ntg + cb.ntg - c) >= 400
 """
+
+
+def entity_clusters_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END entity resolution: fuzzy ED1 pairs on customer
+    names → connected components → canonical survivor per entity
+    (smallest custkey). The classic record-linkage pipeline — match,
+    cluster, survive — each stage an already-audited operator
+    (deletion-neighborhood join; label-propagation components with a
+    loud round cap)."""
+    from sqltask_spark.operators.graph import cluster_documents
+
+    cust = load_table(spark, sf_dir, "customer")
+    pairs = fuzzy_self_join(cust, "c_custkey", "c_name", k=1).select(
+        F.col("a_id").cast("long").alias("id_a"),
+        F.col("b_id").cast("long").alias("id_b"),
+    )
+    return cluster_documents(pairs).select(
+        F.col("doc_id").cast("long").alias("c_custkey"),
+        F.col("cluster_id").cast("long").alias("entity_id"),
+        "is_canonical",
+    ).orderBy("c_custkey")
+
+
+QUERIES["entity_clusters_customer"] = entity_clusters_customer
+
+ORACLES["entity_clusters_customer"] = """
+WITH RECURSIVE pairs AS (
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+    FROM customer a JOIN customer b
+      ON a.c_custkey < b.c_custkey
+     AND abs(length(a.c_name) - length(b.c_name)) <= 1
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+), edges AS MATERIALIZED (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION
+    SELECT id_b AS u, id_a AS v FROM pairs
+), reach(u, v) AS (
+    SELECT u, u AS v FROM edges GROUP BY u
+    UNION
+    SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT
+    u AS c_custkey,
+    MIN(v) AS entity_id,
+    MIN(v) = u AS is_canonical
+FROM reach
+GROUP BY u
+ORDER BY c_custkey
+"""
