@@ -1101,10 +1101,13 @@ def fuzzy_screen_sink(
         )
         ledger_id = f"{app_id}:epoch-{epoch_id}#{fingerprint}"
         if index_fs.read_manifest(spark, table_path) is None:
-            create_parquet_table(
-                hits, table_path, batch_id=ledger_id,
-                stats_col="stream_id",
-            )
+            # NO stats_col: the hits key is the COMPOSITE
+            # (stream_id, term_id) — a doc matching two terms
+            # legitimately repeats stream_id, which the create-time
+            # single-column uniqueness check would wrongly reject.
+            # The hits relation is pair-bounded; file pruning is not
+            # the constraint here.
+            create_parquet_table(hits, table_path, batch_id=ledger_id)
         else:
             merge_into_parquet(
                 spark, table_path, hits,

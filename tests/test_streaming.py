@@ -2127,7 +2127,11 @@ def test_fuzzy_screen_sink_exactly_once(spark, tmp_path):
     ]
     docs = spark.createDataFrame(rows, ["doc_id", "head"])
     blocklist = spark.createDataFrame(
-        [(100, "john smith"), (200, "jane doe")],
+        # 'jon smith' (first epoch) is ED1 from BOTH 'john smith' and
+        # 'joan smith' — the create path must accept the repeated
+        # stream_id (composite key), not enforce single-column
+        # uniqueness
+        [(100, "john smith"), (200, "jane doe"), (300, "joan smith")],
         ["term_id", "term"],
     )
     src = tmp_path / "fuzzy_in"
@@ -2169,6 +2173,8 @@ def test_fuzzy_screen_sink_exactly_once(spark, tmp_path):
     # exact match + the two ED1 misspellings of 'john smith'
     assert (1, 100, 0) in got and (2, 100, 1) in got
     assert (6, 100, 1) in got and (5, 200, 0) in got
+    # the double match: one doc, two blocklist terms
+    assert (2, 300, 1) in got
     seq_before = index_fs.read_manifest(spark, out)["_seq"]
     run_stream()  # fresh checkpoint — every epoch must ledger-skip
     assert index_fs.read_manifest(spark, out)["_seq"] == seq_before
