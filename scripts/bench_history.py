@@ -38,6 +38,13 @@ CARRY = (
     "class_wall",
     "class_wall_normalized",
     "sf",
+    # r12: the engine/certificate subtotal split (VERDICT r11 #5) —
+    # carried verbatim; the queries dict may also hold the
+    # "_fast_tail" {n, wall} fold (sub-noise-floor entries summed to
+    # fit the driver's 1800-char stdout window), which rides along
+    # like any other key
+    "engine_wall",
+    "certificate_wall",
     "queries",
 )
 
