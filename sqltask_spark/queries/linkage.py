@@ -221,3 +221,82 @@ FROM reach
 GROUP BY u
 ORDER BY c_custkey
 """
+
+
+def entity_balance_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-adjusted aggregation — the query entity resolution
+    exists FOR: account balance totals per resolved entity instead of
+    per raw record, so near-duplicate customers stop double-counting.
+
+    Matches are BLOCKED on nation (the textbook practice, and what
+    keeps transitive closure from percolating: unblocked ED1 on dense
+    sequential ids merges the whole table into ONE entity — the
+    over-merge failure mode this entry demonstrates the fix for).
+    Decimal-exact sums (the sessionize discipline) keep the double
+    output order-independent and engine-identical."""
+    from sqltask_spark.operators.graph import cluster_documents
+
+    cust = load_table(spark, sf_dir, "customer")
+    nat_a = cust.select(
+        F.col("c_custkey").alias("a_id"),
+        F.col("c_nationkey").alias("_na"),
+    )
+    nat_b = cust.select(
+        F.col("c_custkey").alias("b_id"),
+        F.col("c_nationkey").alias("_nb"),
+    )
+    pairs = (
+        fuzzy_self_join(cust, "c_custkey", "c_name", k=1)
+        .join(nat_a, "a_id")
+        .join(nat_b, "b_id")
+        .filter(F.col("_na") == F.col("_nb"))
+        .select(
+            F.col("a_id").cast("long").alias("id_a"),
+            F.col("b_id").cast("long").alias("id_b"),
+        )
+    )
+    clusters = cluster_documents(pairs).select(
+        F.col("doc_id").alias("c_custkey"),
+        F.col("cluster_id").alias("entity_id"),
+    )
+    return (
+        cust.join(clusters, "c_custkey")
+        .groupBy(F.col("entity_id").cast("long").alias("entity_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_acctbal"),
+        )
+    )
+
+
+QUERIES["entity_balance_rollup"] = entity_balance_rollup
+
+ORACLES["entity_balance_rollup"] = """
+WITH RECURSIVE pairs AS (
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+    FROM customer a JOIN customer b
+      ON a.c_custkey < b.c_custkey
+     AND a.c_nationkey = b.c_nationkey
+     AND abs(length(a.c_name) - length(b.c_name)) <= 1
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+), edges AS MATERIALIZED (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION
+    SELECT id_b AS u, id_a AS v FROM pairs
+), reach(u, v) AS (
+    SELECT u, u AS v FROM edges GROUP BY u
+    UNION
+    SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+), clusters AS (
+    SELECT u AS c_custkey, MIN(v) AS entity_id FROM reach GROUP BY u
+)
+SELECT
+    CAST(c.entity_id AS BIGINT) AS entity_id,
+    CAST(count(*) AS BIGINT) AS n_members,
+    CAST(SUM(CAST(cu.c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+        AS total_acctbal
+FROM clusters c JOIN customer cu USING (c_custkey)
+GROUP BY c.entity_id
+"""
