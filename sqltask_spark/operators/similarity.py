@@ -68,6 +68,137 @@ def cosine_prenormed(a: Column, b: Column, na: Column, nb: Column) -> Column:
     return F.when(denom != 0, dot(a, b) / denom)
 
 
+#: Two-phase brute-force engages only past this many query × corpus
+#: pairs: below it the BLAS prefilter's fixed costs (one Arrow pass,
+#: one extra corpus-count job) exceed what it saves; above it the
+#: interpreted per-pair fold dominates and the prefilter removes
+#: ~99% of it (guide §8: decide with a cheap proxy, verify exactly).
+BRUTE_PREFILTER_MIN_PAIRS = 4_000_000
+
+#: Conservative score slack for the approximate phase. The numpy
+#: float64 matmul and the JVM's sequential fold compute the same
+#: mathematical cosine with |Δ| bounded by ~dim·eps ≈ 1e-13 for
+#: unit-scale embeddings; any candidate whose EXACT rounded score
+#: could reach the top k therefore sits within one 1e-6 rounding
+#: quantum (+Δ) of the k-th approximate score. 1e-5 is 100× that
+#: bound — it only ever admits a few extra candidates to the exact
+#: verify, never drops a true member.
+_PREFILTER_MARGIN = 1e-5
+
+
+def _brute_candidate_pairs(
+    corpus: DataFrame,
+    corpus_id: str,
+    corpus_vec: str,
+    q_rows: list,
+    k: int,
+) -> DataFrame:
+    """Provably complete candidate superset of the exact top-k via a
+    vectorized approximate pass (guide §8's decide-with-small-rows).
+
+    One ``mapInArrow`` pass over the corpus computes every batch's
+    query×corpus cosine block with a BLAS matmul and keeps, per query
+    and batch, every candidate within :data:`_PREFILTER_MARGIN` of
+    the batch's k-th best approximate score (all of them when the
+    batch holds fewer than k). Containment proof: if a candidate c is
+    dropped, ≥ k candidates of the same batch beat its approximate
+    score by > margin ≥ one rounding quantum + 2·float-error, so
+    their EXACT rounded scores strictly beat c's — c cannot be in the
+    global top-k. NULL-score pairs (zero-norm on either side, ranked
+    NULLS LAST by neighbor id) are preserved by keeping the k
+    smallest-id zero-norm candidates per batch. Only (query_id,
+    neighbor_id) leave Python — every returned score is computed by
+    the exact JVM fold downstream, so results are bit-identical to
+    the single-phase plan.
+    """
+    import numpy as np
+
+    qids = [r[0] for r in q_rows]
+    qdim = len(q_rows[0][1])
+    q_mat = np.array(
+        [[float(x) for x in r[1]] for r in q_rows], dtype=np.float64
+    )
+    qn = np.linalg.norm(q_mat, axis=1)
+    qn_safe = np.where(qn == 0, 1.0, qn)
+    q_unit = q_mat / qn_safe[:, None]
+    margin = _PREFILTER_MARGIN
+
+    def gen(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            ids_arr = batch.column(0)
+            emb = batch.column(1)
+            n = len(ids_arr)
+            if n == 0:
+                continue
+            offsets = np.asarray(emb.offsets)
+            widths = np.diff(offsets)
+            ids = ids_arr.to_numpy(zero_copy_only=False)
+            # a corpus vector whose length differs from the query dim
+            # scores NULL under the exact fold (zip_with null-pads) —
+            # same NULLS-LAST class as zero-norm; matmul only the
+            # matching-width rows
+            match = widths == qdim
+            if match.all():
+                flat = np.asarray(emb.values, dtype=np.float64)
+                c_mat = flat[
+                    int(offsets[0]) : int(offsets[0]) + n * qdim
+                ].reshape(n, qdim)
+                m_ids = ids
+            else:
+                rows = emb.to_pylist()
+                m_ids = ids[match]
+                c_mat = np.array(
+                    [
+                        [float(x) for x in rows[i]]
+                        for i in range(n)
+                        if match[i]
+                    ],
+                    dtype=np.float64,
+                ).reshape(int(match.sum()), qdim)
+            cn = np.linalg.norm(c_mat, axis=1)
+            cn_safe = np.where(cn == 0, 1.0, cn)
+            sims = (c_mat / cn_safe[:, None]) @ q_unit.T  # (m, nq)
+            mismatch_ids = ids[~match] if not match.all() else ids[:0]
+            out_q, out_n = [], []
+            for j, qid in enumerate(qids):
+                not_self = m_ids != qid
+                if qn[j] == 0:
+                    null_ids = m_ids[not_self]
+                else:
+                    valid = not_self & (cn > 0)
+                    null_ids = m_ids[not_self & (cn == 0)]
+                    s = sims[valid, j]
+                    vid = m_ids[valid]
+                    if len(s) > k:
+                        kth = np.partition(s, -k)[-k]
+                        keep = s >= kth - margin
+                        vid = vid[keep]
+                    out_q.extend([qid] * len(vid))
+                    out_n.extend(vid.tolist())
+                if len(mismatch_ids):
+                    null_ids = np.concatenate(
+                        [null_ids, mismatch_ids[mismatch_ids != qid]]
+                    )
+                if len(null_ids):
+                    null_keep = np.sort(null_ids)[:k]
+                    out_q.extend([qid] * len(null_keep))
+                    out_n.extend(null_keep.tolist())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_q, type=ids_arr.type),
+                    pa.array(out_n, type=ids_arr.type),
+                ],
+                ["query_id", "neighbor_id"],
+            )
+
+    id_type = dict(corpus.dtypes)[corpus_id]
+    return corpus.select(corpus_id, corpus_vec).mapInArrow(
+        gen, f"query_id {id_type}, neighbor_id {id_type}"
+    )
+
+
 def cosine_topk_brute(
     queries: DataFrame,
     corpus: DataFrame,
@@ -77,12 +208,22 @@ def cosine_topk_brute(
     corpus_vec: str = "embedding",
     k: int = 10,
     round_digits: int = 6,
+    max_driver_queries: int | None = 8192,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query (self-matches excluded).
 
     Scores are rounded before ranking and tie-broken by corpus id, so
     the result set is fully deterministic and reproducible by any
     engine computing the same double arithmetic.
+
+    Past :data:`BRUTE_PREFILTER_MIN_PAIRS` query×corpus pairs (with a
+    query set small enough to collect — the same bound the IVF path
+    uses), the all-pairs interpreted fold is replaced by a two-phase
+    plan: a vectorized approximate pass selects a provably complete
+    candidate superset (:func:`_brute_candidate_pairs`) and ONLY those
+    pairs pay the exact JVM fold. Same result set, bit for bit — the
+    score every returned row carries is still the sequential-fold
+    double the oracle reproduces.
     """
     from sqltask_spark.data import ensure_min_partitions
 
@@ -94,6 +235,50 @@ def cosine_topk_brute(
         F.col(corpus_id).alias("neighbor_id"),
         as_double_array(F.col(corpus_vec)).alias("cv"),
     ).withColumn("cn", l2_norm(F.col("cv")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    q_rows = (
+        queries.select(query_id, query_vec)
+        .limit(max_driver_queries + 1)
+        .collect()
+        if max_driver_queries is not None
+        else None
+    )
+    # nq is known cheaply; the corpus count is one metadata-cheap job,
+    # paid only when the query side alone clears the bar. Ragged or
+    # empty query vectors (every score NULL / caller error) keep the
+    # single-phase plan.
+    if (
+        q_rows is not None
+        and 32 <= len(q_rows) <= max_driver_queries
+        and len({len(r[1]) for r in q_rows if r[1] is not None}) == 1
+        and all(r[1] is not None and len(r[1]) for r in q_rows)
+        and len(q_rows) * corpus.count() >= BRUTE_PREFILTER_MIN_PAIRS
+    ):
+        cand = _brute_candidate_pairs(
+            ensure_min_partitions(corpus), corpus_id, corpus_vec,
+            q_rows, k,
+        )
+        scored = (
+            c.join(F.broadcast(cand), "neighbor_id")
+            .join(F.broadcast(q), "query_id")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn(
+                "score",
+                F.round(
+                    cosine_prenormed(
+                        F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+                    ),
+                    round_digits,
+                ),
+            )
+            .drop("qv", "cv", "qn", "cn")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
@@ -106,9 +291,6 @@ def cosine_topk_brute(
             ),
         )
         .drop("qv", "cv", "qn", "cn")
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("score"), F.asc("neighbor_id")
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -265,6 +265,50 @@ def test_cosine_topk_brute(spark):
     assert ranked == [(1, 4), (2, 2)]
 
 
+def test_cosine_topk_brute_prefilter_identical(spark, monkeypatch):
+    """The two-phase (BLAS prefilter + exact verify) brute path must
+    be row-identical to the single-phase all-pairs plan — including
+    NULL-score classes (zero-norm, NULL and mismatched-length
+    vectors), duplicated vectors (score ties), and the id tie-break.
+    """
+    import sqltask_spark.operators.similarity as sim
+
+    rows = []
+    for i in range(400):
+        base = [((i * 37 + j * 11) % 19 - 9) / 9.0 for j in range(8)]
+        rows.append((i, base))
+    rows.append((400, [0.0] * 8))            # zero-norm corpus vector
+    rows.append((401, None))                 # NULL vector
+    rows.append((402, [1.0, 2.0]))           # mismatched length
+    rows += [(403 + i, rows[5][1]) for i in range(6)]  # exact ties
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    # query set: every 6th id plus the zero-norm vector; the
+    # mismatched-length row stays corpus-only (a ragged QUERY set
+    # falls back to the single-phase plan by design)
+    queries = corpus.filter(
+        ((F.col("vec_id") % 6 == 0) | (F.col("vec_id") == 400))
+        & (F.col("vec_id") != 402)
+    )
+
+    single = cosine_topk_brute(
+        queries, corpus, "vec_id", "vec_id", k=5,
+        max_driver_queries=None,
+    )
+    monkeypatch.setattr(sim, "BRUTE_PREFILTER_MIN_PAIRS", 100)
+    two_phase = cosine_topk_brute(
+        queries, corpus, "vec_id", "vec_id", k=5,
+    )
+
+    def key(r):
+        return (r["query_id"], r["rank"], r["neighbor_id"], r["score"])
+
+    a = sorted(map(key, single.collect()))
+    b = sorted(map(key, two_phase.collect()))
+    assert a == b and len(a) > 0
+
+
 def test_cosine_lsh_recall(spark, tables):
     emb = tables["embeddings"]
     queries = emb.filter(F.col("vec_id") <= 3)
