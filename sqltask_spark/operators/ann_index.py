@@ -68,7 +68,9 @@ from pyspark.sql import functions as F
 
 from sqltask_spark.operators import index_fs
 from sqltask_spark.operators.similarity import (
+    BRUTE_PREFILTER_MIN_PAIRS,
     _cell_assign_udf,
+    _cell_candidate_pairs,
     _kmeans_euclid,
     _pq_encode_udf,
     _sample_matrix,
@@ -1082,8 +1084,33 @@ def probe_ivf_index(
             exact.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
         )
+    pool = ci.join(F.broadcast(probes_df), "cell")
+    # two-phase scoring past the pair bar (cf. cosine_topk_brute): a
+    # BLAS pass over the pruned index scan, masked to each query's
+    # probed cells via the STORED cell column, selects the provably
+    # complete candidate superset; the exact fold runs on survivors
+    # over the same probed-cell join — bit-identical results
+    if (
+        n_cand * pairs_per_cand >= BRUTE_PREFILTER_MIN_PAIRS
+        and len(q_rows) >= 32
+        and all(
+            r["qv"] is not None and len(r["qv"]) == len(q_rows[0]["qv"])
+            for r in q_rows
+        )
+        and len(q_rows[0]["qv"])
+    ):
+        cand = _cell_candidate_pairs(
+            ci,
+            "neighbor_id",
+            "cv",
+            [(r["query_id"], r["qv"]) for r in q_rows],
+            order,
+            k,
+            cell_col="cell",
+        )
+        pool = pool.join(F.broadcast(cand), ["query_id", "neighbor_id"])
     scored = (
-        ci.join(F.broadcast(probes_df), "cell")
+        pool
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .join(F.broadcast(qvecs_df), "query_id")
         .withColumn(

@@ -928,9 +928,24 @@ def _sample_matrix(
     return np.array([list(r["v"]) for r in rows], dtype=np.float64)
 
 
+def _unit_rows(mat: np.ndarray) -> np.ndarray:
+    """Rows normalized to unit length (zero rows pass through)."""
+    n = np.linalg.norm(mat, axis=1)
+    n[n == 0] = 1.0
+    return mat / n[:, None]
+
+
 def _cell_assign_udf(centroids, n_probe: int):
     """Vectorized nearest-centroid assignment → array<int> of the
-    ``n_probe`` closest cells by cosine (normalized matmul argsort)."""
+    ``n_probe`` closest cells by cosine (normalized matmul argsort).
+
+    The assignment arithmetic (norm guard, matmul against unit
+    centroids, argsort of the negated sims) is duplicated TEXTUALLY in
+    :func:`_cell_candidate_pairs` — identical float ops on identical
+    doubles give identical argsorts, which is what keeps the Arrow
+    prefilter's cells bit-equal to this UDF's. Both closures stay
+    self-contained (no module-global references) so workers never need
+    a ``sqltask_spark`` import."""
     from pyspark.sql.functions import pandas_udf
 
     norms = np.linalg.norm(centroids, axis=1)
@@ -946,7 +961,142 @@ def _cell_assign_udf(centroids, n_probe: int):
         order = np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int32)
         return pd.Series(list(order))
 
-    return cells
+    # the assignment IS deterministic; the marker only stops the
+    # optimizer's filter-pushdown from DUPLICATING the evaluation
+    # (guide §4.4): a downstream join on the cell column pushes an
+    # isnotnull(cell) filter below the projection and re-evaluates
+    # the UDF over the whole corpus — observed as two ArrowEvalPython
+    # nodes over the same scan in cosine_topk_ivf's plan
+    return cells.asNondeterministic()
+
+
+def _cell_candidate_pairs(
+    ci: DataFrame,
+    id_col: str,
+    vec_col: str,
+    q_rows: list,
+    probe_cells,
+    k: int,
+    cell_col: str | None = None,
+    centroids=None,
+) -> DataFrame:
+    """IVF analog of :func:`_brute_candidate_pairs`: a provably
+    complete candidate superset of the per-query exact top-k over the
+    PROBED CELLS only. One ``mapInArrow`` pass over the corpus/index
+    relation computes each batch's query×row cosine block with a BLAS
+    matmul, masks each query's column to its probed cells, and keeps
+    per (batch, query) everything within :data:`_PREFILTER_MARGIN` of
+    the batch's k-th best approximate score — the same containment
+    proof as the brute path, applied within the probed-cell candidate
+    set the exact plan scores. Zero-norm rows in a probed cell (exact
+    score NULL, ranked NULLS LAST by id) keep their k smallest ids
+    per batch.
+
+    ``cell_col`` names a stored cell column (prebuilt index);
+    ``centroids`` instead assigns cells in-pass via
+    :func:`_assign_cells_np` — the same doubles, argsort and tie
+    behavior as :func:`_cell_assign_udf`, so the masked candidate set
+    equals the exact plan's cell equi-join. ``probe_cells`` is the
+    per-query array of probed cell ids, aligned with ``q_rows``.
+    """
+    qids = [r[0] for r in q_rows]
+    q_mat = np.array(
+        [[float(x) for x in r[1]] for r in q_rows], dtype=np.float64
+    )
+    qn = np.linalg.norm(q_mat, axis=1)
+    qn_safe = np.where(qn == 0, 1.0, qn)
+    q_unit = q_mat / qn_safe[:, None]
+    n_cells = 1 + max(
+        (int(c) for row in probe_cells for c in row), default=0
+    )
+    probe_mask = np.zeros((len(qids), n_cells), dtype=bool)
+    for j, row in enumerate(probe_cells):
+        for c in row:
+            probe_mask[j, int(c)] = True
+    unit_cents = (
+        _unit_rows(np.asarray(centroids, dtype=np.float64))
+        if centroids is not None
+        else None
+    )
+    margin = _PREFILTER_MARGIN
+
+    def gen(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            ids_arr = batch.column(0)
+            n = len(ids_arr)
+            if n == 0:
+                continue
+            emb = batch.column(1)
+            # np.stack raises on ragged input exactly like the
+            # pandas-UDF assignment path; prebuilt indexes are
+            # uniform-width by construction
+            offsets = np.asarray(emb.offsets)
+            widths = np.diff(offsets)
+            if (widths == widths[0]).all() and widths[0]:
+                dim = int(widths[0])
+                flat = np.asarray(emb.values, dtype=np.float64)
+                c_mat = flat[
+                    int(offsets[0]) : int(offsets[0]) + n * dim
+                ].reshape(n, dim)
+            else:
+                c_mat = np.stack(
+                    [np.asarray(r, dtype=np.float64) for r in emb.to_pylist()]
+                )
+            ids = ids_arr.to_numpy(zero_copy_only=False)
+            if unit_cents is not None:
+                # inlined _assign_cells_np(c_mat, unit_cents, 1) — the
+                # closure must stay self-contained (pickled by value)
+                # so workers need no sqltask_spark import; keep these
+                # lines textually identical to _assign_cells_np
+                vn = np.linalg.norm(c_mat, axis=1)
+                vn[vn == 0] = 1.0
+                sims_c = (c_mat / vn[:, None]) @ unit_cents.T
+                cells = np.argsort(-sims_c, axis=1)[:, :1].astype(
+                    np.int32
+                )[:, 0]
+            else:
+                cells = batch.column(2).to_numpy(zero_copy_only=False)
+            cn = np.linalg.norm(c_mat, axis=1)
+            cn_safe = np.where(cn == 0, 1.0, cn)
+            sims = (c_mat / cn_safe[:, None]) @ q_unit.T  # (n, nq)
+            in_range = cells < n_cells
+            out_q, out_n = [], []
+            for j, qid in enumerate(qids):
+                probed = in_range & probe_mask[j, np.clip(cells, 0, n_cells - 1)]
+                base = probed & (ids != qid)
+                if qn[j] == 0:
+                    null_ids = ids[base]
+                else:
+                    valid = base & (cn > 0)
+                    null_ids = ids[base & (cn == 0)]
+                    s = sims[valid, j]
+                    vid = ids[valid]
+                    if len(s) > k:
+                        kth = np.partition(s, -k)[-k]
+                        vid = vid[s >= kth - margin]
+                    out_q.extend([qid] * len(vid))
+                    out_n.extend(vid.tolist())
+                if len(null_ids):
+                    null_keep = np.sort(null_ids)[:k]
+                    out_q.extend([qid] * len(null_keep))
+                    out_n.extend(null_keep.tolist())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_q, type=ids_arr.type),
+                    pa.array(out_n, type=ids_arr.type),
+                ],
+                ["query_id", "neighbor_id"],
+            )
+
+    cols = [id_col, vec_col] + ([cell_col] if cell_col else [])
+    id_type = dict(ci.dtypes)[id_col]
+    return (
+        ci.select(*cols)
+        .mapInArrow(gen, f"query_id {id_type}, neighbor_id {id_type}")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
 
 
 def _salted_cell_join(
@@ -1123,6 +1273,41 @@ def cosine_topk_ivf(
         )
         assigned = None
         joined = ci.join(probes_df, "cell")
+        # two-phase scoring past the pair bar (cf. cosine_topk_brute):
+        # a BLAS pass masked to each query's probed cells selects the
+        # provably complete candidate superset; the exact fold then
+        # runs on survivors only, over the SAME probed-cell join, so
+        # results — duplicate ids and NULL classes included — are
+        # bit-identical
+        if (
+            quantize_bits is None
+            and len(q_rows) >= 32
+            and all(
+                r["qv"] is not None and len(r["qv"]) == len(q_rows[0]["qv"])
+                for r in q_rows
+            )
+            and len(q_rows[0]["qv"])
+            and (len(q_rows) * n_probe * corpus.count()) // max(1, n_cells)
+            >= BRUTE_PREFILTER_MIN_PAIRS
+        ):
+            cand = _cell_candidate_pairs(
+                ensure_min_partitions(corpus).select(
+                    F.col(corpus_id).alias("neighbor_id"),
+                    F.col(corpus_vec).alias("v"),
+                ),
+                "neighbor_id",
+                "v",
+                [(r["query_id"], r["qv"]) for r in q_rows],
+                order,
+                k,
+                centroids=cents,
+            )
+            # one broadcast of the (small) survivor pair set; both
+            # joins fuse in codegen, so non-survivor rows cost a hash
+            # probe each and never materialize their vector payload
+            joined = ci.join(probes_df, "cell").join(
+                F.broadcast(cand), ["query_id", "neighbor_id"]
+            )
     else:
         # persist: the Arrow-batched assignment UDF feeds BOTH the
         # probe relation and the query-vector relation — without the
@@ -1507,7 +1692,11 @@ def _pq_encode_udf(centroids: np.ndarray, codebooks: list[np.ndarray]):
             codes[:, j] = np.argmin(d, axis=1).astype(np.int8)
         return pd.DataFrame({"cell": cells, "codes": list(codes)})
 
-    return encode
+    # deterministic; marker prevents filter-pushdown duplication of
+    # the evaluation (guide §4.4) — see _cell_assign_udf
+    # deterministic; marker prevents filter-pushdown duplication of
+    # the evaluation (guide §4.4) — see _cell_assign_udf
+    return encode.asNondeterministic()
 
 
 def _pq_query_udf(

@@ -309,6 +309,66 @@ def test_cosine_topk_brute_prefilter_identical(spark, monkeypatch):
     assert a == b and len(a) > 0
 
 
+def test_cosine_topk_ivf_prefilter_identical(spark, monkeypatch):
+    """The cell-masked prefilter (BLAS pass + exact verify over the
+    probed-cell join) must be row-identical to the single-phase IVF
+    plan, zero-norm rows included."""
+    import sqltask_spark.operators.similarity as sim
+
+    rows = [
+        (i, [((i * 29 + j * 13) % 17 - 8) / 8.0 for j in range(8)])
+        for i in range(500)
+    ] + [(500, [0.0] * 8)]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    queries = corpus.filter(F.col("vec_id") % 8 == 0)
+    kwargs = dict(
+        query_id="vec_id", corpus_id="vec_id", k=4, n_cells=8, n_probe=3
+    )
+    single = sim.cosine_topk_ivf(queries, corpus, **kwargs)
+    monkeypatch.setattr(sim, "BRUTE_PREFILTER_MIN_PAIRS", 10)
+    two_phase = sim.cosine_topk_ivf(queries, corpus, **kwargs)
+
+    def key(r):
+        return (r["query_id"], r["rank"], r["neighbor_id"], r["score"])
+
+    a = sorted(map(key, single.collect()))
+    b = sorted(map(key, two_phase.collect()))
+    assert a == b and len(a) > 0
+
+
+def test_probe_ivf_prefilter_identical(spark, tmp_path, monkeypatch):
+    """probe_ivf_index's prefilter path (stored cell column) must be
+    row-identical to its single-phase plan."""
+    import sqltask_spark.operators.ann_index as ai
+
+    rows = [
+        (i, [((i * 31 + j * 7) % 23 - 11) / 11.0 for j in range(8)])
+        for i in range(400)
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    queries = corpus.filter(F.col("vec_id") % 8 == 0)
+    idx = str(tmp_path / "ivf")
+    ai.build_ivf_index(corpus, idx, "vec_id", "embedding", n_cells=8)
+    single = ai.probe_ivf_index(
+        spark, idx, queries, "vec_id", "embedding", k=4, n_probe=3
+    )
+    monkeypatch.setattr(ai, "BRUTE_PREFILTER_MIN_PAIRS", 10)
+    two_phase = ai.probe_ivf_index(
+        spark, idx, queries, "vec_id", "embedding", k=4, n_probe=3
+    )
+
+    def key(r):
+        return (r["query_id"], r["rank"], r["neighbor_id"], r["score"])
+
+    a = sorted(map(key, single.collect()))
+    b = sorted(map(key, two_phase.collect()))
+    assert a == b and len(a) > 0
+
+
 def test_cosine_lsh_recall(spark, tables):
     emb = tables["embeddings"]
     queries = emb.filter(F.col("vec_id") <= 3)
