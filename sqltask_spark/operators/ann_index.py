@@ -396,22 +396,20 @@ def append_to_ivf_index(
         return 0
     # committed = the UNION over all manifests, not just the newest:
     # older versions stay time-travel readable until compaction
+    live = index_fs.live_unions(
+        spark, path, ("generations", "quantizer", "tombstones")
+    )
     index_fs.sweep_orphans(
         spark,
         f"{path}/vectors",
-        {
-            f"gen={g}"
-            for g in index_fs.live_union(spark, path, "generations")
-        },
+        {f"gen={g}" for g in live["generations"]},
         "gen=",
     )
     index_fs.sweep_orphans(
-        spark, f"{path}/quantizer",
-        index_fs.live_union(spark, path, "quantizer"), "g",
+        spark, f"{path}/quantizer", live["quantizer"], "g"
     )
     index_fs.sweep_orphans(
-        spark, f"{path}/tombstones",
-        index_fs.live_union(spark, path, "tombstones"), "g",
+        spark, f"{path}/tombstones", live["tombstones"], "g"
     )
     meta = m_fest["params"]
     # include_tombstoned: a deleted id stays unavailable until
@@ -545,22 +543,20 @@ def compact_ivf_index(spark: SparkSession, path: str) -> None:
     superseded directories are swept after the manifest lands.
     """
     m = _committed(spark, path)
+    live = index_fs.live_unions(
+        spark, path, ("generations", "quantizer", "tombstones")
+    )
     index_fs.sweep_orphans(
         spark,
         f"{path}/vectors",
-        {
-            f"gen={g}"
-            for g in index_fs.live_union(spark, path, "generations")
-        },
+        {f"gen={g}" for g in live["generations"]},
         "gen=",
     )
     index_fs.sweep_orphans(
-        spark, f"{path}/quantizer",
-        index_fs.live_union(spark, path, "quantizer"), "g",
+        spark, f"{path}/quantizer", live["quantizer"], "g"
     )
     index_fs.sweep_orphans(
-        spark, f"{path}/tombstones",
-        index_fs.live_union(spark, path, "tombstones"), "g",
+        spark, f"{path}/tombstones", live["tombstones"], "g"
     )
     gen = index_fs.fresh_gen(spark, [f"{path}/vectors"], m)
     live = _read_vectors(spark, path, m)
@@ -610,23 +606,21 @@ def vacuum_ivf_index(
     time travel to a dropped version errors loudly afterwards.
     Writer-context only."""
     dropped = index_fs.drop_manifests(spark, path, keep_versions)
+    live = index_fs.live_unions(
+        spark, path, ("generations", "quantizer", "tombstones")
+    )
     swept = []
     swept += index_fs.sweep_orphans(
         spark,
         f"{path}/vectors",
-        {
-            f"gen={g}"
-            for g in index_fs.live_union(spark, path, "generations")
-        },
+        {f"gen={g}" for g in live["generations"]},
         "gen=",
     )
     swept += index_fs.sweep_orphans(
-        spark, f"{path}/quantizer",
-        index_fs.live_union(spark, path, "quantizer"), "g",
+        spark, f"{path}/quantizer", live["quantizer"], "g"
     )
     swept += index_fs.sweep_orphans(
-        spark, f"{path}/tombstones",
-        index_fs.live_union(spark, path, "tombstones"), "g",
+        spark, f"{path}/tombstones", live["tombstones"], "g"
     )
     return {"dropped_versions": dropped, "swept_dirs": swept}
 

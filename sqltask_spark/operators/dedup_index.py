@@ -289,19 +289,15 @@ def append_to_minhash_index(
     # sweep debris of a previously crashed append (uncommitted dirs).
     # Committed = the UNION over all manifests, not just the newest:
     # older versions stay time-travel readable until compaction
-    index_fs.sweep_orphans(
-        spark,
-        f"{path}/data",
-        index_fs.live_union(spark, path, "generations"),
-        "g",
+    live = index_fs.live_unions(
+        spark, path, ("generations", "sizes", "tombstones")
     )
     index_fs.sweep_orphans(
-        spark, f"{path}/sizes",
-        index_fs.live_union(spark, path, "sizes"), "g",
+        spark, f"{path}/data", live["generations"], "g"
     )
+    index_fs.sweep_orphans(spark, f"{path}/sizes", live["sizes"], "g")
     index_fs.sweep_orphans(
-        spark, f"{path}/tombstones",
-        index_fs.live_union(spark, path, "tombstones"), "g",
+        spark, f"{path}/tombstones", live["tombstones"], "g"
     )
     meta = m["params"]
     stored_ids = (
@@ -446,19 +442,15 @@ def compact_minhash_index(spark: SparkSession, path: str) -> None:
     are swept once it has.
     """
     m = _committed(spark, path)
-    index_fs.sweep_orphans(
-        spark,
-        f"{path}/data",
-        index_fs.live_union(spark, path, "generations"),
-        "g",
+    live = index_fs.live_unions(
+        spark, path, ("generations", "sizes", "tombstones")
     )
     index_fs.sweep_orphans(
-        spark, f"{path}/sizes",
-        index_fs.live_union(spark, path, "sizes"), "g",
+        spark, f"{path}/data", live["generations"], "g"
     )
+    index_fs.sweep_orphans(spark, f"{path}/sizes", live["sizes"], "g")
     index_fs.sweep_orphans(
-        spark, f"{path}/tombstones",
-        index_fs.live_union(spark, path, "tombstones"), "g",
+        spark, f"{path}/tombstones", live["tombstones"], "g"
     )
     gen = index_fs.fresh_gen(
         spark, [f"{path}/data", f"{path}/sizes"], m
@@ -526,18 +518,18 @@ def vacuum_minhash_index(
     newest committed state is untouched (probe-invariance
     pytest-pinned). Writer-context only, like every mutation."""
     dropped = index_fs.drop_manifests(spark, path, keep_versions)
+    live = index_fs.live_unions(
+        spark, path, ("generations", "sizes", "tombstones")
+    )
     swept = []
     swept += index_fs.sweep_orphans(
-        spark, f"{path}/data",
-        index_fs.live_union(spark, path, "generations"), "g",
+        spark, f"{path}/data", live["generations"], "g"
     )
     swept += index_fs.sweep_orphans(
-        spark, f"{path}/sizes",
-        index_fs.live_union(spark, path, "sizes"), "g",
+        spark, f"{path}/sizes", live["sizes"], "g"
     )
     swept += index_fs.sweep_orphans(
-        spark, f"{path}/tombstones",
-        index_fs.live_union(spark, path, "tombstones"), "g",
+        spark, f"{path}/tombstones", live["tombstones"], "g"
     )
     return {"dropped_versions": dropped, "swept_dirs": swept}
 

@@ -135,6 +135,22 @@ def live_union(spark: SparkSession, path: str, key: str) -> set[str]:
     return out
 
 
+def live_unions(
+    spark: SparkSession, path: str, keys: "tuple[str, ...]"
+) -> "dict[str, set[str]]":
+    """:func:`live_union` for several fields with ONE manifest-history
+    read. The orphan sweeps at the head of every mutation need the
+    live set of three different directories; reading the (possibly
+    hundreds-long) manifest chain once instead of once per field cuts
+    the py4j/filesystem round trips threefold."""
+    out: dict[str, set[str]] = {k: set() for k in keys}
+    for m in read_all_manifests(spark, path):
+        for k in keys:
+            v = m.get(k, [])
+            out[k] |= {v} if isinstance(v, str) else set(v)
+    return out
+
+
 def read_manifest(spark: SparkSession, path: str) -> dict | None:
     """Newest parseable manifest under ``path``, or ``None``.
 

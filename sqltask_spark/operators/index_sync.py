@@ -163,11 +163,33 @@ def sync_minhash_index_with_table(
         spark, table_path, [id_col], from_seq, to_seq
     ).persist()
     try:
+        # ONE counts job over the (persisted) window decides which
+        # mutations can run at all: a CDC epoch is typically
+        # insert-only or delete-only, and walking a no-op mutation
+        # (orphan sweep, anti-joins, count action) costs 10+ tiny
+        # Spark jobs before it discovers there is nothing to do.
+        # Skipping on an empty input is exactly the mutation's own
+        # no-op result (delete of nothing returns 0 and commits
+        # nothing; likewise unblock/append), so results are identical.
+        by_type = {
+            r["_change_type"]: r["n"]
+            for r in changes.groupBy("_change_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        n_gone = by_type.get("delete", 0) + by_type.get(
+            "update_preimage", 0
+        )
+        n_in = by_type.get("insert", 0) + by_type.get(
+            "update_postimage", 0
+        )
         gone = changes.filter(
             F.col("_change_type").isin("delete", "update_preimage")
         ).select(id_col)
-        n_tombstoned = di.delete_from_minhash_index(
-            index_path, gone, id_col
+        n_tombstoned = (
+            di.delete_from_minhash_index(index_path, gone, id_col)
+            if n_gone
+            else 0
         )
         # ONE append of inserts ∪ update post-images — but first free
         # any incoming id a live tombstone blocks (this window's
@@ -180,18 +202,24 @@ def sync_minhash_index_with_table(
         incoming = changes.filter(
             F.col("_change_type").isin("insert", "update_postimage")
         ).select(id_col, text_col)
-        n_updates = changes.filter(
-            F.col("_change_type") == "update_postimage"
-        ).limit(1).count()
         # unblock_minhash_ids itself intersects with the live
         # tombstones and no-ops cheaply when nothing is blocked (one
         # manifest read, one skinny semi-join) — no pre-check needed
-        unblock = di.unblock_minhash_ids(
-            spark, index_path,
-            incoming.select(F.col(id_col).alias("id")), "id",
+        unblock = (
+            di.unblock_minhash_ids(
+                spark, index_path,
+                incoming.select(F.col(id_col).alias("id")), "id",
+            )
+            if n_in
+            else {"unblocked": 0, "rewritten_generations": [],
+                  "candidate_generations": 0}
         )
-        n_appended = di.append_to_minhash_index(
-            index_path, incoming, id_col, text_col
+        n_appended = (
+            di.append_to_minhash_index(
+                index_path, incoming, id_col, text_col
+            )
+            if n_in
+            else 0
         )
         _commit_synced_marker(
             spark, index_path, table_path, to_seq,
@@ -200,7 +228,7 @@ def sync_minhash_index_with_table(
         return {
             "tombstoned": n_tombstoned,
             "appended": n_appended,
-            "had_updates": bool(n_updates),
+            "had_updates": bool(by_type.get("update_postimage", 0)),
             "unblocked": unblock["unblocked"],
             "rewritten_generations": unblock["rewritten_generations"],
             "from_seq": from_seq,
@@ -246,25 +274,48 @@ def sync_ivf_index_with_table(
         spark, table_path, [id_col], from_seq, to_seq
     ).persist()
     try:
+        # one counts job gates the mutations — see the minhash sync
+        # for the rationale (a no-op mutation walk costs 10+ jobs;
+        # skipping on an empty input is the same result)
+        by_type = {
+            r["_change_type"]: r["n"]
+            for r in changes.groupBy("_change_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        n_gone = by_type.get("delete", 0) + by_type.get(
+            "update_preimage", 0
+        )
+        n_in = by_type.get("insert", 0) + by_type.get(
+            "update_postimage", 0
+        )
         gone = changes.filter(
             F.col("_change_type").isin("delete", "update_preimage")
         ).select(id_col)
-        n_tombstoned = ai.delete_from_ivf_index(
-            index_path, gone, id_col
+        n_tombstoned = (
+            ai.delete_from_ivf_index(index_path, gone, id_col)
+            if n_gone
+            else 0
         )
         incoming = changes.filter(
             F.col("_change_type").isin("insert", "update_postimage")
         ).select(id_col, vec_col)
-        n_updates = changes.filter(
-            F.col("_change_type") == "update_postimage"
-        ).limit(1).count()
-        unblock = ai.unblock_ivf_ids(
-            spark, index_path,
-            incoming.select(F.col(id_col).alias("neighbor_id")),
-            "neighbor_id",
+        unblock = (
+            ai.unblock_ivf_ids(
+                spark, index_path,
+                incoming.select(F.col(id_col).alias("neighbor_id")),
+                "neighbor_id",
+            )
+            if n_in
+            else {"unblocked": 0, "rewritten_generations": [],
+                  "candidate_generations": 0}
         )
-        n_appended = ai.append_to_ivf_index(
-            index_path, incoming, id_col, vec_col
+        n_appended = (
+            ai.append_to_ivf_index(
+                index_path, incoming, id_col, vec_col
+            )
+            if n_in
+            else 0
         )
         _commit_synced_marker(
             spark, index_path, table_path, to_seq,
@@ -273,7 +324,7 @@ def sync_ivf_index_with_table(
         return {
             "tombstoned": n_tombstoned,
             "appended": n_appended,
-            "had_updates": bool(n_updates),
+            "had_updates": bool(by_type.get("update_postimage", 0)),
             "unblocked": unblock["unblocked"],
             "rewritten_generations": unblock["rewritten_generations"],
             "from_seq": from_seq,

@@ -476,22 +476,51 @@ def merge_into_parquet(
         )
     src = src.persist()
     try:
-        # MERGE contract: at most one source row per key (the standard
-        # "multiple source rows matched" error) — one aggregate action
-        dup = (
-            src.groupBy(*key_cols)
-            .agg(F.count(F.lit(1)).alias("c"))
-            .filter(F.col("c") > 1)
-            .limit(1)
+        files = m.get("files", [])
+        stats_col = m.get("stats_col")
+
+        # ONE bounded collect of the per-key aggregate serves three
+        # formerly separate actions: the MERGE duplicate-key check,
+        # the batch's [lo, hi] key bounds for file-range pruning, and
+        # the keys' filter-probe positions for per-file Bloom pruning
+        # (the bounds/positions are per-KEY quantities — for the key
+        # column, rows ≡ keys once the dup check passes, so driver-
+        # side derivation is exact). A batch past the collect cap
+        # falls back to the aggregate-job formulation; certificates
+        # and CDC epochs — the callers that pay per-job overhead
+        # hardest — stay under it by orders of magnitude.
+        _KEYS_CAP = 65536
+        per_key = src.groupBy(*key_cols).agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+        probe_on = bool(files) and stats_col in key_cols
+        extra = []
+        if probe_on:
+            p0, p1 = index_fs.filter_pos_cols(stats_col)
+            extra = [p0.alias("__p0"), p1.alias("__p1")]
+        key_rows = (
+            per_key.select(*key_cols, "__c", *extra)
+            .limit(_KEYS_CAP + 1)
             .collect()
         )
-        if dup:
-            raise ValueError(
-                f"MERGE source has multiple rows for key "
-                f"{[dup[0][k] for k in key_cols]}"
+        capped = len(key_rows) > _KEYS_CAP
+        if capped:
+            dup = (
+                per_key.filter(F.col("__c") > 1).limit(1).collect()
             )
+            if dup:
+                raise ValueError(
+                    f"MERGE source has multiple rows for key "
+                    f"{[dup[0][k] for k in key_cols]}"
+                )
+        else:
+            dups = [r for r in key_rows if r["__c"] > 1]
+            if dups:
+                raise ValueError(
+                    f"MERGE source has multiple rows for key "
+                    f"{[dups[0][k] for k in key_cols]}"
+                )
 
-        files = m.get("files", [])
         src_keys = src.select(*key_cols).distinct()
 
         # DATA SKIPPING: when the manifest carries per-file [min, max]
@@ -501,28 +530,46 @@ def merge_into_parquet(
         # this bounds it to the files the batch can actually touch.
         # A file without stats (or with an all-null key) stays a
         # candidate; correctness never depends on the stats.
-        stats_col = m.get("stats_col")
         stats = m.get("stats", {})
         candidates = files
         stats_pruned = 0
-        if files and stats_col in key_cols:
-            bounds = src.agg(
-                F.min(stats_col).alias("lo"), F.max(stats_col).alias("hi")
-            ).collect()[0]
+        if probe_on:
+            if capped:
+                b = src.agg(
+                    F.min(stats_col).alias("lo"),
+                    F.max(stats_col).alias("hi"),
+                ).collect()[0]
+                bounds = {"lo": b["lo"], "hi": b["hi"]}
+            else:
+                ks = [
+                    r[stats_col]
+                    for r in key_rows
+                    if r[stats_col] is not None
+                ]
+                bounds = {
+                    "lo": min(ks) if ks else None,
+                    "hi": max(ks) if ks else None,
+                }
             if bounds["lo"] is None:
                 candidates = []
             else:
                 # content pruning: per-file key Bloom filters (third
                 # stats element, r12) catch what [min,max] cannot —
                 # hashed/interleaved keys make every file's range
-                # span the key space. One bounded collect of the
-                # batch keys' hash positions; a batch past the cap
-                # falls back to range-only (it touches most files
+                # span the key space. The batch keys' hash positions
+                # came back with the same collect; a batch past the
+                # cap falls back to range-only (it touches most files
                 # anyway). Old-format 2-element stats entries prune
                 # by range alone — correctness never depends on
                 # either statistic.
-                probe_pos = index_fs.filter_probe_positions(
-                    src.select(stats_col), stats_col
+                probe_pos = (
+                    None
+                    if capped
+                    else [
+                        (int(r["__p0"]), int(r["__p1"]))
+                        for r in key_rows
+                        if r[stats_col] is not None
+                    ]
                 )
 
                 def _skippable(rel: str) -> bool:
@@ -622,7 +669,15 @@ def merge_into_parquet(
             if survivors is None
             else survivors.unionByName(upserts)
         )
-        n_new = new_data.limit(1).count()
+        # non-empty is already known when the batch carries any upsert
+        # (inserted/updated counts them); only a delete-only batch
+        # needs the probe job to learn whether survivors exist
+        n_new = (
+            1
+            if (counts_row["inserted"] or 0)
+            or (counts_row["updated"] or 0)
+            else new_data.limit(1).count()
+        )
         new_files: list[str] = []
         gen = None
         if n_new:
