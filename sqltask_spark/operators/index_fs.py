@@ -327,27 +327,75 @@ def words_from_row(r) -> list:
     return [int(r[f"_w{w}"] or 0) for w in range(ID_FILTER_WORDS)]
 
 
-def _stats_agg(df, id_col: str) -> "tuple[int, dict | None]":
-    """(row_count, stats) in ONE aggregate action: count, [min,max]
-    id bounds, and the generation id filter's words — 3 + 128
-    aggregate expressions over one pass of the id column."""
+def explode_pos_rows(df, id_col: str, keep: "tuple[str, ...]" = ()):
+    """``(*keep, _id, j, w, m)`` — each row twice, once per hash
+    position, carrying the filter word index and bit mask. The sparse
+    shape shared by the stats aggregates: grouping these by ``w``
+    with ONE ``bit_or`` replaces the 128-expression wide aggregate,
+    whose whole-stage codegen compile alone cost ~1.4s PER CALL
+    (measured; every index mutation pays the stats action)."""
     from pyspark.sql import functions as F
 
     p0, p1 = filter_pos_cols(id_col)
-    pre = df.select(
+    return df.select(
+        *keep,
         F.col(id_col).alias("_id"),
-        p0.alias("_p0"), p1.alias("_p1"),
+        p0.alias("_p0"),
+        p1.alias("_p1"),
+    ).select(
+        *keep,
+        "_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("j"), F.col("_p0").alias("p")),
+                F.struct(F.lit(1).alias("j"), F.col("_p1").alias("p")),
+            )
+        ).alias("e"),
+    ).select(
+        *keep,
+        "_id",
+        F.col("e.j").alias("j"),
+        F.expr("e.p DIV 64").alias("w"),
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(e.p % 64 AS INT))"
+        ).alias("m"),
     )
-    aggs = [
-        F.count(F.lit(1)).alias("_n"),
-        F.min("_id").alias("_lo"),
-        F.max("_id").alias("_hi"),
-    ] + filter_word_aggs()
-    r = pre.agg(*aggs).collect()[0]
-    lo, hi = r["_lo"], r["_hi"]
+
+
+def _stats_agg(df, id_col: str) -> "tuple[int, dict | None]":
+    """(row_count, stats) in ONE aggregate action: count, [min,max]
+    id bounds, and the generation id filter's words. Sparse
+    formulation — positions explode to (word, mask) rows grouped by
+    word (≤ 2·rows exploded, ≤ 128 groups collected); the count and
+    bounds ride the same groups (count = the j=0 rows, each input
+    row contributes exactly one; bounds fold across groups on the
+    driver). Values are identical to the former wide 131-expression
+    aggregate, whose codegen compile dominated small-batch mutations.
+    """
+    from pyspark.sql import functions as F
+
+    rows = (
+        explode_pos_rows(df, id_col)
+        .groupBy("w")
+        .agg(
+            F.bit_or("m").alias("bits"),
+            F.sum((F.col("j") == 0).cast("long")).alias("n"),
+            F.min("_id").alias("lo"),
+            F.max("_id").alias("hi"),
+        )
+        .collect()
+    )
+    n = sum(int(r["n"]) for r in rows)
+    los = [r["lo"] for r in rows if r["lo"] is not None]
+    if not los:
+        return n, None
+    lo = min(los)
+    hi = max(r["hi"] for r in rows if r["hi"] is not None)
     if isinstance(lo, bool) or not isinstance(lo, (int, str)):
-        return int(r["_n"]), None
-    words = words_from_row(r)
+        return n, None
+    words = [0] * ID_FILTER_WORDS
+    for r in rows:
+        words[int(r["w"])] = int(r["bits"])
     stats = {"min_id": lo, "max_id": hi}
     set_bits = sum(
         bin(w & 0xFFFFFFFFFFFFFFFF).count("1") for w in words
@@ -363,7 +411,7 @@ def _stats_agg(df, id_col: str) -> "tuple[int, dict | None]":
             "bits": ID_FILTER_WORDS * 64,
             "words": words,
         }
-    return int(r["_n"]), stats
+    return n, stats
 
 
 def count_and_bounds(df, id_col: str) -> "tuple[int, dict | None]":

@@ -124,32 +124,44 @@ def _file_stats(
     file-count-bounded collect — same job count as before."""
     if not rels:
         return {}
-    p0, p1 = index_fs.filter_pos_cols("__k")
+    # sparse shape (index_fs.explode_pos_rows): positions as rows
+    # grouped by (file, word) with ONE bit_or — the former per-file
+    # 128-expression aggregate paid ~1.4s of codegen compile per
+    # merge commit. Collect is rels × ≤129 group rows.
+    src = spark.read.parquet(*_abs_files(path, rels)).select(
+        F.col("_metadata.file_path").alias("__file"),
+        F.col(stats_col).alias("__k"),
+    )
     rows = (
-        spark.read.parquet(*_abs_files(path, rels))
-        .select(
-            F.col("_metadata.file_path").alias("__file"),
-            F.col(stats_col).alias("__k"),
-        )
-        .select(
-            "__file", "__k", p0.alias("_p0"), p1.alias("_p1")
-        )
-        .groupBy("__file")
+        index_fs.explode_pos_rows(src, "__k", keep=("__file",))
+        .groupBy("__file", "w")
         .agg(
-            F.min("__k").alias("lo"),
-            F.max("__k").alias("hi"),
-            *index_fs.filter_word_aggs(),
+            F.bit_or("m").alias("bits"),
+            F.min("_id").alias("lo"),
+            F.max("_id").alias("hi"),
         )
         .collect()
     )
-    out = {}
+    by_file: dict[str, list] = {}
     for r in rows:
+        by_file.setdefault(r["__file"], []).append(r)
+    out = {}
+    for fpath, grp in by_file.items():
         rel = next(
-            (x for x in rels if r["__file"].endswith("/" + x)), None
+            (x for x in rels if fpath.endswith("/" + x)), None
         )
         if rel is None:
             continue
-        words = index_fs.words_from_row(r)
+        words = [0] * index_fs.ID_FILTER_WORDS
+        for r in grp:
+            words[int(r["w"])] = int(r["bits"])
+        los = [r["lo"] for r in grp if r["lo"] is not None]
+        lo = min(los) if los else None
+        hi = (
+            max(r["hi"] for r in grp if r["hi"] is not None)
+            if los
+            else None
+        )
         set_bits = sum(
             bin(w & 0xFFFFFFFFFFFFFFFF).count("1") for w in words
         )
@@ -157,9 +169,9 @@ def _file_stats(
         # range-only form instead of ~1 KB of all-ones per file
         # (same cut as index_fs._stats_agg)
         if set_bits < int(0.9 * index_fs.ID_FILTER_WORDS * 64):
-            out[rel] = [r["lo"], r["hi"], words]
+            out[rel] = [lo, hi, words]
         else:
-            out[rel] = [r["lo"], r["hi"]]
+            out[rel] = [lo, hi]
     return out
 
 
