@@ -656,41 +656,76 @@ def ngram_jaccard_pairs(
         shingled = shingled.persist()
     inv = shingled.select("id", F.explode("shingles").alias("shingle"))
     if max_shingle_df is not None:
-        df_counts = inv.groupBy("shingle").agg(
-            F.count(F.lit(1)).alias("df")
+        # CAPPED MODE — one exchange instead of four (r12 optimization,
+        # guide §2.4): the df cap bounds every shingle bucket at
+        # ``max_shingle_df`` members, so candidates can be generated
+        # IN-PARTITION exactly like the banded-LSH path
+        # (:func:`_pairs_from_banded`): a count-window pre-cap over the
+        # shingle key (``drop_hot_buckets`` — identical df semantics to
+        # the former groupBy+join: count per shingle STRING, keep
+        # df <= cap), then a same-key collect_list (reuses the window's
+        # hash partitioning — no second exchange) and a bounded a<b
+        # pair explode (<= cap² transient structs per bucket). The
+        # former formulation paid a df-aggregate exchange, an SMJ cap
+        # join and an SMJ candidate self-join — three extra full
+        # exchanges plus four sorts of the exploded inverted index.
+        from sqltask_spark.operators.bucketing import drop_hot_buckets
+
+        capped = drop_hot_buckets(inv, ["shingle"], max_shingle_df)
+        buckets = (
+            capped.groupBy("shingle")
+            .agg(F.collect_list("id").alias("ids"))
+            .filter(F.size("ids") >= 2)
         )
-        # the allowed-shingle side is O(vocabulary) — it GROWS with
-        # the corpus, so it must never be broadcast. AQE's runtime
-        # size estimate sits near the threshold at mid scales and
-        # picking broadcast blows the driver (observed at 500k docs);
-        # the merge hint pins a shuffle join, and AQE's skew-join
-        # splitting still applies to the hot-shingle partitions.
-        inv = inv.join(
-            df_counts.filter(F.col("df") <= max_shingle_df)
-            .select("shingle")
-            .hint("merge"),
-            "shingle",
+        cand = (
+            buckets.select(
+                F.explode(
+                    F.filter(
+                        F.flatten(
+                            F.transform(
+                                F.col("ids"),
+                                lambda a: F.transform(
+                                    F.col("ids"),
+                                    lambda b: F.struct(
+                                        a.alias("a"), b.alias("b")
+                                    ),
+                                ),
+                            )
+                        ),
+                        lambda s: s["a"] < s["b"],
+                    )
+                ).alias("pair")
+            )
+            .select(
+                F.col("pair.a").alias("id_a"),
+                F.col("pair.b").alias("id_b"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
         )
-    # Candidate self-join on the HASH of the shingle, not the string:
-    # this is the heaviest exchange (quadratic in per-shingle df) and
-    # longs shuffle ~3-5x fewer bytes than 3-gram text. A hash
-    # collision only adds a spurious candidate pair, which the exact
-    # Jaccard verify below filters — the result set is unchanged.
-    # (The df cap above stays on the string so capped-mode semantics
-    # match the oracle exactly.)
-    inv_h = inv.select("id", F.xxhash64("shingle").alias("sh"))
-    a = inv_h.select(F.col("id").alias("id_a"), "sh")
-    b = inv_h.select(F.col("id").alias("id_b"), "sh")
-    cand = (
-        # equal corpus-scaled sides: the planner's static estimate of
-        # the capped inverted index sat under the broadcast threshold
-        # at 500k docs and built a ~1 GiB driver relation — pin SMJ
-        # (AQE skew-split still applies to hot shingles)
-        a.join(b.hint("merge"), "sh")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    else:
+        # EXACT MODE — per-shingle df is unbounded, so a collected
+        # bucket array could hit spill pressure / the 2 GB array-row
+        # limit on a boilerplate shingle; keep the self-join, whose
+        # AQE skew splitting handles hot shingles gracefully.
+        # Candidate self-join on the HASH of the shingle, not the
+        # string: this is the heaviest exchange (quadratic in
+        # per-shingle df) and longs shuffle ~3-5x fewer bytes than
+        # 3-gram text. A hash collision only adds a spurious candidate
+        # pair, which the exact Jaccard verify below filters — the
+        # result set is unchanged.
+        inv_h = inv.select("id", F.xxhash64("shingle").alias("sh"))
+        a = inv_h.select(F.col("id").alias("id_a"), "sh")
+        b = inv_h.select(F.col("id").alias("id_b"), "sh")
+        cand = (
+            # equal corpus-scaled sides: the planner's static estimate
+            # of the inverted index sat under the broadcast threshold
+            # at 500k docs and built a ~1 GiB driver relation — pin SMJ
+            # (AQE skew-split still applies to hot shingles)
+            a.join(b.hint("merge"), "sh")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
     sh_a = shingled.select(
         F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")
     )

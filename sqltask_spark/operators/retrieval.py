@@ -463,9 +463,6 @@ def tfidf_near_pairs(
         .persist()
     )
     try:
-        dfc = tf.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-        if max_shingle_df is not None:
-            dfc = dfc.filter(F.col("df") <= F.lit(max_shingle_df))
         stats = docs.agg(F.count(F.lit(1)).alias("n_docs"))
         idf = (
             F.log(
@@ -473,29 +470,96 @@ def tfidf_near_pairs(
             )
             + F.lit(1.0)
         )
-        w = (
-            tf.join(dfc.hint("merge"), "sh")
-            .crossJoin(F.broadcast(stats))
-            .select(
-                "id",
-                "sh",
-                F.round(F.col("tf") * idf * F.lit(100.0))
-                .cast("long")
-                .alias("w"),
+        if max_shingle_df is not None:
+            # CAPPED MODE — one shingle-keyed exchange (r12, guide
+            # §2.4; the ngram_jaccard_pairs shape): df comes from a
+            # count window over ``sh`` (identical to the groupBy
+            # census — tf rows are one per (id, sh)), the cap filter
+            # runs BEFORE any array materialization, and the weighted
+            # postings pair up IN-PARTITION via a same-key
+            # collect_list (≤ cap entries per shingle) instead of an
+            # SMJ self-join. Removes the df-census exchange, the SMJ
+            # df join and the self-join sorts.
+            wnd = Window.partitionBy("sh")
+            w = (
+                tf.withColumn("df", F.count(F.lit(1)).over(wnd))
+                .filter(F.col("df") <= F.lit(max_shingle_df))
+                .crossJoin(F.broadcast(stats))
+                .select(
+                    "id",
+                    "sh",
+                    F.round(F.col("tf") * idf * F.lit(100.0))
+                    .cast("long")
+                    .alias("w"),
+                )
             )
-        )
-        norms = w.groupBy("id").agg(
-            F.sum(F.col("w") * F.col("w")).alias("n2")
-        )
-        a, b = w.alias("a"), w.alias("b")
-        pairs = (
-            a.join(b.hint("merge"), "sh")
-            .filter(F.col("a.id") < F.col("b.id"))
-            .groupBy(
-                F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+            norms = w.groupBy("id").agg(
+                F.sum(F.col("w") * F.col("w")).alias("n2")
             )
-            .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
-        )
+            buckets = (
+                w.groupBy("sh")
+                .agg(
+                    F.collect_list(F.struct("id", "w")).alias("ps")
+                )
+                .filter(F.size("ps") >= 2)
+            )
+            pairs = (
+                buckets.select(
+                    F.explode(
+                        F.filter(
+                            F.flatten(
+                                F.transform(
+                                    F.col("ps"),
+                                    lambda a: F.transform(
+                                        F.col("ps"),
+                                        lambda b: F.struct(
+                                            a["id"].alias("id_a"),
+                                            b["id"].alias("id_b"),
+                                            (a["w"] * b["w"]).alias(
+                                                "ww"
+                                            ),
+                                        ),
+                                    ),
+                                )
+                            ),
+                            lambda s: s["id_a"] < s["id_b"],
+                        )
+                    ).alias("p")
+                )
+                .groupBy(
+                    F.col("p.id_a").alias("id_a"),
+                    F.col("p.id_b").alias("id_b"),
+                )
+                .agg(F.sum("p.ww").alias("dot"))
+            )
+        else:
+            # EXACT MODE — unbounded per-shingle df: keep the SMJ
+            # self-join (AQE skew-split applies; no bucket arrays).
+            dfc = tf.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+            w = (
+                tf.join(dfc.hint("merge"), "sh")
+                .crossJoin(F.broadcast(stats))
+                .select(
+                    "id",
+                    "sh",
+                    F.round(F.col("tf") * idf * F.lit(100.0))
+                    .cast("long")
+                    .alias("w"),
+                )
+            )
+            norms = w.groupBy("id").agg(
+                F.sum(F.col("w") * F.col("w")).alias("n2")
+            )
+            a, b = w.alias("a"), w.alias("b")
+            pairs = (
+                a.join(b.hint("merge"), "sh")
+                .filter(F.col("a.id") < F.col("b.id"))
+                .groupBy(
+                    F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"),
+                )
+                .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+            )
         na = norms.select(
             F.col("id").alias("id_a"), F.col("n2").alias("n2_a")
         )
