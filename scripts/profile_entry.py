@@ -16,6 +16,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from sqltask_spark.queries import QUERIES  # noqa: E402
@@ -39,10 +41,9 @@ def main() -> int:
     sc = spark.sparkContext
 
     def next_job_id() -> int:
-        return sc._jsc.sc().dagScheduler().nextJobId().get()
+        return int(sc._jsc.sc().dagScheduler().nextJobId())
 
     # warm JVM + python worker pool exactly like bench.py
-    import pandas as pd
     from pyspark.sql import functions as F
 
     QUERIES["q1_pricing_summary"](spark, sf_dir).limit(1).collect()

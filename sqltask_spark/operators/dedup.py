@@ -696,11 +696,64 @@ def ngram_jaccard_pairs(
                     )
                 ).alias("pair")
             )
-            .select(
+            .groupBy(
                 F.col("pair.a").alias("id_a"),
                 F.col("pair.b").alias("id_b"),
             )
-            .dropDuplicates(["id_a", "id_b"])
+            .agg(F.count(F.lit(1)).alias("__n_surv"))
+        )
+        # EXACT upper-bound prefilter before the array verify (r12):
+        # the pair dedup already counts each pair's shared SURVIVING
+        # shingles (__n_surv); with per-doc totals and hot-shingle
+        # counts, |A∩B| <= __n_surv + min(hot_a, hot_b) — a provable
+        # bound, so dropping pairs whose bound cannot reach the
+        # threshold never drops a true pair, and the expensive
+        # array_intersect/union join runs over the few survivors
+        # (measured 1.13M -> ~10³ pairs at sf0.1) instead of every
+        # candidate. Skinny per-doc relations (3 ints), one extra
+        # exchange of the capped postings by id.
+        doc_tot = shingled.select(
+            "id", F.size("shingles").alias("__tot")
+        )
+        doc_surv = capped.groupBy("id").agg(
+            F.count(F.lit(1)).alias("__surv")
+        )
+        doc = doc_tot.join(doc_surv, "id", "left").select(
+            "id",
+            "__tot",
+            (
+                F.col("__tot")
+                - F.coalesce("__surv", F.lit(0))
+            ).alias("__hot"),
+        )
+        cand = (
+            cand.join(
+                doc.select(
+                    F.col("id").alias("id_a"),
+                    F.col("__tot").alias("__tot_a"),
+                    F.col("__hot").alias("__hot_a"),
+                ).hint("merge"),
+                "id_a",
+            )
+            .join(
+                doc.select(
+                    F.col("id").alias("id_b"),
+                    F.col("__tot").alias("__tot_b"),
+                    F.col("__hot").alias("__hot_b"),
+                ).hint("merge"),
+                "id_b",
+            )
+            .withColumn(
+                "__ub",
+                F.col("__n_surv")
+                + F.least("__hot_a", "__hot_b"),
+            )
+            .filter(
+                F.col("__ub").cast("double")
+                / (F.col("__tot_a") + F.col("__tot_b") - F.col("__ub"))
+                >= F.lit(threshold) - F.lit(1e-9)
+            )
+            .select("id_a", "id_b")
         )
     else:
         # EXACT MODE — per-shingle df is unbounded, so a collected
