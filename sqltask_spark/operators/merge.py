@@ -612,68 +612,77 @@ def merge_into_parquet(
                 ]
             stats_pruned = len(files) - len(candidates)
 
+        # ONE decide job (r12, guide §2.4): the matched-file search
+        # and the insert/update/delete counts both derive from the
+        # same key-level src ⋈ target relation, so compute them in a
+        # single full-outer join + aggregate instead of a semi-join
+        # collect followed by a second flagged aggregate over a
+        # re-scan of the touched files' key column. src rows carry a
+        # non-null __is_del (coalesced at entry), target rows a
+        # non-null _metadata.file_path — null-ness of the opposite
+        # side classifies every row exactly as the two former jobs
+        # did; the touched-file set rides the same aggregate as a
+        # file-count-bounded collect_set.
         touched_rels: list[str] = []
         if candidates:
             tgt = spark.read.schema(_schema_of(m)).parquet(
                 *_abs_files(path, candidates)
             )
-            # copy-on-write file pruning: only files holding a matched
-            # key are rewritten; the collect is file-count-bounded
-            touched_uris = {
-                r["__file"]
-                for r in tgt.withColumn(
-                    "__file", F.col("_metadata.file_path")
-                )
-                .join(src_keys, key_cols, "left_semi")
-                .select("__file")
-                .distinct()
-                .collect()
-            }
+            j = tgt.select(
+                *key_cols, F.col("_metadata.file_path").alias("__file")
+            ).join(
+                src.select(*key_cols, "__is_del"),
+                key_cols,
+                "full_outer",
+            )
+            matched = (
+                F.col("__file").isNotNull()
+                & F.col("__is_del").isNotNull()
+            )
+            src_only = F.col("__file").isNull()
+            counts_row = j.agg(
+                F.sum(
+                    (matched & ~F.col("__is_del")).cast("long")
+                ).alias("updated"),
+                F.sum(
+                    (matched & F.col("__is_del")).cast("long")
+                ).alias("deleted"),
+                F.sum(
+                    (src_only & ~F.col("__is_del")).cast("long")
+                ).alias("inserted"),
+                F.sum(
+                    (src_only & F.col("__is_del")).cast("long")
+                ).alias("noop_deletes"),
+                F.collect_set(
+                    F.when(matched, F.col("__file"))
+                ).alias("touched"),
+            ).collect()[0]
+            touched_uris = set(counts_row["touched"] or [])
             touched_rels = [
                 rel
                 for rel in candidates
                 if any(u.endswith("/" + rel) for u in touched_uris)
             ]
+        else:
+            counts_row = src.agg(
+                F.lit(0).cast("long").alias("updated"),
+                F.lit(0).cast("long").alias("deleted"),
+                F.sum((~F.col("__is_del")).cast("long")).alias(
+                    "inserted"
+                ),
+                F.sum(F.col("__is_del").cast("long")).alias(
+                    "noop_deletes"
+                ),
+            ).collect()[0]
         untouched = [rel for rel in files if rel not in set(touched_rels)]
 
-        # matched flags drive both the counts and the rewrite
         if touched_rels:
             touched_df = spark.read.schema(_schema_of(m)).parquet(
                 *_abs_files(path, touched_rels)
             )
-            tgt_keys = touched_df.select(*key_cols).distinct()
             survivors = touched_df.join(src_keys, key_cols, "left_anti")
         else:
-            touched_df = None
-            tgt_keys = None
             survivors = None
-
-        if tgt_keys is None:
-            flagged = src.withColumn("__matched", F.lit(False))
-        else:
-            flagged = (
-                src.join(
-                    tgt_keys.withColumn("__m", F.lit(1)),
-                    key_cols,
-                    "left",
-                )
-                .withColumn("__matched", F.col("__m").isNotNull())
-                .drop("__m")
-            )
-        counts_row = flagged.agg(
-            F.sum(
-                (F.col("__matched") & ~F.col("__is_del")).cast("long")
-            ).alias("updated"),
-            F.sum(
-                (F.col("__matched") & F.col("__is_del")).cast("long")
-            ).alias("deleted"),
-            F.sum(
-                (~F.col("__matched") & ~F.col("__is_del")).cast("long")
-            ).alias("inserted"),
-            F.sum(
-                (~F.col("__matched") & F.col("__is_del")).cast("long")
-            ).alias("noop_deletes"),
-        ).collect()[0]
 
         upserts = src.filter(~F.col("__is_del")).drop("__is_del")
         new_data = (
