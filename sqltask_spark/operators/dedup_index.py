@@ -204,8 +204,17 @@ def build_minhash_index(
         banded.write.mode("overwrite").parquet(
             f"{path}/data/{gen}/postings"
         )
+        # sizes from the postings just WRITTEN, not from the banded
+        # plan (r12): re-evaluating `banded` would run the exploded
+        # 64-min-aggregate signature shuffle a second time over the
+        # whole corpus — reading back the skinny (band, band_hash)
+        # columns is one column-pruned scan of data the page cache
+        # still holds (the shape compact_minhash_index already uses),
+        # and at 100 TB it avoids pinning corpus-scale signatures in
+        # executor memory that a persist would cost.
         (
-            banded.groupBy("band", "band_hash")
+            spark.read.parquet(f"{path}/data/{gen}/postings")
+            .groupBy("band", "band_hash")
             .agg(F.count(F.lit(1)).cast("long").alias("bucket_size"))
             .write.mode("overwrite")
             .parquet(f"{path}/sizes/{gen}")
