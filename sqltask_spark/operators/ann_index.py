@@ -499,14 +499,43 @@ def delete_from_ivf_index(
         spark, f"{path}/tombstones",
         index_fs.live_union(spark, path, "tombstones"), "g",
     )
-    stored = _read_vectors(
-        spark, path, m, include_tombstoned=True
-    ).select("neighbor_id")
-    target = (
-        ids.select(F.col(corpus_id).alias("neighbor_id"))
-        .distinct()
-        .join(stored, "neighbor_id", "left_semi")
+    blocked = (
+        ids.select(F.col(corpus_id).alias("neighbor_id")).distinct()
     )
+    # generation pruning for the stored-id semi-join (r12): mirrors
+    # delete_from_minhash_index — generations PROVABLY holding none
+    # of the batch ids (per-generation [min,max] + id Bloom filter,
+    # the unblock machinery) are skipped, gated on generation count
+    # so small indexes pay zero extra jobs. Results identical: a
+    # pruned generation contributes nothing to the semi-join.
+    gens = list(m["generations"])
+    gen_stats = m.get("gen_stats", {})
+    if len(gens) >= index_fs.GEN_PRUNE_MIN and gen_stats:
+        blocked = blocked.persist()
+        n_b, bounds = index_fs.count_and_bounds(
+            blocked, "neighbor_id"
+        )
+        if n_b == 0:
+            blocked.unpersist()
+            return 0
+        probe_pos = index_fs.filter_probe_positions(
+            blocked, "neighbor_id"
+        )
+        gens = [
+            g
+            for g in gens
+            if not index_fs.generation_prunable(
+                gen_stats.get(g), bounds, probe_pos
+            )
+        ]
+        if not gens:
+            blocked.unpersist()
+            return 0
+    stored = _read_vectors(
+        spark, path, {**m, "generations": gens},
+        include_tombstoned=True,
+    ).select("neighbor_id")
+    target = blocked.join(stored, "neighbor_id", "left_semi")
     prior = _read_tombstones(spark, path, m)
     if prior is not None:
         target = target.join(prior, "neighbor_id", "left_anti")
@@ -531,6 +560,7 @@ def delete_from_ivf_index(
         return n
     finally:
         target.unpersist()
+        blocked.unpersist()
 
 
 def compact_ivf_index(spark: SparkSession, path: str) -> None:

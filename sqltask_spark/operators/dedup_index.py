@@ -404,12 +404,38 @@ def delete_from_minhash_index(
         spark, f"{path}/tombstones",
         index_fs.live_union(spark, path, "tombstones"), "g",
     )
-    stored = _read_shingles(spark, path, m).select("id")
-    target = (
-        ids.select(F.col(id_col).alias("id"))
-        .distinct()
-        .join(stored, "id", "left_semi")
-    )
+    blocked = ids.select(F.col(id_col).alias("id")).distinct()
+    # generation pruning for the stored-id semi-join (r12): the join
+    # exists to drop never-indexed ids, so generations PROVABLY
+    # holding none of the batch ids (per-generation [min,max] + id
+    # Bloom filter — the unblock machinery) need not be read at all.
+    # Gated on generation count: two tiny batch-sized stats jobs buy
+    # a pruned corpus scan only once the index has accumulated
+    # generations worth skipping (scale-adaptive, results identical —
+    # a pruned generation contributes nothing to the semi-join).
+    gens = list(m["generations"])
+    gen_stats = m.get("gen_stats", {})
+    if len(gens) >= index_fs.GEN_PRUNE_MIN and gen_stats:
+        blocked = blocked.persist()
+        n_b, bounds = index_fs.count_and_bounds(blocked, "id")
+        if n_b == 0:
+            blocked.unpersist()
+            return 0
+        probe_pos = index_fs.filter_probe_positions(blocked, "id")
+        gens = [
+            g
+            for g in gens
+            if not index_fs.generation_prunable(
+                gen_stats.get(g), bounds, probe_pos
+            )
+        ]
+        if not gens:
+            blocked.unpersist()
+            return 0
+    stored = _read_shingles(
+        spark, path, {**m, "generations": gens}
+    ).select("id")
+    target = blocked.join(stored, "id", "left_semi")
     prior = _read_tombstones(spark, path, m)
     if prior is not None:
         target = target.join(prior, "id", "left_anti")
@@ -434,6 +460,7 @@ def delete_from_minhash_index(
         return n
     finally:
         target.unpersist()
+        blocked.unpersist()
 
 
 def compact_minhash_index(spark: SparkSession, path: str) -> None:

@@ -472,6 +472,15 @@ def trim_batches(spark: SparkSession, path: str, keep: int) -> int:
     return len(batches) - keep
 
 
+# Generation-pruning gate for the DELETE paths (r12): pruning the
+# stored-id semi-join scan by per-generation stats costs two tiny
+# batch-sized jobs (count+bounds, probe positions) before any file is
+# read — pure overhead on a freshly built index with a handful of
+# generations, a corpus-scan saved on a long-ingesting index with
+# many. Scale-adaptive by generation COUNT, not by a local[] tuning.
+GEN_PRUNE_MIN = 5
+
+
 # Tombstone-set writes stay ONE skinny file (cheap probe-side read)
 # up to this many ids; past it — a takedown wave of tens of millions
 # — the write shards so it never funnels through a single task.

@@ -1255,6 +1255,78 @@ def test_unblock_stats_pruning_never_reads_pruned_generation(
     assert r["rewritten_generations"] == [g_low]
 
 
+def test_delete_gen_pruning_never_reads_pruned_generation(
+    spark, tmp_path
+):
+    """r12: the DELETE paths prune the stored-id semi-join by
+    gen_stats once the index holds >= GEN_PRUNE_MIN generations
+    (same machinery as targeted unblock). Pinned behaviorally for
+    BOTH index kinds: generations provably disjoint from the batch
+    ids are never opened — their data files are physically deleted
+    and the delete still succeeds; a batch wholly outside every
+    generation's [min,max] returns 0 without reading anything."""
+    import shutil
+
+    from sqltask_spark.operators.dedup_index import committed_manifest
+
+    assert index_fs.GEN_PRUNE_MIN <= 5
+    # --- MinHash: 5 generations with disjoint id ranges ---
+    def docs(lo):
+        return spark.createDataFrame(
+            [(lo + i, NOVEL + f" g{lo} d{i}") for i in range(10)],
+            "doc_id long, text string",
+        )
+
+    idx = str(tmp_path / "mh_del_prune")
+    build_minhash_index(docs(0), idx)
+    for lo in (100, 200, 300, 400):
+        append_to_minhash_index(idx, docs(lo), "doc_id", "text")
+    m = committed_manifest(spark, idx)
+    assert len(m["generations"]) == 5
+    # make every generation except the first unreadable: pruning by
+    # [min,max] disjointness must mean they are never opened
+    for g in m["generations"][1:]:
+        shutil.rmtree(f"{idx}/data/{g}/shingles")
+    victim = spark.createDataFrame([(5,)], "doc_id long")
+    assert delete_from_minhash_index(idx, victim, "doc_id") == 1
+    assert delete_from_minhash_index(idx, victim, "doc_id") == 0
+    # a batch outside EVERY generation's range: all gens prune, no
+    # file is read (gen 0's files could be gone too) — returns 0
+    far = spark.createDataFrame([(10_000_000,)], "doc_id long")
+    assert delete_from_minhash_index(idx, far, "doc_id") == 0
+
+    # --- IVF: same contract ---
+    from sqltask_spark.operators.ann_index import (
+        committed_manifest as ivf_manifest,
+    )
+
+    def vecs(lo):
+        return spark.createDataFrame(
+            [
+                (
+                    lo + i,
+                    [float((lo + i) % 7), float(i), 1.0, 0.5],
+                )
+                for i in range(16)
+            ],
+            "vec_id long, embedding array<float>",
+        )
+
+    vidx = str(tmp_path / "ivf_del_prune")
+    build_ivf_index(vecs(0), vidx, "vec_id", "embedding", n_cells=2)
+    for lo in (100, 200, 300, 400):
+        append_to_ivf_index(vidx, vecs(lo), "vec_id", "embedding")
+    vm = ivf_manifest(spark, vidx)
+    assert len(vm["generations"]) == 5
+    for g in vm["generations"][1:]:
+        shutil.rmtree(f"{vidx}/vectors/gen={g}")
+    vvictim = spark.createDataFrame([(3,)], "vec_id long")
+    assert delete_from_ivf_index(vidx, vvictim, "vec_id") == 1
+    assert delete_from_ivf_index(vidx, vvictim, "vec_id") == 0
+    vfar = spark.createDataFrame([(10_000_000,)], "vec_id long")
+    assert delete_from_ivf_index(vidx, vfar, "vec_id") == 0
+
+
 def test_rebuild_carries_manifest_keys(spark, tables, tmp_path):
     """ADVICE r11: the rebuild path (build_*_index over an existing
     index — the arm rebuild_ivf_on_drift commits through) used to
