@@ -926,11 +926,40 @@ def _mg_fold(
     is the store's data-dependent bound, ≤ 1/(k+1) by construction."""
     from pyspark.sql import Window
 
-    combined = (
-        counters.unionByName(batch)
-        .groupBy("g", "item")
+    # Total mass rides the SAME (g, item) aggregate as the counter
+    # fold (r12, guide §2.4 "remove shuffles outright"): old TOTAL
+    # rows and the batch's mass (batch rows re-tagged) union into the
+    # one exchange the fold already pays, replacing the former
+    # separate batch-mass aggregate + total full-outer join (two
+    # exchanges on state-sized data per update). ``_sp`` tags
+    # provenance so a user item that happens to equal the sentinel
+    # string stays in the counter flow (and still fails loudly at the
+    # MERGE duplicate-key check) instead of silently summing into the
+    # total.
+    def _tag(df, sp):
+        return df.withColumn("_sp", F.lit(sp))
+
+    combined_all = (
+        _tag(counters.unionByName(batch), 0)
+        .unionByName(
+            _tag(
+                total.select(
+                    "g", F.lit(_MG_TOTAL_ITEM).alias("item"), "cnt"
+                ).unionByName(
+                    batch.select(
+                        "g",
+                        F.lit(_MG_TOTAL_ITEM).alias("item"),
+                        "cnt",
+                    )
+                ),
+                1,
+            )
+        )
+        .groupBy("g", "item", "_sp")
         .agg(F.sum("cnt").cast("long").alias("cnt"))
     )
+    combined = combined_all.filter(F.col("_sp") == 0).drop("_sp")
+    new_total = combined_all.filter(F.col("_sp") == 1).drop("_sp")
     win = Window.partitionBy("g").orderBy(
         F.col("cnt").desc(), F.col("item").asc()
     )
@@ -961,21 +990,6 @@ def _mg_fold(
             (
                 F.coalesce("_old", F.lit(0))
                 + F.coalesce("_d", F.lit(0))
-            ).cast("long").alias("cnt"),
-        )
-    )
-    batch_mass = batch.groupBy("g").agg(
-        F.sum("cnt").cast("long").alias("_new")
-    )
-    new_total = (
-        total.select("g", F.col("cnt").alias("_old"))
-        .join(batch_mass, "g", "full_outer")
-        .select(
-            "g",
-            F.lit(_MG_TOTAL_ITEM).alias("item"),
-            (
-                F.coalesce("_old", F.lit(0))
-                + F.coalesce("_new", F.lit(0))
             ).cast("long").alias("cnt"),
         )
     )
