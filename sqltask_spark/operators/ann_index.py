@@ -119,6 +119,53 @@ def _committed(
     return m
 
 
+def _pinned_read(
+    spark: SparkSession, m: dict, rel: str, *paths: str
+) -> DataFrame:
+    """Parquet read with the manifest-recorded schema for ``rel``
+    when present — planning then costs ZERO Spark jobs, where schema
+    inference over a multi-file relation runs a distributed
+    footer-read job per ``spark.read.parquet`` call (measured: one
+    job per unpinned read site; at 100 TB the footer sweep is real
+    work, repeated on every probe/mutation). Falls back to inference
+    for manifests committed before schemas were recorded — mutations
+    backfill the entry, so old indexes heal on their next write."""
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    s = m.get("schemas", {}).get(rel)
+    reader = spark.read
+    if s:
+        reader = reader.schema(StructType.fromJson(_json.loads(s)))
+    return reader.parquet(*paths)
+
+
+def _pinned_gen_read(
+    spark: SparkSession, path: str, m: dict, gens: list
+) -> DataFrame:
+    """Pinned read of vector generation directories under
+    ``basePath`` (the recorded vectors schema plus the ``gen``
+    partition column the basePath read surfaces)."""
+    import json as _json
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    s = m.get("schemas", {}).get("vectors")
+    reader = spark.read.option("basePath", f"{path}/vectors")
+    if s:
+        st = StructType.fromJson(_json.loads(s))
+        reader = reader.schema(
+            StructType(
+                list(st.fields)
+                + [StructField("gen", StringType(), True)]
+            )
+        )
+    return reader.parquet(
+        *[f"{path}/vectors/gen={g}" for g in gens]
+    )
+
+
 def _read_vectors(
     spark: SparkSession,
     path: str,
@@ -132,13 +179,7 @@ def _read_vectors(
     caller needs the physical view (``include_tombstoned=True`` — the
     append idempotency check, which must keep deleted ids UNAVAILABLE
     until compaction frees them)."""
-    out = (
-        spark.read.option("basePath", f"{path}/vectors")
-        .parquet(
-            *[f"{path}/vectors/gen={g}" for g in m["generations"]]
-        )
-        .drop("gen")
-    )
+    out = _pinned_gen_read(spark, path, m, m["generations"]).drop("gen")
     tombs = _read_tombstones(spark, path, m)
     if tombs is not None and not include_tombstoned:
         out = out.join(tombs, "neighbor_id", "left_anti")
@@ -153,8 +194,9 @@ def _read_tombstones(
     gens = m.get("tombstones", [])
     if not gens:
         return None
-    return spark.read.parquet(
-        *[f"{path}/tombstones/{g}" for g in gens]
+    return _pinned_read(
+        spark, m, "tombstones",
+        *[f"{path}/tombstones/{g}" for g in gens],
     )
 
 
@@ -198,8 +240,9 @@ def _read_centroids(spark: SparkSession, path: str, m: dict):
     """Frozen coarse quantizer of the committed manifest, as an
     ndarray ordered by cell."""
     cent_rows = sorted(
-        spark.read.parquet(
-            f"{path}/quantizer/{m['quantizer']}/centroids"
+        _pinned_read(
+            spark, m, "centroids",
+            f"{path}/quantizer/{m['quantizer']}/centroids",
         ).collect(),
         key=lambda r: r["cell"],
     )
@@ -209,8 +252,9 @@ def _read_centroids(spark: SparkSession, path: str, m: dict):
 def _read_pq_codebooks(spark: SparkSession, path: str, m_fest: dict):
     """(m, pq_k, codebooks) decoded from the committed PQ
     sub-codebooks."""
-    cb_rows = spark.read.parquet(
-        f"{path}/quantizer/{m_fest['quantizer']}/codebooks"
+    cb_rows = _pinned_read(
+        spark, m_fest, "codebooks",
+        f"{path}/quantizer/{m_fest['quantizer']}/codebooks",
     ).collect()
     m = 1 + max(r["subspace"] for r in cb_rows)
     pq_k = 1 + max(r["code"] for r in cb_rows)
@@ -272,20 +316,21 @@ def build_ivf_index(
             "neighbor_id", "cv", F.col("e.codes").alias("codes"),
             F.col("e.cell").alias("cell"),
         )
+        cb_df = spark.createDataFrame(
+            [
+                (j, c, [float(x) for x in codebooks[j][c]])
+                for j in range(m)
+                for c in range(pq_k)
+            ],
+            ["subspace", "code", "centroid"],
+        )
         (
-            spark.createDataFrame(
-                [
-                    (j, c, [float(x) for x in codebooks[j][c]])
-                    for j in range(m)
-                    for c in range(pq_k)
-                ],
-                ["subspace", "code", "centroid"],
-            )
-            .coalesce(1)
+            cb_df.coalesce(1)
             .write.mode("overwrite")
             .parquet(f"{path}/quantizer/{gen}/codebooks")
         )
     else:
+        cb_df = None
         base = corpus.select(
             F.col(corpus_id).alias("neighbor_id"),
             # stored as float: the engine-wide contract casts to
@@ -296,8 +341,11 @@ def build_ivf_index(
             F.col(vec_col).cast("array<float>").alias("cv"),
             _cell_assign_udf(cents, 1)(F.col(vec_col))[0].alias("cell"),
         )
+    vec_df = base.withColumn(
+        "cn", l2_norm(as_double_array(F.col("cv")))
+    )
     (
-        base.withColumn("cn", l2_norm(as_double_array(F.col("cv"))))
+        vec_df
         # co-locate each cell before the partitioned write: one file
         # per cell directory instead of (writer tasks × cells) shards
         .repartition(n_cells, "cell")
@@ -305,17 +353,29 @@ def build_ivf_index(
         .partitionBy("cell")
         .parquet(f"{path}/vectors/gen={gen}")
     )
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in cents[i]]) for i in range(len(cents))],
+        ["cell", "centroid"],
+    )
     (
-        spark.createDataFrame(
-            [(i, [float(x) for x in cents[i]]) for i in range(len(cents))],
-            ["cell", "centroid"],
-        )
-        .coalesce(1)
+        cent_df.coalesce(1)
         .write.mode("overwrite")
         .parquet(f"{path}/quantizer/{gen}/centroids")
     )
+    # readback pinned from the plan just written — no inference job;
+    # reader schemas recorded in the manifest (the MERGE tables'
+    # ``schema`` convention) so every later read plans job-free
     st = index_fs.id_bounds(
-        spark.read.parquet(f"{path}/vectors/gen={gen}"), "neighbor_id"
+        spark.read.schema(vec_df.schema).parquet(
+            f"{path}/vectors/gen={gen}"
+        ),
+        "neighbor_id",
+    )
+    schemas = index_fs.relation_schemas(
+        vectors=vec_df,
+        centroids=cent_df,
+        tombstones=vec_df.select("neighbor_id"),
+        **({"codebooks": cb_df} if cb_df is not None else {}),
     )
     # layout is RECORDED in the manifest, never inferred from
     # filesystem probes (a driver-local exists() check lies on
@@ -331,6 +391,7 @@ def build_ivf_index(
             **{k: v for k, v in (prev or {}).items() if k != "_seq"},
             "generations": [gen],
             "quantizer": gen,
+            "schemas": schemas,
             # per-generation id range for targeted rewrites
             # (unblock_ivf_ids) — prune untouched generations unread
             "gen_stats": {gen: st} if st else {},
@@ -447,8 +508,11 @@ def append_to_ivf_index(
                 _cell_assign_udf(cents, 1)(F.col(vec_col))[0].alias("cell"),
             )
         gen = index_fs.next_gen(m_fest)
+        vec_df = base.withColumn(
+            "cn", l2_norm(as_double_array(F.col("cv")))
+        )
         (
-            base.withColumn("cn", l2_norm(as_double_array(F.col("cv"))))
+            vec_df
             .repartition("cell")
             .write.mode("overwrite")
             .partitionBy("cell")
@@ -457,6 +521,14 @@ def append_to_ivf_index(
         stats = dict(m_fest.get("gen_stats", {}))
         if st:
             stats[gen] = st
+        # reader schemas: carried forward by the **m spread below;
+        # BACKFILLED for pre-schema manifests where derivable (the
+        # quantizer relations are not in hand here — they stay on
+        # inference until a rebuild records them)
+        schemas = m_fest.get("schemas") or index_fs.relation_schemas(
+            vectors=vec_df,
+            tombstones=vec_df.select("neighbor_id"),
+        )
         # the COMMIT: the generation was invisible until this line.
         # Unknown manifest keys (sync markers, future metadata) carry
         # forward verbatim
@@ -465,6 +537,7 @@ def append_to_ivf_index(
             {
                 **{k: v for k, v in m_fest.items() if k != "_seq"},
                 "generations": m_fest["generations"] + [gen],
+                "schemas": schemas,
                 "gen_stats": stats,
                 "batches": m_fest.get("batches", [])
                 + ([batch_id] if batch_id else []),
@@ -548,12 +621,17 @@ def delete_from_ivf_index(
         index_fs.shard_for_write(target, n).write.mode(
             "overwrite"
         ).parquet(f"{path}/tombstones/{gen}")
+        # backfill the tombstone reader schema for pre-schema
+        # manifests (carried forward verbatim otherwise)
+        schemas = dict(m.get("schemas", {}))
+        schemas.setdefault("tombstones", target.schema.json())
         index_fs.commit_manifest(
             spark,
             path,
             {
                 **{k: v for k, v in m.items() if k != "_seq"},
                 "tombstones": m.get("tombstones", []) + [gen],
+                "schemas": schemas,
             },
             m["_seq"],
         )
@@ -597,10 +675,7 @@ def compact_ivf_index(spark: SparkSession, path: str) -> None:
         .parquet(f"{path}/vectors/gen={gen}")
     )
     st = index_fs.id_bounds(
-        spark.read.option("basePath", f"{path}/vectors").parquet(
-            f"{path}/vectors/gen={gen}"
-        ),
-        "neighbor_id",
+        _pinned_gen_read(spark, path, m, [gen]), "neighbor_id"
     )
     index_fs.commit_manifest(
         spark,
@@ -717,8 +792,7 @@ def unblock_ivf_ids(
             tagged = reduce(
                 DataFrame.unionByName,
                 [
-                    spark.read.option("basePath", f"{path}/vectors")
-                    .parquet(f"{path}/vectors/gen={g}")
+                    _pinned_gen_read(spark, path, m, [g])
                     .select("neighbor_id")
                     .withColumn("_g", F.lit(g))
                     for g in candidates
@@ -765,8 +839,7 @@ def unblock_ivf_ids(
                 continue
             gnew = alloc()
             (
-                spark.read.option("basePath", f"{path}/vectors")
-                .parquet(f"{path}/vectors/gen={g}")
+                _pinned_gen_read(spark, path, m, [g])
                 .drop("gen")
                 .join(blocked, "neighbor_id", "left_anti")
                 .repartition("cell")

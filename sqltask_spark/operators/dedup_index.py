@@ -115,15 +115,45 @@ def _committed(
     return m
 
 
+def _pinned_read(
+    spark: SparkSession, m: dict, rel: str, *paths: str
+) -> DataFrame:
+    """Parquet read with the manifest-recorded schema for ``rel``
+    when present — planning then costs ZERO Spark jobs, where schema
+    inference over a multi-file relation runs a distributed
+    footer-read job per ``spark.read.parquet`` call (measured: one
+    job per unpinned read site; at 100 TB the footer sweep is real
+    work, repeated on every probe/mutation). Falls back to inference
+    for manifests committed before schemas were recorded — mutations
+    backfill the entry, so old indexes heal on their next write."""
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    s = m.get("schemas", {}).get(rel)
+    reader = spark.read
+    if s:
+        reader = reader.schema(StructType.fromJson(_json.loads(s)))
+    return reader.parquet(*paths)
+
+
 def _read_postings(spark: SparkSession, path: str, m: dict) -> DataFrame:
-    return spark.read.parquet(
-        *[f"{path}/data/{g}/postings" for g in m["generations"]]
+    return _pinned_read(
+        spark, m, "postings",
+        *[f"{path}/data/{g}/postings" for g in m["generations"]],
     )
 
 
 def _read_shingles(spark: SparkSession, path: str, m: dict) -> DataFrame:
-    return spark.read.parquet(
-        *[f"{path}/data/{g}/shingles" for g in m["generations"]]
+    return _pinned_read(
+        spark, m, "shingles",
+        *[f"{path}/data/{g}/shingles" for g in m["generations"]],
+    )
+
+
+def _read_sizes(spark: SparkSession, path: str, m: dict) -> DataFrame:
+    return _pinned_read(
+        spark, m, "sizes", f"{path}/sizes/{m['sizes']}"
     )
 
 
@@ -134,8 +164,9 @@ def _read_tombstones(
     gens = m.get("tombstones", [])
     if not gens:
         return None
-    return spark.read.parquet(
-        *[f"{path}/tombstones/{g}" for g in gens]
+    return _pinned_read(
+        spark, m, "tombstones",
+        *[f"{path}/tombstones/{g}" for g in gens],
     )
 
 
@@ -212,17 +243,25 @@ def build_minhash_index(
         # still holds (the shape compact_minhash_index already uses),
         # and at 100 TB it avoids pinning corpus-scale signatures in
         # executor memory that a persist would cost.
-        (
-            spark.read.parquet(f"{path}/data/{gen}/postings")
+        # (schema pinned from the plan just written — no inference job)
+        sizes_df = (
+            spark.read.schema(banded.schema)
+            .parquet(f"{path}/data/{gen}/postings")
             .groupBy("band", "band_hash")
             .agg(F.count(F.lit(1)).cast("long").alias("bucket_size"))
-            .write.mode("overwrite")
-            .parquet(f"{path}/sizes/{gen}")
         )
+        sizes_df.write.mode("overwrite").parquet(f"{path}/sizes/{gen}")
         shingled.write.mode("overwrite").parquet(
             f"{path}/data/{gen}/shingles"
         )
         st = index_fs.id_bounds(shingled, "id")
+        # reader schemas ride the manifest (like the MERGE tables'
+        # ``schema``): every later read plans with ZERO jobs instead
+        # of a distributed footer-inference job per call site
+        schemas = index_fs.relation_schemas(
+            postings=banded, shingles=shingled, sizes=sizes_df,
+            tombstones=shingled.select("id"),
+        )
         index_fs.commit_manifest(
             spark,
             path,
@@ -234,6 +273,7 @@ def build_minhash_index(
                    if k != "_seq"},
                 "generations": [gen],
                 "sizes": gen,
+                "schemas": schemas,
                 # a rebuild writes exactly its input corpus; the
                 # tombstone set resets (retention boundary)
                 "tombstones": [],
@@ -341,7 +381,7 @@ def append_to_minhash_index(
         # collect (the sizes relation is bucket-count-sized —
         # corpus-scaled at 100 TB)
         (
-            spark.read.parquet(f"{path}/sizes/{m['sizes']}")
+            _read_sizes(spark, path, m)
             .unionByName(new_sizes)
             .groupBy("band", "band_hash")
             .agg(F.sum("bucket_size").cast("long").alias("bucket_size"))
@@ -351,6 +391,13 @@ def append_to_minhash_index(
         stats = dict(m.get("gen_stats", {}))
         if st:
             stats[gen] = st
+        # reader schemas: carried forward by the **m spread below;
+        # BACKFILLED here for pre-schema manifests (every relation's
+        # schema is in hand), so an old index heals on its next append
+        schemas = m.get("schemas") or index_fs.relation_schemas(
+            postings=banded, shingles=bsh, sizes=new_sizes,
+            tombstones=bsh.select("id"),
+        )
         # the COMMIT: everything above was invisible until this line.
         # Unknown manifest keys (sync markers, future metadata) are
         # carried forward verbatim — a mutation must never strip
@@ -362,6 +409,7 @@ def append_to_minhash_index(
                 **{k: v for k, v in m.items() if k != "_seq"},
                 "generations": m["generations"] + [gen],
                 "sizes": gen,
+                "schemas": schemas,
                 "gen_stats": stats,
                 "batches": m.get("batches", [])
                 + ([batch_id] if batch_id else []),
@@ -448,12 +496,17 @@ def delete_from_minhash_index(
         index_fs.shard_for_write(target, n).write.mode(
             "overwrite"
         ).parquet(f"{path}/tombstones/{gen}")
+        # backfill the tombstone reader schema for pre-schema
+        # manifests (carried forward verbatim otherwise)
+        schemas = dict(m.get("schemas", {}))
+        schemas.setdefault("tombstones", target.schema.json())
         index_fs.commit_manifest(
             spark,
             path,
             {
                 **{k: v for k, v in m.items() if k != "_seq"},
                 "tombstones": m.get("tombstones", []) + [gen],
+                "schemas": schemas,
             },
             m["_seq"],
         )
@@ -504,14 +557,15 @@ def compact_minhash_index(spark: SparkSession, path: str) -> None:
         f"{path}/data/{gen}/shingles"
     )
     (
-        spark.read.parquet(f"{path}/data/{gen}/postings")
+        _pinned_read(spark, m, "postings", f"{path}/data/{gen}/postings")
         .groupBy("band", "band_hash")
         .agg(F.count(F.lit(1)).cast("long").alias("bucket_size"))
         .write.mode("overwrite")
         .parquet(f"{path}/sizes/{gen}")
     )
     st = index_fs.id_bounds(
-        spark.read.parquet(f"{path}/data/{gen}/shingles"), "id"
+        _pinned_read(spark, m, "shingles", f"{path}/data/{gen}/shingles"),
+        "id",
     )
     index_fs.commit_manifest(
         spark,
@@ -647,7 +701,10 @@ def unblock_minhash_ids(
             tagged = reduce(
                 DataFrame.unionByName,
                 [
-                    spark.read.parquet(f"{path}/data/{g}/shingles")
+                    _pinned_read(
+                        spark, m, "shingles",
+                        f"{path}/data/{g}/shingles",
+                    )
                     .select("id")
                     .withColumn("_g", F.lit(g))
                     for g in candidates
@@ -698,7 +755,9 @@ def unblock_minhash_ids(
             gnew = alloc()
             for rel in ("postings", "shingles"):
                 (
-                    spark.read.parquet(f"{path}/data/{g}/{rel}")
+                    _pinned_read(
+                        spark, m, rel, f"{path}/data/{g}/{rel}"
+                    )
                     .join(blocked, "id", "left_anti")
                     .write.mode("overwrite")
                     .parquet(f"{path}/data/{gnew}/{rel}")
@@ -713,8 +772,9 @@ def unblock_minhash_ids(
         sizes_gen = m["sizes"]
         if affected:
             dropped = (
-                spark.read.parquet(
-                    *[f"{path}/data/{g}/postings" for g in affected]
+                _pinned_read(
+                    spark, m, "postings",
+                    *[f"{path}/data/{g}/postings" for g in affected],
                 )
                 .join(blocked, "id", "left_semi")
                 .groupBy("band", "band_hash")
@@ -722,7 +782,7 @@ def unblock_minhash_ids(
             )
             sizes_gen = alloc()
             (
-                spark.read.parquet(f"{path}/sizes/{m['sizes']}")
+                _read_sizes(spark, path, m)
                 .join(dropped, ["band", "band_hash"], "left")
                 .select(
                     "band",
@@ -818,7 +878,7 @@ def probe_minhash_index(
 
     m = _committed(spark, path, as_of)
     meta = m["params"]
-    sizes = spark.read.parquet(f"{path}/sizes/{m['sizes']}").filter(
+    sizes = _read_sizes(spark, path, m).filter(
         F.col("bucket_size") <= F.lit(max_bucket_size)
     )
     postings = _read_postings(spark, path, m).join(

@@ -258,6 +258,16 @@ def drop_manifests(
     return drop
 
 
+def relation_schemas(**dfs) -> dict:
+    """``{relation_name: schema-json}`` for the manifest's reader
+    schemas (the MERGE tables' ``schema`` convention, extended to the
+    indexes' multi-relation layouts). A read planned with a recorded
+    schema costs ZERO Spark jobs; unpinned multi-file reads each pay
+    a distributed footer-inference job per call site — fixed overhead
+    locally, a real footer sweep at 100 TB."""
+    return {name: df.schema.json() for name, df in dfs.items()}
+
+
 def id_bounds(df, id_col: str) -> dict | None:
     """``{"min_id", "max_id"}`` of ``df[id_col]`` for the manifest's
     per-generation statistics, or ``None`` when the id type is not

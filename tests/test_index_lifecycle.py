@@ -1327,6 +1327,81 @@ def test_delete_gen_pruning_never_reads_pruned_generation(
     assert delete_from_ivf_index(vidx, vfar, "vec_id") == 0
 
 
+def test_manifest_reader_schemas_pin_jobfree_reads(
+    spark, tables, tmp_path
+):
+    """r12 optimization: the manifests record every relation's reader
+    schema, so index reads plan with ZERO Spark jobs (an unpinned
+    multi-file ``spark.read.parquet`` pays a distributed
+    footer-inference job per call site — measured one job per site,
+    ~10 per ingest cycle). Pinned here:
+
+    - the committed manifest carries ``schemas``;
+    - planning `_read_postings`/`_read_shingles`/`_read_vectors`
+      against it launches NO job;
+    - a PRE-SCHEMA manifest (``schemas`` stripped) still reads
+      identical rows via the inference fallback;
+    - the next mutation BACKFILLS ``schemas`` (old indexes heal).
+    """
+    from sqltask_spark.operators import ann_index as ai
+    from sqltask_spark.operators import dedup_index as di
+
+    sc = spark.sparkContext
+
+    def njid():
+        return int(sc._jsc.sc().dagScheduler().nextJobId())
+
+    docs = tables["documents"].select("doc_id", "text")
+    idx = str(tmp_path / "mh_schemas")
+    build_minhash_index(docs.filter(F.col("doc_id") < 40), idx)
+    m = di.committed_manifest(spark, idx)
+    assert set(m["schemas"]) == {
+        "postings", "shingles", "sizes", "tombstones"
+    }
+    j0 = njid()
+    pinned = di._read_shingles(spark, idx, m)
+    _ = di._read_postings(spark, idx, m)
+    _ = di._read_sizes(spark, idx, m)
+    assert njid() - j0 == 0, "pinned reads must plan job-free"
+    # pre-schema manifest: inference fallback reads the same rows
+    m_old = {k: v for k, v in m.items() if k != "schemas"}
+    legacy = di._read_shingles(spark, idx, m_old)
+    assert pinned.schema == legacy.schema
+    assert sorted(r["id"] for r in pinned.collect()) == sorted(
+        r["id"] for r in legacy.collect()
+    )
+    # a mutation on a pre-schema manifest backfills the entry: strip
+    # `schemas` from the committed manifest via a manifest-only
+    # commit, then append
+    index_fs.commit_manifest(spark, idx, m_old, m["_seq"])
+    more = docs.filter(
+        (F.col("doc_id") >= 40) & (F.col("doc_id") < 60)
+    )
+    assert append_to_minhash_index(idx, more) > 0
+    m2 = di.committed_manifest(spark, idx)
+    assert set(m2["schemas"]) == {
+        "postings", "shingles", "sizes", "tombstones"
+    }
+
+    # --- IVF: same contract ---
+    emb = tables["embeddings"]
+    vidx = str(tmp_path / "ivf_schemas")
+    build_ivf_index(
+        emb.filter(F.col("vec_id") < 200), vidx, "vec_id",
+        "embedding", n_cells=4,
+    )
+    vm = ai.committed_manifest(spark, vidx)
+    assert {"vectors", "centroids", "tombstones"} <= set(vm["schemas"])
+    j0 = njid()
+    vpin = ai._read_vectors(spark, vidx, vm)
+    assert njid() - j0 == 0, "pinned vector read must plan job-free"
+    vm_old = {k: v for k, v in vm.items() if k != "schemas"}
+    vleg = ai._read_vectors(spark, vidx, vm_old)
+    assert sorted(r["neighbor_id"] for r in vpin.collect()) == sorted(
+        r["neighbor_id"] for r in vleg.collect()
+    )
+
+
 def test_rebuild_carries_manifest_keys(spark, tables, tmp_path):
     """ADVICE r11: the rebuild path (build_*_index over an existing
     index — the arm rebuild_ivf_on_drift commits through) used to
