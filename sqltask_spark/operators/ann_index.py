@@ -473,16 +473,49 @@ def append_to_ivf_index(
         spark, f"{path}/tombstones", live["tombstones"], "g"
     )
     meta = m_fest["params"]
-    # include_tombstoned: a deleted id stays unavailable until
-    # compaction (re-admitting earlier would be killed by its own
-    # tombstone — the LSM id-reuse hazard, excluded by construction)
-    stored_ids = _read_vectors(
-        spark, path, m_fest, include_tombstoned=True
-    ).select("neighbor_id")
-    novel = batch.join(
-        stored_ids, batch[corpus_id] == stored_ids["neighbor_id"],
-        "left_anti",
-    ).persist()
+    # generation pruning for the idempotency anti-join (r12): skip
+    # generations provably disjoint from the batch ids ([min,max] +
+    # id Bloom — the delete/unblock machinery), gated on generation
+    # count so small indexes pay no extra jobs. Results identical.
+    gens = list(m_fest["generations"])
+    gen_stats = m_fest.get("gen_stats", {})
+    if len(gens) >= index_fs.GEN_PRUNE_MIN and gen_stats:
+        bk = (
+            batch.select(F.col(corpus_id).alias("neighbor_id"))
+            .distinct()
+            .persist()
+        )
+        try:
+            _, bounds = index_fs.count_and_bounds(bk, "neighbor_id")
+            probe_pos = index_fs.filter_probe_positions(
+                bk, "neighbor_id"
+            )
+            gens = [
+                g
+                for g in gens
+                if not index_fs.generation_prunable(
+                    gen_stats.get(g), bounds, probe_pos
+                )
+            ]
+        finally:
+            bk.unpersist()
+    if gens:
+        # include_tombstoned: a deleted id stays unavailable until
+        # compaction (re-admitting earlier would be killed by its own
+        # tombstone — the LSM id-reuse hazard, excluded by
+        # construction)
+        stored_ids = _read_vectors(
+            spark, path, {**m_fest, "generations": gens},
+            include_tombstoned=True,
+        ).select("neighbor_id")
+        novel = batch.join(
+            stored_ids, batch[corpus_id] == stored_ids["neighbor_id"],
+            "left_anti",
+        ).persist()
+    else:
+        # every generation provably disjoint — the whole batch is
+        # novel
+        novel = batch.persist()
     try:
         # one action: the count the append needs anyway + the
         # generation's id bounds for the manifest stats

@@ -349,12 +349,43 @@ def append_to_minhash_index(
         spark, f"{path}/tombstones", live["tombstones"], "g"
     )
     meta = m["params"]
-    stored_ids = (
-        _read_shingles(spark, path, m).select("id").distinct()
-    )
-    novel = batch.join(
-        stored_ids, batch[id_col] == stored_ids["id"], "left_anti"
-    )
+    # generation pruning for the idempotency anti-join (r12): the
+    # join exists to drop already-indexed ids, so generations
+    # PROVABLY holding none of the batch ids ([min,max] + id Bloom —
+    # the delete/unblock machinery) need not be read at all. Gated on
+    # generation count like the delete path: two batch-sized stats
+    # jobs buy a pruned corpus-id scan only once the index has
+    # accumulated generations worth skipping. Results identical — a
+    # pruned generation contributes nothing to the anti-join.
+    gens = list(m["generations"])
+    gen_stats = m.get("gen_stats", {})
+    if len(gens) >= index_fs.GEN_PRUNE_MIN and gen_stats:
+        bk = batch.select(F.col(id_col).alias("id")).distinct().persist()
+        try:
+            _, bounds = index_fs.count_and_bounds(bk, "id")
+            probe_pos = index_fs.filter_probe_positions(bk, "id")
+            gens = [
+                g
+                for g in gens
+                if not index_fs.generation_prunable(
+                    gen_stats.get(g), bounds, probe_pos
+                )
+            ]
+        finally:
+            bk.unpersist()
+    if gens:
+        stored_ids = (
+            _read_shingles(spark, path, {**m, "generations": gens})
+            .select("id")
+            .distinct()
+        )
+        novel = batch.join(
+            stored_ids, batch[id_col] == stored_ids["id"], "left_anti"
+        )
+    else:
+        # every generation provably disjoint from the batch — the
+        # whole batch is novel
+        novel = batch
     bsh = shingled_docs(novel, id_col, text_col, meta["shingle_n"]).persist()
     banded = None
     try:

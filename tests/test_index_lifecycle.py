@@ -1327,6 +1327,77 @@ def test_delete_gen_pruning_never_reads_pruned_generation(
     assert delete_from_ivf_index(vidx, vfar, "vec_id") == 0
 
 
+def test_append_gen_pruning_never_reads_pruned_generation(
+    spark, tmp_path
+):
+    """r12: the APPEND paths prune the idempotency anti-join's
+    stored-id scan by gen_stats once the index holds >=
+    GEN_PRUNE_MIN generations — the delete-path contract applied to
+    the other per-batch corpus-id scan. Pinned behaviorally for BOTH
+    index kinds: generations provably disjoint from the batch ids
+    are never opened (their data files are physically deleted and
+    the append still succeeds, admitting exactly the novel ids and
+    anti-joining the already-indexed one)."""
+    import shutil
+
+    from sqltask_spark.operators.dedup_index import committed_manifest
+
+    assert index_fs.GEN_PRUNE_MIN <= 5
+    # --- MinHash: 5 generations with disjoint id ranges ---
+    def docs(lo):
+        return spark.createDataFrame(
+            [(lo + i, NOVEL + f" g{lo} d{i}") for i in range(10)],
+            "doc_id long, text string",
+        )
+
+    idx = str(tmp_path / "mh_app_prune")
+    build_minhash_index(docs(0), idx)
+    for lo in (100, 200, 300, 400):
+        append_to_minhash_index(idx, docs(lo), "doc_id", "text")
+    m = committed_manifest(spark, idx)
+    assert len(m["generations"]) == 5
+    for g in m["generations"][1:]:
+        shutil.rmtree(f"{idx}/data/{g}/shingles")
+    batch = spark.createDataFrame(
+        [(5, NOVEL + " g0 d5"), (10_000_001, NOVEL + " fresh one")],
+        "doc_id long, text string",
+    )
+    # id 5 lives in gen 0 (readable) -> anti-joined out; gens 1-4 are
+    # provably disjoint -> never opened despite their files being gone
+    assert append_to_minhash_index(idx, batch, "doc_id", "text") == 1
+
+    # --- IVF: same contract ---
+    from sqltask_spark.operators.ann_index import (
+        committed_manifest as ivf_manifest,
+    )
+
+    def vecs(lo):
+        return spark.createDataFrame(
+            [
+                (lo + i, [float((lo + i) % 7), float(i), 1.0, 0.5])
+                for i in range(16)
+            ],
+            "vec_id long, embedding array<float>",
+        )
+
+    vidx = str(tmp_path / "ivf_app_prune")
+    build_ivf_index(vecs(0), vidx, "vec_id", "embedding", n_cells=2)
+    for lo in (100, 200, 300, 400):
+        append_to_ivf_index(vidx, vecs(lo), "vec_id", "embedding")
+    vm = ivf_manifest(spark, vidx)
+    assert len(vm["generations"]) == 5
+    for g in vm["generations"][1:]:
+        shutil.rmtree(f"{vidx}/vectors/gen={g}")
+    vbatch = spark.createDataFrame(
+        [
+            (3, [3.0, 3.0, 1.0, 0.5]),
+            (10_000_001, [1.0, 2.0, 1.0, 0.5]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    assert append_to_ivf_index(vidx, vbatch, "vec_id", "embedding") == 1
+
+
 def test_manifest_reader_schemas_pin_jobfree_reads(
     spark, tables, tmp_path
 ):
