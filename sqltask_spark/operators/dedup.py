@@ -363,6 +363,21 @@ def md5_minhash_wide(
     certificate (queries/textops.py) all call this, so a change to
     the permutation format cannot silently desynchronize the
     certificate from the operator it certifies."""
+    return md5_minhash_wide_carry(exploded, num_perm, seed)
+
+
+def md5_minhash_wide_carry(
+    exploded: DataFrame,
+    num_perm: int,
+    seed: int,
+    carry_cols: tuple = (),
+) -> DataFrame:
+    """:func:`md5_minhash_wide` with optional carried grouping
+    columns: ``carry_cols`` must be functions of ``id`` (one value
+    per document — e.g. a train/eval side flag); adding them to the
+    groupBy keys yields the identical per-id signature while keeping
+    the columns available WITHOUT a corpus-scale re-attach join
+    (r12 optimization, guide §2.4)."""
 
     def perm(i: int) -> Column:
         return _md5_long_of(
@@ -374,7 +389,7 @@ def md5_minhash_wide(
             )
         )
 
-    return exploded.groupBy("id").agg(
+    return exploded.groupBy("id", *carry_cols).agg(
         *[F.min(perm(i)).alias(f"m{i}") for i in range(num_perm)]
     )
 
@@ -506,22 +521,30 @@ def minhash_contamination_pairs_md5(
     assert num_perm % bands == 0, "bands must divide num_perm"
     from sqltask_spark.data import materialize_and_release
 
-    sides = docs.select(
-        F.col(id_col).alias("_id"),
-        F.col(text_col).alias("_text"),
+    from sqltask_spark.data import ensure_min_partitions
+
+    # side rides the shingling projection and the signature groupBy
+    # (r12 optimization, guide §2.4): the former shape re-attached it
+    # with TWO corpus-scale joins (shingled⋈sides, wide⋈shingled) —
+    # both removable because side is a function of id, so carrying it
+    # as an extra groupBy key yields identical signatures.
+    shingled = ensure_min_partitions(docs).select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(
+            F.transform(
+                word_shingles(F.col(text_col), shingle_n), _md5_long_of
+            )
+        ).alias("h"),
         F.col(side_col).cast("int").alias("side"),
-    )
-    shingled = md5_shingled_docs(sides, "_id", "_text", shingle_n).join(
-        sides.select(F.col("_id").alias("id"), "side"), "id"
     )
     if eager:
         shingled = shingled.persist()
-    exploded = shingled.select("id", F.explode("h").alias("h"))
-    wide = md5_minhash_wide(exploded, num_perm, seed)
+    exploded = shingled.select("id", "side", F.explode("h").alias("h"))
+    wide = md5_minhash_wide_carry(
+        exploded, num_perm, seed, carry_cols=("side",)
+    )
     band_hashes = md5_band_hash_cols(num_perm, bands)
-    banded = wide.join(
-        shingled.select("id", "side"), "id"
-    ).select(
+    banded = wide.select(
         "id",
         "side",
         F.posexplode(F.array(*band_hashes)).alias("band", "band_hash"),
@@ -877,7 +900,16 @@ def simhash_near_pairs(
         mask = (1 << width) - 1 if i < chunks - 1 else (1 << (64 - i * width)) - 1
         chunk_cols.append(shifted.bitwiseAND(F.lit(mask)))
     # one (chunk index, chunk value) self-join instead of `chunks`
-    # separate joins — a single shuffle keyed by (ci, cv)
+    # separate joins — a single shuffle keyed by (ci, cv). NOTE
+    # (r12 optimization round): an in-partition collect_list + pair
+    # explode off the cap window's exchange (the capped-Jaccard
+    # shape) was implemented and measured FLAT-to-slower here
+    # (min-of-5 3.73→3.91s / 4.82→5.56s at sf0.1, job count 7→7):
+    # the SMJ's inputs are already partitioned by the cap window, so
+    # only sorts remain, and ReusedExchange serves the b side — the
+    # struct collect_list just added serialization. Reverted; the
+    # exchange-count argument that motivated the Jaccard rewrite does
+    # not apply where the join keys equal the window keys.
     exploded = sigs.select(
         "id", "sig", F.posexplode(F.array(*chunk_cols)).alias("ci", "cv")
     )
@@ -888,19 +920,18 @@ def simhash_near_pairs(
     b = exploded.select(
         F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "ci", "cv"
     )
-    cands = a.join(b.hint("merge"), ["ci", "cv"]).filter(F.col("id_a") < F.col("id_b"))
-    verified = (
+    cands = a.join(b.hint("merge"), ["ci", "cv"]).filter(
+        F.col("id_a") < F.col("id_b")
+    )
+    return (
         cands.dropDuplicates(["id_a", "id_b"])
         .withColumn(
             "hamming",
-            F.bit_count(
-                F.col("sig_a").bitwiseXOR(F.col("sig_b"))
-            ),
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))),
         )
         .filter(F.col("hamming") <= max_distance)
         .select("id_a", "id_b", "hamming")
     )
-    return verified
 
 
 def simhash_near_pairs_md5(

@@ -288,9 +288,19 @@ def hybrid_rrf_search(
     # centi keeps Σ w_q·w_d well under 2^53 so the oracle's
     # HUGEINT→double conversion stays exact (same budget analysis as
     # tfidf_near_pairs).
+    # df attaches to the corpus tf census via a count window over the
+    # term key (r12 optimization, guide §2.4): identical value to the
+    # former dfc merge-join (tf is one row per (doc, term), so a
+    # per-term row count IS the document frequency), at one exchange
+    # instead of an aggregate exchange plus a sort-merge join that
+    # re-sorted the vocabulary-sized census. The standalone dfc
+    # census below now feeds ONLY the query side's (tiny) join, and
+    # its corpus subtree is shared with tf through exchange reuse.
+    tf_w = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
     w_d = (
-        tf.join(dfc.hint("merge"), "term")
-        .crossJoin(F.broadcast(stats))
+        tf_w.crossJoin(F.broadcast(stats))
         .select(
             "doc_id",
             md5_bucket(F.col("term"), n_buckets).alias("bucket"),

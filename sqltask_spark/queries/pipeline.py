@@ -234,11 +234,9 @@ _MAX_SHINGLE_DF = 50
 def contamination_overlap(
     spark: SparkSession, sf_dir: str, max_shingle_df: int | None = _MAX_SHINGLE_DF
 ) -> DataFrame:
-    from sqltask_spark.data import materialize_and_release
-
     docs = load_table(spark, sf_dir, "documents")
-    # The shingle is hashed to a long AT THE EXPLODE: the persisted
-    # index, the df census, and the posting groupBy all carry 8 bytes
+    # The shingle is hashed to a long AT THE EXPLODE: the inverted
+    # index, the df cap window, and the posting groupBy all carry 8 bytes
     # instead of 3-gram text (~3-5x). A collision merges two shingles'
     # postings (undercounts n_shared by at most the collision count) —
     # at 2^64 that's ~1e-9 for any realistic shingle vocabulary, and
@@ -249,21 +247,20 @@ def contamination_overlap(
             F.array_distinct(word_shingles(F.col("text"), 3))
         ).alias("sh_str"),
     ).select("doc_id", F.xxhash64("sh_str").alias("shingle"))
-    cached = None
-    # Hot-shingle cap: count df per shingle (map-side-combined longs,
-    # cheap) and drop shingles above the cap BEFORE any posting list
-    # is materialized — bounding both the collect_set buffers and the
-    # train×eval explode at <= cap² rows per shingle. The census and
-    # the posting build both consume the inverted index, so persist
-    # the skinny (doc_id, shingle) relation — one shingling pass, not
-    # two; released eagerly once the (pair-sized) result materializes.
+    # Hot-shingle cap: drop shingles above the cap BEFORE any posting
+    # list is materialized — bounding both the collect_set buffers and
+    # the train×eval explode at <= cap² rows per shingle. A count
+    # window over the shingle key (drop_hot_buckets) replaces the
+    # former df-census groupBy + equi-join: identical df semantics
+    # (count per shingle over the per-doc-distinct index), but the
+    # census and the cap share ONE exchange — and it is the very
+    # exchange the posting groupBy below needs, so capped mode adds
+    # no shuffle at all (guide §2.4). This also retires the persist:
+    # the shingling pass now has exactly one consumer.
     if max_shingle_df is not None:
-        inv = cached = inv.persist()
-        df_counts = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        inv = inv.join(
-            df_counts.filter(F.col("df") <= max_shingle_df).select("shingle"),
-            "shingle",
-        )
+        from sqltask_spark.operators.bucketing import drop_hot_buckets
+
+        inv = drop_hot_buckets(inv, ["shingle"], max_shingle_df)
     # Single-scan shape: instead of self-joining two filtered reads of
     # the inverted index (which computes the shingling twice), group
     # each shingle's posting list ONCE, split it into train/eval sides
@@ -292,8 +289,6 @@ def contamination_overlap(
         .filter(F.col("n_shared") >= _MIN_SHARED)
         .orderBy("train_id", "eval_id")
     )
-    if cached is not None:
-        out = materialize_and_release(out, cached)
     return out
 
 

@@ -2217,22 +2217,21 @@ ORDER BY doc_id, rank
 # distinct 3-gram shingles that occur in at least one OTHER document.
 # Docs with high dup_fraction are near-verbatim copies or heavy
 # boilerplate even when no single pair crosses a Jaccard threshold.
-# Shape: one shingle explode, one map-side-combined df census, one
-# equi-join back on the shingle (hot boilerplate shingles skew the
-# probe side — AQE skew-join territory; the join never explodes since
-# df is one row per shingle), one per-doc agg. Never all-pairs.
+# Shape: one shingle explode, one count window over the shingle key
+# (the df census and its join back are the same exchange — guide
+# §2.4: a census aggregate + equi-join on the census key collapses
+# into one hash partitioning), one per-doc agg. Never all-pairs.
+# The r12-optimization rewrite also drops the persist: the window
+# formulation consumes the shingling exactly once, so there is no
+# second consumer to cache for (and no cache/release jobs to pay).
 # --------------------------------------------------------------------------
 
 def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sqltask_spark.data import materialize_and_release
+    from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    # The skinny (doc_id, shingle) relation feeds BOTH the df census
-    # and the join probe — persist it so the shingling pass runs once
-    # (same single-scan reasoning as contamination_overlap), released
-    # eagerly once the per-doc result materializes. The shingle is
-    # hashed to a long at the explode: cache, census, and join all
-    # carry 8 bytes instead of 3-gram text (collision odds ~1e-9; a
+    # The shingle is hashed to a long at the explode: the exchange
+    # carries 8 bytes instead of 3-gram text (collision odds ~1e-9; a
     # collision would only mark a unique shingle duplicated, and the
     # oracle cross-check would surface it).
     inv = docs.select(
@@ -2240,10 +2239,15 @@ def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.array_distinct(word_shingles(F.col("text"), 3))
         ).alias("sh_str"),
-    ).select("doc_id", F.xxhash64("sh_str").alias("shingle")).persist()
-    dfreq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    out = (
-        inv.join(dfreq, "shingle")
+    ).select("doc_id", F.xxhash64("sh_str").alias("shingle"))
+    # df per shingle via a count window: identical value to the former
+    # groupBy census + join (count of rows per shingle — inv is
+    # per-doc distinct), at ONE exchange instead of three.
+    counted = inv.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    )
+    return (
+        counted
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
@@ -2261,7 +2265,6 @@ def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
-    return materialize_and_release(out, inv)
 
 
 _DUP_SPAN_SQL = f"""
