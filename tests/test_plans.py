@@ -181,11 +181,15 @@ def test_dedup_incremental_anti_join_no_cartesian(spark, sf_dir):
 
 
 def test_dup_span_stats_no_cartesian(spark, sf_dir):
-    # inverted-index equi-join on the shingle key, never all-pairs
+    # r12: the shingle-df census join was replaced by a count window
+    # over the SAME shingle partitioning (one exchange instead of
+    # census agg + join back) — the plan must stay join-free with the
+    # window's exchange + the per-doc agg + the final sort only
     r = plan_report(QUERIES["dup_span_stats"](spark, sf_dir))
     assert "CartesianProduct" not in r.join_strategies
     assert "BroadcastNestedLoopJoin" not in r.join_strategies
-    assert r.join_strategies  # census joined back on shingle
+    assert r.join_strategies == []  # df rides a window, no join back
+    assert r.n_exchanges <= 3  # shingle window + doc agg + orderBy
 
 
 def test_semdedup_cell_join_no_nested_loop(spark, sf_dir):
