@@ -109,7 +109,8 @@ def _sweep_uncommitted_gens(spark: SparkSession, path: str) -> None:
 
 
 def _file_stats(
-    spark: SparkSession, path: str, rels: list[str], stats_col: str
+    spark: SparkSession, path: str, rels: list[str], stats_col: str,
+    schema=None,
 ) -> dict:
     """Per-file data-skipping statistics of ``stats_col`` over the
     given committed files — ``[min, max, filter_words]``, the stats
@@ -128,7 +129,11 @@ def _file_stats(
     # grouped by (file, word) with ONE bit_or — the former per-file
     # 128-expression aggregate paid ~1.4s of codegen compile per
     # merge commit. Collect is rels × ≤129 group rows.
-    src = spark.read.parquet(*_abs_files(path, rels)).select(
+    # Schema pinned by every caller (the table schema both already
+    # hold) — an unpinned multi-file read pays a distributed
+    # footer-inference JOB per commit (guide §6 planning cost).
+    reader = spark.read if schema is None else spark.read.schema(schema)
+    src = reader.parquet(*_abs_files(path, rels)).select(
         F.col("_metadata.file_path").alias("__file"),
         F.col(stats_col).alias("__k"),
     )
@@ -227,7 +232,9 @@ def create_parquet_table(
     }
     if stats_col is not None:
         manifest["stats_col"] = stats_col
-        manifest["stats"] = _file_stats(spark, path, files, stats_col)
+        manifest["stats"] = _file_stats(
+            spark, path, files, stats_col, schema=df.schema
+        )
     index_fs.commit_manifest(spark, path, manifest, -1)
 
 
@@ -503,7 +510,11 @@ def merge_into_parquet(
         # hardest — stay under it by orders of magnitude.
         _KEYS_CAP = 65536
         per_key = src.groupBy(*key_cols).agg(
-            F.count(F.lit(1)).alias("__c")
+            F.count(F.lit(1)).alias("__c"),
+            # per-key delete flag (never null — coalesced at entry;
+            # max over the single row each key has once the dup check
+            # passes): feeds the driver-side decide fast path below
+            F.max(F.col("__is_del").cast("int")).alias("__d"),
         )
         probe_on = bool(files) and stats_col in key_cols
         extra = []
@@ -511,7 +522,7 @@ def merge_into_parquet(
             p0, p1 = index_fs.filter_pos_cols(stats_col)
             extra = [p0.alias("__p0"), p1.alias("__p1")]
         key_rows = (
-            per_key.select(*key_cols, "__c", *extra)
+            per_key.select(*key_cols, "__c", "__d", *extra)
             .limit(_KEYS_CAP + 1)
             .collect()
         )
@@ -623,8 +634,96 @@ def merge_into_parquet(
         # side classifies every row exactly as the two former jobs
         # did; the touched-file set rides the same aggregate as a
         # file-count-bounded collect_set.
+        # SMALL-BATCH decide fast path (r12 session 3, guide §1.2 +
+        # §2.4): with every source key already collected (single key
+        # column, int/str keys, under the inline cap), the matched-row
+        # search is ONE narrow pushdown scan of the candidate files
+        # (`key IN (batch keys)` — exact membership, no exchange, and
+        # the IN pushes to parquet as a range past the pushdown
+        # threshold) instead of the full-outer decide join, whose two
+        # sort exchanges + aggregate cost 3-4 AQE stage jobs per merge
+        # — per EPOCH in the CDC loops. Counts and the touched-file
+        # set derive driver-side from the hit rows exactly as the join
+        # classified them (hit rows are target rows whose key the
+        # batch carries — bounded by the batch for the key-unique
+        # tables every MERGE maintains). Larger batches, multi-column
+        # keys, and exotic key types keep the join formulation.
+        _INLINE_CAP = 8192
+        kc = key_cols[0]
+        inline_keys: list | None = None
+        if (
+            not capped
+            and len(key_cols) == 1
+            and len(key_rows) <= _INLINE_CAP
+            and all(
+                r[kc] is None
+                or (
+                    isinstance(r[kc], (int, str))
+                    and not isinstance(r[kc], bool)
+                )
+                for r in key_rows
+            )
+        ):
+            inline_keys = [
+                r[kc] for r in key_rows if r[kc] is not None
+            ]
         touched_rels: list[str] = []
-        if candidates:
+        if candidates and inline_keys is not None:
+            tgt = spark.read.schema(_schema_of(m)).parquet(
+                *_abs_files(path, candidates)
+            )
+            hit_rows = (
+                tgt.select(
+                    F.col(kc).alias("__k"),
+                    F.col("_metadata.file_path").alias("__file"),
+                )
+                .filter(
+                    F.col("__k").isin(inline_keys)
+                    if inline_keys
+                    else F.lit(False)
+                )
+                .collect()
+            )
+            # classify exactly as the full-outer join did: a target
+            # row whose key the batch carries is matched (null keys
+            # never match on either side); a batch key with no target
+            # row is source-only
+            del_of = {r[kc]: bool(r["__d"]) for r in key_rows}
+            matched_keys = {r["__k"] for r in hit_rows}
+            counts_row = {
+                "updated": sum(
+                    1 for r in hit_rows if not del_of[r["__k"]]
+                ),
+                "deleted": sum(
+                    1 for r in hit_rows if del_of[r["__k"]]
+                ),
+                "inserted": sum(
+                    int(r["__c"])
+                    for r in key_rows
+                    if r[kc] not in matched_keys and not r["__d"]
+                ),
+                "noop_deletes": sum(
+                    int(r["__c"])
+                    for r in key_rows
+                    if r[kc] not in matched_keys and r["__d"]
+                ),
+            }
+            touched_uris = {r["__file"] for r in hit_rows}
+            touched_rels = [
+                rel
+                for rel in candidates
+                if any(u.endswith("/" + rel) for u in touched_uris)
+            ]
+        elif candidates:
+            # ONE decide job (r12, guide §2.4): the matched-file
+            # search and the insert/update/delete counts both derive
+            # from the same key-level src ⋈ target relation, so
+            # compute them in a single full-outer join + aggregate.
+            # src rows carry a non-null __is_del (coalesced at entry),
+            # target rows a non-null _metadata.file_path — null-ness
+            # of the opposite side classifies every row; the
+            # touched-file set rides the same aggregate as a
+            # file-count-bounded collect_set.
             tgt = spark.read.schema(_schema_of(m)).parquet(
                 *_abs_files(path, candidates)
             )
@@ -663,6 +762,18 @@ def merge_into_parquet(
                 for rel in candidates
                 if any(u.endswith("/" + rel) for u in touched_uris)
             ]
+        elif inline_keys is not None:
+            # everything stats-pruned + keys in hand: zero jobs
+            counts_row = {
+                "updated": 0,
+                "deleted": 0,
+                "inserted": sum(
+                    int(r["__c"]) for r in key_rows if not r["__d"]
+                ),
+                "noop_deletes": sum(
+                    int(r["__c"]) for r in key_rows if r["__d"]
+                ),
+            }
         else:
             counts_row = src.agg(
                 F.lit(0).cast("long").alias("updated"),
@@ -680,7 +791,17 @@ def merge_into_parquet(
             touched_df = spark.read.schema(_schema_of(m)).parquet(
                 *_abs_files(path, touched_rels)
             )
-            survivors = touched_df.join(src_keys, key_cols, "left_anti")
+            if inline_keys is not None:
+                # exact anti-join semantics as a FILTER: null target
+                # keys never match (kept, as the anti-join kept them);
+                # non-null keys survive iff outside the batch key set
+                survivors = touched_df.filter(
+                    F.col(kc).isNull() | ~F.col(kc).isin(inline_keys)
+                )
+            else:
+                survivors = touched_df.join(
+                    src_keys, key_cols, "left_anti"
+                )
         else:
             survivors = None
 
@@ -718,7 +839,10 @@ def merge_into_parquet(
             manifest["stats_col"] = stats_col
             manifest["stats"] = {
                 **{r: stats[r] for r in untouched if r in stats},
-                **_file_stats(spark, path, new_files, stats_col),
+                **_file_stats(
+                    spark, path, new_files, stats_col,
+                    schema=_schema_of(m),
+                ),
             }
         # THE commit — everything above is invisible until this line
         index_fs.commit_manifest(spark, path, manifest, m["_seq"])
@@ -871,7 +995,8 @@ def compact_parquet_table(spark: SparkSession, path: str) -> int:
     if m.get("stats_col") is not None:
         manifest["stats_col"] = m["stats_col"]
         manifest["stats"] = _file_stats(
-            spark, path, new_files, m["stats_col"]
+            spark, path, new_files, m["stats_col"],
+            schema=_schema_of(m),
         )
     index_fs.commit_manifest(spark, path, manifest, m["_seq"])
     return len(new_files)
