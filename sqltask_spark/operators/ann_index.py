@@ -473,13 +473,69 @@ def append_to_ivf_index(
         spark, f"{path}/tombstones", live["tombstones"], "g"
     )
     meta = m_fest["params"]
-    # generation pruning for the idempotency anti-join (r12): skip
-    # generations provably disjoint from the batch ids ([min,max] +
-    # id Bloom — the delete/unblock machinery), gated on generation
-    # count so small indexes pay no extra jobs. Results identical.
+    # SMALL-BATCH fast path (r12 session 3, the minhash-append
+    # mirror): a batch under the collect cap is pulled to the driver
+    # once (ids + filter-bit positions, one narrow job); generation
+    # pruning, the idempotency check (one bounded isin-pushdown
+    # membership scan instead of distinct + anti-join exchanges), the
+    # novel count and the manifest stats all derive driver-side.
+    # Results identical; larger batches keep the join formulation.
     gens = list(m_fest["generations"])
     gen_stats = m_fest.get("gen_stats", {})
-    if len(gens) >= index_fs.GEN_PRUNE_MIN and gen_stats:
+    id_rows = index_fs.collect_id_rows(batch, corpus_id)
+    novel = None
+    st: dict | None = None
+    n_novel = -1
+    if id_rows is not None:
+        if not id_rows:
+            return 0
+        if gen_stats:
+            bounds = index_fs.stats_from_id_rows(id_rows)
+            probe_pos = [
+                (p0, p1)
+                for _, p0, p1 in id_rows
+                if p0 is not None and p1 is not None
+            ]
+            gens = [
+                g
+                for g in gens
+                if not index_fs.generation_prunable(
+                    gen_stats.get(g), bounds, probe_pos
+                )
+            ]
+        hits: set = set()
+        if gens:
+            uniq = list({i for i, _, _ in id_rows if i is not None})
+            if uniq:
+                # include_tombstoned: a deleted id stays unavailable
+                # until compaction (the LSM id-reuse hazard)
+                hits = {
+                    r["neighbor_id"]
+                    for r in _read_vectors(
+                        spark, path, {**m_fest, "generations": gens},
+                        include_tombstoned=True,
+                    )
+                    .select("neighbor_id")
+                    .filter(F.col("neighbor_id").isin(uniq))
+                    .collect()
+                }
+        novel_rows = [t for t in id_rows if t[0] not in hits]
+        n_novel = len(novel_rows)
+        if n_novel == 0:
+            return 0
+        st = index_fs.stats_from_id_rows(novel_rows)
+        novel = (
+            batch.filter(
+                index_fs.keep_ids_filter(corpus_id, sorted(hits))
+            )
+            if hits
+            else batch
+        ).persist()
+    elif len(gens) >= index_fs.GEN_PRUNE_MIN and gen_stats:
+        # generation pruning for the idempotency anti-join (r12): skip
+        # generations provably disjoint from the batch ids ([min,max]
+        # + id Bloom — the delete/unblock machinery), gated on
+        # generation count so small indexes pay no extra jobs.
         bk = (
             batch.select(F.col(corpus_id).alias("neighbor_id"))
             .distinct()
@@ -499,27 +555,30 @@ def append_to_ivf_index(
             ]
         finally:
             bk.unpersist()
-    if gens:
-        # include_tombstoned: a deleted id stays unavailable until
-        # compaction (re-admitting earlier would be killed by its own
-        # tombstone — the LSM id-reuse hazard, excluded by
-        # construction)
-        stored_ids = _read_vectors(
-            spark, path, {**m_fest, "generations": gens},
-            include_tombstoned=True,
-        ).select("neighbor_id")
-        novel = batch.join(
-            stored_ids, batch[corpus_id] == stored_ids["neighbor_id"],
-            "left_anti",
-        ).persist()
-    else:
-        # every generation provably disjoint — the whole batch is
-        # novel
-        novel = batch.persist()
+    if novel is None:
+        if gens:
+            # include_tombstoned: a deleted id stays unavailable until
+            # compaction (re-admitting earlier would be killed by its
+            # own tombstone — the LSM id-reuse hazard, excluded by
+            # construction)
+            stored_ids = _read_vectors(
+                spark, path, {**m_fest, "generations": gens},
+                include_tombstoned=True,
+            ).select("neighbor_id")
+            novel = batch.join(
+                stored_ids,
+                batch[corpus_id] == stored_ids["neighbor_id"],
+                "left_anti",
+            ).persist()
+        else:
+            # every generation provably disjoint — the whole batch is
+            # novel
+            novel = batch.persist()
     try:
-        # one action: the count the append needs anyway + the
-        # generation's id bounds for the manifest stats
-        n_novel, st = index_fs.count_and_bounds(novel, corpus_id)
+        if n_novel < 0:
+            # large-batch path: the count the append needs anyway +
+            # the generation's id bounds in one aggregate action
+            n_novel, st = index_fs.count_and_bounds(novel, corpus_id)
         if n_novel == 0:
             return 0
         cents = _read_centroids(spark, path, m_fest)
@@ -608,14 +667,84 @@ def delete_from_ivf_index(
     blocked = (
         ids.select(F.col(corpus_id).alias("neighbor_id")).distinct()
     )
+    gens = list(m["generations"])
+    gen_stats = m.get("gen_stats", {})
+    # SMALL-BATCH fast path (r12 session 3, the minhash-delete
+    # mirror): collect the blocked ids once, prune generations
+    # driver-side, confirm membership with one bounded isin-pushdown
+    # scan, subtract prior tombstones with one bounded filtered read,
+    # and write the target set from a driver-built relation. Results
+    # identical; takedown waves past the cap keep the joins below.
+    id_rows = index_fs.collect_id_rows(blocked, "neighbor_id")
+    if id_rows is not None:
+        uniq = sorted({i for i, _, _ in id_rows if i is not None})
+        if not uniq:
+            return 0
+        if gen_stats:
+            bounds = index_fs.stats_from_id_rows(id_rows)
+            probe_pos = [
+                (p0, p1)
+                for _, p0, p1 in id_rows
+                if p0 is not None and p1 is not None
+            ]
+            gens = [
+                g
+                for g in gens
+                if not index_fs.generation_prunable(
+                    gen_stats.get(g), bounds, probe_pos
+                )
+            ]
+        if not gens:
+            return 0
+        hits = {
+            r["neighbor_id"]
+            for r in _read_vectors(
+                spark, path, {**m, "generations": gens},
+                include_tombstoned=True,
+            )
+            .select("neighbor_id")
+            .filter(F.col("neighbor_id").isin(uniq))
+            .collect()
+        }
+        prior_df = _read_tombstones(spark, path, m)
+        prior: set = set()
+        if prior_df is not None and hits:
+            prior = {
+                r["neighbor_id"]
+                for r in prior_df.filter(
+                    F.col("neighbor_id").isin(sorted(hits))
+                ).collect()
+            }
+        target_ids = [i for i in uniq if i in hits and i not in prior]
+        n = len(target_ids)
+        if n == 0:
+            return 0
+        target = spark.createDataFrame(
+            [(i,) for i in target_ids], blocked.schema
+        )
+        gen = index_fs.fresh_gen(spark, [f"{path}/tombstones"], None)
+        index_fs.shard_for_write(target, n).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/tombstones/{gen}")
+        schemas = dict(m.get("schemas", {}))
+        schemas.setdefault("tombstones", target.schema.json())
+        index_fs.commit_manifest(
+            spark,
+            path,
+            {
+                **{k: v for k, v in m.items() if k != "_seq"},
+                "tombstones": m.get("tombstones", []) + [gen],
+                "schemas": schemas,
+            },
+            m["_seq"],
+        )
+        return n
     # generation pruning for the stored-id semi-join (r12): mirrors
     # delete_from_minhash_index — generations PROVABLY holding none
     # of the batch ids (per-generation [min,max] + id Bloom filter,
     # the unblock machinery) are skipped, gated on generation count
     # so small indexes pay zero extra jobs. Results identical: a
     # pruned generation contributes nothing to the semi-join.
-    gens = list(m["generations"])
-    gen_stats = m.get("gen_stats", {})
     if len(gens) >= index_fs.GEN_PRUNE_MIN and gen_stats:
         blocked = blocked.persist()
         n_b, bounds = index_fs.count_and_bounds(
@@ -789,25 +918,77 @@ def unblock_ivf_ids(
     if tombs is None:
         return {"unblocked": 0, "rewritten_generations": [],
                 "candidate_generations": 0}
-    blocked = (
-        ids.select(F.col(corpus_id).alias("neighbor_id"))
-        .distinct()
-        .join(tombs, "neighbor_id", "left_semi")
-        .persist()
+    # SMALL-BATCH fast path (r12 session 3, the minhash-unblock
+    # mirror): collect the incoming ids once and intersect with the
+    # tombstones via one bounded isin-filtered read — blocked set,
+    # count, bounds and probe positions derive driver-side; the
+    # census and rewrites then consume a driver-built literal
+    # relation / plain filters. Past the cap, the join formulation.
+    blocked_ids: list | None = None
+    id_rows = index_fs.collect_id_rows(
+        ids.select(F.col(corpus_id).alias("neighbor_id")),
+        "neighbor_id",
     )
-    try:
-        # one action: blocked count + its id bounds + its bitmap for
-        # stats pruning
-        n, bounds = index_fs.count_and_bounds(blocked, "neighbor_id")
-        if n == 0:
-            return {"unblocked": 0, "rewritten_generations": [],
-                "candidate_generations": 0}
-        gen_stats = m.get("gen_stats", {})
-        # per-id filter probe (bounded collect; see
-        # unblock_minhash_ids) — content pruning for interleaved ids
-        probe_pos = index_fs.filter_probe_positions(
-            blocked, "neighbor_id"
+    if id_rows is not None:
+        uniq = sorted({i for i, _, _ in id_rows if i is not None})
+        hit = (
+            {
+                r["neighbor_id"]
+                for r in tombs.filter(
+                    F.col("neighbor_id").isin(uniq)
+                ).collect()
+            }
+            if uniq
+            else set()
         )
+        blocked_ids = [i for i in uniq if i in hit]
+        if not blocked_ids:
+            return {"unblocked": 0, "rewritten_generations": [],
+                    "candidate_generations": 0}
+        blocked = spark.createDataFrame(
+            [(i,) for i in blocked_ids],
+            ids.select(F.col(corpus_id).alias("neighbor_id")).schema,
+        ).persist()
+    else:
+        blocked = (
+            ids.select(F.col(corpus_id).alias("neighbor_id"))
+            .distinct()
+            .join(tombs, "neighbor_id", "left_semi")
+            .persist()
+        )
+    try:
+        gen_stats = m.get("gen_stats", {})
+        if blocked_ids is not None:
+            n = len(blocked_ids)
+            rows_b = [
+                t for t in id_rows if t[0] in set(blocked_ids)
+            ]
+            st_b = index_fs.stats_from_id_rows(rows_b)
+            bounds = (
+                {"min_id": st_b["min_id"], "max_id": st_b["max_id"]}
+                if st_b
+                else None
+            )
+            probe_pos = [
+                (p0, p1)
+                for _, p0, p1 in rows_b
+                if p0 is not None and p1 is not None
+            ] or None
+        else:
+            # one action: blocked count + its id bounds + its bitmap
+            # for stats pruning
+            n, bounds = index_fs.count_and_bounds(
+                blocked, "neighbor_id"
+            )
+            if n == 0:
+                return {"unblocked": 0, "rewritten_generations": [],
+                    "candidate_generations": 0}
+            # per-id filter probe (bounded collect; see
+            # unblock_minhash_ids) — content pruning for interleaved
+            # ids
+            probe_pos = index_fs.filter_probe_positions(
+                blocked, "neighbor_id"
+            )
         candidates = [
             g
             for g in m["generations"]
@@ -871,18 +1052,29 @@ def unblock_ivf_ids(
                 mapping[g] = None
                 continue
             gnew = alloc()
+            src_gen = _pinned_gen_read(spark, path, m, [g]).drop("gen")
+            kept = (
+                src_gen.filter(
+                    index_fs.keep_ids_filter(
+                        "neighbor_id", blocked_ids
+                    )
+                )
+                if blocked_ids is not None
+                else src_gen.join(blocked, "neighbor_id", "left_anti")
+            )
             (
-                _pinned_gen_read(spark, path, m, [g])
-                .drop("gen")
-                .join(blocked, "neighbor_id", "left_anti")
-                .repartition("cell")
+                kept.repartition("cell")
                 .write.mode("overwrite")
                 .partitionBy("cell")
                 .parquet(f"{path}/vectors/gen={gnew}")
             )
             mapping[g] = gnew
-        remaining = tombs.join(
-            blocked, "neighbor_id", "left_anti"
+        remaining = (
+            tombs.filter(
+                index_fs.keep_ids_filter("neighbor_id", blocked_ids)
+            )
+            if blocked_ids is not None
+            else tombs.join(blocked, "neighbor_id", "left_anti")
         ).persist()
         try:
             new_tombs: list[str] = []

@@ -349,21 +349,31 @@ def append_to_minhash_index(
         spark, f"{path}/tombstones", live["tombstones"], "g"
     )
     meta = m["params"]
-    # generation pruning for the idempotency anti-join (r12): the
-    # join exists to drop already-indexed ids, so generations
-    # PROVABLY holding none of the batch ids ([min,max] + id Bloom —
-    # the delete/unblock machinery) need not be read at all. Gated on
-    # generation count like the delete path: two batch-sized stats
-    # jobs buy a pruned corpus-id scan only once the index has
-    # accumulated generations worth skipping. Results identical — a
-    # pruned generation contributes nothing to the anti-join.
+    # SMALL-BATCH fast path (r12 session 3, guide §1.2): a batch
+    # under the collect cap is pulled to the driver ONCE (ids +
+    # filter-bit positions, one narrow job) and everything per-batch
+    # derives from it — generation pruning (no extra stats jobs), the
+    # idempotency check (one bounded membership scan with an isin
+    # pushdown instead of distinct + anti-join exchanges), the novel
+    # count and the manifest stats (driver-side fold, dropping the
+    # count_and_bounds aggregate job). Results identical; larger
+    # batches keep the join formulation below.
     gens = list(m["generations"])
     gen_stats = m.get("gen_stats", {})
-    if len(gens) >= index_fs.GEN_PRUNE_MIN and gen_stats:
-        bk = batch.select(F.col(id_col).alias("id")).distinct().persist()
-        try:
-            _, bounds = index_fs.count_and_bounds(bk, "id")
-            probe_pos = index_fs.filter_probe_positions(bk, "id")
+    id_rows = index_fs.collect_id_rows(batch, id_col)
+    novel = None
+    st: dict | None = None
+    n_novel = -1
+    if id_rows is not None:
+        if not id_rows:
+            return 0
+        if gen_stats:
+            bounds = index_fs.stats_from_id_rows(id_rows)
+            probe_pos = [
+                (p0, p1)
+                for _, p0, p1 in id_rows
+                if p0 is not None and p1 is not None
+            ]
             gens = [
                 g
                 for g in gens
@@ -371,27 +381,74 @@ def append_to_minhash_index(
                     gen_stats.get(g), bounds, probe_pos
                 )
             ]
-        finally:
-            bk.unpersist()
-    if gens:
-        stored_ids = (
-            _read_shingles(spark, path, {**m, "generations": gens})
-            .select("id")
-            .distinct()
-        )
-        novel = batch.join(
-            stored_ids, batch[id_col] == stored_ids["id"], "left_anti"
+        hits: set = set()
+        if gens:
+            uniq = list({i for i, _, _ in id_rows if i is not None})
+            if uniq:
+                hits = {
+                    r["id"]
+                    for r in _read_shingles(
+                        spark, path, {**m, "generations": gens}
+                    )
+                    .select("id")
+                    .filter(F.col("id").isin(uniq))
+                    .collect()
+                }
+        novel_rows = [t for t in id_rows if t[0] not in hits]
+        n_novel = len(novel_rows)
+        if n_novel == 0:
+            return 0
+        st = index_fs.stats_from_id_rows(novel_rows)
+        novel = (
+            batch.filter(index_fs.keep_ids_filter(id_col, sorted(hits)))
+            if hits
+            else batch
         )
     else:
-        # every generation provably disjoint from the batch — the
-        # whole batch is novel
-        novel = batch
+        # generation pruning for the idempotency anti-join (r12): the
+        # join exists to drop already-indexed ids, so generations
+        # PROVABLY holding none of the batch ids ([min,max] + id
+        # Bloom — the delete/unblock machinery) need not be read at
+        # all. Gated on generation count like the delete path: two
+        # batch-sized stats jobs buy a pruned corpus-id scan only
+        # once the index has accumulated generations worth skipping.
+        if len(gens) >= index_fs.GEN_PRUNE_MIN and gen_stats:
+            bk = batch.select(
+                F.col(id_col).alias("id")
+            ).distinct().persist()
+            try:
+                _, bounds = index_fs.count_and_bounds(bk, "id")
+                probe_pos = index_fs.filter_probe_positions(bk, "id")
+                gens = [
+                    g
+                    for g in gens
+                    if not index_fs.generation_prunable(
+                        gen_stats.get(g), bounds, probe_pos
+                    )
+                ]
+            finally:
+                bk.unpersist()
+        if gens:
+            stored_ids = (
+                _read_shingles(spark, path, {**m, "generations": gens})
+                .select("id")
+                .distinct()
+            )
+            novel = batch.join(
+                stored_ids, batch[id_col] == stored_ids["id"],
+                "left_anti",
+            )
+        else:
+            # every generation provably disjoint from the batch — the
+            # whole batch is novel
+            novel = batch
     bsh = shingled_docs(novel, id_col, text_col, meta["shingle_n"]).persist()
     banded = None
     try:
-        # one action: the count the append needs anyway + the
-        # generation's id bounds for the manifest stats
-        n_novel, st = index_fs.count_and_bounds(bsh, "id")
+        if n_novel < 0:
+            # large-batch path: the count the append needs anyway +
+            # the generation's id bounds in one aggregate action
+            n_novel, st = index_fs.count_and_bounds(bsh, "id")
         if n_novel == 0:
             return 0
         gen = index_fs.next_gen(m)
@@ -484,6 +541,79 @@ def delete_from_minhash_index(
         index_fs.live_union(spark, path, "tombstones"), "g",
     )
     blocked = ids.select(F.col(id_col).alias("id")).distinct()
+    gens = list(m["generations"])
+    gen_stats = m.get("gen_stats", {})
+    # SMALL-BATCH fast path (r12 session 3): collect the blocked ids
+    # once (one narrow job), prune generations driver-side, confirm
+    # membership with one bounded isin-pushdown scan, subtract prior
+    # tombstones with one bounded filtered read, and write the target
+    # set from a driver-built relation — replacing the distinct/
+    # semi-join/anti-join/count formulation (4-5 AQE stage jobs per
+    # delete, per CDC epoch). Identical results; takedown waves past
+    # the cap keep the join formulation below.
+    id_rows = index_fs.collect_id_rows(blocked, "id")
+    if id_rows is not None:
+        uniq = sorted({i for i, _, _ in id_rows if i is not None})
+        if not uniq:
+            return 0
+        if gen_stats:
+            bounds = index_fs.stats_from_id_rows(id_rows)
+            probe_pos = [
+                (p0, p1)
+                for _, p0, p1 in id_rows
+                if p0 is not None and p1 is not None
+            ]
+            gens = [
+                g
+                for g in gens
+                if not index_fs.generation_prunable(
+                    gen_stats.get(g), bounds, probe_pos
+                )
+            ]
+        if not gens:
+            return 0
+        hits = {
+            r["id"]
+            for r in _read_shingles(
+                spark, path, {**m, "generations": gens}
+            )
+            .select("id")
+            .filter(F.col("id").isin(uniq))
+            .collect()
+        }
+        prior_df = _read_tombstones(spark, path, m)
+        prior: set = set()
+        if prior_df is not None and hits:
+            prior = {
+                r["id"]
+                for r in prior_df.filter(
+                    F.col("id").isin(sorted(hits))
+                ).collect()
+            }
+        target_ids = [i for i in uniq if i in hits and i not in prior]
+        n = len(target_ids)
+        if n == 0:
+            return 0
+        target = spark.createDataFrame(
+            [(i,) for i in target_ids], blocked.schema
+        )
+        gen = index_fs.fresh_gen(spark, [f"{path}/tombstones"], None)
+        index_fs.shard_for_write(target, n).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/tombstones/{gen}")
+        schemas = dict(m.get("schemas", {}))
+        schemas.setdefault("tombstones", target.schema.json())
+        index_fs.commit_manifest(
+            spark,
+            path,
+            {
+                **{k: v for k, v in m.items() if k != "_seq"},
+                "tombstones": m.get("tombstones", []) + [gen],
+                "schemas": schemas,
+            },
+            m["_seq"],
+        )
+        return n
     # generation pruning for the stored-id semi-join (r12): the join
     # exists to drop never-indexed ids, so generations PROVABLY
     # holding none of the batch ids (per-generation [min,max] + id
@@ -492,8 +622,6 @@ def delete_from_minhash_index(
     # a pruned corpus scan only once the index has accumulated
     # generations worth skipping (scale-adaptive, results identical —
     # a pruned generation contributes nothing to the semi-join).
-    gens = list(m["generations"])
-    gen_stats = m.get("gen_stats", {})
     if len(gens) >= index_fs.GEN_PRUNE_MIN and gen_stats:
         blocked = blocked.persist()
         n_b, bounds = index_fs.count_and_bounds(blocked, "id")
@@ -692,26 +820,76 @@ def unblock_minhash_ids(
     if tombs is None:
         return {"unblocked": 0, "rewritten_generations": [],
                 "candidate_generations": 0}
-    blocked = (
-        ids.select(F.col(id_col).alias("id"))
-        .distinct()
-        .join(tombs, "id", "left_semi")
-        .persist()
+    # SMALL-BATCH fast path (r12 session 3): collect the incoming ids
+    # once (one narrow job) and intersect with the tombstones via one
+    # bounded isin-filtered read — the blocked set, its count, bounds
+    # and probe positions all derive driver-side, dropping the
+    # distinct+semi-join persist, the count_and_bounds aggregate and
+    # the positions collect (3-4 AQE stage jobs per sync epoch). The
+    # blocked relation the census and rewrites consume is then a
+    # driver-built literal; results identical. Past the cap, the join
+    # formulation below.
+    blocked_ids: list | None = None
+    id_rows = index_fs.collect_id_rows(
+        ids.select(F.col(id_col).alias("id")), "id"
     )
-    try:
-        # one action: blocked count + its id bounds + its bitmap for
-        # stats pruning
-        n, bounds = index_fs.count_and_bounds(blocked, "id")
-        if n == 0:
+    if id_rows is not None:
+        uniq = sorted({i for i, _, _ in id_rows if i is not None})
+        hit = (
+            {
+                r["id"]
+                for r in tombs.filter(F.col("id").isin(uniq)).collect()
+            }
+            if uniq
+            else set()
+        )
+        blocked_ids = [i for i in uniq if i in hit]
+        if not blocked_ids:
             return {"unblocked": 0, "rewritten_generations": [],
-                "candidate_generations": 0}
+                    "candidate_generations": 0}
+        blocked = spark.createDataFrame(
+            [(i,) for i in blocked_ids],
+            ids.select(F.col(id_col).alias("id")).schema,
+        ).persist()
+    else:
+        blocked = (
+            ids.select(F.col(id_col).alias("id"))
+            .distinct()
+            .join(tombs, "id", "left_semi")
+            .persist()
+        )
+    try:
+        if blocked_ids is not None:
+            n = len(blocked_ids)
+            rows_b = [
+                t for t in id_rows if t[0] in set(blocked_ids)
+            ]
+            st_b = index_fs.stats_from_id_rows(rows_b)
+            bounds = (
+                {"min_id": st_b["min_id"], "max_id": st_b["max_id"]}
+                if st_b
+                else None
+            )
+            probe_pos = [
+                (p0, p1)
+                for _, p0, p1 in rows_b
+                if p0 is not None and p1 is not None
+            ] or None
+        else:
+            # one action: blocked count + its id bounds + its bitmap
+            # for stats pruning
+            n, bounds = index_fs.count_and_bounds(blocked, "id")
+            if n == 0:
+                return {"unblocked": 0, "rewritten_generations": [],
+                    "candidate_generations": 0}
+            # per-id filter probe: bounded collect of hash positions
+            # (a set past the cap falls back to the
+            # bitmap-intersection test inside generation_prunable).
+            # Under hashed/interleaved ids the [min,max] ranges all
+            # overlap; the CONTENT filter is what keeps the census
+            # off untouched generations then.
+            probe_pos = index_fs.filter_probe_positions(blocked, "id")
         gen_stats = m.get("gen_stats", {})
-        # per-id filter probe: bounded collect of hash positions (a
-        # set past the cap falls back to the bitmap-intersection
-        # test inside generation_prunable). Under hashed/interleaved
-        # ids the [min,max] ranges all overlap; the CONTENT filter is
-        # what keeps the census off untouched generations then.
-        probe_pos = index_fs.filter_probe_positions(blocked, "id")
         candidates = [
             g
             for g in m["generations"]
@@ -785,13 +963,18 @@ def unblock_minhash_ids(
                 continue
             gnew = alloc()
             for rel in ("postings", "shingles"):
-                (
-                    _pinned_read(
-                        spark, m, rel, f"{path}/data/{g}/{rel}"
+                src_rel = _pinned_read(
+                    spark, m, rel, f"{path}/data/{g}/{rel}"
+                )
+                kept = (
+                    src_rel.filter(
+                        index_fs.keep_ids_filter("id", blocked_ids)
                     )
-                    .join(blocked, "id", "left_anti")
-                    .write.mode("overwrite")
-                    .parquet(f"{path}/data/{gnew}/{rel}")
+                    if blocked_ids is not None
+                    else src_rel.join(blocked, "id", "left_anti")
+                )
+                kept.write.mode("overwrite").parquet(
+                    f"{path}/data/{gnew}/{rel}"
                 )
             mapping[g] = gnew
         # sizes: subtract exactly the dropped postings' bucket counts
@@ -802,14 +985,16 @@ def unblock_minhash_ids(
         # version carries over unchanged.
         sizes_gen = m["sizes"]
         if affected:
+            dropped_src = _pinned_read(
+                spark, m, "postings",
+                *[f"{path}/data/{g}/postings" for g in affected],
+            )
             dropped = (
-                _pinned_read(
-                    spark, m, "postings",
-                    *[f"{path}/data/{g}/postings" for g in affected],
-                )
-                .join(blocked, "id", "left_semi")
-                .groupBy("band", "band_hash")
-                .agg(F.count(F.lit(1)).cast("long").alias("c"))
+                dropped_src.filter(F.col("id").isin(blocked_ids))
+                if blocked_ids is not None
+                else dropped_src.join(blocked, "id", "left_semi")
+            ).groupBy("band", "band_hash").agg(
+                F.count(F.lit(1)).cast("long").alias("c")
             )
             sizes_gen = alloc()
             (
@@ -828,7 +1013,11 @@ def unblock_minhash_ids(
                 .parquet(f"{path}/sizes/{sizes_gen}")
             )
         # tombstones minus the freed ids, as ONE fresh set
-        remaining = tombs.join(blocked, "id", "left_anti").persist()
+        remaining = (
+            tombs.filter(index_fs.keep_ids_filter("id", blocked_ids))
+            if blocked_ids is not None
+            else tombs.join(blocked, "id", "left_anti")
+        ).persist()
         try:
             new_tombs: list[str] = []
             n_rem = remaining.count()

@@ -432,6 +432,85 @@ def count_and_bounds(df, id_col: str) -> "tuple[int, dict | None]":
     return _stats_agg(df, id_col)
 
 
+# Small-batch fast-path cap (r12 session 3): a mutation batch whose
+# ids fit under this bound is collected ONCE (ids + filter-bit
+# positions, one narrow job, no exchange) and every per-batch
+# quantity — count, [min,max] bounds, the generation id filter,
+# membership probes — derives driver-side, replacing the
+# distinct/anti-join/aggregate formulations that cost 3-5 AQE stage
+# jobs per mutation. Bounded by construction (≤ cap ids on the
+# driver, isin literals ≤ cap); larger batches keep the join
+# formulation. Sized below merge's _KEYS_CAP because the ids feed
+# isin literals, not just a collect.
+SMALL_BATCH_CAP = 8192
+
+
+def collect_id_rows(
+    df, id_col: str, cap: int = SMALL_BATCH_CAP
+) -> "list[tuple] | None":
+    """Bounded collect of ``(id, p0, p1)`` per batch row (duplicates
+    kept, order preserved; positions are Spark-computed xxhash64 —
+    identical bits to the aggregate formulation), or ``None`` past
+    ``cap``."""
+    from pyspark.sql import functions as F
+
+    p0, p1 = filter_pos_cols(id_col)
+    rows = (
+        df.select(
+            F.col(id_col).alias("_id"), p0.alias("_p0"), p1.alias("_p1")
+        )
+        .limit(cap + 1)
+        .collect()
+    )
+    if len(rows) > cap:
+        return None
+    return [(r["_id"], r["_p0"], r["_p1"]) for r in rows]
+
+
+def stats_from_id_rows(rows: "list[tuple]") -> dict | None:
+    """Driver-side fold of collected ``(id, p0, p1)`` rows into the
+    generation stats dict — probe-identical to :func:`_stats_agg`'s
+    output for the same input: same bounds rule (int/str only, bool
+    excluded, nulls skipped), same filter BITS (the positions came
+    from Spark's xxhash64; the stored word for bit 63 is the
+    unsigned form where Spark's ``shiftleft`` yields the negative
+    two's-complement twin — :func:`_bit` and the popcount treat both
+    identically), same ≥90%-saturation cut."""
+    ids = [i for i, _, _ in rows if i is not None]
+    if not ids:
+        return None
+    lo, hi = min(ids), max(ids)
+    if isinstance(lo, bool) or not isinstance(lo, (int, str)):
+        return None
+    words = [0] * ID_FILTER_WORDS
+    for _, p0, p1 in rows:
+        for p in (p0, p1):
+            if p is not None:
+                words[p >> 6] |= 1 << (p & 63)
+    stats = {"min_id": lo, "max_id": hi}
+    set_bits = sum(
+        bin(w & 0xFFFFFFFFFFFFFFFF).count("1") for w in words
+    )
+    if set_bits < int(0.9 * ID_FILTER_WORDS * 64):
+        stats["filter"] = {
+            "k": ID_FILTER_K,
+            "bits": ID_FILTER_WORDS * 64,
+            "words": words,
+        }
+    return stats
+
+
+def keep_ids_filter(id_col: str, drop_ids: "list"):
+    """Filter column reproducing a LEFT ANTI join against
+    ``drop_ids`` exactly: null ids never match (kept), non-null ids
+    survive iff outside the set."""
+    from pyspark.sql import functions as F
+
+    if not drop_ids:
+        return F.lit(True)
+    return F.col(id_col).isNull() | ~F.col(id_col).isin(drop_ids)
+
+
 def filter_probe_positions(
     df, id_col: str, cap: int = 65536
 ) -> "list[tuple[int, int]] | None":

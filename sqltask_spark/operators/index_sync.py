@@ -147,7 +147,7 @@ def sync_minhash_index_with_table(
     The marker exists to avoid paying that re-apply on retries.
     """
     from sqltask_spark.operators import dedup_index as di
-    from sqltask_spark.operators.merge import table_changes
+    from sqltask_spark.operators.merge import table_changes_classified
 
     from_seq, to_seq = _resolve_window(
         spark, table_path, index_path, from_seq, to_seq,
@@ -159,24 +159,34 @@ def sync_minhash_index_with_table(
             "unblocked": 0, "rewritten_generations": [],
             "from_seq": from_seq, "to_seq": to_seq,
         }
-    changes = table_changes(
+    # the classified change feed carries the per-type counts when its
+    # window fast path ran (bounded manifest-diff, the CDC-epoch
+    # case) — no counts job, no persist (the fast-path relation is
+    # four narrow filtered reads of page-cache-hot window files, so
+    # each consumer re-reading it is cheaper than caching it)
+    changes, by_type = table_changes_classified(
         spark, table_path, [id_col], from_seq, to_seq
-    ).persist()
+    )
+    persisted = by_type is None
+    if persisted:
+        changes = changes.persist()
     try:
-        # ONE counts job over the (persisted) window decides which
-        # mutations can run at all: a CDC epoch is typically
-        # insert-only or delete-only, and walking a no-op mutation
-        # (orphan sweep, anti-joins, count action) costs 10+ tiny
-        # Spark jobs before it discovers there is nothing to do.
-        # Skipping on an empty input is exactly the mutation's own
-        # no-op result (delete of nothing returns 0 and commits
-        # nothing; likewise unblock/append), so results are identical.
-        by_type = {
-            r["_change_type"]: r["n"]
-            for r in changes.groupBy("_change_type")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
+        if by_type is None:
+            # ONE counts job over the (persisted) window decides
+            # which mutations can run at all: a CDC epoch is
+            # typically insert-only or delete-only, and walking a
+            # no-op mutation (orphan sweep, anti-joins, count action)
+            # costs 10+ tiny Spark jobs before it discovers there is
+            # nothing to do. Skipping on an empty input is exactly
+            # the mutation's own no-op result (delete of nothing
+            # returns 0 and commits nothing; likewise unblock/
+            # append), so results are identical.
+            by_type = {
+                r["_change_type"]: r["n"]
+                for r in changes.groupBy("_change_type")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
         n_gone = by_type.get("delete", 0) + by_type.get(
             "update_preimage", 0
         )
@@ -235,7 +245,8 @@ def sync_minhash_index_with_table(
             "to_seq": to_seq,
         }
     finally:
-        changes.unpersist()
+        if persisted:
+            changes.unpersist()
 
 
 def sync_ivf_index_with_table(
@@ -258,7 +269,7 @@ def sync_ivf_index_with_table(
     converges (updates re-applied, same state); the ``synced``
     marker makes retries skip instead."""
     from sqltask_spark.operators import ann_index as ai
-    from sqltask_spark.operators.merge import table_changes
+    from sqltask_spark.operators.merge import table_changes_classified
 
     from_seq, to_seq = _resolve_window(
         spark, table_path, index_path, from_seq, to_seq,
@@ -270,19 +281,25 @@ def sync_ivf_index_with_table(
             "unblocked": 0, "rewritten_generations": [],
             "from_seq": from_seq, "to_seq": to_seq,
         }
-    changes = table_changes(
+    # classified change feed: counts ride the window fast path — see
+    # the minhash sync above
+    changes, by_type = table_changes_classified(
         spark, table_path, [id_col], from_seq, to_seq
-    ).persist()
+    )
+    persisted = by_type is None
+    if persisted:
+        changes = changes.persist()
     try:
-        # one counts job gates the mutations — see the minhash sync
-        # for the rationale (a no-op mutation walk costs 10+ jobs;
-        # skipping on an empty input is the same result)
-        by_type = {
-            r["_change_type"]: r["n"]
-            for r in changes.groupBy("_change_type")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
+        if by_type is None:
+            # one counts job gates the mutations — see the minhash
+            # sync for the rationale (a no-op mutation walk costs 10+
+            # jobs; skipping on an empty input is the same result)
+            by_type = {
+                r["_change_type"]: r["n"]
+                for r in changes.groupBy("_change_type")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
         n_gone = by_type.get("delete", 0) + by_type.get(
             "update_preimage", 0
         )
@@ -331,4 +348,5 @@ def sync_ivf_index_with_table(
             "to_seq": to_seq,
         }
     finally:
-        changes.unpersist()
+        if persisted:
+            changes.unpersist()

@@ -52,6 +52,16 @@ from sqltask_spark.operators import index_fs
 
 _DATA = "data"
 
+# Bounded-collect caps for the driver-side fast paths (module level
+# so tests can force the join formulations and pin fast ≡ join).
+# _KEYS_CAP bounds the per-key collect MERGE always does; _INLINE_CAP
+# additionally bounds the keys inlined into isin literals (decide
+# fast path); _CHANGES_CAP bounds each manifest-diff side of the
+# change-feed window fast path.
+_KEYS_CAP = 65536
+_INLINE_CAP = 8192
+_CHANGES_CAP = 65536
+
 
 def _data_dir(path: str) -> str:
     return f"{path.rstrip('/')}/{_DATA}"
@@ -508,7 +518,6 @@ def merge_into_parquet(
         # falls back to the aggregate-job formulation; certificates
         # and CDC epochs — the callers that pay per-job overhead
         # hardest — stay under it by orders of magnitude.
-        _KEYS_CAP = 65536
         per_key = src.groupBy(*key_cols).agg(
             F.count(F.lit(1)).alias("__c"),
             # per-key delete flag (never null — coalesced at entry;
@@ -648,7 +657,6 @@ def merge_into_parquet(
         # batch carries — bounded by the batch for the key-unique
         # tables every MERGE maintains). Larger batches, multi-column
         # keys, and exotic key types keep the join formulation.
-        _INLINE_CAP = 8192
         kc = key_cols[0]
         inline_keys: list | None = None
         if (
@@ -867,6 +875,20 @@ def table_changes(
     from_seq: int,
     to_seq: int | None = None,
 ) -> DataFrame:
+    """See :func:`table_changes_classified` — this is the DataFrame
+    half of it (the public CDF read API)."""
+    return table_changes_classified(
+        spark, path, key_cols, from_seq, to_seq
+    )[0]
+
+
+def table_changes_classified(
+    spark: SparkSession,
+    path: str,
+    key_cols: list[str],
+    from_seq: int,
+    to_seq: int | None = None,
+) -> "tuple[DataFrame, dict | None]":
     """Row-level change feed between two committed versions — the
     read-side complement of time travel (Delta's CDF shape): an
     incremental consumer asks "what changed since version N" instead
@@ -880,9 +902,25 @@ def table_changes(
     Survivor rows that merely moved files during a rewrite fall out
     as all-columns-equal and are filtered.
 
-    Returns the table columns plus ``_change_type`` ∈ {'insert',
-    'delete', 'update_preimage', 'update_postimage'}, one row per
-    change (two for updates).
+    Returns ``(changes, by_type)``: the table columns plus
+    ``_change_type`` ∈ {'insert', 'delete', 'update_preimage',
+    'update_postimage'}, one row per change (two for updates), and —
+    when the WINDOW fast path ran — the per-type row counts, sparing
+    incremental consumers their counts job (``None`` otherwise; the
+    caller counts).
+
+    WINDOW fast path (r12 session 3): when both manifest-diff sides
+    fit a bounded collect (single int/str key, no null keys), each
+    side's ``(key, h1, h2)`` rows — two independently-seeded
+    xxhash64 row digests with per-column null indicators, 128
+    collision bits, the :func:`~sqltask_spark.data.
+    content_fingerprint` trust class — are pulled driver-side and
+    classified there; the returned relation is then four FILTERED
+    reads of the window files (no exchange at all) instead of the
+    full-outer join + 4-way union, which cost 3-4 AQE stage jobs per
+    CDC epoch. Row-identical output (hash equality stands in for the
+    all-columns ``<=>`` conjunction; the null indicators break
+    xxhash64's null-skip symmetry so column shifts cannot collide).
 
     Precondition: ``key_cols`` uniquely identify rows in every
     compared version. MERGE enforces this for every merged source,
@@ -919,6 +957,94 @@ def table_changes(
         if not rels:
             return spark.createDataFrame([], schema)
         return spark.read.schema(schema).parquet(*_abs_files(path, rels))
+
+    # ---- WINDOW fast path: bounded collect + driver classification
+    kc = key_cols[0]
+
+    def _digest(seed: int):
+        if not val_cols:
+            return F.lit(seed).cast("long")
+        parts = []
+        for c in val_cols:
+            parts.append(F.isnull(F.col(c)))
+            parts.append(F.col(c))
+        return F.xxhash64(F.lit(seed), *parts)
+
+    def _side(rels):
+        if not rels:
+            return []
+        rows = (
+            _read(rels)
+            .select(
+                F.col(kc).alias("_k"),
+                _digest(11).alias("_h1"),
+                _digest(23).alias("_h2"),
+            )
+            .limit(_CHANGES_CAP + 1)
+            .collect()
+        )
+        if len(rows) > _CHANGES_CAP:
+            return None
+        return rows
+
+    if len(key_cols) == 1:
+        pre_rows = _side(removed)
+        post_rows = _side(added) if pre_rows is not None else None
+        if pre_rows is not None and post_rows is not None:
+            ok = all(
+                r["_k"] is not None
+                and isinstance(r["_k"], (int, str))
+                and not isinstance(r["_k"], bool)
+                for rows in (pre_rows, post_rows)
+                for r in rows
+            )
+            if ok:
+                pre_map = {
+                    r["_k"]: (r["_h1"], r["_h2"]) for r in pre_rows
+                }
+                post_map = {
+                    r["_k"]: (r["_h1"], r["_h2"]) for r in post_rows
+                }
+                ins_keys = sorted(
+                    k for k in post_map if k not in pre_map
+                )
+                del_keys = sorted(
+                    k for k in pre_map if k not in post_map
+                )
+                upd_keys = sorted(
+                    k
+                    for k in pre_map
+                    if k in post_map and pre_map[k] != post_map[k]
+                )
+                pre_df = _read(removed)
+                post_df = _read(added)
+
+                def _arm(df, keys, tag):
+                    return df.filter(
+                        F.col(kc).isin(keys) if keys else F.lit(False)
+                    ).select(
+                        *key_cols,
+                        *val_cols,
+                        F.lit(tag).alias("_change_type"),
+                    )
+
+                out = (
+                    _arm(post_df, ins_keys, "insert")
+                    .unionByName(_arm(pre_df, del_keys, "delete"))
+                    .unionByName(
+                        _arm(pre_df, upd_keys, "update_preimage")
+                    )
+                    .unionByName(
+                        _arm(post_df, upd_keys, "update_postimage")
+                    )
+                )
+                by_type = {
+                    "insert": len(ins_keys),
+                    "delete": len(del_keys),
+                    "update_preimage": len(upd_keys),
+                    "update_postimage": len(upd_keys),
+                }
+                return out, by_type
 
     pre = _read(removed).select(
         *key_cols,
@@ -965,8 +1091,11 @@ def table_changes(
         *[F.col(f"__post_{c}").alias(c) for c in val_cols],
         F.lit("update_postimage").alias("_change_type"),
     )
-    return ins.unionByName(dele).unionByName(upd_pre).unionByName(
-        upd_post
+    return (
+        ins.unionByName(dele).unionByName(upd_pre).unionByName(
+            upd_post
+        ),
+        None,
     )
 
 
