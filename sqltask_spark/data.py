@@ -84,6 +84,22 @@ def content_fingerprint(df: DataFrame, cols: list[str]) -> str:
             "xxhash64(" + ", ".join(f"`{c}`" for c in cols) + ")"
         ).alias("__h")
     )
+    # SMALL-BATCH fast path (r12): a batch under the cap collects its
+    # per-row hashes in ONE narrow job (no exchange) and folds n/xor/
+    # sum driver-side — the global aggregate costs 3 AQE stage jobs
+    # (partial → single-partition exchange → final) PER SINK EPOCH.
+    # Same Spark-computed hashes, so the fingerprint string is
+    # identical by construction; larger batches keep the aggregate.
+    _CAP = 65536
+    rows = hashed.limit(_CAP + 1).collect()
+    if len(rows) <= _CAP:
+        n = len(rows)
+        x = s = 0
+        for r in rows:
+            h = (r["__h"] or 0) & 0xFFFFFFFFFFFFFFFF
+            x ^= h
+            s = (s + h) & 0xFFFFFFFFFFFFFFFF
+        return f"{n}:{x:x}:{s:x}"
     agg = hashed.agg(
         F.count(F.lit(1)).alias("n"),
         F.expr("bit_xor(__h)").alias("x"),
