@@ -79,6 +79,7 @@ def shingled_docs(
     id_col: str,
     text_col: str,
     shingle_n: int = 3,
+    min_partitions: int | None = None,
 ) -> DataFrame:
     """(id, h: array<bigint>) — distinct shingle hashes per doc.
 
@@ -87,11 +88,15 @@ def shingled_docs(
     consumers run in one job) halves the per-doc text work, which
     dominates the dedup pipeline. Input is widened via
     :func:`ensure_min_partitions` because shingling is pure CPU-bound
-    per-row work.
+    per-row work. ``min_partitions`` lets a caller who KNOWS the
+    batch is small (the index small-batch fast paths) size the guard
+    to the batch instead of the session — repartitioning a 1-row CDC
+    window into 32 partitions is an exchange plus 32-task stages of
+    pure overhead.
     """
     from sqltask_spark.data import ensure_min_partitions
 
-    return ensure_min_partitions(df).select(
+    return ensure_min_partitions(df, min_partitions).select(
         F.col(id_col).alias("id"),
         shingle_hashes(F.col(text_col), shingle_n).alias("h"),
     )

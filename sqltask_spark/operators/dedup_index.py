@@ -404,6 +404,16 @@ def append_to_minhash_index(
             if hits
             else batch
         )
+        # size the CPU-spread guard to the KNOWN batch (~256 docs per
+        # task): repartitioning a 1-row window into the session's 32
+        # partitions is an exchange + 32-task stages of pure overhead
+        mp = max(
+            1,
+            min(
+                spark.sparkContext.defaultParallelism,
+                -(-n_novel // 256),
+            ),
+        )
     else:
         # generation pruning for the idempotency anti-join (r12): the
         # join exists to drop already-indexed ids, so generations
@@ -442,7 +452,11 @@ def append_to_minhash_index(
             # every generation provably disjoint from the batch — the
             # whole batch is novel
             novel = batch
-    bsh = shingled_docs(novel, id_col, text_col, meta["shingle_n"]).persist()
+        mp = None
+    bsh = shingled_docs(
+        novel, id_col, text_col, meta["shingle_n"],
+        min_partitions=mp if id_rows is not None else None,
+    ).persist()
     banded = None
     try:
         if n_novel < 0:
