@@ -361,26 +361,20 @@ def update_bloom_store(
     )
 
     m_bits = read_bloom_capacity(spark, path)
-    stored = read_parquet_table(spark, path).select(
-        "word", F.col("bits").alias("b_old")
-    )
+    stored = read_parquet_table(spark, path).select("word", "bits")
     batch = bloom_word_rows(values, value_col, m_bits).select(
-        F.col("word").cast("long"), F.col("bits").alias("b_new")
+        F.col("word").cast("long"), "bits"
     )
+    # OR-fold via ONE (word)-keyed aggregate instead of the former
+    # full-outer join (r12 session 4, guide §2.4): bit_or over the
+    # union is the identical element-wise OR, one exchange on the
+    # ≤ m_bits/63-row state. The meta row is safe unkeyed: the batch
+    # cannot produce word = -1 (positions are non-negative), so its
+    # group holds only the stored row and bit_or returns it verbatim.
     merged = (
-        stored.join(batch, "word", "full_outer")
-        .select(
-            "word",
-            F.when(
-                F.col("word") == _BLOOM_META_WORD, F.col("b_old")
-            )
-            .otherwise(
-                F.coalesce("b_old", F.lit(0)).bitwiseOR(
-                    F.coalesce("b_new", F.lit(0))
-                )
-            )
-            .alias("bits"),
-        )
+        stored.unionByName(batch)
+        .groupBy("word")
+        .agg(F.bit_or("bits").alias("bits"))
     )
     return merge_into_parquet(spark, path, merged, ["word"])
 
@@ -434,43 +428,57 @@ def bloom_probe(
     value_col: str,
 ) -> DataFrame:
     """``candidates`` + ``bloom_hit`` (1 = all K positions set — the
-    one-sided maybe-member answer; 0 = definitely absent). The word
-    table is broadcast: it is ≤ m_bits/63 rows by construction."""
+    one-sided maybe-member answer; 0 = definitely absent), one output
+    row per candidate row. The word table is broadcast: it is
+    ≤ m_bits/63 rows by construction.
+
+    EXCHANGE-FREE (r12 session 4, guide §2.4): each of the K frozen
+    positions gets its own LEFT broadcast join against the word table
+    (the same tiny relation, broadcast once and reused), so the hit
+    folds as a per-row conjunction in the projection — the former
+    explode(K) + broadcast join + groupBy over every candidate column
+    shuffled K× the probe rows just to fold K bits back together.
+    Candidate rows pass through 1:1 (word is unique per store), so
+    for the duplicate-free candidate sets every caller feeds, the
+    output is row-identical to the old aggregate."""
     from sqltask_spark.operators.merge import read_parquet_table
 
     m_bits = read_bloom_capacity(spark, path)
-    words = F.broadcast(
-        read_parquet_table(spark, path).filter(
-            F.col("word") != _BLOOM_META_WORD
-        )
+    words = read_parquet_table(spark, path).filter(
+        F.col("word") != _BLOOM_META_WORD
     )
-    probes = candidates.withColumn(
-        "__pos",
-        F.explode(F.array(*bloom_positions(value_col, m_bits))),
-    ).withColumn("__word", F.expr(f"__pos DIV {BLOOM_WORD_BITS}"))
-    checked = probes.join(
-        words, probes["__word"] == words["word"], "left"
-    ).withColumn(
-        "__hit",
-        F.when(
-            F.col("bits").isNotNull()
-            & (
-                F.expr(
-                    f"(bits >> CAST(__pos % {BLOOM_WORD_BITS} AS INT))"
-                    " & 1"
+    out = candidates
+    hits = []
+    for j, pos in enumerate(bloom_positions(value_col, m_bits)):
+        pj, wj, bj = f"__pos{j}", f"__w{j}", f"__b{j}"
+        out = out.withColumn(pj, pos).join(
+            F.broadcast(
+                words.select(
+                    F.col("word").alias(wj), F.col("bits").alias(bj)
                 )
-                == 1
             ),
-            F.lit(1),
-        ).otherwise(F.lit(0)),
-    )
-    return (
-        checked.groupBy(*[F.col(c) for c in candidates.columns])
-        .agg(
-            F.when(F.sum("__hit") == BLOOM_K, F.lit(1))
-            .otherwise(F.lit(0))
-            .alias("bloom_hit")
+            F.expr(f"{pj} DIV {BLOOM_WORD_BITS}") == F.col(wj),
+            "left",
         )
+        hits.append(
+            F.when(
+                F.col(bj).isNotNull()
+                & (
+                    F.expr(
+                        f"({bj} >> CAST({pj} % {BLOOM_WORD_BITS} AS"
+                        " INT)) & 1"
+                    )
+                    == 1
+                ),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        )
+    conj = hits[0]
+    for h in hits[1:]:
+        conj = conj * h
+    return out.select(
+        *[F.col(c) for c in candidates.columns],
+        conj.cast("int").alias("bloom_hit"),
     )
 
 
@@ -923,19 +931,27 @@ def _mg_fold(
     are (g, cnt) of prior decrement totals / total folded mass
     (absent groups = 0). Tracking total mass exactly is what makes
     the error ratio OBSERVABLE (:func:`mg_saturation`) — decr/total
-    is the store's data-dependent bound, ≤ 1/(k+1) by construction."""
+    is the store's data-dependent bound, ≤ 1/(k+1) by construction.
+
+    JOIN-FREE (r12 session 4, guide §2.4 "remove shuffles outright"):
+    counters, total AND decr rows all ride ONE (g, item, _sp)
+    aggregate, then ONE g-partitioned window pass both ranks the
+    counters and broadcasts each group's (k+1)-th counter value
+    ``_d`` to every row of the group — no kth1 aggregate, no join
+    back, no decr full-outer join (formerly 2 joins + 1 extra
+    aggregate per fold). The batch contributes a zero-count decr row
+    per group (deduped for free by the aggregate), so every group
+    that CAN have a (k+1)-th counter — state alone holds ≤ k — owns a
+    decr row to absorb ``_d``; zero-valued decr rows are dropped on
+    output, which is exactly the old join's emission set. ``_sp``
+    tags provenance so a user item equal to a sentinel string stays
+    in the counter flow (and still fails loudly at the MERGE
+    duplicate-key check) instead of silently summing into the
+    total/decr rows; ``_sp`` ordering ranks counters ahead of the
+    meta rows so ``_rn == k+1 ∧ _sp == 0`` is the (k+1)-th counter.
+    """
     from pyspark.sql import Window
 
-    # Total mass rides the SAME (g, item) aggregate as the counter
-    # fold (r12, guide §2.4 "remove shuffles outright"): old TOTAL
-    # rows and the batch's mass (batch rows re-tagged) union into the
-    # one exchange the fold already pays, replacing the former
-    # separate batch-mass aggregate + total full-outer join (two
-    # exchanges on state-sized data per update). ``_sp`` tags
-    # provenance so a user item that happens to equal the sentinel
-    # string stays in the counter flow (and still fails loudly at the
-    # MERGE duplicate-key check) instead of silently summing into the
-    # total.
     def _tag(df, sp):
         return df.withColumn("_sp", F.lit(sp))
 
@@ -955,48 +971,61 @@ def _mg_fold(
                 1,
             )
         )
+        .unionByName(
+            _tag(
+                decr.select(
+                    "g", F.lit(_MG_DECR_ITEM).alias("item"), "cnt"
+                ).unionByName(
+                    batch.select(
+                        "g",
+                        F.lit(_MG_DECR_ITEM).alias("item"),
+                        F.lit(0).cast("long").alias("cnt"),
+                    )
+                ),
+                2,
+            )
+        )
         .groupBy("g", "item", "_sp")
         .agg(F.sum("cnt").cast("long").alias("cnt"))
     )
-    combined = combined_all.filter(F.col("_sp") == 0).drop("_sp")
-    new_total = combined_all.filter(F.col("_sp") == 1).drop("_sp")
-    win = Window.partitionBy("g").orderBy(
-        F.col("cnt").desc(), F.col("item").asc()
+    order = [F.col("_sp").asc(), F.col("cnt").desc(), F.col("item").asc()]
+    win = Window.partitionBy("g").orderBy(*order)
+    win_all = Window.partitionBy("g").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    ranked = combined.withColumn("_rn", F.row_number().over(win))
-    kth1 = (
-        ranked.filter(F.col("_rn") == k + 1)
-        .select("g", F.col("cnt").alias("_d"))
+    ranked = combined_all.withColumn(
+        "_rn", F.row_number().over(win)
+    ).withColumn(
+        "_d",
+        F.coalesce(
+            F.max(
+                F.when(
+                    (F.col("_rn") == k + 1) & (F.col("_sp") == 0),
+                    F.col("cnt"),
+                )
+            ).over(win_all),
+            F.lit(0),
+        ),
     )
-    adjusted = (
-        ranked.join(kth1, "g", "left")
-        .withColumn("_d", F.coalesce("_d", F.lit(0)))
-        .select(
-            "g", "item",
-            (F.col("cnt") - F.col("_d")).cast("long").alias("cnt"),
-            "_d",
-        )
+    adjusted = ranked.select(
+        "g", "item", "_sp",
+        F.when(F.col("_sp") == 0, F.col("cnt") - F.col("_d"))
+        .when(F.col("_sp") == 2, F.col("cnt") + F.col("_d"))
+        .otherwise(F.col("cnt"))
+        .cast("long")
+        .alias("cnt"),
     )
-    survivors = adjusted.filter(F.col("cnt") > 0).select(
-        "g", "item", "cnt"
-    )
-    dropped = adjusted.filter(F.col("cnt") <= 0).select("g", "item")
-    new_decr = (
-        decr.select("g", F.col("cnt").alias("_old"))
-        .join(kth1, "g", "full_outer")
-        .select(
-            "g",
-            F.lit(_MG_DECR_ITEM).alias("item"),
-            (
-                F.coalesce("_old", F.lit(0))
-                + F.coalesce("_d", F.lit(0))
-            ).cast("long").alias("cnt"),
-        )
-    )
-    return (
-        survivors.unionByName(new_decr).unionByName(new_total),
-        dropped,
-    )
+    state = adjusted.filter(
+        # counters/decr emit only positive rows (a zero decr row means
+        # "no decrement yet" = the row's absence, the old join's
+        # behavior); total rows emit unconditionally like before
+        ((F.col("_sp") != 1) & (F.col("cnt") > 0))
+        | (F.col("_sp") == 1)
+    ).select("g", "item", "cnt")
+    dropped = adjusted.filter(
+        (F.col("_sp") == 0) & (F.col("cnt") <= 0)
+    ).select("g", "item")
+    return state, dropped
 
 
 def create_mg_store(
@@ -1307,13 +1336,26 @@ def update_kmv_store(
     stored = read_parquet_table(spark, path).filter(
         F.col("g") != _KMV_META_GROUP
     )
-    batch = kmv_rows(values, group_col, key_col, k)
+    # Fused fold (r12 session 4, guide §2.4): the batch's raw keys
+    # union straight into the state dedup — ONE (g, item) distinct
+    # (map-side combine bounds the shuffle exactly like the former
+    # batch-side pre-sketch did) + ONE bottom-k window, instead of
+    # the former distinct + window on the batch FOLLOWED BY a second
+    # aggregate + window over (stored ∪ batch bottom-k): 2 exchanges
+    # per update gone. bottom-k(stored ∪ all batch distinct) ≡
+    # bottom-k(stored ∪ batch bottom-k) — the bottom-k algebra the
+    # docstring already relies on. ``h`` is a pure function of item,
+    # recomputed post-dedup (identical values, stored rows included).
     combined = (
-        stored.select("g", "item", "h")
-        .unionByName(batch)
-        .groupBy("g", "item")
-        .agg(F.min("h").alias("h"))  # h is a function of item — min
-        # is just the cheapest dedup that keeps the column
+        stored.select("g", "item")
+        .unionByName(
+            values.select(
+                F.col(group_col).cast("string").alias("g"),
+                F.col(key_col).cast("string").alias("item"),
+            ).filter(F.col("item").isNotNull())
+        )
+        .distinct()
+        .withColumn("h", kmv_hash("item"))
     )
     state = _kmv_bottom_k(combined, k)
     dropped = stored.select("g", "item").join(
