@@ -94,22 +94,16 @@ def update_hll_store(
         read_parquet_table,
     )
 
-    stored = read_parquet_table(spark, path).select(
-        "g", "idx", F.col("r").alias("r_old")
-    )
-    batch = regs.select("g", "idx", F.col("r").alias("r_new"))
+    # MAX-fold via ONE (g, idx)-keyed aggregate instead of the former
+    # full-outer join (r12 session 4, guide §2.4): max over the union
+    # is the identical element-wise lattice join (register ranks are
+    # ≥ 1, so the old coalesce-to-0 never decided a value), one
+    # exchange on ≤ groups × m rows per side.
+    stored = read_parquet_table(spark, path).select("g", "idx", "r")
     merged = (
-        stored.join(batch, ["g", "idx"], "full_outer")
-        .select(
-            "g",
-            "idx",
-            F.greatest(
-                F.coalesce("r_old", F.lit(0)),
-                F.coalesce("r_new", F.lit(0)),
-            )
-            .cast("int")
-            .alias("r"),
-        )
+        stored.unionByName(regs.select("g", "idx", "r"))
+        .groupBy("g", "idx")
+        .agg(F.max("r").cast("int").alias("r"))
     )
     return merge_into_parquet(
         spark, path, merged, ["g", "idx"], batch_id=batch_id
@@ -199,20 +193,15 @@ def update_cm_store(
         read_parquet_table,
     )
 
-    stored = read_parquet_table(spark, path).select(
-        "g", "j", "p", F.col("cnt").alias("c_old")
-    )
-    batch = cells.select("g", "j", "p", F.col("cnt").alias("c_new"))
-    merged = stored.join(batch, ["g", "j", "p"], "full_outer").select(
-        "g",
-        "j",
-        "p",
-        (
-            F.coalesce("c_old", F.lit(0))
-            + F.coalesce("c_new", F.lit(0))
-        )
-        .cast("long")
-        .alias("cnt"),
+    # SUM-fold via ONE (g, j, p)-keyed aggregate instead of the former
+    # full-outer join (r12 session 4, guide §2.4): sum over the union
+    # is the identical element-wise addition (absent side ≡ the old
+    # coalesce-to-0), one exchange on ≤ groups × d × w rows per side.
+    stored = read_parquet_table(spark, path).select("g", "j", "p", "cnt")
+    merged = (
+        stored.unionByName(cells.select("g", "j", "p", "cnt"))
+        .groupBy("g", "j", "p")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
     )
     return merge_into_parquet(
         spark, path, merged, ["g", "j", "p"], batch_id=batch_id
@@ -697,18 +686,18 @@ def update_hist_store(
     )
 
     width, n_buckets = read_hist_meta(spark, path)
-    stored = read_parquet_table(spark, path).select(
-        "g", "b", F.col("cnt").alias("c_old")
-    )
+    # SUM-fold via ONE (g, b)-keyed aggregate instead of the former
+    # full-outer join (r12 session 4, guide §2.4) — same fusion as the
+    # Count-Min grid; meta rows pass through their singleton groups
+    # unchanged exactly as the old coalesce-to-0 left them.
+    stored = read_parquet_table(spark, path).select("g", "b", "cnt")
     batch = hist_cell_rows(
         values, group_col, value_col, width, n_buckets
-    ).select("g", "b", F.col("cnt").alias("c_new"))
-    merged = stored.join(batch, ["g", "b"], "full_outer").select(
-        "g",
-        "b",
-        (
-            F.coalesce("c_old", F.lit(0)) + F.coalesce("c_new", F.lit(0))
-        ).cast("long").alias("cnt"),
+    ).select("g", "b", "cnt")
+    merged = (
+        stored.unionByName(batch)
+        .groupBy("g", "b")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
     )
     return merge_into_parquet(
         spark, path, merged, ["g", "b"], batch_id=batch_id
