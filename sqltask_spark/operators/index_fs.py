@@ -440,9 +440,12 @@ def count_and_bounds(df, id_col: str) -> "tuple[int, dict | None]":
 # distinct/anti-join/aggregate formulations that cost 3-5 AQE stage
 # jobs per mutation. Bounded by construction (≤ cap ids on the
 # driver, isin literals ≤ cap); larger batches keep the join
-# formulation. Sized below merge's _KEYS_CAP because the ids feed
-# isin literals, not just a collect.
-SMALL_BATCH_CAP = 8192
+# formulation. Sized at the measured isin-vs-join crossover (r12
+# session 4, see merge._INLINE_CAP): N-literal isin analysis/codegen
+# grows superlinearly in N and overtakes the join arm's flat ~2.6s
+# past ~512 literals, so a bigger cap makes the "fast" path slower
+# than the exchange it avoids.
+SMALL_BATCH_CAP = 512
 
 
 def collect_id_rows(

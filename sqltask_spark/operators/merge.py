@@ -58,9 +58,18 @@ _DATA = "data"
 # additionally bounds the keys inlined into isin literals (decide
 # fast path); _CHANGES_CAP bounds each manifest-diff side of the
 # change-feed window fast path.
+#
+# The isin caps sit at the MEASURED isin-vs-join crossover (r12
+# session 4): an N-literal isin costs analysis/codegen time that grows
+# superlinearly in N — per-merge min-of-3 walls on a 100k-row table
+# were 64 keys 1.8s / 512 keys 2.2s / 2048 keys 5.2s / 4096 keys 10.8s
+# against a FLAT ~2.6s for the join arm — so past ~512 literals the
+# "fast" path loses to the exchange it avoids. The caps bound the
+# literal count, not correctness: bigger batches take the join
+# formulation, which is also the right shape at 100 TB.
 _KEYS_CAP = 65536
-_INLINE_CAP = 8192
-_CHANGES_CAP = 65536
+_INLINE_CAP = 512
+_CHANGES_CAP = 512
 
 
 def _data_dir(path: str) -> str:
