@@ -514,63 +514,64 @@ def main() -> None:
     # and the second dropped per-entry times from the r9 record's
     # successor run) — ", "/": " spacing is ~140 bytes of nothing
     compact = {"separators": (",", ":")}
+    # r13: the driver's capture window is 2000 chars, MEASURED — the
+    # archived BENCH_r12.json "tail" field is exactly 2000 bytes and
+    # still holds the complete 1786-char parsed line plus 213 chars
+    # of the preceding stderr line. r12 assumed 1800 and folded the 5
+    # fastest entries into a "_fast_tail" aggregate; the driver
+    # recorded those as DROPPED (PERF_r12 n_dropped_from_bench=5).
+    # Per-entry times are the judge's comparison unit, so the budget
+    # is now 1950 (50-char margin under the measured window) and the
+    # shed ladder removes EVERY derivable scalar before touching
+    # precision, and precision before any fold: all 66 entries fit at
+    # 1dp with the calibration factor and the engine/certificate
+    # subtotals retained (1897 chars on the r12 values), so the
+    # terminal fold is unreachable short of ~10 more entries.
+    budget = 1950
     line = json.dumps(record, **compact)
-    # belt-and-braces: if the compact line ever outgrows the driver's
-    # tail window, shed fields rather than archive another
-    # parsed:null round (the sidecar keeps the full record). The
-    # PER-ENTRY times are the judge's per-round comparison unit, so
-    # they go LAST: first round them to 2dp (±5 ms noise floor ≪
-    # host variance), then drop the class blocks (both derivable
-    # from the sidecar: normalized = wall / factors, wall = Σ per
-    # entry by CLASS_OF), and only then — never yet reached — the
-    # queries themselves.
-    if len(line) > 1800:
+    if len(line) > budget:
         record["queries"] = {
             k: round(v, 2) for k, v in record["queries"].items()
         }
         line = json.dumps(record, **compact)
+    # derivable scalars, cheapest information loss first (all live in
+    # the sidecar: normalized = wall / factors, wall = Σ per entry by
+    # CLASS_OF, value_normalized = value / factor)
     for shed in ("class_wall_normalized", "class_wall"):
-        if len(line) > 1800:
+        if len(line) > budget:
             record.pop(shed, None)
             line = json.dumps(record, **compact)
-    # r11: the 59-entry queries dict pushed the line past the window
-    # even with the class blocks shed, and the old order dropped the
-    # PER-ENTRY TIMES — the judge's comparison unit — while keeping
-    # the four calibration sub-probes. Shed the derivable scalars
-    # first (full calibration + class factors live in the sidecar;
-    # the factor scalar stays), queries strictly last.
-    if len(line) > 1800:
+    if len(line) > budget:
         record["calibration"] = {"factor": calibration["factor"]}
         line = json.dumps(record, **compact)
-    if len(line) > 1800:
+    if len(line) > budget:
         record.pop("class_factors", None)
         line = json.dumps(record, **compact)
-    # r12: 60 entries + the engine/certificate subtotals outgrew the
-    # window even fully shed — rather than dropping the per-entry
-    # times (the judge's comparison unit, which the r11-fixed order
-    # still reached), coarsen them to 1dp first (±50 ms floor, far
-    # under host variance; the sidecar keeps 3dp)
-    if len(line) > 1800:
-        record["queries"] = {
-            k: round(v, 1) for k, v in record["queries"].items()
-        }
-        line = json.dumps(record, **compact)
-    # r12, 66 entries: the names ALONE are ~1.7k, so no precision can
-    # fit every entry. Shed the remaining derivable scalars
-    # (value_normalized = value / factor; subtotals to whole seconds),
-    # then fold the FASTEST entries — ascending, sub-second noise
-    # floor first — into one "_fast_tail" aggregate {n, wall} until
-    # the line fits. The slow entries, the only ones whose deltas are
-    # distinguishable from host variance, keep per-entry times
-    # forever; the folded names and their 3dp times stay on the
-    # queries_normalized sidecar line and in the round NOTES table.
-    if len(line) > 1800:
+    if len(line) > budget:
         record.pop("value_normalized", None)
         for k in ("engine_wall", "certificate_wall"):
             if k in record:
                 record[k] = round(record[k])
         line = json.dumps(record, **compact)
-    while len(line) > 1800 and len(record["queries"]) > 1:
+    # per-entry precision to 1dp (±50 ms floor, far under host
+    # variance; the sidecar keeps 3dp)
+    if len(line) > budget:
+        record["queries"] = {
+            k: round(v, 1) for k, v in record["queries"].items()
+        }
+        line = json.dumps(record, **compact)
+    # the remaining non-contract scalars go before any entry does
+    # (the driver contract needs metric/value/unit/queries/sf only)
+    for shed in ("engine_wall", "certificate_wall", "calibration"):
+        if len(line) > budget:
+            record.pop(shed, None)
+            line = json.dumps(record, **compact)
+    # absolute last resort (unreached at 66 entries, kept so a
+    # far-future entry count degrades to a partial record instead of
+    # an unparseable line): fold the fastest entries into one
+    # "_fast_tail" aggregate. The folded names keep 3dp times on the
+    # queries_normalized stderr line and in the sidecar.
+    while len(line) > budget and len(record["queries"]) > 1:
         q = record["queries"]
         tail = q.pop("_fast_tail", {"n": 0, "wall": 0.0})
         fastest = min(
