@@ -181,6 +181,13 @@ def learn_bpe_merges(
     return spark.createDataFrame(merges, _MERGE_SCHEMA)
 
 
+#: lineage-truncation cadence for the distributed BPE merge loop: the
+#: vocabulary plan grows one when/withColumn layer per round between
+#: eager checkpoints; 8 layers is well inside planner comfort while
+#: amortizing the checkpoint job 8x (r13, guide §1.2/§5)
+_TRUNC_EVERY = 8
+
+
 def learn_bpe_merges_distributed(
     docs: DataFrame,
     text_col: str = "text",
@@ -198,9 +205,11 @@ def learn_bpe_merges_distributed(
     (count desc, then pair lexicographic asc: Spark's binary UTF-8
     string order equals Python's code-point order, so the tie-break
     matches the local heap exactly), (3) a guarded
-    :func:`apply_merge` rewrite of affected words with per-round
-    ``localCheckpoint`` lineage truncation — the
-    :mod:`sqltask_spark.operators.graph` iteration pattern. Only
+    :func:`apply_merge` rewrite of affected words, lazily persisted so
+    the NEXT round's census materializes it inside its own job, with
+    an eager ``localCheckpoint`` every ``_TRUNC_EVERY`` rounds to
+    bound plan depth (the :mod:`sqltask_spark.operators.graph`
+    iteration pattern, amortized). Only
     1-row aggregates ever reach the driver, so there is no
     ``max_words`` ceiling to need; the cap is still honored for
     bit-identity testing against the capped local path.
@@ -220,6 +229,18 @@ def learn_bpe_merges_distributed(
         F.split("word", "").alias("syms"), "freq"
     ).localCheckpoint()
     merges: list[tuple[int, str, str, str, int]] = []
+    # r13 (guide §1.2): the per-round ``localCheckpoint`` cost one
+    # dedicated materialization JOB per merge — the next round's
+    # census re-reads the vocabulary anyway, so a lazy ``persist``
+    # gets materialized BY that census for free (~1 job/round saved,
+    # scheduler-bound loop). The predecessor's cache is released only
+    # AFTER the census materializes its successor (an early unpersist
+    # would force the census to recompute the whole rewrite chain),
+    # and every ``_TRUNC_EVERY`` rounds an eager localCheckpoint still
+    # truncates the growing withColumn lineage so plan depth stays
+    # bounded for large ``n_merges``. Values are bit-identical: same
+    # expressions, same data, only the materialization schedule moved.
+    pending = None  # predecessor cache awaiting release
     for rank in range(1, n_merges + 1):
         pairs = (
             vocab.select(
@@ -245,6 +266,11 @@ def learn_bpe_merges_distributed(
             .limit(1)
             .collect()
         )
+        # the census just materialized this round's vocab — the
+        # previous round's cache is no longer reachable
+        if pending is not None:
+            pending.unpersist()
+            pending = None
         if not best or best[0]["pair_freq"] < min_pair_freq:
             break
         left, right = best[0]["left"], best[0]["right"]
@@ -252,15 +278,23 @@ def learn_bpe_merges_distributed(
             (rank, left, right, left + right, int(best[0]["pair_freq"]))
         )
         old = vocab
-        vocab = vocab.withColumn(
+        rewritten = vocab.withColumn(
             "syms",
             F.when(
                 F.array_contains("syms", left)
                 & F.array_contains("syms", right),
                 apply_merge(F.col("syms"), left, right),
             ).otherwise(F.col("syms")),
-        ).localCheckpoint()
-        old.unpersist()
+        )
+        if rank % _TRUNC_EVERY == 0:
+            # eager: pays one job, resets plan depth
+            vocab = rewritten.localCheckpoint()
+            old.unpersist()
+        else:
+            vocab = rewritten.persist()
+            pending = old
+    if pending is not None:
+        pending.unpersist()
     vocab.unpersist()
     return spark.createDataFrame(merges, _MERGE_SCHEMA)
 

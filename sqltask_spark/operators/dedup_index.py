@@ -1112,28 +1112,37 @@ def probe_minhash_index(
 
     m = _committed(spark, path, as_of)
     meta = m["params"]
+    # TINY-BATCH serving fast path (r13, VERDICT r12 next #5, guide
+    # §1.2/§6): a probe of a handful of documents — the CDC sync
+    # loops' post-mutation probes, point screening in a serving loop —
+    # pays the corpus-postings bucket join and a full shingle-column
+    # scan for candidate sets of a few rows. When the batch is small
+    # enough that its banded signatures fit the isin-literal budget
+    # (≤ SMALL_BATCH_CAP banded rows, i.e. ≤ cap/bands documents —
+    # gated by ONE bounded narrow collect of the raw batch ids), the
+    # batch's band hashes are collected and every corpus-scale scan
+    # is PREFILTERED by literal membership that pushes down to
+    # parquet: sizes and postings by ``band_hash IN (...)``, and —
+    # after a second bounded collect of the candidate pairs — the
+    # shingle verify scan by ``corpus_id IN (...)``. The original
+    # equi-join conditions stay on top of every prefilter, so a
+    # prefilter only removes rows that provably cannot match; results
+    # are identical, and larger batches keep the join formulation
+    # (their probe work is corpus-shaped anyway).
+    fast_ids = max(1, index_fs.SMALL_BATCH_CAP // int(meta["bands"]))
+    id_rows = index_fs.collect_id_rows(batch, id_col, cap=fast_ids)
     sizes = _read_sizes(spark, path, m).filter(
         F.col("bucket_size") <= F.lit(max_bucket_size)
     )
-    postings = _read_postings(spark, path, m).join(
-        sizes.select("band", "band_hash"), ["band", "band_hash"]
-    )
+    postings = _read_postings(spark, path, m)
     corpus_sh = _read_shingles(spark, path, m).select(
         F.col("id").alias("corpus_id"), F.col("h").alias("h_c")
     )
     tombs = _read_tombstones(spark, path, m)
-    if tombs is not None:
-        # deleted docs stop matching IMMEDIATELY (tombstone anti-joins
-        # on the skinny id — broadcast-small until compaction removes
-        # the rows physically); sizes stay as-built, a conservative
-        # cap (compaction refreshes them)
-        postings = postings.join(tombs, "id", "left_anti")
-        corpus_sh = corpus_sh.join(
-            tombs.select(F.col("id").alias("corpus_id")),
-            "corpus_id",
-            "left_anti",
-        )
-    bsh = shingled_docs(batch, id_col, text_col, meta["shingle_n"]).persist()
+    bsh = shingled_docs(
+        batch, id_col, text_col, meta["shingle_n"],
+        min_partitions=1 if id_rows is not None else None,
+    ).persist()
     try:
         wide = _signatures_wide(bsh, meta["num_perm"], meta["seed"])
         banded = _banded_signatures(
@@ -1141,20 +1150,63 @@ def probe_minhash_index(
         ).select(
             F.col("id").alias("batch_id"), "band", "band_hash"
         )
+        cand_hint = None
+        if id_rows is not None:
+            # ≤ cap banded rows by construction; the collect also
+            # materializes the shingle cache for the verify join
+            brows = banded.collect()
+            bh = sorted({int(r["band_hash"]) for r in brows})
+            keep = (
+                F.col("band_hash").isin(bh) if bh else F.lit(False)
+            )
+            sizes = sizes.filter(keep)
+            postings = postings.filter(keep)
+            cand_hint = F.broadcast
+        if tombs is not None:
+            # deleted docs stop matching IMMEDIATELY (tombstone
+            # anti-joins on the skinny id — broadcast-small until
+            # compaction removes the rows physically); sizes stay
+            # as-built, a conservative cap (compaction refreshes them)
+            postings = postings.join(tombs, "id", "left_anti")
+            corpus_sh = corpus_sh.join(
+                tombs.select(F.col("id").alias("corpus_id")),
+                "corpus_id",
+                "left_anti",
+            )
+        postings = postings.join(
+            sizes.select("band", "band_hash"), ["band", "band_hash"]
+        )
         cand = (
-            banded.join(postings, ["band", "band_hash"])
+            (F.broadcast(banded) if cand_hint else banded)
+            .join(postings, ["band", "band_hash"])
             .filter(F.col("batch_id") != F.col("id"))
             .groupBy(
                 "batch_id", F.col("id").alias("corpus_id")
             )
             .agg(F.count(F.lit(1)).alias("n_shared_bands"))
         )
+        if id_rows is not None:
+            # bounded candidate collect → pushdown on the shingle
+            # verify scan; an adversarial bucket blowup (> cap pairs)
+            # keeps the join formulation on the already-prefiltered
+            # postings
+            crows = cand.limit(index_fs.SMALL_BATCH_CAP + 1).collect()
+            if len(crows) <= index_fs.SMALL_BATCH_CAP:
+                cids = sorted({r["corpus_id"] for r in crows})
+                corpus_sh = corpus_sh.filter(
+                    F.col("corpus_id").isin(cids)
+                    if cids
+                    else F.lit(False)
+                )
+                cand = F.broadcast(
+                    spark.createDataFrame(crows, cand.schema)
+                )
         b = bsh.select(F.col("id").alias("batch_id"), F.col("h").alias("h_b"))
         jac = F.size(F.array_intersect("h_b", "h_c")).cast("double") / F.size(
             F.array_union("h_b", "h_c")
         )
         out = (
-            cand.join(b, "batch_id")
+            cand.join(F.broadcast(b) if cand_hint else b, "batch_id")
             .join(corpus_sh, "corpus_id")
             .withColumn("jaccard", jac)
             .filter(F.col("jaccard") >= F.lit(threshold))
